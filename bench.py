@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The query set carries over the reference's nightly read-benchmark shapes
+(/root/reference/scripts/bench_read.sh:25-33: row, row-bsi, row-range, count,
+intersect, union, difference, xor, groupby, topk) plus the SQL/pipeline
+headliners.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+BENCH_QUERIES = [
+    # reference nightly read set (bench_read.sh) → our PQL family
+    "pql_row_equals",
+    "pql_row_bsi_range",
+    "pql_row_time_range",
+    "pql_count",
+    "pql_intersect",
+    "pql_union",
+    "pql_difference",
+    "pql_xor",
+    "pql_groupby",
+    "pql_topk",
+    # SQL headliners
+    "sql_q1_pricing_summary",
+    "sql_join_multi",
+    "sql_count_distinct",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from featurebase_spark.session import get_spark, load_tables
+    from featurebase_spark import queries as Q
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    load_tables(spark, sf_dir)
+
+    names = [n for n in BENCH_QUERIES if n in Q.SPARK_QUERIES]
+    # warm the JVM + parquet footers so per-query numbers measure the plan,
+    # not first-touch JIT/IO (same role as the reference's warmup runs).
+    Q.SPARK_QUERIES["pql_count"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        df = Q.SPARK_QUERIES[name](spark, sf_dir)
+        n = df.count() if name.startswith("pql_row") else len(df.collect())
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,737 @@
+"""PQL call objects compiling to DataFrame plans.
+
+Every class mirrors one PQL call from the reference dispatch table
+(``/root/reference/executor.go:723-835``); per-class docstrings cite the
+reference implementation it models. The compilation contract:
+
+- Row-calls (bitmap producers) expose:
+    ``predicate(idx) -> Column | None``
+        Boolean expression over the base table. Two-valued bitmap semantics:
+        a record is *in* the bitmap iff the predicate is TRUE — SQL NULL
+        compares are coerced to False at composition points, matching the
+        reference where a record either has the bit set or not.
+    ``ids(idx) -> DataFrame["_id"]``
+        Fallback materialization as a record-ID frame.
+    ``filter_df(idx) -> DataFrame``
+        The base table restricted to the bitmap (predicate-pushdown filter
+        when possible, semi-join otherwise).
+- Reader-calls (Count/Sum/.../Extract) expose ``to_df(idx) -> DataFrame``.
+
+Scale notes: predicate-form composition keeps arbitrary Intersect/Union/
+Difference/Xor/Not trees inside ONE whole-stage-codegen'd parquet scan with
+pushdown — the plan you want at 100 TB. Aggregating readers compile to
+partial+final hash aggregation (Catalyst does map-side combine, mirroring the
+reference's per-shard map + tournament reduce, executor.go:6449-6830).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# Index = the queryable table ("index" in FeatureBase, index.go:26-63)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Index:
+    """A queryable table. ``id_col`` is the record-ID (``_id``) column;
+    ``time_col`` is the event-time column used for ``from_``/``to`` ranges on
+    time-quantum-style queries (reference views time.go:106-142 — we model
+    time-quantum views as plain timestamp predicates, which parquet
+    partition/row-group pruning serves the same way the minimal view cover
+    did, field.go:1063-1120)."""
+
+    df: DataFrame
+    id_col: str = "_id"
+    time_col: Optional[str] = None
+
+    def is_array_field(self, name: str) -> bool:
+        dt = dict(self.df.dtypes).get(name, "")
+        return dt.startswith("array")
+
+    def id_frame(self, df: DataFrame) -> DataFrame:
+        return df.select(F.col(self.id_col).alias("_id"))
+
+
+def _truthy(col: Column) -> Column:
+    """NULL → False: bitmap membership is two-valued (bit set or not)."""
+    return F.coalesce(col, F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# Row-calls (bitmap producers)
+# ---------------------------------------------------------------------------
+
+
+class RowCall:
+    def predicate(self, idx: Index) -> Optional[Column]:  # pragma: no cover
+        raise NotImplementedError
+
+    def ids(self, idx: Index) -> DataFrame:
+        pred = self.predicate(idx)
+        if pred is None:
+            raise NotImplementedError(f"{type(self).__name__} has no id fallback")
+        return idx.id_frame(idx.df.where(_truthy(pred)))
+
+    def filter_df(self, idx: Index) -> DataFrame:
+        pred = self.predicate(idx)
+        if pred is not None:
+            return idx.df.where(_truthy(pred))
+        # Semi-join fallback: Spark broadcasts when the id set is small.
+        return idx.df.join(
+            self.ids(idx).withColumnRenamed("_id", idx.id_col),
+            on=idx.id_col,
+            how="left_semi",
+        )
+
+
+@dataclass
+class Row(RowCall):
+    """``Row(field=value)`` / ``Row(field <op> value)`` / time-range rows.
+
+    Reference: executeRowShard executor.go:5120-5248 (equality on set/mutex
+    fields), executeRowBSIGroupShard executor.go:5249-5356 (BSI ``<,<=,>,>=,
+    ==,!=,><`` range decomposition — here Catalyst + parquet min/max stats do
+    the range pruning natively), time-range rows via from/to (view cover
+    field.go:1063-1120 → plain timestamp BETWEEN predicate).
+
+    - scalar field: comparison predicate.
+    - array (set) field: equality → ``array_contains`` (one bitmap per value
+      in the reference, field.go:43).
+    - ``value is None`` with ``==``/``!=`` → IS NULL / IS NOT NULL (the
+      reference's existence-bitmap queries, executor.go:5554).
+    - ``between=(lo, hi)`` → inclusive range (PQL ``><``, pql/token.go:10-44).
+    - ``from_``/``to`` restrict by ``idx.time_col`` (half-open [from, to)).
+    """
+
+    field: str
+    op: str = "=="
+    value: object = None
+    between: Optional[tuple] = None
+    from_: object = None
+    to: object = None
+
+    def predicate(self, idx: Index) -> Column:
+        c = F.col(self.field)
+        if self.between is not None:
+            lo, hi = self.between
+            pred = c.between(F.lit(lo), F.lit(hi))
+        elif self.value is None and self.op == "==":
+            pred = c.isNull()
+        elif self.value is None and self.op == "!=":
+            pred = c.isNotNull()
+        elif idx.is_array_field(self.field):
+            if self.op == "==":
+                pred = F.array_contains(c, F.lit(self.value))
+            elif self.op == "!=":
+                pred = ~_truthy(F.array_contains(c, F.lit(self.value)))
+            else:
+                raise ValueError(f"op {self.op} invalid on set field {self.field}")
+        else:
+            v = F.lit(self.value)
+            pred = {
+                "==": c == v,
+                "!=": c != v,
+                "<": c < v,
+                "<=": c <= v,
+                ">": c > v,
+                ">=": c >= v,
+            }[self.op]
+        if self.from_ is not None or self.to is not None:
+            if idx.time_col is None:
+                raise ValueError("from_/to require Index.time_col")
+            t = F.col(idx.time_col)
+            if self.from_ is not None:
+                pred = pred & (t >= F.lit(self.from_))
+            if self.to is not None:
+                pred = pred & (t < F.lit(self.to))
+        return pred
+
+
+@dataclass
+class All(RowCall):
+    """All existing records (executeAllCallShard executor.go:5781-5817).
+    Existence is implicit in a row-oriented table — every row exists."""
+
+    def predicate(self, idx: Index) -> Column:
+        return F.lit(True)
+
+
+@dataclass
+class ConstRow(RowCall):
+    """Literal bitmap from an ID list (executeConstRow executor.go:5604-5673).
+    Compiles to ``isin`` (Catalyst turns large lists into an in-set hash)."""
+
+    columns: Sequence
+
+    def predicate(self, idx: Index) -> Column:
+        return F.col(idx.id_col).isin(list(self.columns))
+
+
+class _Composite(RowCall):
+    children: Sequence[RowCall]
+
+    def _child_preds(self, idx: Index) -> Optional[list[Column]]:
+        preds = [c.predicate(idx) for c in self.children]
+        return None if any(p is None for p in preds) else preds
+
+
+@dataclass
+class Intersect(_Composite):
+    """Bitmap AND (executeIntersectShard executor.go:5357-5381).
+    Predicate form: conjunction inside one scan. Fallback: repeated
+    semi-joins on ``_id``."""
+
+    children: Sequence[RowCall]
+
+    def __init__(self, *children: RowCall):
+        self.children = children
+
+    def predicate(self, idx: Index) -> Optional[Column]:
+        preds = self._child_preds(idx)
+        if preds is None:
+            return None
+        return reduce(lambda a, b: a & b, [_truthy(p) for p in preds])
+
+    def ids(self, idx: Index) -> DataFrame:
+        pred = self.predicate(idx)
+        if pred is not None:
+            return super().ids(idx)
+        return reduce(lambda a, b: a.join(b, "_id", "left_semi"), [c.ids(idx) for c in self.children])
+
+
+@dataclass
+class Union(_Composite):
+    """Bitmap OR (executeUnionShard executor.go:5382-5405)."""
+
+    children: Sequence[RowCall]
+
+    def __init__(self, *children: RowCall):
+        self.children = children
+
+    def predicate(self, idx: Index) -> Optional[Column]:
+        preds = self._child_preds(idx)
+        if preds is None:
+            return None
+        return reduce(lambda a, b: a | b, [_truthy(p) for p in preds])
+
+    def ids(self, idx: Index) -> DataFrame:
+        pred = self.predicate(idx)
+        if pred is not None:
+            return super().ids(idx)
+        return reduce(lambda a, b: a.union(b), [c.ids(idx) for c in self.children]).distinct()
+
+
+@dataclass
+class Difference(_Composite):
+    """a AND NOT b AND NOT c... (executeDifferenceShard executor.go:2950-2975)."""
+
+    children: Sequence[RowCall]
+
+    def __init__(self, *children: RowCall):
+        self.children = children
+
+    def predicate(self, idx: Index) -> Optional[Column]:
+        preds = self._child_preds(idx)
+        if preds is None:
+            return None
+        head, *rest = [_truthy(p) for p in preds]
+        return reduce(lambda a, b: a & ~b, rest, head)
+
+    def ids(self, idx: Index) -> DataFrame:
+        pred = self.predicate(idx)
+        if pred is not None:
+            return super().ids(idx)
+        ids = [c.ids(idx) for c in self.children]
+        return reduce(lambda a, b: a.join(b, "_id", "left_anti"), ids[1:], ids[0])
+
+
+@dataclass
+class Xor(_Composite):
+    """Symmetric difference (executeXorShard executor.go:5513-5534)."""
+
+    children: Sequence[RowCall]
+
+    def __init__(self, *children: RowCall):
+        self.children = children
+
+    def predicate(self, idx: Index) -> Optional[Column]:
+        preds = self._child_preds(idx)
+        if preds is None:
+            return None
+        return reduce(lambda a, b: a != b, [_truthy(p) for p in preds])
+
+
+@dataclass
+class Not(RowCall):
+    """Existence-complement (executeNotShard executor.go:5554-5603; requires
+    ``trackExistence`` in the reference — implicit here). NULL-valued records
+    exist, so ``Not(Row(f=v))`` INCLUDES records where f is NULL — hence the
+    ``_truthy`` coercion before negation."""
+
+    child: RowCall
+
+    def predicate(self, idx: Index) -> Optional[Column]:
+        p = self.child.predicate(idx)
+        return None if p is None else ~_truthy(p)
+
+    def ids(self, idx: Index) -> DataFrame:
+        pred = self.predicate(idx)
+        if pred is not None:
+            return super().ids(idx)
+        return idx.id_frame(idx.df).join(self.child.ids(idx), "_id", "left_anti")
+
+
+@dataclass
+class UnionRows(RowCall):
+    """OR of all row-bitmaps of the given fields — i.e. "record has ANY value
+    of field" (executeUnionRows executor.go:5696-5780)."""
+
+    fields: Sequence[str]
+
+    def __init__(self, *fields: str):
+        self.fields = fields
+
+    def predicate(self, idx: Index) -> Column:
+        preds = []
+        for f in self.fields:
+            c = F.col(f)
+            if idx.is_array_field(f):
+                preds.append(c.isNotNull() & (F.size(c) > 0))
+            else:
+                preds.append(c.isNotNull())
+        return reduce(lambda a, b: a | b, preds)
+
+
+@dataclass
+class Shift(RowCall):
+    """Record-ID arithmetic: every bit shifted up by n
+    (executeShiftShard executor.go:5818-5838). Inherently an ID transform, so
+    only the id-frame representation exists."""
+
+    child: RowCall
+    n: int = 1
+
+    def predicate(self, idx: Index) -> None:
+        return None
+
+    def ids(self, idx: Index) -> DataFrame:
+        return self.child.ids(idx).select((F.col("_id") + self.n).alias("_id"))
+
+
+@dataclass
+class Limit(RowCall):
+    """``Limit(child, limit=, offset=)`` — first N record IDs in ID order
+    (executeLimitCall executor.go:1027-1102). ID-ordered ``offset().limit()``;
+    Spark plans this as a TakeOrdered-style global limit."""
+
+    child: RowCall
+    limit: int = 2**63 - 1
+    offset: int = 0
+
+    def predicate(self, idx: Index) -> None:
+        return None
+
+    def ids(self, idx: Index) -> DataFrame:
+        out = self.child.ids(idx).orderBy("_id")
+        if self.offset:
+            out = out.offset(self.offset)
+        return out.limit(self.limit)
+
+
+# ---------------------------------------------------------------------------
+# Reader-calls
+# ---------------------------------------------------------------------------
+
+
+class ReaderCall:
+    def to_df(self, idx: Index) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+
+def _filtered(idx: Index, flt: Optional[RowCall]) -> DataFrame:
+    return idx.df if flt is None else flt.filter_df(idx)
+
+
+@dataclass
+class Count(ReaderCall):
+    """Bitmap cardinality (executeCount executor.go:5839-5894) → 1-row
+    DataFrame ``count``. Compiles to a partial+final count — the exact
+    map/reduce shape of the reference's per-shard Count."""
+
+    child: RowCall
+
+    def to_df(self, idx: Index) -> DataFrame:
+        pred = self.child.predicate(idx)
+        if pred is not None:
+            return idx.df.select(
+                F.count(F.when(_truthy(pred), F.lit(1))).alias("count")
+            )
+        return self.child.ids(idx).agg(F.count(F.lit(1)).alias("count"))
+
+
+@dataclass
+class _FieldAgg(ReaderCall):
+    field: str
+    filter: Optional[RowCall] = None
+
+
+class Sum(_FieldAgg):
+    """Sum of a BSI (int/decimal) field over the filtered bitmap, plus the
+    contributing-record count the reference carries for AVG
+    (executeSum executor.go:1119-1172, shard 2155-2217)."""
+
+    def to_df(self, idx: Index) -> DataFrame:
+        df = _filtered(idx, self.filter)
+        return df.agg(
+            F.sum(self.field).alias("sum"),
+            F.count(self.field).alias("count"),
+        )
+
+
+class Min(_FieldAgg):
+    """executeMin executor.go:1225-1260."""
+
+    def to_df(self, idx: Index) -> DataFrame:
+        return _filtered(idx, self.filter).agg(F.min(self.field).alias("min"))
+
+
+class Max(_FieldAgg):
+    """executeMax executor.go:1261-1309."""
+
+    def to_df(self, idx: Index) -> DataFrame:
+        return _filtered(idx, self.filter).agg(F.max(self.field).alias("max"))
+
+
+class MinRow(_FieldAgg):
+    """Lowest field value having ≥1 record, with its record count
+    (executeMinRow executor.go:1604-1642)."""
+
+    _AGG = "min"
+
+    def to_df(self, idx: Index) -> DataFrame:
+        df = _filtered(idx, self.filter)
+        if idx.is_array_field(self.field):
+            vals = df.select(F.explode(self.field).alias("__v__"))
+        else:
+            vals = df.select(F.col(self.field).alias("__v__"))
+        extreme = vals.agg(getattr(F, self._AGG)("__v__").alias("__extreme__"))
+        return (
+            vals.join(F.broadcast(extreme), F.col("__v__") == F.col("__extreme__"))
+            .groupBy("__extreme__")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .select(F.col("__extreme__").alias("value"), "count")
+        )
+
+
+class MaxRow(MinRow):
+    """executeMaxRow executor.go:1643-1681."""
+
+    _AGG = "max"
+
+
+class Distinct(_FieldAgg):
+    """Distinct values of a field over the filtered bitmap
+    (executeDistinct executor.go:1173-1224, shard 1820-2154). Set fields
+    explode first (one bitmap per value in the reference). Plan: partial
+    hash-distinct per partition then exchange on the value — same shape as
+    the reference's per-shard distinct + merge."""
+
+    def to_df(self, idx: Index) -> DataFrame:
+        df = _filtered(idx, self.filter)
+        if idx.is_array_field(self.field):
+            df = df.select(F.explode(self.field).alias(self.field))
+        return df.select(self.field).where(F.col(self.field).isNotNull()).distinct()
+
+
+@dataclass
+class Percentile(ReaderCall):
+    """Exact nearest-rank percentile (executePercentile executor.go:1310-1603
+    — the reference binary-searches the BSI value space with O(log range)
+    Count queries).
+
+    Local/medium scale: rank-k selection via ``orderBy().limit(rank)`` —
+    Spark plans a per-partition top-k + merge. For 100 TB the library also
+    ships the reference's search strategy (`percentile_search`): O(log range)
+    pushed-down count scans, no sort, no large collect — use that when
+    rank*rowsize would swamp the driver."""
+
+    field: str
+    nth: float
+    filter: Optional[RowCall] = None
+
+    def to_df(self, idx: Index) -> DataFrame:
+        df = _filtered(idx, self.filter).select(self.field).where(
+            F.col(self.field).isNotNull()
+        )
+        n = df.count()
+        if n == 0:
+            return df.agg(F.max(self.field).alias("percentile"))
+        rank = max(1, math.ceil(self.nth / 100.0 * n))
+        return (
+            df.orderBy(self.field)
+            .limit(rank)
+            .agg(F.max(self.field).alias("percentile"))
+        )
+
+
+def percentile_search(
+    df: DataFrame, field: str, nth: float, max_iters: int = 80
+) -> float:
+    """Scale-path exact nearest-rank percentile: binary search over the value
+    domain with one pushed-down count per iteration — a direct re-expression
+    of the reference's executePercentile (executor.go:1310-1603) where each
+    probe is a filtered Count. O(log range) cheap scans, zero sort/collect."""
+    vals = df.where(F.col(field).isNotNull())
+    row = vals.agg(
+        F.min(field).alias("lo"), F.max(field).alias("hi"), F.count(field).alias("n")
+    ).first()
+    lo, hi, n = row["lo"], row["hi"], row["n"]
+    if n == 0:
+        return None
+    rank = max(1, math.ceil(nth / 100.0 * n))
+    is_int = dict(df.dtypes)[field] in ("int", "bigint", "smallint", "tinyint")
+    for _ in range(max_iters):
+        if is_int and lo >= hi:
+            break
+        mid = (lo + hi) // 2 if is_int else (lo + hi) / 2.0
+        cnt = vals.where(F.col(field) <= F.lit(mid)).count()
+        if cnt >= rank:
+            hi = mid
+        else:
+            lo = mid + 1 if is_int else mid
+        if not is_int and (hi - lo) <= abs(hi) * 1e-12:
+            break
+    # hi is the smallest value v with count(<=v) >= rank; snap to an actual value
+    return vals.where(F.col(field) >= F.lit(lo)).agg(F.min(field)).first()[0]
+
+
+@dataclass
+class TopN(ReaderCall):
+    """Top-n field values by record count. The reference serves TopN from
+    per-fragment ranked caches and is APPROXIMATE (executeTopN
+    executor.go:2779-2868, cache.go:19-45); TopK is exact (executeTopK
+    executor.go:2357-2487). On Spark both compile to the same exact plan —
+    partial count per partition, merge, global top-k (an exact superset of
+    TopN; divergence recorded per SURVEY §7 risk register).
+
+    Ties broken by value ascending for determinism. Plan shape at scale:
+    map-side partial aggregation shrinks the shuffle to |distinct values|;
+    the final sort+limit is a cheap TakeOrdered over the merged counts."""
+
+    field: str
+    n: int
+    filter: Optional[RowCall] = None
+
+    def to_df(self, idx: Index) -> DataFrame:
+        df = _filtered(idx, self.filter)
+        if idx.is_array_field(self.field):
+            df = df.select(F.explode(self.field).alias(self.field))
+        return (
+            df.where(F.col(self.field).isNotNull())
+            .groupBy(self.field)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), F.asc(self.field))
+            .limit(self.n)
+        )
+
+
+class TopK(TopN):
+    """Exact top-k (executeTopK executor.go:2357-2487; per-shard count-BSI +
+    PivotDescending bsi.go:18-64). Identical exact plan as TopN here."""
+
+    def __init__(self, field: str, k: int, filter: Optional[RowCall] = None):
+        super().__init__(field=field, n=k, filter=filter)
+
+
+@dataclass
+class Rows(ReaderCall):
+    """List the distinct values ("row IDs") of a field with paging/pattern
+    restrictions (executeRows executor.go:3987-4076, shard 4077-4356; LIKE
+    planner like.go:12-190 → native Spark LIKE).
+
+    Args mirror the reference: ``like`` (key glob), ``in_`` (explicit list),
+    ``previous`` (exclusive paging cursor), ``limit``, ``column`` (restrict to
+    one record's values), ``from_``/``to`` (time range on Index.time_col)."""
+
+    field: str
+    like: Optional[str] = None
+    in_: Optional[Sequence] = None
+    previous: object = None
+    limit: Optional[int] = None
+    column: object = None
+    from_: object = None
+    to: object = None
+
+    def to_df(self, idx: Index) -> DataFrame:
+        df = idx.df
+        if self.column is not None:
+            df = df.where(F.col(idx.id_col) == F.lit(self.column))
+        if self.from_ is not None:
+            df = df.where(F.col(idx.time_col) >= F.lit(self.from_))
+        if self.to is not None:
+            df = df.where(F.col(idx.time_col) < F.lit(self.to))
+        if idx.is_array_field(self.field):
+            df = df.select(F.explode(self.field).alias(self.field))
+        vals = df.select(self.field).where(F.col(self.field).isNotNull()).distinct()
+        if self.like is not None:
+            vals = vals.where(F.col(self.field).like(self.like))
+        if self.in_ is not None:
+            vals = vals.where(F.col(self.field).isin(list(self.in_)))
+        if self.previous is not None:
+            vals = vals.where(F.col(self.field) > F.lit(self.previous))
+        vals = vals.orderBy(self.field)
+        if self.limit is not None:
+            vals = vals.limit(self.limit)
+        return vals
+
+
+@dataclass
+class GroupBy(ReaderCall):
+    """Multi-field group-by with optional aggregate/having/sort/limit
+    (executeGroupBy executor.go:3176-3438; having 3389-3405; count-distinct
+    via nested Distinct 3370-3386).
+
+    ``rows``: Rows-call fields to group on (set fields explode — the
+    reference cross-products row bitmaps, so records lacking a value in any
+    grouped field are excluded → ``dropna`` on group keys).
+    ``aggregate``: None → count; ("sum", f) / ("count_distinct", f).
+    ``having``: (aggname, op, value) post-agg filter (Condition in reference).
+    ``sort``: e.g. "count desc" | "sum asc".
+
+    Plan at scale: single shuffle on the group keys with map-side partial
+    aggregation; having/sort/limit run on the (small) aggregated result —
+    the same coordinator post-step as the reference (executor.go:3389-3438)."""
+
+    rows: Sequence[Rows]
+    filter: Optional[RowCall] = None
+    aggregate: Optional[tuple] = None
+    having: Optional[tuple] = None
+    sort: Optional[str] = None
+    limit: Optional[int] = None
+    offset: int = 0
+
+    def to_df(self, idx: Index) -> DataFrame:
+        df = _filtered(idx, self.filter)
+        keys = []
+        for r in self.rows:
+            f = r.field
+            if idx.is_array_field(f):
+                df = df.withColumn(f, F.explode(f))
+            keys.append(f)
+        df = df.na.drop(subset=keys)
+        if self.aggregate is None:
+            agged = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
+        else:
+            kind, fld = self.aggregate
+            if kind == "sum":
+                agged = df.groupBy(*keys).agg(
+                    F.count(F.lit(1)).alias("count"), F.sum(fld).alias("sum")
+                )
+            elif kind == "count_distinct":
+                agged = df.groupBy(*keys).agg(
+                    F.countDistinct(fld).alias("count")
+                )
+            else:
+                raise ValueError(f"unknown aggregate {kind}")
+        if self.having is not None:
+            name, op, val = self.having
+            c, v = F.col(name), F.lit(val)
+            agged = agged.where(
+                {"==": c == v, "!=": c != v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+            )
+        order = [F.asc(k) for k in keys]
+        if self.sort is not None:
+            sname, _, sdir = self.sort.partition(" ")
+            order = [F.desc(sname) if sdir.strip() == "desc" else F.asc(sname)] + order
+        agged = agged.orderBy(*order)
+        if self.offset:
+            agged = agged.offset(self.offset)
+        if self.limit is not None:
+            agged = agged.limit(self.limit)
+        return agged
+
+
+@dataclass
+class Extract(ReaderCall):
+    """Materialize records: for each record in the filter bitmap, the values
+    of the listed fields (executeExtract executor.go:4711-5119 — THE
+    table-scan primitive; SQL SELECT compiles to Extract in the reference,
+    oppqltablescan.go:235-280). Here: a projection over a pushed-down filter —
+    Catalyst prunes the scan to exactly ``ReadSchema: _id + fields``."""
+
+    filter: RowCall
+    fields: Sequence[str]
+
+    def __init__(self, filter: RowCall, *fields: str):
+        self.filter = filter
+        self.fields = fields
+
+    def to_df(self, idx: Index) -> DataFrame:
+        return self.filter.filter_df(idx).select(idx.id_col, *self.fields)
+
+
+@dataclass
+class Sort(ReaderCall):
+    """Record IDs sorted by a BSI field (executeSort executor.go:9321-9450 —
+    per-shard sort + k-way merge; Spark's TakeOrdered/global sort is the same
+    algorithm). Ties broken by ``_id`` for determinism."""
+
+    child: RowCall
+    field: str
+    desc: bool = False
+    limit: Optional[int] = None
+    offset: int = 0
+
+    def to_df(self, idx: Index) -> DataFrame:
+        df = self.child.filter_df(idx).select(idx.id_col, self.field)
+        key = F.desc(self.field) if self.desc else F.asc(self.field)
+        df = df.orderBy(key, F.asc(idx.id_col))
+        if self.offset:
+            df = df.offset(self.offset)
+        if self.limit is not None:
+            df = df.limit(self.limit)
+        return df
+
+
+@dataclass
+class IncludesColumn(ReaderCall):
+    """Does the bitmap contain record N? (executeIncludesColumnCall
+    executor.go:907-942) → 1-row boolean DataFrame."""
+
+    child: RowCall
+    column: object
+
+    def to_df(self, idx: Index) -> DataFrame:
+        pred = self.child.predicate(idx)
+        base = idx.df.where(F.col(idx.id_col) == F.lit(self.column))
+        if pred is not None:
+            return base.agg(
+                _truthy(F.max(_truthy(pred))).alias("includes")
+            )
+        return self.child.ids(idx).where(F.col("_id") == F.lit(self.column)).agg(
+            (F.count(F.lit(1)) > 0).alias("includes")
+        )
+
+
+@dataclass
+class FieldValue(ReaderCall):
+    """Point-read one field value for one record (executeFieldValueCall
+    executor.go:943-1026). A pushed-down point filter — parquet row-group
+    stats prune all but the matching chunk."""
+
+    field: str
+    column: object
+
+    def to_df(self, idx: Index) -> DataFrame:
+        return (
+            idx.df.where(F.col(idx.id_col) == F.lit(self.column))
+            .select(F.col(self.field).alias("value"))
+        )

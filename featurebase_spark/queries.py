@@ -1,0 +1,816 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(name → Spark callable, name → DuckDB oracle SQL) pair.
+
+Conventions (driver contract, __spark_entry__.py):
+- Spark callable signature: ``(spark, sf_dir) -> DataFrame``.
+- Column names identical between the Spark result and the oracle SQL.
+- Floating-point aggregates are made bit-deterministic by summing in
+  DECIMAL(18,2) (exact, associative — immune to partition/accumulation
+  order) and casting the final result to DOUBLE; both engines perform the
+  same double→decimal→double conversions, so hashes match exactly.
+- Order-sensitive operators (top-k, limit/offset) carry explicit total
+  tie-breaks so the selected row SET is deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from featurebase_spark.session import load_tables
+from featurebase_spark.pql import (
+    All,
+    ConstRow,
+    Count,
+    Difference,
+    Distinct,
+    Extract,
+    FieldValue,
+    GroupBy,
+    IncludesColumn,
+    Index,
+    Intersect,
+    Limit,
+    Max,
+    MaxRow,
+    Min,
+    MinRow,
+    Not,
+    Percentile,
+    Row,
+    Rows,
+    Shift,
+    Sort,
+    Sum,
+    TopK,
+    TopN,
+    Union,
+    UnionRows,
+    Xor,
+)
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _tables(spark: SparkSession, sf_dir: str):
+    return load_tables(spark, sf_dir)
+
+
+def _events(spark, sf_dir) -> Index:
+    return Index(_tables(spark, sf_dir)["events"], id_col="event_id", time_col="ts")
+
+
+def dec(c, scale: int = 2):
+    """Exact-decimal view of a double column (deterministic aggregation)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(18,{scale})")
+
+
+def dsum(c, alias: str, scale: int = 2):
+    """SUM made order-independent: decimal-exact sum, double result."""
+    return F.sum(dec(c, scale)).cast("double").alias(alias)
+
+
+# SQL fragment mirrors of dec/dsum for the DuckDB oracle side.
+def SQL_DSUM(col: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# ===========================================================================
+# PQL operator family (SURVEY §2.1) — on the `events` index
+# ===========================================================================
+
+
+@register(
+    "pql_row_equals",
+    "SELECT event_id AS _id FROM events WHERE event_type = 'click'",
+)
+def pql_row_equals(spark, sf_dir):
+    """PQL Row(f=v) — executor.go:5120-5248."""
+    return Row("event_type", "==", "click").ids(_events(spark, sf_dir))
+
+
+@register(
+    "pql_row_bsi_range",
+    "SELECT event_id AS _id FROM events WHERE value BETWEEN 100 AND 250",
+)
+def pql_row_bsi_range(spark, sf_dir):
+    """PQL Row(a <= f <= b) BSI range — executor.go:5249-5356."""
+    return Row("value", between=(100, 250)).ids(_events(spark, sf_dir))
+
+
+@register(
+    "pql_row_time_range",
+    "SELECT event_id AS _id FROM events WHERE event_type = 'click' "
+    "AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'",
+)
+def pql_row_time_range(spark, sf_dir):
+    """PQL Row(f=v, from=, to=) time-range — view cover field.go:1063-1120."""
+    return Row(
+        "event_type", "==", "click", from_="2024-01-05", to="2024-01-20"
+    ).ids(_events(spark, sf_dir))
+
+
+@register(
+    "pql_intersect",
+    "SELECT event_id AS _id FROM events WHERE event_type = 'click' AND value > 250",
+)
+def pql_intersect(spark, sf_dir):
+    """PQL Intersect — executor.go:5357-5381 (predicate-form: single scan)."""
+    return Intersect(Row("event_type", "==", "click"), Row("value", ">", 250)).ids(
+        _events(spark, sf_dir)
+    )
+
+
+@register(
+    "pql_union",
+    "SELECT event_id AS _id FROM events WHERE event_type = 'click' OR event_type = 'signup'",
+)
+def pql_union(spark, sf_dir):
+    """PQL Union — executor.go:5382-5405."""
+    return Union(Row("event_type", "==", "click"), Row("event_type", "==", "signup")).ids(
+        _events(spark, sf_dir)
+    )
+
+
+@register(
+    "pql_difference",
+    "SELECT event_id AS _id FROM events WHERE event_type = 'click' AND NOT (value > 250)",
+)
+def pql_difference(spark, sf_dir):
+    """PQL Difference — executor.go:2950-2975."""
+    return Difference(Row("event_type", "==", "click"), Row("value", ">", 250)).ids(
+        _events(spark, sf_dir)
+    )
+
+
+@register(
+    "pql_xor",
+    "SELECT event_id AS _id FROM events WHERE "
+    "(event_type = 'click') != (value > 250)",
+)
+def pql_xor(spark, sf_dir):
+    """PQL Xor — executor.go:5513-5534."""
+    return Xor(Row("event_type", "==", "click"), Row("value", ">", 250)).ids(
+        _events(spark, sf_dir)
+    )
+
+
+@register(
+    "pql_not",
+    "SELECT event_id AS _id FROM events WHERE NOT (event_type = 'click')",
+)
+def pql_not(spark, sf_dir):
+    """PQL Not (existence complement) — executor.go:5554-5603."""
+    return Not(Row("event_type", "==", "click")).ids(_events(spark, sf_dir))
+
+
+@register(
+    "pql_all_limit",
+    "SELECT event_id AS _id FROM events ORDER BY event_id LIMIT 100 OFFSET 50",
+)
+def pql_all_limit(spark, sf_dir):
+    """PQL Limit(All(), limit, offset) — executor.go:1027-1102, 5781-5817."""
+    return Limit(All(), limit=100, offset=50).ids(_events(spark, sf_dir))
+
+
+@register(
+    "pql_const_row",
+    "SELECT event_id AS _id FROM events WHERE event_id IN (1, 2, 3, 5, 8, 13, 21, 34)",
+)
+def pql_const_row(spark, sf_dir):
+    """PQL ConstRow — executor.go:5604-5673."""
+    return ConstRow([1, 2, 3, 5, 8, 13, 21, 34]).ids(_events(spark, sf_dir))
+
+
+@register(
+    "pql_union_rows",
+    "SELECT event_id AS _id FROM events WHERE event_type IS NOT NULL OR value IS NOT NULL",
+)
+def pql_union_rows(spark, sf_dir):
+    """PQL UnionRows(Rows(f)...) ('has any value') — executor.go:5696-5780."""
+    return UnionRows("event_type", "value").ids(_events(spark, sf_dir))
+
+
+@register(
+    "pql_shift",
+    "SELECT event_id + 7 AS _id FROM events WHERE event_id IN (1, 2, 3, 5, 8)",
+)
+def pql_shift(spark, sf_dir):
+    """PQL Shift — executor.go:5818-5838."""
+    return Shift(ConstRow([1, 2, 3, 5, 8]), 7).ids(_events(spark, sf_dir))
+
+
+@register(
+    "pql_count",
+    "SELECT COUNT(*) AS count FROM events WHERE event_type = 'click' AND value > 250",
+)
+def pql_count(spark, sf_dir):
+    """PQL Count — executor.go:5839-5894."""
+    return Count(
+        Intersect(Row("event_type", "==", "click"), Row("value", ">", 250))
+    ).to_df(_events(spark, sf_dir))
+
+
+@register(
+    "pql_sum",
+    f"SELECT {SQL_DSUM('value', 'sum')}, COUNT(value) AS count "
+    "FROM events WHERE event_type = 'purchase'",
+)
+def pql_sum(spark, sf_dir):
+    """PQL Sum(filter, field) — executor.go:1119-1172."""
+    idx = _events(spark, sf_dir)
+    df = Row("event_type", "==", "purchase").filter_df(idx)
+    return df.agg(dsum("value", "sum"), F.count("value").alias("count"))
+
+
+@register(
+    "pql_min_max",
+    "SELECT MIN(value) AS min, MAX(value) AS max FROM events WHERE event_type = 'error'",
+)
+def pql_min_max(spark, sf_dir):
+    """PQL Min/Max — executor.go:1225-1309."""
+    idx = _events(spark, sf_dir)
+    return (
+        Row("event_type", "==", "error")
+        .filter_df(idx)
+        .agg(F.min("value").alias("min"), F.max("value").alias("max"))
+    )
+
+
+@register(
+    "pql_minrow",
+    "SELECT value, count FROM (SELECT event_type AS value, COUNT(*) AS count "
+    "FROM events GROUP BY event_type) WHERE value = (SELECT MIN(event_type) FROM events)",
+)
+def pql_minrow(spark, sf_dir):
+    """PQL MinRow — executor.go:1604-1642 (lowest value + its count)."""
+    return MinRow("event_type").to_df(_events(spark, sf_dir))
+
+
+@register(
+    "pql_maxrow",
+    "SELECT value, count FROM (SELECT event_type AS value, COUNT(*) AS count "
+    "FROM events GROUP BY event_type) WHERE value = (SELECT MAX(event_type) FROM events)",
+)
+def pql_maxrow(spark, sf_dir):
+    """PQL MaxRow — executor.go:1643-1681."""
+    return MaxRow("event_type").to_df(_events(spark, sf_dir))
+
+
+@register(
+    "pql_distinct",
+    "SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL",
+)
+def pql_distinct(spark, sf_dir):
+    """PQL Distinct — executor.go:1173-1224."""
+    return Distinct("event_type").to_df(_events(spark, sf_dir))
+
+
+@register(
+    "pql_distinct_filtered",
+    "SELECT DISTINCT user_id FROM events WHERE value > 300 AND user_id IS NOT NULL",
+)
+def pql_distinct_filtered(spark, sf_dir):
+    """PQL Distinct(filter, field) on a BSI field — executor.go:1820-2154."""
+    return Distinct("user_id", filter=Row("value", ">", 300)).to_df(
+        _events(spark, sf_dir)
+    )
+
+
+@register(
+    "pql_percentile",
+    "SELECT value AS percentile FROM ("
+    "  SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn, COUNT(*) OVER () AS n"
+    "  FROM events WHERE value IS NOT NULL"
+    ") WHERE rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT))",
+)
+def pql_percentile(spark, sf_dir):
+    """PQL Percentile — exact nearest-rank, executor.go:1310-1603."""
+    return Percentile("value", 90).to_df(_events(spark, sf_dir))
+
+
+@register(
+    "pql_topk",
+    "SELECT event_type, COUNT(*) AS count FROM events WHERE event_type IS NOT NULL "
+    "GROUP BY event_type ORDER BY count DESC, event_type ASC LIMIT 3",
+)
+def pql_topk(spark, sf_dir):
+    """PQL TopK (exact) — executor.go:2357-2487."""
+    return TopK("event_type", 3).to_df(_events(spark, sf_dir))
+
+
+@register(
+    "pql_topn_filtered",
+    "SELECT user_id, COUNT(*) AS count FROM events "
+    "WHERE value > 100 AND user_id IS NOT NULL "
+    "GROUP BY user_id ORDER BY count DESC, user_id ASC LIMIT 10",
+)
+def pql_topn_filtered(spark, sf_dir):
+    """PQL TopN(filter) — executor.go:2779-2868 (exact superset; SURVEY §7)."""
+    return TopN("user_id", 10, filter=Row("value", ">", 100)).to_df(
+        _events(spark, sf_dir)
+    )
+
+
+@register(
+    "pql_rows_like",
+    "SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL "
+    "AND event_type LIKE '%c%' ORDER BY event_type",
+)
+def pql_rows_like(spark, sf_dir):
+    """PQL Rows(field, like=) — executor.go:3987-4356, like.go:12-190."""
+    return Rows("event_type", like="%c%").to_df(_events(spark, sf_dir))
+
+
+@register(
+    "pql_rows_paged",
+    "SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) "
+    "WHERE user_id > 10 ORDER BY user_id LIMIT 5",
+)
+def pql_rows_paged(spark, sf_dir):
+    """PQL Rows(previous=, limit=) paging — executor.go:4077-4356."""
+    return Rows("user_id", previous=10, limit=5).to_df(_events(spark, sf_dir))
+
+
+@register(
+    "pql_groupby",
+    "SELECT event_type, user_id, COUNT(*) AS count FROM events "
+    "WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
+    "GROUP BY event_type, user_id HAVING COUNT(*) > 2 "
+    "ORDER BY count DESC, event_type ASC, user_id ASC LIMIT 20",
+)
+def pql_groupby(spark, sf_dir):
+    """PQL GroupBy(Rows, Rows, having, sort, limit) — executor.go:3176-3438."""
+    return GroupBy(
+        [Rows("event_type"), Rows("user_id")],
+        having=("count", ">", 2),
+        sort="count desc",
+        limit=20,
+    ).to_df(_events(spark, sf_dir))
+
+
+@register(
+    "pql_groupby_sum",
+    "SELECT event_type, COUNT(*) AS count, "
+    f"{SQL_DSUM('value', 'sum')} FROM events "
+    "WHERE event_type IS NOT NULL GROUP BY event_type",
+)
+def pql_groupby_sum(spark, sf_dir):
+    """PQL GroupBy(aggregate=Sum(field)) — executor.go:3176-3438."""
+    idx = _events(spark, sf_dir)
+    df = idx.df.na.drop(subset=["event_type"])
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("count"), dsum("value", "sum")
+    )
+
+
+@register(
+    "pql_groupby_count_distinct",
+    "SELECT event_type, COUNT(DISTINCT user_id) AS count FROM events "
+    "WHERE event_type IS NOT NULL GROUP BY event_type",
+)
+def pql_groupby_count_distinct(spark, sf_dir):
+    """PQL GroupBy(aggregate=Count(Distinct(...))) — executor.go:3370-3386."""
+    return GroupBy(
+        [Rows("event_type")], aggregate=("count_distinct", "user_id")
+    ).to_df(_events(spark, sf_dir)).select("event_type", "count")
+
+
+@register(
+    "pql_extract",
+    "SELECT event_id, event_type, user_id, value FROM events "
+    "WHERE value BETWEEN 200 AND 300",
+)
+def pql_extract(spark, sf_dir):
+    """PQL Extract (the table-scan primitive) — executor.go:4711-5119."""
+    return Extract(
+        Row("value", between=(200, 300)), "event_type", "user_id", "value"
+    ).to_df(_events(spark, sf_dir))
+
+
+@register(
+    "pql_sort",
+    "SELECT event_id, value FROM events WHERE event_type = 'purchase' "
+    "ORDER BY value DESC, event_id ASC LIMIT 25",
+)
+def pql_sort(spark, sf_dir):
+    """PQL Sort(field, desc, limit) — executor.go:9321-9450."""
+    return Sort(
+        Row("event_type", "==", "purchase"), "value", desc=True, limit=25
+    ).to_df(_events(spark, sf_dir))
+
+
+@register(
+    "pql_includes_column",
+    "SELECT COALESCE(MAX(event_type = 'click'), FALSE) AS includes "
+    "FROM events WHERE event_id = 7",
+)
+def pql_includes_column(spark, sf_dir):
+    """PQL IncludesColumn — executor.go:907-942."""
+    return IncludesColumn(Row("event_type", "==", "click"), 7).to_df(
+        _events(spark, sf_dir)
+    )
+
+
+@register(
+    "pql_field_value",
+    "SELECT value FROM events WHERE event_id = 7",
+)
+def pql_field_value(spark, sf_dir):
+    """PQL FieldValue — executor.go:943-1026."""
+    return FieldValue("value", 7).to_df(_events(spark, sf_dir))
+
+
+# ===========================================================================
+# SQL surface family (SURVEY §2.2/§2.3) — TPC-H-ish star schema
+# ===========================================================================
+
+
+@register(
+    "sql_q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    f"{SQL_DSUM('l_quantity', 'sum_qty')}, "
+    f"{SQL_DSUM('l_extendedprice', 'sum_base_price')}, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def sql_q1_pricing_summary(spark, sf_dir):
+    """Flagship scan→filter→agg (TPC-H Q1 shape; reference PlanOpPQLGroupBy
+    oppqlgroupby.go:21-290). Map-side partial agg + 1 shuffle on 2 keys."""
+    t = _tables(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "sql_join_inner",
+    "SELECT c.c_mktsegment, COUNT(*) AS order_count, "
+    f"{SQL_DSUM('o.o_totalprice', 'revenue')} "
+    "FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_mktsegment",
+)
+def sql_join_inner(spark, sf_dir):
+    """INNER join (reference PlanOpNestedLoops opnestedloops.go:13-31 — here
+    Catalyst picks broadcast/SMJ; AQE re-plans at runtime)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("order_count"), dsum("o_totalprice", "revenue"))
+    )
+
+
+@register(
+    "sql_join_left",
+    "SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS order_count "
+    "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_custkey, c.c_name",
+)
+def sql_join_left(spark, sf_dir):
+    """LEFT join with null-padded right rows (opnestedloops.go joinTypeLeft)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], t["orders"].o_custkey == t["customer"].c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@register(
+    "sql_join_multi",
+    "SELECT n.n_name, "
+    "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue "
+    "FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
+)
+def sql_join_multi(spark, sf_dir):
+    """Multi-way star join (TPC-H Q5 shape). Dims broadcast explicitly —
+    at 100 TB the fact-side scan never shuffles for the dim joins; only the
+    lineitem↔orders join exchanges, and AQE handles skew."""
+    t = _tables(spark, sf_dir)
+    n_r = (
+        t["nation"]
+        .join(t["region"], t["nation"].n_regionkey == t["region"].r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    cust = t["customer"].join(
+        F.broadcast(n_r), t["customer"].c_nationkey == n_r.n_nationkey
+    ).select("c_custkey", "n_name")
+    ords = t["orders"].join(cust, t["orders"].o_custkey == cust.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
+    li = t["lineitem"].join(ords, t["lineitem"].l_orderkey == ords.o_orderkey)
+    return li.groupBy("n_name").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "sql_groupby_having",
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+    "GROUP BY o_orderpriority HAVING COUNT(*) > 10",
+)
+def sql_groupby_having(spark, sf_dir):
+    """GROUP BY + HAVING (PlanOpHaving ophaving.go)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 10)
+    )
+
+
+@register(
+    "sql_distinct",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def sql_distinct(spark, sf_dir):
+    """DISTINCT projection (PlanOpDistinct opdistinct.go)."""
+    t = _tables(spark, sf_dir)
+    return t["customer"].select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "sql_orderby_limit_offset",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 5",
+)
+def sql_orderby_limit_offset(spark, sf_dir):
+    """ORDER BY + TOP/LIMIT + OFFSET (PlanOpOrderBy oporderby.go, PlanOpTop
+    optop.go; LIMIT pushdown = pushdownPQLTop planoptimizer.go)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(5)
+        .limit(20)
+    )
+
+
+@register(
+    "sql_subquery_from",
+    "SELECT c_mktsegment, n FROM "
+    "(SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment) "
+    "WHERE n > 5",
+)
+def sql_subquery_from(spark, sf_dir):
+    """FROM-subquery (PlanOpSubquery opsubquery.go)."""
+    t = _tables(spark, sf_dir)
+    inner = t["customer"].groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    return inner.where(F.col("n") > 5)
+
+
+@register(
+    "sql_scalar_subquery",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > "
+    "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1.5 FROM orders)",
+)
+def sql_scalar_subquery(spark, sf_dir):
+    """Scalar subquery in WHERE (expression.go:1084-1147). The threshold is
+    computed decimal-exact so both engines pick the identical row set."""
+    t = _tables(spark, sf_dir)
+    thr = (
+        t["orders"]
+        .agg((F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1)) * 1.5))
+        .first()[0]
+    )
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .where(F.col("o_totalprice") > F.lit(thr))
+    )
+
+
+@register(
+    "sql_case_when",
+    "SELECT CASE WHEN o_totalprice < 1000 THEN 'small' "
+    "WHEN o_totalprice < 10000 THEN 'medium' ELSE 'large' END AS bucket, "
+    "COUNT(*) AS n FROM orders GROUP BY 1",
+)
+def sql_case_when(spark, sf_dir):
+    """CASE WHEN (expression.go:782-1083)."""
+    t = _tables(spark, sf_dir)
+    bucket = (
+        F.when(F.col("o_totalprice") < 1000, "small")
+        .when(F.col("o_totalprice") < 10000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return t["orders"].select(bucket).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "sql_between_in_like",
+    "SELECT p_partkey, p_name, p_brand FROM part "
+    "WHERE p_size BETWEEN 10 AND 20 AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') "
+    "AND p_name LIKE '%id%'",
+)
+def sql_between_in_like(spark, sf_dir):
+    """BETWEEN / IN-list / LIKE (expression.go:1149,1297,627)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["part"]
+        .where(
+            F.col("p_size").between(10, 20)
+            & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & F.col("p_name").like("%id%")
+        )
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+@register(
+    "sql_cast",
+    "SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str, "
+    "CAST(o_orderstatus = 'O' AS INTEGER) AS is_open "
+    "FROM orders WHERE o_orderkey <= 100",
+)
+def sql_cast(spark, sf_dir):
+    """CAST (expression.go:2156-2385)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.col("o_orderkey").cast("string").alias("key_str"),
+            (F.col("o_orderstatus") == "O").cast("int").alias("is_open"),
+        )
+    )
+
+
+@register(
+    "sql_count_distinct",
+    "SELECT COUNT(DISTINCT l_partkey) AS distinct_parts, "
+    "COUNT(DISTINCT l_suppkey) AS distinct_supps FROM lineitem",
+)
+def sql_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) (expressionagg.go:47)."""
+    t = _tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+@register(
+    "sql_agg_stats",
+    "SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+    "ROUND(VAR_POP(l_quantity), 6) AS var_qty FROM lineitem",
+)
+def sql_agg_stats(spark, sf_dir):
+    """CORR (Pearson, expressionagg.go:949) and VAR (population,
+    expressionagg.go:1110-1180). Rounded to 6 dp: the one-pass co-moment
+    accumulations are order-sensitive in the last ~few ulps."""
+    t = _tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_qty"),
+    )
+
+
+@register(
+    "sql_percentile_agg",
+    "SELECT l_quantity AS p50_qty FROM ("
+    "  SELECT l_quantity, ROW_NUMBER() OVER (ORDER BY l_quantity) AS rn, COUNT(*) OVER () AS n"
+    "  FROM lineitem WHERE l_quantity IS NOT NULL"
+    ") WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))",
+)
+def sql_percentile_agg(spark, sf_dir):
+    """SQL PERCENTILE(col, n) — exact nearest-rank like PQL Percentile
+    (expressionagg.go:883 → executor.go:1310)."""
+    t = _tables(spark, sf_dir)
+    idx = Index(t["lineitem"], id_col="l_orderkey")
+    return (
+        Percentile("l_quantity", 50)
+        .to_df(idx)
+        .select(F.col("percentile").alias("p50_qty"))
+    )
+
+
+# ===========================================================================
+# String / date function family (SURVEY §2.3 scalar functions)
+# ===========================================================================
+
+
+@register(
+    "sql_string_functions",
+    "SELECT p_partkey, "
+    "UPPER(p_name) AS up, LOWER(p_brand) AS lo, REVERSE(p_type) AS rev, "
+    "SUBSTRING(p_name, 1, 5) AS sub5, LENGTH(p_name) AS len, "
+    "REPLACE(p_name, ' ', '_') AS repl, TRIM(p_name) AS trimmed, "
+    "STARTS_WITH(p_type, 'PROMO') AS pref "
+    "FROM part WHERE p_partkey <= 200",
+)
+def sql_string_functions(spark, sf_dir):
+    """FeatureBase string library (inbuiltfunctionsstring.go:257-860):
+    UPPER LOWER REVERSE SUBSTRING LEN REPLACEALL TRIM PREFIX → Spark
+    built-ins (featurebase_spark.functions has the full name mapping)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["part"]
+        .where(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.lower("p_brand").alias("lo"),
+            F.reverse(F.col("p_type")).alias("rev"),
+            F.substring("p_name", 1, 5).alias("sub5"),
+            F.length("p_name").cast("long").alias("len"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
+            F.trim("p_name").alias("trimmed"),
+            F.startswith(F.col("p_type"), F.lit("PROMO")).alias("pref"),
+        )
+    )
+
+
+@register(
+    "sql_date_functions",
+    "SELECT o_orderkey, "
+    "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr, "
+    "CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mth, "
+    "DATE_TRUNC('month', o_orderdate) AS month_start, "
+    "o_orderdate + INTERVAL 30 DAY AS plus30 "
+    "FROM orders WHERE o_orderkey <= 100",
+)
+def sql_date_functions(spark, sf_dir):
+    """FeatureBase date library (inbuiltfunctionsdate.go:26-720):
+    DATETIMEPART/DATE_TRUNC/DATETIMEADD → extract/date_trunc/timestampadd."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mth"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        )
+    )
+
+
+@register(
+    "sql_datetime_diff_name",
+    "SELECT o_orderkey, "
+    "CAST(DATEDIFF('day', TIMESTAMP '2024-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since, "
+    "MONTHNAME(o_orderdate) AS mname "
+    "FROM orders WHERE o_orderkey <= 50",
+)
+def sql_datetime_diff_name(spark, sf_dir):
+    """DATETIMEDIFF / DATETIMENAME (inbuiltfunctionsdate.go)."""
+    t = _tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") <= 50)
+        .select(
+            "o_orderkey",
+            F.expr(
+                "timestampdiff(DAY, TIMESTAMP '2024-01-01 00:00:00', o_orderdate)"
+            )
+            .cast("long")
+            .alias("days_since"),
+            F.date_format("o_orderdate", "MMMM").alias("mname"),
+        )
+    )

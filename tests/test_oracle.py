@@ -1,0 +1,26 @@
+"""Replicates the driver's correctness gate locally: every registered query
+runs on Spark AND DuckDB (oracle SQL) at sf0.001 and must match on columns,
+row count, and order-insensitive values."""
+
+from __future__ import annotations
+
+import pytest
+
+from featurebase_spark import queries as Q
+from featurebase_spark.verify import compare_frames, duck_connection
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duck_connection(SF_DIR)
+
+
+@pytest.mark.parametrize("name", sorted(Q.SPARK_QUERIES))
+def test_oracle_match(name, spark, tables, duck):
+    sp = Q.SPARK_QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in Q.ORACLE_SQL:
+        pytest.skip("rows-only check (no SQL-expressible oracle)")
+    du = duck.sql(Q.ORACLE_SQL[name]).df()
+    problems = compare_frames(sp, du)
+    assert not problems, f"{name}: {problems}"

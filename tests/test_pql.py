@@ -1,0 +1,154 @@
+"""PQL combinator semantics (mirrors reference executor_test.go cases —
+bitmap set-ops, BSI aggregates, TopK/GroupBy/Extract shapes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurebase_spark.pql import (
+    All,
+    ConstRow,
+    Count,
+    Difference,
+    Distinct,
+    Extract,
+    FieldValue,
+    GroupBy,
+    IncludesColumn,
+    Index,
+    Intersect,
+    Limit,
+    MaxRow,
+    MinRow,
+    Not,
+    Percentile,
+    Row,
+    Rows,
+    Shift,
+    Sort,
+    Sum,
+    TopK,
+    Union,
+    UnionRows,
+    Xor,
+)
+from featurebase_spark.pql.calls import percentile_search
+
+
+@pytest.fixture(scope="module")
+def ev(tables):
+    return Index(tables["events"], id_col="event_id", time_col="ts")
+
+
+def cnt(call, idx):
+    return Count(call).to_df(idx).first()["count"]
+
+
+def test_setops_algebra(ev):
+    a = Row("event_type", "==", "click")
+    b = Row("value", ">", 250)
+    n_a, n_b = cnt(a, ev), cnt(b, ev)
+    n_and, n_or = cnt(Intersect(a, b), ev), cnt(Union(a, b), ev)
+    # inclusion-exclusion holds on bitmaps
+    assert n_or == n_a + n_b - n_and
+    assert cnt(Difference(a, b), ev) == n_a - n_and
+    assert cnt(Xor(a, b), ev) == n_or - n_and
+    total = ev.df.count()
+    assert cnt(Not(a), ev) == total - n_a
+    assert cnt(All(), ev) == total
+
+
+def test_not_includes_nulls(spark):
+    """Bitmap Not complements against EXISTENCE: null-valued records are in
+    the complement (reference executeNotShard executor.go:5554-5603)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], ["_id", "s"]
+    )
+    idx = Index(df)
+    got = sorted(r["_id"] for r in Not(Row("s", "==", "a")).ids(idx).collect())
+    assert got == [2, 3]
+
+
+def test_shift_and_limit(ev):
+    ids = sorted(r["_id"] for r in Shift(ConstRow([1, 5]), 10).ids(ev).collect())
+    assert ids == [11, 15]
+    ids = [r["_id"] for r in Limit(All(), limit=3, offset=1).ids(ev).collect()]
+    assert ids == [1, 2, 3]
+
+
+def test_union_rows(ev):
+    assert cnt(UnionRows("event_type"), ev) == ev.df.where(
+        F.col("event_type").isNotNull()
+    ).count()
+
+
+def test_sum_matches_df(ev, tables):
+    got = Sum("value", filter=Row("event_type", "==", "click")).to_df(ev).first()
+    exp = (
+        tables["events"]
+        .where(F.col("event_type") == "click")
+        .agg(F.sum("value"), F.count("value"))
+        .first()
+    )
+    assert got["sum"] == pytest.approx(exp[0])
+    assert got["count"] == exp[1]
+
+
+def test_minrow_maxrow(ev):
+    r = MinRow("event_type").to_df(ev).first()
+    assert r["value"] == "click"
+    assert r["count"] > 0
+    r = MaxRow("event_type").to_df(ev).first()
+    assert r["value"] == "view"
+
+
+def test_distinct_set_field(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "c"]), (3, None)], ["_id", "tags"]
+    )
+    idx = Index(df)
+    vals = sorted(r["tags"] for r in Distinct("tags").to_df(idx).collect())
+    assert vals == ["a", "b", "c"]
+    # Row(field=v) on a set field = array_contains (field.go:43 one-bitmap-per-value)
+    assert sorted(
+        r["_id"] for r in Row("tags", "==", "b").ids(idx).collect()
+    ) == [1, 2]
+
+
+def test_percentile_nearest_rank(spark):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate([1, 2, 3, 4, 100])], ["_id", "v"])
+    idx = Index(df)
+    # nearest-rank: p50 of [1,2,3,4,100] = ceil(0.5*5)=3rd = 3 (not interpolated)
+    assert Percentile("v", 50).to_df(idx).first()["percentile"] == 3
+    assert Percentile("v", 100).to_df(idx).first()["percentile"] == 100
+    assert Percentile("v", 1).to_df(idx).first()["percentile"] == 1
+    assert percentile_search(df, "v", 50) == 3
+    assert percentile_search(df, "v", 100) == 100
+
+
+def test_topk_groupby_extract_sort(ev):
+    top = TopK("event_type", 2).to_df(ev).collect()
+    assert len(top) == 2 and top[0]["count"] >= top[1]["count"]
+    gb = GroupBy([Rows("event_type")], having=("count", ">", 0)).to_df(ev).collect()
+    assert sum(r["count"] for r in gb) == ev.df.where(F.col("event_type").isNotNull()).count()
+    ex = Extract(Row("value", ">", 300), "value").to_df(ev)
+    assert ex.columns == ["event_id", "value"]
+    srt = [r["value"] for r in Sort(All(), "value", desc=True, limit=5).to_df(ev).collect()]
+    assert srt == sorted(srt, reverse=True)
+
+
+def test_point_reads(ev):
+    v = FieldValue("value", 7).to_df(ev).first()["value"]
+    exp = ev.df.where(F.col("event_id") == 7).first()["value"]
+    assert v == exp
+    inc = IncludesColumn(All(), 7).to_df(ev).first()["includes"]
+    assert inc is True
+    inc = IncludesColumn(All(), -1).to_df(ev).first()["includes"]
+    assert inc is False
+
+
+def test_rows_paging(ev):
+    all_users = [r["user_id"] for r in Rows("user_id").to_df(ev).collect()]
+    page = [r["user_id"] for r in Rows("user_id", previous=all_users[2], limit=3).to_df(ev).collect()]
+    assert page == all_users[3:6]
