@@ -1,0 +1,320 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (the whole point of these implementations):
+
+- **Exact dedup** is one hash + one groupBy — the shuffle carries only
+  (hash, id), not text. At 100 TB the map-side partial agg collapses most
+  groups before the exchange.
+- **MinHash+LSH** is the linear-time near-dup path: signatures are computed
+  in one pass with k JVM-side xxhash64 aggregates (no Python, no UDF), then
+  candidates come from b band-joins that only ever join WITHIN small buckets.
+  Worst-case quadratic blowup is bounded per-bucket, and banding keeps
+  bucket sizes tiny for non-pathological corpora.
+- **Exact n-gram Jaccard** (the verifier) is quadratic in candidate pairs —
+  at scale you run it ONLY on LSH candidates (``minhash_dedup`` wires this),
+  never all-pairs.
+- **SimHash** packs a document into one 64-bit integer — near-dups differ in
+  ≤3 bits; banding the 64 bits into 4×16-bit keys finds them with equi-joins
+  (Hamming-LSH), no pairwise distance pass.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from featurebase_spark.pipeline.text import TOKEN_SEP, fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (after normalization) documents:
+    (fingerprint, dup_count, canonical_id=min id). Only groups with >1 doc."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative of every fingerprint group. One
+    shuffle on the fingerprint; no join back to the full rows needed when
+    ids are dense (we keep it general with a semi-join)."""
+    keep = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(text_col, n: int = 5) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side transform
+    over the token array — no UDF)."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(TOKEN_SEP, F.slice(toks, i + 1, n)),
+    )
+    # short docs (< n tokens): fall back to the whole text as one shingle
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(TOKEN_SEP, toks))
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Exploded (id, shingle) posting table — the join key for candidate
+    generation. At scale, repartition by shingle so the self-join co-locates."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs sharing ≥1 shingle:
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    Jaccard = |A∩B| / (|A|+|B|−|A∩B|) computed from integer counts, so the
+    double division is bit-identical across engines.
+
+    ``candidates``: optional (id_a, id_b) frame to restrict the pair space —
+    this is how MinHash-LSH output gets exactly verified at scale instead of
+    the quadratic all-pairs join.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """k-permutation MinHash signature per document, computed as k
+    ``min(xxhash64(shingle, seed_i))`` aggregates over the exploded shingle
+    table — one scan + one groupBy, all JVM-side (no Python UDF; this is the
+    Arrow-free fast path). Columns: id, h0..h{k-1}."""
+    sh = shingle_table(df, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signature into ``bands`` groups of ``num_hashes/bands`` rows;
+    docs sharing any band hash become candidate pairs (id_a < id_b).
+
+    Each band is an equi-join on (band_id, band_hash) — the classic LSH
+    bucket join. Bucket skew is handled by AQE; the union of b band joins
+    is still linear-ish in corpus size for realistic similarity skew."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    per_band = []
+    for b in range(bands):
+        left = banded.select(F.col(id_col).alias("id_a"), F.col(f"band{b}").alias("bh"))
+        right = banded.select(F.col(id_col).alias("id_b"), F.col(f"band{b}").alias("bh"))
+        per_band.append(
+            left.join(right, "bh").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        )
+    return reduce(lambda x, y: x.union(y), per_band).distinct()
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH candidates → EXACT Jaccard
+    verification restricted to candidates. Returns (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n, threshold, candidates=cand
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of token-hash bits.
+
+    Implemented as 64 conditional-sum aggregates over the exploded token
+    table (JVM-side bit ops; one scan + one groupBy). Returns (id, simhash
+    long)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    summed = toks.groupBy(id_col).agg(*bit_sums)
+    sig = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            * F.lit(2 ** i).cast("long")
+            if i < 63
+            # avoid 2**63 overflow: set the sign bit via shiftleft
+            else F.shiftleft(
+                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                63,
+            )
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return summed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, via
+    16-bit-band Hamming LSH (any pair within distance 3 shares at least one
+    of 4 16-bit bands) + exact popcount verification. Equi-joins only."""
+    sig = simhash(df, text_col, id_col)
+    bands = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
+        for b in range(4)
+    ]
+    banded = sig.select(F.col(id_col), F.col("simhash"), *bands)
+    per_band = []
+    for b in range(4):
+        left = banded.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"band{b}").alias("bh")
+        )
+        right = banded.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"band{b}").alias("bh")
+        )
+        per_band.append(
+            left.join(right, "bh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+        )
+    cand = reduce(lambda x, y: x.union(y), per_band).distinct()
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    This is the brute-force O(n²) verifier — at 100 TB pair generation must
+    come from :func:`featurebase_spark.pipeline.similarity.hyperplane_lsh`
+    buckets; this function then verifies within buckets."""
+    from featurebase_spark.pipeline.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    return pairs.select("id_a", "id_b", sim.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,146 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (no Python UDFs): at 100 TB
+these run inside whole-stage codegen directly over the parquet scan, shuffle
+nothing, and column-prune to just ``doc_id``/``text``.
+
+Tokenization convention: single-space split (matches the corpus format and
+keeps DuckDB oracles exact). Swap ``TOKEN_SEP`` for a regex tokenizer via
+``F.split(col, r"\\s+")`` for real-world corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_SEP = " "
+
+#: Tiny deterministic marker-word lists for heuristic language ID.
+#: (The synthetic corpus is English-ish regardless of its `lang` label;
+#: the operator contract is a deterministic scoring rule, not model quality.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "los", "que"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "que"),
+}
+
+STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"]
+
+
+def tokens(col) -> Column:
+    return F.split(col, TOKEN_SEP)
+
+
+def token_count(col) -> Column:
+    """Token count = whitespace-split length (idk-style cheap tokenizer)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-ish upper-bound token estimate: word-piece regex splits on
+    letter/digit/punctuation boundaries (the classic GPT-2 pre-tokenizer
+    shape) — still JVM-side regexp, no UDF."""
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), 0
+    )
+    return F.size(pieces).cast("long")
+
+
+def char_count(col) -> Column:
+    return F.length(col).cast("long")
+
+
+def avg_word_len(col) -> Column:
+    """Mean token length in characters (double; both engines compute the
+    same bigint/bigint division)."""
+    nchars_in_words = F.length(F.replace(col, F.lit(TOKEN_SEP), F.lit("")))
+    return nchars_in_words.cast("double") / token_count(col)
+
+
+def stopword_ratio(col, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords — classic quality signal."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.size(toks)
+
+
+def distinct_token_ratio(col) -> Column:
+    """Lexical diversity: distinct tokens / tokens (1.0 = no repetition)."""
+    toks = tokens(col)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def quality_score(col) -> Column:
+    """Deterministic [0,1] quality score combining length, diversity and
+    stopword signals (shape follows the C4/Gopher-style rule filters)."""
+    n = token_count(col)
+    length_ok = F.when((n >= 10) & (n <= 1_000), F.lit(1.0)).otherwise(F.lit(0.0))
+    diversity = distinct_token_ratio(col)
+    stop = stopword_ratio(col)
+    stop_ok = F.when(stop <= 0.5, F.lit(1.0)).otherwise(F.lit(0.5))
+    return (length_ok * 0.4 + diversity * 0.4 + stop_ok * 0.2).alias("quality")
+
+
+def lang_scores(col) -> dict[str, Column]:
+    """Marker-hit count per candidate language (n-gram-free heuristic)."""
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col) -> Column:
+    """argmax over lang_scores with deterministic tie-break (language code
+    ascending), 'und' when nothing matches."""
+    scores = lang_scores(col)
+    best = None
+    for lang in sorted(scores):  # ascending code order => first max wins ties
+        s = scores[lang]
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            b_s, b_l = best
+            best = (
+                F.when(s > b_s, s).otherwise(b_s),
+                F.when(s > b_s, F.lit(lang)).otherwise(b_l),
+            )
+    score, lang = best
+    return F.when(score > 0, lang).otherwise(F.lit("und"))
+
+
+def fingerprint(col) -> Column:
+    """Content fingerprint: md5 of case-folded, space-normalized text.
+    Stable across engines (DuckDB md5 = Spark md5)."""
+    normalized = F.lower(F.trim(col))
+    return F.md5(normalized)
+
+
+def rolling_fingerprints(col, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprints: hash every ``window``-token
+    shingle — the building block for fuzzy containment detection. Returns
+    array<long> of xxhash64 values (Spark-side only; no SQL oracle)."""
+    toks = tokens(col)
+    idxs = F.sequence(F.lit(0), F.size(toks) - window)
+    return F.when(F.size(toks) >= window, F.transform(
+        idxs,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )).otherwise(F.array(F.xxhash64(col)))
+
+
+def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text profile of a corpus: all signals in a single projection
+    (one scan, zero shuffles, full codegen)."""
+    c = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(c).alias("n_tokens"),
+        char_count(c).alias("n_chars"),
+        avg_word_len(c).alias("avg_word_len"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        distinct_token_ratio(c).alias("distinct_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -814,3 +814,247 @@ def sql_datetime_diff_name(spark, sf_dir):
             F.date_format("o_orderdate", "MMMM").alias("mname"),
         )
     )
+
+
+# ===========================================================================
+# Training-data pipeline family (BASELINE.json 100-TB extension goals)
+# ===========================================================================
+
+_STOP_SQL = "('the','a','of','and','to')"
+
+
+@register(
+    "text_profile",
+    "SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "CAST(length(text) AS BIGINT) AS n_chars, "
+    "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len, "
+    f"CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio, "
+    "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS distinct_ratio, "
+    "md5(lower(trim(text))) AS fingerprint "
+    "FROM documents",
+)
+def text_profile(spark, sf_dir):
+    """Text-analysis profile: token counting, length stats, stopword &
+    diversity ratios, md5 fingerprint — one scan, zero shuffles, all
+    whole-stage-codegen built-ins (pipeline/text.py)."""
+    from featurebase_spark.pipeline import text as T
+
+    docs = _tables(spark, sf_dir)["documents"]
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(c).alias("n_tokens"),
+        T.char_count(c).alias("n_chars"),
+        T.avg_word_len(c).alias("avg_word_len"),
+        T.stopword_ratio(c).alias("stopword_ratio"),
+        T.distinct_token_ratio(c).alias("distinct_ratio"),
+        T.fingerprint(c).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality_langid",
+    "WITH s AS (SELECT doc_id, lang, string_split(text, ' ') w, text FROM documents), "
+    "sc AS (SELECT doc_id, lang, "
+    "  CAST(len(w) AS BIGINT) AS n, "
+    "  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS diversity, "
+    f"  CAST(len(list_filter(w, t -> t IN {_STOP_SQL})) AS DOUBLE) / len(w) AS stop_ratio, "
+    "  CAST(len(list_filter(w, t -> t IN ('der','die','das','und','nicht'))) AS BIGINT) AS s_de, "
+    "  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS s_en, "
+    "  CAST(len(list_filter(w, t -> t IN ('el','la','de','los','que'))) AS BIGINT) AS s_es, "
+    "  CAST(len(list_filter(w, t -> t IN ('le','la','les','et','que'))) AS BIGINT) AS s_fr "
+    "FROM s) "
+    "SELECT doc_id, lang, "
+    "(CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END) * 0.4 "
+    "+ diversity * 0.4 "
+    "+ (CASE WHEN stop_ratio <= 0.5 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality, "
+    "CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) > 0 THEN "
+    "  CASE WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de' "
+    "       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en' "
+    "       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es' "
+    "       ELSE 'fr' END "
+    "ELSE 'und' END AS lang_pred "
+    "FROM sc",
+)
+def text_quality_langid(spark, sf_dir):
+    """Quality scoring (C4/Gopher-style rule combo) + heuristic language ID
+    (marker-word argmax, deterministic tie-break) — pipeline/text.py."""
+    from featurebase_spark.pipeline import text as T
+
+    docs = _tables(spark, sf_dir)["documents"]
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.quality_score(c).alias("quality"),
+        T.lang_id(c).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_token_count_bpeish",
+    "SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT) AS bpe_ish_tokens "
+    "FROM documents",
+)
+def text_token_count_bpeish(spark, sf_dir):
+    """Token counting two ways: whitespace and BPE-ish regex pieces
+    (pipeline/text.py; both JVM-side regexp — no UDF)."""
+    from featurebase_spark.pipeline import text as T
+
+    docs = _tables(spark, sf_dir)["documents"]
+    c = F.col("text")
+    bpe = F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"), 0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        T.token_count(c).alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "dedup_exact_fingerprints",
+    "SELECT md5(lower(trim(text))) AS fingerprint, COUNT(*) AS dup_count, "
+    "MIN(doc_id) AS canonical_id FROM documents GROUP BY 1",
+)
+def dedup_exact_fingerprints(spark, sf_dir):
+    """Exact dedup groups: hash-groupBy on normalized-text fingerprint
+    (pipeline/dedup.py exact_duplicate_groups; dup_count>1 filter relaxed so
+    the check is non-trivial on a dup-free corpus)."""
+    from featurebase_spark.pipeline.text import fingerprint
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH sh AS ("
+    "  SELECT doc_id, unnest(CASE WHEN len(w) >= 5"
+    "    THEN list_distinct(list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' ')))"
+    "    ELSE [array_to_string(w, ' ')] END) AS shingle"
+    "  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)"
+    "), sizes AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id), "
+    "pairs AS ("
+    "  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter"
+    "  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id"
+    "  GROUP BY 1, 2) "
+    "SELECT id_a, id_b, CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard "
+    "FROM pairs JOIN sizes sa ON pairs.id_a = sa.doc_id "
+    "JOIN sizes sb ON pairs.id_b = sb.doc_id "
+    "WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 5-gram Jaccard near-dup pairs ≥ 0.5 (pipeline/dedup.py
+    ngram_jaccard_pairs — the exact verifier that LSH candidates feed at
+    scale). Integer-count division ⇒ bit-identical across engines."""
+    from featurebase_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 seeds have no DuckDB twin
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32)+LSH(8 bands) candidate pairs verified by exact Jaccard
+    ≥ 0.5 (pipeline/dedup.py minhash_dedup_pairs). The scale path: linear
+    signature pass + bucket-bounded joins. Driver records rows-only; the
+    exact-oracle twin of the output is dedup_ngram_jaccard (LSH recall at
+    j≥0.5 with these parameters is ~0.99+ — tests assert containment)."""
+    from featurebase_spark.pipeline.dedup import minhash_dedup_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return minhash_dedup_pairs(docs, "text", "doc_id", 32, 8, 5, 0.5)
+
+
+@register("dedup_simhash")  # rows-only: xxhash64-based
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs with Hamming ≤ 3 via 16-bit-band Hamming
+    LSH (pipeline/dedup.py simhash_near_pairs)."""
+    from featurebase_spark.pipeline.dedup import simhash_near_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@register(
+    "sim_bruteforce_topk",
+    "SELECT vec_id, ROUND("
+    "  list_dot_product(embedding::DOUBLE[], q.qv) / "
+    "  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)))"
+    ", 6) AS cosine "
+    "FROM embeddings, (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q "
+    "WHERE vec_id != 0 "
+    "ORDER BY cosine DESC, vec_id ASC LIMIT 10",
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 (pipeline/similarity
+    cosine_topk): JVM-side fold dot product, TakeOrdered top-k — the exact
+    ANN baseline."""
+    from featurebase_spark.pipeline.similarity import cosine_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb.where(F.col("vec_id") != 0), qvec, k=10)
+
+
+@register("sim_ann_lsh_topk")  # rows-only: SRP bucketing is Spark-side
+def sim_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-10 via signed-random-projection LSH with 1-bit
+    multi-probe (pipeline/similarity.ann_topk) — candidate set ≈ 9/256 of
+    the corpus, then exact cosine inside it."""
+    from featurebase_spark.pipeline.similarity import ann_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_topk(emb.where(F.col("vec_id") != 0), qvec, k=10)
+
+
+@register(
+    "sim_embedding_neardup",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.3",
+)
+def sim_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.3 (pipeline/dedup.py
+    embedding_neardup_pairs — brute-force verifier; LSH feeds it at scale)."""
+    from featurebase_spark.pipeline.dedup import embedding_neardup_pairs
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.3)
+
+
+@register(
+    "multimodal_features",
+    "SELECT doc_id AS media_id, sha256(text) AS sha256, "
+    "CAST(length(text) AS BIGINT) AS n_bytes FROM documents",
+)
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: documents.text encoded to an opaque
+    binary payload column, pushed through the Arrow-batched mapInPandas
+    decode/feature pipeline (pipeline/multimodal.extract_image_features,
+    fake deterministic decode — real codecs stubbed per container limits);
+    compact features flow downstream, payloads never shuffle."""
+    from featurebase_spark.pipeline.multimodal import extract_image_features
+
+    docs = _tables(spark, sf_dir)["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_image_features(media, feat_dim=8, fake=True)
+    return feats.select("media_id", "sha256", "n_bytes")

@@ -1,0 +1,140 @@
+"""Training-data pipeline operators: dedup / similarity / text / multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurebase_spark.pipeline import dedup as D
+from featurebase_spark.pipeline import similarity as S
+from featurebase_spark.pipeline import text as T
+from featurebase_spark.pipeline.multimodal import (
+    extract_image_features,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+def test_exact_dedup_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "A B C ")],
+        ["doc_id", "text"],
+    )
+    groups = D.exact_duplicate_groups(df).collect()
+    # normalization folds case/whitespace: {1,2,4} is one group
+    assert len(groups) == 1 and groups[0]["dup_count"] == 3
+    kept = D.drop_exact_duplicates(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    sh = D.shingle_table(df).collect()
+    assert [r["shingle"] for r in sh] == ["a b"]
+
+
+def test_minhash_lsh_contains_all_true_pairs(docs):
+    """LSH candidates must (at these parameters, on this corpus) recover
+    every exact-Jaccard pair — the containment the scale path relies on."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh <= exact  # verification step guarantees precision
+    assert lsh == exact  # empirical recall on this corpus
+
+
+def test_simhash_deterministic_and_near(spark):
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    b = a + "extra"
+    df = spark.createDataFrame([(1, a), (2, a), (3, b)], ["doc_id", "text"])
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert sig[1] == sig[2]
+    pairs = D.simhash_near_pairs(df, max_hamming=3).collect()
+    assert any(p["id_a"] == 1 and p["id_b"] == 2 and p["hamming"] == 0 for p in pairs)
+
+
+def test_cosine_topk_self_similarity(emb):
+    qvec = emb.where(F.col("vec_id") == 5).first()["embedding"]
+    top = S.cosine_topk(emb, qvec, k=3).collect()
+    assert top[0]["vec_id"] == 5 and top[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_ann_recall_vs_brute(emb):
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    brute = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=5).collect()]
+    ann = [r["vec_id"] for r in S.ann_topk(emb, qvec, k=5).collect()]
+    # approximate: require the query itself + some overlap
+    assert brute[0] == 0 and 0 in ann
+    assert len(set(brute) & set(ann)) >= 1
+
+
+def test_hyperplane_buckets_deterministic(emb):
+    b1 = {r["vec_id"]: r["bucket"] for r in S.hyperplane_lsh(emb, 8).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in S.hyperplane_lsh(emb, 8).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_text_profile_signals(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "der hund und die katze nicht da")],
+        ["doc_id", "text"],
+    )
+    prof = {r["doc_id"]: r for r in T.profile(df).collect()}
+    assert prof[1]["n_tokens"] == 5
+    assert prof[1]["stopword_ratio"] == pytest.approx(3 / 5)  # the, and, the
+    assert prof[1]["lang_pred"] == "en"
+    assert prof[2]["lang_pred"] == "de"
+    assert 0.0 <= prof[1]["quality"] <= 1.0
+    assert len(prof[1]["fingerprint"]) == 32
+
+
+def test_rolling_fingerprints(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")], ["doc_id", "text"])
+    fps = df.select(T.rolling_fingerprints(F.col("text"), 8).alias("f")).first()["f"]
+    assert len(fps) == 3  # 10 tokens → 3 windows of 8
+
+
+def test_multimodal_fake_decode(spark):
+    df = spark.createDataFrame(
+        [(1, b"imagebytes1"), (2, b"imagebytes2"), (3, None)],
+        "media_id LONG, payload BINARY",
+    )
+    out = {r["media_id"]: r for r in extract_image_features(df, feat_dim=4, fake=True).collect()}
+    assert len(out) == 3
+    assert out[1]["sha256"] != out[2]["sha256"]
+    assert len(out[1]["features"]) == 4
+    assert out[3]["n_bytes"] == 0
+    # deterministic across runs
+    again = extract_image_features(df, feat_dim=4, fake=True).collect()
+    assert {r["media_id"]: r["features"] for r in again}[1] == out[1]["features"]
+
+
+def test_multimodal_real_decode_stubbed(spark):
+    df = spark.createDataFrame([(1, b"x")], "media_id LONG, payload BINARY")
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        extract_image_features(df, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, None, "video", None, None, None, 3500)],
+        "media_id LONG, payload BINARY, media_type STRING, mime STRING, "
+        "width LONG, height LONG, duration_ms LONG",
+    )
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
