@@ -20,6 +20,7 @@ def _prepare(spark: SparkSession) -> None:
     """Apply session configs get_spark() would set (the driver builds its own
     session, so nanos-timestamp handling must be set here too)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,169 @@
+"""FeatureBase write semantics as DataFrame transformations.
+
+The reference mutates roaring bitmaps in place under per-shard ACID
+transactions (executeSet executor.go:6194-6353, RBF tx rbf/db.go). On
+Spark, tables are immutable datasets: every write op here is a pure
+``DataFrame -> DataFrame`` transformation suitable for a copy-on-write
+table format. With Delta/Iceberg on the classpath these become real
+``MERGE``/``DELETE``; without them (this container) the same logic runs as
+anti-join + union — identical semantics, full-file rewrite cost, which is
+exactly what a 100 TB deployment would avoid by using Delta. The seam is
+:func:`merge_upsert`, so swapping in `DeltaTable.merge` is a one-function
+change.
+
+Null-handling note: ``Set`` on a mutex/int field REPLACES the old value
+(last-write-wins, field.go:352-366); on a set field it UNIONS
+(one-bitmap-per-value, a bit-set is additive).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def merge_upsert(
+    table: DataFrame, updates: DataFrame, key: str = "_id"
+) -> DataFrame:
+    """INSERT-as-upsert on the record key (reference PlanOpInsert
+    opinsert.go:16-453: INSERT with an existing ``_id`` overwrites — PQL
+    ``Set`` semantics). Rows in ``updates`` replace same-key rows in
+    ``table``; new keys append.
+
+    Plan: anti-join (broadcast when updates are small — the common
+    streaming-microbatch case) + union. With Delta: ``MERGE WHEN MATCHED
+    UPDATE SET * WHEN NOT MATCHED INSERT *``."""
+    kept = table.join(F.broadcast(updates.select(key)), key, "left_anti")
+    return kept.unionByName(updates, allowMissingColumns=False)
+
+
+def set_bit(
+    table: DataFrame,
+    record_id,
+    field: str,
+    value,
+    id_col: str = "_id",
+) -> DataFrame:
+    """PQL ``Set(col, field=value)`` (executeSet executor.go:6194-6353).
+    Scalar (mutex/int/bool/timestamp) fields: last-write-wins replace.
+    Array (set) fields: add to the set. Creates the record if absent."""
+    is_array = dict(table.dtypes)[field].startswith("array")
+    exists = table.where(F.col(id_col) == F.lit(record_id)).count() > 0
+    if not exists:
+        row = table.sparkSession.createDataFrame(
+            [tuple(
+                record_id if c == id_col else ([value] if is_array else value) if c == field else None
+                for c, _ in table.dtypes
+            )],
+            table.schema,
+        )
+        return table.unionByName(row)
+    target = F.col(id_col) == F.lit(record_id)
+    if is_array:
+        updated = F.when(
+            target,
+            F.array_union(F.coalesce(F.col(field), F.array()), F.array(F.lit(value))),
+        ).otherwise(F.col(field))
+    else:
+        updated = F.when(target, F.lit(value)).otherwise(F.col(field))
+    return table.withColumn(field, updated)
+
+
+def clear_bit(
+    table: DataFrame, record_id, field: str, value, id_col: str = "_id"
+) -> DataFrame:
+    """PQL ``Clear(col, field=value)`` (executeClearBit executor.go:
+    5895-5975): remove one (record, value) bit. Scalar fields null out iff
+    they currently hold ``value``; set fields drop the element."""
+    is_array = dict(table.dtypes)[field].startswith("array")
+    target = F.col(id_col) == F.lit(record_id)
+    if is_array:
+        updated = F.when(
+            target, F.array_remove(F.col(field), value)
+        ).otherwise(F.col(field))
+    else:
+        updated = F.when(
+            target & (F.col(field) == F.lit(value)), F.lit(None)
+        ).otherwise(F.col(field))
+    return table.withColumn(field, updated)
+
+
+def clear_row(table: DataFrame, field: str, value) -> DataFrame:
+    """PQL ``ClearRow(field=value)`` (executeClearRow executor.go:5976-6076):
+    clear the value's bit across ALL records — a single whole-column
+    conditional rewrite (one scan, no shuffle)."""
+    is_array = dict(table.dtypes)[field].startswith("array")
+    if is_array:
+        updated = F.array_remove(F.col(field), value)
+    else:
+        updated = F.when(F.col(field) == F.lit(value), F.lit(None)).otherwise(
+            F.col(field)
+        )
+    return table.withColumn(field, updated)
+
+
+def store_row(
+    table: DataFrame, bitmap_ids: DataFrame, field: str, value, id_col: str = "_id"
+) -> DataFrame:
+    """PQL ``Store(child, field=value)`` (executeSetRow executor.go:
+    6077-6193): overwrite the value's row-bitmap with ``bitmap_ids`` —
+    records in the bitmap get the value, all others lose it.
+    ``bitmap_ids``: DataFrame with column ``_id``."""
+    is_array = dict(table.dtypes)[field].startswith("array")
+    marked = table.join(
+        F.broadcast(bitmap_ids.withColumnRenamed("_id", id_col).withColumn("__in__", F.lit(True))),
+        id_col,
+        "left",
+    )
+    inb = F.coalesce(F.col("__in__"), F.lit(False))
+    if is_array:
+        with_v = F.array_union(F.coalesce(F.col(field), F.array()), F.array(F.lit(value)))
+        without_v = F.array_remove(F.coalesce(F.col(field), F.array()), value)
+        updated = F.when(inb, with_v).otherwise(without_v)
+    else:
+        updated = F.when(inb, F.lit(value)).otherwise(
+            F.when(F.col(field) == F.lit(value), F.lit(None)).otherwise(F.col(field))
+        )
+    return marked.withColumn(field, updated).drop("__in__")
+
+
+def delete_records(
+    table: DataFrame, bitmap_ids: DataFrame, id_col: str = "_id"
+) -> DataFrame:
+    """PQL ``Delete(child)`` (executeDeleteRecords executor.go:9050-9320):
+    whole-record delete for every id in the bitmap → anti-join (Delta:
+    ``DELETE WHERE _id IN (...)``)."""
+    return table.join(
+        bitmap_ids.withColumnRenamed("_id", id_col), id_col, "left_anti"
+    )
+
+
+def delete_where(table: DataFrame, predicate) -> DataFrame:
+    """SQL ``DELETE WHERE`` via pushed filter (PlanOpPQLFilteredDelete
+    oppqlfiltereddelete.go) — keep the complement."""
+    return table.where(~F.coalesce(predicate, F.lit(False)))
+
+
+def bulk_upsert_last_write_wins(
+    table: DataFrame,
+    updates: DataFrame,
+    key: str = "_id",
+    version_col: str | None = None,
+) -> DataFrame:
+    """Batch upsert where ``updates`` may contain multiple writes per key:
+    keep the last (max ``version_col``, or arbitrary-but-deterministic max
+    of all columns when None) — the reference's ingest batcher collapses
+    duplicate keys the same way before import (idk/batch/batch.go)."""
+    from pyspark.sql.window import Window
+
+    if version_col is not None:
+        w = Window.partitionBy(key).orderBy(F.desc(version_col))
+        deduped = (
+            updates.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+    else:
+        deduped = updates.dropDuplicates([key])
+    return merge_upsert(table, deduped, key)

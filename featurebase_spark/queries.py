@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from featurebase_spark.session import load_tables
@@ -1058,3 +1059,114 @@ def multimodal_features(spark, sf_dir):
     )
     feats = extract_image_features(media, feat_dim=8, fake=True)
     return feats.select("media_id", "sha256", "n_bytes")
+
+
+# ===========================================================================
+# Set functions / Apply / write ops / ingest (SURVEY §2.1, §2.3, §2.4)
+# ===========================================================================
+
+
+@register(
+    "sql_set_functions",
+    "SELECT doc_id, "
+    "list_contains(string_split(text, ' '), 'the') AS has_the, "
+    "list_has_all(string_split(text, ' '), ['data', 'spark']) AS has_all, "
+    "list_has_any(string_split(text, ' '), ['window', 'stream']) AS has_any, "
+    "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS set_size "
+    "FROM documents",
+)
+def sql_set_functions(spark, sf_dir):
+    """SETCONTAINS / SETCONTAINSALL / SETCONTAINSANY over a stringset column
+    (inbuiltfunctionsset.go; PQL pushdown expressionpql.go:28-97) — the set
+    column is derived by tokenizing documents.text."""
+    import featurebase_spark.functions as fb
+
+    docs = _tables(spark, sf_dir)["documents"]
+    w = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        fb.SETCONTAINS(w, "the").alias("has_the"),
+        fb.SETCONTAINSALL(w, ["data", "spark"]).alias("has_all"),
+        fb.SETCONTAINSANY(w, ["window", "stream"]).alias("has_any"),
+        F.size(F.array_distinct(w)).cast("long").alias("set_size"),
+    )
+
+
+@register(
+    "pql_apply",
+    "SELECT event_id, value * 2 + user_id AS score FROM events "
+    "WHERE event_type = 'purchase'",
+)
+def pql_apply(spark, sf_dir):
+    """PQL Apply(filter, ivy-expr) — arbitrary vectorized compute over the
+    Arrow dataframe store (apply.go:14-120, executor.go:831). Spark-native
+    equivalent: an Arrow-batched pandas_udf over the filtered scan (a strict
+    superset of ivy: full numpy/pandas)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(value: pd.Series, user_id: pd.Series) -> pd.Series:
+        return value * 2 + user_id
+
+    idx = _events(spark, sf_dir)
+    return (
+        Row("event_type", "==", "purchase")
+        .filter_df(idx)
+        .select("event_id", score("value", "user_id").alias("score"))
+    )
+
+
+@register(
+    "pql_write_delete",
+    "SELECT COUNT(*) AS count FROM events "
+    "WHERE event_id NOT IN (SELECT event_id FROM events WHERE value > 300)",
+)
+def pql_write_delete(spark, sf_dir):
+    """PQL Delete(child) (executeDeleteRecords executor.go:9050-9320):
+    delete all records in a bitmap; verify by counting the survivors."""
+    from featurebase_spark.operators.writes import delete_records
+
+    idx = _events(spark, sf_dir)
+    doomed = Row("value", ">", 300).ids(idx)
+    remaining = delete_records(idx.df, doomed, id_col="event_id")
+    return remaining.agg(F.count(F.lit(1)).alias("count"))
+
+
+@register(
+    "pql_write_clear_store",
+    "SELECT event_type, COUNT(*) AS n FROM ("
+    "  SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type"
+    "  FROM events) WHERE event_type IS NOT NULL GROUP BY event_type",
+)
+def pql_write_clear_store(spark, sf_dir):
+    """PQL ClearRow(field=value) (executeClearRow executor.go:5976-6076):
+    clear one value across all records — verify group counts after."""
+    from featurebase_spark.operators.writes import clear_row
+
+    idx = _events(spark, sf_dir)
+    cleared = clear_row(idx.df, "event_type", "error")
+    return (
+        cleared.where(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "source_bulk_insert",
+    "SELECT p_partkey AS _id, upper(p_name) AS name, CAST(p_size * 2 AS BIGINT) AS size2 "
+    "FROM part WHERE p_size > 25",
+)
+def source_bulk_insert(spark, sf_dir):
+    """BULK INSERT ... WITH FORMAT 'PARQUET' MAP (...) TRANSFORM (...)
+    (opbulkinsert.go:24-1195): mapped+transformed load, filtered."""
+    from featurebase_spark.sources import bulk_insert
+
+    df = bulk_insert(
+        spark,
+        f"{sf_dir}/part.parquet",
+        "PARQUET",
+        {"_id": "p_partkey ID", "name": "p_name STRING", "size": "p_size INT"},
+        transforms={"_id": "_id", "name": "upper(name)", "size2": "size * 2"},
+    )
+    return df.where(F.col("size2") > 50)

@@ -60,6 +60,9 @@ def get_spark(
         # testdata parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in load_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # DuckDB timestamps are UTC-naive; pin the session TZ so oracle
+        # comparisons and date functions agree.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
@@ -83,6 +86,11 @@ def load_tables(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    cache_key = (id(spark), sf_dir, register_views)
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return dict(cached)
+
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -104,4 +112,11 @@ def load_tables(
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
+    _TABLE_CACHE[cache_key] = dict(out)
     return out
+
+
+#: (session id, sf_dir, register_views) → loaded DataFrames. DataFrames are
+#: lazy plans, so caching them skips repeated parquet-footer/pyarrow schema
+#: work when many queries run in one session (bench, driver correctness run).
+_TABLE_CACHE: dict[tuple, dict[str, DataFrame]] = {}

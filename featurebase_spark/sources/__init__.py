@@ -1,0 +1,184 @@
+"""Batch ingest: the reference's BULK INSERT statement and idk consumer
+field-mapping semantics on Spark readers (SURVEY §2.4).
+
+- :func:`bulk_insert` — CSV / NDJSON / PARQUET with MAP (position/JSONPath)
+  + TRANSFORM expressions (opbulkinsert.go:24-1195).
+- :func:`read_idk_csv` — idk CSV consumer typed headers (``name__Int`` etc.,
+  idk/csv/ + idk/interfaces.go:258-770).
+- :func:`read_jdbc` / :func:`external_lookup` — idk SQL consumer and the
+  PQL ExternalLookup bridge (executor.go:4357-4710) via spark JDBC.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def bulk_insert(
+    spark: SparkSession,
+    path: str,
+    format: str,
+    map_spec: Mapping[str, str],
+    transforms: Optional[Mapping[str, str]] = None,
+    header: bool = False,
+    batch_size: Optional[int] = None,
+) -> DataFrame:
+    """``BULK INSERT ... FROM 'file' WITH FORMAT 'CSV'|'NDJSON'|'PARQUET'
+    MAP (...) TRANSFORM (...)`` (opbulkinsert.go:24-1195; grammar
+    parser.go:1788-1890).
+
+    ``map_spec``: output column → source locator + type, e.g.
+        CSV:     {"_id": "0 ID", "name": "1 STRING", "age": "2 INT"}
+                 (position, compilebulkinsert.go)
+        NDJSON:  {"_id": "$.id ID", "name": "$.name STRING"} (JSONPath)
+        PARQUET: {"_id": "id ID", "name": "name STRING"} (column name)
+    ``transforms``: output column → SQL expression over ``@column`` refs
+    (reference TRANSFORM uses @n positional refs; here use mapped names).
+
+    Scale: the reader IS the parallelism (file splits); no driver-side
+    batching needed — the reference's 1M-row client batches
+    (idk/ingest.go:59-95) correspond to Spark task partitions.
+    """
+    fmt = format.upper()
+    _SQL_TYPES = {
+        "ID": "bigint",
+        "INT": "bigint",
+        "DECIMAL": "decimal(38,2)",
+        "STRING": "string",
+        "BOOL": "boolean",
+        "TIMESTAMP": "timestamp",
+        "IDSET": "array<bigint>",
+        "STRINGSET": "array<string>",
+    }
+
+    def parse_spec(spec: str) -> tuple[str, str]:
+        locator, _, t = spec.rpartition(" ")
+        return locator.strip(), _SQL_TYPES.get(t.strip().upper(), t.strip())
+
+    if fmt == "CSV":
+        raw = spark.read.csv(path, header=header, inferSchema=False)
+        cols = []
+        for out, spec in map_spec.items():
+            locator, t = parse_spec(spec)
+            src = F.col(raw.columns[int(locator)]) if locator.isdigit() else F.col(locator)
+            cols.append(src.cast(t).alias(out))
+        df = raw.select(*cols)
+    elif fmt == "NDJSON":
+        raw = spark.read.text(path)
+        cols = []
+        for out, spec in map_spec.items():
+            locator, t = parse_spec(spec)
+            cols.append(
+                F.get_json_object(F.col("value"), locator).cast(t).alias(out)
+            )
+        df = raw.select(*cols)
+    elif fmt == "PARQUET":
+        raw = spark.read.parquet(path)
+        cols = []
+        for out, spec in map_spec.items():
+            locator, t = parse_spec(spec)
+            cols.append(F.col(locator).cast(t).alias(out))
+        df = raw.select(*cols)
+    else:
+        raise ValueError(
+            f"unsupported format {format!r} (CSV|NDJSON|PARQUET, "
+            "compilebulkinsert.go:197-224)"
+        )
+
+    if transforms:
+        df = df.select(
+            *[F.expr(expr).alias(out) for out, expr in transforms.items()]
+        )
+    return df
+
+
+#: idk typed-header suffix → Spark cast (idk/interfaces.go field kinds)
+IDK_HEADER_TYPES = {
+    "ID": "bigint",
+    "Int": "bigint",
+    "Decimal": "decimal(38,2)",
+    "String": "string",
+    "Bool": "boolean",
+    "Timestamp": "timestamp",
+    "RecordTime": "timestamp",
+    "IDArray": "array<bigint>",
+    "StringArray": "array<string>",
+    "Ignore": None,
+}
+
+
+def read_idk_csv(spark: SparkSession, path: str) -> DataFrame:
+    """idk CSV consumer: headers like ``asset_tag__String``,
+    ``fan_time__Timestamp`` declare types (idk/csv/, header parsing in
+    idk/interfaces.go:258-770). Array fields are comma-joined strings."""
+    raw = spark.read.csv(path, header=True, inferSchema=False)
+    cols = []
+    for c in raw.columns:
+        name, _, kind = c.partition("__")
+        kind = kind or "String"
+        t = IDK_HEADER_TYPES.get(kind, "string")
+        if t is None:
+            continue
+        if t.startswith("array"):
+            inner = t[t.index("<") + 1 : -1]
+            cols.append(
+                F.transform(
+                    F.split(F.col(c), ","), lambda x: x.cast(inner)
+                ).alias(name)
+            )
+        else:
+            cols.append(F.col(c).cast(t).alias(name))
+    return raw.select(*cols)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: Optional[str] = None,
+    num_partitions: int = 8,
+    lower_bound: Optional[int] = None,
+    upper_bound: Optional[int] = None,
+    **options: str,
+) -> DataFrame:
+    """idk SQL consumer (idk/sql/, idk/postgres.go): parallel JDBC pull.
+    Always pass partition bounds in production — a single-connection JDBC
+    read is the classic ingest bottleneck."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound or 0))
+            .option("upperBound", str(upper_bound or 1_000_000))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def external_lookup(
+    bitmap_ids: DataFrame,
+    spark: SparkSession,
+    url: str,
+    query_table: str,
+    key_col: str,
+    **jdbc_options: str,
+) -> DataFrame:
+    """PQL ``ExternalLookup(child, query=...)`` (executor.go:4357-4710):
+    ship the bitmap's record IDs to an external PostgreSQL and join. The
+    reference interpolates ids as a ``$1`` array param; distributed
+    equivalent: JDBC-read the remote table (partitioned) and semi-join on
+    the ids — pushes work to executors instead of one coordinator."""
+    remote = read_jdbc(spark, url, query_table, **jdbc_options)
+    return remote.join(
+        bitmap_ids.withColumnRenamed("_id", key_col), key_col, "left_semi"
+    )
+
+
+def export_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """``GET /export`` per-shard CSV (http_handler.go:498) → partitioned
+    CSV write (one file per partition = one per shard)."""
+    df.write.mode("overwrite").option("header", header).csv(path)

@@ -1,0 +1,170 @@
+"""Streaming ingest: the reference's idk Kafka/Kinesis consumers and
+time-quantum/TTL semantics on Structured Streaming (SURVEY §2.4).
+
+Reference semantics to preserve (important): FeatureBase has **streaming
+ingest but batch queries** — every consumed record is immediately a visible
+upsert by key (bit-flip), with NO watermarks/windows/late-data policy.
+That maps to: ``readStream`` → decode → ``foreachBatch`` upsert-by-``_id``.
+Watermarked windowed aggregation is provided as an *extension*
+(:func:`windowed_counts`), clearly beyond parity.
+
+Time-quantum views (``standard_2023``, ``standard_202301``..., view
+generation time.go:106-142) become derived ``date_trunc`` bucket columns,
+and TTL view expiry (field.go:325-351, enforcement field.go:730-733)
+becomes a retention delete on the bucket column — at scale, partition the
+table by the quantum bucket so TTL is a metadata-only partition drop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema: str,
+    format: str = "json",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """idk Kafka consumer (idk/kafka/source.go:34-120): readStream +
+    decode. ``format='json'`` mirrors kafka_static (declared schema JSON);
+    ``'avro'`` mirrors the schema-registry consumer (needs the
+    spark-avro package on the classpath — import-gated like the reference
+    gates on registry availability)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    if format == "json":
+        return raw.select(
+            F.from_json(F.col("value").cast("string"), value_schema).alias("r")
+        ).select("r.*")
+    if format == "avro":
+        try:
+            from pyspark.sql.avro.functions import from_avro
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "avro decode needs spark-avro on the classpath"
+            ) from e
+        return raw.select(from_avro(F.col("value"), value_schema).alias("r")).select(
+            "r.*"
+        )
+    raise ValueError(f"unknown format {format!r}")
+
+
+def file_source(
+    spark: SparkSession, path: str, schema, format: str = "parquet"
+) -> DataFrame:
+    """File-drop streaming source — the container-testable stand-in for
+    Kafka (same downstream contract)."""
+    return spark.readStream.format(format).schema(schema).load(path)
+
+
+def upsert_sink(
+    stream: DataFrame,
+    target_view: str,
+    key: str = "_id",
+    checkpoint: Optional[str] = None,
+    trigger_seconds: Optional[int] = None,
+):
+    """The reference's ingest contract: each micro-batch is an upsert-by-key
+    into the visible table (bit-flip visibility, idk/ingest.go:222-560).
+
+    Implemented with ``foreachBatch`` + :func:`operators.writes.
+    bulk_upsert_last_write_wins` against a registered temp view; with Delta
+    on the classpath the body becomes ``DeltaTable.merge`` unchanged.
+    Returns the StreamingQuery (caller: ``q.processAllAvailable()``)."""
+    from featurebase_spark.operators.writes import bulk_upsert_last_write_wins
+
+    spark = stream.sparkSession
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        current = spark.table(target_view)
+        merged = bulk_upsert_last_write_wins(current, batch, key)
+        # temp-view model: materialize (Delta MERGE in production)
+        spark.createDataFrame(
+            merged.collect(), merged.schema
+        ).createOrReplaceTempView(target_view)
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+# --- Time quantum + TTL (field.go:325-351, time.go:18-142)
+
+_QUANTUM_UNITS = {"Y": "year", "M": "month", "D": "day", "H": "hour"}
+
+
+def with_time_quantum(
+    df: DataFrame, ts_col: str, quantum: str = "YMD", prefix: str = "tq_"
+) -> DataFrame:
+    """Derive the quantum view columns for a record's timestamp: quantum
+    'YMD' adds tq_y, tq_ym, tq_ymd (the reference materializes one bitmap
+    view per granularity, time.go:106-142; we derive prunable columns —
+    partition by the coarsest in production)."""
+    quantum = quantum.upper()
+    if not quantum or any(c not in "YMDH" for c in quantum):
+        raise ValueError(f"bad quantum {quantum!r} (Y/YM/YMD/YMDH, time.go:18)")
+    out = df
+    for i in range(len(quantum)):
+        unit = _QUANTUM_UNITS[quantum[i]]
+        name = prefix + quantum[: i + 1].lower()
+        out = out.withColumn(name, F.date_trunc(unit, F.col(ts_col)))
+    return out
+
+
+def quantum_range_cover(
+    df: DataFrame, ts_col: str, from_ts, to_ts
+) -> DataFrame:
+    """Range query over time-quantum data: the reference selects the minimal
+    set of Y/M/D/H views covering [from, to) (viewsByTimeRange
+    field.go:1063-1120). With derived bucket columns + parquet row-group
+    stats, a plain half-open predicate gets the identical pruning — this
+    helper exists to make that equivalence explicit."""
+    return df.where(
+        (F.col(ts_col) >= F.lit(from_ts)) & (F.col(ts_col) < F.lit(to_ts))
+    )
+
+
+def ttl_retention(df: DataFrame, ts_col: str, ttl: str, now=None) -> DataFrame:
+    """TTL expiry of old views (field.go:329-351; enforcement
+    field.go:730-733): drop records older than now-ttl. ``ttl`` like
+    '30d', '24h', '60m', '3600s'. On a quantum-partitioned table this is a
+    partition drop, not a rewrite."""
+    n, unit = int(ttl[:-1]), ttl[-1].lower()
+    seconds = n * {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+    now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    cutoff = now_expr - F.expr(f"INTERVAL {seconds} SECOND")
+    return df.where(F.col(ts_col) >= cutoff)
+
+
+# --- Extensions beyond parity (Spark-native streaming analytics)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    window: str = "5 minutes",
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """EXTENSION (reference has no windows/watermarks): watermarked
+    tumbling/sliding counts per key."""
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,102 @@
+"""FeatureBase scalar-function library (SURVEY §2.3) — semantics mirrored
+from reference golden tests (defs_string_functions.go, defs_date_functions,
+defs_set_functions)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+import featurebase_spark.functions as fb
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "hello world", [1, 2, 3], ["a", "b"], datetime.datetime(2024, 3, 15, 10, 30, 45)),
+        ],
+        "_id LONG, s STRING, ids ARRAY<LONG>, ss ARRAY<STRING>, ts TIMESTAMP",
+    )
+
+
+def one(df, col):
+    return df.select(col.alias("x")).first()["x"]
+
+
+def test_set_functions(df):
+    assert one(df, fb.SETCONTAINS("ids", 2)) is True
+    assert one(df, fb.SETCONTAINS("ids", 9)) is False
+    assert one(df, fb.SETCONTAINSALL("ids", [1, 3])) is True
+    assert one(df, fb.SETCONTAINSALL("ids", [1, 9])) is False
+    assert one(df, fb.SETCONTAINSANY("ss", ["b", "z"])) is True
+    assert one(df, fb.SETCONTAINSANY("ss", ["z"])) is False
+
+
+def test_string_functions(df):
+    assert one(df, fb.REVERSE("s")) == "dlrow olleh"
+    assert one(df, fb.UPPER("s")) == "HELLO WORLD"
+    assert one(df, fb.LOWER(F.lit("ABC"))) == "abc"
+    assert one(df, fb.CHAR(F.lit(65))) == "A"
+    assert one(df, fb.ASCII(F.lit("A"))) == 65
+    assert one(df, fb.STRINGSPLIT("s", " ", 1)) == "world"
+    # reference SUBSTRING is 0-based (inbuiltfunctionsstring.go)
+    assert one(df, fb.SUBSTRING("s", 0, 5)) == "hello"
+    assert one(df, fb.SUBSTRING("s", 6)) == "world"
+    assert one(df, fb.REPLACEALL("s", "l", "L")) == "heLLo worLd"
+    assert one(df, fb.TRIM(F.lit("  x  "))) == "x"
+    assert one(df, fb.RTRIM(F.lit("  x  "))) == "  x"
+    assert one(df, fb.LTRIM(F.lit("  x  "))) == "x  "
+    assert one(df, fb.SUFFIX("s", "world")) is True
+    assert one(df, fb.PREFIX("s", "hello")) is True
+    assert one(df, fb.SPACE(3)) == "   "
+    assert one(df, fb.LEN("s")) == 11
+    assert one(df, fb.REPLICATE(F.lit("ab"), 3)) == "ababab"
+    assert one(df, fb.FORMAT("%s-%d", F.lit("x"), F.lit(7))) == "x-7"
+    # reference CHARINDEX is 0-based, -1 when absent
+    assert one(df, fb.CHARINDEX("world", "s")) == 6
+    assert one(df, fb.CHARINDEX("zzz", "s")) == -1
+    assert one(df, fb.STR(F.lit(12))) == "12"
+
+
+def test_date_functions(df):
+    assert one(df, fb.DATETIMEPART("yy", "ts")) == 2024
+    assert one(df, fb.DATETIMEPART("m", "ts")) == 3
+    assert one(df, fb.DATETIMEPART("d", "ts")) == 15
+    assert one(df, fb.DATETIMEPART("hh", "ts")) == 10
+    assert one(df, fb.DATETIMENAME("m", "ts")) == "March"
+    assert str(one(df, fb.DATE_TRUNC("m", "ts"))) == "2024-03-01 00:00:00"
+    assert one(df, fb.DATETIMEADD("d", 5, "ts")).day == 20
+    assert one(df, fb.DATETIMEFROMPARTS(2024, 3, 15, 10, 30, 45)) == one(df, F.col("ts"))
+    assert one(df, fb.TOTIMESTAMP(F.lit(0), "s")) == datetime.datetime(1970, 1, 1)
+    assert one(df, fb.TOTIMESTAMP(F.lit(1_000), "ms")) == datetime.datetime(
+        1970, 1, 1, 0, 0, 1
+    )
+
+
+def test_rangeq_quantum(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    ("a", datetime.datetime(2024, 1, 1)),
+                    ("b", datetime.datetime(2024, 6, 1)),
+                ],
+            )
+        ],
+        "_id LONG, tq ARRAY<STRUCT<value STRING, ts TIMESTAMP>>",
+    )
+    got = df.select(
+        fb.RANGEQ("tq", from_="2024-03-01", to="2024-12-31").alias("v")
+    ).first()["v"]
+    assert got == ["b"]
+
+
+def test_fb_function_registry():
+    assert fb.fb_function("setcontains") is fb.SETCONTAINS
+    assert fb.fb_function("Upper") is fb.UPPER
+    with pytest.raises(KeyError, match="unknown FeatureBase function"):
+        fb.fb_function("nope")

@@ -1,0 +1,143 @@
+"""Write-op semantics (PQL Set/Clear/ClearRow/Store/Delete, INSERT-upsert)
+and the DDL/catalog façade — mirrored from reference behaviors in
+executor.go:5895-6353 and sql3/test/defs (defs_insert, defs_delete)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurebase_spark.operators import writes as W
+from featurebase_spark.operators.ddl import Catalog
+from featurebase_spark.schema import FieldDef, TableDef
+
+
+@pytest.fixture()
+def tbl(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10, ["x"]), (2, "b", 20, ["x", "y"]), (3, "a", 30, None)],
+        "_id LONG, s STRING, n LONG, tags ARRAY<STRING>",
+    )
+
+
+def _by_id(df):
+    return {r["_id"]: r for r in df.collect()}
+
+
+def test_set_bit_mutex_last_write_wins(tbl):
+    out = _by_id(W.set_bit(tbl, 1, "s", "z"))
+    assert out[1]["s"] == "z" and out[2]["s"] == "b"
+
+
+def test_set_bit_set_field_unions(tbl):
+    out = _by_id(W.set_bit(tbl, 1, "tags", "new"))
+    assert sorted(out[1]["tags"]) == ["new", "x"]
+    # null array treated as empty set
+    out = _by_id(W.set_bit(tbl, 3, "tags", "first"))
+    assert out[3]["tags"] == ["first"]
+
+
+def test_set_bit_creates_record(tbl):
+    out = _by_id(W.set_bit(tbl, 99, "n", 5))
+    assert out[99]["n"] == 5 and out[99]["s"] is None
+    assert len(out) == 4
+
+
+def test_clear_bit(tbl):
+    out = _by_id(W.clear_bit(tbl, 2, "tags", "y"))
+    assert out[2]["tags"] == ["x"]
+    out = _by_id(W.clear_bit(tbl, 1, "s", "a"))
+    assert out[1]["s"] is None
+    # clearing a non-matching scalar value is a no-op
+    out = _by_id(W.clear_bit(tbl, 2, "s", "nope"))
+    assert out[2]["s"] == "b"
+
+
+def test_clear_row_all_records(tbl):
+    out = _by_id(W.clear_row(tbl, "s", "a"))
+    assert out[1]["s"] is None and out[3]["s"] is None and out[2]["s"] == "b"
+
+
+def test_store_row_overwrites_bitmap(spark, tbl):
+    ids = spark.createDataFrame([(2,), (3,)], ["_id"])
+    out = _by_id(W.store_row(tbl, ids, "s", "a"))
+    # 2,3 gain 'a'; 1 (had 'a', not in bitmap) loses it
+    assert out[1]["s"] is None and out[2]["s"] == "a" and out[3]["s"] == "a"
+
+
+def test_delete_records(spark, tbl):
+    ids = spark.createDataFrame([(1,), (3,)], ["_id"])
+    out = W.delete_records(tbl, ids)
+    assert sorted(r["_id"] for r in out.collect()) == [2]
+
+
+def test_delete_where(tbl):
+    out = W.delete_where(tbl, F.col("n") > 15)
+    assert sorted(r["_id"] for r in out.collect()) == [1]
+
+
+def test_merge_upsert(spark, tbl):
+    updates = spark.createDataFrame(
+        [(2, "B!", 200, None), (4, "d", 40, ["w"])], tbl.schema
+    )
+    out = _by_id(W.merge_upsert(tbl, updates))
+    assert out[2]["n"] == 200 and out[4]["s"] == "d" and len(out) == 4
+
+
+def test_bulk_upsert_last_write_wins(spark, tbl):
+    updates = spark.createDataFrame(
+        [(5, "v1", 1, None), (5, "v2", 2, None)], tbl.schema
+    )
+    out = _by_id(W.bulk_upsert_last_write_wins(tbl, updates, version_col="n"))
+    assert out[5]["s"] == "v2"
+
+
+def test_catalog_ddl_roundtrip(spark):
+    cat = Catalog(spark)
+    td = TableDef(
+        "t_ddl",
+        [
+            FieldDef("name", "string"),
+            FieldDef("age", "int"),
+            FieldDef("tags", "stringset"),
+            FieldDef("bal", "decimal", scale=2),
+        ],
+    )
+    cat.create_table(td)
+    assert cat.show_tables() == ["t_ddl"]
+    assert cat.show_columns("t_ddl") == ["_id", "name", "age", "tags", "bal"]
+    with pytest.raises(ValueError, match="exists"):
+        cat.create_table(td)
+    cat.create_table(td, if_not_exists=True)  # no-op
+
+    rows = spark.createDataFrame(
+        [(1, "ann", 30, ["x"], None), (2, "bob", 40, None, None)],
+        spark.table("t_ddl").schema,
+    )
+    cat.insert("t_ddl", rows)
+    assert spark.table("t_ddl").count() == 2
+    # INSERT with existing _id upserts (opinsert.go upsert-by-_id)
+    cat.insert(
+        "t_ddl",
+        spark.createDataFrame([(1, "ANN", 31, None, None)], spark.table("t_ddl").schema),
+    )
+    got = {r["_id"]: r["name"] for r in spark.table("t_ddl").collect()}
+    assert got == {1: "ANN", 2: "bob"}
+
+    cat.alter_table_add_column("t_ddl", FieldDef("extra", "int"))
+    assert "extra" in spark.table("t_ddl").columns
+    cat.alter_table_drop_column("t_ddl", "extra")
+    assert "extra" not in spark.table("t_ddl").columns
+
+    cat.create_view("v_ddl", "SELECT _id, upper(name) AS name FROM t_ddl")
+    assert {r["name"] for r in spark.table("v_ddl").collect()} == {"ANN", "BOB"}
+
+    sys_tables = cat.fb_tables().collect()
+    assert sys_tables[0]["name"] == "t_ddl" and sys_tables[0]["n_columns"] == 5
+    assert [r["name"] for r in cat.fb_columns("t_ddl").collect()][0] == "_id"
+    assert cat.fb_views().first()["name"] == "v_ddl"
+    cat.drop_view("v_ddl")
+    cat.drop_table("t_ddl")
+    assert cat.show_tables() == []
+    with pytest.raises(ValueError, match="does not exist"):
+        cat.drop_table("t_ddl")
