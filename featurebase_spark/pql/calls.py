@@ -78,12 +78,15 @@ class RowCall:
         pred = self.predicate(idx)
         if pred is None:
             raise NotImplementedError(f"{type(self).__name__} has no id fallback")
-        return idx.id_frame(idx.df.where(_truthy(pred)))
+        # plain predicate, NOT coalesce-wrapped: WHERE already excludes
+        # NULL evaluations, and an un-wrapped comparison reaches the parquet
+        # scan as a PushedFilter (coalesce() around it blocks pushdown).
+        return idx.id_frame(idx.df.where(pred))
 
     def filter_df(self, idx: Index) -> DataFrame:
         pred = self.predicate(idx)
         if pred is not None:
-            return idx.df.where(_truthy(pred))
+            return idx.df.where(pred)
         # Semi-join fallback: Spark broadcasts when the id set is small.
         return idx.df.join(
             self.ids(idx).withColumnRenamed("_id", idx.id_col),
@@ -198,7 +201,9 @@ class Intersect(_Composite):
         preds = self._child_preds(idx)
         if preds is None:
             return None
-        return reduce(lambda a, b: a & b, [_truthy(p) for p in preds])
+        # plain conjunction: NULL∧x never evaluates TRUE, so WHERE semantics
+        # equal bitmap-AND; unwrapped operands stay pushdown-eligible.
+        return reduce(lambda a, b: a & b, preds)
 
     def ids(self, idx: Index) -> DataFrame:
         pred = self.predicate(idx)
@@ -220,7 +225,9 @@ class Union(_Composite):
         preds = self._child_preds(idx)
         if preds is None:
             return None
-        return reduce(lambda a, b: a | b, [_truthy(p) for p in preds])
+        # plain disjunction: NULL∨TRUE=TRUE, NULL∨FALSE=NULL→excluded — both
+        # match bitmap-OR membership.
+        return reduce(lambda a, b: a | b, preds)
 
     def ids(self, idx: Index) -> DataFrame:
         pred = self.predicate(idx)
@@ -242,8 +249,11 @@ class Difference(_Composite):
         preds = self._child_preds(idx)
         if preds is None:
             return None
-        head, *rest = [_truthy(p) for p in preds]
-        return reduce(lambda a, b: a & ~b, rest, head)
+        # only NEGATED operands need NULL→FALSE coercion (NOT NULL = NULL
+        # would wrongly drop rows that are in `a` but null under `b`); the
+        # positive head stays unwrapped for pushdown.
+        head, *rest = preds
+        return reduce(lambda a, b: a & ~_truthy(b), rest, head)
 
     def ids(self, idx: Index) -> DataFrame:
         pred = self.predicate(idx)
@@ -369,12 +379,10 @@ class Count(ReaderCall):
     child: RowCall
 
     def to_df(self, idx: Index) -> DataFrame:
-        pred = self.child.predicate(idx)
-        if pred is not None:
-            return idx.df.select(
-                F.count(F.when(_truthy(pred), F.lit(1))).alias("count")
-            )
-        return self.child.ids(idx).agg(F.count(F.lit(1)).alias("count"))
+        # filter-then-count keeps the predicate at the scan (PushedFilters)
+        # and counts no columns at all — parquet answers from row-group
+        # metadata where possible.
+        return self.child.filter_df(idx).agg(F.count(F.lit(1)).alias("count"))
 
 
 @dataclass

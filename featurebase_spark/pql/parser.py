@@ -1,0 +1,321 @@
+"""PQL text parser: FeatureBase's Pilosa Query Language → combinator calls.
+
+Grammar follows the reference PEG (``/root/reference/pql/pql.peg``; tokens
+``pql/token.go:10-44``): ``Call(arg, ..., key=value, ...)`` trees with
+condition args ``field == v``, ``field > v``, ``a < field <= b``,
+``field >< [a, b]`` (between) and list/string/number/bool/null literals.
+
+``parse(text)`` returns call objects from :mod:`featurebase_spark.pql.calls`;
+``execute(spark-Index, text)`` compiles and runs them — the same two-step
+shape as the reference (parse → executor.Execute, executor.go:183).
+
+Example::
+
+    execute(idx, 'Count(Intersect(Row(event_type="click"), Row(value > 250)))')
+    execute(idx, 'TopN(event_type, n=3)')
+    execute(idx, 'GroupBy(Rows(event_type), limit=10, having=Condition(count > 5))')
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+
+from featurebase_spark.pql import calls as C
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<number>-?\d+\.\d+|-?\d+)
+  | (?P<op><=|>=|==|!=|><|<|>|=)
+  | (?P<punct>[(),\[\]])
+  | (?P<name>[A-Za-z_][A-Za-z0-9_.-]*)
+""",
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(s: str) -> list[_Tok]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise SyntaxError(f"PQL: unexpected character {s[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append(_Tok(kind, m.group()))
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0) -> Optional[_Tok]:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise SyntaxError("PQL: unexpected end of input")
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> _Tok:
+        t = self.next()
+        if t.text != text:
+            raise SyntaxError(f"PQL: expected {text!r}, got {t.text!r}")
+        return t
+
+    # ---- literals
+
+    def literal(self) -> Any:
+        t = self.next()
+        if t.kind == "string":
+            return t.text[1:-1].replace('\\"', '"').replace("\\'", "'")
+        if t.kind == "number":
+            return float(t.text) if "." in t.text else int(t.text)
+        if t.text == "[":
+            items = []
+            while self.peek() and self.peek().text != "]":
+                items.append(self.literal())
+                if self.peek() and self.peek().text == ",":
+                    self.next()
+            self.expect("]")
+            return items
+        if t.kind == "name":
+            low = t.text.lower()
+            if low == "true":
+                return True
+            if low == "false":
+                return False
+            if low == "null":
+                return None
+            return t.text  # bare word (field names in args like Rows(field))
+        raise SyntaxError(f"PQL: bad literal {t.text!r}")
+
+    # ---- calls
+
+    def call(self):
+        name = self.next()
+        if name.kind != "name":
+            raise SyntaxError(f"PQL: expected call name, got {name.text!r}")
+        self.expect("(")
+        pos: list[Any] = []
+        kw: dict[str, Any] = {}
+        while self.peek() and self.peek().text != ")":
+            self.arg(pos, kw)
+            if self.peek() and self.peek().text == ",":
+                self.next()
+        self.expect(")")
+        return _build(name.text, pos, kw)
+
+    def arg(self, pos: list, kw: dict) -> None:
+        t0, t1 = self.peek(0), self.peek(1)
+        # nested call: Name (
+        if t0 and t0.kind == "name" and t1 and t1.text == "(":
+            pos.append(self.call())
+            return
+        # number-first range condition: a < field <= b
+        if t0 and t0.kind == "number" and t1 and t1.text in ("<", "<="):
+            lo = self.literal()
+            op1 = self.next().text
+            field = self.next().text
+            op2 = self.next().text
+            hi = self.literal()
+            lo_v = lo if op1 == "<=" else lo + _one(lo)
+            hi_v = hi if op2 == "<=" else hi - _one(hi)
+            pos.append(C.Row(field, between=(lo_v, hi_v)))
+            return
+        # name-led: could be key=value, condition, or bare field
+        if t0 and t0.kind == "name":
+            if t1 and t1.kind == "op":
+                name = self.next().text
+                op = self.next().text
+                # kwarg value may itself be a call: aggregate=Sum(field=x),
+                # having=Condition(count > 5), filter=Row(...)
+                nxt, nxt2 = self.peek(0), self.peek(1)
+                if (
+                    op == "="
+                    and nxt is not None
+                    and nxt.kind == "name"
+                    and nxt2 is not None
+                    and nxt2.text == "("
+                ):
+                    kw[name] = self.call()
+                    return
+                val = self.literal()
+                if op == "=":
+                    kw[name] = val
+                elif op == "><":
+                    pos.append(C.Row(name, between=tuple(val)))
+                else:
+                    pos.append(C.Row(name, op, val))
+                return
+            pos.append(self.literal())
+            return
+        pos.append(self.literal())
+
+
+def _one(v):
+    return 1 if isinstance(v, int) else 1e-9
+
+
+_SETOPS = {
+    "Intersect": C.Intersect,
+    "Union": C.Union,
+    "Difference": C.Difference,
+    "Xor": C.Xor,
+}
+
+
+def _row_from_kw(kw: dict) -> C.Row:
+    meta = {k: kw.pop(k) for k in ("from", "to") if k in kw}
+    if len(kw) != 1:
+        raise SyntaxError(f"PQL Row: expected one field=value, got {sorted(kw)}")
+    (field, value), = kw.items()
+    return C.Row(field, "==", value, from_=meta.get("from"), to=meta.get("to"))
+
+
+def _build(name: str, pos: list, kw: dict):
+    if name == "Row" or name == "Range":
+        if pos and isinstance(pos[0], C.Row):
+            r = pos[0]
+            return C.Row(
+                r.field, r.op, r.value, between=r.between,
+                from_=kw.get("from"), to=kw.get("to"),
+            )
+        return _row_from_kw(kw)
+    if name in _SETOPS:
+        return _SETOPS[name](*pos)
+    if name == "Not":
+        return C.Not(pos[0])
+    if name == "All":
+        return C.All()
+    if name == "ConstRow":
+        return C.ConstRow(kw.get("columns", pos[0] if pos else []))
+    if name == "UnionRows":
+        return C.UnionRows(*[r.field for r in pos])
+    if name == "Shift":
+        return C.Shift(pos[0], kw.get("n", 1))
+    if name == "Limit":
+        return C.Limit(pos[0], limit=kw.get("limit", 2**63 - 1), offset=kw.get("offset", 0))
+    if name == "Count":
+        return C.Count(pos[0])
+    if name in ("Sum", "Min", "Max"):
+        cls = {"Sum": C.Sum, "Min": C.Min, "Max": C.Max}[name]
+        return cls(field=kw["field"], filter=pos[0] if pos else None)
+    if name in ("MinRow", "MaxRow"):
+        cls = {"MinRow": C.MinRow, "MaxRow": C.MaxRow}[name]
+        return cls(field=kw["field"], filter=pos[0] if pos else None)
+    if name == "Distinct":
+        return C.Distinct(field=kw["field"], filter=pos[0] if pos else None)
+    if name == "Percentile":
+        return C.Percentile(field=kw["field"], nth=kw["nth"], filter=pos[0] if pos else None)
+    if name == "TopN":
+        return C.TopN(pos[0] if pos else kw.pop("_field", None), n=kw.get("n", 10),
+                      filter=kw.get("filter"))
+    if name == "TopK":
+        return C.TopK(pos[0] if pos else kw.pop("_field", None), k=kw.get("k", 10),
+                      filter=kw.get("filter"))
+    if name == "Rows":
+        field = pos[0] if pos else kw.pop("field")
+        if isinstance(field, C.Row):  # Rows(field) parsed as bare name only
+            raise SyntaxError("PQL Rows: first arg must be a field name")
+        return C.Rows(
+            field,
+            like=kw.get("like"),
+            in_=kw.get("in"),
+            previous=kw.get("previous"),
+            limit=kw.get("limit"),
+            column=kw.get("column"),
+            from_=kw.get("from"),
+            to=kw.get("to"),
+        )
+    if name == "GroupBy":
+        rows = [p for p in pos if isinstance(p, C.Rows)]
+        flt = next((p for p in pos if isinstance(p, C.RowCall)), None)
+        agg = kw.get("aggregate")
+        having = kw.get("having")
+        return C.GroupBy(
+            rows,
+            filter=kw.get("filter", flt),
+            aggregate=agg,
+            having=having,
+            sort=kw.get("sort"),
+            limit=kw.get("limit"),
+            offset=kw.get("offset", 0),
+        )
+    if name == "Extract":
+        flt = pos[0]
+        fields = [p.field for p in pos[1:] if isinstance(p, C.Rows)]
+        return C.Extract(flt, *fields)
+    if name == "Sort":
+        return C.Sort(
+            pos[0],
+            field=kw["field"],
+            desc=bool(kw.get("sort-desc", kw.get("desc", False))),
+            limit=kw.get("limit"),
+            offset=kw.get("offset", 0),
+        )
+    if name == "IncludesColumn":
+        return C.IncludesColumn(pos[0], column=kw["column"])
+    if name == "FieldValue":
+        return C.FieldValue(field=kw["field"], column=kw["column"])
+    if name == "Condition":
+        # having=Condition(count > 5) — the condition Row was built by arg()
+        cond = pos[0]
+        if isinstance(cond, C.Row):
+            return (cond.field, cond.op, cond.value)
+        raise SyntaxError("PQL Condition: expected comparison")
+    # aggregate=Count(...) / aggregate=Sum(field=x) inside GroupBy kwargs
+    raise SyntaxError(f"PQL: unknown call {name!r}")
+
+
+def _normalize_groupby_aggregate(obj):
+    if obj is None:
+        return None
+    if isinstance(obj, C.Sum):
+        return ("sum", obj.field)
+    if isinstance(obj, C.Count):
+        if isinstance(obj.child, C.Distinct):
+            return ("count_distinct", obj.child.field)
+        return None  # plain count is the default
+    return obj
+
+
+def parse(text: str):
+    """Parse one PQL call string into a call object."""
+    p = _Parser(_tokenize(text.strip()))
+    node = p.call()
+    if p.peek() is not None:
+        raise SyntaxError(f"PQL: trailing input at token {p.peek().text!r}")
+    if isinstance(node, C.GroupBy):
+        node.aggregate = _normalize_groupby_aggregate(node.aggregate)
+        if isinstance(node.aggregate, C.GroupBy):
+            raise SyntaxError("PQL GroupBy: bad aggregate")
+    return node
+
+
+def execute(idx: C.Index, text: str) -> DataFrame:
+    """Parse + compile + return the result DataFrame (row-calls return their
+    id frames, readers their reader frames) — the PQL front door."""
+    node = parse(text)
+    if isinstance(node, C.ReaderCall):
+        return node.to_df(idx)
+    if isinstance(node, C.RowCall):
+        return node.ids(idx)
+    raise TypeError(f"unexecutable node {node!r}")

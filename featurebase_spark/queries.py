@@ -1170,3 +1170,71 @@ def source_bulk_insert(spark, sf_dir):
         transforms={"_id": "_id", "name": "upper(name)", "size2": "size * 2"},
     )
     return df.where(F.col("size2") > 50)
+
+
+# ===========================================================================
+# Bitmap-index fast path (SURVEY §7 phase 6 — "Spark SQL + bitmap indexing
+# UDFs", BASELINE.json north star)
+# ===========================================================================
+
+
+@register(
+    "bitmap_index_count",
+    "SELECT "
+    "(SELECT COUNT(*) FROM events WHERE event_type = 'click' AND user_id = 12) AS n_and, "
+    "(SELECT COUNT(*) FROM events WHERE event_type = 'click' OR user_id = 12) AS n_or, "
+    "(SELECT COUNT(*) FROM events WHERE event_type = 'click' AND NOT user_id = 12) AS n_andnot",
+)
+def bitmap_index_count(spark, sf_dir):
+    """Filtered counts answered from materialized (value, shard, bitmap)
+    index tables — zero base-table scan at query time (plans/bitmap_index;
+    reference fragment kernels roaring/roaring.go, executor.go:5357-5534).
+    The oracle proves index-path ≡ scan-path."""
+    from featurebase_spark.plans.bitmap_index import And, AndNot, Atom, BitmapCatalog, Or
+
+    ev = _tables(spark, sf_dir)["events"]
+    cat = BitmapCatalog(shard_exp=12)
+    cat.index_field(ev, "event_type", id_col="event_id")
+    cat.index_field(ev, "user_id", id_col="event_id")
+    a, b = Atom("event_type", "click"), Atom("user_id", 12)
+    rows = [
+        (cat.count(And(a, b)), cat.count(Or(a, b)), cat.count(AndNot(a, b)))
+    ]
+    return spark.createDataFrame(rows, "n_and LONG, n_or LONG, n_andnot LONG")
+
+
+@register(
+    "bitmap_index_topk",
+    "SELECT CAST(event_type AS VARCHAR) AS value, COUNT(*) AS count FROM events "
+    "WHERE event_type IS NOT NULL GROUP BY event_type "
+    "ORDER BY count DESC, value ASC LIMIT 3",
+)
+def bitmap_index_topk(spark, sf_dir):
+    """TopK served from index-fragment cardinalities alone (no row scan) —
+    the reference's ranked-cache TopN / count-BSI TopK niche
+    (executor.go:2357-2868, cache.go:19-45)."""
+    from featurebase_spark.plans.bitmap_index import BitmapCatalog
+
+    ev = _tables(spark, sf_dir)["events"]
+    cat = BitmapCatalog(shard_exp=12)
+    cat.index_field(ev, "event_type", id_col="event_id")
+    return cat.topk_values("event_type", 3)
+
+
+@register(
+    "pql_text_frontend",
+    "SELECT event_type, user_id, COUNT(*) AS count FROM events "
+    "WHERE value > 150 AND event_type IS NOT NULL AND user_id IS NOT NULL "
+    "GROUP BY event_type, user_id HAVING COUNT(*) > 1 "
+    "ORDER BY count DESC, event_type ASC, user_id ASC LIMIT 15",
+)
+def pql_text_frontend(spark, sf_dir):
+    """The PQL *text* front door (pql/pql.peg grammar → pql/parser.py →
+    DataFrame): a full GroupBy-with-having PQL string executed verbatim."""
+    from featurebase_spark.pql.parser import execute
+
+    return execute(
+        _events(spark, sf_dir),
+        "GroupBy(Rows(event_type), Rows(user_id), filter=Row(value > 150), "
+        'having=Condition(count > 1), sort="count desc", limit=15)',
+    )

@@ -1,0 +1,128 @@
+"""Bitmap-index library vs the plain DataFrame path — every answer from
+index blobs must equal the scan-based answer (the reference's contract:
+PQL over fragments ≡ SQL over rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurebase_spark.plans.bitmap_index import (
+    And,
+    AndNot,
+    Atom,
+    BitmapCatalog,
+    Or,
+    XOr,
+    _pack,
+    _popcount,
+    _unpack,
+    bitmap_and,
+    bitmap_andnot,
+    bitmap_or,
+    bitmap_xor,
+)
+
+import numpy as np
+
+
+def test_pack_unpack_roundtrip():
+    offs = np.array([0, 1, 7, 8, 63, 64, 1000], dtype=np.int64)
+    blob = _pack(offs)
+    assert _unpack(blob).tolist() == offs.tolist()
+    assert _popcount(blob) == 7
+    assert _unpack(b"").tolist() == []
+    assert _popcount(b"") == 0
+
+
+def test_kernels_match_set_algebra():
+    a = _pack(np.array([1, 2, 3, 100]))
+    b = _pack(np.array([2, 3, 4]))
+    assert _unpack(bitmap_and(a, b)).tolist() == [2, 3]
+    assert _unpack(bitmap_or(a, b)).tolist() == [1, 2, 3, 4, 100]
+    assert _unpack(bitmap_andnot(a, b)).tolist() == [1, 100]
+    assert _unpack(bitmap_xor(a, b)).tolist() == [1, 4, 100]
+    # unequal lengths / empty operands
+    assert _unpack(bitmap_and(a, b"")).tolist() == []
+    assert _unpack(bitmap_or(b"", b)).tolist() == [2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def cat(tables):
+    c = BitmapCatalog(shard_exp=8)  # small shards → exercises multi-shard merge
+    ev = tables["events"]
+    c.index_field(ev, "event_type", id_col="event_id")
+    c.index_field(ev, "user_id", id_col="event_id")
+    return c
+
+
+def test_index_count_atom(cat, tables):
+    ev = tables["events"]
+    got = cat.count(Atom("event_type", "click"))
+    exp = ev.where(F.col("event_type") == "click").count()
+    assert got == exp
+
+
+def test_index_count_and_or(cat, tables):
+    ev = tables["events"]
+    a, b = Atom("event_type", "click"), Atom("user_id", 12)
+    assert cat.count(And(a, b)) == ev.where(
+        (F.col("event_type") == "click") & (F.col("user_id") == 12)
+    ).count()
+    assert cat.count(Or(a, b)) == ev.where(
+        (F.col("event_type") == "click") | (F.col("user_id") == 12)
+    ).count()
+    assert cat.count(AndNot(a, b)) == ev.where(
+        (F.col("event_type") == "click") & ~(F.col("user_id") == 12)
+    ).count()
+    assert cat.count(XOr(a, b)) == ev.where(
+        (F.col("event_type") == "click") != (F.col("user_id") == 12)
+    ).count()
+
+
+def test_index_nested_expression(cat, tables):
+    ev = tables["events"]
+    expr = And(
+        Or(Atom("event_type", "click"), Atom("event_type", "view")),
+        Atom("user_id", 7),
+    )
+    exp = ev.where(
+        F.col("event_type").isin("click", "view") & (F.col("user_id") == 7)
+    ).count()
+    assert cat.count(expr) == exp
+
+
+def test_index_ids_roundtrip(cat, tables):
+    ev = tables["events"]
+    got = sorted(r["_id"] for r in cat.ids(Atom("event_type", "signup")).collect())
+    exp = sorted(
+        r["event_id"]
+        for r in ev.where(F.col("event_type") == "signup").select("event_id").collect()
+    )
+    assert got == exp
+
+
+def test_index_topk(cat, tables):
+    ev = tables["events"]
+    got = [(r["value"], r["count"]) for r in cat.topk_values("event_type", 3).collect()]
+    exp = [
+        (r["event_type"], r["cnt"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(3)
+        .collect()
+    ]
+    assert got == exp
+
+
+def test_index_on_set_field(spark):
+    df = spark.createDataFrame(
+        [(0, ["a", "b"]), (1, ["b"]), (2, None), (300, ["a"])],
+        "_id LONG, tags ARRAY<STRING>",
+    )
+    c = BitmapCatalog(shard_exp=8)
+    c.index_field(df, "tags")
+    assert c.count(Atom("tags", "a")) == 2
+    assert c.count(Atom("tags", "b")) == 2
+    assert sorted(r["_id"] for r in c.ids(Atom("tags", "a")).collect()) == [0, 300]

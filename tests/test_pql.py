@@ -152,3 +152,25 @@ def test_rows_paging(ev):
     all_users = [r["user_id"] for r in Rows("user_id").to_df(ev).collect()]
     page = [r["user_id"] for r in Rows("user_id", previous=all_users[2], limit=3).to_df(ev).collect()]
     assert page == all_users[3:6]
+
+
+def test_null_semantics_bitmap_algebra(spark):
+    """Nulls behave like absent bits (reference: a record with no value for
+    a field is simply not in any of that field's row bitmaps)."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "a", None), (4, "b", 5)],
+        "_id LONG, s STRING, n LONG",
+    )
+    idx = Index(df)
+    a, b = Row("s", "==", "a"), Row("n", ">", 15)
+
+    def ids_of(call):
+        return sorted(r["_id"] for r in call.ids(idx).collect())
+
+    assert ids_of(a) == [1, 3]
+    assert ids_of(b) == [2]
+    assert ids_of(Intersect(a, b)) == []
+    assert ids_of(Union(a, b)) == [1, 2, 3]
+    assert ids_of(Difference(a, b)) == [1, 3]      # null-b rows stay in a∖b
+    assert ids_of(Xor(a, b)) == [1, 2, 3]
+    assert ids_of(Not(a)) == [2, 4]                # null-s rows exist → in ¬a

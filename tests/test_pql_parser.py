@@ -1,0 +1,128 @@
+"""PQL text front-end: parse + execute real PQL strings (grammar
+pql/pql.peg; cases modeled on executor_test.go query strings)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurebase_spark.pql import Index
+from featurebase_spark.pql import calls as C
+from featurebase_spark.pql.parser import execute, parse
+
+
+@pytest.fixture(scope="module")
+def ev(tables):
+    return Index(tables["events"], id_col="event_id", time_col="ts")
+
+
+def test_parse_row_forms():
+    r = parse('Row(event_type="click")')
+    assert isinstance(r, C.Row) and r.field == "event_type" and r.value == "click"
+    r = parse("Row(value > 250)")
+    assert r.op == ">" and r.value == 250
+    r = parse("Row(10 < value < 20)")
+    assert r.between == (11, 19)  # strict bounds tightened to inclusive ints
+    r = parse("Row(10 <= value <= 20)")
+    assert r.between == (10, 20)
+    r = parse("Row(value >< [10, 20])")
+    assert r.between == (10, 20)
+    r = parse('Row(event_type="click", from="2024-01-05", to="2024-01-20")')
+    assert r.from_ == "2024-01-05" and r.to == "2024-01-20"
+
+
+def test_parse_errors():
+    with pytest.raises(SyntaxError, match="unknown call"):
+        parse("Bogus(x=1)")
+    with pytest.raises(SyntaxError, match="unexpected character"):
+        parse("Row(a=@)")
+    with pytest.raises(SyntaxError, match="trailing input"):
+        parse("All() All()")
+
+
+def test_execute_count_matches_combinators(ev):
+    got = execute(
+        ev, 'Count(Intersect(Row(event_type="click"), Row(value > 250)))'
+    ).first()["count"]
+    exp = ev.df.where((F.col("event_type") == "click") & (F.col("value") > 250)).count()
+    assert got == exp
+
+
+def test_execute_setops_and_not(ev):
+    total = ev.df.count()
+    n = execute(ev, 'Count(Not(Row(event_type="click")))').first()["count"]
+    n_click = ev.df.where(F.col("event_type") == "click").count()
+    assert n == total - n_click
+    u = execute(
+        ev, 'Count(Union(Row(event_type="click"), Row(event_type="signup")))'
+    ).first()["count"]
+    assert u == ev.df.where(F.col("event_type").isin("click", "signup")).count()
+    d = execute(
+        ev, 'Count(Difference(Row(event_type="click"), Row(value > 250)))'
+    ).first()["count"]
+    assert d == ev.df.where(
+        (F.col("event_type") == "click") & ~(F.col("value") > 250)
+    ).count()
+
+
+def test_execute_aggregates(ev):
+    s = execute(ev, 'Sum(Row(event_type="purchase"), field=value)').first()
+    exp = ev.df.where(F.col("event_type") == "purchase").agg(F.sum("value")).first()[0]
+    assert s["sum"] == pytest.approx(exp)
+    mn = execute(ev, "Min(field=value)").first()["min"]
+    assert mn == ev.df.agg(F.min("value")).first()[0]
+    p = execute(ev, "Percentile(field=value, nth=50)").first()["percentile"]
+    assert p is not None
+
+
+def test_execute_topn_rows_groupby(ev):
+    top = execute(ev, "TopN(event_type, n=2)").collect()
+    assert len(top) == 2
+    rows = execute(ev, 'Rows(event_type, like="%c%")').collect()
+    assert {r["event_type"] for r in rows} == {"click", "purchase"}
+    gb = execute(
+        ev,
+        "GroupBy(Rows(event_type), aggregate=Sum(field=value), "
+        'having=Condition(count > 0), sort="sum desc", limit=3)',
+    ).collect()
+    assert len(gb) == 3 and gb[0]["sum"] >= gb[1]["sum"]
+    gcd = execute(
+        ev, "GroupBy(Rows(event_type), aggregate=Count(Distinct(field=user_id)))"
+    ).collect()
+    assert all(r["count"] > 0 for r in gcd)
+
+
+def test_execute_extract_sort_limit(ev):
+    ex = execute(
+        ev, "Extract(Row(value > 300), Rows(event_type), Rows(user_id))"
+    )
+    assert ex.columns == ["event_id", "event_type", "user_id"]
+    srt = execute(ev, "Sort(All(), field=value, sort-desc=true, limit=4)").collect()
+    vals = [r["value"] for r in srt]
+    assert vals == sorted(vals, reverse=True) and len(vals) == 4
+    lim = execute(ev, "Limit(All(), limit=5, offset=2)").collect()
+    assert [r["_id"] for r in lim] == [2, 3, 4, 5, 6]
+
+
+def test_execute_point_and_const(ev):
+    assert execute(ev, "ConstRow(columns=[3, 1, 2])").count() == 3
+    fv = execute(ev, "FieldValue(field=value, column=7)").first()["value"]
+    assert fv == ev.df.where(F.col("event_id") == 7).first()["value"]
+    inc = execute(ev, 'IncludesColumn(Row(event_type="click"), column=7)').first()[
+        "includes"
+    ]
+    assert inc in (True, False)
+    sh = execute(ev, "Shift(ConstRow(columns=[1, 2]), n=10)").collect()
+    assert sorted(r["_id"] for r in sh) == [11, 12]
+
+
+def test_execute_time_range(ev):
+    got = execute(
+        ev, 'Count(Row(event_type="click", from="2024-01-05", to="2024-01-20"))'
+    ).first()["count"]
+    exp = ev.df.where(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= "2024-01-05")
+        & (F.col("ts") < "2024-01-20")
+    ).count()
+    assert got == exp
