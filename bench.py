@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "sql_q1_pricing_summary",
     "sql_join_multi",
     "sql_count_distinct",
+    # TPC-H-shaped scale set (scan-agg / join-topk / 6-way star join)
+    "sql_q6_forecast_revenue",
+    "sql_q3_shipping_priority",
+    "sql_q5_local_supplier_volume",
 ]
 
 

@@ -1238,3 +1238,186 @@ def pql_text_frontend(spark, sf_dir):
         "GroupBy(Rows(event_type), Rows(user_id), filter=Row(value > 150), "
         'having=Condition(count > 1), sort="count desc", limit=15)',
     )
+
+
+# ===========================================================================
+# FeatureBase SQL dialect front door (featurebase_spark/sql.py — the
+# reference's POST /sql surface, http_handler.go:1440-1530)
+# ===========================================================================
+
+
+@register(
+    "sql_dialect_functions",
+    "SELECT o_orderkey AS _id, "
+    "CAST(year(o_orderdate) AS BIGINT) AS yr, "
+    "monthname(o_orderdate) AS mon, "
+    "substring(o_orderpriority, 1, 3) AS pri3, "
+    "CAST(instr(o_orderpriority, '-') - 1 AS BIGINT) AS dash, "
+    "replace(o_orderstatus, 'O', 'X') AS st, "
+    "CAST(o_orderkey AS VARCHAR) AS sid "
+    "FROM orders WHERE o_orderpriority LIKE '1%' ORDER BY _id LIMIT 50",
+)
+def sql_dialect_functions(spark, sf_dir):
+    """Reference SQL text executed verbatim through the dialect translator
+    (TOP(n), 0-based CHARINDEX/SUBSTRING, DATETIMEPART/-NAME part codes,
+    STR; inbuiltfunctions{string,date}.go)."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["orders"].createOrReplaceTempView("orders")
+    return fb_sql(
+        spark,
+        "select top(50) o_orderkey as _id, "
+        "datetimepart('yy', o_orderdate) as yr, "
+        "datetimename('m', o_orderdate) as mon, "
+        "substring(o_orderpriority, 0, 3) as pri3, "
+        "cast(charindex('-', o_orderpriority) as int) as dash, "
+        "replaceall(o_orderstatus, 'O', 'X') as st, "
+        "str(o_orderkey) as sid "
+        "from orders where prefix(o_orderpriority, '1') order by _id;",
+    )
+
+
+@register(
+    "sql_dialect_top_set",
+    "SELECT p_partkey AS _id, "
+    "list_contains(string_split(p_type, ' '), 'BRASS') AS has_brass, "
+    "list_has_any(string_split(p_type, ' '), ['BRASS', 'STEEL']) AS any_bs, "
+    "list_has_all(string_split(p_type, ' '), ['ECONOMY', 'BRASS']) AS eco_brass "
+    "FROM part ORDER BY _id LIMIT 40",
+)
+def sql_dialect_top_set(spark, sf_dir):
+    """SETCONTAINS/-ANY/-ALL + set literals + TOP(n) over an array column
+    (defs_set_functions.go, defs_top.go shapes)."""
+    from featurebase_spark.sql import fb_sql
+
+    spark.sql(
+        "select p_partkey as _id, split(p_type, ' ') as types from {p}",
+        p=_tables(spark, sf_dir)["part"],
+    ).createOrReplaceTempView("part_types")
+    return fb_sql(
+        spark,
+        "select top(40) _id, "
+        "setcontains(types, 'BRASS') as has_brass, "
+        "setcontainsany(types, ['BRASS', 'STEEL']) as any_bs, "
+        "setcontainsall(types, ['ECONOMY', 'BRASS']) as eco_brass "
+        "from part_types order by _id",
+    )
+
+
+# ===========================================================================
+# TPC-H-shaped headliners (scale/bench set: scan-agg, join-topk, star join)
+# ===========================================================================
+
+
+@register(
+    "sql_q6_forecast_revenue",
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.03 AND 0.07 "
+    "AND l_quantity < 24",
+)
+def sql_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan+filter+agg, zero shuffle of data rows.
+    All three predicates reach the parquet scan as PushedFilters; the agg
+    is a map-side partial + single-row final — the plan a 100-TB scan
+    wants (only the ts + 3 numeric columns are read)."""
+    t = _tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & dec("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "sql_q3_shipping_priority",
+    "SELECT l_orderkey, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer, orders, lineitem "
+    "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00' "
+    "AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10",
+)
+def sql_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape. Scale design: the filtered customer dim is tiny
+    (one segment) → explicit broadcast semi-side so orders never shuffles
+    on c_custkey; lineitem⋈orders co-shuffle once on orderkey; top-10 via
+    TakeOrderedAndProject (no global sort materialization)."""
+    t = _tables(spark, sf_dir)
+    cut = F.lit("1997-06-01").cast("timestamp")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].where(F.col("o_orderdate") < cut).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    li = t["lineitem"].where(F.col("l_shipdate") > cut)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "sql_q5_local_supplier_volume",
+    "SELECT n_name, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue "
+    "FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey "
+    "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'ASIA' "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY n_name ORDER BY revenue DESC, n_name ASC",
+)
+def sql_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join. Scale design: region→nation→
+    supplier collapse into one broadcast dim (a few thousand rows even at
+    100 TB); the only big-big shuffle is lineitem⋈orders on orderkey;
+    customer joins post-filter on the already-reduced row set. The
+    c_nationkey = s_nationkey 'local' predicate rides the customer join."""
+    t = _tables(spark, sf_dir)
+    dims = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["customer"],
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

@@ -1,0 +1,374 @@
+"""FeatureBase SQL dialect front door: run reference SQL text on Spark.
+
+The reference's SQL dialect (``sql3/parser/parser.go``) differs from Spark
+SQL in a few mechanical ways; :func:`translate` rewrites FeatureBase SQL
+text into Spark SQL text, and :func:`fb_sql` executes it. Differences
+covered (file:line cites into /root/reference):
+
+- ``SELECT TOP(n) ...`` (parser.go:2376, compileselect.go:309-325)
+  → trailing ``LIMIT n`` on the same (sub)query scope.
+- Set literals ``['a', 'b']`` (expression.go:2439-2592)
+  → ``array('a', 'b')``.
+- Scalar functions (inbuiltfunctions{set,string,date}.go; SURVEY §2.3)
+  → Spark built-ins, with the same arg order/base conventions as the
+  Python wrappers in :mod:`featurebase_spark.functions` (0-based
+  SUBSTRING/CHARINDEX/STRINGSPLIT, ``'yy'``-style date-part codes).
+- CAST type names (astdatatype.go:10-26): ``ID``→``BIGINT``,
+  ``IDSET``→``ARRAY<BIGINT>``, ``STRINGSET``→``ARRAY<STRING>``,
+  ``DECIMAL(s)`` (scale-only, pql/decimal.go) → ``DECIMAL(38, s)``.
+
+Everything else (SELECT/WHERE/GROUP BY/HAVING/ORDER BY/LIMIT, joins,
+subqueries, CASE/CAST/BETWEEN/IN/LIKE, operators incl. ``||`` concat) is
+already common SQL and passes through untouched — Catalyst parses it.
+
+The translation is purely textual (token-level, paren-balanced); it never
+needs a full SQL grammar because every dialect difference is local to a
+call site or a literal.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["translate", "fb_sql"]
+
+
+# --------------------------------------------------------------------------
+# Tokenizer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<qid>"(?:[^"]|"")*")
+    | (?P<num>\d+(?:\.\d*)?|\.\d+)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op><=|>=|!=|<>|\|\||<<|>>|.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _tokenize(sql: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:  # unreachable: the '.' alternative matches anything
+            raise ValueError(f"cannot tokenize at {sql[pos:pos+20]!r}")
+        tok = m.group(0)
+        if tok != ";":  # single-statement front door; ; is noise
+            out.append(tok)
+        pos = m.end()
+    return out
+
+
+def _is_ws(tok: str) -> bool:
+    return tok[:1].isspace()
+
+
+def _strip_str_literal(arg: str) -> Optional[str]:
+    arg = arg.strip()
+    if len(arg) >= 2 and arg[0] == "'" and arg[-1] == "'":
+        return arg[1:-1].replace("''", "'")
+    return None
+
+
+# --------------------------------------------------------------------------
+# Function mappings — mirror featurebase_spark.functions semantics exactly
+# --------------------------------------------------------------------------
+
+_DATE_PARTS = {
+    "yy": "year", "year": "year",
+    "q": "quarter", "quarter": "quarter",
+    "m": "month", "month": "month",
+    "d": "day", "day": "day",
+    "w": "week", "week": "week",
+    "hh": "hour", "hour": "hour",
+    "mi": "minute", "minute": "minute",
+    "s": "second", "second": "second",
+    "ms": "millisecond", "millisecond": "millisecond",
+    "ns": "nanosecond", "nanosecond": "nanosecond",
+}
+
+
+def _date_part(fn: str, arg: str) -> str:
+    lit = _strip_str_literal(arg)
+    if lit is None or lit.lower() not in _DATE_PARTS:
+        raise ValueError(f"{fn} part must be a literal in {sorted(_DATE_PARTS)}")
+    return _DATE_PARTS[lit.lower()]
+
+
+def _f_datetimepart(a: list[str]) -> str:
+    p = _date_part("DATETIMEPART", a[0])
+    if p == "millisecond":
+        return f"CAST(date_part('second', {a[1]}) * 1000 AS BIGINT)"
+    if p == "nanosecond":
+        return f"CAST(date_part('second', {a[1]}) * 1000000000 AS BIGINT)"
+    return f"CAST(date_part('{p}', {a[1]}) AS BIGINT)"
+
+
+def _f_datetimename(a: list[str]) -> str:
+    p = _date_part("DATETIMENAME", a[0])
+    fmt = {"month": "MMMM", "day": "d", "year": "yyyy"}.get(p)
+    if fmt:
+        return f"date_format({a[1]}, '{fmt}')"
+    return f"CAST({_f_datetimepart(a)} AS STRING)"
+
+
+def _f_totimestamp(a: list[str]) -> str:
+    unit = _strip_str_literal(a[1]) if len(a) > 1 else "s"
+    fn = {"s": "timestamp_seconds", "ms": "timestamp_millis",
+          "us": "timestamp_micros"}.get(unit)
+    if fn:
+        return f"{fn}(CAST({a[0]} AS BIGINT))"
+    if unit == "ns":
+        return f"timestamp_micros(CAST(floor(CAST({a[0]} AS BIGINT) / 1000) AS BIGINT))"
+    raise ValueError(f"TOTIMESTAMP unit must be s/ms/us/ns, got {unit!r}")
+
+
+def _f_datetimefromparts(a: list[str]) -> str:
+    a = a + ["0"] * (7 - len(a))
+    sec = f"{a[5]} + {a[6]} / 1000.0"
+    return f"make_timestamp({a[0]}, {a[1]}, {a[2]}, {a[3]}, {a[4]}, {sec})"
+
+
+#: FeatureBase function name → (min_args, max_args, emitter(args) -> sql)
+_FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
+    # set functions (inbuiltfunctionsset.go)
+    "SETCONTAINS": (2, 2, lambda a: f"array_contains({a[0]}, {a[1]})"),
+    "SETCONTAINSALL": (2, 2, lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)"),
+    "SETCONTAINSANY": (2, 2, lambda a: f"arrays_overlap({a[0]}, {a[1]})"),
+    # string functions (inbuiltfunctionsstring.go:257-860)
+    "REVERSE": (1, 1, lambda a: f"reverse({a[0]})"),
+    "CHAR": (1, 1, lambda a: f"char({a[0]})"),
+    "ASCII": (1, 1, lambda a: f"ascii({a[0]})"),
+    "UPPER": (1, 1, lambda a: f"upper({a[0]})"),
+    "LOWER": (1, 1, lambda a: f"lower({a[0]})"),
+    "STRINGSPLIT": (2, 3, lambda a: (
+        f"split({a[0]}, {a[1]})[{a[2] if len(a) > 2 else '0'}]")),
+    "SUBSTRING": (2, 3, lambda a: (
+        f"substring({a[0]}, ({a[1]}) + 1, {a[2]})" if len(a) > 2
+        else f"substring({a[0]}, ({a[1]}) + 1, 2147483647)")),
+    "REPLACEALL": (3, 3, lambda a: f"replace({a[0]}, {a[1]}, {a[2]})"),
+    "TRIM": (1, 1, lambda a: f"trim({a[0]})"),
+    "RTRIM": (1, 1, lambda a: f"rtrim({a[0]})"),
+    "LTRIM": (1, 1, lambda a: f"ltrim({a[0]})"),
+    "SUFFIX": (2, 2, lambda a: f"endswith({a[0]}, {a[1]})"),
+    "PREFIX": (2, 2, lambda a: f"startswith({a[0]}, {a[1]})"),
+    "SPACE": (1, 1, lambda a: f"repeat(' ', {a[0]})"),
+    "LEN": (1, 1, lambda a: f"length({a[0]})"),
+    "REPLICATE": (2, 2, lambda a: f"repeat({a[0]}, {a[1]})"),
+    "FORMAT": (1, 99, lambda a: f"format_string({', '.join(a)})"),
+    "CHARINDEX": (2, 3, lambda a: (
+        f"(locate({a[0]}, {a[1]}, ({a[2]}) + 1) - 1)" if len(a) > 2
+        else f"(locate({a[0]}, {a[1]}) - 1)")),
+    "STR": (1, 1, lambda a: f"CAST({a[0]} AS STRING)"),
+    # date functions (inbuiltfunctionsdate.go:26-720)
+    "DATETIMEPART": (2, 2, _f_datetimepart),
+    "DATETIMENAME": (2, 2, _f_datetimename),
+    "DATE_TRUNC": (2, 2, lambda a: (
+        f"date_trunc('{_date_part('DATE_TRUNC', a[0])}', {a[1]})")),
+    "DATETIMEADD": (3, 3, lambda a: (
+        f"timestampadd({_date_part('DATETIMEADD', a[0]).upper()}, {a[1]}, {a[2]})")),
+    "DATETIMEDIFF": (3, 3, lambda a: (
+        f"timestampdiff({_date_part('DATETIMEDIFF', a[0]).upper()}, {a[1]}, {a[2]})")),
+    "DATETIMEFROMPARTS": (3, 7, _f_datetimefromparts),
+    "TOTIMESTAMP": (1, 2, _f_totimestamp),
+}
+
+#: FeatureBase CAST target types (astdatatype.go:10-26) → Spark SQL types.
+_CAST_TYPES = {
+    "BOOL": "BOOLEAN",
+    "ID": "BIGINT",
+    "INT": "BIGINT",
+    "STRING": "STRING",
+    "TIMESTAMP": "TIMESTAMP",
+    "IDSET": "ARRAY<BIGINT>",
+    "STRINGSET": "ARRAY<STRING>",
+}
+
+_CAST_TAIL_RE = re.compile(
+    r"(?is)\bAS\s+([A-Za-z_][A-Za-z0-9_]*)(\s*\(\s*(\d+)\s*\))?\s*$"
+)
+
+
+def _rewrite_cast(inner: str) -> str:
+    """Map the FeatureBase type name in a rewritten ``CAST(expr AS T)``
+    body. Only called for the trailing ``AS <type>`` of a CAST — ordinary
+    ``AS alias`` clauses elsewhere are never touched."""
+    m = _CAST_TAIL_RE.search(inner)
+    if m is None:
+        return inner
+    name = m.group(1).upper()
+    if name == "DECIMAL":
+        # reference DECIMAL takes scale only (pql/decimal.go scaled-int64)
+        scale = m.group(3) or "0"
+        return inner[: m.start()] + f"AS DECIMAL(38, {scale})"
+    if name in _CAST_TYPES:
+        return inner[: m.start()] + f"AS {_CAST_TYPES[name]}"
+    return inner
+
+
+# --------------------------------------------------------------------------
+# Rewriter
+# --------------------------------------------------------------------------
+
+
+class _Rewriter:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def _peek_word(self, j: int) -> Optional[str]:
+        """Next non-ws token at or after j, if it exists."""
+        while j < len(self.toks) and _is_ws(self.toks[j]):
+            j += 1
+        return self.toks[j] if j < len(self.toks) else None
+
+    def scope(self, stop: Optional[str]) -> str:
+        """Rewrite one query scope (whole statement or a (...) group).
+
+        Consumes up to but NOT including the ``stop`` token. Handles
+        TOP(n) → deferred LIMIT for this scope.
+        """
+        out: list[str] = []
+        top_limit: Optional[str] = None
+        saw_explicit_limit = False
+        while self.i < len(self.toks):
+            tok = self.toks[self.i]
+            if stop is not None and tok == stop:
+                break
+            if tok == "(":
+                self.i += 1
+                inner = self.scope(")")
+                self.i += 1  # consume ')'
+                out.append(f"({inner})")
+                continue
+            if tok == "[":
+                self.i += 1
+                args = self.args_until("]")
+                out.append(f"array({', '.join(args)})")
+                continue
+            if tok[:1].isalpha() or tok[:1] == "_":
+                up = tok.upper()
+                nxt = self._peek_word(self.i + 1)
+                if up in ("TOP", "TOPN") and nxt == "(":
+                    self.i += 1
+                    while _is_ws(self.toks[self.i]):
+                        self.i += 1
+                    self.i += 1  # consume '('
+                    n_args = self.args_until(")")
+                    if len(n_args) != 1:
+                        raise ValueError("TOP(n) takes one argument")
+                    top_limit = n_args[0]
+                    # swallow one trailing space so SELECT TOP(5) x
+                    # doesn't become SELECT  x
+                    if self.i < len(self.toks) and _is_ws(self.toks[self.i]):
+                        self.i += 1
+                    continue
+                if up in _FUNCS and nxt == "(":
+                    self.i += 1
+                    while _is_ws(self.toks[self.i]):
+                        self.i += 1
+                    self.i += 1  # consume '('
+                    args = self.args_until(")")
+                    lo, hi, emit = _FUNCS[up]
+                    if not (lo <= len(args) <= hi):
+                        raise ValueError(
+                            f"{up} takes {lo}..{hi} args, got {len(args)}"
+                        )
+                    out.append(emit(args))
+                    continue
+                if up == "CAST" and nxt == "(":
+                    self.i += 1
+                    while _is_ws(self.toks[self.i]):
+                        self.i += 1
+                    self.i += 1  # consume '('
+                    inner = self.scope(")")
+                    self.i += 1  # consume ')'
+                    out.append(f"CAST({_rewrite_cast(inner)})")
+                    continue
+                if up == "LIMIT":
+                    saw_explicit_limit = True
+                out.append(tok)
+                self.i += 1
+                continue
+            out.append(tok)
+            self.i += 1
+        text = "".join(out)
+        if top_limit is not None and not saw_explicit_limit:
+            text = text.rstrip()
+            text += f" LIMIT {top_limit}"
+        return text
+
+    def args_until(self, closer: str) -> list[str]:
+        """Rewrite a comma-separated arg list, consuming the closer."""
+        args: list[str] = []
+        cur: list[str] = []
+        while self.i < len(self.toks):
+            tok = self.toks[self.i]
+            if tok == closer:
+                self.i += 1
+                break
+            if tok == ",":
+                args.append("".join(cur).strip())
+                cur = []
+                self.i += 1
+                continue
+            if tok == "(":
+                self.i += 1
+                cur.append(f"({self.scope(')')})")
+                self.i += 1
+                continue
+            if tok == "[":
+                self.i += 1
+                inner = self.args_until("]")
+                cur.append(f"array({', '.join(inner)})")
+                continue
+            if (tok[:1].isalpha() or tok[:1] == "_"):
+                up = tok.upper()
+                if up in _FUNCS and self._peek_word(self.i + 1) == "(":
+                    self.i += 1
+                    while _is_ws(self.toks[self.i]):
+                        self.i += 1
+                    self.i += 1
+                    inner_args = self.args_until(")")
+                    lo, hi, emit = _FUNCS[up]
+                    if not (lo <= len(inner_args) <= hi):
+                        raise ValueError(
+                            f"{up} takes {lo}..{hi} args, got {len(inner_args)}"
+                        )
+                    cur.append(emit(inner_args))
+                    continue
+                if up == "CAST" and self._peek_word(self.i + 1) == "(":
+                    self.i += 1
+                    while _is_ws(self.toks[self.i]):
+                        self.i += 1
+                    self.i += 1
+                    inner = self.scope(")")
+                    self.i += 1
+                    cur.append(f"CAST({_rewrite_cast(inner)})")
+                    continue
+            cur.append(tok)
+            self.i += 1
+        tail = "".join(cur).strip()
+        if tail:
+            args.append(tail)
+        return args
+
+
+def translate(sql: str) -> str:
+    """FeatureBase SQL text → Spark SQL text."""
+    rw = _Rewriter(_tokenize(sql))
+    return rw.scope(None).strip().rstrip(";")
+
+
+def fb_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execute FeatureBase-dialect SQL against registered Spark views —
+    the ``POST /sql`` front door (http_handler.go:1440-1530), with
+    Catalyst in place of sql3's analyze/compile/optimize pipeline."""
+    return spark.sql(translate(sql))

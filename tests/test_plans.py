@@ -1,0 +1,62 @@
+"""Physical-plan audits: the scale properties the 100-TB design depends on
+must be visible in `explain`, not assumed.
+
+- filters reach the parquet scan (PushedFilters) — a scan that filters
+  post-read re-reads the whole table at scale;
+- small dims broadcast (BroadcastHashJoin) — a shuffled dim join turns a
+  map-only stage into a full fact-table shuffle;
+- top-k uses TakeOrderedAndProject — a global sort materializes the
+  whole fact table on one node.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from featurebase_spark import queries as Q
+from tests.conftest import SF_DIR
+
+
+def plan(spark, name: str) -> str:
+    df = Q.SPARK_QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_pushdown_and_pruning(spark, tables):
+    p = plan(spark, "sql_q6_forecast_revenue")
+    assert "PushedFilters: [" in p
+    # shipdate + quantity bounds must be pushed (decimal-cast discount can't)
+    assert "IsNotNull(l_shipdate)" in p or "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity,24" in p.replace(" ", "")
+    # column pruning: the 11-column table is read as 4 columns
+    read = p.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_returnflag" not in read and "l_partkey" not in read
+    assert "l_extendedprice" in read and "l_discount" in read
+
+
+def test_q3_broadcasts_customer_dim(spark, tables):
+    p = plan(spark, "sql_q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-10, not a global sort
+
+
+def test_q5_single_big_shuffle(spark, tables):
+    p = plan(spark, "sql_q5_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 2  # dims collapse broadcast-side
+    # the only sort-merge/shuffle joins allowed are on the orderkey spine
+    # and the customer join; supplier/nation/region must NOT shuffle
+    assert "Exchange hashpartitioning(s_suppkey" not in p
+
+
+def test_pql_row_filter_pushes_down(spark, tables):
+    p = plan(spark, "pql_row_equals")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in p
+
+
+def test_pql_count_reads_no_columns(spark, tables):
+    p = plan(spark, "pql_count")
+    read = p.split("ReadSchema:", 1)[1].splitlines()[0]
+    # count over a pushed filter projects only the filter columns (2 of 6)
+    assert "event_id" not in read and "props" not in read and "ts:" not in read
