@@ -166,6 +166,20 @@ class Atom:
 
 
 @dataclass(frozen=True)
+class Cmp:
+    """Row(field <op> value) resolved against a BSI index — the reference's
+    BSI range decomposition (executeRowBSIGroupShard executor.go:5249-5356)."""
+
+    field: str
+    op: str  # < <= > >= == !=
+    value: int
+
+    def __post_init__(self):
+        if self.op not in ("<", "<=", ">", ">=", "==", "!="):
+            raise ValueError(self.op)
+
+
+@dataclass(frozen=True)
 class Op:
     kind: str  # and|or|andnot|xor
     children: tuple
@@ -191,6 +205,109 @@ def XOr(*children) -> Op:
     return Op("xor", tuple(children))
 
 
+BSI_SCHEMA = StructType(
+    [
+        StructField("bit", LongType(), False),  # -1 = existence plane
+        StructField("shard", LongType(), False),
+        StructField("bitmap", BinaryType(), True),
+        StructField("cardinality", LongType(), False),
+    ]
+)
+
+
+def build_bsi_index(
+    df: DataFrame,
+    field: str,
+    id_col: str = "_id",
+    shard_exp: int = DEFAULT_SHARD_EXP,
+) -> tuple[DataFrame, int, int]:
+    """Bit-sliced integer index: one bitmap per bit of (value - min), plus
+    an existence plane (reference BSIData bsi.go:11-64, field.go:827-856;
+    we offset-encode instead of sign+magnitude so every plane is a plain
+    non-negative bit). Returns (frame, min_value, n_bits).
+
+    Build = one min/max agg pass + one shuffle on shard; inside each shard
+    the planes are packed vectorized (numpy) — same shape as the
+    reference's client-side fragment build (batch/batch.go).
+    """
+    width_mask = (1 << shard_exp) - 1
+    rows = df.select(
+        F.col(field).cast("long").alias("val"),
+        F.shiftright(F.col(id_col).cast("long"), shard_exp).alias("shard"),
+        F.col(id_col).cast("long").bitwiseAND(F.lit(width_mask).cast("long")).alias("offset"),
+    ).where(F.col("val").isNotNull())
+    mm = rows.agg(F.min("val").alias("lo"), F.max("val").alias("hi")).first()
+    if mm["lo"] is None:
+        return df.sparkSession.createDataFrame([], BSI_SCHEMA), 0, 1
+    minv = int(mm["lo"])
+    span = int(mm["hi"]) - minv
+    nbits = max(1, span.bit_length())
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        offs = pdf["offset"].to_numpy(dtype=np.int64)
+        vals = pdf["val"].to_numpy(dtype=np.int64) - minv
+        shard = int(pdf["shard"].iloc[0])
+        out = {
+            "bit": [-1],
+            "shard": [shard],
+            "bitmap": [_pack(offs)],
+            "cardinality": [len(np.unique(offs))],
+        }
+        for b in range(nbits):
+            sel = offs[(vals >> b) & 1 == 1]
+            out["bit"].append(b)
+            out["shard"].append(shard)
+            out["bitmap"].append(_pack(sel))
+            out["cardinality"].append(len(np.unique(sel)))
+        return pd.DataFrame(out)
+
+    return rows.groupBy("shard").applyInPandas(pack_shard, BSI_SCHEMA), minv, nbits
+
+
+def _aligned_planes(pdf: pd.DataFrame) -> tuple[dict[int, np.ndarray], int]:
+    """One shard's BSI rows → {bit: byte-array} aligned to a common width."""
+    blobs = {
+        int(b): (bytes(m) if m is not None else b"")
+        for b, m in zip(pdf["bit"], pdf["bitmap"])
+    }
+    width = max((len(v) for v in blobs.values()), default=0)
+    planes = {}
+    for b, blob in blobs.items():
+        arr = np.zeros(width, dtype=np.uint8)
+        arr[: len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+        planes[b] = arr
+    return planes, width
+
+
+def _bsi_cmp_shard(planes: dict[int, np.ndarray], nbits: int, op: str, val2: int) -> np.ndarray:
+    """Per-shard BSI comparison via the classic bit-descent (the bitmap
+    form of executeRowBSIGroupShard's range decomposition)."""
+    exists = planes[-1]
+    zero = np.zeros_like(exists)
+    if val2 < 0:
+        eq, gt, lt = zero, exists, zero
+    elif val2 >= (1 << nbits):
+        eq, gt, lt = zero, zero, exists
+    else:
+        eq, gt, lt = exists.copy(), zero.copy(), zero.copy()
+        for b in range(nbits - 1, -1, -1):
+            bm = planes.get(b, zero)
+            if (val2 >> b) & 1:
+                lt = lt | (eq & ~bm)
+                eq = eq & bm
+            else:
+                gt = gt | (eq & bm)
+                eq = eq & ~bm
+    return {
+        "==": eq,
+        "!=": exists & ~eq,
+        "<": lt,
+        "<=": lt | eq,
+        ">": gt,
+        ">=": gt | eq,
+    }[op]
+
+
 class BitmapCatalog:
     """Registry of per-field bitmap index tables + the query router.
 
@@ -204,6 +321,7 @@ class BitmapCatalog:
     def __init__(self, shard_exp: int = DEFAULT_SHARD_EXP):
         self.shard_exp = shard_exp
         self._indexes: dict[str, DataFrame] = {}
+        self._bsi: dict[str, tuple[DataFrame, int, int]] = {}
 
     def index_field(
         self, df: DataFrame, field: str, id_col: str = "_id", cache: bool = True
@@ -214,10 +332,37 @@ class BitmapCatalog:
         self._indexes[field] = idx
         return idx
 
+    def index_bsi_field(
+        self, df: DataFrame, field: str, id_col: str = "_id", cache: bool = True
+    ) -> DataFrame:
+        """Register an int field as a BSI index (field.go:827-856)."""
+        frame, minv, nbits = build_bsi_index(df, field, id_col, self.shard_exp)
+        if cache:
+            frame = frame.cache()
+        self._bsi[field] = (frame, minv, nbits)
+        return frame
+
     def _atom_frame(self, atom: Atom) -> DataFrame:
         idx = self._indexes[atom.field]
         return idx.where(F.col("value") == F.lit(str(atom.value))).select(
             "shard", "bitmap"
+        )
+
+    def _cmp_frame(self, node: Cmp) -> DataFrame:
+        """Row(f <op> v) from the BSI planes — per-shard bit descent, one
+        applyInPandas over the (few) plane rows of each shard."""
+        frame, minv, nbits = self._bsi[node.field]
+        op, val2 = node.op, int(node.value) - minv
+
+        def cmp_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            planes, _ = _aligned_planes(pdf)
+            res = _bsi_cmp_shard(planes, nbits, op, val2)
+            return pd.DataFrame(
+                {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [res.tobytes()]}
+            )
+
+        return frame.groupBy("shard").applyInPandas(
+            cmp_shard, "shard LONG, bitmap BINARY"
         )
 
     def _eval(self, node) -> DataFrame:
@@ -226,6 +371,8 @@ class BitmapCatalog:
         reference's per-fragment ops."""
         if isinstance(node, Atom):
             return self._atom_frame(node)
+        if isinstance(node, Cmp):
+            return self._cmp_frame(node)
         kernels = {
             "and": (bitmap_and, False),
             "or": (bitmap_or, True),
@@ -288,6 +435,94 @@ class BitmapCatalog:
                 )
 
         return frame.mapInPandas(unpack_part, "_id LONG")
+
+    # -- BSI aggregates (executor.go Sum/Min/Max shard paths 2155-2356) ----
+
+    def bsi_sum(self, field: str, filter_node=None) -> int:
+        """Sum of a BSI field: Σ_b popcount(plane_b ∩ filter) << b, plus
+        min offset × existence count (executeSumCountShard 2155-2217).
+        No filter → pure metadata (precomputed cardinalities, zero blob
+        reads)."""
+        frame, minv, _ = self._bsi[field]
+        if filter_node is None:
+            r = frame.select(
+                F.sum(
+                    F.when(
+                        F.col("bit") >= 0,
+                        F.col("cardinality")
+                        * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+                    ).otherwise(F.col("cardinality") * F.lit(minv))
+                ).alias("s")
+            ).first()
+            return int(r["s"] or 0)
+        filt = self._eval(filter_node).withColumnRenamed("bitmap", "bitmap_f")
+        joined = frame.join(filt, "shard", "inner")
+
+        @F.pandas_udf(LongType())
+        def contrib(bm: pd.Series, fm: pd.Series, bit: pd.Series) -> pd.Series:
+            out = []
+            for b, f, bt in zip(bm, fm, bit):
+                n = _popcount(
+                    bitmap_and(
+                        bytes(b) if b is not None else b"",
+                        bytes(f) if f is not None else b"",
+                    )
+                )
+                out.append(n * minv if bt == -1 else n << int(bt))
+            return pd.Series(out, dtype="int64")
+
+        r = joined.select(
+            F.sum(contrib(F.col("bitmap"), F.col("bitmap_f"), F.col("bit"))).alias("s")
+        ).first()
+        return int(r["s"] or 0)
+
+    def _bsi_extreme(self, field: str, want_max: bool, filter_node=None):
+        """Per-shard BSI bit descent for Min/Max (PivotDescending walk,
+        bsi.go:18-64), then a global scalar min/max over shard results."""
+        frame, minv, nbits = self._bsi[field]
+        if filter_node is not None:
+            filt = self._eval(filter_node).withColumnRenamed("bitmap", "bitmap_f")
+            src = frame.join(filt, "shard", "inner")
+        else:
+            src = frame.withColumn("bitmap_f", F.lit(None).cast(BinaryType()))
+
+        def extreme_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            planes, width = _aligned_planes(pdf)
+            cand = planes[-1]
+            fblob = next((x for x in pdf["bitmap_f"] if x is not None), None)
+            if fblob is not None:
+                fa = np.zeros(width, dtype=np.uint8)
+                fb = np.frombuffer(bytes(fblob), dtype=np.uint8)[:width]
+                fa[: len(fb)] = fb
+                cand = cand & fa
+            if not cand.any():
+                return pd.DataFrame({"v": pd.Series([], dtype="int64")})
+            zero = np.zeros_like(cand)
+            acc = 0
+            for b in range(nbits - 1, -1, -1):
+                bm = planes.get(b, zero)
+                if want_max:
+                    t = cand & bm
+                    if t.any():
+                        cand = t
+                        acc |= 1 << b
+                else:
+                    t = cand & ~bm
+                    if t.any():
+                        cand = t
+                    else:
+                        acc |= 1 << b
+            return pd.DataFrame({"v": pd.Series([acc + minv], dtype="int64")})
+
+        per_shard = src.groupBy("shard").applyInPandas(extreme_shard, "v LONG")
+        r = per_shard.agg((F.max("v") if want_max else F.min("v")).alias("v")).first()
+        return None if r["v"] is None else int(r["v"])
+
+    def bsi_max(self, field: str, filter_node=None):
+        return self._bsi_extreme(field, True, filter_node)
+
+    def bsi_min(self, field: str, filter_node=None):
+        return self._bsi_extreme(field, False, filter_node)
 
     def topk_values(self, field: str, k: int) -> DataFrame:
         """TopK straight off the index: sum fragment cardinalities per value

@@ -20,6 +20,7 @@ the reference's per-shard map + reduce, executor.go:6449 mapReduce).
 
 from featurebase_spark.pql.calls import (
     All,
+    Arrow,
     ConstRow,
     Difference,
     Distinct,
@@ -31,7 +32,9 @@ from featurebase_spark.pql.calls import (
     Intersect,
     Limit,
     Not,
+    Options,
     Percentile,
+    Range,
     Row,
     Rows,
     Shift,
@@ -73,4 +76,7 @@ __all__ = [
     "Sort",
     "IncludesColumn",
     "FieldValue",
+    "Arrow",
+    "Options",
+    "Range",
 ]

@@ -743,3 +743,65 @@ class FieldValue(ReaderCall):
             idx.df.where(F.col(idx.id_col) == F.lit(self.column))
             .select(F.col(self.field).alias("value"))
         )
+
+
+Range = Row  # deprecated alias of Row-with-time-range (executor.go:1729,1791)
+
+
+@dataclass
+class Options(RowCall):
+    """``Options(child, shards=[...])`` — restrict execution to the given
+    shards (executeOptionsCall executor.go:883-906). A shard is
+    ``_id >> shard_exp`` (shardwidth/helper.go:14); the predicate form keeps
+    the restriction pushdown-eligible, which is Spark's partition-pruning
+    analogue of the reference's shard routing."""
+
+    child: RowCall
+    shards: Sequence[int] = ()
+    shard_exp: int = 20
+
+    def _shard_pred(self, idx: Index) -> Column:
+        return F.shiftright(F.col(idx.id_col).cast("long"), self.shard_exp).isin(
+            [int(s) for s in self.shards]
+        )
+
+    def predicate(self, idx: Index) -> Optional[Column]:
+        pred = self.child.predicate(idx)
+        if pred is None:
+            return None
+        return pred & self._shard_pred(idx)
+
+    def ids(self, idx: Index) -> DataFrame:
+        if self.child.predicate(idx) is not None:
+            return super().ids(idx)
+        exp = self.shard_exp
+        shards = [int(s) for s in self.shards]
+        return self.child.ids(idx).where(
+            F.shiftright(F.col("_id").cast("long"), exp).isin(shards)
+        )
+
+
+@dataclass
+class Arrow(ReaderCall):
+    """``Arrow(filter, header=[...])`` — raw Arrow table of the filtered
+    records' columns (arrow.go:26-120, dispatch executor.go:835). Arrow is
+    already Spark's interchange format: filter+project, then ``to_arrow``
+    yields a ``pyarrow.Table`` without a row-wise conversion step."""
+
+    filter: RowCall
+    header: Sequence[str] = ()
+
+    def __init__(self, filter: RowCall, *header: str):
+        self.filter = filter
+        self.header = header
+
+    def to_df(self, idx: Index) -> DataFrame:
+        df = self.filter.filter_df(idx)
+        if self.header:
+            df = df.select(idx.id_col, *self.header)
+        return df
+
+    def to_arrow(self, idx: Index):
+        """Collect as a pyarrow.Table (driver-side; use to_df for the
+        distributed form)."""
+        return self.to_df(idx).toArrow()

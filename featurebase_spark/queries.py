@@ -1421,3 +1421,74 @@ def sql_q5_local_supplier_volume(spark, sf_dir):
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@register(
+    "bitmap_bsi_aggregates",
+    "SELECT "
+    "(SELECT COUNT(*) FROM events WHERE FLOOR(value) > 150 AND event_type = 'click') AS n_gt, "
+    "(SELECT CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) FROM events WHERE event_type = 'click') AS sum_v, "
+    "(SELECT CAST(MIN(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) FROM events WHERE event_type = 'click') AS min_v, "
+    "(SELECT CAST(MAX(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) FROM events WHERE event_type = 'click') AS max_v",
+)
+def bitmap_bsi_aggregates(spark, sf_dir):
+    """BSI (bit-sliced integer) index aggregates: range filter, Sum, Min,
+    Max answered from per-bit bitmap planes alone (bsi.go:11-64,
+    executor.go:2155-2356) — no base-table scan at query time. The oracle
+    proves plane-arithmetic ≡ row-arithmetic."""
+    from featurebase_spark.plans.bitmap_index import And, Atom, BitmapCatalog, Cmp
+
+    ev = _tables(spark, sf_dir)["events"].withColumn(
+        "ivalue", F.floor(F.col("value")).cast("long")
+    )
+    cat = BitmapCatalog(shard_exp=12)
+    cat.index_field(ev, "event_type", id_col="event_id")
+    cat.index_bsi_field(ev, "ivalue", id_col="event_id")
+    click = Atom("event_type", "click")
+    rows = [
+        (
+            cat.count(And(click, Cmp("ivalue", ">", 150))),
+            cat.bsi_sum("ivalue", click),
+            cat.bsi_min("ivalue", click),
+            cat.bsi_max("ivalue", click),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "n_gt LONG, sum_v LONG, min_v LONG, max_v LONG"
+    )
+
+
+@register(
+    "model_linear_regression",
+    "WITH m AS ("
+    " SELECT CAST(COUNT(*) AS DOUBLE) AS n,"
+    " CAST(SUM(CAST(user_id AS DECIMAL(38,4))) AS DOUBLE) AS sx,"
+    " CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sy,"
+    " CAST(SUM(CAST(CAST(user_id AS DECIMAL(38,4)) * CAST(value AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy,"
+    " CAST(SUM(CAST(CAST(user_id AS DECIMAL(38,4)) * CAST(user_id AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx"
+    " FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL"
+    "), c AS ("
+    " SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope,"
+    " (sy - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx)/n AS intercept FROM m"
+    ") "
+    "SELECT e.event_id, ROUND(c.intercept + c.slope * e.user_id, 4) AS prediction "
+    "FROM events e, c WHERE e.user_id IS NOT NULL "
+    "ORDER BY e.event_id LIMIT 100",
+)
+def model_linear_regression(spark, sf_dir):
+    """CREATE MODEL + PREDICT (compilecreatemodel.go:17-95,
+    oppredict.go:1-253 — scaffolding there, implemented here): one-pass
+    exact-decimal OLS moments → closed-form coefficients → prediction as a
+    pure JVM expression. Oracle recomputes the identical closed form."""
+    from featurebase_spark.operators.model import ModelCatalog
+
+    ev = _tables(spark, sf_dir)["events"]
+    mc = ModelCatalog()
+    mc.create_model("value_model", "value", ["user_id"])
+    mc.train("value_model", ev)
+    return (
+        mc.predict("value_model", ev.where(F.col("user_id").isNotNull()))
+        .select("event_id", F.round("prediction", 4).alias("prediction"))
+        .orderBy("event_id")
+        .limit(100)
+    )

@@ -126,3 +126,83 @@ def test_index_on_set_field(spark):
     assert c.count(Atom("tags", "a")) == 2
     assert c.count(Atom("tags", "b")) == 2
     assert sorted(r["_id"] for r in c.ids(Atom("tags", "a")).collect()) == [0, 300]
+
+
+# --- BSI (bit-sliced integer) index: Cmp / Sum / Min / Max ------------------
+
+
+@pytest.fixture(scope="module")
+def bsi_cat(tables):
+    c = BitmapCatalog(shard_exp=8)
+    ev = tables["events"]
+    c.index_field(ev, "event_type", id_col="event_id")
+    c.index_bsi_field(ev.withColumn("ivalue", F.col("value").cast("long")),
+                      "ivalue", id_col="event_id")
+    return c
+
+
+@pytest.mark.parametrize("op", ["<", "<=", ">", ">=", "==", "!="])
+def test_bsi_cmp_matches_scan(bsi_cat, tables, op):
+    from featurebase_spark.plans.bitmap_index import Cmp
+
+    ev = tables["events"].withColumn("ivalue", F.col("value").cast("long"))
+    for v in (150, 0, 10_000_000):  # mid / below-range / above-range
+        got = bsi_cat.count(Cmp("ivalue", op, v))
+        exp = ev.where(
+            F.expr(f"ivalue {'=' if op == '==' else op} {v}")
+            & F.col("ivalue").isNotNull()
+        ).count()
+        assert got == exp, (op, v)
+
+
+def test_bsi_cmp_composes_with_atoms(bsi_cat, tables):
+    from featurebase_spark.plans.bitmap_index import Cmp
+
+    ev = tables["events"].withColumn("ivalue", F.col("value").cast("long"))
+    expr = And(Atom("event_type", "click"), Cmp("ivalue", ">", 150))
+    exp = ev.where((F.col("event_type") == "click") & (F.col("ivalue") > 150)).count()
+    assert bsi_cat.count(expr) == exp
+
+
+def test_bsi_sum(bsi_cat, tables):
+    from featurebase_spark.plans.bitmap_index import Cmp
+
+    ev = tables["events"].withColumn("ivalue", F.col("value").cast("long"))
+    assert bsi_cat.bsi_sum("ivalue") == (
+        ev.agg(F.sum("ivalue")).first()[0] or 0
+    )
+    got = bsi_cat.bsi_sum("ivalue", Atom("event_type", "click"))
+    exp = ev.where(F.col("event_type") == "click").agg(F.sum("ivalue")).first()[0]
+    assert got == int(exp or 0)
+    got = bsi_cat.bsi_sum("ivalue", Cmp("ivalue", "<", 100))
+    exp = ev.where(F.col("ivalue") < 100).agg(F.sum("ivalue")).first()[0]
+    assert got == int(exp or 0)
+
+
+def test_bsi_min_max(bsi_cat, tables):
+    ev = tables["events"].withColumn("ivalue", F.col("value").cast("long"))
+    assert bsi_cat.bsi_max("ivalue") == ev.agg(F.max("ivalue")).first()[0]
+    assert bsi_cat.bsi_min("ivalue") == ev.agg(F.min("ivalue")).first()[0]
+    got = bsi_cat.bsi_max("ivalue", Atom("event_type", "signup"))
+    exp = ev.where(F.col("event_type") == "signup").agg(F.max("ivalue")).first()[0]
+    assert got == exp
+    got = bsi_cat.bsi_min("ivalue", Atom("event_type", "signup"))
+    exp = ev.where(F.col("event_type") == "signup").agg(F.min("ivalue")).first()[0]
+    assert got == exp
+
+
+def test_bsi_negative_values(spark):
+    from featurebase_spark.plans.bitmap_index import Cmp
+
+    df = spark.createDataFrame(
+        [(0, -50), (1, -3), (2, 0), (3, 7), (300, 900), (301, None)],
+        "_id LONG, x LONG",
+    )
+    c = BitmapCatalog(shard_exp=8)
+    c.index_bsi_field(df, "x")
+    assert c.bsi_sum("x") == -50 - 3 + 0 + 7 + 900
+    assert c.bsi_min("x") == -50 and c.bsi_max("x") == 900
+    assert c.count(Cmp("x", "<", 0)) == 2
+    assert c.count(Cmp("x", ">=", 0)) == 3
+    assert c.count(Cmp("x", "==", -3)) == 1
+    assert c.count(Cmp("x", "!=", -3)) == 4  # nulls excluded, like the reference

@@ -174,3 +174,54 @@ def test_null_semantics_bitmap_algebra(spark):
     assert ids_of(Difference(a, b)) == [1, 3]      # null-b rows stay in a∖b
     assert ids_of(Xor(a, b)) == [1, 2, 3]
     assert ids_of(Not(a)) == [2, 4]                # null-s rows exist → in ¬a
+
+
+def test_options_shard_restriction(spark):
+    """Options(child, shards=) restricts to _id >> shard_exp ∈ shards
+    (executeOptionsCall executor.go:883-906)."""
+    from featurebase_spark.pql import Options
+
+    df = spark.createDataFrame(
+        [(i, "x" if (i // 100) % 2 == 0 else "y") for i in range(0, 2000, 100)],
+        "_id LONG, s STRING",
+    )
+    idx = Index(df)
+    got = sorted(
+        r["_id"]
+        for r in Options(Row("s", "==", "x"), shards=[0, 3], shard_exp=8).ids(idx).collect()
+    )
+    exp = [
+        i for i in range(0, 2000, 100) if (i // 100) % 2 == 0 and (i >> 8) in (0, 3)
+    ]
+    assert got == exp
+    # id-fallback path (Shift produces ids, not a predicate)
+    from featurebase_spark.pql import ConstRow, Shift
+
+    got2 = sorted(
+        r["_id"]
+        for r in Options(
+            Shift(ConstRow([100, 300, 900]), n=0), shards=[1], shard_exp=8
+        ).ids(idx).collect()
+    )
+    assert got2 == [300]
+
+
+def test_arrow_call(ev):
+    """Arrow(filter, header) returns the filtered projection; to_arrow
+    yields a pyarrow.Table (arrow.go:26-120)."""
+    import pyarrow as pa
+
+    from featurebase_spark.pql import Arrow
+
+    call = Arrow(Row("event_type", "==", "click"), "value")
+    df = call.to_df(ev)
+    assert df.columns == ["event_id", "value"]
+    tbl = call.to_arrow(ev)
+    assert isinstance(tbl, pa.Table)
+    assert tbl.num_rows == df.count()
+
+
+def test_range_alias(ev):
+    from featurebase_spark.pql import Range
+
+    assert Range is Row
