@@ -21,6 +21,7 @@ import math
 import random
 from typing import Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -146,6 +147,94 @@ def ann_topk(
     hamming = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket)))
     cand = bucketed.where(hamming <= max_hamming)
     q = F.lit(qv).cast("array<double>")
+    sim = cosine(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        cand.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# --- IVF (inverted-file) ANN: learned centroids instead of random planes
+
+
+def ivf_train(
+    df: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    iters: int = 5,
+    sample_limit: int = 20_000,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF centroids with a few Lloyd iterations over a bounded
+    driver-side sample (standard IVF practice: the coarse quantizer is
+    trained on a sample, then assignment is distributed). Deterministic:
+    seeded init, fixed iteration count, ties to lower index."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample_limit).collect()
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        sims = X @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) + 1e-12)
+    return [c.tolist() for c in cents]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign every vector to its nearest (max cosine) centroid — one
+    Arrow-batched pandas UDF doing a numpy matmul per batch (C cells ×
+    batch rows; no per-row Python). At scale, persist partitioned by
+    ``cell`` so probes prune to nprobe partitions."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64).T  # dim × cells
+
+    @F.pandas_udf(IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([list(v) for v in vecs], dtype=np.float64)
+        X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        return pd.Series(np.argmax(X @ C, axis=1).astype(np.int32))
+
+    return df.withColumn(cell_col, nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: Optional[int] = 6,
+) -> DataFrame:
+    """IVF probe: pick the ``nprobe`` centroids nearest the query
+    (driver-side, C is tiny), scan only those cells, exact cosine + top-k
+    inside. Scan fraction ≈ nprobe / n_cells at any corpus size."""
+    import numpy as np
+
+    qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qv = qv / (np.linalg.norm(qv) + 1e-12)
+    sims = np.asarray(centroids, dtype=np.float64) @ qv
+    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    cand = ivf_assign(df, centroids, vec_col).where(F.col("cell").isin(probe))
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
     sim = cosine(F.col(vec_col), q)
     if round_digits is not None:
         sim = F.round(sim, round_digits)

@@ -1492,3 +1492,17 @@ def model_linear_regression(spark, sf_dir):
         .orderBy("event_id")
         .limit(100)
     )
+
+
+@register("sim_ann_ivf_topk")  # rows-only: approximate by design (IVF probe)
+def sim_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: learned-centroid cells, probe nprobe/n_cells of the corpus,
+    exact cosine inside probed cells (pipeline/similarity.py ivf_*). Scan
+    fraction ≈ nprobe/n_cells at any corpus size; full-probe equals the
+    brute-force oracle (asserted in tests/test_pipeline.py)."""
+    from featurebase_spark.pipeline import similarity as S
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    cents = S.ivf_train(emb, n_cells=8, seed=42, iters=3)
+    return S.ivf_topk(emb, qv, cents, k=10, nprobe=3)

@@ -149,6 +149,43 @@ def ttl_retention(df: DataFrame, ts_col: str, ttl: str, now=None) -> DataFrame:
     return df.where(F.col(ts_col) >= cutoff)
 
 
+def stateful_dedup(stream: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Streaming first-seen-wins dedup by key — a custom stateful operator
+    via ``applyInPandasWithState`` (the Spark-native home for per-key
+    imperative state the reference keeps in fragment bitmaps: a key's
+    first arrival flips its bit, later arrivals are no-ops,
+    idk/ingest.go upsert + fragment.go setBit semantics).
+
+    Emits each key's FIRST row only, across micro-batches; state per key
+    is one boolean. At scale state is hash-partitioned by key across
+    executors and checkpointed — the same sharding the reference gets
+    from key→shard routing."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = stream.schema
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            for _ in pdfs:  # drain; key already emitted
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[:1]
+        if first is not None:
+            state.update((True,))
+            yield first
+
+    return stream.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        first_seen,
+        outputStructType=schema,
+        stateStructType="seen BOOLEAN",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- Extensions beyond parity (Spark-native streaming analytics)
 
 

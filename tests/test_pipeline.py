@@ -138,3 +138,27 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(df, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_ivf_ann(tables):
+    """IVF ANN: assignment covers every row; probing a few cells recalls
+    most of the exact top-k; probing all cells IS the exact top-k."""
+    from featurebase_spark.pipeline import similarity as S
+
+    emb = tables["embeddings"]
+    cents = S.ivf_train(emb, n_cells=8, seed=42, iters=3)
+    assert len(cents) == 8
+    assigned = S.ivf_assign(emb, cents)
+    assert assigned.where(F.col("cell").isNull()).count() == 0
+    assert assigned.count() == emb.count()
+
+    qv = list(emb.orderBy("vec_id").first()["embedding"])
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qv, k=10).collect()]
+    all_probe = [
+        r["vec_id"] for r in S.ivf_topk(emb, qv, cents, k=10, nprobe=8).collect()
+    ]
+    assert all_probe == exact  # full probe ≡ brute force
+    few_probe = [
+        r["vec_id"] for r in S.ivf_topk(emb, qv, cents, k=10, nprobe=3).collect()
+    ]
+    assert len(set(few_probe) & set(exact)) >= 6  # decent recall at 3/8 cells

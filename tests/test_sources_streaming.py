@@ -159,3 +159,30 @@ def test_windowed_counts_extension(spark, tmpdir, tables):
     out = spark.sql("SELECT * FROM win_out")
     # append mode only emits closed windows; total rows bounded by groups
     assert set(out.columns) == {"win", "event_type", "n"}
+
+
+def test_stateful_dedup_first_seen(spark, tmpdir):
+    """Custom stateful operator (applyInPandasWithState): first-seen-wins
+    dedup by key across micro-batches."""
+    import os
+
+    src_dir = os.path.join(tmpdir, "dedup_src")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "c", 30.0), (2, "d", 40.0), (3, "e", 50.0)],
+        "k LONG, payload STRING, v DOUBLE",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = STR.file_source(spark, src_dir, df.schema)
+    out = STR.stateful_dedup(stream, ["k"])
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM dedup_out").collect()
+    assert sorted(r["k"] for r in got) == [1, 2, 3]  # exactly one row per key
