@@ -128,61 +128,151 @@ def STR(col) -> Column:
     return _c(col).cast("string")
 
 
-# --- Date/time functions (inbuiltfunctionsdate.go:26-720)
+# --- Date/time functions (inbuiltfunctionsdate.go)
+#
+# The reference's interval codes (inbuiltfunctionsdate.go:13-24):
+# YY year · YD day-of-year · M month · D day · W weekday (Sunday=0) ·
+# WK ISO week · HH hour · MI minute · S second · MS/US/NS fraction parts.
 
-_DATE_PARTS = {
-    "yy": "year", "year": "year",
-    "q": "quarter", "quarter": "quarter",
-    "m": "month", "month": "month",
-    "d": "day", "day": "day",
-    "w": "week", "week": "week",
-    "hh": "hour", "hour": "hour",
-    "mi": "minute", "minute": "minute",
-    "s": "second", "second": "second",
-    "ms": "millisecond", "millisecond": "millisecond",
-    "ns": "nanosecond", "nanosecond": "nanosecond",
-}
+_PART_CODES = ("yy", "yd", "m", "d", "w", "wk", "hh", "mi", "s", "ms", "us", "ns")
+
+
+def _part(fn: str, part: str) -> str:
+    p = part.lower()
+    if p not in _PART_CODES:
+        raise ValueError(f"{fn}: invalid interval {part!r} (valid: {_PART_CODES})")
+    return p
+
+
+def _frac_micros(col) -> Column:
+    """Microseconds within the current second (always non-negative)."""
+    return F.pmod(F.unix_micros(_c(col)), F.lit(1_000_000)).cast("long")
 
 
 def DATETIMEPART(part: str, col) -> Column:
-    """DATETIMEPART('yy'|'m'|'d'|..., ts) → integer part."""
-    p = _DATE_PARTS[part.lower()]
-    if p == "millisecond":
-        return (F.date_part(F.lit("second"), _c(col)) * 1000).cast("long")
-    if p == "nanosecond":
-        return (F.date_part(F.lit("second"), _c(col)) * 1_000_000_000).cast("long")
-    return F.date_part(F.lit(p), _c(col)).cast("long")
+    """DATETIMEPART('yy'|'yd'|'m'|'d'|'w'|'wk'|..., ts) → integer part
+    (EvaluateDateTimePart inbuiltfunctionsdate.go:194-276; 'w' is Go
+    Weekday, Sunday=0; 'wk' is ISO week; 'ms'/'us'/'ns' are the
+    sub-second fraction)."""
+    p = _part("DATETIMEPART", part)
+    c = _c(col)
+    exprs = {
+        "yy": F.year(c),
+        "yd": F.dayofyear(c),
+        "m": F.month(c),
+        "d": F.dayofmonth(c),
+        "w": F.dayofweek(c) - 1,  # Spark Sunday=1 → Go Sunday=0
+        "wk": F.weekofyear(c),  # ISO week, same as Go ISOWeek
+        "hh": F.hour(c),
+        "mi": F.minute(c),
+        "s": F.floor(F.date_part(F.lit("second"), c)),
+        "ms": F.floor(_frac_micros(col) / 1000),
+        "us": _frac_micros(col),
+        "ns": _frac_micros(col) * 1000,  # micro-precision store (×1000)
+    }
+    return exprs[p].cast("long")
 
 
 def DATETIMENAME(part: str, col) -> Column:
-    """DATETIMENAME — month/day names etc. as strings."""
-    p = _DATE_PARTS[part.lower()]
-    fmt = {"month": "MMMM", "day": "d", "year": "yyyy"}.get(p)
-    if fmt:
-        return F.date_format(_c(col), fmt)
+    """DATETIMENAME — the part as a STRING; like Go's fmt.Sprint it yields
+    the month/weekday NAME for 'm'/'w' and digit strings otherwise
+    (EvaluateDateTimeName inbuiltfunctionsdate.go:399-477: Month() and
+    Weekday() have String() methods)."""
+    p = _part("DATETIMENAME", part)
+    if p == "m":
+        return F.date_format(_c(col), "MMMM")
+    if p == "w":
+        return F.date_format(_c(col), "EEEE")
     return DATETIMEPART(part, col).cast("string")
 
 
 def DATE_TRUNC(part: str, col) -> Column:
-    return F.date_trunc(_DATE_PARTS[part.lower()], _c(col))
+    """DATE_TRUNC — a truncated timestamp STRING (EvaluateDateTrunc
+    inbuiltfunctionsdate.go:564-642 returns Go time.Format text, e.g.
+    'm' → '2012-11', 's' → '2012-11-01T22:08:41')."""
+    p = _part("DATE_TRUNC", part)
+    fmts = {
+        "yy": "yyyy",
+        "m": "yyyy-MM",
+        "d": "yyyy-MM-dd",
+        "hh": "yyyy-MM-dd'T'HH",
+        "mi": "yyyy-MM-dd'T'HH:mm",
+        "s": "yyyy-MM-dd'T'HH:mm:ss",
+        "ms": "yyyy-MM-dd'T'HH:mm:ss.SSS",
+        "us": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    }
+    if p == "ns":  # micro-precision store: pad to 9 digits
+        return F.concat(
+            F.date_format(_c(col), fmts["us"]), F.lit("000")
+        )
+    if p not in fmts:
+        raise ValueError(f"DATE_TRUNC: invalid interval {part!r}")
+    return F.date_format(_c(col), fmts[p])
+
+
+_ADD_UNITS = {
+    "yy": "YEAR",
+    "m": "MONTH",
+    "d": "DAY",
+    "hh": "HOUR",
+    "mi": "MINUTE",
+    "s": "SECOND",
+    "ms": "MILLISECOND",
+    "us": "MICROSECOND",
+}
 
 
 def DATETIMEADD(part: str, n, col) -> Column:
-    unit = _DATE_PARTS[part.lower()].upper()
-    return _c(col) + F.expr(f"INTERVAL {int(n)} {unit}")
+    """DATETIMEADD (EvaluateDatetimeAdd inbuiltfunctionsdate.go:478-563).
+    Divergence note: Go AddDate normalizes month-end overflow
+    (Feb 29 + 1 year → Mar 1) where Spark clamps (→ Feb 28); identical on
+    all other inputs."""
+    p = _part("DATETIMEADD", part)
+    if p == "ns":
+        return F.expr(
+            f"timestampadd(MICROSECOND, {int(n) // 1000}, {_sql_ref(col)})"
+        )
+    if p not in _ADD_UNITS:
+        raise ValueError(f"DATETIMEADD: invalid interval {part!r}")
+    return F.expr(f"timestampadd({_ADD_UNITS[p]}, {int(n)}, {_sql_ref(col)})")
 
 
 def DATETIMEDIFF(part: str, a, b) -> Column:
-    unit = _DATE_PARTS[part.lower()].upper()
-    return F.expr(
-        f"timestampdiff({unit}, {_sql_ref(a)}, {_sql_ref(b)})"
-    )
+    """DATETIMEDIFF(unit, start, end) (EvaluateDatetimeDiff
+    inbuiltfunctionsdate.go:643-715): 'yy'/'m' are CALENDAR differences
+    (year(end)-year(start), months likewise); the rest are elapsed time
+    truncated toward zero."""
+    p = _part("DATETIMEDIFF", part)
+    sa, sb = _c(a), _c(b)
+    if p == "yy":
+        return (F.year(sb) - F.year(sa)).cast("long")
+    if p == "m":
+        return (
+            (F.year(sb) - F.year(sa)) * 12 + (F.month(sb) - F.month(sa))
+        ).cast("long")
+    micros = F.unix_micros(sb) - F.unix_micros(sa)
+    divisors = {
+        "d": 86_400_000_000,
+        "hh": 3_600_000_000,
+        "mi": 60_000_000,
+        "s": 1_000_000,
+        "ms": 1_000,
+        "us": 1,
+    }
+    if p == "ns":
+        return (micros * 1000).cast("long")
+    if p not in divisors:
+        raise ValueError(f"DATETIMEDIFF: invalid interval {part!r}")
+    # integer division truncating toward zero (Go int64(d/unit)): Spark's
+    # % keeps the dividend's sign, so (x - x%d)/d is an exact multiple
+    d = F.lit(divisors[p]).cast("long")
+    return ((micros - micros % d) / d).cast("long")
 
 
 def _sql_ref(x) -> str:
     if isinstance(x, str):
         return x
-    raise TypeError("DATETIMEDIFF takes column names (SQL expr limitation)")
+    raise TypeError("expected a column name (SQL expr limitation)")
 
 
 def DATETIMEFROMPARTS(y, mo, d, h=0, mi=0, s=0, ms=0) -> Column:
@@ -192,14 +282,15 @@ def DATETIMEFROMPARTS(y, mo, d, h=0, mi=0, s=0, ms=0) -> Column:
 
 
 def TOTIMESTAMP(col, unit: str = "s") -> Column:
-    """TOTIMESTAMP(int, 's'|'ms'|'us'|'ns') — epoch int → timestamp
-    (reference timestamp fields store BSI offsets, field.go:192-251)."""
+    """TOTIMESTAMP(int, 's'|'ms'|'us'|'µs'|'ns') — epoch int → timestamp
+    (ValToTimestamp; unit list IsValidTimeUnit field.go:2551-2558;
+    reference timestamp fields store BSI offsets, field.go:192-251)."""
     c = _c(col).cast("long")
     if unit == "s":
         return F.timestamp_seconds(c)
     if unit == "ms":
         return F.timestamp_millis(c)
-    if unit == "us":
+    if unit in ("us", "µs"):
         return F.timestamp_micros(c)
     if unit == "ns":
         return F.timestamp_micros(F.floor(c / 1000).cast("long"))

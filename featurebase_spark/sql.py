@@ -81,48 +81,117 @@ def _strip_str_literal(arg: str) -> Optional[str]:
 # Function mappings — mirror featurebase_spark.functions semantics exactly
 # --------------------------------------------------------------------------
 
-_DATE_PARTS = {
-    "yy": "year", "year": "year",
-    "q": "quarter", "quarter": "quarter",
-    "m": "month", "month": "month",
-    "d": "day", "day": "day",
-    "w": "week", "week": "week",
-    "hh": "hour", "hour": "hour",
-    "mi": "minute", "minute": "minute",
-    "s": "second", "second": "second",
-    "ms": "millisecond", "millisecond": "millisecond",
-    "ns": "nanosecond", "nanosecond": "nanosecond",
-}
+#: Reference interval codes (inbuiltfunctionsdate.go:13-24).
+_PART_CODES = ("yy", "yd", "m", "d", "w", "wk", "hh", "mi", "s", "ms", "us", "ns")
 
 
 def _date_part(fn: str, arg: str) -> str:
     lit = _strip_str_literal(arg)
-    if lit is None or lit.lower() not in _DATE_PARTS:
-        raise ValueError(f"{fn} part must be a literal in {sorted(_DATE_PARTS)}")
-    return _DATE_PARTS[lit.lower()]
+    if lit is None or lit.lower() not in _PART_CODES:
+        raise ValueError(f"{fn} part must be a literal in {_PART_CODES}")
+    return lit.lower()
+
+
+_PART_SQL = {
+    # EvaluateDateTimePart (inbuiltfunctionsdate.go:194-276); 'w' is Go
+    # Weekday (Sunday=0), 'wk' ISO week, ms/us/ns = sub-second fraction
+    "yy": "year({t})",
+    "yd": "dayofyear({t})",
+    "m": "month({t})",
+    "d": "day({t})",
+    "w": "(dayofweek({t}) - 1)",
+    "wk": "weekofyear({t})",
+    "hh": "hour({t})",
+    "mi": "minute({t})",
+    "s": "floor(date_part('second', {t}))",
+    "ms": "floor(pmod(unix_micros({t}), 1000000) / 1000)",
+    "us": "pmod(unix_micros({t}), 1000000)",
+    "ns": "(pmod(unix_micros({t}), 1000000) * 1000)",
+}
 
 
 def _f_datetimepart(a: list[str]) -> str:
     p = _date_part("DATETIMEPART", a[0])
-    if p == "millisecond":
-        return f"CAST(date_part('second', {a[1]}) * 1000 AS BIGINT)"
-    if p == "nanosecond":
-        return f"CAST(date_part('second', {a[1]}) * 1000000000 AS BIGINT)"
-    return f"CAST(date_part('{p}', {a[1]}) AS BIGINT)"
+    return f"CAST({_PART_SQL[p].format(t=a[1])} AS BIGINT)"
 
 
 def _f_datetimename(a: list[str]) -> str:
+    # Go fmt.Sprint semantics: month/weekday NAMES, digit strings otherwise
+    # (EvaluateDateTimeName inbuiltfunctionsdate.go:399-477)
     p = _date_part("DATETIMENAME", a[0])
-    fmt = {"month": "MMMM", "day": "d", "year": "yyyy"}.get(p)
-    if fmt:
-        return f"date_format({a[1]}, '{fmt}')"
-    return f"CAST({_f_datetimepart(a)} AS STRING)"
+    if p == "m":
+        return f"date_format({a[1]}, 'MMMM')"
+    if p == "w":
+        return f"date_format({a[1]}, 'EEEE')"
+    return f"CAST({_PART_SQL[p].format(t=a[1])} AS STRING)"
+
+
+_TRUNC_FMTS = {
+    # EvaluateDateTrunc returns formatted STRINGS (inbuiltfunctionsdate.go:
+    # 564-642, Go time.Format layouts)
+    "yy": "yyyy",
+    "m": "yyyy-MM",
+    "d": "yyyy-MM-dd",
+    "hh": "yyyy-MM-dd'T'HH",
+    "mi": "yyyy-MM-dd'T'HH:mm",
+    "s": "yyyy-MM-dd'T'HH:mm:ss",
+    "ms": "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "us": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
+
+def _f_date_trunc(a: list[str]) -> str:
+    p = _date_part("DATE_TRUNC", a[0])
+    if p == "ns":
+        return f"concat(date_format({a[1]}, \"{_TRUNC_FMTS['us']}\"), '000')"
+    if p not in _TRUNC_FMTS:
+        raise ValueError(f"DATE_TRUNC invalid interval {a[0]}")
+    return f'date_format({a[1]}, "{_TRUNC_FMTS[p]}")'
+
+
+_ADD_UNITS = {
+    "yy": "YEAR", "m": "MONTH", "d": "DAY", "hh": "HOUR",
+    "mi": "MINUTE", "s": "SECOND", "ms": "MILLISECOND", "us": "MICROSECOND",
+}
+
+
+def _f_datetimeadd(a: list[str]) -> str:
+    p = _date_part("DATETIMEADD", a[0])
+    if p == "ns":
+        return f"timestampadd(MICROSECOND, CAST(({a[1]}) / 1000 AS BIGINT), {a[2]})"
+    if p not in _ADD_UNITS:
+        raise ValueError(f"DATETIMEADD invalid interval {a[0]}")
+    return f"timestampadd({_ADD_UNITS[p]}, {a[1]}, {a[2]})"
+
+
+_DIFF_DIVISORS = {
+    "d": 86_400_000_000, "hh": 3_600_000_000, "mi": 60_000_000,
+    "s": 1_000_000, "ms": 1_000, "us": 1,
+}
+
+
+def _f_datetimediff(a: list[str]) -> str:
+    # calendar diffs for yy/m, truncate-toward-zero elapsed otherwise
+    # (EvaluateDatetimeDiff inbuiltfunctionsdate.go:643-715)
+    p = _date_part("DATETIMEDIFF", a[0])
+    s, e = a[1], a[2]
+    if p == "yy":
+        return f"CAST(year({e}) - year({s}) AS BIGINT)"
+    if p == "m":
+        return f"CAST((year({e}) - year({s})) * 12 + (month({e}) - month({s})) AS BIGINT)"
+    micros = f"(unix_micros({e}) - unix_micros({s}))"
+    if p == "ns":
+        return f"CAST({micros} * 1000 AS BIGINT)"
+    if p not in _DIFF_DIVISORS:
+        raise ValueError(f"DATETIMEDIFF invalid interval {a[0]}")
+    d = _DIFF_DIVISORS[p]
+    return f"CAST(({micros} - {micros} % {d}) / {d} AS BIGINT)"
 
 
 def _f_totimestamp(a: list[str]) -> str:
     unit = _strip_str_literal(a[1]) if len(a) > 1 else "s"
     fn = {"s": "timestamp_seconds", "ms": "timestamp_millis",
-          "us": "timestamp_micros"}.get(unit)
+          "us": "timestamp_micros", "µs": "timestamp_micros"}.get(unit)
     if fn:
         return f"{fn}(CAST({a[0]} AS BIGINT))"
     if unit == "ns":
@@ -167,15 +236,12 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
         f"(locate({a[0]}, {a[1]}, ({a[2]}) + 1) - 1)" if len(a) > 2
         else f"(locate({a[0]}, {a[1]}) - 1)")),
     "STR": (1, 1, lambda a: f"CAST({a[0]} AS STRING)"),
-    # date functions (inbuiltfunctionsdate.go:26-720)
+    # date functions (inbuiltfunctionsdate.go)
     "DATETIMEPART": (2, 2, _f_datetimepart),
     "DATETIMENAME": (2, 2, _f_datetimename),
-    "DATE_TRUNC": (2, 2, lambda a: (
-        f"date_trunc('{_date_part('DATE_TRUNC', a[0])}', {a[1]})")),
-    "DATETIMEADD": (3, 3, lambda a: (
-        f"timestampadd({_date_part('DATETIMEADD', a[0]).upper()}, {a[1]}, {a[2]})")),
-    "DATETIMEDIFF": (3, 3, lambda a: (
-        f"timestampdiff({_date_part('DATETIMEDIFF', a[0]).upper()}, {a[1]}, {a[2]})")),
+    "DATE_TRUNC": (2, 2, _f_date_trunc),
+    "DATETIMEADD": (3, 3, _f_datetimeadd),
+    "DATETIMEDIFF": (3, 3, _f_datetimediff),
     "DATETIMEFROMPARTS": (3, 7, _f_datetimefromparts),
     "TOTIMESTAMP": (1, 2, _f_totimestamp),
 }

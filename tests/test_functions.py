@@ -62,13 +62,36 @@ def test_string_functions(df):
 
 
 def test_date_functions(df):
+    # reference part codes + semantics (EvaluateDateTimePart
+    # inbuiltfunctionsdate.go:194-276; golden: defs_date_functions.go
+    # DATETIMEPARTYY=2012, YD=306 on 2012-11-01T22:08:41)
     assert one(df, fb.DATETIMEPART("yy", "ts")) == 2024
+    assert one(df, fb.DATETIMEPART("yd", "ts")) == 75  # day-of-year
     assert one(df, fb.DATETIMEPART("m", "ts")) == 3
     assert one(df, fb.DATETIMEPART("d", "ts")) == 15
+    assert one(df, fb.DATETIMEPART("w", "ts")) == 5  # Go Weekday: Friday=5
+    assert one(df, fb.DATETIMEPART("wk", "ts")) == 11  # ISO week
     assert one(df, fb.DATETIMEPART("hh", "ts")) == 10
+    assert one(df, fb.DATETIMEPART("mi", "ts")) == 30
+    assert one(df, fb.DATETIMEPART("s", "ts")) == 45
+    assert one(df, fb.DATETIMEPART("ms", "ts")) == 0
+    with pytest.raises(ValueError, match="invalid interval"):
+        one(df, fb.DATETIMEPART("q", "ts"))
+    # DATETIMENAME: Go fmt.Sprint — names for m/w, digit strings otherwise
     assert one(df, fb.DATETIMENAME("m", "ts")) == "March"
-    assert str(one(df, fb.DATE_TRUNC("m", "ts"))) == "2024-03-01 00:00:00"
+    assert one(df, fb.DATETIMENAME("w", "ts")) == "Friday"
+    assert one(df, fb.DATETIMENAME("yy", "ts")) == "2024"
+    # DATE_TRUNC returns formatted STRINGS (inbuiltfunctionsdate.go:564-642)
+    assert one(df, fb.DATE_TRUNC("m", "ts")) == "2024-03"
+    assert one(df, fb.DATE_TRUNC("d", "ts")) == "2024-03-15"
+    assert one(df, fb.DATE_TRUNC("s", "ts")) == "2024-03-15T10:30:45"
     assert one(df, fb.DATETIMEADD("d", 5, "ts")).day == 20
+    # DATETIMEDIFF: calendar yy/m, truncated elapsed otherwise
+    ts2 = F.lit("2025-01-10 09:00:00").cast("timestamp")
+    assert one(df, fb.DATETIMEDIFF("yy", "ts", ts2)) == 1
+    assert one(df, fb.DATETIMEDIFF("m", "ts", ts2)) == 10
+    assert one(df, fb.DATETIMEDIFF("d", "ts", ts2)) == 300
+    assert one(df, fb.DATETIMEDIFF("d", ts2, "ts")) == -300  # toward zero
     assert one(df, fb.DATETIMEFROMPARTS(2024, 3, 15, 10, 30, 45)) == one(df, F.col("ts"))
     assert one(df, fb.TOTIMESTAMP(F.lit(0), "s")) == datetime.datetime(1970, 1, 1)
     assert one(df, fb.TOTIMESTAMP(F.lit(1_000), "ms")) == datetime.datetime(

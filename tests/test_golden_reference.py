@@ -1,0 +1,130 @@
+"""Golden tests mirrored from the reference's own SQL test corpus
+(/root/reference/sql3/test/defs/ — the reference's primary test strategy,
+SURVEY §5), executed VERBATIM through the dialect front door
+(featurebase_spark.sql.fb_sql).
+
+Each case is (reference SQL, expected value(s)); expected values are taken
+from the corresponding ExpRows in the cited defs file. The fixture table
+mirrors defs.go's test tables (knownTimestamp() = 2012-11-01T22:08:41Z,
+defs.go:221-226).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from featurebase_spark.sql import fb_sql
+
+
+@pytest.fixture(scope="module")
+def golden_tables(spark):
+    # stringscalarfunctions (defs_string_functions.go:6-18)
+    spark.createDataFrame(
+        [(1, 10, 100, datetime.datetime(2012, 11, 1, 22, 8, 41), "hello")],
+        "_id LONG, a LONG, b LONG, ts TIMESTAMP, a_string STRING",
+    ).createOrReplaceTempView("stringscalarfunctions")
+    # datetimeparttests-style single-row timestamp table
+    spark.createDataFrame(
+        [(1, datetime.datetime(2012, 11, 1, 22, 8, 41))],
+        "_id LONG, ts TIMESTAMP",
+    ).createOrReplaceTempView("datetimeparttests")
+    # skills (defs_top.go / defs_set_functions.go shape)
+    spark.createDataFrame(
+        [
+            (1, ["Marketing Manager", "SQL"]),
+            (2, ["SQL"]),
+            (3, ["Marketing Manager"]),
+        ],
+        "_id LONG, skills ARRAY<STRING>",
+    ).createOrReplaceTempView("skills")
+    return spark
+
+
+SCALAR_CASES = [
+    # --- defs_string_functions.go
+    ("select reverse('this')", "siht"),  # ReverseString
+    ("select reverse(reverse('this'))", "this"),  # ReverseReverseString
+    ("select reverse(a_string) from stringscalarfunctions", "olleh"),
+    ("select substring('testing', 1, 3)", "est"),  # SubstringPositiveIndex
+    ("select charindex('is','this is great')", 2),  # CharIndexofSubstring
+    ("select charindex('is','this is great',3)", 5),  # ...withPosition
+    ("select charindex('abc','this is great',3)", -1),  # ...Notfound
+    ("select upper(a_string) from stringscalarfunctions", "HELLO"),
+    ("select lower('TEST')", "test"),
+    ("select ltrim('  this ')", "this "),
+    ("select rtrim(' this  ')", " this"),
+    ("select trim('  this  ')", "this"),
+    ("select space(3)", "   "),
+    ("select len('four')", 4),
+    ("select replicate('ab', 2)", "abab"),
+    ("select prefix('testing', 'test')", True),
+    ("select suffix('testing', 'ing')", True),
+    ("select str(123)", "123"),
+    ("select ascii('A')", 65),
+    ("select char(65)", "A"),
+    ("select stringsplit('a,b,c', ',', 1)", "b"),
+    ("select replaceall('aaa', 'a', 'b')", "bbb"),
+    # --- defs_date_functions.go (knownTimestamp = 2012-11-01T22:08:41Z)
+    ("select datetimepart('yy', ts) from datetimeparttests", 2012),
+    ("select datetimepart('yd', ts) from datetimeparttests", 306),
+    ("select datetimepart('m', ts) from datetimeparttests", 11),
+    ("select datetimepart('d', ts) from datetimeparttests", 1),
+    ("select datetimepart('w', ts) from datetimeparttests", 4),  # Thursday
+    ("select datetimepart('wk', ts) from datetimeparttests", 44),  # ISO week
+    ("select datetimepart('hh', ts) from datetimeparttests", 22),
+    ("select datetimepart('mi', ts) from datetimeparttests", 8),
+    ("select datetimepart('s', ts) from datetimeparttests", 41),
+    ("select datetimename('m', ts) from datetimeparttests", "November"),
+    ("select datetimename('w', ts) from datetimeparttests", "Thursday"),
+    ("select datetimename('yy', ts) from datetimeparttests", "2012"),
+    ("select date_trunc('yy', ts) from datetimeparttests", "2012"),
+    ("select date_trunc('m', ts) from datetimeparttests", "2012-11"),
+    ("select date_trunc('d', ts) from datetimeparttests", "2012-11-01"),
+    ("select date_trunc('hh', ts) from datetimeparttests", "2012-11-01T22"),
+    ("select date_trunc('s', ts) from datetimeparttests", "2012-11-01T22:08:41"),
+    (
+        "select datetimediff('s', ts, totimestamp(1351807722)) from datetimeparttests",
+        1,  # 2012-11-01T22:08:42 is one second later
+    ),
+]
+
+
+@pytest.mark.parametrize("sql,expected", SCALAR_CASES, ids=[c[0][:60] for c in SCALAR_CASES])
+def test_golden_scalar(golden_tables, sql, expected):
+    row = fb_sql(golden_tables, sql).first()
+    assert row[0] == expected
+
+
+def test_golden_top_setcontains(golden_tables):
+    # defs_top.go:23
+    got = fb_sql(
+        golden_tables,
+        "select top(1) * from skills where setcontains(skills, 'Marketing Manager');",
+    ).collect()
+    assert len(got) == 1 and "Marketing Manager" in got[0]["skills"]
+
+
+def test_golden_setcontains_family(golden_tables):
+    # defs_set_functions.go shapes
+    rows = fb_sql(
+        golden_tables,
+        "select _id, setcontains(skills, 'SQL') as c, "
+        "setcontainsall(skills, ['Marketing Manager', 'SQL']) as call, "
+        "setcontainsany(skills, ['SQL', 'Nope']) as cany "
+        "from skills order by _id",
+    ).collect()
+    assert [(r["c"], r["call"], r["cany"]) for r in rows] == [
+        (True, True, True),
+        (True, False, True),
+        (False, False, False),
+    ]
+
+
+def test_golden_datetimeadd(golden_tables):
+    got = fb_sql(
+        golden_tables,
+        "select datetimeadd('d', 5, ts) from datetimeparttests",
+    ).first()[0]
+    assert got == datetime.datetime(2012, 11, 6, 22, 8, 41)
