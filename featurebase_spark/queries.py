@@ -1506,3 +1506,32 @@ def sim_ann_ivf_topk(spark, sf_dir):
     qv = list(emb.orderBy("vec_id").first()["embedding"])
     cents = S.ivf_train(emb, n_cells=8, seed=42, iters=3)
     return S.ivf_topk(emb, qv, cents, k=10, nprobe=3)
+
+
+@register(
+    "quantum_view_rollup",
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS tq_ymd, COUNT(*) AS n, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users "
+    "FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-22 00:00:00' "
+    "GROUP BY 1 ORDER BY 1",
+)
+def quantum_view_rollup(spark, sf_dir):
+    """Time-quantum views as derived bucket columns (time.go:106-142 view
+    generation; range cover field.go:1063-1120): a month-quantum rollup
+    over a half-open time range — the bucket column is what the reference
+    materializes as standard_YYYYMM view bitmaps; partition by it in
+    production and the WHERE prunes partitions."""
+    from featurebase_spark.streaming import quantum_range_cover, with_time_quantum
+
+    ev = _tables(spark, sf_dir)["events"]
+    ranged = quantum_range_cover(ev, "ts", "2024-01-08", "2024-01-22")
+    bucketed = with_time_quantum(ranged, "ts", "YMD")
+    return (
+        bucketed.groupBy(F.col("tq_ymd"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").cast("long").alias("users"),
+        )
+        .orderBy("tq_ymd")
+    )

@@ -128,3 +128,63 @@ def test_golden_datetimeadd(golden_tables):
         "select datetimeadd('d', 5, ts) from datetimeparttests",
     ).first()[0]
     assert got == datetime.datetime(2012, 11, 6, 22, 8, 41)
+
+
+# --- defs_binops.go / defs_cast.go -----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def binop_tables(spark):
+    spark.createDataFrame(
+        [(1, 10, 20)], "_id LONG, a LONG, b LONG"
+    ).createOrReplaceTempView("binoptesti_i")
+    return spark
+
+
+BINOP_CASES = [
+    # binoptesti_i: a=10, b=20 (defs_binops.go:10-245)
+    ("select a != b from binoptesti_i;", True),
+    ("select a & b from binoptesti_i;", 0),
+    ("select a | b from binoptesti_i;", 30),
+    ("select a << b from binoptesti_i;", 10485760),
+    ("select a >> b from binoptesti_i;", 0),
+    ("select a + b from binoptesti_i;", 30),
+    ("select a - b from binoptesti_i;", -10),
+    ("select a * b from binoptesti_i;", 200),
+    ("select a % b from binoptesti_i;", 10),
+    ("select 1 - 1 ;", 0),
+    # defs_cast.go
+    ("select cast(1 as int)", 1),
+    ("select cast(1 as bool)", True),
+    ("select cast(0 as bool)", False),
+    ("select cast(1 as id)", 1),
+    ("select cast(123 as string)", "123"),
+    # pass-through expression surface (expression.go: CASE/BETWEEN/IN/LIKE)
+    ("select case when 10 > 5 then 'big' else 'small' end", "big"),
+    ("select case 2 when 1 then 'one' when 2 then 'two' end", "two"),
+    ("select 15 between 10 and 20", True),
+    ("select 3 in (1, 2, 3)", True),
+    ("select 'hello' like 'hel%'", True),
+    ("select 'a' || 'b'", "ab"),
+]
+
+
+@pytest.mark.parametrize("sql,expected", BINOP_CASES, ids=[c[0][:50] for c in BINOP_CASES])
+def test_golden_binops_cast(binop_tables, sql, expected):
+    assert fb_sql(binop_tables, sql).first()[0] == expected
+
+
+def test_golden_cast_decimal_scale_only(binop_tables):
+    # reference DECIMAL(2) is scale-only (pql/decimal.go) → value 1.00
+    import decimal
+
+    got = fb_sql(binop_tables, "select cast(1 as decimal(2))").first()[0]
+    assert got == decimal.Decimal("1.00")
+
+
+def test_int_division_divergence_documented(binop_tables):
+    """KNOWN DIVERGENCE: reference int/int is integer division (10/20 = 0,
+    defs_binops.go:223); Spark's / is fractional (0.5). Spark's `div`
+    operator provides the reference behavior explicitly."""
+    assert fb_sql(binop_tables, "select a / b from binoptesti_i").first()[0] == 0.5
+    assert fb_sql(binop_tables, "select a div b from binoptesti_i").first()[0] == 0
