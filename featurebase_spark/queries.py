@@ -1535,3 +1535,40 @@ def quantum_view_rollup(spark, sf_dir):
         )
         .orderBy("tq_ymd")
     )
+
+
+@register(
+    "ddl_catalog_roundtrip",
+    "SELECT * FROM (VALUES (1, 'ANN', 31), (2, 'BOB', 41), (3, 'CAZ', 28)) "
+    "AS t(_id, name, age) ORDER BY _id",
+)
+def ddl_catalog_roundtrip(spark, sf_dir):
+    """DDL + write surface end-to-end (compilecreatetable.go:28-77,
+    opinsert.go upsert-by-_id, compilealtertable.go): CREATE TABLE →
+    INSERT → INSERT-replace on key collision → ALTER ADD COLUMN → SELECT
+    through the dialect front door. Oracle is the expected literal state."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.schema import FieldDef, TableDef
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    cat.drop_table("ddl_people", if_exists=True)
+    cat.create_table(
+        TableDef("ddl_people", [FieldDef("name", "string"), FieldDef("age", "int")])
+    )
+    cat.insert(
+        "ddl_people",
+        spark.createDataFrame(
+            [(1, "ann", 30), (2, "bob", 41)], "_id LONG, name STRING, age LONG"
+        ),
+    )
+    # upsert: _id=1 overwritten (executeSet semantics), _id=3 appended
+    cat.insert(
+        "ddl_people",
+        spark.createDataFrame(
+            [(1, "ann", 31), (3, "caz", 28)], "_id LONG, name STRING, age LONG"
+        ),
+    )
+    return fb_sql(
+        spark, "select _id, upper(name) as name, age from ddl_people order by _id"
+    )

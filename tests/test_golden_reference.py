@@ -188,3 +188,115 @@ def test_int_division_divergence_documented(binop_tables):
     operator provides the reference behavior explicitly."""
     assert fb_sql(binop_tables, "select a / b from binoptesti_i").first()[0] == 0.5
     assert fb_sql(binop_tables, "select a div b from binoptesti_i").first()[0] == 0
+
+
+# --- defs_join.go: users/orders relational core -----------------------------
+
+
+@pytest.fixture(scope="module")
+def join_tables(spark):
+    import decimal
+
+    spark.createDataFrame(
+        [(0, "a", 21), (1, "b", 18), (2, "c", 28), (3, "d", 34), (4, "e", 36)],
+        "_id LONG, name STRING, age LONG",
+    ).createOrReplaceTempView("users")
+    spark.createDataFrame(
+        [
+            (0, 1, decimal.Decimal("9.99")),
+            (1, 0, decimal.Decimal("3.99")),
+            (2, 2, decimal.Decimal("14.99")),
+            (3, 3, decimal.Decimal("5.99")),
+            (4, 1, decimal.Decimal("12.99")),
+            (5, 2, decimal.Decimal("1.99")),
+        ],
+        "_id LONG, userid LONG, price DECIMAL(10,2)",
+    ).createOrReplaceTempView("jorders")
+    return spark
+
+
+def test_golden_innerjoin_groupby(join_tables):
+    # defs_join.go innerjoin-aggregate-groupby (alias-qualified columns)
+    import decimal
+
+    rows = fb_sql(
+        join_tables,
+        "select u._id, sum(o.price) as s from jorders o "
+        "inner join users u on o.userid = u._id group by u._id;",
+    ).collect()
+    got = {r["_id"]: r["s"] for r in rows}
+    assert got == {
+        0: decimal.Decimal("3.99"),
+        1: decimal.Decimal("22.98"),
+        2: decimal.Decimal("16.98"),
+        3: decimal.Decimal("5.99"),
+    }
+
+
+def test_golden_innerjoin_sum_filter(join_tables):
+    # innerjoin-aggregate-groupby-sum-filter: age > 20 → 26.96
+    import decimal
+
+    got = fb_sql(
+        join_tables,
+        "select sum(o.price) from jorders o inner join users u "
+        "on o.userid = u._id where u.age > 20;",
+    ).first()[0]
+    assert got == decimal.Decimal("26.96")
+    # ...-sum-double-filter: + price < 10.00 → 11.97
+    got = fb_sql(
+        join_tables,
+        "select sum(o.price) from jorders o inner join users u "
+        "on o.userid = u._id where u.age > 20 and o.price < 10.00;",
+    ).first()[0]
+    assert got == decimal.Decimal("11.97")
+
+
+def test_golden_join_count_distinct(join_tables):
+    # innerjoin-aggregate-groupby-count-distinct-filter: price > 9 → users b,c
+    got = fb_sql(
+        join_tables,
+        "SELECT COUNT(DISTINCT u.name) FROM jorders o JOIN users u "
+        "ON o.userid = u._id WHERE o.price > 9;",
+    ).first()[0]
+    assert got == 2
+
+
+def test_golden_left_join_null_padding(join_tables):
+    # user 'e' (id 4) has no orders → null-padded left row
+    # (opnestedloops.go joinTypeLeft null padding)
+    rows = fb_sql(
+        join_tables,
+        "select u._id, o.price from users u left join jorders o "
+        "on u._id = o.userid where o._id is null",
+    ).collect()
+    assert [(r[0], r[1]) for r in rows] == [(4, None)]
+
+
+def test_golden_null_semantics(join_tables):
+    # defs_null.go: IS NULL / IS NOT NULL over present and absent values
+    assert fb_sql(join_tables, "select null is null").first()[0] is True
+    assert fb_sql(join_tables, "select 1 is null").first()[0] is False
+    assert fb_sql(join_tables, "select 1 is not null").first()[0] is True
+    # null propagation through binops (expression.go coercion rules)
+    assert fb_sql(join_tables, "select 1 + null").first()[0] is None
+    assert fb_sql(join_tables, "select null || 'x'").first()[0] is None
+
+
+def test_golden_having_orderby(join_tables):
+    # defs_having.go / defs_orderby.go shapes
+    rows = fb_sql(
+        join_tables,
+        "select userid, count(*) as n from jorders "
+        "group by userid having count(*) > 1 order by userid",
+    ).collect()
+    assert [(r["userid"], r["n"]) for r in rows] == [(1, 2), (2, 2)]
+
+
+def test_golden_distinct_top(join_tables):
+    # defs_distinct.go / defs_top.go
+    rows = fb_sql(
+        join_tables,
+        "select top(2) distinct userid from jorders order by userid",
+    ).collect()
+    assert [r[0] for r in rows] == [0, 1]
