@@ -33,7 +33,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["translate", "fb_sql"]
+__all__ = ["translate", "fb_sql", "fb_sql_plan"]
 
 
 # --------------------------------------------------------------------------
@@ -438,3 +438,16 @@ def fb_sql(spark: SparkSession, sql: str) -> DataFrame:
     the ``POST /sql`` front door (http_handler.go:1440-1530), with
     Catalyst in place of sql3's analyze/compile/optimize pipeline."""
     return spark.sql(translate(sql))
+
+
+def fb_sql_plan(spark: SparkSession, sql: str, formatted: bool = True) -> str:
+    """The reference's ``POST /sql?plan=true`` surface
+    (http_handler.go:1437-1446): return the query plan without executing.
+    Here the plan is Catalyst's — the translated Spark SQL text's
+    formatted physical plan (scan pushdown, join strategy, codegen spans
+    all visible)."""
+    df = spark.sql(translate(sql))
+    mode = "formatted" if formatted else "extended"
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )

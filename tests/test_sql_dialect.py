@@ -119,3 +119,15 @@ def test_fb_sql_set_functions(spark, tables):
         ).first().p_type
         assert r.has_brass == ("BRASS" in got.split(" "))
         assert r.any_bs == bool({"BRASS", "STEEL"} & set(got.split(" ")))
+
+
+def test_fb_sql_plan(spark, tables):
+    from featurebase_spark.sql import fb_sql_plan
+
+    tables["orders"].createOrReplaceTempView("orders_plan_v")
+    plan = fb_sql_plan(
+        spark,
+        "select top(5) o_orderkey from orders_plan_v where prefix(o_orderpriority, '1')",
+    )
+    assert "Scan parquet" in plan and "PushedFilters" in plan
+    assert "TakeOrderedAndProject" in plan or "CollectLimit" in plan
