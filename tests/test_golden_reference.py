@@ -300,3 +300,93 @@ def test_golden_distinct_top(join_tables):
         "select top(2) distinct userid from jorders order by userid",
     ).collect()
     assert [r[0] for r in rows] == [0, 1]
+
+
+# --- defs_groupby.go / defs_like.go / defs_in.go / defs_between.go ----------
+
+
+@pytest.fixture(scope="module")
+def groupby_table(spark):
+    rows = [
+        (1, 10, "10", 100, [1, 2]),
+        (2, 10, "10", 200, [1, 2]),
+        (3, 11, "11", None, [1, 3]),
+        (4, 12, "12", None, [2, 3]),
+        (5, 12, "12", None, [1, 3]),
+        (6, 13, "13", None, [1, 2, 3]),
+    ]
+    spark.createDataFrame(
+        rows, "_id LONG, i1 LONG, s1 STRING, i2 LONG, is1 ARRAY<LONG>"
+    ).createOrReplaceTempView("groupby_test")
+    return spark
+
+
+def test_golden_groupby_ordinal(groupby_table):
+    # defs_groupby.go: "group by i1 order by 2 asc" (ordinal ORDER BY)
+    rows = fb_sql(
+        groupby_table,
+        "SELECT COUNT(*) as n, i1 FROM groupby_test group by i1 order by 2 asc",
+    ).collect()
+    assert [(r["n"], r["i1"]) for r in rows] == [
+        (2, 10), (1, 11), (2, 12), (1, 13),
+    ]
+
+
+def test_golden_groupby_alias_order(groupby_table):
+    # "... i1 as c ... order by c asc" (alias ORDER BY)
+    rows = fb_sql(
+        groupby_table,
+        "SELECT COUNT(*) as n, i1 as c FROM groupby_test group by i1 order by c asc",
+    ).collect()
+    assert [r["c"] for r in rows] == [10, 11, 12, 13]
+
+
+def test_golden_groupby_set_field(groupby_table):
+    # grouping by a SET field value requires explode (the reference's
+    # one-bitmap-per-value GroupBy, executeGroupBy over Rows(is1))
+    rows = fb_sql(
+        groupby_table,
+        "select v as is1, count(*) as n from "
+        "(select explode(is1) as v from groupby_test) group by v order by v",
+    ).collect()
+    assert [(r["is1"], r["n"]) for r in rows] == [(1, 5), (2, 4), (3, 4)]
+
+
+def test_golden_like_patterns(groupby_table):
+    # defs_like.go: % and _ patterns on string fields
+    assert fb_sql(groupby_table, "select 'leaf' like '%f_'").first()[0] is False
+    assert fb_sql(groupby_table, "select 'leafy' like '%f_'").first()[0] is True
+    assert fb_sql(groupby_table, "select 'x' not like '%f_'").first()[0] is True
+    rows = fb_sql(
+        groupby_table,
+        "select _id from groupby_test where s1 like '1_' order by _id",
+    ).collect()
+    assert [r[0] for r in rows] == [1, 2, 3, 4, 5, 6]  # all '1x' strings
+
+
+def test_golden_in_list(groupby_table):
+    # defs_in.go: IN over literal lists (the only IN form the reference has)
+    rows = fb_sql(
+        groupby_table,
+        "select _id from groupby_test where i1 in (10, 13) order by _id",
+    ).collect()
+    assert [r[0] for r in rows] == [1, 2, 6]
+    rows = fb_sql(
+        groupby_table,
+        "select _id from groupby_test where s1 not in ('10', '11') order by _id",
+    ).collect()
+    assert [r[0] for r in rows] == [4, 5, 6]
+
+
+def test_golden_between(groupby_table):
+    # defs_between.go
+    rows = fb_sql(
+        groupby_table,
+        "select _id from groupby_test where i1 between 11 and 12 order by _id",
+    ).collect()
+    assert [r[0] for r in rows] == [3, 4, 5]
+    rows = fb_sql(
+        groupby_table,
+        "select _id from groupby_test where i1 not between 11 and 12 order by _id",
+    ).collect()
+    assert [r[0] for r in rows] == [1, 2, 6]
