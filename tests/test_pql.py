@@ -225,3 +225,24 @@ def test_range_alias(ev):
     from featurebase_spark.pql import Range
 
     assert Range is Row
+
+
+def test_keyed_index_string_ids(spark):
+    """String record keys (index keys=true, defs_keyed.go; translate.go key
+    translation): PQL calls work unchanged on a string _id column — Spark
+    needs no id translation layer."""
+    df = spark.createDataFrame(
+        [("alpha", "x", 1), ("beta", "y", 2), ("gamma", "x", 3)],
+        "_id STRING, s STRING, n LONG",
+    )
+    idx = Index(df)
+    got = sorted(r["_id"] for r in Row("s", "==", "x").ids(idx).collect())
+    assert got == ["alpha", "gamma"]
+    got = sorted(
+        r["_id"]
+        for r in Intersect(Row("s", "==", "x"), Row("n", ">", 1)).ids(idx).collect()
+    )
+    assert got == ["gamma"]
+    from featurebase_spark.pql import Count, ConstRow
+
+    assert Count(ConstRow(["alpha", "beta"])).to_df(idx).first()["count"] == 2
