@@ -101,6 +101,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     candidates: Optional[DataFrame] = None,
+    shingle_df: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs sharing ≥1 shingle:
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -111,19 +112,35 @@ def ngram_jaccard_pairs(
     ``candidates``: optional (id_a, id_b) frame to restrict the pair space —
     this is how MinHash-LSH output gets exactly verified at scale instead of
     the quadratic all-pairs join.
+
+    ``shingle_df``: optional precomputed posting table (reuse/cache it when
+    signatures were already built from the same shingles).
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = shingle_df if shingle_df is not None else shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        pairs = pairs.join(candidates, ["id_a", "id_b"], "left_semi")
+        # Intersections ONLY for candidate pairs: expand each pair by id_a's
+        # postings, then hash-join on (id_b, shingle). Work is
+        # O(|candidates| × avg postings), independent of how many unrelated
+        # docs co-occur in hot shingle buckets — the posting self-join below
+        # would pay |bucket|² for every shingle.
+        a_post = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b_post = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        pairs = (
+            candidates.join(a_post, "id_a")
+            .join(b_post, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        pairs = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -174,25 +191,30 @@ def lsh_candidate_pairs(
     """Band the signature into ``bands`` groups of ``num_hashes/bands`` rows;
     docs sharing any band hash become candidate pairs (id_a < id_b).
 
-    Each band is an equi-join on (band_id, band_hash) — the classic LSH
-    bucket join. Bucket skew is handled by AQE; the union of b band joins
-    is still linear-ish in corpus size for realistic similarity skew."""
+    All bands join in ONE self-join: the banded signature unpivots to
+    (id, band_id, band_hash) rows and the bucket join keys on
+    (band_id, band_hash) — one shuffle instead of ``bands`` separate
+    join+union legs (which would also recompute the signature subtree
+    2×bands times unless materialized). Bucket skew is handled by AQE."""
     rows_per_band = num_hashes // bands
     band_cols = [
         F.xxhash64(
             *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
+        )
         for b in range(bands)
     ]
-    banded = signatures.select(F.col(id_col), *band_cols)
-    per_band = []
-    for b in range(bands):
-        left = banded.select(F.col(id_col).alias("id_a"), F.col(f"band{b}").alias("bh"))
-        right = banded.select(F.col(id_col).alias("id_b"), F.col(f"band{b}").alias("bh"))
-        per_band.append(
-            left.join(right, "bh").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        )
-    return reduce(lambda x, y: x.union(y), per_band).distinct()
+    unpivoted = signatures.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "bh"),
+    )
+    left = unpivoted.select(F.col(id_col).alias("id_a"), "band_id", "bh")
+    right = unpivoted.select(F.col(id_col).alias("id_b"), "band_id", "bh")
+    return (
+        left.join(right, ["band_id", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def minhash_dedup_pairs(
@@ -205,12 +227,25 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → EXACT Jaccard
-    verification restricted to candidates. Returns (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return ngram_jaccard_pairs(
-        df, text_col, id_col, shingle_n, threshold, candidates=cand
-    )
+    verification restricted to candidates. Returns (id_a, id_b, jaccard).
+
+    The shingle posting table is computed once and cached — both the
+    signature aggregation and the Jaccard verification read it (at scale:
+    persist to storage partitioned by shingle instead of memory-cache)."""
+    sh = shingle_table(df, text_col, id_col, shingle_n).cache()
+    try:
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        sigs = sh.groupBy(id_col).agg(*aggs)
+        cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+        return ngram_jaccard_pairs(
+            df, text_col, id_col, shingle_n, threshold,
+            candidates=cand, shingle_df=sh,
+        )
+    finally:
+        pass  # cache released with the session; result plan references sh
 
 
 # ---------------------------------------------------------------------------
