@@ -131,16 +131,50 @@ def rolling_fingerprints(col, window: int = 8) -> Column:
 
 def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile of a corpus: all signals in a single projection
-    (one scan, zero shuffles, full codegen)."""
+    (one scan, zero shuffles, full codegen).
+
+    The token array is materialized ONCE in a first projection and every
+    signal reads it — the naive form re-evaluates ``split(text)`` per
+    signal (~15× per row; Catalyst does not CSE across lambda filters),
+    which at 100 TB is 15 passes over every byte of text."""
     c = F.col(text_col)
-    return df.select(
+    staged = df.select(
         id_col,
-        token_count(c).alias("n_tokens"),
-        char_count(c).alias("n_chars"),
-        avg_word_len(c).alias("avg_word_len"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        distinct_token_ratio(c).alias("distinct_ratio"),
-        quality_score(c).alias("quality"),
-        lang_id(c).alias("lang_pred"),
-        fingerprint(c).alias("fingerprint"),
+        c.alias("__text"),
+        tokens(c).alias("__toks"),
+    )
+    t, txt = F.col("__toks"), F.col("__text")
+    n = F.size(t)
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = stop_hits.cast("double") / n
+    diversity = F.size(F.array_distinct(t)).cast("double") / n
+    length_ok = F.when((n >= 10) & (n <= 1_000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop_ratio <= 0.5, F.lit(1.0)).otherwise(F.lit(0.5))
+
+    # argmax language over marker-hit counts, tie-broken by code ascending
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        s = F.size(F.filter(t, lambda x: x.isin(*markers))).cast("long")
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            b_s, b_l = best
+            best = (
+                F.when(s > b_s, s).otherwise(b_s),
+                F.when(s > b_s, F.lit(lang)).otherwise(b_l),
+            )
+    lang_pred = F.when(best[0] > 0, best[1]).otherwise(F.lit("und"))
+
+    nchars_in_words = F.length(F.replace(txt, F.lit(TOKEN_SEP), F.lit("")))
+    return staged.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.length(txt).cast("long").alias("n_chars"),
+        (nchars_in_words.cast("double") / n).alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        diversity.alias("distinct_ratio"),
+        (length_ok * 0.4 + diversity * 0.4 + stop_ok * 0.2).alias("quality"),
+        lang_pred.alias("lang_pred"),
+        F.md5(F.lower(F.trim(txt))).alias("fingerprint"),
     )
