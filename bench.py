@@ -36,6 +36,12 @@ BENCH_QUERIES = [
     "sql_q6_forecast_revenue",
     "sql_q3_shipping_priority",
     "sql_q5_local_supplier_volume",
+    # training-data pipeline headliners (documents/embeddings tables)
+    "text_profile",
+    "text_token_count_bpeish",
+    "dedup_exact_fingerprints",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
 ]
 
 
