@@ -173,7 +173,13 @@ def minhash_signatures(
     """k-permutation MinHash signature per document, computed as k
     ``min(xxhash64(shingle, seed_i))`` aggregates over the exploded shingle
     table — one scan + one groupBy, all JVM-side (no Python UDF; this is the
-    Arrow-free fast path). Columns: id, h0..h{k-1}."""
+    Arrow-free fast path). Columns: id, h0..h{k-1}.
+
+    Deliberately explode+aggregate, NOT ``array_min(transform(...))`` over
+    in-row shingle arrays: array higher-order functions are interpreted
+    per element in Spark (outside whole-stage codegen), measuring ~2×
+    slower here, while the exploded min-agg is fully codegen'd with
+    map-side partials — the shuffle carries only |docs|×k mins."""
     sh = shingle_table(df, text_col, id_col, shingle_n)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
