@@ -610,7 +610,11 @@ class GroupBy(ReaderCall):
     ``rows``: Rows-call fields to group on (set fields explode — the
     reference cross-products row bitmaps, so records lacking a value in any
     grouped field are excluded → ``dropna`` on group keys).
-    ``aggregate``: None → count; ("sum", f) / ("count_distinct", f).
+    ``aggregate``: None → count; ("sum", f) / ("count_distinct", f); or a
+    LIST of ("sum"|"min"|"max"|"avg"|"count_distinct", f) tuples — the
+    reference runs one PQL GroupBy per aggregate and merges
+    (PlanOpPQLMultiGroupBy oppqlmultigroupby.go); Spark computes them all
+    in the SAME single-shuffle pass (aliases ``{kind}_{field}``).
     ``having``: (aggname, op, value) post-agg filter (Condition in reference).
     ``sort``: e.g. "count desc" | "sum asc".
 
@@ -637,6 +641,20 @@ class GroupBy(ReaderCall):
         df = df.na.drop(subset=keys)
         if self.aggregate is None:
             agged = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
+        elif isinstance(self.aggregate, list):
+            fns = {
+                "sum": F.sum,
+                "min": F.min,
+                "max": F.max,
+                "avg": F.avg,
+                "count_distinct": F.countDistinct,
+            }
+            aggs = [F.count(F.lit(1)).alias("count")]
+            for kind, fld in self.aggregate:
+                if kind not in fns:
+                    raise ValueError(f"unknown aggregate {kind}")
+                aggs.append(fns[kind](fld).alias(f"{kind}_{fld}"))
+            agged = df.groupBy(*keys).agg(*aggs)
         else:
             kind, fld = self.aggregate
             if kind == "sum":

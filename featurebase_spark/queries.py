@@ -1572,3 +1572,41 @@ def ddl_catalog_roundtrip(spark, sf_dir):
     return fb_sql(
         spark, "select _id, upper(name) as name, age from ddl_people order by _id"
     )
+
+
+@register(
+    "pql_groupby_multi_agg",
+    "SELECT event_type, COUNT(*) AS count, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_dvalue, "
+    "CAST(MIN(user_id) AS BIGINT) AS min_user_id, "
+    "CAST(MAX(user_id) AS BIGINT) AS max_user_id, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS count_distinct_user_id "
+    "FROM events WHERE event_type IS NOT NULL "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def pql_groupby_multi_agg(spark, sf_dir):
+    """Multiple aggregates in one GroupBy — the reference splits these into
+    N parallel PQL GroupBy queries and merges on the coordinator
+    (PlanOpPQLMultiGroupBy oppqlmultigroupby.go); here all five aggregates
+    share ONE shuffle with map-side partials."""
+    idx = _events(spark, sf_dir)
+    base = idx.df.withColumn("dvalue", dec("value"))
+    gb = GroupBy(
+        [Rows("event_type")],
+        aggregate=[
+            ("sum", "dvalue"),
+            ("min", "user_id"),
+            ("max", "user_id"),
+            ("count_distinct", "user_id"),
+        ],
+        sort="event_type asc",
+    )
+    out = gb.to_df(Index(base, id_col="event_id", time_col="ts"))
+    return out.select(
+        "event_type",
+        "count",
+        F.col("sum_dvalue").cast("double").alias("sum_dvalue"),
+        F.col("min_user_id").cast("long").alias("min_user_id"),
+        F.col("max_user_id").cast("long").alias("max_user_id"),
+        F.col("count_distinct_user_id").cast("long").alias("count_distinct_user_id"),
+    )

@@ -246,3 +246,25 @@ def test_keyed_index_string_ids(spark):
     from featurebase_spark.pql import Count, ConstRow
 
     assert Count(ConstRow(["alpha", "beta"])).to_df(idx).first()["count"] == 2
+
+
+def test_groupby_multi_aggregate(ev, tables):
+    """Multi-aggregate GroupBy: one shuffle computes what the reference's
+    PlanOpPQLMultiGroupBy merges from N queries (oppqlmultigroupby.go)."""
+    gb = GroupBy(
+        [Rows("event_type")],
+        aggregate=[("sum", "value"), ("min", "user_id"), ("count_distinct", "user_id")],
+    ).to_df(ev)
+    assert set(gb.columns) == {
+        "event_type", "count", "sum_value", "min_user_id",
+        "count_distinct_user_id",
+    }
+    r = {x["event_type"]: x for x in gb.collect()}
+    exp = tables["events"].where(F.col("event_type") == "click").agg(
+        F.count(F.lit(1)), F.sum("value"), F.min("user_id"), F.countDistinct("user_id")
+    ).first()
+    got = r["click"]
+    assert (got["count"], got["min_user_id"], got["count_distinct_user_id"]) == (
+        exp[0], exp[2], exp[3],
+    )
+    assert got["sum_value"] == pytest.approx(exp[1])
