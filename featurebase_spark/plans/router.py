@@ -1,0 +1,71 @@
+"""Query router: answer PQL-shaped calls from materialized bitmap indexes
+when possible, fall back to the base-table scan path otherwise.
+
+This is the piece that makes the bitmap-index library (plans/bitmap_index)
+transparent: the reference always serves Row/Intersect/Count from fragment
+bitmaps (executor.go executeCall dispatch); on Spark the scan path is
+usually optimal, and the index path wins for repeated low-latency filtered
+counts over a huge, already-indexed corpus. The router inspects a PQL
+combinator tree (featurebase_spark.pql.calls) and translates it to a
+bitmap expression iff every leaf is index-covered:
+
+- ``Row(f, '==', v)``       → ``Atom(f, v)``      (equality index)
+- ``Row(f, <op>, v)`` (int) → ``Cmp(f, op, v)``   (BSI index)
+- ``Intersect/Union/Difference/Xor`` → ``And/Or/AndNot/XOr``
+
+Anything else (time ranges, LIKE, set-field ops, Not, All) returns None →
+caller uses the scan path. Correctness contract: routed answers ≡ scan
+answers (tests assert equality on every supported shape).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from featurebase_spark.plans import bitmap_index as B
+from featurebase_spark.pql import calls as C
+
+
+def to_bitmap_expr(cat: B.BitmapCatalog, call: C.RowCall):
+    """PQL row-call tree → bitmap expression, or None if not index-covered."""
+    if isinstance(call, C.Row):
+        if call.between is not None or call.from_ is not None or call.to is not None:
+            return None
+        if call.value is None:
+            return None
+        if call.field in cat._indexes and call.op == "==":
+            return B.Atom(call.field, call.value)
+        if call.field in cat._bsi and call.op in ("<", "<=", ">", ">=", "==", "!="):
+            try:
+                return B.Cmp(call.field, call.op, int(call.value))
+            except (TypeError, ValueError):
+                return None
+        return None
+    ops = {
+        C.Intersect: B.And,
+        C.Union: B.Or,
+        C.Difference: B.AndNot,
+        C.Xor: B.XOr,
+    }
+    for cls, builder in ops.items():
+        if type(call) is cls:
+            children = [to_bitmap_expr(cat, ch) for ch in call.children]
+            if any(ch is None for ch in children):
+                return None
+            return builder(*children)
+    return None
+
+
+def route_count(
+    cat: B.BitmapCatalog, call: C.Count, idx: Optional[C.Index] = None
+) -> int:
+    """Execute ``Count(child)``: from index blobs when covered, else from
+    the scan path (requires ``idx``). The answer is identical either way —
+    only the data touched differs (index: kilobyte blobs; scan: the base
+    table)."""
+    expr = to_bitmap_expr(cat, call.child)
+    if expr is not None:
+        return cat.count(expr)
+    if idx is None:
+        raise ValueError("call not index-covered and no scan Index given")
+    return int(call.to_df(idx).first()["count"])

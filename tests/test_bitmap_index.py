@@ -206,3 +206,49 @@ def test_bsi_negative_values(spark):
     assert c.count(Cmp("x", ">=", 0)) == 3
     assert c.count(Cmp("x", "==", -3)) == 1
     assert c.count(Cmp("x", "!=", -3)) == 4  # nulls excluded, like the reference
+
+
+# --- Router: PQL call trees → bitmap expressions ----------------------------
+
+
+def test_router_routes_and_matches_scan(bsi_cat, tables):
+    from featurebase_spark.plans.router import route_count, to_bitmap_expr
+    from featurebase_spark.pql import calls as C
+
+    ev = tables["events"]
+    idx = C.Index(
+        ev.withColumn("ivalue", F.col("value").cast("long")),
+        id_col="event_id",
+    )
+    shapes = [
+        C.Row("event_type", "==", "click"),
+        C.Intersect(C.Row("event_type", "==", "click"), C.Row("ivalue", ">", 150)),
+        C.Union(C.Row("event_type", "==", "view"), C.Row("event_type", "==", "signup")),
+        C.Difference(C.Row("ivalue", ">=", 100), C.Row("event_type", "==", "click")),
+        C.Xor(C.Row("event_type", "==", "click"), C.Row("ivalue", "<", 50)),
+    ]
+    for call in shapes:
+        assert to_bitmap_expr(bsi_cat, call) is not None, call
+        routed = route_count(bsi_cat, C.Count(call))
+        scanned = route_count(
+            # empty catalog → forces the scan fallback
+            type(bsi_cat)(shard_exp=8), C.Count(call), idx=idx
+        )
+        assert routed == scanned, call
+
+
+def test_router_falls_back_on_uncovered_shapes(bsi_cat, tables):
+    from featurebase_spark.plans.router import to_bitmap_expr
+    from featurebase_spark.pql import calls as C
+
+    # unindexed field / LIKE-ish / time-range / Not → not index-covered
+    assert to_bitmap_expr(bsi_cat, C.Row("props", "==", "x")) is None
+    assert to_bitmap_expr(bsi_cat, C.Row("event_type", "==", "c", from_="2024-01-01")) is None
+    assert to_bitmap_expr(bsi_cat, C.Not(C.Row("event_type", "==", "c"))) is None
+    assert (
+        to_bitmap_expr(
+            bsi_cat,
+            C.Intersect(C.Row("event_type", "==", "c"), C.Row("props", "==", "x")),
+        )
+        is None
+    )
