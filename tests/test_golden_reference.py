@@ -390,3 +390,52 @@ def test_golden_between(groupby_table):
         "select _id from groupby_test where i1 not between 11 and 12 order by _id",
     ).collect()
     assert [r[0] for r in rows] == [1, 2, 6]
+
+
+# --- defs_subquery.go / defs_orderby.go --------------------------------------
+
+
+def test_golden_from_subquery(spark):
+    # defs_subquery.go select-count / select-count-distinct
+    spark.createDataFrame(
+        [(1, "str1"), (2, "str1"), (3, "str2"), (4, "str2"), (5, "str3")],
+        "_id LONG, a_string STRING",
+    ).createOrReplaceTempView("subquerytable")
+    got = fb_sql(
+        spark,
+        "select sum(mycount) as thecount from (select count(a_string) as mycount, "
+        "a_string from subquerytable group BY a_string);",
+    ).first()["thecount"]
+    assert got == 5
+    got = fb_sql(
+        spark,
+        "select sum(mycount) as thecount from (select count(distinct a_string) as "
+        "mycount, a_string from subquerytable group BY a_string);",
+    ).first()["thecount"]
+    assert got == 3
+
+
+def test_golden_scalar_subquery(spark):
+    # expression.go:1084-1147 scalar subquery (single row enforced)
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "_id LONG, v LONG"
+    ).createOrReplaceTempView("scalarsub")
+    rows = fb_sql(
+        spark,
+        "select _id from scalarsub where v > (select avg(v) from scalarsub) "
+        "order by _id",
+    ).collect()
+    assert [r[0] for r in rows] == [3]
+
+
+def test_golden_orderby_directions(spark):
+    # defs_orderby.go: multi-key mixed asc/desc
+    spark.createDataFrame(
+        [(1, "a", 2), (2, "a", 1), (3, "b", 3), (4, "b", 1)],
+        "_id LONG, k STRING, v LONG",
+    ).createOrReplaceTempView("ordertest")
+    rows = fb_sql(
+        spark,
+        "select _id from ordertest order by k asc, v desc",
+    ).collect()
+    assert [r[0] for r in rows] == [1, 2, 3, 4]
