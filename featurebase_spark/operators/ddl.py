@@ -120,6 +120,15 @@ class Catalog:
         ]
         return self.spark.createDataFrame(rows)
 
+    def fb_databases(self) -> DataFrame:
+        """SHOW DATABASES (opfeaturebasedatabases.go) — Spark catalogs/
+        databases visible to this session."""
+        rows = [
+            SparkRow(name=db.name, catalog=db.catalog or "spark_catalog")
+            for db in self.spark.catalog.listDatabases()
+        ]
+        return self.spark.createDataFrame(rows)
+
     def fb_views(self) -> DataFrame:
         if not self._views:
             return self.spark.createDataFrame([], "name STRING, statement STRING")

@@ -141,3 +141,11 @@ def test_catalog_ddl_roundtrip(spark):
     assert cat.show_tables() == []
     with pytest.raises(ValueError, match="does not exist"):
         cat.drop_table("t_ddl")
+
+
+def test_fb_databases(spark):
+    from featurebase_spark.operators.ddl import Catalog
+
+    dbs = Catalog(spark).fb_databases().collect()
+    assert any(r["name"] == "default" for r in dbs)
+    assert set(dbs[0].asDict()) == {"name", "catalog"}
