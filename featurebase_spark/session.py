@@ -27,7 +27,9 @@ TABLES = (
     "embeddings",
 )
 
-#: Dimension tables small enough to always broadcast in joins at any SF.
+#: Dimension tables small enough to always broadcast in joins at any SF
+#: (queries wrap these in F.broadcast explicitly; kept here as the
+#: canonical list for new query authors).
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

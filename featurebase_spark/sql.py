@@ -244,7 +244,23 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     "DATETIMEDIFF": (3, 3, _f_datetimediff),
     "DATETIMEFROMPARTS": (3, 7, _f_datetimefromparts),
     "TOTIMESTAMP": (1, 2, _f_totimestamp),
+    # time-quantum range filter (inbuiltfunctionsquantum.go:8-60): quantum
+    # columns are array<struct<value,ts>>; returns the values whose ts is
+    # in [from, to)
+    "RANGEQ": (1, 3, lambda a: _f_rangeq(a)),
 }
+
+
+def _f_rangeq(a: list[str]) -> str:
+    conds = []
+    if len(a) > 1:
+        conds.append(f"x.ts >= {a[1]}")
+    if len(a) > 2:
+        conds.append(f"x.ts < {a[2]}")
+    inner = a[0]
+    if conds:
+        inner = f"filter({a[0]}, x -> {' AND '.join(conds)})"
+    return f"transform({inner}, x -> x.value)"
 
 #: FeatureBase CAST target types (astdatatype.go:10-26) → Spark SQL types.
 _CAST_TYPES = {

@@ -439,3 +439,22 @@ def test_golden_orderby_directions(spark):
         "select _id from ordertest order by k asc, v desc",
     ).collect()
     assert [r[0] for r in rows] == [1, 2, 3, 4]
+
+
+def test_golden_rangeq_quantum(spark):
+    # defs_timequantum.go shape: quantum column filtered by time range
+    # (RANGEQ inbuiltfunctionsquantum.go:8-60)
+    spark.sql(
+        "select 1 as _id, array("
+        "  named_struct('value', 'a', 'ts', timestamp'2024-01-01 00:00:00'),"
+        "  named_struct('value', 'b', 'ts', timestamp'2024-06-01 00:00:00')"
+        ") as tq"
+    ).createOrReplaceTempView("quantumtest")
+    got = fb_sql(
+        spark,
+        "select rangeq(tq, timestamp'2024-03-01 00:00:00', "
+        "timestamp'2024-12-31 00:00:00') as vals from quantumtest",
+    ).first()["vals"]
+    assert got == ["b"]
+    got = fb_sql(spark, "select rangeq(tq) as vals from quantumtest").first()["vals"]
+    assert got == ["a", "b"]
