@@ -1610,3 +1610,25 @@ def pql_groupby_multi_agg(spark, sf_dir):
         F.col("max_user_id").cast("long").alias("max_user_id"),
         F.col("count_distinct_user_id").cast("long").alias("count_distinct_user_id"),
     )
+
+
+@register(
+    "pql_percentile_search",
+    "SELECT CAST(v AS BIGINT) AS p95 FROM ("
+    "  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n FROM ("
+    "    SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events WHERE value IS NOT NULL)"
+    ") WHERE rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT))",
+)
+def pql_percentile_search(spark, sf_dir):
+    """The SCALE path for exact nearest-rank percentile: binary search over
+    the value domain with one pushed-down Count per probe — a direct
+    re-expression of executePercentile (executor.go:1310-1603). O(log
+    range) cheap scans; no sort, no rank materialization, driver holds
+    two scalars. (The rank-k form pql_percentile covers small/medium.)"""
+    from featurebase_spark.pql.calls import percentile_search
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        F.floor(F.col("value")).cast("long").alias("v")
+    )
+    p95 = percentile_search(ev, "v", 95)
+    return spark.createDataFrame([(int(p95),)], "p95 LONG")
