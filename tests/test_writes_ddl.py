@@ -149,3 +149,30 @@ def test_fb_databases(spark):
     dbs = Catalog(spark).fb_databases().collect()
     assert any(r["name"] == "default" for r in dbs)
     assert set(dbs[0].asDict()) == {"name", "catalog"}
+
+
+def test_keyed_table_ddl_and_dialect(spark):
+    """String-keyed table (index keys=true, index.go:36; defs_keyed.go):
+    DDL create + upsert-by-string-key + dialect SELECT."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.schema import FieldDef, TableDef
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    cat.drop_table("keyed_people", if_exists=True)
+    cat.create_table(
+        TableDef("keyed_people", [FieldDef("age", "int")], keys=True)
+    )
+    cat.insert(
+        "keyed_people",
+        spark.createDataFrame([("ann", 30), ("bob", 41)], "_id STRING, age LONG"),
+    )
+    cat.insert(  # upsert: 'ann' overwritten by key
+        "keyed_people",
+        spark.createDataFrame([("ann", 31)], "_id STRING, age LONG"),
+    )
+    rows = fb_sql(
+        spark, "select top(5) _id, age from keyed_people order by _id"
+    ).collect()
+    assert [(r["_id"], r["age"]) for r in rows] == [("ann", 31), ("bob", 41)]
+    assert cat.fb_columns("keyed_people").first()["keys"] is True
