@@ -1632,3 +1632,27 @@ def pql_percentile_search(spark, sf_dir):
     )
     p95 = percentile_search(ev, "v", 95)
     return spark.createDataFrame([(int(p95),)], "p95 LONG")
+
+
+@register(
+    "skew_salted_groupby",
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v "
+    "FROM events WHERE event_type IS NOT NULL "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def skew_salted_groupby(spark, sf_dir):
+    """Hot-key-proof aggregation (operators/skew.salted_agg): two-phase
+    salted groupBy — partials on (key, salt) fan a hot key over 64 tasks,
+    final combine on key. The oracle proves salted ≡ plain."""
+    from featurebase_spark.operators.skew import salted_agg
+
+    ev = (
+        _tables(spark, sf_dir)["events"]
+        .where(F.col("event_type").isNotNull())
+        .withColumn("dv", dec("value"))
+    )
+    out = salted_agg(ev, ["event_type"], sum_cols={"dv": "sum_v"}, count_alias="n")
+    return out.select(
+        "event_type", "n", F.col("sum_v").cast("double").alias("sum_v")
+    ).orderBy("event_type")
