@@ -25,11 +25,15 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 
-def _salt(buckets: int):
-    # monotonically_increasing_id is decorrelated from any key value and
-    # needs no extra column; aggregation results are invariant to the
-    # specific salt assignment (phase 2 re-combines).
-    return F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).cast("int")
+def _salt(df: DataFrame, buckets: int):
+    # The salt feeds a shuffle key, so it must be DETERMINISTIC under
+    # partial recomputation: a stage retry after a shuffle-fetch failure
+    # re-evaluates the expression, and a nondeterministic salt
+    # (monotonically_increasing_id, rand) could assign rows to different
+    # buckets than already-consumed output — duplicating/losing rows.
+    # Hash the whole row instead: stable across retries, decorrelated
+    # from any single hot key value.
+    return F.pmod(F.xxhash64(*df.columns), F.lit(buckets)).cast("int")
 
 
 def salted_agg(
@@ -56,7 +60,7 @@ def salted_agg(
         partial_aggs.append(F.sum(col).alias(f"__ps_{alias}"))
         final_aggs.append(F.sum(f"__ps_{alias}").alias(alias))
     partial = (
-        df.withColumn("__salt", _salt(buckets))
+        df.withColumn("__salt", _salt(df, buckets))
         .groupBy(*keys, "__salt")
         .agg(*partial_aggs)
     )
@@ -81,7 +85,7 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left")
-    salted_facts = facts.withColumn("__salt", _salt(buckets))
+    salted_facts = facts.withColumn("__salt", _salt(facts, buckets))
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(buckets - 1))
     ).alias("__salt")

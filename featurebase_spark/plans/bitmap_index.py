@@ -343,10 +343,13 @@ class BitmapCatalog:
         return frame
 
     def _atom_frame(self, atom: Atom) -> DataFrame:
+        # Compare under the same cast('string') rule build_bitmap_index used
+        # to store values (Python str(True) = 'True' but Spark renders
+        # 'true'; lit().cast keeps the two sides consistent).
         idx = self._indexes[atom.field]
-        return idx.where(F.col("value") == F.lit(str(atom.value))).select(
-            "shard", "bitmap"
-        )
+        return idx.where(
+            F.col("value") == F.lit(atom.value).cast("string")
+        ).select("shard", "bitmap")
 
     def _cmp_frame(self, node: Cmp) -> DataFrame:
         """Row(f <op> v) from the BSI planes — per-shard bit descent, one

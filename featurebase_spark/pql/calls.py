@@ -343,7 +343,7 @@ class Limit(RowCall):
     Spark plans this as a TakeOrdered-style global limit."""
 
     child: RowCall
-    limit: int = 2**63 - 1
+    limit: Optional[int] = None
     offset: int = 0
 
     def predicate(self, idx: Index) -> None:
@@ -353,7 +353,11 @@ class Limit(RowCall):
         out = self.child.ids(idx).orderBy("_id")
         if self.offset:
             out = out.offset(self.offset)
-        return out.limit(self.limit)
+        if self.limit is not None:
+            # DataFrame.limit takes a JVM int; the reference's implicit
+            # "unlimited" (math.MaxUint64, executor.go:1036) maps to no limit.
+            out = out.limit(min(self.limit, 2**31 - 1))
+        return out
 
 
 # ---------------------------------------------------------------------------

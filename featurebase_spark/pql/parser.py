@@ -212,7 +212,7 @@ def _build(name: str, pos: list, kw: dict):
     if name == "Shift":
         return C.Shift(pos[0], kw.get("n", 1))
     if name == "Limit":
-        return C.Limit(pos[0], limit=kw.get("limit", 2**63 - 1), offset=kw.get("offset", 0))
+        return C.Limit(pos[0], limit=kw.get("limit"), offset=kw.get("offset", 0))
     if name == "Count":
         return C.Count(pos[0])
     if name in ("Sum", "Min", "Max"):

@@ -244,23 +244,18 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     "DATETIMEDIFF": (3, 3, _f_datetimediff),
     "DATETIMEFROMPARTS": (3, 7, _f_datetimefromparts),
     "TOTIMESTAMP": (1, 2, _f_totimestamp),
-    # time-quantum range filter (inbuiltfunctionsquantum.go:8-60): quantum
-    # columns are array<struct<value,ts>>; returns the values whose ts is
-    # in [from, to)
-    "RANGEQ": (1, 3, lambda a: _f_rangeq(a)),
+    # time-quantum range filter (inbuiltfunctionsquantum.go:8-60): BOOL,
+    # exactly 3 args (from/to each nullable, not both), valid as a WHERE
+    # pushdown — true iff any entry of the quantum column falls in [from, to)
+    "RANGEQ": (3, 3, lambda a: _f_rangeq(a)),
 }
 
 
 def _f_rangeq(a: list[str]) -> str:
-    conds = []
-    if len(a) > 1:
-        conds.append(f"x.ts >= {a[1]}")
-    if len(a) > 2:
-        conds.append(f"x.ts < {a[2]}")
-    inner = a[0]
-    if conds:
-        inner = f"filter({a[0]}, x -> {' AND '.join(conds)})"
-    return f"transform({inner}, x -> x.value)"
+    return (
+        f"exists({a[0]}, x -> (({a[1]}) IS NULL OR x.ts >= ({a[1]}))"
+        f" AND (({a[2]}) IS NULL OR x.ts < ({a[2]})))"
+    )
 
 #: FeatureBase CAST target types (astdatatype.go:10-26) → Spark SQL types.
 _CAST_TYPES = {

@@ -116,6 +116,19 @@ def test_index_topk(cat, tables):
     assert got == exp
 
 
+def test_index_on_bool_field(spark):
+    """Boolean atoms: Python str(True)='True' but the index stores Spark
+    cast('string')='true' — lookup must use the Spark casting rule."""
+    df = spark.createDataFrame(
+        [(0, True), (1, False), (2, True), (3, None)], "_id LONG, flag BOOLEAN"
+    )
+    c = BitmapCatalog(shard_exp=8)
+    c.index_field(df, "flag")
+    assert c.count(Atom("flag", True)) == 2
+    assert c.count(Atom("flag", False)) == 1
+    assert sorted(r["_id"] for r in c.ids(Atom("flag", True)).collect()) == [0, 2]
+
+
 def test_index_on_set_field(spark):
     df = spark.createDataFrame(
         [(0, ["a", "b"]), (1, ["b"]), (2, None), (300, ["a"])],

@@ -442,19 +442,24 @@ def test_golden_orderby_directions(spark):
 
 
 def test_golden_rangeq_quantum(spark):
-    # defs_timequantum.go shape: quantum column filtered by time range
-    # (RANGEQ inbuiltfunctionsquantum.go:8-60)
+    # defs_timequantum.go shape: RANGEQ is a BOOL 3-arg WHERE pushdown filter
+    # (analyzeFunctionRangeQ inbuiltfunctionsquantum.go:8-46); from/to are
+    # each nullable but not both
     spark.sql(
-        "select 1 as _id, array("
-        "  named_struct('value', 'a', 'ts', timestamp'2024-01-01 00:00:00'),"
-        "  named_struct('value', 'b', 'ts', timestamp'2024-06-01 00:00:00')"
-        ") as tq"
+        "select * from values"
+        " (1, array(named_struct('value', 'a', 'ts', timestamp'2024-01-01 00:00:00'))),"
+        " (2, array(named_struct('value', 'b', 'ts', timestamp'2024-06-01 00:00:00')))"
+        " as t(_id, tq)"
     ).createOrReplaceTempView("quantumtest")
-    got = fb_sql(
+    rows = fb_sql(
         spark,
-        "select rangeq(tq, timestamp'2024-03-01 00:00:00', "
-        "timestamp'2024-12-31 00:00:00') as vals from quantumtest",
-    ).first()["vals"]
-    assert got == ["b"]
-    got = fb_sql(spark, "select rangeq(tq) as vals from quantumtest").first()["vals"]
-    assert got == ["a", "b"]
+        "select _id from quantumtest where rangeq(tq, "
+        "timestamp'2024-03-01 00:00:00', timestamp'2024-12-31 00:00:00')",
+    ).collect()
+    assert [r[0] for r in rows] == [2]
+    rows = fb_sql(
+        spark,
+        "select _id from quantumtest where "
+        "rangeq(tq, null, timestamp'2024-03-01 00:00:00')",
+    ).collect()
+    assert [r[0] for r in rows] == [1]

@@ -77,6 +77,17 @@ def test_shift_and_limit(ev):
     assert ids == [1, 2, 3]
 
 
+def test_limit_offset_only(ev):
+    """Offset-only paging — reference executeLimitCall defaults limit to
+    MaxUint64 (executor.go:1036); must not be passed to DataFrame.limit."""
+    total = ev.df.count()
+    ids = Limit(All(), offset=3).ids(ev).collect()
+    assert len(ids) == total - 3
+    assert ids[0]["_id"] == 3
+    # explicit giant limit is capped, not forwarded to the JVM
+    assert Limit(All(), limit=2**40).ids(ev).count() == total
+
+
 def test_union_rows(ev):
     assert cnt(UnionRows("event_type"), ev) == ev.df.where(
         F.col("event_type").isNotNull()
