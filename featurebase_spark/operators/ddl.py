@@ -33,6 +33,14 @@ class Catalog:
         self._defs: dict[str, TableDef] = {}
         self._views: dict[str, str] = {}
 
+    @property
+    def _data_path(self) -> str:
+        if self.path_prefix is None:
+            import tempfile
+
+            self.path_prefix = tempfile.mkdtemp(prefix="fb_catalog_")
+        return self.path_prefix
+
     # -- CREATE/DROP/ALTER TABLE (compilecreatetable.go:28-77,
     #    compilealtertable.go:26-81)
 
@@ -73,12 +81,11 @@ class Catalog:
         """INSERT (upsert-by-_id, opinsert.go:16-453). ``replace=False``
         mirrors plain INSERT which in the reference still overwrites by
         key — kept for API clarity."""
-        from featurebase_spark.operators.writes import merge_upsert
+        from featurebase_spark.operators.writes import materialize_view, merge_upsert
 
         merged = merge_upsert(self.spark.table(name), rows, "_id")
-        # temp-view model: materialize to break the self-reference cycle
-        merged = self.spark.createDataFrame(merged.collect(), merged.schema)
-        merged.createOrReplaceTempView(name)
+        # distributed parquet commit — no rows ever pass through the driver
+        materialize_view(merged, name, self._data_path)
 
     # -- CREATE VIEW (compilecreateview.go:14-60 — stores SQL text,
     #    re-compiled on use; Spark temp views do exactly this)

@@ -18,9 +18,45 @@ Null-handling note: ``Set`` on a mutex/int field REPLACES the old value
 
 from __future__ import annotations
 
+import os
+import uuid
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def materialize_view(df: DataFrame, name: str, base_path: str) -> DataFrame:
+    """Commit ``df`` as the new contents of temp view ``name`` via a
+    distributed parquet write to a fresh generation directory — the
+    copy-on-write commit step of the temp-view table model. Never moves
+    rows through the driver: the write is executor-parallel and the view
+    re-registers over the written files. (With Delta/Iceberg this whole
+    helper is replaced by a transactional MERGE/overwrite.)
+
+    A NEW generation dir — not overwrite-in-place — because ``df`` usually
+    derives from the current view: overwriting files that the plan is
+    about to read would race. Old generations stay until
+    :func:`vacuum_generations`; at scale the swap is a catalog pointer
+    flip and old data files get vacuumed asynchronously, exactly Delta's
+    commit model."""
+    spark = df.sparkSession
+    path = os.path.join(base_path, name, uuid.uuid4().hex[:12])
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.schema(df.schema).parquet(path)
+    out.createOrReplaceTempView(name)
+    return out
+
+
+def vacuum_generations(base_path: str, name: str, keep: str) -> None:
+    """Delete all generation dirs of ``name`` except ``keep`` (basename)."""
+    import shutil
+
+    root = os.path.join(base_path, name)
+    if not os.path.isdir(root):
+        return
+    for gen in os.listdir(root):
+        if gen != keep:
+            shutil.rmtree(os.path.join(root, gen), ignore_errors=True)
 
 
 def merge_upsert(

@@ -73,25 +73,33 @@ def upsert_sink(
     key: str = "_id",
     checkpoint: Optional[str] = None,
     trigger_seconds: Optional[int] = None,
+    table_path: Optional[str] = None,
 ):
     """The reference's ingest contract: each micro-batch is an upsert-by-key
     into the visible table (bit-flip visibility, idk/ingest.go:222-560).
 
     Implemented with ``foreachBatch`` + :func:`operators.writes.
-    bulk_upsert_last_write_wins` against a registered temp view; with Delta
-    on the classpath the body becomes ``DeltaTable.merge`` unchanged.
-    Returns the StreamingQuery (caller: ``q.processAllAvailable()``)."""
-    from featurebase_spark.operators.writes import bulk_upsert_last_write_wins
+    bulk_upsert_last_write_wins` committed via a distributed parquet
+    generation swap (``materialize_view``) — rows never pass through the
+    driver; with Delta on the classpath the body becomes
+    ``DeltaTable.merge`` unchanged. ``table_path`` roots the generation
+    dirs (default: a fresh temp dir). Returns the StreamingQuery
+    (caller: ``q.processAllAvailable()``)."""
+    from featurebase_spark.operators.writes import (
+        bulk_upsert_last_write_wins,
+        materialize_view,
+    )
 
     spark = stream.sparkSession
+    if table_path is None:
+        import tempfile
+
+        table_path = tempfile.mkdtemp(prefix="fb_stream_")
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         current = spark.table(target_view)
         merged = bulk_upsert_last_write_wins(current, batch, key)
-        # temp-view model: materialize (Delta MERGE in production)
-        spark.createDataFrame(
-            merged.collect(), merged.schema
-        ).createOrReplaceTempView(target_view)
+        materialize_view(merged, target_view, table_path)
 
     writer = stream.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint:

@@ -143,6 +143,50 @@ def test_catalog_ddl_roundtrip(spark):
         cat.drop_table("t_ddl")
 
 
+def test_insert_never_collects_to_driver(spark, monkeypatch, tmp_path):
+    """The INSERT commit path must be fully distributed (VERDICT r1 #1):
+    a parquet generation swap, never DataFrame.collect through the driver."""
+    import pyspark.sql
+
+    cat = Catalog(spark, path_prefix=str(tmp_path))
+    td = TableDef("t_nocollect", [FieldDef("v", "int")])
+    cat.create_table(td)
+    schema = spark.table("t_nocollect").schema
+
+    def banned(self, *a, **k):
+        raise AssertionError("collect() on the write path")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", banned)
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toLocalIterator", banned)
+    cat.insert("t_nocollect", spark.createDataFrame([(1, 10), (2, 20)], schema))
+    cat.insert("t_nocollect", spark.createDataFrame([(2, 99), (3, 30)], schema))
+    monkeypatch.undo()
+    got = {r["_id"]: r["v"] for r in spark.table("t_nocollect").collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+    cat.drop_table("t_nocollect")
+
+
+def test_materialize_view_generations(spark, tmp_path):
+    from featurebase_spark.operators.writes import (
+        materialize_view,
+        vacuum_generations,
+    )
+    import os
+
+    df1 = spark.createDataFrame([(1,)], "a LONG")
+    materialize_view(df1, "t_gen", str(tmp_path))
+    df2 = spark.table("t_gen").withColumn("a", F.col("a") + 1)
+    out = materialize_view(df2, "t_gen", str(tmp_path))
+    assert [r["a"] for r in spark.table("t_gen").collect()] == [2]
+    gens = os.listdir(tmp_path / "t_gen")
+    assert len(gens) == 2
+    keep = os.path.basename(os.path.dirname(out.inputFiles()[0]))
+    vacuum_generations(str(tmp_path), "t_gen", keep)
+    assert os.listdir(tmp_path / "t_gen") == [keep]
+    assert [r["a"] for r in spark.table("t_gen").collect()] == [2]
+    spark.catalog.dropTempView("t_gen")
+
+
 def test_fb_databases(spark):
     from featurebase_spark.operators.ddl import Catalog
 
