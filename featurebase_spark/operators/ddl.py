@@ -87,6 +87,38 @@ class Catalog:
         # distributed parquet commit — no rows ever pass through the driver
         materialize_view(merged, name, self._data_path)
 
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Replace a table's contents (DELETE/TRUNCATE commit path) —
+        same distributed generation swap as insert."""
+        from featurebase_spark.operators.writes import materialize_view
+
+        if name not in self._defs:
+            raise ValueError(f"table {name} does not exist")
+        materialize_view(df, name, self._data_path)
+
+    def ddl_text(self, name: str) -> str:
+        """SHOW CREATE TABLE reconstruction from the stored TableDef."""
+        td = self._defs[name]
+        cols = [f"_id {'string' if td.keys else 'id'}"]
+        for f in td.fields:
+            parts = [f.name, f.fb_type]
+            if f.fb_type == "decimal":
+                parts[1] = f"decimal({f.scale})"
+            if f.min is not None:
+                parts.append(f"min {f.min}")
+            if f.max is not None:
+                parts.append(f"max {f.max}")
+            if f.time_unit:
+                parts.append(f"timeunit '{f.time_unit}'")
+            if f.time_quantum:
+                parts.append(f"timequantum '{f.time_quantum}'")
+                if f.ttl:
+                    parts.append(f"ttl '{f.ttl}'")
+            if f.cache_type:
+                parts.append(f"cachetype {f.cache_type}")
+            cols.append(" ".join(parts))
+        return f"create table {name} ({', '.join(cols)})"
+
     # -- CREATE VIEW (compilecreateview.go:14-60 — stores SQL text,
     #    re-compiled on use; Spark temp views do exactly this)
 

@@ -1575,6 +1575,104 @@ def ddl_catalog_roundtrip(spark, sf_dir):
 
 
 @register(
+    "sql_text_ddl_insert",
+    "SELECT _id, a, s, CAST(bl AS BIGINT) AS bl, n_event FROM (VALUES "
+    "(4, 400, 'foobar', false, 3), "
+    "(5, 50, 'var', true, 3), "
+    "(6, NULL, NULL, NULL, NULL)) AS t(_id, a, s, bl, n_event) ORDER BY _id",
+)
+def sql_text_ddl_insert(spark, sf_dir):
+    """The SQL-TEXT statement door (statement dispatch
+    executionplanner.go:137-188): reference-corpus CREATE TABLE with
+    column constraints (parser.go:487-907) + INSERT/REPLACE with exprs,
+    set literals, nulls, and upsert-by-_id (compileinsert.go:17-160,
+    defs_inserts.go shapes) executed verbatim as text, then queried back
+    through the same door. Oracle is the expected literal end state."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    fb_sql(
+        spark,
+        "create table t_stmt_ins (_id id, a int min 0 max 1000, s string, "
+        "bl bool, event stringset)",
+        catalog=cat,
+    )
+    fb_sql(
+        spark,
+        "insert into t_stmt_ins (_id, a, s, bl, event) "
+        "values (4, 40, 'foo', true, ['A'])",
+        catalog=cat,
+    )
+    # REPLACE (= upsert) overwrites _id 4; expressions are evaluated
+    fb_sql(
+        spark,
+        "replace into t_stmt_ins (_id, a, s, bl, event) "
+        "values (4, 40*10, 'foo' || 'bar', 1 > 2, ['A', 'B', 'C'])",
+        catalog=cat,
+    )
+    fb_sql(
+        spark,
+        "insert into t_stmt_ins (_id, a, s, bl, event) values "
+        "(5, 50, 'var', true, ['X', 'Y', 'Z']), "
+        "(6, null, null, null, null)",
+        catalog=cat,
+    )
+    return fb_sql(
+        spark,
+        "select _id, a, s, bl, size(event) as n_event from t_stmt_ins "
+        "order by _id",
+        catalog=cat,
+    ).select(
+        F.col("_id").cast("long").alias("_id"),
+        F.col("a").cast("long").alias("a"),
+        "s",
+        F.col("bl").cast("long").alias("bl"),
+        F.col("n_event").cast("long").alias("n_event"),
+    )
+
+
+@register(
+    "sql_text_bulk_delete",
+    "SELECT p_partkey AS _id, upper(p_name) AS name, "
+    "CAST(p_size * 2 AS BIGINT) AS size2 FROM part "
+    "WHERE p_size * 2 > 50 ORDER BY _id LIMIT 50",
+)
+def sql_text_bulk_delete(spark, sf_dir):
+    """BULK INSERT + DELETE as SQL text (grammar parser.go:1788-1978,
+    compiledelete.go:14-57): MAP/TRANSFORM with @n positional refs loads
+    the parquet, a filtered DELETE removes the complement, the survivors
+    are read back — all through fb_sql."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    fb_sql(
+        spark,
+        "create table t_stmt_bulk (_id id, name string, size2 int)",
+        catalog=cat,
+    )
+    fb_sql(
+        spark,
+        "bulk insert into t_stmt_bulk (_id, name, size2) "
+        "map (p_partkey id, p_name string, p_size int) "
+        "transform (@0, upper(@1), @2 * 2) "
+        f"from '{sf_dir}/part.parquet' with format 'PARQUET' input 'FILE'",
+        catalog=cat,
+    )
+    fb_sql(spark, "delete from t_stmt_bulk where size2 <= 50", catalog=cat)
+    return fb_sql(
+        spark,
+        "select top(50) _id, name, size2 from t_stmt_bulk order by _id",
+        catalog=cat,
+    ).select(
+        F.col("_id").cast("long").alias("_id"),
+        "name",
+        F.col("size2").cast("long").alias("size2"),
+    )
+
+
+@register(
     "pql_groupby_multi_agg",
     "SELECT event_type, COUNT(*) AS count, "
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_dvalue, "

@@ -36,6 +36,8 @@ class FieldDef:
     time_quantum: Optional[str] = None  # Y|YM|YMD|YMDH (field.go:325-351)
     ttl: Optional[str] = None  # e.g. '30d' — view expiry (field.go:329)
     foreign_index: Optional[str] = None  # cross-table ref (field.go:133-141)
+    time_unit: Optional[str] = None  # timestamp s/ms/us/ns (field.go:192-251)
+    cache_type: Optional[str] = None  # ranked|lru TopN cache (field.go:31)
 
 
 def spark_type(f: FieldDef) -> DataType:

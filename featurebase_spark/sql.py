@@ -444,10 +444,21 @@ def translate(sql: str) -> str:
     return rw.scope(None).strip().rstrip(";")
 
 
-def fb_sql(spark: SparkSession, sql: str) -> DataFrame:
+def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
     """Execute FeatureBase-dialect SQL against registered Spark views —
     the ``POST /sql`` front door (http_handler.go:1440-1530), with
-    Catalyst in place of sql3's analyze/compile/optimize pipeline."""
+    Catalyst in place of sql3's analyze/compile/optimize pipeline.
+
+    Queries translate to Spark SQL; non-SELECT statements (CREATE/ALTER/
+    DROP/INSERT/REPLACE/BULK INSERT/DELETE/SHOW — statement dispatch
+    ``executionplanner.go:137-188``) route through
+    :mod:`featurebase_spark.statements` to the Catalog/write/source
+    implementations. DDL/DML return None (the reference returns empty
+    headers); SHOW and queries return a DataFrame."""
+    from featurebase_spark import statements
+
+    if statements.is_statement(sql):
+        return statements.execute_statement(spark, sql, catalog)
     return spark.sql(translate(sql))
 
 

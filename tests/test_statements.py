@@ -1,0 +1,300 @@
+"""SQL-text statement surface — golden mirrors of sql3/test/defs
+(defs_create_table.go, defs_inserts.go, defs_keyed_insert.go,
+defs_bulkinsert.go, defs_delete.go) run through fb_sql, asserting the same
+ExpErr substrings the reference asserts."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from featurebase_spark.operators.ddl import Catalog
+from featurebase_spark.sql import fb_sql
+from featurebase_spark.statements import StatementError
+
+
+@pytest.fixture()
+def cat(spark):
+    return Catalog(spark)
+
+
+def _mk_testinsert(spark, cat):
+    fb_sql(
+        spark,
+        "create table testinsert (_id id, a int min 0 max 1000, "
+        "b int min 0 max 1000, s string, bl bool, d decimal(2) min 0 max 1000, "
+        "event stringset, ievent idset)",
+        catalog=cat,
+    )
+
+
+def test_insert_replace_upsert_exprs(spark, cat):
+    _mk_testinsert(spark, cat)
+    fb_sql(
+        spark,
+        "insert into testinsert (_id, a, b, s, bl, d, event, ievent) values "
+        "(4, 40, 400, 'foo', false, 10.12, ['A', 'B', 'C'], [1, 2, 3])",
+        catalog=cat,
+    )
+    # replace == insert (both upsert by _id, ast.go:3422-3479)
+    fb_sql(
+        spark,
+        "replace into testinsert (_id, a, b, s, bl, d, event, ievent) values "
+        "(4, 40*10, 400+1, 'foo' || 'bar', 1 > 2, 10.12 + 3.1, ['A'], [1])",
+        catalog=cat,
+    )
+    fb_sql(
+        spark,
+        "insert into testinsert (_id, a, b, s, bl, d, event, ievent) values "
+        "(5, 50, 500, 'var', true, 20.24, ['X', 'Y', 'Z'], [4, 5, 6]), "
+        "(6, null, null, null, null, null, null, null)",
+        catalog=cat,
+    )
+    got = {
+        r["_id"]: (r["a"], r["b"], r["s"], r["bl"])
+        for r in spark.table("testinsert").collect()
+    }
+    assert got == {
+        4: (400, 401, "foobar", False),
+        5: (50, 500, "var", True),
+        6: (None, None, None, None),
+    }
+    cat.drop_table("testinsert")
+
+
+# ExpErr mirrors — substrings copied verbatim from the reference corpus
+_INSERT_ERRS = [
+    ("insert into ifoo (a, b) values (1, 2)", "table 'ifoo' not found"),
+    ("insert into testinsert (c, b) values (1, 2)", "column 'c' not found"),
+    ("insert into testinsert (a, a, b) values (1, 2)", "duplicate column 'a'"),
+    (
+        "insert into testinsert (_id, a, b) values (1)",
+        "mismatch in the count of expressions and target columns",
+    ),
+    (
+        "insert into testinsert values (4, 40, 400)",
+        "mismatch in the count of expressions and target columns",
+    ),
+    (
+        "insert into testinsert (a, b) values (1, 2)",
+        "insert column list must have '_id' column specified",
+    ),
+    (
+        "insert into testinsert (_id) values (1)",
+        "insert column list must have at least one non '_id' column specified",
+    ),
+    (
+        "insert into testinsert (_id, a, event) values (4, 40, [101, 150])",
+        "an expression of type 'idset' cannot be assigned to type 'stringset'",
+    ),
+    (
+        "insert into testinsert (_id, a, ievent) values (4, 40, ['POST', 'GET'])",
+        "an expression of type 'stringset' cannot be assigned to type 'idset'",
+    ),
+    (
+        "insert into testinsert (_id, a) values (400, -1)",
+        "inserting value into column 'a', row 1, value '-1' out of range",
+    ),
+    (
+        "insert into testinsert (_id, a) values (400, 1001)",
+        "inserting value into column 'a', row 1, value '1001' out of range",
+    ),
+    (
+        "insert into testinsert (_id, d) values (400, -1.00)",
+        "inserting value into column 'd', row 1, value '-1' out of range",
+    ),
+    (
+        "insert into testinsert (_id, d) values (400, 1001.00)",
+        "inserting value into column 'd', row 1, value '1001' out of range",
+    ),
+]
+
+
+@pytest.mark.parametrize("sql,err", _INSERT_ERRS, ids=[e[1][:40] for e in _INSERT_ERRS])
+def test_insert_error_surface(spark, cat, sql, err):
+    _mk_testinsert(spark, cat)
+    try:
+        with pytest.raises(StatementError, match=None) as ei:
+            fb_sql(spark, sql, catalog=cat)
+        assert err in str(ei.value)
+    finally:
+        cat.drop_table("testinsert")
+
+
+_CREATE_ERRS = [
+    (
+        "create table foo (_id id, i1 int) keypartitions 0",
+        "invalid value '0' for key partitions (should be a number between 1-10000)",
+    ),
+    (
+        "create table foo (_id id, i1 int) keypartitions 10001",
+        "invalid value '10001' for key partitions",
+    ),
+    ("create table foo (_id id, i1 int) comment 34", "string literal expected"),
+    ("create table foo (_id id, i1 int) comment bad", "expected literal, found bad"),
+    (
+        "create table bar (_id id, i1 int min 20 max 19)",
+        "int field min cannot be greater than max",
+    ),
+]
+
+
+@pytest.mark.parametrize("sql,err", _CREATE_ERRS, ids=[e[1][:40] for e in _CREATE_ERRS])
+def test_create_table_error_surface(spark, cat, sql, err):
+    with pytest.raises(StatementError) as ei:
+        fb_sql(spark, sql, catalog=cat)
+    assert err in str(ei.value)
+
+
+def test_create_table_comment_and_constraints_ok(spark, cat):
+    fb_sql(
+        spark,
+        "create table bar (_id id, i1 int min 0 max 100, t timestamp timeunit 'ms', "
+        "tq stringsetq timequantum 'YMD' ttl '30d', s string cachetype ranked size 50000) "
+        "comment 'this should work'",
+        catalog=cat,
+    )
+    fd = {f.name: f for f in cat._defs["bar"].fields}
+    assert fd["t"].time_unit == "ms"
+    assert fd["tq"].time_quantum == "YMD" and fd["tq"].ttl == "30d"
+    assert fd["s"].cache_type == "ranked"
+    ddl = fb_sql(spark, "show create table bar", catalog=cat).first()["ddl"]
+    assert "timequantum 'YMD' ttl '30d'" in ddl and "_id id" in ddl
+    cat.drop_table("bar")
+
+
+def test_alter_table_error_surface(spark, cat):
+    fb_sql(spark, "create table alter_t (_id id, a_int int)", catalog=cat)
+    with pytest.raises(StatementError, match="table 'alter_t_foo' not found"):
+        fb_sql(spark, "alter table alter_t_foo add column a_int int", catalog=cat)
+    with pytest.raises(StatementError, match="duplicate column 'a_int'"):
+        fb_sql(spark, "alter table alter_t add column a_int int", catalog=cat)
+    with pytest.raises(StatementError, match="column 'b_int' not found"):
+        fb_sql(spark, "alter table alter_t drop column b_int", catalog=cat)
+    fb_sql(spark, "alter table alter_t add column b_int int", catalog=cat)
+    assert "b_int" in spark.table("alter_t").columns
+    fb_sql(spark, "alter table alter_t drop column b_int", catalog=cat)
+    assert "b_int" not in spark.table("alter_t").columns
+    cat.drop_table("alter_t")
+
+
+def test_keyed_table_string_ids(spark, cat):
+    """defs_keyed_insert.go: _id string ⇒ keyed table
+    (compilecreatetable.go:59-63)."""
+    fb_sql(spark, "create table keyed_t (_id string, v int)", catalog=cat)
+    assert cat._defs["keyed_t"].keys is True
+    fb_sql(
+        spark,
+        "insert into keyed_t (_id, v) values ('alpha', 1), ('beta', 2)",
+        catalog=cat,
+    )
+    fb_sql(spark, "insert into keyed_t (_id, v) values ('alpha', 9)", catalog=cat)
+    got = {r["_id"]: r["v"] for r in spark.table("keyed_t").collect()}
+    assert got == {"alpha": 9, "beta": 2}
+    cat.drop_table("keyed_t")
+
+
+def test_bulk_insert_csv_ndjson_text(spark, cat, tmp_path):
+    csv = tmp_path / "d.csv"
+    csv.write_text("1,foo,10\n2,bar,20\n3,baz,30\n")
+    nd = tmp_path / "d.ndjson"
+    nd.write_text(
+        "\n".join(json.dumps({"id": i, "nm": f"n{i}", "v": i * 10}) for i in (4, 5))
+    )
+    fb_sql(spark, "create table bulk_t (_id id, nm string, v int)", catalog=cat)
+    fb_sql(
+        spark,
+        f"bulk insert into bulk_t (_id, nm, v) map (0 id, 1 string, 2 int) "
+        f"from '{csv}' with format 'CSV' input 'FILE'",
+        catalog=cat,
+    )
+    fb_sql(
+        spark,
+        "bulk insert into bulk_t (_id, nm, v) "
+        "map ('$.id' id, '$.nm' string, '$.v' int) "
+        f"from '{nd}' with format 'NDJSON' input 'FILE'",
+        catalog=cat,
+    )
+    assert spark.table("bulk_t").count() == 5
+    # TRANSFORM with @n positional refs over the MAP outputs
+    fb_sql(spark, "create table bulk_t2 (_id id, nm string, v int)", catalog=cat)
+    fb_sql(
+        spark,
+        "bulk insert into bulk_t2 (_id, nm, v) map (0 id, 1 string, 2 int) "
+        f"transform (@0, upper(@1), @2 * 2) from '{csv}' with format 'CSV'",
+        catalog=cat,
+    )
+    got = {r["_id"]: (r["nm"], r["v"]) for r in spark.table("bulk_t2").collect()}
+    assert got == {1: ("FOO", 20), 2: ("BAR", 40), 3: ("BAZ", 60)}
+    with pytest.raises(StatementError, match="table 'nope' not found"):
+        fb_sql(
+            spark,
+            f"bulk insert into nope (a) map (0 id) from '{csv}' with format 'CSV'",
+            catalog=cat,
+        )
+    cat.drop_table("bulk_t")
+    cat.drop_table("bulk_t2")
+
+
+def test_delete_where_and_truncate(spark, cat):
+    fb_sql(spark, "create table del_t (_id id, v int)", catalog=cat)
+    fb_sql(
+        spark,
+        "insert into del_t (_id, v) values (1, 10), (2, 20), (3, 30)",
+        catalog=cat,
+    )
+    fb_sql(spark, "delete from del_t where v > 15", catalog=cat)
+    assert [r["_id"] for r in spark.table("del_t").collect()] == [1]
+    fb_sql(spark, "delete from del_t", catalog=cat)
+    assert spark.table("del_t").count() == 0
+    cat.drop_table("del_t")
+
+
+def test_show_statements(spark, cat):
+    fb_sql(spark, "create table show_t (_id id, v int)", catalog=cat)
+    tables = fb_sql(spark, "show tables", catalog=cat).collect()
+    assert [r["name"] for r in tables] == ["show_t"]
+    cols = fb_sql(spark, "show columns from show_t", catalog=cat).collect()
+    assert [r["name"] for r in cols] == ["_id", "v"]
+    dbs = fb_sql(spark, "show databases", catalog=cat).collect()
+    assert any(r["name"] == "default" for r in dbs)
+    with pytest.raises(StatementError, match="table 'missing' not found"):
+        fb_sql(spark, "show columns from missing", catalog=cat)
+    cat.drop_table("show_t")
+
+
+def test_create_view_text(spark, cat):
+    fb_sql(spark, "create table view_base (_id id, v int)", catalog=cat)
+    fb_sql(
+        spark, "insert into view_base (_id, v) values (1, 5), (2, 50)", catalog=cat
+    )
+    fb_sql(
+        spark,
+        "create view big_v as select _id, v from view_base where v > 10",
+        catalog=cat,
+    )
+    assert [r["_id"] for r in spark.table("big_v").collect()] == [2]
+    fb_sql(spark, "drop view big_v", catalog=cat)
+    cat.drop_table("view_base")
+
+
+def test_timestamp_and_sets_insert(spark, cat):
+    """insertTimestampTest shape (defs_inserts.go:159-175)."""
+    fb_sql(
+        spark,
+        "CREATE TABLE ins_ts (_id id, time timestamp timeunit 'ms', "
+        "ids idset, strings stringset);",
+        catalog=cat,
+    )
+    fb_sql(
+        spark,
+        "INSERT INTO ins_ts(_id, time, ids, strings) VALUES "
+        "(1, '2023-01-01', [6 , 1, 9], ['red', 'blue', 'green']);",
+        catalog=cat,
+    )
+    r = spark.table("ins_ts").first()
+    assert str(r["time"]).startswith("2023-01-01")
+    assert sorted(r["ids"]) == [1, 6, 9]
+    assert sorted(r["strings"]) == ["blue", "green", "red"]
+    cat.drop_table("ins_ts")
