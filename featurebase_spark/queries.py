@@ -1152,6 +1152,86 @@ def pql_write_clear_store(spark, sf_dir):
     )
 
 
+#: Derived nullable column over events — the sf tables are null-free, so
+#: null-semantics keys derive NULLs deterministically (defs_null.go fixture
+#: role). Same expression on both engines.
+_NULLABLE_EVENTS_SQL = (
+    "SELECT event_id, user_id, value, "
+    "CASE WHEN user_id % 7 = 0 THEN NULL ELSE event_type END AS nt "
+    "FROM events"
+)
+
+
+def _nullable_events(spark, sf_dir) -> Index:
+    ev = _tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(F.col("user_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("nt"),
+    )
+    return Index(base, id_col="event_id")
+
+
+@register(
+    "pql_null_not",
+    f"SELECT event_id AS _id FROM ({_NULLABLE_EVENTS_SQL}) "
+    "WHERE nt IS NULL OR nt <> 'click'",
+)
+def pql_null_not(spark, sf_dir):
+    """Not() over a field WITH NULLs (defs_null.go semantics): the
+    existence complement INCLUDES null-valued records (executeNotShard
+    executor.go:5554-5603) — this key fails if the _truthy NULL→FALSE
+    coercion in Not.predicate is removed."""
+    idx = _nullable_events(spark, sf_dir)
+    return Not(Row("nt", "==", "click")).ids(idx)
+
+
+@register(
+    "pql_null_difference",
+    f"SELECT event_id AS _id FROM ({_NULLABLE_EVENTS_SQL}) "
+    "WHERE value > 50 AND NOT coalesce(nt = 'click', false)",
+)
+def pql_null_difference(spark, sf_dir):
+    """Difference(a, b) where b's field has NULLs: a-members that are
+    null under b must SURVIVE (a AND NOT b, executeDifferenceShard
+    executor.go:2950-2975) — fails without the negated-operand coercion."""
+    idx = _nullable_events(spark, sf_dir)
+    return Difference(Row("value", ">", 50), Row("nt", "==", "click")).ids(idx)
+
+
+@register(
+    "pql_null_xor",
+    f"SELECT event_id AS _id FROM ({_NULLABLE_EVENTS_SQL}) "
+    "WHERE coalesce(nt = 'click', false) <> coalesce(value > 300, false)",
+)
+def pql_null_xor(spark, sf_dir):
+    """Xor over null-bearing operands: NULL counts as bit-not-set on each
+    side (executeXorShard executor.go:5513-5534)."""
+    idx = _nullable_events(spark, sf_dir)
+    return Xor(Row("nt", "==", "click"), Row("value", ">", 300)).ids(idx)
+
+
+@register(
+    "sql_null_count",
+    f"SELECT COUNT(*) AS n_all, COUNT(nt) AS n_nt, "
+    f"CAST(COUNT(DISTINCT nt) AS BIGINT) AS n_distinct "
+    f"FROM ({_NULLABLE_EVENTS_SQL})",
+)
+def sql_null_count(spark, sf_dir):
+    """COUNT-over-NULL semantics (defs_null.go, expressionagg.go:17-47):
+    COUNT(*) counts rows, COUNT(col) skips NULLs, COUNT(DISTINCT col)
+    skips NULLs before dedup."""
+    idx = _nullable_events(spark, sf_dir)
+    return idx.df.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count("nt").alias("n_nt"),
+        F.countDistinct("nt").cast("long").alias("n_distinct"),
+    )
+
+
 @register(
     "source_bulk_insert",
     "SELECT p_partkey AS _id, upper(p_name) AS name, CAST(p_size * 2 AS BIGINT) AS size2 "

@@ -467,22 +467,32 @@ def _insert(p: _P, spark: SparkSession, catalog, replace: bool) -> None:
                         f"value '{_fmt_number(num)}' out of range"
                     )
 
-    # one inline-table plan for all tuples; outer select casts to the
-    # declared schema and fills unlisted columns with typed NULLs
-    vnames = [f"v{i}" for i in range(len(cols))]
-    values_sql = ", ".join("(" + ", ".join(t) + ")" for t in tuples)
+    # one inline-table plan for all tuples; every value expression is cast
+    # to its target column type IN the tuple (so mixed literal forms like
+    # `0` and `current_timestamp` into a timestamp column unify — integer
+    # timestamp literals are epoch seconds, defs_timestamp_literals.go),
+    # and unlisted columns are filled with typed NULLs
+    def _target_type(c: str) -> str:
+        if c == "_id":
+            return "string" if td.keys else "bigint"
+        return _sql_type_for(by_name[c])
+
+    col_types = [_target_type(c) for c in cols]
+    values_sql = ", ".join(
+        "(" + ", ".join(
+            f"CAST({e} AS {t})" for e, t in zip(tup, col_types)
+        ) + ")"
+        for tup in tuples
+    )
     casts = []
     for c in all_cols:
-        t = "string" if (c == "_id" and td.keys) else (
-            "bigint" if c == "_id" else _sql_type_for(by_name[c])
-        )
         if c in cols:
-            casts.append(f"CAST(v{cols.index(c)} AS {t}) AS {c}")
+            casts.append(f"v{cols.index(c)} AS {c}")
         else:
-            casts.append(f"CAST(NULL AS {t}) AS {c}")
+            casts.append(f"CAST(NULL AS {_target_type(c)}) AS {c}")
     rows = spark.sql(
         f"SELECT {', '.join(casts)} FROM (VALUES {values_sql}) "
-        f"AS __v({', '.join(vnames)})"
+        f"AS __v({', '.join(f'v{i}' for i in range(len(cols)))})"
     )
     catalog.insert(name, rows)
 
