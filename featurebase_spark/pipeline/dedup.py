@@ -344,18 +344,97 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     round_digits: int = 6,
+    candidates: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
-    This is the brute-force O(n²) verifier — at 100 TB pair generation must
-    come from :func:`featurebase_spark.pipeline.similarity.hyperplane_lsh`
-    buckets; this function then verifies within buckets."""
+    With ``candidates`` (an (id_a, id_b) frame, normally from
+    :func:`srp_banded_candidate_pairs`), the exact cosine is computed ONLY
+    for candidate pairs — two hash joins, work O(|candidates|). Without
+    it, this is the brute-force O(n²) verifier kept as the small-data /
+    test oracle twin; never run that form at scale."""
     from featurebase_spark.pipeline.similarity import cosine
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    if candidates is not None:
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
     return pairs.select("id_a", "id_b", sim.alias("cosine")).where(
         F.col("cosine") >= threshold
+    )
+
+
+def srp_banded_candidate_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded signed-random-projection LSH candidates: the cosine twin of
+    MinHash banding. Each vector gets ``n_planes`` sign bits (seeded
+    hyperplanes, similarity.make_hyperplanes); the bits split into
+    ``bands`` groups of r = n_planes/bands, and ids sharing any band's
+    bit-group become a candidate pair via ONE (band_id, band_key)
+    self-join — bucket-bounded equi-join work, never all-pairs.
+
+    Recall tuning: a pair at angle θ flips a plane with p = θ/π; the pair
+    is missed only if every band has a flipped bit ≈ (1-(1-p)^r)^bands.
+    With the defaults (r=2, b=32) a cosine-0.45 pair is missed with
+    p ≈ 2e-8 — raise bands for higher recall, raise r for fewer
+    candidates. The verify step (embedding_neardup_pairs with
+    candidates=) is exact, so parameters trade cost for recall only."""
+    from featurebase_spark.pipeline.similarity import dot, make_hyperplanes
+
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    r = n_planes // bands
+    dim = len(df.select(vec_col).first()[0])
+    planes = make_hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(dot(v, F.lit(p).cast("array<double>")) >= 0, 1).otherwise(0)
+        for p in planes
+    ]
+    band_keys = [
+        reduce(
+            lambda acc, j: acc * 2 + bits[b * r + j],
+            range(r),
+            F.lit(0),
+        )
+        for b in range(bands)
+    ]
+    unpivoted = df.select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band_id", "bk")
+    )
+    left = unpivoted.select(F.col(id_col).alias("id_a"), "band_id", "bk")
+    right = unpivoted.select(F.col(id_col).alias("id_b"), "band_id", "bk")
+    return (
+        left.join(right, ["band_id", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    n_planes: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The SCALE path for embedding near-dup: banded SRP-LSH candidates →
+    exact cosine verify restricted to candidates. Linear bucketing pass +
+    bucket-bounded joins; no crossJoin anywhere in the plan."""
+    cand = srp_banded_candidate_pairs(df, vec_col, id_col, n_planes, bands, seed)
+    return embedding_neardup_pairs(
+        df, vec_col, id_col, threshold, round_digits, candidates=cand
     )

