@@ -178,6 +178,38 @@ def external_lookup(
     )
 
 
+def external_lookup_write(
+    rows: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    writer=None,
+    **jdbc_options: str,
+) -> None:
+    """PQL ``ExternalLookup(child, query=..., write=true)``
+    (executor.go:4383-4413): the reference ships the bitmap's ids/keys as
+    a ``$1`` array param to an external PostgreSQL WRITE statement. The
+    distributed equivalent: JDBC-write the bitmap's rows from executors —
+    each partition opens its own connection, so write throughput scales
+    with partitions instead of funneling through one coordinator.
+
+    ``writer`` is the test seam (this container has no JDBC driver): pass
+    a callable taking the DataFrame to capture/redirect the write; omit it
+    in production for the real ``df.write.jdbc`` path."""
+    if writer is not None:
+        writer(rows)
+        return
+    w = (
+        rows.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .mode(mode)
+    )
+    for k, v in jdbc_options.items():
+        w = w.option(k, v)
+    w.save()
+
+
 def export_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """``GET /export`` per-shard CSV (http_handler.go:498) → partitioned
     CSV write (one file per partition = one per shard)."""

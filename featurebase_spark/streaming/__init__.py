@@ -22,6 +22,31 @@ from typing import Callable, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def decode_payload(
+    raw: DataFrame, payload_col: str, value_schema: str, format: str = "json"
+) -> DataFrame:
+    """Shared consumer decode contract (idk recordizer role,
+    idk/ingest.go:1733): a binary payload column → typed record columns.
+    ``json`` mirrors kafka_static's declared-schema JSON decode; ``avro``
+    mirrors the schema-registry consumer (import-gated — needs spark-avro
+    on the classpath, like the reference gates on registry availability)."""
+    if format == "json":
+        return raw.select(
+            F.from_json(F.col(payload_col).cast("string"), value_schema).alias("r")
+        ).select("r.*")
+    if format == "avro":
+        try:
+            from pyspark.sql.avro.functions import from_avro
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "avro decode needs spark-avro on the classpath"
+            ) from e
+        return raw.select(
+            from_avro(F.col(payload_col), value_schema).alias("r")
+        ).select("r.*")
+    raise ValueError(f"unknown format {format!r}")
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -31,10 +56,7 @@ def kafka_source(
     starting_offsets: str = "earliest",
 ) -> DataFrame:
     """idk Kafka consumer (idk/kafka/source.go:34-120): readStream +
-    decode. ``format='json'`` mirrors kafka_static (declared schema JSON);
-    ``'avro'`` mirrors the schema-registry consumer (needs the
-    spark-avro package on the classpath — import-gated like the reference
-    gates on registry availability)."""
+    decode."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -42,21 +64,40 @@ def kafka_source(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    if format == "json":
-        return raw.select(
-            F.from_json(F.col("value").cast("string"), value_schema).alias("r")
-        ).select("r.*")
-    if format == "avro":
-        try:
-            from pyspark.sql.avro.functions import from_avro
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "avro decode needs spark-avro on the classpath"
-            ) from e
-        return raw.select(from_avro(F.col("value"), value_schema).alias("r")).select(
-            "r.*"
-        )
-    raise ValueError(f"unknown format {format!r}")
+    return decode_payload(raw, "value", value_schema, format)
+
+
+def kinesis_source(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    value_schema: str,
+    format: str = "json",
+    endpoint_url: Optional[str] = None,
+    starting_position: str = "TRIM_HORIZON",
+) -> DataFrame:
+    """idk Kinesis consumer (idk/kinesis/source.go) on Structured
+    Streaming via the public spark-sql-kinesis connector (format
+    'kinesis'; records arrive in a binary ``data`` column). The connector
+    jar is not in this container, so ``load()`` raises a clear error —
+    the decode contract is :func:`decode_payload`, identical to Kafka's,
+    and is what the tests exercise."""
+    reader = (
+        spark.readStream.format("kinesis")
+        .option("streamName", stream_name)
+        .option("region", region)
+        .option("startingPosition", starting_position)
+    )
+    if endpoint_url:
+        reader = reader.option("endpointUrl", endpoint_url)
+    try:
+        raw = reader.load()
+    except Exception as e:  # connector jar absent
+        raise ImportError(
+            "kinesis source needs the spark-sql-kinesis connector on the "
+            "classpath (format 'kinesis')"
+        ) from e
+    return decode_payload(raw, "data", value_schema, format)
 
 
 def file_source(

@@ -186,3 +186,42 @@ def test_stateful_dedup_first_seen(spark, tmpdir):
         q.stop()
     got = spark.sql("SELECT * FROM dedup_out").collect()
     assert sorted(r["k"] for r in got) == [1, 2, 3]  # exactly one row per key
+
+
+def test_external_lookup_write_seam(spark):
+    """ExternalLookup write=true (executor.go:4383-4413): the bitmap's rows
+    reach the JDBC writer; the test double captures what production would
+    df.write.jdbc (no driver in this container)."""
+    ids = spark.createDataFrame([(1,), (5,), (9,)], "_id LONG")
+    captured = {}
+
+    def fake_writer(df):
+        captured["rows"] = sorted(r["_id"] for r in df.collect())
+        captured["schema"] = df.schema.simpleString()
+
+    SRC.external_lookup_write(
+        ids, "jdbc:postgresql://h/db", "lookup_tbl", writer=fake_writer
+    )
+    assert captured["rows"] == [1, 5, 9]
+    assert captured["schema"] == "struct<_id:bigint>"
+
+
+def test_kinesis_decode_contract(spark):
+    """kinesis_source shares decode_payload with Kafka: a binary `data`
+    column decodes to typed record columns (idk/kinesis consumer role)."""
+    raw = spark.createDataFrame(
+        [(json.dumps({"_id": 7, "name": "x"}).encode(),)], "data BINARY"
+    )
+    out = STR.decode_payload(raw, "data", "_id LONG, name STRING", "json")
+    r = out.first()
+    assert (r["_id"], r["name"]) == (7, "x")
+    with pytest.raises(ValueError, match="unknown format"):
+        STR.decode_payload(raw, "data", "_id LONG", "xml")
+
+
+def test_kinesis_source_import_gated(spark):
+    """Without the spark-sql-kinesis connector jar, kinesis_source raises
+    a clear ImportError (the reference's consumer likewise fails fast when
+    the AWS client is unconfigured)."""
+    with pytest.raises(ImportError, match="spark-sql-kinesis"):
+        STR.kinesis_source(spark, "events-stream", "us-east-1", "_id LONG")
