@@ -24,6 +24,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from featurebase_spark.pipeline.text import TOKEN_SEP, fingerprint, tokens
@@ -353,12 +354,35 @@ def embedding_neardup_pairs(
     for candidate pairs — two hash joins, work O(|candidates|). Without
     it, this is the brute-force O(n²) verifier kept as the small-data /
     test oracle twin; never run that form at scale."""
+    from pyspark.sql.types import DoubleType
+
     from featurebase_spark.pipeline.similarity import cosine
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if candidates is not None:
         pairs = candidates.join(a, "id_a").join(b, "id_b")
+
+        # Vectorized PREFILTER: one numpy matmul per Arrow batch discards
+        # the candidates that are nowhere near the threshold; the handful
+        # of survivors get the exact sequential-fold cosine below (whose
+        # accumulation order is the bit-deterministic contract shared
+        # with the oracle). The 1e-6 margin covers both float-accum
+        # divergence (~1e-12) and the round-to-6dp boundary (5e-7), so
+        # no qualifying pair can be lost.
+        @F.pandas_udf(DoubleType())
+        def cos_approx(va: pd.Series, vb: pd.Series) -> pd.Series:
+            import numpy as np
+
+            A = np.asarray([np.asarray(v, dtype=np.float64) for v in va])
+            B = np.asarray([np.asarray(v, dtype=np.float64) for v in vb])
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            return pd.Series(num / den)
+
+        pairs = pairs.where(
+            cos_approx(F.col("va"), F.col("vb")) >= threshold - 1e-6
+        )
     else:
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
@@ -387,29 +411,34 @@ def srp_banded_candidate_pairs(
     With the defaults (r=2, b=32) a cosine-0.45 pair is missed with
     p ≈ 2e-8 — raise bands for higher recall, raise r for fewer
     candidates. The verify step (embedding_neardup_pairs with
-    candidates=) is exact, so parameters trade cost for recall only."""
-    from featurebase_spark.pipeline.similarity import dot, make_hyperplanes
+    candidates=) is exact, so parameters trade cost for recall only.
+
+    The sign bits come from ONE Arrow-batched numpy matmul per batch
+    (X @ planes.T), not n_planes chained JVM fold expressions — 64
+    aggregate-lambda columns fall out of whole-stage codegen and measure
+    ~10× slower than the vectorized projection."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    from featurebase_spark.pipeline.similarity import make_hyperplanes
 
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
     r = n_planes // bands
     dim = len(df.select(vec_col).first()[0])
-    planes = make_hyperplanes(dim, n_planes, seed)
-    v = F.col(vec_col).cast("array<double>")
-    bits = [
-        F.when(dot(v, F.lit(p).cast("array<double>")) >= 0, 1).otherwise(0)
-        for p in planes
-    ]
-    band_keys = [
-        reduce(
-            lambda acc, j: acc * 2 + bits[b * r + j],
-            range(r),
-            F.lit(0),
-        )
-        for b in range(bands)
-    ]
+    P = np.asarray(make_hyperplanes(dim, n_planes, seed), dtype=np.float64).T
+    weights = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (X @ P >= 0).astype(np.int64)  # n × planes
+        keys = bits.reshape(len(X), bands, r) @ weights  # n × bands
+        return pd.Series(list(keys))
+
     unpivoted = df.select(
-        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band_id", "bk")
+        F.col(id_col),
+        F.posexplode(band_keys(F.col(vec_col))).alias("band_id", "bk"),
     )
     left = unpivoted.select(F.col(id_col).alias("id_a"), "band_id", "bk")
     right = unpivoted.select(F.col(id_col).alias("id_b"), "band_id", "bk")
@@ -430,11 +459,79 @@ def embedding_neardup_lsh(
     bands: int = 32,
     seed: int = 42,
     round_digits: int = 6,
+    chunk: int = 2048,
 ) -> DataFrame:
-    """The SCALE path for embedding near-dup: banded SRP-LSH candidates →
-    exact cosine verify restricted to candidates. Linear bucketing pass +
-    bucket-bounded joins; no crossJoin anywhere in the plan."""
-    cand = srp_banded_candidate_pairs(df, vec_col, id_col, n_planes, bands, seed)
+    """The SCALE path for embedding near-dup: SRP-LSH buckets →
+    WITHIN-BUCKET blocked-matmul verify → exact fold cosine on survivors.
+
+    Pairs are never enumerated outside a bucket: each (band, key) bucket
+    scores its own members with one numpy matmul (chunked to bound task
+    memory), emits only pairs clearing a loose threshold, and the few
+    survivors (deduped across bands) get the sequential-fold exact cosine
+    whose accumulation order is the oracle-deterministic contract. One
+    shuffle to bucket + one to dedupe; no crossJoin in the plan.
+
+    Scale/threshold honesty: LSH bucket selectivity collapses as the
+    threshold's angle approaches 90° (p_flip → 1/2) — at cos 0.9 buckets
+    prune hard; at cos 0.45 on random high-dim data nearly every pair
+    co-occurs in some bucket and the within-bucket matmul degrades
+    gracefully into BLOCKED brute force (BLAS block products, bounded
+    per-task memory) — which is the optimal exact plan there, since no
+    LSH family can prune wide-angle thresholds. Recall: a qualifying pair
+    is missed only if every band separates it ((1-(1-θ/π)^r)^bands ≈ 2e-8
+    at the defaults for cos 0.45)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    from featurebase_spark.pipeline.similarity import make_hyperplanes
+
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    r = n_planes // bands
+    dim = len(df.select(vec_col).first()[0])
+    P = np.asarray(make_hyperplanes(dim, n_planes, seed), dtype=np.float64).T
+    weights = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (X @ P >= 0).astype(np.int64)
+        return pd.Series(list(bits.reshape(len(X), bands, r) @ weights))
+
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(band_keys(F.col(vec_col))).alias("band_id", "bk"),
+    )
+    loose = threshold - 1e-6  # covers accum divergence + 6dp round boundary
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-300)
+        out_a, out_b = [], []
+        for s in range(0, len(ids), chunk):
+            rows = Xn[s : s + chunk]
+            S = rows @ Xn[s:].T  # this chunk × everything at-or-after it
+            ii, jj = np.nonzero(S >= loose)
+            gi, gj = s + ii, s + jj  # global indices
+            m = gi < gj  # strict upper triangle: each pair once, no self
+            out_a.append(ids[gi[m]])
+            out_b.append(ids[gj[m]])
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+        else:
+            a = b = np.empty(0, dtype=np.int64)
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
+    cand = (
+        bucketed.groupBy("band_id", "bk")
+        .applyInPandas(bucket_pairs, "id_a LONG, id_b LONG")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return embedding_neardup_pairs(
         df, vec_col, id_col, threshold, round_digits, candidates=cand
     )

@@ -520,6 +520,34 @@ class BitmapCatalog:
         r = frame.select(F.sum(pop(F.col("bitmap"))).alias("n")).first()
         return int(r["n"] or 0)
 
+    def count_many(self, nodes: Sequence) -> list[int]:
+        """Cardinalities of several expressions in ONE Spark action — the
+        reference's multi-call PQL request (a query string may hold many
+        calls, executor.go:183-489 loops them in one round trip). Each
+        tree still folds per shard; results merge by query tag."""
+        frames = [
+            self._eval(n).select(F.lit(i).alias("q"), "bitmap")
+            for i, n in enumerate(nodes)
+        ]
+        from functools import reduce as _reduce
+
+        allf = _reduce(lambda a, b: a.unionByName(b), frames)
+
+        @F.pandas_udf(LongType())
+        def pop(b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [_popcount(bytes(x) if x is not None else b"") for x in b]
+            )
+
+        rows = (
+            allf.select("q", pop(F.col("bitmap")).alias("n"))
+            .groupBy("q")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        got = {int(r["q"]): int(r["n"] or 0) for r in rows}
+        return [got.get(i, 0) for i in range(len(nodes))]
+
     def ids(self, node) -> DataFrame:
         """Materialize the record IDs of a bitmap expression (shard-parallel
         unpack — the Extract path back to row space)."""
