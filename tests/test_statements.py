@@ -298,3 +298,42 @@ def test_timestamp_and_sets_insert(spark, cat):
     assert sorted(r["ids"]) == [1, 6, 9]
     assert sorted(r["strings"]) == ["blue", "green", "red"]
     cat.drop_table("ins_ts")
+
+
+def test_copy_local_and_remote(spark, cat):
+    """COPY src TO tgt [WHERE] [WITH URL/APIKEY] (opcopy.go:24-515):
+    local copy clones the DDL and bulk-loads; remote goes through the
+    writer seam (no cloud endpoint in this container)."""
+    from featurebase_spark import statements as ST
+
+    fb_sql(spark, "create table copy_src (_id id, v int)", catalog=cat)
+    fb_sql(
+        spark,
+        "insert into copy_src (_id, v) values (1, 10), (2, 20), (3, 30)",
+        catalog=cat,
+    )
+    fb_sql(spark, "copy copy_src to copy_tgt where v > 15", catalog=cat)
+    assert sorted(r["_id"] for r in spark.table("copy_tgt").collect()) == [2, 3]
+    assert cat._defs["copy_tgt"].fields[0].name == "v"
+    with pytest.raises(StatementError, match="already exists"):
+        fb_sql(spark, "copy copy_src to copy_tgt", catalog=cat)
+
+    shipped = {}
+    ST.REMOTE_COPY_WRITER = lambda df, url, key: shipped.update(
+        n=df.count(), url=url, key=key
+    )
+    try:
+        fb_sql(
+            spark,
+            "copy copy_src to remote_t with url 'https://cloud/x' apikey 'k1'",
+            catalog=cat,
+        )
+    finally:
+        ST.REMOTE_COPY_WRITER = None
+    assert shipped == {"n": 3, "url": "https://cloud/x", "key": "k1"}
+    with pytest.raises(StatementError, match="remote COPY"):
+        fb_sql(
+            spark, "copy copy_src to r2 with url 'https://cloud/y'", catalog=cat
+        )
+    cat.drop_table("copy_src")
+    cat.drop_table("copy_tgt")
