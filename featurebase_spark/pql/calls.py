@@ -854,3 +854,82 @@ class Arrow(ReaderCall):
         """Collect as a pyarrow.Table (driver-side; use to_df for the
         distributed form)."""
         return self.to_df(idx).toArrow()
+
+
+# ---------------------------------------------------------------------------
+# Write-calls (executor.go:5895-6353, 9050-9320) — pure copy-on-write form:
+# ``to_table`` returns the TRANSFORMED table; commit the result through
+# Catalog/materialize_view (Delta MERGE in a lakehouse deployment).
+# ---------------------------------------------------------------------------
+
+
+class WriteCall:
+    def to_table(self, idx: Index) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass
+class Set(WriteCall):
+    """``Set(col, field=value)`` (executeSet executor.go:6194-6353)."""
+
+    col: int
+    field: str
+    value: object
+
+    def to_table(self, idx: Index) -> DataFrame:
+        from featurebase_spark.operators.writes import set_bit
+
+        return set_bit(idx.df, self.col, self.field, self.value, idx.id_col)
+
+
+@dataclass
+class Clear(WriteCall):
+    """``Clear(col, field=value)`` (executeClearBit executor.go:5895-5975)."""
+
+    col: int
+    field: str
+    value: object
+
+    def to_table(self, idx: Index) -> DataFrame:
+        from featurebase_spark.operators.writes import clear_bit
+
+        return clear_bit(idx.df, self.col, self.field, self.value, idx.id_col)
+
+
+@dataclass
+class ClearRow(WriteCall):
+    """``ClearRow(field=value)`` (executeClearRow executor.go:5976-6076)."""
+
+    field: str
+    value: object
+
+    def to_table(self, idx: Index) -> DataFrame:
+        from featurebase_spark.operators.writes import clear_row
+
+        return clear_row(idx.df, self.field, self.value)
+
+
+@dataclass
+class Store(WriteCall):
+    """``Store(child, field=value)`` (executeSetRow executor.go:6077-6193)."""
+
+    child: RowCall
+    field: str
+    value: object
+
+    def to_table(self, idx: Index) -> DataFrame:
+        from featurebase_spark.operators.writes import store_row
+
+        return store_row(idx.df, self.child.ids(idx), self.field, self.value, idx.id_col)
+
+
+@dataclass
+class Delete(WriteCall):
+    """``Delete(child)`` (executeDeleteRecords executor.go:9050-9320)."""
+
+    child: RowCall
+
+    def to_table(self, idx: Index) -> DataFrame:
+        from featurebase_spark.operators.writes import delete_records
+
+        return delete_records(idx.df, self.child.ids(idx), idx.id_col)

@@ -281,6 +281,35 @@ def _build(name: str, pos: list, kw: dict):
         if isinstance(cond, C.Row):
             return (cond.field, cond.op, cond.value)
         raise SyntaxError("PQL Condition: expected comparison")
+    if name == "Options":
+        return C.Options(
+            pos[0],
+            shards=kw.get("shards", []),
+            shard_exp=kw.get("shard_exp", 20),
+        )
+    if name == "Arrow":
+        header = kw.get("header", [])
+        return C.Arrow(pos[0], *header)
+    # write calls (executor.go:5895-6353, 9050-9320): the single
+    # field=value kwarg is whatever key isn't a reserved arg name
+    if name in ("Set", "Clear"):
+        if len(pos) != 1 or len(kw) != 1:
+            raise SyntaxError(f"PQL {name}: expected (col, field=value)")
+        (field, value), = kw.items()
+        cls = C.Set if name == "Set" else C.Clear
+        return cls(pos[0], field, value)
+    if name == "ClearRow":
+        if len(kw) != 1:
+            raise SyntaxError("PQL ClearRow: expected (field=value)")
+        (field, value), = kw.items()
+        return C.ClearRow(field, value)
+    if name == "Store":
+        if len(pos) != 1 or len(kw) != 1:
+            raise SyntaxError("PQL Store: expected (child, field=value)")
+        (field, value), = kw.items()
+        return C.Store(pos[0], field, value)
+    if name == "Delete":
+        return C.Delete(pos[0])
     # aggregate=Count(...) / aggregate=Sum(field=x) inside GroupBy kwargs
     raise SyntaxError(f"PQL: unknown call {name!r}")
 
@@ -311,11 +340,15 @@ def parse(text: str):
 
 
 def execute(idx: C.Index, text: str) -> DataFrame:
-    """Parse + compile + return the result DataFrame (row-calls return their
-    id frames, readers their reader frames) — the PQL front door."""
+    """Parse + compile + return the result DataFrame (row-calls return
+    their id frames, readers their reader frames, write calls the
+    TRANSFORMED table — commit it via Catalog/materialize_view) — the
+    PQL front door."""
     node = parse(text)
     if isinstance(node, C.ReaderCall):
         return node.to_df(idx)
+    if isinstance(node, C.WriteCall):
+        return node.to_table(idx)
     if isinstance(node, C.RowCall):
         return node.ids(idx)
     raise TypeError(f"unexecutable node {node!r}")

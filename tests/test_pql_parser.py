@@ -126,3 +126,34 @@ def test_execute_time_range(ev):
         & (F.col("ts") < "2024-01-20")
     ).count()
     assert got == exp
+
+
+def test_execute_options_and_arrow_text(ev):
+    # Options(shards=) restricts; Arrow returns filtered projection
+    n = execute(ev, "Count(Options(Row(event_type='click'), shards=[0]))").first()["count"]
+    assert n == execute(ev, "Count(Row(event_type='click'))").first()["count"]  # all ids < 2^20
+    arr = execute(ev, "Arrow(Row(value > 400), header=[value])")
+    assert arr.columns == ["event_id", "value"]
+
+
+def test_execute_write_calls_text(spark):
+    from featurebase_spark.pql.calls import Index
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], "_id LONG, s STRING, n LONG"
+    )
+    idx = Index(df)
+    t = execute(idx, "Set(2, s='z')")
+    assert {r["_id"]: r["s"] for r in t.collect()}[2] == "z"
+    t = execute(idx, "Set(9, n=99)")  # create-if-absent
+    assert {r["_id"]: r["n"] for r in t.collect()}[9] == 99
+    t = execute(idx, "Clear(1, s='a')")
+    assert {r["_id"]: r["s"] for r in t.collect()}[1] is None
+    t = execute(idx, "ClearRow(s='a')")
+    assert [r["s"] for r in t.orderBy("_id").collect()] == [None, "b", None]
+    # Store overwrites the 'w' value-row: members get it; non-members lose
+    # it only if they held 'w' (record 3 holds 'a' — untouched)
+    t = execute(idx, "Store(ConstRow(columns=[1, 2]), s='w')")
+    assert [r["s"] for r in t.orderBy("_id").collect()] == ["w", "w", "a"]
+    t = execute(idx, "Delete(Row(n > 15))")
+    assert sorted(r["_id"] for r in t.collect()) == [1]
