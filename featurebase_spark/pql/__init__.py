@@ -46,7 +46,7 @@ from featurebase_spark.pql.calls import (
     Xor,
 )
 from featurebase_spark.pql.calls import Count, Max, MaxRow, Min, MinRow, Sum
-from featurebase_spark.pql.calls import Clear, ClearRow, Delete, Set, Store
+from featurebase_spark.pql.calls import Apply, Clear, ClearRow, Delete, Set, Store
 
 __all__ = [
     "Index",

@@ -281,6 +281,16 @@ def _build(name: str, pos: list, kw: dict):
         if isinstance(cond, C.Row):
             return (cond.field, cond.op, cond.value)
         raise SyntaxError("PQL Condition: expected comparison")
+    if name == "Apply":
+        flt = pos[0] if pos and isinstance(pos[0], C.RowCall) else None
+        strs = [p for p in pos if isinstance(p, str)]
+        if not strs:
+            raise SyntaxError("PQL Apply: expected an ivy program string")
+        return C.Apply(
+            strs[0],
+            filter=flt,
+            reduce_op=strs[1] if len(strs) > 1 else "_",
+        )
     if name == "Options":
         return C.Options(
             pos[0],

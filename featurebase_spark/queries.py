@@ -1176,6 +1176,24 @@ def pql_apply(spark, sf_dir):
 
 
 @register(
+    "pql_apply_ivy",
+    "SELECT event_id, user_id + 2 * value AS result FROM events "
+    "WHERE event_type = 'purchase' ORDER BY event_id",
+)
+def pql_apply_ivy(spark, sf_dir):
+    """PQL Apply with a REAL ivy program through the text front door
+    (pql/ivy.py compiles the ivy subset to Column expressions; apply.go
+    map/reduce contract). Right-associative ivy: user_id+2*value =
+    user_id + (2*value)."""
+    from featurebase_spark.pql.parser import execute
+
+    return execute(
+        _events(spark, sf_dir),
+        "Apply(Row(event_type='purchase'), \"user_id+2*value\")",
+    )
+
+
+@register(
     "pql_write_delete",
     "SELECT COUNT(*) AS count FROM events "
     "WHERE event_id NOT IN (SELECT event_id FROM events WHERE value > 300)",

@@ -157,3 +157,26 @@ def test_execute_write_calls_text(spark):
     assert [r["s"] for r in t.orderBy("_id").collect()] == ["w", "w", "a"]
     t = execute(idx, "Delete(Row(n > 15))")
     assert sorted(r["_id"] for r in t.collect()) == [1]
+
+
+def test_execute_apply_ivy_text(spark):
+    """Apply with real ivy programs (dataframe_test.go:91-132 shapes);
+    ivy evaluation is RIGHT-associative with no precedence."""
+    from featurebase_spark.pql.calls import Index
+
+    df = spark.createDataFrame(
+        [(0, 10.0), (1, 20.0), (2, 30.0)], "_id LONG, value DOUBLE"
+    )
+    idx = Index(df)
+    got = execute(idx, 'Apply("_ID", "_")')
+    assert [r["result"] for r in got.collect()] == [0, 1, 2]
+    got = execute(idx, 'Apply(ConstRow(columns=[0, 2]), "_ID+0", "_")')
+    assert [r["result"] for r in got.collect()] == [0, 2]
+    # right-assoc: 2*value+_ID = 2*(value+_ID)
+    got = execute(idx, 'Apply("2*value+_ID")').collect()
+    assert [r["result"] for r in got] == [20.0, 42.0, 64.0]
+    # reduction
+    assert execute(idx, 'Apply("+/value")').first()["result"] == 60.0
+    assert execute(idx, 'Apply(ConstRow(columns=[1,2]), "max/value")').first()["result"] == 30.0
+    with pytest.raises(SyntaxError):
+        execute(idx, 'Apply("barf")')
