@@ -186,6 +186,63 @@ def quantum_range_cover(
     )
 
 
+def write_quantum_partitioned(
+    df: DataFrame, path: str, ts_col: str, quantum: str = "YMD"
+) -> DataFrame:
+    """Persist a table PARTITIONED BY its finest time-quantum bucket —
+    the durable form of the reference's per-quantum view bitmaps
+    (``standard_2023``, ``standard_20230101``…, time.go:106-142). Range
+    queries prune to the covering partitions (the viewsByTimeRange
+    minimal-cover, field.go:1063-1120, done by Spark partition pruning)
+    and TTL expiry becomes :func:`ttl_drop_partitions` — a directory
+    unlink, no data rewrite. Returns the reloaded frame."""
+    quantum = quantum.upper()
+    bucket = "tq_" + quantum.lower()
+    fmt = {"Y": "yyyy", "YM": "yyyyMM", "YMD": "yyyyMMdd", "YMDH": "yyyyMMddHH"}[
+        quantum
+    ]
+    out = with_time_quantum(df, ts_col, quantum)
+    out = out.withColumn(bucket, F.date_format(F.col(bucket), fmt))
+    drop = [
+        "tq_" + quantum[: i + 1].lower() for i in range(len(quantum) - 1)
+    ]
+    out.drop(*drop).write.mode("overwrite").partitionBy(bucket).parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def ttl_drop_partitions(
+    spark: SparkSession, path: str, ttl: str, now=None, quantum: str = "YMD"
+) -> list[str]:
+    """TTL view expiry as a METADATA-ONLY partition drop (field.go:325-351;
+    the reference deletes whole expired views on holder maintenance,
+    field.go:730-733 — it never rewrites surviving bitmaps, and neither
+    does this). Returns the dropped partition values."""
+    import datetime
+    import os
+    import shutil
+
+    n, unit = int(ttl[:-1]), ttl[-1].lower()
+    seconds = n * {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+    now_dt = (
+        datetime.datetime.fromisoformat(now)
+        if isinstance(now, str)
+        else (now or datetime.datetime.now())
+    )
+    cutoff = now_dt - datetime.timedelta(seconds=seconds)
+    bucket = "tq_" + quantum.lower()
+    fmt = "%Y%m%d%H"
+    dropped = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(bucket + "="):
+            continue
+        val = entry.split("=", 1)[1]
+        ts = datetime.datetime.strptime(val.ljust(10, "0"), fmt)
+        if ts < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(val)
+    return dropped
+
+
 def ttl_retention(df: DataFrame, ts_col: str, ttl: str, now=None) -> DataFrame:
     """TTL expiry of old views (field.go:329-351; enforcement
     field.go:730-733): drop records older than now-ttl. ``ttl`` like

@@ -225,3 +225,30 @@ def test_kinesis_source_import_gated(spark):
     the AWS client is unconfigured)."""
     with pytest.raises(ImportError, match="spark-sql-kinesis"):
         STR.kinesis_source(spark, "events-stream", "us-east-1", "_id LONG")
+
+
+def test_quantum_partitioned_write_and_ttl_drop(spark, tmpdir):
+    """Quantum-partitioned storage: range queries prune partitions
+    (viewsByTimeRange cover) and TTL expiry is a directory drop with no
+    rewrite of surviving data (field.go:730-733)."""
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i, 12), float(i)) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "_id LONG, ts TIMESTAMP, v DOUBLE")
+    path = os.path.join(tmpdir, "quantum_tbl")
+    loaded = STR.write_quantum_partitioned(df, path, "ts", "YMD")
+    assert loaded.count() == 6
+    # partition pruning: a one-day slice reads one partition only
+    one_day = loaded.where(F.col("tq_ymd") == 20240103)
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(tq_ymd" in plan
+    assert one_day.count() == 1
+    # TTL: everything older than 3 days (from Jan 6 noon) drops as dirs
+    dropped = STR.ttl_drop_partitions(
+        spark, path, "3d", now="2024-01-06T12:00:00"
+    )
+    assert dropped == ["20240101", "20240102", "20240103"]
+    left = spark.read.parquet(path)
+    assert sorted(r["_id"] for r in left.collect()) == [3, 4, 5]
