@@ -69,3 +69,43 @@ def route_count(
     if idx is None:
         raise ValueError("call not index-covered and no scan Index given")
     return int(call.to_df(idx).first()["count"])
+
+
+def route_call(cat: B.BitmapCatalog, call, idx: Optional[C.Index] = None):
+    """Route a reader call to the index path when covered, else fall back
+    to the scan path — the executor-dispatch role of executeCall
+    (executor.go:723-835) over fragment storage. Covered shapes:
+
+    - ``Count(tree)``                      → bitmap popcount
+    - ``Sum/Min/Max(filter?, bsi_field)``  → BSI plane arithmetic
+      (executor.go:2155-2356)
+    - ``TopN/TopK(indexed_field)`` no filter → fragment cardinalities
+      (the ranked-cache niche, cache.go:19-45)
+
+    Scalar calls return Python scalars; TopN/TopK return a DataFrame."""
+    if isinstance(call, C.Count):
+        return route_count(cat, call, idx)
+    if isinstance(call, (C.Sum, C.Min, C.Max)) and call.field in cat._bsi:
+        filt = None
+        if call.filter is not None:
+            filt = to_bitmap_expr(cat, call.filter)
+            if filt is None:
+                return _scan_fallback(call, idx)
+        if isinstance(call, C.Sum):
+            return cat.bsi_sum(call.field, filt)
+        if isinstance(call, C.Min):
+            return cat.bsi_min(call.field, filt)
+        return cat.bsi_max(call.field, filt)
+    if isinstance(call, C.TopN) and call.filter is None and call.field in cat._indexes:
+        return cat.topk_values(call.field, call.n)  # TopK stores k as n
+    return _scan_fallback(call, idx)
+
+
+def _scan_fallback(call, idx: Optional[C.Index]):
+    if idx is None:
+        raise ValueError("call not index-covered and no scan Index given")
+    df = call.to_df(idx)
+    if isinstance(call, (C.Sum, C.Min, C.Max)):
+        v = df.first()[0]
+        return None if v is None else int(v)
+    return df

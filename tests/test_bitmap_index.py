@@ -338,6 +338,30 @@ def test_router_routes_and_matches_scan(bsi_cat, tables):
         assert routed == scanned, call
 
 
+def test_router_routes_aggregates_and_topk(bsi_cat, tables):
+    from featurebase_spark.plans.router import route_call
+    from featurebase_spark.pql import calls as C
+
+    ev = tables["events"]
+    idx = C.Index(
+        ev.withColumn("ivalue", F.col("value").cast("long")), id_col="event_id"
+    )
+    empty = type(bsi_cat)(shard_exp=8)
+    for call in (
+        C.Sum("ivalue", filter=C.Row("event_type", "==", "click")),
+        C.Min("ivalue"),
+        C.Max("ivalue", filter=C.Row("event_type", "==", "view")),
+    ):
+        routed = route_call(bsi_cat, call)
+        scanned = route_call(empty, call, idx=idx)
+        assert routed == scanned, call
+    top_routed = route_call(bsi_cat, C.TopK("event_type", 3)).collect()
+    top_scanned = C.TopK("event_type", 3).to_df(idx).collect()
+    assert [(r["value"], r["count"]) for r in top_routed] == [
+        (str(r["event_type"]), r["count"]) for r in top_scanned
+    ]
+
+
 def test_router_falls_back_on_uncovered_shapes(bsi_cat, tables):
     from featurebase_spark.plans.router import to_bitmap_expr
     from featurebase_spark.pql import calls as C
