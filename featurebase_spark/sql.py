@@ -374,7 +374,11 @@ class _Rewriter:
                 out.append(tok)
                 self.i += 1
                 continue
-            out.append(tok)
+            # unary '!' is BITWISE complement in the reference dialect
+            # (defs_unops.go: !10 = -11; on bool it errors) — Spark's '!'
+            # is logical NOT, so map to '~'. '!=' is a single token and
+            # never reaches here.
+            out.append("~" if tok == "!" else tok)
             self.i += 1
         text = "".join(out)
         if top_limit is not None and not saw_explicit_limit:
@@ -430,7 +434,7 @@ class _Rewriter:
                     self.i += 1
                     cur.append(f"CAST({_rewrite_cast(inner)})")
                     continue
-            cur.append(tok)
+            cur.append("~" if tok == "!" else tok)
             self.i += 1
         tail = "".join(cur).strip()
         if tail:

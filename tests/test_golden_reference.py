@@ -463,3 +463,14 @@ def test_golden_rangeq_quantum(spark):
         "rangeq(tq, null, timestamp'2024-03-01 00:00:00')",
     ).collect()
     assert [r[0] for r in rows] == [1]
+
+
+def test_golden_unary_ops(spark):
+    # defs_unops.go: -i, +i, and BITWISE !i (= -11 for 10); != untouched
+    spark.sql("select 1 as _id, 10 as i").createOrReplaceTempView("unoptesti")
+    r = fb_sql(
+        spark, "select -i as a, !i as b, +i as c from unoptesti"
+    ).first()
+    assert (r["a"], r["b"], r["c"]) == (-10, -11, 10)
+    n = fb_sql(spark, "select count(*) as n from unoptesti where i != 3").first()["n"]
+    assert n == 1
