@@ -317,6 +317,15 @@ def _create_table(p: _P, spark: SparkSession, catalog) -> None:
 def _alter_table(p: _P, spark: SparkSession, catalog) -> None:
     from featurebase_spark.schema import FieldDef
 
+    if p.accept("VIEW"):
+        # ALTER VIEW name AS select (compilecreateview.go:31-64 — replaces
+        # the stored view text, recompiled on use)
+        vname = p.ident("view name")
+        if vname not in catalog._views:
+            raise StatementError(f"view '{vname}' not found")
+        p.expect("AS")
+        catalog.create_view(vname, translate(p.expr_until(())), replace=True)
+        return
     p.expect("TABLE")
     name = p.ident("table name")
     if name not in catalog._defs:
@@ -661,7 +670,7 @@ def _copy(p: _P, spark: SparkSession, catalog) -> None:
 
     src = p.ident("table name")
     if src not in catalog._defs:
-        raise StatementError(f"table '{src}' not found")
+        raise StatementError(f"table or view '{src}' not found")
     p.expect("TO")
     tgt = p.ident("table name")
     where_sql = None

@@ -275,6 +275,15 @@ def test_create_view_text(spark, cat):
         catalog=cat,
     )
     assert [r["_id"] for r in spark.table("big_v").collect()] == [2]
+    # ALTER VIEW replaces the stored text (compilecreateview.go:31-64)
+    fb_sql(
+        spark,
+        "alter view big_v as select _id, v from view_base where v > 100",
+        catalog=cat,
+    )
+    assert spark.table("big_v").count() == 0
+    with pytest.raises(StatementError, match="view 'nope_v' not found"):
+        fb_sql(spark, "alter view nope_v as select 1", catalog=cat)
     fb_sql(spark, "drop view big_v", catalog=cat)
     cat.drop_table("view_base")
 
