@@ -47,6 +47,64 @@ def materialize_view(df: DataFrame, name: str, base_path: str) -> DataFrame:
     return out
 
 
+class PartitionedUpsertTable:
+    """Hash-bucket-partitioned upsert storage: per-batch cost is
+    O(touched buckets), not O(table) — the 100 TB shape of the
+    reference's ingest, which only rewrites the fragments of shards a
+    batch touches (batch/batch.go builds per-shard fragments; import
+    merges per shard).
+
+    Layout: parquet partitioned by ``__bucket = pmod(xxhash64(key), n)``.
+    An upsert computes the batch's buckets, anti-joins ONLY those
+    partitions (partition-pruned read), and overwrites ONLY those
+    partition directories (dynamic partition overwrite) — untouched
+    buckets' files are never read or rewritten. With Delta this whole
+    class is ``MERGE`` + Z-order; the seam is :meth:`upsert`.
+    """
+
+    def __init__(self, spark, path: str, key: str = "_id", buckets: int = 64):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.buckets = buckets
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.buckets))
+        )
+
+    def init(self, df: DataFrame) -> None:
+        """Initial (full) load."""
+        self._bucketed(df).write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop("__bucket")
+
+    def upsert(self, updates: DataFrame) -> list[int]:
+        """Upsert-by-key a batch; returns the bucket ids rewritten.
+        Duplicate keys within the batch collapse last-write-wins by
+        ``dropDuplicates`` order (pass pre-deduped batches for a
+        deterministic winner, as bulk_upsert_last_write_wins does)."""
+        up = self._bucketed(updates.dropDuplicates([self.key]))
+        touched = [int(r[0]) for r in up.select("__bucket").distinct().collect()]
+        current = self.spark.read.parquet(self.path).where(
+            F.col("__bucket").isin(touched)  # partition-pruned read
+        )
+        kept = current.join(
+            F.broadcast(up.select(self.key)), self.key, "left_anti"
+        )
+        merged = kept.unionByName(up)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(self.path)
+        )
+        return sorted(touched)
+
+
 def vacuum_generations(base_path: str, name: str, keep: str) -> None:
     """Delete all generation dirs of ``name`` except ``keep`` (basename)."""
     import shutil

@@ -150,6 +150,31 @@ def upsert_sink(
     return writer.start()
 
 
+def partitioned_upsert_sink(
+    stream: DataFrame,
+    table,
+    target_view: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+):
+    """The SCALE form of :func:`upsert_sink`: each micro-batch upserts
+    into a :class:`featurebase_spark.operators.writes.
+    PartitionedUpsertTable`, rewriting ONLY the hash-bucket partitions
+    the batch touches — per-batch cost O(touched buckets), matching the
+    reference's per-shard fragment merge on import (batch/batch.go).
+    Optionally re-registers ``target_view`` over the table after each
+    batch (bit-flip visibility)."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        table.upsert(batch)
+        if target_view:
+            table.read().createOrReplaceTempView(target_view)
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 # --- Time quantum + TTL (field.go:325-351, time.go:18-142)
 
 _QUANTUM_UNITS = {"Y": "year", "M": "month", "D": "day", "H": "hour"}

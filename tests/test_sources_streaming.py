@@ -252,3 +252,59 @@ def test_quantum_partitioned_write_and_ttl_drop(spark, tmpdir):
     assert dropped == ["20240101", "20240102", "20240103"]
     left = spark.read.parquet(path)
     assert sorted(r["_id"] for r in left.collect()) == [3, 4, 5]
+
+
+def test_partitioned_upsert_touches_only_batch_buckets(spark, tmpdir):
+    """PartitionedUpsertTable: an upsert rewrites ONLY the hash-bucket
+    partitions its keys land in — untouched partitions' files stay
+    byte-for-byte in place (the per-shard fragment-merge cost shape)."""
+    import glob
+
+    from featurebase_spark.operators.writes import PartitionedUpsertTable
+
+    path = os.path.join(tmpdir, "pu_tbl")
+    t = PartitionedUpsertTable(spark, path, "_id", buckets=8)
+    t.init(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "_id LONG, v STRING"
+        )
+    )
+
+    def files():
+        return {
+            d: sorted(
+                os.path.getmtime(f)
+                for f in glob.glob(os.path.join(path, d, "*.parquet"))
+            )
+            for d in os.listdir(path)
+            if d.startswith("__bucket=")
+        }
+
+    before = files()
+    touched = t.upsert(
+        spark.createDataFrame([(3, "NEW"), (99, "ADD")], "_id LONG, v STRING")
+    )
+    after = files()
+    untouched = [d for d in before if before[d] == after.get(d)]
+    assert len(untouched) == 8 - len(touched)
+    got = {r["_id"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 41 and got[3] == "NEW" and got[99] == "ADD"
+
+
+def test_partitioned_upsert_sink_stream(spark, tmpdir):
+    from featurebase_spark.operators.writes import PartitionedUpsertTable
+
+    path = os.path.join(tmpdir, "pu_stream")
+    t = PartitionedUpsertTable(spark, path, "_id", buckets=4)
+    t.init(spark.createDataFrame([(1, 1.0), (2, 2.0)], "_id LONG, v DOUBLE"))
+    src_dir = os.path.join(tmpdir, "pu_src")
+    batch = spark.createDataFrame([(2, 20.0), (3, 30.0)], "_id LONG, v DOUBLE")
+    batch.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = STR.file_source(spark, src_dir, batch.schema)
+    q = STR.partitioned_upsert_sink(stream, t, target_view="pu_view")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["_id"]: r["v"] for r in spark.table("pu_view").collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 30.0}
