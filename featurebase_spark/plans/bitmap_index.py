@@ -654,6 +654,52 @@ class BitmapCatalog:
     def bsi_min(self, field: str, filter_node=None):
         return self._bsi_extreme(field, False, filter_node)
 
+    def update_field(
+        self, delta: DataFrame, field: str, id_col: str = "_id", cache: bool = True
+    ) -> DataFrame:
+        """Incrementally merge NEW records into an equality index: the
+        delta's fragments build from the delta alone, then OR into the
+        existing fragments on (value, shard) — only fragments whose
+        (value, shard) the delta touches change, the reference's
+        import-time per-shard fragment merge (api.Import → fragment
+        union under a shard write Tx). Fragments in shards the delta
+        never touches pass through untouched."""
+        new_frags = build_bitmap_index(delta, field, id_col, self.shard_exp)
+        old = self._indexes[field]
+        joined = old.withColumnRenamed("bitmap", "b_old").join(
+            new_frags.withColumnRenamed("bitmap", "b_new"),
+            ["value", "shard"],
+            "full_outer",
+        )
+
+        @F.pandas_udf(BinaryType())
+        def merge(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    bitmap_or(
+                        bytes(x) if x is not None else b"",
+                        bytes(y) if y is not None else b"",
+                    )
+                    for x, y in zip(a, b)
+                ]
+            )
+
+        @F.pandas_udf(LongType())
+        def card(bm: pd.Series) -> pd.Series:
+            return pd.Series(
+                [_popcount(bytes(x) if x is not None else b"") for x in bm]
+            )
+
+        merged = joined.select(
+            "value",
+            "shard",
+            merge(F.col("b_old"), F.col("b_new")).alias("bitmap"),
+        ).withColumn("cardinality", card(F.col("bitmap")))
+        if cache:
+            merged = merged.cache()
+        self._indexes[field] = merged
+        return merged
+
     # -- persistence: fragments as parquet, partitioned by shard ----------
 
     def save(self, path: str) -> None:

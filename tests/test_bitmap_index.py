@@ -377,3 +377,24 @@ def test_router_falls_back_on_uncovered_shapes(bsi_cat, tables):
         )
         is None
     )
+
+
+def test_incremental_index_update(spark):
+    """update_field merges delta fragments by OR on (value, shard) —
+    counts/ids after the merge equal a from-scratch rebuild."""
+    base = spark.createDataFrame(
+        [(i, f"v{i % 3}") for i in range(50)], "_id LONG, f STRING"
+    )
+    delta = spark.createDataFrame(
+        [(i, f"v{i % 4}") for i in range(50, 80)], "_id LONG, f STRING"
+    )
+    inc = BitmapCatalog(shard_exp=4)  # many shards → real multi-shard merge
+    inc.index_field(base, "f")
+    inc.update_field(delta, "f")
+    full = BitmapCatalog(shard_exp=4)
+    full.index_field(base.unionByName(delta), "f")
+    for v in ("v0", "v1", "v2", "v3"):
+        assert inc.count(Atom("f", v)) == full.count(Atom("f", v)), v
+        got = sorted(r["_id"] for r in inc.ids(Atom("f", v)).collect())
+        exp = sorted(r["_id"] for r in full.ids(Atom("f", v)).collect())
+        assert got == exp, v
