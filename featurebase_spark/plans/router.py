@@ -98,7 +98,44 @@ def route_call(cat: B.BitmapCatalog, call, idx: Optional[C.Index] = None):
         return cat.bsi_max(call.field, filt)
     if isinstance(call, C.TopN) and call.filter is None and call.field in cat._indexes:
         return cat.topk_values(call.field, call.n)  # TopK stores k as n
+    if isinstance(call, C.Percentile) and call.field in cat._bsi:
+        filt = None
+        if call.filter is not None:
+            filt = to_bitmap_expr(cat, call.filter)
+            if filt is None:
+                return _scan_fallback(call, idx)
+        return _index_percentile(cat, call.field, call.nth, filt)
     return _scan_fallback(call, idx)
+
+
+def _index_percentile(cat: B.BitmapCatalog, field: str, nth: float, filt):
+    """Exact nearest-rank percentile answered ENTIRELY from BSI planes —
+    the reference's own executePercentile (executor.go:1310-1603): binary
+    search over the value domain where every probe is a bitmap Count.
+    Zero base-table access."""
+    import math
+
+    _, minv, nbits = cat._bsi[field]
+
+    def count_le(v: int) -> int:
+        node = B.Cmp(field, "<=", v)
+        return cat.count(B.And(node, filt) if filt is not None else node)
+
+    exists = B.Cmp(field, ">=", minv)
+    n = cat.count(B.And(exists, filt) if filt is not None else exists)
+    if n == 0:
+        return None
+    rank = max(1, math.ceil(nth / 100.0 * n))
+    lo, hi = minv, minv + (1 << nbits) - 1
+    if count_le(lo) >= rank:
+        return lo
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if count_le(mid) >= rank:
+            hi = mid
+        else:
+            lo = mid
+    return hi
 
 
 def _scan_fallback(call, idx: Optional[C.Index]):

@@ -364,6 +364,11 @@ def _drop(p: _P, spark: SparkSession, catalog) -> None:
         catalog.drop_table(name, if_exists=if_exists)
     elif kind == "VIEW":
         catalog.drop_view(name)
+    elif kind == "DATABASE":
+        # DAX-mode database (executionplanner.go dispatch) → Spark database
+        spark.sql(
+            f"DROP DATABASE {'IF EXISTS ' if if_exists else ''}{name}"
+        )
     else:
         raise StatementError(f"cannot DROP {kind}")
 
@@ -757,6 +762,26 @@ def execute_statement(
     p = _P(sql)
     head = p.take().upper()
     if head == "CREATE":
+        if p.peek_up() == "DATABASE":
+            # DAX-mode database (compilecreatedatabase; UNITS etc. are
+            # cloud sizing options — accepted and ignored with the same
+            # "currently ignored" stance the reference takes for
+            # KEYPARTITIONS)
+            p.take()
+            if_not = False
+            if p.accept("IF"):
+                p.expect("NOT")
+                p.expect("EXISTS")
+                if_not = True
+            name = p.ident("database name")
+            while p.peek_up() in ("WITH", "UNITS", "COMMENT"):
+                opt = p.take().upper()
+                if opt in ("UNITS", "COMMENT"):
+                    p.literal()
+            spark.sql(
+                f"CREATE DATABASE {'IF NOT EXISTS ' if if_not else ''}{name}"
+            )
+            return None
         if p.peek_up() == "VIEW" or p.peek_up() == "OR":
             replace = False
             if p.accept("OR"):

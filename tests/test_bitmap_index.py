@@ -398,3 +398,29 @@ def test_incremental_index_update(spark):
         got = sorted(r["_id"] for r in inc.ids(Atom("f", v)).collect())
         exp = sorted(r["_id"] for r in full.ids(Atom("f", v)).collect())
         assert got == exp, v
+
+
+def test_router_percentile_from_bsi_planes(bsi_cat, tables):
+    """Percentile answered entirely from BSI plane counts — the
+    reference's own executePercentile strategy — equals the scan path."""
+    from featurebase_spark.plans.router import route_call
+    from featurebase_spark.pql import calls as C
+
+    ev = tables["events"]
+    idx = C.Index(
+        ev.withColumn("ivalue", F.col("value").cast("long")), id_col="event_id"
+    )
+    for nth in (10, 50, 90, 100):
+        routed = route_call(bsi_cat, C.Percentile("ivalue", nth))
+        scanned = C.Percentile("ivalue", nth).to_df(idx).first()["percentile"]
+        assert routed == scanned, nth
+    routed = route_call(
+        bsi_cat,
+        C.Percentile("ivalue", 75, filter=C.Row("event_type", "==", "click")),
+    )
+    scanned = (
+        C.Percentile("ivalue", 75, filter=C.Row("event_type", "==", "click"))
+        .to_df(idx)
+        .first()["percentile"]
+    )
+    assert routed == scanned

@@ -346,3 +346,13 @@ def test_copy_local_and_remote(spark, cat):
         )
     cat.drop_table("copy_src")
     cat.drop_table("copy_tgt")
+
+
+def test_create_drop_database(spark, cat):
+    fb_sql(spark, "create database stmt_db with units 4", catalog=cat)
+    dbs = [r["name"] for r in fb_sql(spark, "show databases", catalog=cat).collect()]
+    assert "stmt_db" in dbs
+    fb_sql(spark, "create database if not exists stmt_db", catalog=cat)
+    fb_sql(spark, "drop database stmt_db", catalog=cat)
+    dbs = [r["name"] for r in fb_sql(spark, "show databases", catalog=cat).collect()]
+    assert "stmt_db" not in dbs
