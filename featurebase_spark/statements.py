@@ -728,6 +728,8 @@ def _show(p: _P, spark: SparkSession, catalog) -> DataFrame:
     what = p.take().upper()
     if what == "TABLES":
         return catalog.fb_tables()
+    if what == "VIEWS":
+        return catalog.fb_views()
     if what == "DATABASES":
         return catalog.fb_databases()
     if what == "COLUMNS":

@@ -60,3 +60,27 @@ def test_pql_count_reads_no_columns(spark, tables):
     read = p.split("ReadSchema:", 1)[1].splitlines()[0]
     # count over a pushed filter projects only the filter columns (2 of 6)
     assert "event_id" not in read and "props" not in read and "ts:" not in read
+
+
+def test_registered_neardup_keys_have_no_crossjoin(spark, tables):
+    """The REGISTERED near-dup headliners (VERDICT r1 #4) must carry the
+    scale shape: bucketed candidate generation, no cartesian/nested-loop
+    join anywhere in the executed plan."""
+    for name in ("sim_embedding_neardup", "dedup_ngram_jaccard"):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_registered_bucketed_join_no_shuffle(spark, tables):
+    p = plan(spark, "sql_join_bucketed")
+    # both scans bucket-aligned; the only exchange allowed is the tiny
+    # post-agg ordering, never a join-side repartition of the fact data
+    assert "Bucketed: true" in p
+    join_section = p.split("SortMergeJoin", 1)[0]
+    assert "Exchange hashpartitioning(o_orderkey" not in join_section
+
+
+def test_registered_percentile_search_no_sort(spark, tables):
+    p = plan(spark, "pql_percentile_search")
+    assert "GlobalLimit" not in p and "TakeOrdered" not in p and "Sort " not in p

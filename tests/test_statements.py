@@ -259,6 +259,10 @@ def test_show_statements(spark, cat):
     assert [r["name"] for r in cols] == ["_id", "v"]
     dbs = fb_sql(spark, "show databases", catalog=cat).collect()
     assert any(r["name"] == "default" for r in dbs)
+    fb_sql(spark, "create view show_v as select _id from show_t", catalog=cat)
+    views = fb_sql(spark, "show views", catalog=cat).collect()
+    assert [r["name"] for r in views] == ["show_v"]
+    fb_sql(spark, "drop view show_v", catalog=cat)
     with pytest.raises(StatementError, match="table 'missing' not found"):
         fb_sql(spark, "show columns from missing", catalog=cat)
     cat.drop_table("show_t")
