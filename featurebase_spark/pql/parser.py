@@ -336,17 +336,34 @@ def _normalize_groupby_aggregate(obj):
     return obj
 
 
+def _postprocess(node):
+    if isinstance(node, C.GroupBy):
+        node.aggregate = _normalize_groupby_aggregate(node.aggregate)
+        if isinstance(node.aggregate, C.GroupBy):
+            raise SyntaxError("PQL GroupBy: bad aggregate")
+    return node
+
+
 def parse(text: str):
     """Parse one PQL call string into a call object."""
     p = _Parser(_tokenize(text.strip()))
     node = p.call()
     if p.peek() is not None:
         raise SyntaxError(f"PQL: trailing input at token {p.peek().text!r}")
-    if isinstance(node, C.GroupBy):
-        node.aggregate = _normalize_groupby_aggregate(node.aggregate)
-        if isinstance(node.aggregate, C.GroupBy):
-            raise SyntaxError("PQL GroupBy: bad aggregate")
-    return node
+    return _postprocess(node)
+
+
+def parse_all(text: str) -> list:
+    """Parse a MULTI-CALL query string — the reference's request body may
+    hold several top-level calls executed in order within one round trip
+    (executor.Execute loops query.Calls, executor.go:183-489)."""
+    p = _Parser(_tokenize(text.strip()))
+    nodes = []
+    while p.peek() is not None:
+        nodes.append(_postprocess(p.call()))
+    if not nodes:
+        raise SyntaxError("PQL: empty query")
+    return nodes
 
 
 def execute(idx: C.Index, text: str) -> DataFrame:
@@ -355,6 +372,10 @@ def execute(idx: C.Index, text: str) -> DataFrame:
     TRANSFORMED table — commit it via Catalog/materialize_view) — the
     PQL front door."""
     node = parse(text)
+    return _execute_node(idx, node)
+
+
+def _execute_node(idx: C.Index, node) -> DataFrame:
     if isinstance(node, C.ReaderCall):
         return node.to_df(idx)
     if isinstance(node, C.WriteCall):
@@ -362,3 +383,19 @@ def execute(idx: C.Index, text: str) -> DataFrame:
     if isinstance(node, C.RowCall):
         return node.ids(idx)
     raise TypeError(f"unexecutable node {node!r}")
+
+
+def execute_all(idx: C.Index, text: str) -> list[DataFrame]:
+    """Execute a multi-call query string; returns one result per call,
+    in order — the reference's one-request-many-results contract
+    (wire_response.go carries a result list). Write calls thread their
+    transformed table into the Index seen by SUBSEQUENT calls (the
+    reference's writes are visible to later calls in the same request)."""
+    results = []
+    cur = idx
+    for node in parse_all(text):
+        out = _execute_node(cur, node)
+        results.append(out)
+        if isinstance(node, C.WriteCall):
+            cur = C.Index(out, id_col=cur.id_col, time_col=cur.time_col)
+    return results

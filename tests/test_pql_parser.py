@@ -180,3 +180,22 @@ def test_execute_apply_ivy_text(spark):
     assert execute(idx, 'Apply(ConstRow(columns=[1,2]), "max/value")').first()["result"] == 30.0
     with pytest.raises(SyntaxError):
         execute(idx, 'Apply("barf")')
+
+
+def test_execute_multi_call_request(spark):
+    """One request, many calls (executor.go:183-489 loops query.Calls);
+    writes are visible to later calls in the same request."""
+    from featurebase_spark.pql.calls import Index
+    from featurebase_spark.pql.parser import execute_all
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], "_id LONG, s STRING, n LONG"
+    )
+    idx = Index(df)
+    results = execute_all(
+        idx,
+        'Count(Row(s="a")) Set(4, s="a") Count(Row(s="a"))',
+    )
+    assert len(results) == 3
+    assert results[0].first()["count"] == 2
+    assert results[2].first()["count"] == 3  # the Set is visible
