@@ -700,10 +700,15 @@ class GroupBy(ReaderCall):
                 raise ValueError(f"unknown aggregate {kind}")
         if self.having is not None:
             name, op, val = self.having
-            c, v = F.col(name), F.lit(val)
-            agged = agged.where(
-                {"==": c == v, "!=": c != v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
-            )
+            c = F.col(name)
+            if op == "><":  # range Condition (pql/ast.go:145 — [low, high])
+                lo, hi = val
+                agged = agged.where((c >= F.lit(lo)) & (c <= F.lit(hi)))
+            else:
+                v = F.lit(val)
+                agged = agged.where(
+                    {"==": c == v, "!=": c != v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+                )
         order = [F.asc(k) for k in keys]
         if self.sort is not None:
             sname, _, sdir = self.sort.partition(" ")

@@ -279,6 +279,8 @@ def _build(name: str, pos: list, kw: dict):
         # having=Condition(count > 5) — the condition Row was built by arg()
         cond = pos[0]
         if isinstance(cond, C.Row):
+            if cond.between is not None:  # Condition(5 < count < 10) ranges
+                return (cond.field, "><", cond.between)
             return (cond.field, cond.op, cond.value)
         raise SyntaxError("PQL Condition: expected comparison")
     if name == "Apply":

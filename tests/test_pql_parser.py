@@ -199,3 +199,17 @@ def test_execute_multi_call_request(spark):
     assert len(results) == 3
     assert results[0].first()["count"] == 2
     assert results[2].first()["count"] == 3  # the Set is visible
+
+
+def test_groupby_having_range_condition(ev):
+    """having=Condition(a < count < b) — the reference's range Condition
+    (pql/ast.go:145 stores [low, high])."""
+    all_rows = execute(ev, "GroupBy(Rows(event_type))").collect()
+    lo, hi = 10, max(r["count"] for r in all_rows) - 1
+    got = execute(
+        ev, f"GroupBy(Rows(event_type), having=Condition({lo - 1} < count < {hi + 1}))"
+    ).collect()
+    exp = [r for r in all_rows if lo <= r["count"] <= hi]
+    assert sorted(r["event_type"] for r in got) == sorted(
+        r["event_type"] for r in exp
+    ) and len(got) > 0
