@@ -654,6 +654,54 @@ class BitmapCatalog:
     def bsi_min(self, field: str, filter_node=None):
         return self._bsi_extreme(field, False, filter_node)
 
+    def bsi_minmax(self, field: str, filter_node=None):
+        """(min, max) in ONE per-shard pass — both descents share the
+        shard's decoded planes, and one Spark action serves both answers
+        (the multi-call-request batching of count_many, for extremes)."""
+        frame, minv, nbits = self._bsi[field]
+        if filter_node is not None:
+            filt = self._eval(filter_node).withColumnRenamed("bitmap", "bitmap_f")
+            src = frame.join(filt, "shard", "inner")
+        else:
+            src = frame.withColumn("bitmap_f", F.lit(None).cast(BinaryType()))
+
+        def extremes_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            planes, width = _aligned_planes(pdf)
+            cand0 = planes[-1]
+            fblob = next((x for x in pdf["bitmap_f"] if x is not None), None)
+            if fblob is not None:
+                foffs = _unpack(fblob)
+                cand0 = cand0 & _dense_bits(foffs[foffs < width * 8], width)
+            if not cand0.any():
+                return pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                                     "hi": pd.Series([], dtype="int64")})
+            zero = np.zeros_like(cand0)
+            out = []
+            for want_max in (False, True):
+                cand, acc = cand0, 0
+                for b in range(nbits - 1, -1, -1):
+                    bm = planes.get(b, zero)
+                    t = cand & bm if want_max else cand & ~bm
+                    if t.any():
+                        cand = t
+                        if want_max:
+                            acc |= 1 << b
+                    elif not want_max:
+                        acc |= 1 << b
+                out.append(acc + minv)
+            return pd.DataFrame({"lo": [out[0]], "hi": [out[1]]})
+
+        r = (
+            src.groupBy("shard")
+            .applyInPandas(extremes_shard, "lo LONG, hi LONG")
+            .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+            .first()
+        )
+        return (
+            None if r["lo"] is None else int(r["lo"]),
+            None if r["hi"] is None else int(r["hi"]),
+        )
+
     def update_field(
         self, delta: DataFrame, field: str, id_col: str = "_id", cache: bool = True
     ) -> DataFrame:

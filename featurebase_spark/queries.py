@@ -1617,12 +1617,13 @@ def bitmap_bsi_aggregates(spark, sf_dir):
 
     cat = _bitmap_cat(spark, sf_dir)
     click = Atom("event_type", "click")
+    mn, mx = cat.bsi_minmax("ivalue", click)  # one pass serves both
     rows = [
         (
             cat.count(And(click, Cmp("ivalue", ">", 150))),
             cat.bsi_sum("ivalue", click),
-            cat.bsi_min("ivalue", click),
-            cat.bsi_max("ivalue", click),
+            mn,
+            mx,
         )
     ]
     return spark.createDataFrame(

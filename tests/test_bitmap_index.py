@@ -424,3 +424,13 @@ def test_router_percentile_from_bsi_planes(bsi_cat, tables):
         .first()["percentile"]
     )
     assert routed == scanned
+
+
+def test_bsi_minmax_single_pass(bsi_cat, tables):
+    ev = tables["events"].withColumn("iv", F.col("value").cast("long"))
+    mn, mx = bsi_cat.bsi_minmax("ivalue", Atom("event_type", "click"))
+    assert mn == bsi_cat.bsi_min("ivalue", Atom("event_type", "click"))
+    assert mx == bsi_cat.bsi_max("ivalue", Atom("event_type", "click"))
+    mn2, mx2 = bsi_cat.bsi_minmax("ivalue")
+    exp = ev.agg(F.min("iv"), F.max("iv")).first()
+    assert (mn2, mx2) == (exp[0], exp[1])
