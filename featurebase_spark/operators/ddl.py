@@ -77,13 +77,21 @@ class Catalog:
 
     # -- writes route through operators.writes
 
-    def insert(self, name: str, rows: DataFrame, replace: bool = True) -> None:
+    def insert(
+        self,
+        name: str,
+        rows: DataFrame,
+        replace: bool = True,
+        cols: Optional[list] = None,
+    ) -> None:
         """INSERT (upsert-by-_id, opinsert.go:16-453). ``replace=False``
         mirrors plain INSERT which in the reference still overwrites by
-        key — kept for API clarity."""
+        key — kept for API clarity. ``cols``: the column list the INSERT
+        statement named — unlisted columns of an EXISTING ``_id`` keep
+        their old values (opinsert.go imports only targetColumns)."""
         from featurebase_spark.operators.writes import materialize_view, merge_upsert
 
-        merged = merge_upsert(self.spark.table(name), rows, "_id")
+        merged = merge_upsert(self.spark.table(name), rows, "_id", update_cols=cols)
         # distributed parquet commit — no rows ever pass through the driver
         materialize_view(merged, name, self._data_path)
 

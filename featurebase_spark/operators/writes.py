@@ -82,26 +82,55 @@ class PartitionedUpsertTable:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop("__bucket")
 
-    def upsert(self, updates: DataFrame) -> list[int]:
+    def upsert(
+        self, updates: DataFrame, update_cols: Sequence[str] | None = None
+    ) -> list[int]:
         """Upsert-by-key a batch; returns the bucket ids rewritten.
         Duplicate keys within the batch collapse last-write-wins by
         ``dropDuplicates`` order (pass pre-deduped batches for a
-        deterministic winner, as bulk_upsert_last_write_wins does)."""
+        deterministic winner, as bulk_upsert_last_write_wins does).
+        ``update_cols`` as in :func:`merge_upsert` (partial-column INSERT
+        keeps unlisted fields of existing rows).
+
+        Commit is copy-on-write: the merged touched buckets write to a
+        STAGING dir first (the job reads the old files while writing —
+        no in-place overwrite race), then each touched bucket dir swaps
+        in by rename — untouched buckets are never read or rewritten, and
+        a failure mid-write leaves the live table untouched (the swap
+        loop itself is per-bucket-atomic; a crash between two renames
+        leaves buckets at mixed generations, the documented seam a real
+        deployment closes with Delta/Iceberg's transactional commit)."""
+        import shutil
+
         up = self._bucketed(updates.dropDuplicates([self.key]))
         touched = [int(r[0]) for r in up.select("__bucket").distinct().collect()]
         current = self.spark.read.parquet(self.path).where(
             F.col("__bucket").isin(touched)  # partition-pruned read
         )
-        kept = current.join(
-            F.broadcast(up.select(self.key)), self.key, "left_anti"
+        if update_cols is not None:
+            cur = current.drop("__bucket")
+            merged_up = merge_upsert(cur, updates.dropDuplicates([self.key]),
+                                     self.key, update_cols)
+            # merge_upsert already unioned kept+updates over touched buckets
+            merged = self._bucketed(merged_up)
+        else:
+            kept = current.join(
+                F.broadcast(up.select(self.key)), self.key, "left_anti"
+            )
+            merged = kept.unionByName(up)
+        staging = os.path.join(
+            os.path.dirname(self.path.rstrip("/")) or ".",
+            ".fb_staging_" + uuid.uuid4().hex[:12],
         )
-        merged = kept.unionByName(up)
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__bucket")
-            .parquet(self.path)
-        )
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+        for b in touched:
+            src = os.path.join(staging, f"__bucket={b}")
+            dst = os.path.join(self.path, f"__bucket={b}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
         return sorted(touched)
 
 
@@ -118,16 +147,43 @@ def vacuum_generations(base_path: str, name: str, keep: str) -> None:
 
 
 def merge_upsert(
-    table: DataFrame, updates: DataFrame, key: str = "_id"
+    table: DataFrame,
+    updates: DataFrame,
+    key: str = "_id",
+    update_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """INSERT-as-upsert on the record key (reference PlanOpInsert
     opinsert.go:16-453: INSERT with an existing ``_id`` overwrites — PQL
     ``Set`` semantics). Rows in ``updates`` replace same-key rows in
     ``table``; new keys append.
 
-    Plan: anti-join (broadcast when updates are small — the common
-    streaming-microbatch case) + union. With Delta: ``MERGE WHEN MATCHED
-    UPDATE SET * WHEN NOT MATCHED INSERT *``."""
+    ``update_cols``: the columns the INSERT actually listed. The reference
+    imports ONLY those fields (opinsert.go builds its field list from
+    targetColumns), so an upsert of an existing ``_id`` leaves UNLISTED
+    fields untouched — here a column-wise merge pulls the unlisted columns
+    of matched keys from the existing row (new keys keep their typed
+    NULLs). ``None`` = all columns listed (whole-row replace).
+
+    Plan: the existing rows of touched keys come from a broadcast
+    SEMI-join (one pruned scan), so the column-merge join is
+    small×small and broadcastable; commit stays anti-join + union. With
+    Delta: ``MERGE WHEN MATCHED UPDATE SET <listed> WHEN NOT MATCHED
+    INSERT *``."""
+    all_cols = [c for c, _ in table.dtypes]
+    if update_cols is not None:
+        listed = set(update_cols) | {key}
+        if set(all_cols) - listed:
+            old = table.join(
+                F.broadcast(updates.select(key)), key, "left_semi"
+            ).select(
+                key, *[F.col(c).alias(f"__old_{c}") for c in all_cols if c != key]
+            )
+            updates = updates.join(F.broadcast(old), key, "left").select(
+                *[
+                    F.col(c) if c in listed else F.col(f"__old_{c}").alias(c)
+                    for c in all_cols
+                ]
+            )
     kept = table.join(F.broadcast(updates.select(key)), key, "left_anti")
     return kept.unionByName(updates, allowMissingColumns=False)
 

@@ -139,10 +139,16 @@ def _index_percentile(cat: B.BitmapCatalog, field: str, nth: float, filt):
 
 
 def _scan_fallback(call, idx: Optional[C.Index]):
+    """Fallback keeps the ROUTED contract per call type: scalar calls
+    return the scalar the scan produced (exactly — no int() coercion, the
+    scan path may legally yield floats/decimals the BSI path cannot), and
+    Percentile likewise unwraps its 1-row frame to the scalar the routed
+    `_index_percentile` would have returned."""
     if idx is None:
         raise ValueError("call not index-covered and no scan Index given")
     df = call.to_df(idx)
     if isinstance(call, (C.Sum, C.Min, C.Max)):
-        v = df.first()[0]
-        return None if v is None else int(v)
+        return df.first()[0]
+    if isinstance(call, C.Percentile):
+        return df.first()["percentile"]
     return df

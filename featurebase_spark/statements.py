@@ -511,7 +511,10 @@ def _insert(p: _P, spark: SparkSession, catalog, replace: bool) -> None:
         f"SELECT {', '.join(casts)} FROM (VALUES {values_sql}) "
         f"AS __v({', '.join(f'v{i}' for i in range(len(cols)))})"
     )
-    catalog.insert(name, rows)
+    # pass the statement's explicit column list so an upsert of an
+    # existing _id leaves unlisted fields untouched (opinsert.go imports
+    # only targetColumns); a full column list is a whole-row replace
+    catalog.insert(name, rows, cols=cols if set(cols) != set(all_cols) else None)
 
 
 # --------------------------------------------------------------------------

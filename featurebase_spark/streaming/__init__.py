@@ -255,13 +255,17 @@ def ttl_drop_partitions(
     )
     cutoff = now_dt - datetime.timedelta(seconds=seconds)
     bucket = "tq_" + quantum.lower()
-    fmt = "%Y%m%d%H"
+    # per-quantum parse format — a 'Y' partition value is '2024', not a
+    # zero-padded '%Y%m%d%H' string (month 00 would raise)
+    fmt = {"Y": "%Y", "YM": "%Y%m", "YMD": "%Y%m%d", "YMDH": "%Y%m%d%H"}[
+        quantum.upper()
+    ]
     dropped = []
     for entry in sorted(os.listdir(path)):
         if not entry.startswith(bucket + "="):
             continue
         val = entry.split("=", 1)[1]
-        ts = datetime.datetime.strptime(val.ljust(10, "0"), fmt)
+        ts = datetime.datetime.strptime(val, fmt)
         if ts < cutoff:
             shutil.rmtree(os.path.join(path, entry))
             dropped.append(val)

@@ -434,3 +434,29 @@ def test_bsi_minmax_single_pass(bsi_cat, tables):
     mn2, mx2 = bsi_cat.bsi_minmax("ivalue")
     exp = ev.agg(F.min("iv"), F.max("iv")).first()
     assert (mn2, mx2) == (exp[0], exp[1])
+
+
+def test_router_fallback_scalar_contract(bsi_cat, tables):
+    """Fallback keeps the routed contract (ADVICE r2): Percentile's
+    non-coverable-filter fallback returns the SCALAR, and Sum fallback
+    does not int()-truncate a non-integral scan result."""
+    from featurebase_spark.plans.router import route_call
+    from featurebase_spark.pql import calls as C
+
+    ev = tables["events"]
+    idx = C.Index(
+        ev.withColumn("ivalue", F.col("value").cast("long")), id_col="event_id"
+    )
+    # props is unindexed → filter not coverable → scan fallback
+    filt = C.Row("event_type", "==", "click")
+    uncov = C.Intersect(filt, C.Row("props", "==", "x"))
+    got = route_call(bsi_cat, C.Percentile("ivalue", 50, filter=uncov), idx=idx)
+    exp = (
+        C.Percentile("ivalue", 50, filter=uncov).to_df(idx).first()["percentile"]
+    )
+    assert got == exp and not hasattr(got, "collect")
+    # Sum over the FLOAT field 'value' is not BSI-indexed → fallback; the
+    # exact (non-truncated) scan answer must come back
+    sum_got = route_call(bsi_cat, C.Sum(field="value", filter=filt), idx=idx)
+    sum_exp = C.Sum(field="value", filter=filt).to_df(idx).first()[0]
+    assert sum_got == sum_exp and isinstance(sum_got, float)

@@ -308,3 +308,50 @@ def test_partitioned_upsert_sink_stream(spark, tmpdir):
         q.stop()
     got = {r["_id"]: r["v"] for r in spark.table("pu_view").collect()}
     assert got == {1: 1.0, 2: 20.0, 3: 30.0}
+
+
+def test_ttl_drop_partitions_coarse_quanta(spark, tmpdir):
+    """TTL drop parses partition values with the per-quantum format —
+    'Y' partitions like '2024' must not be zero-padded into an invalid
+    '%Y%m%d%H' parse (ADVICE r2)."""
+    import datetime
+
+    for quantum, vals, ttl, now, expect in [
+        ("Y", [2022, 2023, 2024], "400d", "2024-06-01T00:00:00", ["2022", "2023"]),
+        ("YM", [1, 3, 6], "100d", "2024-06-15T00:00:00", ["202401", "202403"]),
+    ]:
+        if quantum == "Y":
+            rows = [(i, datetime.datetime(y, 7, 1), 0.0) for i, y in enumerate(vals)]
+        else:
+            rows = [(i, datetime.datetime(2024, m, 1), 0.0) for i, m in enumerate(vals)]
+        df = spark.createDataFrame(rows, "_id LONG, ts TIMESTAMP, v DOUBLE")
+        path = os.path.join(tmpdir, f"ttl_{quantum}")
+        STR.write_quantum_partitioned(df, path, "ts", quantum)
+        dropped = STR.ttl_drop_partitions(spark, path, ttl, now=now, quantum=quantum)
+        assert dropped == expect, quantum
+        assert spark.read.parquet(path).count() == len(vals) - len(expect)
+
+
+def test_partitioned_upsert_partial_columns(spark, tmpdir):
+    """Partial-column upsert through the bucketed table: unlisted columns
+    of an existing key keep their old values (opinsert.go imports only
+    targetColumns)."""
+    from featurebase_spark.operators.writes import PartitionedUpsertTable
+
+    path = os.path.join(tmpdir, "pu_partial")
+    t = PartitionedUpsertTable(spark, path, "_id", buckets=4)
+    t.init(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "_id LONG, s STRING, n LONG"
+        )
+    )
+    # update lists only (s); n of existing _id=1 must survive, new _id=3
+    # gets NULL n
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "A", None), (3, "C", None)], "_id LONG, s STRING, n LONG"
+        ),
+        update_cols=["s"],
+    )
+    got = {r["_id"]: (r["s"], r["n"]) for r in t.read().collect()}
+    assert got == {1: ("A", 10), 2: ("b", 20), 3: ("C", None)}

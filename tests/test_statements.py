@@ -360,3 +360,25 @@ def test_create_drop_database(spark, cat):
     fb_sql(spark, "drop database stmt_db", catalog=cat)
     dbs = [r["name"] for r in fb_sql(spark, "show databases", catalog=cat).collect()]
     assert "stmt_db" not in dbs
+
+
+def test_partial_insert_preserves_unlisted_columns(spark, cat):
+    """INSERT naming a column subset upserts ONLY those columns for an
+    existing _id — unlisted fields keep their stored values (opinsert.go
+    builds its field list from targetColumns; ADVICE r2)."""
+    _mk_testinsert(spark, cat)
+    fb_sql(
+        spark,
+        "insert into testinsert (_id, a, b, s) values (1, 10, 100, 'keepme')",
+        catalog=cat,
+    )
+    # second insert lists only (_id, a): b and s of _id=1 must survive
+    fb_sql(spark, "insert into testinsert (_id, a) values (1, 11)", catalog=cat)
+    # and a partial insert of a NEW _id null-fills its unlisted columns
+    fb_sql(spark, "insert into testinsert (_id, a) values (2, 22)", catalog=cat)
+    got = {
+        r["_id"]: (r["a"], r["b"], r["s"])
+        for r in spark.table("testinsert").collect()
+    }
+    assert got == {1: (11, 100, "keepme"), 2: (22, None, None)}
+    cat.drop_table("testinsert")
