@@ -386,6 +386,113 @@ def _bsi_cmp_shard(planes: dict[int, np.ndarray], nbits: int, op: str, val2: int
     }[op]
 
 
+def _compile_trees(trees: Sequence) -> tuple[list, list]:
+    """Expression trees → (nested-tuple programs, deduped leaf list).
+    Shared leaves (the same Atom/Cmp appearing in several trees of a
+    multi-expression request) resolve to ONE leaf id — their fragments are
+    scanned once, the reference's per-shard kernel batching
+    (executor.go:6449-6830)."""
+    leaves: list = []
+    pos: dict = {}
+
+    def walk(n):
+        if isinstance(n, (Atom, Cmp)):
+            if n not in pos:
+                pos[n] = len(leaves)
+                leaves.append(n)
+            return ("leaf", pos[n])
+        return (n.kind, tuple(walk(c) for c in n.children))
+
+    return [walk(t) for t in trees], leaves
+
+
+_KERNELS = {
+    "and": bitmap_and,
+    "or": bitmap_or,
+    "andnot": bitmap_andnot,
+    "xor": bitmap_xor,
+}
+
+
+def _dense_planes(raw: dict[int, bytes]) -> tuple[dict[int, np.ndarray], int]:
+    """{bit: container blob} → ({bit: packed dense bytes}, nbytes)."""
+    offsets = {b: _unpack(blob) for b, blob in raw.items()}
+    nbytes = max(
+        ((int(o[-1]) >> 3) + 1 for o in offsets.values() if len(o)),
+        default=0,
+    )
+    return {b: _dense_bits(o, nbytes) for b, o in offsets.items()}, nbytes
+
+
+def _cmp_blob(raw: Optional[dict[int, bytes]], op: str, val2: int, nbits: int) -> bytes:
+    """One shard's BSI plane blobs → the comparison's result blob via bit
+    descent. ``raw`` None/existence-free means the field has no values in
+    the shard."""
+    if not raw or -1 not in raw:
+        return b""
+    planes, _ = _dense_planes(raw)
+    return _seal(_bsi_cmp_shard(planes, nbits, op, val2))
+
+
+def _minmax_descend(
+    planes: dict[int, np.ndarray], nbits: int, cand0: np.ndarray
+) -> Optional[tuple[int, int]]:
+    """(min, max) of the candidate rows, RELATIVE to the BSI offset (add
+    minv outside) — the PivotDescending walk of bsi.go:18-64, both
+    directions over one set of decoded planes."""
+    if not cand0.any():
+        return None
+    zero = np.zeros_like(cand0)
+    out = []
+    for want_max in (False, True):
+        cand, acc = cand0, 0
+        for b in range(nbits - 1, -1, -1):
+            bm = planes.get(b, zero)
+            t = cand & bm if want_max else cand & ~bm
+            if t.any():
+                cand = t
+                if want_max:
+                    acc |= 1 << b
+            elif not want_max:
+                acc |= 1 << b
+        out.append(acc)
+    return out[0], out[1]
+
+
+def _shard_leaf_blobs(pdf: pd.DataFrame, leaf_specs: list) -> dict[int, bytes]:
+    """One shard's unified leaf rows → {leaf_id: container blob}. Atom
+    leaves arrive as tagged fragment rows; Cmp leaves compute here from
+    the shard's BSI plane rows via bit descent — INSIDE the single
+    per-shard pass, so comparison leaves add zero extra shuffles."""
+    blobs: dict[int, bytes] = {}
+    planes_raw: dict[str, dict[int, bytes]] = {}
+    for leaf, field, bit, bm in zip(
+        pdf["leaf"], pdf["field"], pdf["bit"], pdf["bitmap"]
+    ):
+        blob = bytes(bm) if bm is not None else b""
+        if pd.notna(leaf):
+            blobs[int(leaf)] = blob
+        else:
+            planes_raw.setdefault(field, {})[int(bit)] = blob
+    for i, spec in enumerate(leaf_specs):
+        if spec[0] != "cmp":
+            continue
+        _, fld, op, val2, nbits = spec
+        blobs[i] = _cmp_blob(planes_raw.get(fld), op, val2, nbits)
+    return blobs
+
+
+def _eval_tree(tree, blobs: dict[int, bytes]) -> bytes:
+    if tree[0] == "leaf":
+        return blobs.get(tree[1], b"")
+    kern = _KERNELS[tree[0]]
+    vals = [_eval_tree(c, blobs) for c in tree[1]]
+    out = vals[0]
+    for v in vals[1:]:
+        out = kern(out, v)
+    return out
+
+
 class BitmapCatalog:
     """Registry of per-field bitmap index tables + the query router.
 
@@ -394,12 +501,142 @@ class BitmapCatalog:
     layer as the scatter/gather. Build once per field with
     :meth:`index_field`; answer Count/ids of And/Or/AndNot/XOr trees of
     (field = value) atoms from blobs alone.
+
+    Serving shape (the latency the index exists for): ANY batch of
+    expression trees answers in ONE two-stage Spark job — a pruned scan
+    of just the needed fragment rows (value-filtered equality fragments +
+    the BSI planes of compared fields), one shuffle on shard, and a
+    per-shard pandas kernel that materializes Cmp leaves and folds every
+    tree, emitting per-shard COUNTS. Only counts cross back to the driver
+    — the reference's scatter/gather (per-node shard counts merged at the
+    coordinator, executor.go:6449-6830) — so the gather is O(shards), not
+    O(data), at any scale.
     """
+
+    #: Max shard count for which scalar queries may gather fragment blobs
+    #: to the driver and evaluate there (the coordinator-eval / fragment-
+    #: cache niche, cache.go:19-45). 256 shards × 2^20 ids ≈ a 268M-row
+    #: table; worst-case gather is 256 × 128 KB = 32 MB per leaf. Beyond
+    #: that the distributed scatter/gather (per-shard kernels, counts-only
+    #: gather) serves — the 100 TB path.
+    DRIVER_SHARD_LIMIT = 256
 
     def __init__(self, shard_exp: int = DEFAULT_SHARD_EXP):
         self.shard_exp = shard_exp
         self._indexes: dict[str, DataFrame] = {}
         self._bsi: dict[str, tuple[DataFrame, int, int]] = {}
+        #: known shard count (set by save/load) — gates the driver path
+        self.n_shards: Optional[int] = None
+        # driver-side fragment LRU: key ("eq", Atom) → {shard: blob};
+        # key ("bsi", field) → {shard: {bit: blob}} — the reference keeps
+        # exactly this per-fragment row cache (cache.go:19-45); repeated
+        # queries over hot values never touch storage again
+        from collections import OrderedDict
+
+        self._frag_cache: "OrderedDict[tuple, dict]" = OrderedDict()
+        self._frag_cache_bytes = 0
+        self.frag_cache_cap = 64 << 20
+
+    # -- driver-side fragment gather + eval (the low-latency serving path)
+
+    def _driver_ok(self, mode: str) -> bool:
+        if mode == "driver":
+            return True
+        return (
+            mode == "auto"
+            and self.n_shards is not None
+            and self.n_shards <= self.DRIVER_SHARD_LIMIT
+        )
+
+    def _cache_put(self, key: tuple, entry: dict, nbytes: int) -> None:
+        self._frag_cache[key] = entry
+        self._frag_cache_bytes += nbytes
+        while self._frag_cache_bytes > self.frag_cache_cap and len(self._frag_cache) > 1:
+            _, old = self._frag_cache.popitem(last=False)
+            self._frag_cache_bytes -= sum(
+                len(b) if isinstance(b, bytes) else sum(len(x) for x in b.values())
+                for b in old.values()
+            )
+
+    def _gather(
+        self, atoms: Sequence[Atom], bsi_fields: Sequence[str]
+    ) -> tuple[dict, dict]:
+        """Fetch the fragment blobs the leaves need into the driver cache
+        (ONE pruned single-stage scan for all misses — no shuffle) and
+        return ({Atom: {shard: blob}}, {field: {shard: {bit: blob}}})."""
+        atoms = list(dict.fromkeys(atoms))
+        bsi_fields = list(dict.fromkeys(bsi_fields))
+        missing_atoms = [a for a in atoms if ("eq", a) not in self._frag_cache]
+        missing_fields = [
+            f for f in bsi_fields if ("bsi", f) not in self._frag_cache
+        ]
+        if missing_atoms or missing_fields:
+            probe_leaves: list = list(missing_atoms) + [
+                Cmp(f, "==", 0) for f in missing_fields
+            ]
+            rows = self._leaves_frame(probe_leaves).collect()
+            new_atoms: dict[Atom, dict] = {a: {} for a in missing_atoms}
+            new_planes: dict[str, dict] = {f: {} for f in missing_fields}
+            for r in rows:
+                blob = bytes(r["bitmap"]) if r["bitmap"] is not None else b""
+                if r["leaf"] is not None:
+                    new_atoms[missing_atoms[int(r["leaf"])]][int(r["shard"])] = blob
+                else:
+                    new_planes[r["field"]].setdefault(int(r["shard"]), {})[
+                        int(r["bit"])
+                    ] = blob
+            for a, entry in new_atoms.items():
+                self._cache_put(("eq", a), entry, sum(len(b) for b in entry.values()))
+            for f, entry in new_planes.items():
+                self._cache_put(
+                    ("bsi", f),
+                    entry,
+                    sum(len(b) for d in entry.values() for b in d.values()),
+                )
+        for a in atoms:
+            self._frag_cache.move_to_end(("eq", a))
+        for f in bsi_fields:
+            self._frag_cache.move_to_end(("bsi", f))
+        return (
+            {a: self._frag_cache[("eq", a)] for a in atoms},
+            {f: self._frag_cache[("bsi", f)] for f in bsi_fields},
+        )
+
+    def _driver_leaf_blobs(self, leaves: list, specs: list):
+        """Gather every leaf's fragments and return (shard_set, fn) where
+        ``fn(shard) -> {leaf_id: blob}``."""
+        atoms = [lf for lf in leaves if isinstance(lf, Atom)]
+        fields = sorted({lf.field for lf in leaves if isinstance(lf, Cmp)})
+        eq, planes = self._gather(atoms, fields)
+        shards: set[int] = set()
+        for d in eq.values():
+            shards |= set(d)
+        for d in planes.values():
+            shards |= set(d)
+
+        def blobs_for(shard: int) -> dict[int, bytes]:
+            out: dict[int, bytes] = {}
+            for i, lf in enumerate(leaves):
+                if isinstance(lf, Atom):
+                    out[i] = eq[lf].get(shard, b"")
+                else:
+                    spec = specs[i]
+                    out[i] = _cmp_blob(
+                        planes[lf.field].get(shard), spec[2], spec[3], spec[4]
+                    )
+            return out
+
+        return shards, blobs_for
+
+    def _driver_filter_fn(self, node):
+        """Filter tree → ``fn(shard) -> blob | None`` evaluated from the
+        driver cache (None = no filter)."""
+        if node is None:
+            return None
+        compiled, leaves = _compile_trees([node])
+        specs = self._leaf_specs(leaves)
+        _, blobs_for = self._driver_leaf_blobs(leaves, specs)
+        return lambda shard: _eval_tree(compiled[0], blobs_for(shard))
 
     def index_field(
         self, df: DataFrame, field: str, id_col: str = "_id", cache: bool = True
@@ -429,124 +666,151 @@ class BitmapCatalog:
             F.col("value") == F.lit(atom.value).cast("string")
         ).select("shard", "bitmap")
 
-    def _cmp_frame(self, node: Cmp) -> DataFrame:
-        """Row(f <op> v) from the BSI planes — per-shard bit descent, one
-        applyInPandas over the (few) plane rows of each shard."""
-        frame, minv, nbits = self._bsi[node.field]
-        op, val2 = node.op, int(node.value) - minv
+    def _leaf_specs(self, leaves: list) -> list:
+        specs = []
+        for lf in leaves:
+            if isinstance(lf, Atom):
+                specs.append(("atom",))
+            else:
+                _, minv, nbits = self._bsi[lf.field]
+                specs.append(("cmp", lf.field, lf.op, int(lf.value) - minv, nbits))
+        return specs
 
-        def cmp_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            planes, _ = _aligned_planes(pdf)
-            res = _bsi_cmp_shard(planes, nbits, op, val2)
-            return pd.DataFrame(
-                {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [_seal(res)]}
+    def _leaves_frame(self, leaves: list) -> DataFrame:
+        """Union the fragment rows every leaf needs into ONE unified frame
+        (leaf, field, bit, shard, bitmap). Atom leaves on the same field
+        share a single value-filtered scan (an `IN` filter + CASE tag —
+        pushed to the parquet footer on a persisted index, so only the
+        needed fragments' row groups are read); Cmp leaves pull their
+        field's BSI plane rows once, untagged (the per-shard kernel
+        derives every comparison on that field from the same planes)."""
+        from collections import defaultdict
+        from functools import reduce as _reduce
+
+        frames: list[DataFrame] = []
+        atoms_by_field: dict[str, list] = defaultdict(list)
+        for i, lf in enumerate(leaves):
+            if isinstance(lf, Atom):
+                atoms_by_field[lf.field].append((i, lf))
+        for f, items in atoms_by_field.items():
+            idx = self._indexes[f]
+            filt = None
+            tag = None
+            for i, lf in items:
+                # match under the same cast('string') rule the build used
+                c = F.col("value") == F.lit(lf.value).cast("string")
+                filt = c if filt is None else (filt | c)
+                tag = F.when(c, F.lit(i)) if tag is None else tag.when(c, F.lit(i))
+            frames.append(
+                idx.where(filt).select(
+                    tag.cast("long").alias("leaf"),
+                    F.lit(None).cast("string").alias("field"),
+                    F.lit(None).cast("long").alias("bit"),
+                    F.col("shard").cast("long").alias("shard"),
+                    "bitmap",
+                )
             )
-
-        return frame.groupBy("shard").applyInPandas(
-            cmp_shard, "shard LONG, bitmap BINARY"
-        )
+        for f in sorted({lf.field for lf in leaves if isinstance(lf, Cmp)}):
+            frame, _, _ = self._bsi[f]
+            frames.append(
+                frame.select(
+                    F.lit(None).cast("long").alias("leaf"),
+                    F.lit(f).alias("field"),
+                    F.col("bit").cast("long").alias("bit"),
+                    F.col("shard").cast("long").alias("shard"),
+                    "bitmap",
+                )
+            )
+        return _reduce(lambda a, b: a.unionByName(b), frames)
 
     def _eval(self, node) -> DataFrame:
         """Evaluate an expression tree to a (shard, bitmap) frame.
 
         The WHOLE tree folds in one groupBy(shard) pass: every leaf's
-        fragment rows union into a (leaf, shard, bitmap) frame, and one
-        applyInPandas per shard evaluates the tree over the decoded blobs
-        — one shuffle total, regardless of operator count (VERDICT r1 #3;
-        the reference likewise batches all fragment kernels of a shard in
-        one mapper call, executor.go:6449-6830)."""
+        fragment rows union into the unified leaf frame and one
+        applyInPandas per shard materializes Cmp leaves (bit descent over
+        the shard's planes) and folds the tree — one shuffle total,
+        regardless of operator or comparison count (the reference
+        batches all fragment kernels of a shard in one mapper call,
+        executor.go:6449-6830)."""
         if isinstance(node, Atom):
             return self._atom_frame(node)
-        if isinstance(node, Cmp):
-            return self._cmp_frame(node)
-
-        leaves: list = []
-
-        def walk(n):
-            if isinstance(n, (Atom, Cmp)):
-                leaves.append(n)
-                return ("leaf", len(leaves) - 1)
-            return (n.kind, tuple(walk(c) for c in n.children))
-
-        tree = walk(node)
-        frames = [
-            (self._atom_frame(lf) if isinstance(lf, Atom) else self._cmp_frame(lf))
-            .select(F.lit(i).alias("leaf"), "shard", "bitmap")
-            for i, lf in enumerate(leaves)
-        ]
-        from functools import reduce as _reduce
-
-        allf = _reduce(lambda a, b: a.unionByName(b), frames)
-        kernels = {
-            "and": bitmap_and,
-            "or": bitmap_or,
-            "andnot": bitmap_andnot,
-            "xor": bitmap_xor,
-        }
+        compiled, leaves = _compile_trees([node])
+        tree = compiled[0]
+        specs = self._leaf_specs(leaves)
+        allf = self._leaves_frame(leaves)
 
         def eval_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            blobs = {
-                int(l): (bytes(b) if b is not None else b"")
-                for l, b in zip(pdf["leaf"], pdf["bitmap"])
-            }
-
-            def ev(t):
-                if t[0] == "leaf":
-                    return blobs.get(t[1], b"")
-                kern = kernels[t[0]]
-                vals = [ev(c) for c in t[1]]
-                out = vals[0]
-                for v in vals[1:]:
-                    out = kern(out, v)
-                return out
-
+            blobs = _shard_leaf_blobs(pdf, specs)
             return pd.DataFrame(
-                {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [ev(tree)]}
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "bitmap": [_eval_tree(tree, blobs)],
+                }
             )
 
         return allf.groupBy("shard").applyInPandas(
             eval_shard, "shard LONG, bitmap BINARY"
         )
 
+    def counts(self, nodes: Sequence, mode: str = "auto") -> list[int]:
+        """Cardinalities of a BATCH of expressions — the serving path.
+
+        Small index (≤ :data:`DRIVER_SHARD_LIMIT` shards, known after
+        save/load): leaf fragments gather once into the driver's fragment
+        LRU (ONE single-stage pruned scan per cache miss, no shuffle) and
+        every tree folds in numpy on the driver — repeated queries over
+        hot values are pure in-memory kernel calls, the reference's
+        fragment-cache serving latency (cache.go:19-45).
+
+        Large index: one two-stage Spark job — pruned scan of exactly the
+        needed fragment rows, one shuffle on shard, per-shard kernels fold
+        every tree and emit per-shard COUNTS; the driver sums them — the
+        reference's scatter/gather where only per-shard counts reach the
+        coordinator (executeCount executor.go:5839, gather :6449-6830).
+        The gather is O(n_shards × n_trees) longs, never blobs, at any
+        scale. ``mode``: 'auto' | 'driver' | 'distributed'."""
+        compiled, leaves = _compile_trees(list(nodes))
+        specs = self._leaf_specs(leaves)
+        if self._driver_ok(mode):
+            shards, blobs_for = self._driver_leaf_blobs(leaves, specs)
+            out = [0] * len(compiled)
+            for s in shards:
+                blobs = blobs_for(s)
+                for q, t in enumerate(compiled):
+                    out[q] += _popcount(_eval_tree(t, blobs))
+            return out
+        allf = self._leaves_frame(leaves)
+        ntrees = len(compiled)
+
+        def count_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            blobs = _shard_leaf_blobs(pdf, specs)
+            return pd.DataFrame(
+                {
+                    "q": list(range(ntrees)),
+                    "n": [
+                        _popcount(_eval_tree(t, blobs)) for t in compiled
+                    ],
+                }
+            )
+
+        rows = allf.groupBy("shard").applyInPandas(
+            count_shard, "q LONG, n LONG"
+        ).collect()
+        out = [0] * ntrees
+        for r in rows:
+            out[int(r["q"])] += int(r["n"])
+        return out
+
     def count(self, node) -> int:
         """Cardinality of the bitmap expression — touches only index blobs
         (reference executeCount over fragment bitmaps, executor.go:5839)."""
-        frame = self._eval(node)
-
-        @F.pandas_udf(LongType())
-        def pop(b: pd.Series) -> pd.Series:
-            return pd.Series([_popcount(bytes(x) if x is not None else b"") for x in b])
-
-        r = frame.select(F.sum(pop(F.col("bitmap"))).alias("n")).first()
-        return int(r["n"] or 0)
+        return self.counts([node])[0]
 
     def count_many(self, nodes: Sequence) -> list[int]:
-        """Cardinalities of several expressions in ONE Spark action — the
-        reference's multi-call PQL request (a query string may hold many
-        calls, executor.go:183-489 loops them in one round trip). Each
-        tree still folds per shard; results merge by query tag."""
-        frames = [
-            self._eval(n).select(F.lit(i).alias("q"), "bitmap")
-            for i, n in enumerate(nodes)
-        ]
-        from functools import reduce as _reduce
-
-        allf = _reduce(lambda a, b: a.unionByName(b), frames)
-
-        @F.pandas_udf(LongType())
-        def pop(b: pd.Series) -> pd.Series:
-            return pd.Series(
-                [_popcount(bytes(x) if x is not None else b"") for x in b]
-            )
-
-        rows = (
-            allf.select("q", pop(F.col("bitmap")).alias("n"))
-            .groupBy("q")
-            .agg(F.sum("n").alias("n"))
-            .collect()
-        )
-        got = {int(r["q"]): int(r["n"] or 0) for r in rows}
-        return [got.get(i, 0) for i in range(len(nodes))]
+        """Back-compat alias of :meth:`counts` (multi-call PQL request,
+        executor.go:183-489)."""
+        return self.counts(nodes)
 
     def ids(self, node) -> DataFrame:
         """Materialize the record IDs of a bitmap expression (shard-parallel
@@ -569,12 +833,23 @@ class BitmapCatalog:
 
     # -- BSI aggregates (executor.go Sum/Min/Max shard paths 2155-2356) ----
 
-    def bsi_sum(self, field: str, filter_node=None) -> int:
+    def bsi_sum(self, field: str, filter_node=None, mode: str = "auto") -> int:
         """Sum of a BSI field: Σ_b popcount(plane_b ∩ filter) << b, plus
         min offset × existence count (executeSumCountShard 2155-2217).
-        No filter → pure metadata (precomputed cardinalities, zero blob
-        reads)."""
+        Small index → driver fragment-cache eval (see :meth:`counts`).
+        No filter (distributed) → pure metadata (precomputed
+        cardinalities, zero blob reads)."""
         frame, minv, _ = self._bsi[field]
+        if self._driver_ok(mode):
+            planes = self._gather([], [field])[1][field]
+            ffn = self._driver_filter_fn(filter_node)
+            total = 0
+            for s, raw in planes.items():
+                fb = ffn(s) if ffn is not None else None
+                for bit, blob in raw.items():
+                    n = _popcount(blob if fb is None else bitmap_and(blob, fb))
+                    total += n * minv if bit == -1 else n << int(bit)
+            return total
         if filter_node is None:
             r = frame.select(
                 F.sum(
@@ -648,17 +923,46 @@ class BitmapCatalog:
         r = per_shard.agg((F.max("v") if want_max else F.min("v")).alias("v")).first()
         return None if r["v"] is None else int(r["v"])
 
-    def bsi_max(self, field: str, filter_node=None):
+    def bsi_max(self, field: str, filter_node=None, mode: str = "auto"):
+        if self._driver_ok(mode):
+            mm = self.bsi_minmax(field, filter_node, mode="driver")
+            return mm[1]
         return self._bsi_extreme(field, True, filter_node)
 
-    def bsi_min(self, field: str, filter_node=None):
+    def bsi_min(self, field: str, filter_node=None, mode: str = "auto"):
+        if self._driver_ok(mode):
+            mm = self.bsi_minmax(field, filter_node, mode="driver")
+            return mm[0]
         return self._bsi_extreme(field, False, filter_node)
 
-    def bsi_minmax(self, field: str, filter_node=None):
+    def bsi_minmax(self, field: str, filter_node=None, mode: str = "auto"):
         """(min, max) in ONE per-shard pass — both descents share the
         shard's decoded planes, and one Spark action serves both answers
-        (the multi-call-request batching of count_many, for extremes)."""
+        (the multi-call-request batching of count_many, for extremes).
+        Small index → driver fragment-cache descent (see :meth:`counts`)."""
         frame, minv, nbits = self._bsi[field]
+        if self._driver_ok(mode):
+            planes_raw = self._gather([], [field])[1][field]
+            ffn = self._driver_filter_fn(filter_node)
+            lo = hi = None
+            for s, raw in planes_raw.items():
+                planes, nbytes = _dense_planes(raw)
+                cand = planes.get(-1)
+                if cand is None:
+                    continue
+                fb = ffn(s) if ffn is not None else None
+                if fb is not None:
+                    foffs = _unpack(fb)
+                    cand = cand & _dense_bits(foffs[foffs < nbytes * 8], nbytes)
+                mm = _minmax_descend(planes, nbits, cand)
+                if mm is None:
+                    continue
+                lo = mm[0] if lo is None else min(lo, mm[0])
+                hi = mm[1] if hi is None else max(hi, mm[1])
+            return (
+                None if lo is None else lo + minv,
+                None if hi is None else hi + minv,
+            )
         if filter_node is not None:
             filt = self._eval(filter_node).withColumnRenamed("bitmap", "bitmap_f")
             src = frame.join(filt, "shard", "inner")
@@ -672,24 +976,11 @@ class BitmapCatalog:
             if fblob is not None:
                 foffs = _unpack(fblob)
                 cand0 = cand0 & _dense_bits(foffs[foffs < width * 8], width)
-            if not cand0.any():
+            mm = _minmax_descend(planes, nbits, cand0)
+            if mm is None:
                 return pd.DataFrame({"lo": pd.Series([], dtype="int64"),
                                      "hi": pd.Series([], dtype="int64")})
-            zero = np.zeros_like(cand0)
-            out = []
-            for want_max in (False, True):
-                cand, acc = cand0, 0
-                for b in range(nbits - 1, -1, -1):
-                    bm = planes.get(b, zero)
-                    t = cand & bm if want_max else cand & ~bm
-                    if t.any():
-                        cand = t
-                        if want_max:
-                            acc |= 1 << b
-                    elif not want_max:
-                        acc |= 1 << b
-                out.append(acc + minv)
-            return pd.DataFrame({"lo": [out[0]], "hi": [out[1]]})
+            return pd.DataFrame({"lo": [mm[0] + minv], "hi": [mm[1] + minv]})
 
         r = (
             src.groupBy("shard")
@@ -754,23 +1045,50 @@ class BitmapCatalog:
         """Write every registered index to parquet PARTITIONED BY SHARD —
         the durable form of the reference's per-(field,view,shard) fragment
         files (fragment.go:30-80). Query-time shard pruning becomes
-        partition pruning on the reloaded frames."""
+        partition pruning on the reloaded frames.
+
+        ``repartition(shard)`` gives each shard directory exactly ONE
+        compact file (a fragment file, not a spray of task outputs), and
+        equality fragments sort by ``value`` within it so large shards'
+        row groups carry tight value min/max stats — a value-filtered
+        serving read skips every row group whose range misses, the
+        parquet analogue of opening only the queried row's fragment."""
         import json
         import os
 
         os.makedirs(path, exist_ok=True)
         for field, idx in self._indexes.items():
-            idx.write.mode("overwrite").partitionBy("shard").parquet(
-                os.path.join(path, "eq", field)
+            (
+                idx.repartition("shard")
+                .sortWithinPartitions("value")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(os.path.join(path, "eq", field))
             )
         for field, (frame, _, _) in self._bsi.items():
-            frame.write.mode("overwrite").partitionBy("shard").parquet(
-                os.path.join(path, "bsi", field)
+            (
+                frame.repartition("shard")
+                .sortWithinPartitions("bit")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(os.path.join(path, "bsi", field))
             )
+        # shard count (from the written partition dirs) gates the
+        # driver-cache serving path on reload
+        import glob
+
+        n_shards = 0
+        for sub in ("eq", "bsi"):
+            for fdir in glob.glob(os.path.join(path, sub, "*")):
+                n_shards = max(
+                    n_shards, len(glob.glob(os.path.join(fdir, "shard=*")))
+                )
+        self.n_shards = n_shards or None
         meta = {
             "shard_exp": self.shard_exp,
             "eq_fields": sorted(self._indexes),
             "bsi": {f: [mv, nb] for f, (_, mv, nb) in self._bsi.items()},
+            "n_shards": self.n_shards,
         }
         with open(os.path.join(path, "meta.json"), "w") as fh:
             json.dump(meta, fh)
@@ -786,13 +1104,17 @@ class BitmapCatalog:
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
         cat = cls(shard_exp=meta["shard_exp"])
+        cat.n_shards = meta.get("n_shards")
         for field in meta["eq_fields"]:
+            # partition-column inference may narrow shard to int — pin long
             cat._indexes[field] = spark.read.parquet(
                 os.path.join(path, "eq", field)
-            )
+            ).withColumn("shard", F.col("shard").cast("long"))
         for field, (mv, nb) in meta["bsi"].items():
             cat._bsi[field] = (
-                spark.read.parquet(os.path.join(path, "bsi", field)),
+                spark.read.parquet(
+                    os.path.join(path, "bsi", field)
+                ).withColumn("shard", F.col("shard").cast("long")),
                 int(mv),
                 int(nb),
             )

@@ -492,16 +492,24 @@ class Percentile(ReaderCall):
 
 
 def percentile_search(df: DataFrame, field: str, nth: float, max_iters: int = 80):
-    """Exact nearest-rank percentile by binary search over the VALUE domain —
-    a direct re-expression of the reference's executePercentile
-    (executor.go:1310-1603) where each probe is a filtered Count.
+    """Exact nearest-rank percentile with the minimum number of scans.
 
-    Invariant: count(<=lo) < rank <= count(<=hi). When the bracket stops
-    shrinking (ints: adjacent; floats/decimals: relative width ~1e-12) the
-    few surviving candidate values are counted once and the rank resolved
-    exactly — so the result is exact for every numeric type, not just the
-    BSI ints the reference supports. O(log range) pushed-down count scans;
-    the driver only ever holds scalars + the tiny candidate list."""
+    The reference's executePercentile (executor.go:1310-1603) binary-
+    searches the value domain because each probe is a near-free BITMAP
+    count. On a row store every probe is a column scan, so the faithful
+    translation of "cheap probes" is a HISTOGRAM: integer fields resolve
+    in ≤2 extra scans — one groupBy(value) histogram when the span is
+    small, else 2^16-bucket range histograms narrowing the span 65536×
+    per level (≤4 levels even for a 64-bit domain), then the in-bucket
+    histogram. Every scan after the first carries a pushed-down range
+    filter, so at 100 TB each level touches only the surviving rows'
+    pages. No sort, no rank-sized shuffle; the driver holds ≤2^16
+    (bucket, count) pairs per level.
+
+    Floats/decimals (beyond reference parity — BSI is int-only) keep the
+    bracket search: count(<=lo) < rank <= count(<=hi) until the bracket
+    is ~1e-12 relative, then the few candidate values resolve the rank
+    exactly."""
     vals = df.where(F.col(field).isNotNull())
     row = vals.agg(
         F.min(field).alias("lo"), F.max(field).alias("hi"), F.count(field).alias("n")
@@ -510,26 +518,54 @@ def percentile_search(df: DataFrame, field: str, nth: float, max_iters: int = 80
     if n == 0:
         return None
     rank = max(1, math.ceil(nth / 100.0 * n))
+    is_int = dict(df.dtypes)[field] in ("int", "bigint", "smallint", "tinyint")
+    if is_int:
+        lo_v, hi_v, below = int(minv), int(maxv), 0
+        while hi_v - lo_v > (1 << 20):
+            nb = 1 << 16
+            width = ((hi_v - lo_v) // nb) + 1
+            buckets = (
+                vals.where((F.col(field) >= lo_v) & (F.col(field) <= hi_v))
+                .groupBy(
+                    F.floor((F.col(field) - F.lit(lo_v)) / F.lit(width)).alias("b")
+                )
+                .count()
+                .orderBy("b")
+                .collect()
+            )
+            running, bi = below, 0
+            for r in buckets:
+                if running + r["count"] >= rank:
+                    bi = int(r["b"])
+                    break
+                running += r["count"]
+            below = running
+            new_lo = lo_v + bi * width
+            lo_v, hi_v = new_lo, min(hi_v, new_lo + width - 1)
+        hist = (
+            vals.where((F.col(field) >= lo_v) & (F.col(field) <= hi_v))
+            .groupBy(field)
+            .count()
+            .orderBy(field)
+            .collect()
+        )
+        running = below
+        for r in hist:
+            running += r["count"]
+            if running >= rank:
+                return r[field]
+        return hist[-1][field] if hist else hi_v  # defensive
     lo_cnt = vals.where(F.col(field) <= F.lit(minv)).count()
     if lo_cnt >= rank:
         return minv
-    is_int = dict(df.dtypes)[field] in ("int", "bigint", "smallint", "tinyint")
-    if is_int:
-        lo, hi = minv, maxv
-    else:
-        lo, hi = float(minv), float(maxv)  # decimals: probe in float space,
-        # exactness restored by the candidate-resolution step below
+    lo, hi = float(minv), float(maxv)  # decimals: probe in float space,
+    # exactness restored by the candidate-resolution step below
     for _ in range(max_iters):
-        if is_int:
-            if hi - lo <= 1:
-                break
-            mid = (lo + hi) // 2
-        else:
-            if (hi - lo) <= max(abs(hi), abs(lo), 1e-300) * 1e-12:
-                break
-            mid = (lo + hi) / 2.0
-            if mid <= lo or mid >= hi:
-                break  # adjacent doubles — cannot split further
+        if (hi - lo) <= max(abs(hi), abs(lo), 1e-300) * 1e-12:
+            break
+        mid = (lo + hi) / 2.0
+        if mid <= lo or mid >= hi:
+            break  # adjacent doubles — cannot split further
         cnt = vals.where(F.col(field) <= F.lit(mid)).count()
         if cnt >= rank:
             hi = mid

@@ -1362,10 +1362,18 @@ def _bitmap_cat(spark, sf_dir):
     reference's serving contract (pilosa-bench queries a server whose
     fragments already exist; cmd/pilosa-bench/main.go:25-50). Indexes
     events.event_type, events.user_id (equality) and floor(value) (BSI)
-    at the reference's 2^20 shard width; fragments materialize on first
-    use, every later query touches blobs only."""
+    at the reference's 2^20 shard width.
+
+    Ingest builds the fragments and PERSISTS them (parquet, one file per
+    shard directory); serving runs against the RELOADED catalog — lazy,
+    value-filtered, shard-partitioned reads, the durable fragment-store
+    shape the reference serves from (fragment.go:30-80). bench.py calls
+    this in its warmup so the timed keys measure serving latency only,
+    exactly as pilosa-bench times queries against a warm server."""
     key = (id(spark), sf_dir)
     if key not in _BITMAP_CATS:
+        import tempfile
+
         from featurebase_spark.plans.bitmap_index import BitmapCatalog
 
         ev = _tables(spark, sf_dir)["events"].withColumn(
@@ -1373,13 +1381,12 @@ def _bitmap_cat(spark, sf_dir):
         )
         cat = BitmapCatalog(shard_exp=20)  # sparse array containers keep
         # per-fragment bytes ~4×cardinality, so full width is affordable
-        cat.index_field(ev, "event_type", id_col="event_id")
-        cat.index_field(ev, "user_id", id_col="event_id")
-        cat.index_bsi_field(ev, "ivalue", id_col="event_id")
-        for f in ("event_type", "user_id"):
-            cat._indexes[f].count()  # materialize the cache (ingest step)
-        cat._bsi["ivalue"][0].count()
-        _BITMAP_CATS[key] = cat
+        cat.index_field(ev, "event_type", id_col="event_id", cache=False)
+        cat.index_field(ev, "user_id", id_col="event_id", cache=False)
+        cat.index_bsi_field(ev, "ivalue", id_col="event_id", cache=False)
+        path = tempfile.mkdtemp(prefix="fb_bmidx_")
+        cat.save(path)  # ingest: distributed fragment build + parquet write
+        _BITMAP_CATS[key] = BitmapCatalog.load(spark, path)
     return _BITMAP_CATS[key]
 
 
@@ -1399,9 +1406,15 @@ def bitmap_index_count(spark, sf_dir):
 
     cat = _bitmap_cat(spark, sf_dir)
     a, b = Atom("event_type", "click"), Atom("user_id", 12)
-    # one Spark action for all three expressions (multi-call PQL request)
-    rows = [tuple(cat.count_many([And(a, b), Or(a, b), AndNot(a, b)]))]
-    return spark.createDataFrame(rows, "n_and LONG, n_or LONG, n_andnot LONG")
+    # one serving round for all three expressions (multi-call PQL request);
+    # the scalars come back to the coordinator, so the result frame is a
+    # LocalRelation — no 32-task literal-parallelize job in the plan
+    n_and, n_or, n_andnot = cat.count_many([And(a, b), Or(a, b), AndNot(a, b)])
+    return spark.sql(
+        f"SELECT CAST({n_and} AS BIGINT) AS n_and, "
+        f"CAST({n_or} AS BIGINT) AS n_or, "
+        f"CAST({n_andnot} AS BIGINT) AS n_andnot"
+    )
 
 
 @register(
@@ -1637,16 +1650,12 @@ def bitmap_bsi_aggregates(spark, sf_dir):
     cat = _bitmap_cat(spark, sf_dir)
     click = Atom("event_type", "click")
     mn, mx = cat.bsi_minmax("ivalue", click)  # one pass serves both
-    rows = [
-        (
-            cat.count(And(click, Cmp("ivalue", ">", 150))),
-            cat.bsi_sum("ivalue", click),
-            mn,
-            mx,
-        )
-    ]
-    return spark.createDataFrame(
-        rows, "n_gt LONG, sum_v LONG, min_v LONG, max_v LONG"
+    n_gt = cat.count(And(click, Cmp("ivalue", ">", 150)))
+    sum_v = cat.bsi_sum("ivalue", click)
+    return spark.sql(
+        f"SELECT CAST({n_gt} AS BIGINT) AS n_gt, "
+        f"CAST({sum_v} AS BIGINT) AS sum_v, "
+        f"CAST({mn} AS BIGINT) AS min_v, CAST({mx} AS BIGINT) AS max_v"
     )
 
 

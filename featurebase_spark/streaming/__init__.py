@@ -333,7 +333,11 @@ def windowed_counts(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """EXTENSION (reference has no windows/watermarks): watermarked
-    tumbling/sliding counts per key."""
+    tumbling/sliding counts per key.
+
+    Event-time columns must be TIMESTAMP_LTZ for watermarking — cast
+    explicitly so NTZ sources (e.g. parquet written timezone-naive) work."""
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
     w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     return (
         stream.withWatermark(ts_col, watermark)

@@ -460,3 +460,78 @@ def test_router_fallback_scalar_contract(bsi_cat, tables):
     sum_got = route_call(bsi_cat, C.Sum(field="value", filter=filt), idx=idx)
     sum_exp = C.Sum(field="value", filter=filt).to_df(idx).first()[0]
     assert sum_got == sum_exp and isinstance(sum_got, float)
+
+
+def test_driver_serving_path_matches_distributed(spark, tables, tmp_path):
+    """The driver fragment-cache serving path (small persisted index,
+    n_shards <= DRIVER_SHARD_LIMIT) returns exactly what the distributed
+    scatter/gather returns, for counts, BSI aggregates and min/max —
+    and a reloaded catalog knows its shard count."""
+    from featurebase_spark.plans.bitmap_index import Cmp
+
+    ev = tables["events"].withColumn("iv", F.col("value").cast("long"))
+    c = BitmapCatalog(shard_exp=8)
+    c.index_field(ev, "event_type", id_col="event_id")
+    c.index_field(ev, "user_id", id_col="event_id")
+    c.index_bsi_field(ev, "iv", id_col="event_id")
+    c.save(str(tmp_path / "bm_served"))
+    cat = BitmapCatalog.load(spark, str(tmp_path / "bm_served"))
+    assert cat.n_shards is not None and cat.n_shards >= 1
+    assert cat._driver_ok("auto")
+
+    click = Atom("event_type", "click")
+    trees = [
+        And(click, Atom("user_id", 12)),
+        Or(click, Atom("user_id", 12)),
+        AndNot(click, Cmp("iv", ">", 100)),
+        XOr(Atom("user_id", 7), Cmp("iv", "<=", 50)),
+        Cmp("iv", "==", 120),
+    ]
+    assert cat.counts(trees, mode="driver") == cat.counts(
+        trees, mode="distributed"
+    )
+    assert cat.bsi_sum("iv", click, mode="driver") == cat.bsi_sum(
+        "iv", click, mode="distributed"
+    )
+    assert cat.bsi_sum("iv", None, mode="driver") == cat.bsi_sum(
+        "iv", None, mode="distributed"
+    )
+    assert cat.bsi_minmax("iv", click, mode="driver") == cat.bsi_minmax(
+        "iv", click, mode="distributed"
+    )
+    assert cat.bsi_min("iv", mode="driver") == cat.bsi_min(
+        "iv", mode="distributed"
+    )
+    assert cat.bsi_max("iv", click, mode="driver") == cat.bsi_max(
+        "iv", click, mode="distributed"
+    )
+
+
+def test_fragment_cache_hot_serving(spark, tables, tmp_path):
+    """Repeated queries over the same leaves serve from the driver
+    fragment LRU — no further storage scans (the reference's row cache,
+    cache.go:19-45) — and eviction keeps the cache bounded."""
+    ev = tables["events"]
+    c = BitmapCatalog(shard_exp=8)
+    c.index_field(ev, "event_type", id_col="event_id")
+    c.save(str(tmp_path / "bm_cache"))
+    cat = BitmapCatalog.load(spark, str(tmp_path / "bm_cache"))
+
+    calls = {"n": 0}
+    orig = cat._leaves_frame
+
+    def counting(leaves):
+        calls["n"] += 1
+        return orig(leaves)
+
+    cat._leaves_frame = counting
+    a = Atom("event_type", "click")
+    first = cat.count(a)
+    assert calls["n"] == 1
+    for _ in range(3):
+        assert cat.count(a) == first
+    assert calls["n"] == 1  # pure cache hits — zero Spark jobs
+    # eviction: a tiny cap forces the old entry out
+    cat.frag_cache_cap = 1
+    cat.count(Atom("event_type", "view"))
+    assert len(cat._frag_cache) == 1  # click evicted, view resident
