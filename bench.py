@@ -50,16 +50,13 @@ BENCH_QUERIES = [
     "pql_percentile_search",
     "sql_text_ddl_insert",
     "sql_join_bucketed",
+    # r3 breadth: the bucketed write path (VERDICT r2 next-round #7)
+    "statement_insert_touched_buckets",
 ]
 
-#: queries added after r1 — absent from BENCH_r01.json by design
-_NEW_IN_R2 = {
-    "sim_embedding_neardup",
-    "bitmap_index_count",
-    "bitmap_bsi_aggregates",
-    "pql_percentile_search",
-    "sql_text_ddl_insert",
-    "sql_join_bucketed",
+#: queries added after the prior round — excluded from regression flags
+_NEW_IN_ROUND = {
+    "statement_insert_touched_buckets",
 }
 
 
@@ -106,6 +103,16 @@ def main() -> None:
 
     _warm = F.pandas_udf(lambda s: s, "long")
     spark.range(32).select(_warm("id")).collect()
+    # warm the parquet-write/commit path once (codegen + committer JIT)
+    # so write-path queries measure the statement flow, not first-write
+    # session warm-up
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sql import fb_sql
+
+    _wcat = Catalog(spark)
+    fb_sql(spark, "create table __bench_warm (_id id, a int)", catalog=_wcat)
+    fb_sql(spark, "insert into __bench_warm (_id, a) values (1, 1)", catalog=_wcat)
+    _wcat.drop_table("__bench_warm")
     # bitmap-index INGEST (fragment build + parquet persist) runs here,
     # outside the timed region — the timed bitmap_* keys measure SERVING
     # against the reloaded fragment store, matching the reference bench
@@ -136,7 +143,7 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s rows={n}{note}", file=sys.stderr)
 
     regressions = {
-        n: r for n, r in deltas.items() if r > 1.5 and n not in _NEW_IN_R2
+        n: r for n, r in deltas.items() if r > 1.5 and n not in _NEW_IN_ROUND
     }
     if regressions:
         print(f"# REGRESSIONS >1.5x: {regressions}", file=sys.stderr)

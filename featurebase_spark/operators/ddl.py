@@ -22,16 +22,30 @@ from featurebase_spark.schema import TableDef
 class Catalog:
     """FeatureBase DDL façade over a SparkSession catalog.
 
-    In-session: tables are temp views (fast, no FS writes). Pass
-    ``path_prefix`` to also persist as parquet — the production shape where
-    CREATE TABLE makes a (bucketed) parquet/Delta table.
+    Tables start as temp views (CREATE TABLE is a metadata-only op); the
+    FIRST write materializes hash-bucket-partitioned parquet storage
+    (:class:`~featurebase_spark.operators.writes.PartitionedUpsertTable`)
+    and every later INSERT/DELETE rewrites ONLY the buckets its keys hash
+    into — per-statement cost O(touched buckets), not O(table), the
+    reference's per-shard fragment merge on import (batch/batch.go).
+    Pass ``bucketed=False`` to keep the r1 whole-generation-swap commit
+    (fine for tiny in-session tables).
     """
 
-    def __init__(self, spark: SparkSession, path_prefix: Optional[str] = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path_prefix: Optional[str] = None,
+        bucketed: bool = True,
+        buckets: int = 16,
+    ):
         self.spark = spark
         self.path_prefix = path_prefix
+        self.bucketed = bucketed
+        self.buckets = buckets
         self._defs: dict[str, TableDef] = {}
         self._views: dict[str, str] = {}
+        self._storage: dict[str, object] = {}  # name -> PartitionedUpsertTable
 
     @property
     def _data_path(self) -> str:
@@ -49,15 +63,29 @@ class Catalog:
             if if_not_exists:
                 return
             raise ValueError(f"table {td.name} exists")  # [TABLE_OR_VIEW_ALREADY_EXISTS]
-        empty = self.spark.createDataFrame([], td.spark_schema())
-        empty.createOrReplaceTempView(td.name)
+        self._empty_frame(td).createOrReplaceTempView(td.name)
         self._defs[td.name] = td
+
+    def _empty_frame(self, td: TableDef) -> DataFrame:
+        """0-row frame as a LocalRelation (WHERE FALSE folds to empty) —
+        ``createDataFrame([], schema)`` would be a defaultParallelism-task
+        empty RDD scan that every statement touching the view re-runs."""
+        cols = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}"
+            for f in td.spark_schema().fields
+        )
+        return self.spark.sql(f"SELECT {cols} WHERE 1=0")
 
     def drop_table(self, name: str, if_exists: bool = False) -> None:
         if name not in self._defs and not if_exists:
             raise ValueError(f"table {name} does not exist")
         self.spark.catalog.dropTempView(name)
         self._defs.pop(name, None)
+        store = self._storage.pop(name, None)
+        if store is not None:
+            import shutil
+
+            shutil.rmtree(store.path, ignore_errors=True)
 
     def alter_table_add_column(self, name: str, fdef) -> None:
         from featurebase_spark.schema import spark_type
@@ -65,17 +93,40 @@ class Catalog:
         df = self.spark.table(name).withColumn(
             fdef.name, F.lit(None).cast(spark_type(fdef))
         )
-        df.createOrReplaceTempView(name)
         self._defs[name].fields.append(fdef)
+        self._replace_contents(name, df)
 
     def alter_table_drop_column(self, name: str, col: str) -> None:
         df = self.spark.table(name).drop(col)
-        df.createOrReplaceTempView(name)
         self._defs[name].fields = [
             f for f in self._defs[name].fields if f.name != col
         ]
+        self._replace_contents(name, df)
 
     # -- writes route through operators.writes
+
+    def _ensure_storage(self, name: str):
+        """Materialize bucketed storage for a table on its first write
+        (CREATE TABLE stays metadata-only)."""
+        import os
+
+        from featurebase_spark.operators.writes import PartitionedUpsertTable
+
+        store = self._storage.get(name)
+        if store is None:
+            store = PartitionedUpsertTable(
+                self.spark,
+                os.path.join(self._data_path, f"{name}__buckets"),
+                "_id",
+                self.buckets,
+            )
+            store.init(self.spark.table(name))
+            self._storage[name] = store
+            self._register(name)
+        return store
+
+    def _register(self, name: str) -> None:
+        self._storage[name].read().createOrReplaceTempView(name)
 
     def insert(
         self,
@@ -88,20 +139,82 @@ class Catalog:
         mirrors plain INSERT which in the reference still overwrites by
         key — kept for API clarity. ``cols``: the column list the INSERT
         statement named — unlisted columns of an EXISTING ``_id`` keep
-        their old values (opinsert.go imports only targetColumns)."""
+        their old values (opinsert.go imports only targetColumns).
+
+        Bucketed (default): commit cost is O(buckets the batch's keys
+        hash into); a 3-row INSERT into a huge table rewrites ≤3 bucket
+        dirs, never the table."""
+        if self.bucketed:
+            store = self._ensure_storage(name)
+            store.upsert(rows, update_cols=cols)
+            self._register(name)
+            return
         from featurebase_spark.operators.writes import materialize_view, merge_upsert
 
         merged = merge_upsert(self.spark.table(name), rows, "_id", update_cols=cols)
         # distributed parquet commit — no rows ever pass through the driver
         materialize_view(merged, name, self._data_path)
 
-    def overwrite(self, name: str, df: DataFrame) -> None:
-        """Replace a table's contents (DELETE/TRUNCATE commit path) —
-        same distributed generation swap as insert."""
-        from featurebase_spark.operators.writes import materialize_view
+    def delete_ids(self, name: str, ids: DataFrame) -> None:
+        """DELETE by key set — bucketed: rewrites only the buckets the
+        deleted keys live in (per-shard delete, executor.go:9050-9320)."""
+        if self.bucketed:
+            store = self._ensure_storage(name)
+            store.delete_keys(ids)
+            self._register(name)
+            return
+        from featurebase_spark.operators.writes import delete_records
 
+        self.overwrite(name, delete_records(self.spark.table(name), ids))
+
+    def truncate(self, name: str) -> None:
+        """TRUNCATE is metadata-only: drop the storage and re-register the
+        empty view (the reference deletes whole fragment sets,
+        oppqltruncate.go — no surviving data is rewritten)."""
         if name not in self._defs:
             raise ValueError(f"table {name} does not exist")
+        store = self._storage.pop(name, None)
+        if store is not None:
+            import shutil
+
+            shutil.rmtree(store.path, ignore_errors=True)
+        self._empty_frame(self._defs[name]).createOrReplaceTempView(name)
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Replace a table's contents wholesale (the commit path for
+        arbitrary-rewrite ops like ALTER) — a full distributed swap; keyed
+        DELETE should use :meth:`delete_ids` instead."""
+        if name not in self._defs:
+            raise ValueError(f"table {name} does not exist")
+        self._replace_contents(name, df)
+
+    def _replace_contents(self, name: str, df: DataFrame) -> None:
+        from featurebase_spark.operators.writes import materialize_view
+
+        if self.bucketed and name in self._storage:
+            # full replace commits to a NEW generation path — df usually
+            # derives from the current storage, so writing in place would
+            # race the read (same copy-on-write rule as materialize_view)
+            import os
+            import shutil
+            import uuid
+
+            from featurebase_spark.operators.writes import PartitionedUpsertTable
+
+            new_store = PartitionedUpsertTable(
+                self.spark,
+                os.path.join(
+                    self._data_path, f"{name}__buckets_{uuid.uuid4().hex[:8]}"
+                ),
+                "_id",
+                self.buckets,
+            )
+            new_store.init(df)
+            old = self._storage[name]
+            self._storage[name] = new_store
+            self._register(name)
+            shutil.rmtree(old.path, ignore_errors=True)
+            return
         materialize_view(df, name, self._data_path)
 
     def ddl_text(self, name: str) -> str:

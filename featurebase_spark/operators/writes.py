@@ -67,6 +67,7 @@ class PartitionedUpsertTable:
         self.path = path
         self.key = key
         self.buckets = buckets
+        self.schema = None  # set on init(); lets empty tables read back
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -74,13 +75,25 @@ class PartitionedUpsertTable:
         )
 
     def init(self, df: DataFrame) -> None:
-        """Initial (full) load."""
-        self._bucketed(df).write.mode("overwrite").partitionBy(
+        """Initial (full) load. Works for EMPTY frames too — the schema is
+        pinned so later reads/upserts do not depend on file inference.
+        Repartitioning on the bucket gives each bucket dir one compact
+        file per shuffle partition instead of a per-task file spray (AQE
+        coalesces the shuffle for small loads)."""
+        bucketed = self._bucketed(df)
+        self.schema = bucketed.schema
+        bucketed.repartition("__bucket").write.mode("overwrite").partitionBy(
             "__bucket"
         ).parquet(self.path)
 
+    def _read_raw(self) -> DataFrame:
+        reader = self.spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.parquet(self.path)
+
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path).drop("__bucket")
+        return self._read_raw().drop("__bucket")
 
     def upsert(
         self, updates: DataFrame, update_cols: Sequence[str] | None = None
@@ -100,11 +113,9 @@ class PartitionedUpsertTable:
         loop itself is per-bucket-atomic; a crash between two renames
         leaves buckets at mixed generations, the documented seam a real
         deployment closes with Delta/Iceberg's transactional commit)."""
-        import shutil
-
         up = self._bucketed(updates.dropDuplicates([self.key]))
         touched = [int(r[0]) for r in up.select("__bucket").distinct().collect()]
-        current = self.spark.read.parquet(self.path).where(
+        current = self._read_raw().where(
             F.col("__bucket").isin(touched)  # partition-pruned read
         )
         if update_cols is not None:
@@ -118,11 +129,33 @@ class PartitionedUpsertTable:
                 F.broadcast(up.select(self.key)), self.key, "left_anti"
             )
             merged = kept.unionByName(up)
+        return self._commit_touched(merged, touched)
+
+    def delete_keys(self, keys: DataFrame) -> list[int]:
+        """Delete whole records by key — reads and rewrites ONLY the
+        buckets the deleted keys hash into (the per-shard delete of
+        executeDeleteRecords, executor.go:9050-9320). A bucket whose
+        rows all die simply loses its directory."""
+        k = self._bucketed(keys.select(self.key).dropDuplicates([self.key]))
+        touched = [int(r[0]) for r in k.select("__bucket").distinct().collect()]
+        current = self._read_raw().where(F.col("__bucket").isin(touched))
+        kept = current.join(
+            F.broadcast(k.select(self.key)), self.key, "left_anti"
+        )
+        return self._commit_touched(kept, touched)
+
+    def _commit_touched(self, merged: DataFrame, touched: list[int]) -> list[int]:
+        """Copy-on-write commit of the given buckets: stage, then swap
+        each touched bucket dir by rename (see :meth:`upsert`)."""
+        import shutil
+
         staging = os.path.join(
             os.path.dirname(self.path.rstrip("/")) or ".",
             ".fb_staging_" + uuid.uuid4().hex[:12],
         )
-        merged.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+        merged.repartition("__bucket").write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(staging)
         for b in touched:
             src = os.path.join(staging, f"__bucket={b}")
             dst = os.path.join(self.path, f"__bucket={b}")

@@ -1834,6 +1834,43 @@ def sql_text_ddl_insert(spark, sf_dir):
 
 
 @register(
+    "statement_insert_touched_buckets",
+    "SELECT CAST(i AS BIGINT) AS _id, "
+    "CAST(CASE WHEN i = 3 THEN 999 ELSE i * 10 END AS BIGINT) AS a, "
+    "CASE WHEN i = 3 THEN 'r3' ELSE 'r' || CAST(i AS VARCHAR) END AS s "
+    "FROM range(60) t(i) WHERE i <> 7 "
+    "UNION ALL SELECT 100, 1, 'ADD' ORDER BY _id",
+)
+def statement_insert_touched_buckets(spark, sf_dir):
+    """The WRITE path end-to-end through bucketed storage (the default
+    commit since r3): seed a table via the statement door, then run the
+    per-statement shapes whose cost must be O(touched buckets) — a
+    partial-column upsert (unlisted ``s`` survives, opinsert.go
+    targetColumns), a new-key insert, and a keyed DELETE (per-shard
+    delete, executor.go:9050-9320). Oracle is the expected literal end
+    state; the byte-identity of untouched buckets is asserted in
+    tests/test_statements.py."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table t_stmt_bkt (_id id, a int, s string)", catalog=cat)
+    seed = ", ".join(f"({i}, {i * 10}, 'r{i}')" for i in range(60))
+    fb_sql(spark, f"insert into t_stmt_bkt (_id, a, s) values {seed}", catalog=cat)
+    # partial-column upsert: only (a) listed — s of _id=3 must survive
+    fb_sql(spark, "insert into t_stmt_bkt (_id, a) values (3, 999)", catalog=cat)
+    fb_sql(spark, "insert into t_stmt_bkt (_id, a, s) values (100, 1, 'ADD')", catalog=cat)
+    fb_sql(spark, "delete from t_stmt_bkt where _id = 7", catalog=cat)
+    return fb_sql(
+        spark, "select _id, a, s from t_stmt_bkt order by _id", catalog=cat
+    ).select(
+        F.col("_id").cast("long").alias("_id"),
+        F.col("a").cast("long").alias("a"),
+        "s",
+    )
+
+
+@register(
     "sql_text_bulk_delete",
     "SELECT p_partkey AS _id, upper(p_name) AS name, "
     "CAST(p_size * 2 AS BIGINT) AS size2 FROM part "

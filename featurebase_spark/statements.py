@@ -655,13 +655,15 @@ def _delete(p: _P, spark: SparkSession, catalog) -> None:
     if name not in catalog._defs:
         raise StatementError(f"table '{name}' not found")
     if p.accept("WHERE"):
+        # keyed delete: only the buckets holding matching _ids rewrite
+        # (PlanOpPQLFilteredDelete → per-shard delete)
         pred = translate(p.expr_until(()))
-        kept = spark.sql(
-            f"SELECT * FROM {name} WHERE NOT coalesce(({pred}), false)"
+        ids = spark.sql(
+            f"SELECT _id FROM {name} WHERE coalesce(({pred}), false)"
         )
-    else:  # whole-table truncate (oppqltruncate.go)
-        kept = spark.table(name).limit(0)
-    catalog.overwrite(name, kept)
+        catalog.delete_ids(name, ids)
+    else:  # whole-table truncate (oppqltruncate.go) — metadata-only drop
+        catalog.truncate(name)
 
 
 # --------------------------------------------------------------------------

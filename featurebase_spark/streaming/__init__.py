@@ -115,32 +115,41 @@ def upsert_sink(
     checkpoint: Optional[str] = None,
     trigger_seconds: Optional[int] = None,
     table_path: Optional[str] = None,
+    buckets: int = 16,
 ):
     """The reference's ingest contract: each micro-batch is an upsert-by-key
     into the visible table (bit-flip visibility, idk/ingest.go:222-560).
 
-    Implemented with ``foreachBatch`` + :func:`operators.writes.
-    bulk_upsert_last_write_wins` committed via a distributed parquet
-    generation swap (``materialize_view``) — rows never pass through the
-    driver; with Delta on the classpath the body becomes
-    ``DeltaTable.merge`` unchanged. ``table_path`` roots the generation
-    dirs (default: a fresh temp dir). Returns the StreamingQuery
-    (caller: ``q.processAllAvailable()``)."""
-    from featurebase_spark.operators.writes import (
-        bulk_upsert_last_write_wins,
-        materialize_view,
-    )
+    Each micro-batch commits through a
+    :class:`~featurebase_spark.operators.writes.PartitionedUpsertTable`
+    (the DEFAULT since r3): only the hash-bucket partitions the batch's
+    keys touch are rewritten — per-batch cost O(touched buckets), the
+    reference's per-shard fragment merge on import (batch/batch.go). The
+    first batch materializes the current view into bucketed storage; with
+    Delta on the classpath the body becomes ``DeltaTable.merge``
+    unchanged. ``table_path`` roots the storage (default: a fresh temp
+    dir). Returns the StreamingQuery (caller:
+    ``q.processAllAvailable()``)."""
+    import os
+
+    from featurebase_spark.operators.writes import PartitionedUpsertTable
 
     spark = stream.sparkSession
     if table_path is None:
         import tempfile
 
         table_path = tempfile.mkdtemp(prefix="fb_stream_")
+    table = PartitionedUpsertTable(
+        spark, os.path.join(table_path, f"{target_view}__buckets"), key, buckets
+    )
+    state = {"init": False}
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        current = spark.table(target_view)
-        merged = bulk_upsert_last_write_wins(current, batch, key)
-        materialize_view(merged, target_view, table_path)
+        if not state["init"]:
+            table.init(spark.table(target_view))
+            state["init"] = True
+        table.upsert(batch)
+        table.read().createOrReplaceTempView(target_view)
 
     writer = stream.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint:

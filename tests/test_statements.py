@@ -382,3 +382,64 @@ def test_partial_insert_preserves_unlisted_columns(spark, cat):
     }
     assert got == {1: (11, 100, "keepme"), 2: (22, None, None)}
     cat.drop_table("testinsert")
+
+
+def test_statement_insert_touches_only_key_buckets(spark, cat, tmp_path):
+    """The statement door commits INSERT/DELETE through bucketed storage:
+    after a small INSERT into a populated table, every bucket the batch's
+    keys do NOT hash into keeps its files BYTE-IDENTICAL (per-statement
+    cost O(touched buckets), the per-shard fragment merge of
+    batch/batch.go); DELETE WHERE likewise; TRUNCATE drops storage
+    without rewriting anything."""
+    import glob
+    import os
+
+    fb_sql(spark, "create table bktins (_id id, a int, s string)", catalog=cat)
+    fb_sql(
+        spark,
+        "insert into bktins (_id, a, s) values "
+        + ", ".join(f"({i}, {i * 10}, 'r{i}')" for i in range(40)),
+        catalog=cat,
+    )
+    store = cat._storage["bktins"]
+
+    def bucket_bytes():
+        out = {}
+        for d in os.listdir(store.path):
+            if not d.startswith("__bucket="):
+                continue
+            out[d] = {
+                os.path.basename(f): open(f, "rb").read()
+                for f in glob.glob(os.path.join(store.path, d, "*.parquet"))
+            }
+        return out
+
+    before = bucket_bytes()
+    fb_sql(
+        spark,
+        "insert into bktins (_id, a, s) values (3, 999, 'NEW'), (100, 1, 'ADD')",
+        catalog=cat,
+    )
+    after = bucket_bytes()
+    untouched = [d for d in before if before[d] == after.get(d)]
+    touched = [d for d in before if d not in untouched]
+    assert len(touched) <= 2  # at most one bucket per inserted key
+    assert len(untouched) >= len(before) - 2
+    got = {r["_id"]: (r["a"], r["s"]) for r in spark.table("bktins").collect()}
+    assert len(got) == 41 and got[3] == (999, "NEW") and got[100] == (1, "ADD")
+
+    # keyed DELETE rewrites only the victims' buckets
+    before = bucket_bytes()
+    fb_sql(spark, "delete from bktins where _id = 7", catalog=cat)
+    after = bucket_bytes()
+    assert sum(1 for d in before if before[d] != after.get(d)) <= 1
+    assert spark.table("bktins").count() == 40
+
+    # TRUNCATE = metadata drop
+    fb_sql(spark, "delete from bktins", catalog=cat)
+    assert spark.table("bktins").count() == 0
+    assert "bktins" not in cat._storage
+    # and the table is still writable after truncate
+    fb_sql(spark, "insert into bktins (_id, a, s) values (1, 1, 'x')", catalog=cat)
+    assert spark.table("bktins").count() == 1
+    cat.drop_table("bktins")
