@@ -289,6 +289,50 @@ class Catalog:
         ]
         return self.spark.createDataFrame(rows)
 
+    def fb_exec_requests(self) -> DataFrame:
+        """``fb_exec_requests`` (opsystemtable.go:1-673 serves in-flight /
+        recent SQL requests per node). Spark analogue: the job status
+        tracker — one row per active job with its stage count. (The
+        reference's per-request SQL text / elapsed / node fields are
+        coordinator-specific; Spark's public tracker exposes job/stage
+        granularity, so that is the contract here.)"""
+        st = self.spark.sparkContext.statusTracker()
+        rows = []
+        for jid in sorted(st.getActiveJobsIds()):
+            info = st.getJobInfo(jid)
+            if info is not None:
+                rows.append(
+                    SparkRow(
+                        request_id=int(jid),
+                        status=str(info.status),
+                        n_stages=len(info.stageIds),
+                    )
+                )
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "request_id LONG, status STRING, n_stages INT"
+            )
+        return self.spark.createDataFrame(rows)
+
+    def fb_performance_counters(self) -> DataFrame:
+        """``fb_performance_counters`` (opsystemtable.go — per-node
+        counters). Spark analogue: scheduler counters from the public
+        status tracker + context. Node-memory/goroutine counters are
+        reference-runtime-specific and documented n/a (COVERAGE.md)."""
+        import time as _time
+
+        sc = self.spark.sparkContext
+        st = sc.statusTracker()
+        counters = [
+            ("active_jobs", len(st.getActiveJobsIds())),
+            ("active_stages", len(st.getActiveStageIds())),
+            ("default_parallelism", sc.defaultParallelism),
+            ("uptime_ms", int(_time.time() * 1000) - sc.startTime),
+        ]
+        return self.spark.createDataFrame(
+            [SparkRow(counter=c, value=int(v)) for c, v in counters]
+        )
+
     def fb_views(self) -> DataFrame:
         if not self._views:
             return self.spark.createDataFrame([], "name STRING, statement STRING")

@@ -398,6 +398,7 @@ def srp_banded_candidate_pairs(
     n_planes: int = 64,
     bands: int = 32,
     seed: int = 42,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Banded signed-random-projection LSH candidates: the cosine twin of
     MinHash banding. Each vector gets ``n_planes`` sign bits (seeded
@@ -425,7 +426,8 @@ def srp_banded_candidate_pairs(
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
     r = n_planes // bands
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:  # pass dim= to skip this driver round-trip
+        dim = len(df.select(vec_col).first()[0])
     P = np.asarray(make_hyperplanes(dim, n_planes, seed), dtype=np.float64).T
     weights = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)
 
@@ -460,6 +462,7 @@ def embedding_neardup_lsh(
     seed: int = 42,
     round_digits: int = 6,
     chunk: int = 2048,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """The SCALE path for embedding near-dup: SRP-LSH buckets →
     WITHIN-BUCKET blocked-matmul verify → exact fold cosine on survivors.
@@ -488,7 +491,8 @@ def embedding_neardup_lsh(
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
     r = n_planes // bands
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:  # pass dim= to skip this driver round-trip
+        dim = len(df.select(vec_col).first()[0])
     P = np.asarray(make_hyperplanes(dim, n_planes, seed), dtype=np.float64).T
     weights = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)
 

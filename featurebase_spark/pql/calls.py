@@ -906,28 +906,28 @@ class Arrow(ReaderCall):
 
 @dataclass
 class Apply(ReaderCall):
-    """``Apply(filter?, "ivy-map" [, "_"])`` — run an ivy program over the
-    dataframe store (apply.go:14-120, dispatch executor.go:831). The
+    """``Apply(filter?, "ivy-map" [, "reduce"])`` — run an ivy program over
+    the dataframe store (apply.go:14-120, dispatch executor.go:831). The
     supported ivy subset compiles straight to Spark Column expressions
     (pql/ivy.py) — elementwise programs stay inside Tungsten codegen and
     ``op/`` reductions become one aggregate, which is exactly the
     map-shards-then-reduce contract of IvyReduce (apply.go:50-120). The
-    reduce-op argument accepts only ``"_"`` (concat — Spark's collect IS
-    the concat); arbitrary ivy beyond the subset → use a pandas_udf
-    (the documented superset path, queries.pql_apply)."""
+    third argument is ``"_"`` (concat — Spark's collect IS the concat) or
+    an ivy reduce program (``"+/"``, ``"max/ x"``) applied to the mapped
+    vector; arbitrary ivy beyond the subset → use a pandas_udf (the
+    documented superset path, queries.pql_apply)."""
 
     ivy: str
     filter: Optional[RowCall] = None
     reduce_op: str = "_"
 
     def to_df(self, idx: Index) -> DataFrame:
-        from featurebase_spark.pql.ivy import apply_ivy
+        from featurebase_spark.pql.ivy import apply_ivy, reduce_program
 
+        src = _filtered(idx, self.filter)
         if self.reduce_op != "_":
-            raise NotImplementedError(
-                "Apply reduce ops other than '_' (concat) are not supported"
-            )
-        return apply_ivy(_filtered(idx, self.filter), self.ivy, idx.id_col)
+            return reduce_program(src, self.ivy, self.reduce_op, idx.id_col)
+        return apply_ivy(src, self.ivy, idx.id_col)
 
 
 class WriteCall:

@@ -137,6 +137,33 @@ def compile_ivy(df: DataFrame, src: str, id_col: str = "_id") -> tuple[Column, O
     return col, red
 
 
+_RED_PROG = re.compile(r"^\s*([+*]/|max/|min/)\s*([A-Za-z_][A-Za-z0-9_]*)?\s*$")
+
+
+def reduce_program(
+    df: DataFrame,
+    map_src: str,
+    reduce_src: str,
+    id_col: str = "_id",
+    alias: str = "result",
+) -> DataFrame:
+    """``Apply``'s third argument: an ivy REDUCE program applied to the
+    concatenation of the per-shard map results (IvyReduce apply.go:50-120
+    — each shard maps, the coordinator reduces the combined vector).
+    Spark's aggregate IS that contract: partial per partition, merged
+    once. Supported reduce programs: ``op/`` optionally followed by a
+    name for the mapped vector (``"+/"``, ``"+/ x"``)."""
+    col, red = compile_ivy(df, map_src, id_col)
+    if red is not None:
+        raise SyntaxError(
+            "ivy: map program already reduces; drop the reduce argument"
+        )
+    m = _RED_PROG.match(reduce_src)
+    if not m:
+        raise SyntaxError(f"ivy: unsupported reduce program {reduce_src!r}")
+    return df.agg(_REDUCTIONS[m.group(1)](col).alias(alias))
+
+
 def apply_ivy(
     df: DataFrame, src: str, id_col: str = "_id", alias: str = "result"
 ) -> DataFrame:

