@@ -442,8 +442,31 @@ class _Rewriter:
         return args
 
 
+import re as _re
+
+_COUNT_ARGS = _re.compile(r"\bCOUNT\s*\(\s*([^()]*)\)", _re.IGNORECASE)
+
+
+def _check_count_args(sql: str) -> None:
+    """Mirror the reference's COUNT argument analysis (defs_aggregate.go:
+    29-40): COUNT takes exactly one argument and it must be ``*`` or a
+    column reference — ``COUNT(1)`` and ``COUNT(a, b)`` are compile
+    errors with these exact messages."""
+    for m in _COUNT_ARGS.finditer(sql):
+        arg = m.group(1).strip()
+        if "," in arg:
+            n = arg.count(",") + 1
+            raise ValueError(
+                f"count of formal parameters (1) does not match count of "
+                f"actual parameters ({n})"
+            )
+        if _re.fullmatch(r"\d+(\.\d+)?", arg):
+            raise ValueError("column reference expected")
+
+
 def translate(sql: str) -> str:
     """FeatureBase SQL text → Spark SQL text."""
+    _check_count_args(sql)
     rw = _Rewriter(_tokenize(sql))
     return rw.scope(None).strip().rstrip(";")
 

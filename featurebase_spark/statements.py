@@ -363,6 +363,10 @@ def _drop(p: _P, spark: SparkSession, catalog) -> None:
             raise StatementError(f"table '{name}' not found")
         catalog.drop_table(name, if_exists=if_exists)
     elif kind == "VIEW":
+        if name not in catalog._views:
+            if if_exists:
+                return
+            raise StatementError(f"view '{name}' not found")
         catalog.drop_view(name)
     elif kind == "DATABASE":
         # DAX-mode database (executionplanner.go dispatch) → Spark database
@@ -605,6 +609,40 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
             "ALLOW_MISSING_VALUES or HEADER_ROW"
         )
 
+    # assignment-compatibility analysis (defs_bulkinsert.go:46-80): a MAP
+    # source type must be assignable to its target column — string and
+    # numeric (id/int/decimal) families do not cross-assign. Transform
+    # expressions type-check when they are a direct @n pass-through (a
+    # computed expression takes its own type, as in the reference).
+    def _src_type_for(i: int) -> Optional[str]:
+        if transforms is None:
+            return map_entries[i][1] if i < len(map_entries) else None
+        m = re.fullmatch(r"\s*@\s*(\d+)\s*", transforms[i]) if i < len(
+            transforms
+        ) else None
+        if m and int(m.group(1)) < len(map_entries):
+            return map_entries[int(m.group(1))][1]
+        return None
+
+    _NUMERIC = {"id", "int", "decimal"}
+    for i, c in enumerate(cols):
+        src_t = _src_type_for(i)
+        if src_t is None or (c != "_id" and c not in by_name):
+            continue
+        s = src_t.lower().split("(")[0]
+        d = (
+            ("string" if td.keys else "id")
+            if c == "_id"
+            else by_name[c].fb_type.split("(")[0]
+        )
+        if s == d or {s, d} <= _NUMERIC:
+            continue
+        if (s in _NUMERIC and d == "string") or (s == "string" and d in _NUMERIC):
+            raise StatementError(
+                f"an expression of type '{s}' cannot be assigned to "
+                f"type '{d}'"
+            )
+
     if transforms is None:
         if len(map_entries) != len(cols):
             raise StatementError(
@@ -795,10 +833,26 @@ def execute_statement(
                 p.expect("REPLACE")
                 replace = True
             p.expect("VIEW")
+            if_not_exists = False
+            if p.accept("IF"):
+                p.expect("NOT")
+                p.expect("EXISTS")
+                if_not_exists = True
             name = p.ident("view name")
             p.expect("AS")
             body = translate(p.expr_until(()))
-            catalog.create_view(name, body, replace=replace)
+            # name-collision analysis mirrors compilecreateview.go /
+            # defs_views.go: a TABLE with the name is "table or view ...
+            # already exists"; an existing VIEW is "view ... already
+            # exists" unless IF NOT EXISTS (no-op) or OR REPLACE
+            if name in catalog._defs:
+                raise StatementError(f"table or view '{name}' already exists")
+            if name in catalog._views:
+                if if_not_exists:
+                    return None
+                if not replace:
+                    raise StatementError(f"view '{name}' already exists")
+            catalog.create_view(name, body, replace=True)
             return None
         _create_table(p, spark, catalog)
         return None

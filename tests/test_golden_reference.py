@@ -12,10 +12,12 @@ defs.go:221-226).
 from __future__ import annotations
 
 import datetime
+import re
 
 import pytest
 
 from featurebase_spark.sql import fb_sql
+from featurebase_spark.statements import StatementError
 
 
 @pytest.fixture(scope="module")
@@ -474,3 +476,239 @@ def test_golden_unary_ops(spark):
     assert (r["a"], r["b"], r["c"]) == (-10, -11, 10)
     n = fb_sql(spark, "select count(*) as n from unoptesti where i != 3").first()["n"]
     assert n == 1
+
+
+# --- defs_aggregate.go: COUNT argument analysis + shapes --------------------
+
+
+@pytest.fixture(scope="module")
+def count_test(spark):
+    spark.sql(
+        "select * from values"
+        " (1, 10, 10.0, 100), (2, 10, 10.0, 200), (3, 11, 11.0, CAST(NULL AS INT)),"
+        " (4, 12, 12.0, CAST(NULL AS INT)), (5, 12, 12.0, CAST(NULL AS INT)),"
+        " (6, 13, 13.0, CAST(NULL AS INT))"
+        " as t(_id, i1, d1, i2)"
+    ).createOrReplaceTempView("count_test")
+    return spark
+
+
+def test_golden_count_arg_errors(count_test):
+    # defs_aggregate.go:29-40 — exact ExpErr substrings
+    spark = count_test
+    with pytest.raises(ValueError, match=re.escape(
+        "count of formal parameters (1) does not match count of actual "
+        "parameters (2)"
+    )):
+        fb_sql(spark, "SELECT COUNT(i1, d1) AS count_rows FROM count_test")
+    with pytest.raises(ValueError, match="column reference expected"):
+        fb_sql(spark, "SELECT COUNT(1) AS count_rows FROM count_test")
+
+
+@pytest.mark.parametrize(
+    "sql,expected",
+    [
+        ("SELECT COUNT(*) AS count_rows FROM count_test", 6),
+        ("SELECT COUNT(_id) AS count_rows FROM count_test", 6),
+        ("SELECT COUNT(*) + 10 - 11 * 2 AS count_rows FROM count_test", -6),
+        ("SELECT COUNT(*) AS count_rows FROM count_test WHERE i1 = 10", 2),
+        ("SELECT COUNT(*) AS count_rows FROM count_test WHERE i1 != 10", 4),
+        ("SELECT COUNT(*) AS count_rows FROM count_test WHERE i1 < 12", 3),
+        ("SELECT COUNT(*) AS count_rows FROM count_test WHERE i1 > 12", 1),
+    ],
+    ids=lambda v: str(v)[:55],
+)
+def test_golden_count_shapes(count_test, sql, expected):
+    assert fb_sql(count_test, sql).first()[0] == expected
+
+
+def test_golden_count_null_columns(count_test):
+    # COUNT(col) skips NULLs: i2 present in 2 rows (defs_aggregate.go:58-67)
+    r = fb_sql(
+        count_test, "SELECT COUNT(i1) as a, COUNT(i2) as b FROM count_test"
+    ).first()
+    assert (r["a"], r["b"]) == (6, 2)
+
+
+# --- defs_views.go: view lifecycle through the statement door ---------------
+
+
+def test_golden_view_lifecycle(spark):
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table viewtable (_id id, a_string string, a_int int)",
+           catalog=cat)
+    fb_sql(spark, "insert into viewtable (_id, a_string, a_int) values "
+           "(1, 'str1', 10), (2, 'str2', 20), (3, 'str3', 30), "
+           "(4, 'str2', 40), (5, 'str3', 50)", catalog=cat)
+    # create view with a TABLE's name (defs_views.go:24-31)
+    with pytest.raises(StatementError, match="table or view 'viewtable' already exists"):
+        fb_sql(spark, "create view viewtable as select _id, a_string, a_int "
+               "from viewtable", catalog=cat)
+    fb_sql(spark, "create view viewonviewtable as select _id, a_string, a_int "
+           "from viewtable", catalog=cat)
+    # duplicate view (defs_views.go:42-48)
+    with pytest.raises(StatementError, match="view 'viewonviewtable' already exists"):
+        fb_sql(spark, "create view viewonviewtable as select _id from viewtable",
+               catalog=cat)
+    # IF NOT EXISTS no-ops (defs_views.go:49-58)
+    fb_sql(spark, "create view if not exists viewonviewtable as select _id "
+           "from viewtable", catalog=cat)
+    assert fb_sql(spark, "select * from viewonviewtable", catalog=cat).count() == 5
+    # alter view narrows (defs_views.go:81-110)
+    fb_sql(spark, "alter view viewonviewtable as select _id, a_string, a_int "
+           "from viewtable where a_int > 20", catalog=cat)
+    got = sorted(r["_id"] for r in
+                 fb_sql(spark, "select * from viewonviewtable", catalog=cat).collect())
+    assert got == [3, 4, 5]
+    # drop + drop-if-exists-after-drop (defs_views.go:111-135)
+    fb_sql(spark, "drop view viewonviewtable", catalog=cat)
+    fb_sql(spark, "drop view if exists viewonviewtable", catalog=cat)
+    with pytest.raises(StatementError, match="view 'viewonviewtable' not found"):
+        fb_sql(spark, "drop view viewonviewtable", catalog=cat)
+    # view with built-in literals (defs_views.go:136-158)
+    fb_sql(spark, "create view if not exists viewwithliteral as select _id "
+           "from viewtable where a_int < 100", catalog=cat)
+    assert fb_sql(spark, "select * from viewwithliteral", catalog=cat).count() == 5
+    cat.drop_view("viewwithliteral")
+    cat.drop_table("viewtable")
+
+
+# --- defs_keyed.go: string-keyed table over the statement door --------------
+
+
+@pytest.fixture(scope="module")
+def keyed_cat(spark):
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table keyed (_id string, an_int int min 0 max 100, "
+           "an_id_set idset, an_id id, a_string string, a_string_set stringset)",
+           catalog=cat)
+    fb_sql(spark, "insert into keyed values "
+           "('one', 11, [11, 12, 13], 101, 'str1', ['a1', 'b1', 'c1']), "
+           "('two', 22, [11, 12, 23], 201, 'str2', ['a2', 'b2', 'c2']), "
+           "('three', 33, [11, 32, 33], 301, 'str3', ['a3', 'b3', 'c3']), "
+           "('four', 44, [41, 42, 43], 401, 'str4', ['a4', 'b4', 'c4'])",
+           catalog=cat)
+    return cat
+
+
+def test_golden_keyed_select_all(spark, keyed_cat):
+    rows = {r["_id"]: r for r in
+            fb_sql(spark, "select * from keyed", catalog=keyed_cat).collect()}
+    assert set(rows) == {"one", "two", "three", "four"}
+    assert rows["one"]["an_int"] == 11 and rows["one"]["a_string"] == "str1"
+    assert sorted(rows["three"]["an_id_set"]) == [11, 32, 33]
+
+
+def test_golden_keyed_filters(spark, keyed_cat):
+    assert fb_sql(spark, "select an_int from keyed where _id = 'two'",
+                  catalog=keyed_cat).first()[0] == 22
+    got = sorted(r["_id"] for r in fb_sql(
+        spark, "select _id from keyed where _id in ('one', 'four')",
+        catalog=keyed_cat).collect())
+    assert got == ["four", "one"]
+    assert fb_sql(spark, "select count(*) as n from keyed where an_int > 22",
+                  catalog=keyed_cat).first()["n"] == 2
+
+
+def test_golden_keyed_setcontains(spark, keyed_cat):
+    # SETCONTAINS over idset/stringset on the keyed rows (defs_keyed.go
+    # set predicates)
+    got = sorted(r["_id"] for r in fb_sql(
+        spark, "select _id from keyed where setcontains(an_id_set, 11)",
+        catalog=keyed_cat).collect())
+    assert got == ["one", "three", "two"]
+    got = sorted(r["_id"] for r in fb_sql(
+        spark, "select _id from keyed where setcontains(a_string_set, 'a4')",
+        catalog=keyed_cat).collect())
+    assert got == ["four"]
+
+
+def test_golden_keyed_upsert(spark, keyed_cat):
+    # string-keyed INSERT upserts by _id (defs_keyed_insert.go)
+    fb_sql(spark, "insert into keyed (_id, an_int) values ('one', 99)",
+           catalog=keyed_cat)
+    r = fb_sql(spark, "select an_int, a_string from keyed where _id = 'one'",
+               catalog=keyed_cat).first()
+    # partial insert: unlisted a_string survives (opinsert.go targetColumns)
+    assert (r["an_int"], r["a_string"]) == (99, "str1")
+    assert fb_sql(spark, "select count(*) as n from keyed",
+                  catalog=keyed_cat).first()["n"] == 4
+
+
+# --- defs_delete.go: delete shapes over the statement door ------------------
+
+
+def test_golden_delete_shapes(spark):
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table del_t (_id id, i1 int min 0 max 1000)",
+           catalog=cat)
+    fb_sql(spark, "insert into del_t values " +
+           ", ".join(f"({i}, {i})" for i in range(1, 7)), catalog=cat)
+    # delete by key (defs_delete.go:47-65)
+    fb_sql(spark, "delete from del_t where _id = 1", catalog=cat)
+    assert fb_sql(spark, "select _id from del_t where _id = 1",
+                  catalog=cat).count() == 0
+    # delete with IN list (defs_delete.go:66-83)
+    fb_sql(spark, "delete from del_t where _id in (2, 3)", catalog=cat)
+    assert fb_sql(spark, "select _id from del_t where _id = 2 or _id = 3",
+                  catalog=cat).count() == 0
+    # delete with IN-subquery + conjunction (defs_delete.go:85-119)
+    fb_sql(spark, "create table sub_query (_id id, i1 int min 0 max 1000)",
+           catalog=cat)
+    fb_sql(spark, "insert into sub_query values (1,1), (2,2), (3,3), (4,4), "
+           "(5,5), (6,6)", catalog=cat)
+    fb_sql(spark, "delete from del_t where _id in "
+           "(select _id from sub_query where i1 > 3) and i1 > 4", catalog=cat)
+    assert sorted(r["_id"] for r in
+                  fb_sql(spark, "select _id from del_t", catalog=cat).collect()) == [4]
+    # unconditional delete truncates (oppqltruncate.go)
+    fb_sql(spark, "delete from del_t", catalog=cat)
+    assert fb_sql(spark, "select count(*) as n from del_t",
+                  catalog=cat).first()["n"] == 0
+    # delete from a missing table errors
+    with pytest.raises(StatementError, match="table 'nope_del' not found"):
+        fb_sql(spark, "delete from nope_del where _id = 1", catalog=cat)
+    cat.drop_table("del_t")
+    cat.drop_table("sub_query")
+
+
+# --- defs_bulkinsert.go: assignment compatibility + transforms --------------
+
+
+def test_golden_bulkinsert_assignment_compat(spark, tmp_path):
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table bulktest (_id string, id_col id, "
+           "string_col string, int_col int)", catalog=cat)
+    csv = tmp_path / "bulk.csv"
+    csv.write_text("1,TEST,-123\n2,TEST2,321\n")
+    # passing shape: map types match their targets (defs_bulkinsert.go:26-44)
+    fb_sql(spark, f"bulk insert into bulktest (_id, id_col, string_col, int_col) "
+           f"map (0 ID, 1 STRING, 2 INT) transform(@1, @0, @1, @2) "
+           f"from '{csv}' with format 'CSV' input 'FILE'", catalog=cat)
+    got = {r["_id"]: r["int_col"] for r in
+           fb_sql(spark, "select _id, int_col from bulktest", catalog=cat).collect()}
+    assert got == {"TEST": -123, "TEST2": 321}
+    # STRING map source into an INT column (defs_bulkinsert.go:46-61)
+    with pytest.raises(StatementError, match=re.escape(
+        "an expression of type 'string' cannot be assigned to type 'int'"
+    )):
+        fb_sql(spark, f"bulk insert into bulktest (_id, id_col, string_col, "
+               f"int_col) map (0 ID, 1 STRING, 2 STRING) "
+               f"transform(@1, @0, @1, @2) from '{csv}' "
+               f"with format 'CSV' input 'FILE'", catalog=cat)
+    # ID map source into a STRING column, no transform (defs_bulkinsert.go:63-79)
+    with pytest.raises(StatementError, match=re.escape(
+        "an expression of type 'id' cannot be assigned to type 'string'"
+    )):
+        fb_sql(spark, f"bulk insert into bulktest (_id, id_col, string_col) "
+               f"map (0 STRING, 1 ID, 2 ID) from '{csv}' "
+               f"with format 'CSV' input 'FILE'", catalog=cat)
+    cat.drop_table("bulktest")
