@@ -10,3 +10,19 @@ beyond FeatureBase's own surface — BASELINE.json north star):
 - :mod:`featurebase_spark.pipeline.multimodal` — opaque-binary column
   plumbing (decode/resize/frame-sample as Arrow-batched stubs).
 """
+
+from pyspark.sql import DataFrame
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-heavy per-row stage (shingling, tokenization, signature
+    matmuls) runs with the session's full parallelism.
+
+    A small corpus often arrives as ONE parquet file → one input split →
+    one core doing all the regexp/explode work while 31 idle. At real
+    scale inputs already carry >= parallelism splits and this is a no-op
+    (no shuffle added); only under-split inputs pay one small exchange."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -89,8 +89,13 @@ def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:
     """Exploded (id, shingle) posting table — the join key for candidate
-    generation. At scale, repartition by shingle so the self-join co-locates."""
-    return df.select(
+    generation. At scale, repartition by shingle so the self-join co-locates.
+    The tokenize+explode is the CPU-heavy stage, so under-split inputs
+    spread to full parallelism first."""
+    from featurebase_spark.pipeline import spread_small_input
+
+    src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+    return src.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
 
@@ -423,11 +428,14 @@ def srp_banded_candidate_pairs(
 
     from featurebase_spark.pipeline.similarity import make_hyperplanes
 
+    from featurebase_spark.pipeline import spread_small_input
+
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
     r = n_planes // bands
     if dim is None:  # pass dim= to skip this driver round-trip
         dim = len(df.select(vec_col).first()[0])
+    df = spread_small_input(df)  # Arrow matmuls want full parallelism
     P = np.asarray(make_hyperplanes(dim, n_planes, seed), dtype=np.float64).T
     weights = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)
 
@@ -488,11 +496,14 @@ def embedding_neardup_lsh(
 
     from featurebase_spark.pipeline.similarity import make_hyperplanes
 
+    from featurebase_spark.pipeline import spread_small_input
+
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
     r = n_planes // bands
     if dim is None:  # pass dim= to skip this driver round-trip
         dim = len(df.select(vec_col).first()[0])
+    df = spread_small_input(df)  # Arrow matmuls want full parallelism
     P = np.asarray(make_hyperplanes(dim, n_planes, seed), dtype=np.float64).T
     weights = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)
 

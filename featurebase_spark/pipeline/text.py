@@ -137,8 +137,10 @@ def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     signal reads it — the naive form re-evaluates ``split(text)`` per
     signal (~15× per row; Catalyst does not CSE across lambda filters),
     which at 100 TB is 15 passes over every byte of text."""
+    from featurebase_spark.pipeline import spread_small_input
+
     c = F.col(text_col)
-    staged = df.select(
+    staged = spread_small_input(df.select(id_col, text_col)).select(
         id_col,
         c.alias("__text"),
         tokens(c).alias("__toks"),

@@ -900,9 +900,11 @@ def text_profile(spark, sf_dir):
     """Text-analysis profile: token counting, length stats, stopword &
     diversity ratios, md5 fingerprint — one scan, zero shuffles, all
     whole-stage-codegen built-ins (pipeline/text.py)."""
-    from featurebase_spark.pipeline import text as T
+    from featurebase_spark.pipeline import spread_small_input, text as T
 
-    docs = _tables(spark, sf_dir)["documents"]
+    docs = spread_small_input(
+        _tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    )
     c = F.col("text")
     return docs.select(
         "doc_id",
