@@ -550,3 +550,29 @@ def embedding_neardup_lsh(
     return embedding_neardup_pairs(
         df, vec_col, id_col, threshold, round_digits, candidates=cand
     )
+
+
+def dedup_survivors(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor selection: keep ONE canonical document per exact-duplicate
+    group (min id wins — deterministic), dropping the rest. The other half
+    of dedup after pair/group detection: the projection a training
+    pipeline actually materializes.
+
+    Plan: rank within fingerprint partitions (Spark Window — map-side
+    partial none, one hash-partition shuffle on fingerprint) and keep
+    rank 1. Scale: the shuffle carries (fingerprint, id) only; payload
+    columns rejoin by id afterwards if needed — never shuffle the text."""
+    from pyspark.sql.window import Window
+
+    from featurebase_spark.pipeline.text import fingerprint
+
+    slim = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    keep = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

@@ -1065,6 +1065,61 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup_pairs(docs, "text", "doc_id", 32, 8, 5, 0.5)
 
 
+@register(
+    "dedup_survivors",
+    "WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM documents), "
+    "keep AS (SELECT doc_id FROM (SELECT doc_id, "
+    "  ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp) "
+    "  WHERE rn = 1) "
+    "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars "
+    "FROM documents d JOIN keep USING (doc_id) ORDER BY d.doc_id",
+)
+def dedup_survivors(spark, sf_dir):
+    """Survivor selection — the materialized HALF of dedup: keep one
+    canonical doc per exact-duplicate group (min id), drop the rest
+    (pipeline/dedup.dedup_survivors; Spark Window rank over fingerprint
+    partitions, one (fingerprint,id)-only shuffle, payload re-joined by
+    semi-join so text never shuffles)."""
+    from featurebase_spark.pipeline.dedup import dedup_survivors as surv
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        surv(docs, "text", "doc_id")
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "events_sessionize",
+    "WITH s AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
+    "  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 "
+    "  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "  THEN 1 ELSE 0 END AS brk FROM events), "
+    "t AS (SELECT user_id, ts, CAST(SUM(brk) OVER (PARTITION BY user_id "
+    "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s) "
+    "SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0) AS BIGINT)"
+    " AS duration_sec "
+    "FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id",
+)
+def events_sessionize(spark, sf_dir):
+    """Event sessionization (30-min inactivity gap) — a behavioral /
+    training-data operator the reference cannot express (no window
+    functions, SURVEY §2.3); built on Spark Window per the extension
+    goals. One hash shuffle on user_id shared by both window passes and
+    the session aggregation (pipeline/sessions.py)."""
+    from featurebase_spark.pipeline.sessions import session_stats
+
+    ev = _tables(spark, sf_dir)["events"]
+    return session_stats(ev, "user_id", "ts", 30).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("duration_sec").cast("long").alias("duration_sec"),
+    )
+
+
 @register("dedup_simhash")  # rows-only: xxhash64-based
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs with Hamming ≤ 3 via 16-bit-band Hamming

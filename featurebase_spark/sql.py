@@ -486,6 +486,19 @@ def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
 
     if statements.is_statement(sql):
         return statements.execute_statement(spark, sql, catalog)
+    if catalog is not None:
+        # system tables are SELECT-able, not just SHOW-able
+        # (opsystemtable.go registers them as ordinary planner tables)
+        _SYS = {
+            "fb_tables": catalog.fb_tables,
+            "fb_views": catalog.fb_views,
+            "fb_databases": catalog.fb_databases,
+            "fb_exec_requests": catalog.fb_exec_requests,
+            "fb_performance_counters": catalog.fb_performance_counters,
+        }
+        for name, fn in _SYS.items():
+            if _re.search(rf"\b{name}\b", sql, _re.IGNORECASE):
+                fn().createOrReplaceTempView(name)
     return spark.sql(translate(sql))
 
 

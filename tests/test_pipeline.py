@@ -189,3 +189,52 @@ def test_ivf_ann(tables):
         r["vec_id"] for r in S.ivf_topk(emb, qv, cents, k=10, nprobe=3).collect()
     ]
     assert len(set(few_probe) & set(exact)) >= 6  # decent recall at 3/8 cells
+
+
+def test_dedup_survivors(spark):
+    """Survivor selection keeps exactly one min-id doc per duplicate group
+    and all unique docs."""
+    from featurebase_spark.pipeline.dedup import dedup_survivors
+
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello   world"), (3, "unique"),
+         (7, "HELLO WORLD"), (4, "other")],
+        "doc_id LONG, text STRING",
+    )
+    # normalization here is lower+trim (not whitespace-collapse): doc 2
+    # differs, docs 1 and 7 collapse
+    kept = sorted(r["doc_id"] for r in dedup_survivors(df).collect())
+    assert kept == [1, 2, 3, 4]
+
+
+def test_sessionize_gap_semantics(spark):
+    """Session breaks strictly when the gap exceeds the threshold;
+    microsecond precision (a 30:00.000001 gap splits, 30:00 exactly does
+    not)."""
+    import datetime as dt
+
+    from featurebase_spark.pipeline.sessions import session_stats, sessionize
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base),                                       # s1
+        (1, base + dt.timedelta(minutes=10)),            # s1 (10m gap)
+        (1, base + dt.timedelta(minutes=40)),            # s1 (exactly 30m)
+        (1, base + dt.timedelta(minutes=70, microseconds=1)),  # s2 (30m + 1µs)
+        (2, base),                                       # other user: s1
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    got = {
+        (r["user_id"], r["ts"]): r["session_id"]
+        for r in sessionize(df, "user_id", "ts", 30).collect()
+    }
+    assert got[(1, rows[0][1])] == 1
+    assert got[(1, rows[2][1])] == 1  # exactly-30m gap stays in session
+    assert got[(1, rows[3][1])] == 2  # 30m+1µs breaks
+    assert got[(2, base)] == 1
+    stats = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_sec"])
+        for r in session_stats(df, "user_id", "ts", 30).collect()
+    }
+    assert stats[(1, 1)] == (3, 2400) and stats[(1, 2)] == (1, 0)
+    assert stats[(2, 1)] == (1, 0)

@@ -238,3 +238,29 @@ def test_cluster_introspection_system_tables(spark):
         "active_jobs", "active_stages", "default_parallelism", "uptime_ms"
     }
     assert counters["default_parallelism"] >= 1 and counters["uptime_ms"] > 0
+
+
+def test_system_tables_selectable(spark):
+    """System tables answer plain SELECTs through fb_sql (the reference
+    registers them as ordinary planner tables, opsystemtable.go) — not
+    only SHOW."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.schema import FieldDef, TableDef
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    cat.create_table(TableDef("sys_sel_t", [FieldDef("a", "int")]))
+    rows = fb_sql(
+        spark,
+        "select name, n_columns from fb_tables where name = 'sys_sel_t'",
+        catalog=cat,
+    ).collect()
+    assert [(r["name"], r["n_columns"]) for r in rows] == [("sys_sel_t", 2)]
+    n = fb_sql(
+        spark,
+        "select count(*) as n from fb_performance_counters "
+        "where counter = 'uptime_ms'",
+        catalog=cat,
+    ).first()["n"]
+    assert n == 1
+    cat.drop_table("sys_sel_t")
