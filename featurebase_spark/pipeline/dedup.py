@@ -250,7 +250,10 @@ def minhash_dedup_pairs(
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-        sigs = sh.groupBy(id_col).agg(*aggs)
+        # cache the signatures too: the banded SELF-join reads them twice
+        # (left/right legs), and |docs|×(k+1) longs is small relative to
+        # the corpus at any scale (MEMORY_AND_DISK spills if not)
+        sigs = sh.groupBy(id_col).agg(*aggs).cache()
         cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
         return ngram_jaccard_pairs(
             df, text_col, id_col, shingle_n, threshold,
