@@ -1151,11 +1151,47 @@ def sim_bruteforce_topk(spark, sf_dir):
     return cosine_topk(emb.where(F.col("vec_id") != 0), qvec, k=10)
 
 
-@register("sim_ann_lsh_topk")  # rows-only: SRP bucketing is Spark-side
+def _srp_lsh_oracle_sql() -> str:
+    """DuckDB twin of ann_topk(n_planes=8, seed=42, max_hamming=1): the
+    hyperplanes are SEED-derived constants (make_hyperplanes uses the
+    stdlib PRNG), so the oracle inlines them as list literals and
+    replicates the sign-bit bucketing, the 1-bit multi-probe filter, and
+    the exact cosine top-10 — upgrading this key from rows-only to a full
+    hash-compared oracle (the approximation is deterministic, so the
+    match proves the LSH path end-to-end)."""
+    from featurebase_spark.pipeline.similarity import make_hyperplanes
+
+    planes = make_hyperplanes(64, 8, 42)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return (
+        f"WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e, "
+        f"CAST({bucket} AS BIGINT) AS bucket FROM embeddings), "
+        "q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0) "
+        "SELECT b.vec_id, "
+        "ROUND(list_dot_product(b.e, q.qe) / "
+        " (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6)"
+        " AS cosine "
+        "FROM b, q WHERE b.vec_id != 0 "
+        "AND bit_count(xor(b.bucket, q.qb)) <= 1 "
+        "ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+    )
+
+
+@register("sim_ann_lsh_topk", _srp_lsh_oracle_sql())
 def sim_ann_lsh_topk(spark, sf_dir):
     """Approximate top-10 via signed-random-projection LSH with 1-bit
     multi-probe (pipeline/similarity.ann_topk) — candidate set ≈ 9/256 of
-    the corpus, then exact cosine inside it."""
+    the corpus, then exact cosine inside it. Oracle: DuckDB replica of
+    the full bucket→probe→cosine pipeline with the seed-derived planes
+    inlined (see _srp_lsh_oracle_sql) — the hash match verifies the
+    approximate path exactly, not just its row count."""
     from featurebase_spark.pipeline.similarity import ann_topk
 
     emb = _tables(spark, sf_dir)["embeddings"]
