@@ -548,6 +548,23 @@ class BitmapCatalog:
             and self.n_shards <= self.DRIVER_SHARD_LIMIT
         )
 
+    def _invalidate_field(self, field: str) -> None:
+        """Drop the driver cache's entries for a field — REQUIRED whenever
+        the field's index frame changes (re-index, incremental
+        update_field), or the cache would serve pre-update fragments."""
+        stale = [
+            k
+            for k in self._frag_cache
+            if (k[0] == "eq" and k[1].field == field)
+            or (k[0] == "bsi" and k[1] == field)
+        ]
+        for k in stale:
+            old = self._frag_cache.pop(k)
+            self._frag_cache_bytes -= sum(
+                len(b) if isinstance(b, bytes) else sum(len(x) for x in b.values())
+                for b in old.values()
+            )
+
     def _cache_put(self, key: tuple, entry: dict, nbytes: int) -> None:
         self._frag_cache[key] = entry
         self._frag_cache_bytes += nbytes
@@ -644,6 +661,7 @@ class BitmapCatalog:
         idx = build_bitmap_index(df, field, id_col, self.shard_exp)
         if cache:
             idx = idx.cache()
+        self._invalidate_field(field)
         self._indexes[field] = idx
         return idx
 
@@ -654,6 +672,7 @@ class BitmapCatalog:
         frame, minv, nbits = build_bsi_index(df, field, id_col, self.shard_exp)
         if cache:
             frame = frame.cache()
+        self._invalidate_field(field)
         self._bsi[field] = (frame, minv, nbits)
         return frame
 
@@ -1036,6 +1055,7 @@ class BitmapCatalog:
         ).withColumn("cardinality", card(F.col("bitmap")))
         if cache:
             merged = merged.cache()
+        self._invalidate_field(field)
         self._indexes[field] = merged
         return merged
 

@@ -535,3 +535,22 @@ def test_fragment_cache_hot_serving(spark, tables, tmp_path):
     cat.frag_cache_cap = 1
     cat.count(Atom("event_type", "view"))
     assert len(cat._frag_cache) == 1  # click evicted, view resident
+
+
+def test_driver_cache_invalidated_on_update(spark, tmp_path):
+    """Incremental update_field must invalidate the driver fragment cache
+    for the touched field — a cached count would otherwise serve
+    pre-update fragments."""
+    base = spark.createDataFrame(
+        [(i, f"v{i % 3}") for i in range(50)], "_id LONG, f STRING"
+    )
+    c = BitmapCatalog(shard_exp=4)
+    c.index_field(base, "f")
+    c.save(str(tmp_path / "bm_upd"))
+    cat = BitmapCatalog.load(spark, str(tmp_path / "bm_upd"))
+    before = cat.count(Atom("f", "v0"))  # populates the driver cache
+    delta = spark.createDataFrame(
+        [(i, "v0") for i in range(50, 60)], "_id LONG, f STRING"
+    )
+    cat.update_field(delta, "f", cache=False)
+    assert cat.count(Atom("f", "v0")) == before + 10
