@@ -712,3 +712,179 @@ def test_golden_bulkinsert_assignment_compat(spark, tmp_path):
                f"map (0 STRING, 1 ID, 2 ID) from '{csv}' "
                f"with format 'CSV' input 'FILE'", catalog=cat)
     cat.drop_table("bulktest")
+
+
+# --- defs_bool.go: bool upsert transitions through the statement door -------
+
+
+def test_golden_bool_upsert_transitions(spark):
+    """defs_bool.go singleboolfield: every bool→bool/null transition via
+    INSERT upserts, exact row states after each step (through the
+    bucketed statement door)."""
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table singleboolfield (_id id, a_bool bool)", catalog=cat)
+    fb_sql(spark, "insert into singleboolfield (_id, a_bool) values "
+           "(1, true), (2, true), (3, false), (4, false), (5, null), (6, null)",
+           catalog=cat)
+    got = {r["_id"]: r["a_bool"] for r in spark.table("singleboolfield").collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: None, 6: None}
+    # step 2: all other combinations (defs_bool.go:50-85)
+    fb_sql(spark, "insert into singleboolfield (_id, a_bool) values "
+           "(1, false), (2, null), (3, true), (4, null), (5, false), (6, true)",
+           catalog=cat)
+    got = {r["_id"]: r["a_bool"] for r in spark.table("singleboolfield").collect()}
+    assert got == {1: False, 2: None, 3: True, 4: None, 5: False, 6: True}
+    cat.drop_table("singleboolfield")
+
+
+# --- defs_filterpredicates.go: the per-type predicate matrix ----------------
+
+
+@pytest.fixture(scope="module")
+def filter_predicates(spark):
+    spark.sql(
+        "select * from values "
+        "(1, 10, true,  1, 10.0, '10', timestamp'2001-11-01 22:08:41'), "
+        "(2, 20, true,  2, 20.0, '20', timestamp'2002-11-01 22:08:41'), "
+        "(3, 30, false, 3, 30.0, '30', timestamp'2003-11-01 22:08:41'), "
+        "(4, 40, false, 4, 40.0, '40', timestamp'2004-11-01 22:08:41'), "
+        "(5, 50, true,  5, 50.0, '50', timestamp'2005-11-01 22:08:41'), "
+        "(6, 60, false, 6, 60.0, '60', timestamp'2006-11-01 22:08:41') "
+        "as t(_id, i1, b1, id1, d1, s1, ts1)"
+    ).createOrReplaceTempView("filter_predicates")
+    return spark
+
+
+@pytest.mark.parametrize(
+    "pred,expected",
+    [
+        ("_id != 1", [2, 3, 4, 5, 6]),
+        ("_id = 1", [1]),
+        ("_id > 5", [6]),
+        ("_id >= 5", [5, 6]),
+        ("_id < 2", [1]),
+        ("_id <= 2", [1, 2]),
+        ("i1 != 10", [2, 3, 4, 5, 6]),
+        ("i1 >= 50", [5, 6]),
+        ("b1 = true", [1, 2, 5]),
+        ("b1 != true", [3, 4, 6]),
+        ("d1 > 40.0", [5, 6]),
+        ("s1 = '30'", [3]),
+        ("s1 > '40'", [5, 6]),
+        ("ts1 < '2003-01-01T00:00:00Z'", [1, 2]),
+    ],
+    ids=lambda v: str(v)[:30],
+)
+def test_golden_filter_predicates(filter_predicates, pred, expected):
+    got = sorted(
+        r["_id"]
+        for r in fb_sql(
+            filter_predicates,
+            f"select _id from filter_predicates where {pred}",
+        ).collect()
+    )
+    assert got == expected
+
+
+# --- defs_subquery.go: aggregate over grouped FROM-subquery -----------------
+
+
+def test_golden_subquery_sum_over_group(spark):
+    spark.sql(
+        "select * from values (1, 'a'), (2, 'a'), (3, 'b'), (4, 'b'), (5, 'c') "
+        "as t(_id, a_string)"
+    ).createOrReplaceTempView("subquerytable")
+    got = fb_sql(
+        spark,
+        "select sum(mycount) as thecount from (select count(a_string) as "
+        "mycount, a_string from subquerytable group BY a_string)",
+    ).first()["thecount"]
+    assert got == 5
+    got = fb_sql(
+        spark,
+        "select sum(mycount) as thecount from (select count(distinct a_string) "
+        "as mycount, a_string from subquerytable group BY a_string)",
+    ).first()["thecount"]
+    assert got == 3
+
+
+# --- defs_orderby.go: alias / ordinal / expression ORDER BY -----------------
+
+
+@pytest.fixture(scope="module")
+def order_by_test(spark):
+    spark.sql(
+        "select * from values (1, 10, 100, 2.5), (2, 30, 300, 1.5), "
+        "(3, 20, 200, 3.5) as t(_id, an_int, an_id, a_decimal)"
+    ).createOrReplaceTempView("order_by_test")
+    return spark
+
+
+@pytest.mark.parametrize(
+    "sql,col,expected",
+    [
+        # order by another column (defs_orderby.go:40)
+        ("select an_int from order_by_test order by an_id asc", "an_int", [10, 20, 30]),
+        # order by decimal (defs_orderby.go:55)
+        ("select an_int from order_by_test order by a_decimal asc", "an_int", [30, 10, 20]),
+        # order by output alias (defs_orderby.go:102)
+        ("select an_int as foo from order_by_test order by foo asc", "foo", [10, 20, 30]),
+        # order by ordinal (defs_orderby.go:117)
+        ("select an_int as foo from order_by_test order by 1 desc", "foo", [30, 20, 10]),
+        # order by aliased expression (defs_orderby.go:147)
+        ("select an_int + 1 as bar from order_by_test order by bar desc", "bar", [31, 21, 11]),
+        # expression alias as secondary key (defs_orderby.go:71)
+        (
+            "select an_int + 1 as foo from order_by_test "
+            "order by foo asc, a_decimal asc",
+            "foo",
+            [11, 21, 31],
+        ),
+    ],
+    ids=lambda v: str(v)[:45],
+)
+def test_golden_orderby_forms(order_by_test, sql, col, expected):
+    assert [r[col] for r in fb_sql(order_by_test, sql).collect()] == expected
+
+
+# --- defs_in.go / defs_between.go: membership + range as boolean exprs ------
+
+
+@pytest.fixture(scope="module")
+def in_all_types(spark):
+    spark.sql(
+        "select * from values "
+        "(1, 1, true, 1.23, 3, 'foo', timestamp'2010-11-01 22:08:41'), "
+        "(10, 1000, false, 4.56, 7, 'baz', timestamp'2012-11-01 22:08:41') "
+        "as t(_id, i1, b1, d1, id1, s1, t1)"
+    ).createOrReplaceTempView("in_all_types")
+    return spark
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("_id in (1, 10)", [True, True]),
+        ("i1 in (1, 1000)", [True, True]),
+        ("b1 in (true, false)", [True, True]),
+        ("d1 in (1.23, 4.56)", [True, True]),
+        ("id1 in (3, 7)", [True, True]),
+        ("s1 in ('foo', 'bar')", [True, False]),
+        ("_id not in (1, 10)", [False, False]),
+        ("s1 not in ('foo', 'bar')", [False, True]),
+        ("_id between 1 and 10", [True, True]),
+        ("i1 between 1 and 10", [True, False]),
+        ("d1 between 1.23 and 4.56", [True, True]),
+        ("id1 between 3 and 7", [True, True]),
+        ("i1 not between 1 and 10", [False, True]),
+    ],
+    ids=lambda v: str(v)[:35],
+)
+def test_golden_in_between_forms(in_all_types, expr, expected):
+    rows = fb_sql(
+        in_all_types,
+        f"select _id, {expr} as p from in_all_types order by _id",
+    ).collect()
+    assert [r["p"] for r in rows] == expected
