@@ -84,3 +84,23 @@ def test_registered_bucketed_join_no_shuffle(spark, tables):
 def test_registered_percentile_search_no_sort(spark, tables):
     p = plan(spark, "pql_percentile_search")
     assert "GlobalLimit" not in p and "TakeOrdered" not in p and "Sort " not in p
+
+
+def test_sessionize_single_user_shuffle(spark, tables):
+    """Both window passes and the session aggregation must share ONE
+    hashpartitioning(user_id) exchange — a second user-key shuffle would
+    double the dominant cost at scale."""
+    p = plan(spark, "events_sessionize")
+    # exactly one hash exchange on user_id (both Windows + the session agg
+    # reuse it); the only other exchange is the final ORDER BY's range
+    # partitioning
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_dedup_survivors_never_shuffles_text(spark, tables):
+    """Survivor selection ranks (fingerprint, id) only; the text column
+    must stay out of every exchange (it re-joins by id semi-join)."""
+    p = plan(spark, "dedup_survivors")
+    for section in p.split("Exchange")[1:]:
+        head = section.splitlines()[0]
+        assert "text" not in head, head
