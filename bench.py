@@ -50,13 +50,18 @@ BENCH_QUERIES = [
     "pql_percentile_search",
     "sql_text_ddl_insert",
     "sql_join_bucketed",
-    # r3 breadth: the bucketed write path (VERDICT r2 next-round #7)
+    # r3 breadth: the bucketed write path (VERDICT r2 next-round #7),
+    # sessionization + survivor selection (window-based pipeline ops)
     "statement_insert_touched_buckets",
+    "events_sessionize",
+    "dedup_survivors",
 ]
 
 #: queries added after the prior round — excluded from regression flags
 _NEW_IN_ROUND = {
     "statement_insert_touched_buckets",
+    "events_sessionize",
+    "dedup_survivors",
 }
 
 
