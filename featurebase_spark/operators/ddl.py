@@ -71,7 +71,7 @@ class Catalog:
         ``createDataFrame([], schema)`` would be a defaultParallelism-task
         empty RDD scan that every statement touching the view re-runs."""
         cols = ", ".join(
-            f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}"
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
             for f in td.spark_schema().fields
         )
         return self.spark.sql(f"SELECT {cols} WHERE 1=0")

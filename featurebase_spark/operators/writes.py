@@ -54,43 +54,192 @@ class PartitionedUpsertTable:
     batch touches (batch/batch.go builds per-shard fragments; import
     merges per shard).
 
-    Layout: parquet partitioned by ``__bucket = pmod(xxhash64(key), n)``.
-    An upsert computes the batch's buckets, anti-joins ONLY those
-    partitions (partition-pruned read), and overwrites ONLY those
-    partition directories (dynamic partition overwrite) — untouched
-    buckets' files are never read or rewritten. With Delta this whole
-    class is ``MERGE`` + Z-order; the seam is :meth:`upsert`.
+    Layout (crash-atomic, manifest-pointer commit — the file-system form
+    of RBF's per-shard ACID commit, rbf/rbf.go + tx.go)::
+
+        path/MANIFEST.json            <- THE commit point (atomic replace)
+        path/g_<gen>/__bucket=N/*.parquet
+
+    The manifest maps each live bucket id to the generation directory
+    holding its current data. Every write stages a NEW generation dir
+    (never touching live files), then atomically replaces the ONE
+    manifest file; readers resolve bucket→dir through the manifest, so a
+    crash at ANY point before the replace leaves them on the old, fully
+    consistent generation set — there is no window of mixed-generation
+    buckets. Unreferenced dirs are vacuumed best-effort after commit
+    (Delta's retention-window analogue; single-writer assumed, as with
+    any file-system table format without a lock service).
+
+    Bucket pruning happens at the MANIFEST level: a touched-bucket read
+    lists only those buckets' directories, so untouched buckets cost
+    zero I/O — not even a footer read. With Delta this whole class is
+    ``MERGE`` + Z-order; the seam is :meth:`upsert`.
     """
+
+    MANIFEST = "MANIFEST.json"
 
     def __init__(self, spark, path: str, key: str = "_id", buckets: int = 64):
         self.spark = spark
         self.path = path
         self.key = key
         self.buckets = buckets
-        self.schema = None  # set on init(); lets empty tables read back
+        self.schema = None  # pinned on init()/load(); empty tables read back
+
+    # -- manifest (the generation pointer)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, self.MANIFEST)
+
+    def exists(self) -> bool:
+        """True iff committed storage exists at ``path`` — the resume
+        check a restarted stream uses instead of re-materializing (and
+        silently truncating) the table."""
+        return os.path.isfile(self._manifest_path())
+
+    def load(self) -> "PartitionedUpsertTable":
+        """Attach to existing committed storage: restore key/buckets/schema
+        from the manifest (stream-restart resume)."""
+        import json
+
+        from pyspark.sql.types import StructType
+
+        man = self._load_manifest()
+        self.key = man["key"]
+        self.buckets = int(man["n_buckets"])
+        self.schema = StructType.fromJson(json.loads(man["schema"]))
+        return self
+
+    def _load_manifest(self) -> dict:
+        import json
+
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _swap_manifest(self, man: dict) -> None:
+        """Atomically publish a new manifest: write-aside + fsync +
+        ``os.replace`` — the single commit point of every write."""
+        import json
+
+        tmp = self._manifest_path() + ".tmp." + uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path())
+
+    @staticmethod
+    def _staged_buckets(gen_path: str) -> list[int]:
+        if not os.path.isdir(gen_path):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(gen_path)
+            if d.startswith("__bucket=")
+        )
+
+    def bucket_dir(self, b: int) -> str | None:
+        """Current directory of bucket ``b`` (None if empty) — lets tests
+        assert untouched buckets' files are byte-identical across commits."""
+        gen = self._load_manifest()["buckets"].get(str(b))
+        return None if gen is None else os.path.join(self.path, gen, f"__bucket={b}")
+
+    def _vacuum(self, man: dict) -> None:
+        """Best-effort removal of bucket dirs no longer referenced by the
+        committed manifest (and generation dirs emptied by it). Failure is
+        harmless — orphans are re-collected on the next commit."""
+        import shutil
+
+        live = {(g, int(b)) for b, g in man["buckets"].items()}
+        live_gens = {g for _, g in man["buckets"].items()}
+        for entry in os.listdir(self.path):
+            p = os.path.join(self.path, entry)
+            if not entry.startswith("g_") or not os.path.isdir(p):
+                continue
+            if entry not in live_gens:
+                shutil.rmtree(p, ignore_errors=True)
+                continue
+            for sub in os.listdir(p):
+                if sub.startswith("__bucket=") and (
+                    entry,
+                    int(sub.split("=", 1)[1]),
+                ) not in live:
+                    shutil.rmtree(os.path.join(p, sub), ignore_errors=True)
+
+    # -- data plane
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
             "__bucket", F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.buckets))
         )
 
-    def init(self, df: DataFrame) -> None:
-        """Initial (full) load. Works for EMPTY frames too — the schema is
-        pinned so later reads/upserts do not depend on file inference.
-        Repartitioning on the bucket gives each bucket dir one compact
-        file per shuffle partition instead of a per-task file spray (AQE
-        coalesces the shuffle for small loads)."""
-        bucketed = self._bucketed(df)
-        self.schema = bucketed.schema
+    def _write_generation(self, bucketed: DataFrame) -> tuple[str, list[int]]:
+        """Stage a generation dir; returns (gen name, bucket ids present)."""
+        gen = "g_" + uuid.uuid4().hex[:12]
         bucketed.repartition("__bucket").write.mode("overwrite").partitionBy(
             "__bucket"
-        ).parquet(self.path)
+        ).parquet(os.path.join(self.path, gen))
+        return gen, self._staged_buckets(os.path.join(self.path, gen))
 
-    def _read_raw(self) -> DataFrame:
-        reader = self.spark.read
-        if self.schema is not None:
-            reader = reader.schema(self.schema)
-        return reader.parquet(self.path)
+    def init(self, df: DataFrame) -> None:
+        """Initial (full) load. Works for EMPTY frames too — the schema is
+        pinned (in memory and in the manifest) so later reads/upserts do
+        not depend on file inference. Repartitioning on the bucket gives
+        each bucket dir one compact file per shuffle partition instead of
+        a per-task file spray (AQE coalesces the shuffle for small
+        loads)."""
+        bucketed = self._bucketed(df)
+        self.schema = bucketed.schema
+        os.makedirs(self.path, exist_ok=True)
+        gen, staged = self._write_generation(bucketed)
+        man = {
+            "version": 1,
+            "key": self.key,
+            "n_buckets": self.buckets,
+            "schema": self.schema.json(),
+            "buckets": {str(b): gen for b in staged},
+        }
+        self._swap_manifest(man)
+        self._vacuum(man)
+
+    def _read_raw(self, buckets: Sequence[int] | None = None) -> DataFrame:
+        """Read the committed table (optionally only the given buckets)
+        by resolving bucket→generation-dir through the manifest. Pruning
+        is path-level: unlisted buckets are never even footer-read."""
+        import json
+
+        from pyspark.sql.types import StructType
+
+        man = self._load_manifest()
+        if self.schema is None:
+            self.schema = StructType.fromJson(json.loads(man["schema"]))
+        entries = man["buckets"]
+        if buckets is not None:
+            want = {int(b) for b in buckets}
+            entries = {b: g for b, g in entries.items() if int(b) in want}
+        by_gen: dict[str, list[int]] = {}
+        for b, g in entries.items():
+            by_gen.setdefault(g, []).append(int(b))
+        frames = []
+        for g in sorted(by_gen):
+            base = os.path.join(self.path, g)
+            paths = [os.path.join(base, f"__bucket={b}") for b in sorted(by_gen[g])]
+            frames.append(
+                self.spark.read.schema(self.schema)
+                .option("basePath", base)
+                .parquet(*paths)
+            )
+        if not frames:
+            # LocalRelation, not createDataFrame([], schema) — the latter
+            # schedules a defaultParallelism-task empty RDD scan per read
+            cols = ", ".join(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                for f in self.schema.fields
+            )
+            return self.spark.sql(f"SELECT {cols} WHERE 1=0")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def read(self) -> DataFrame:
         return self._read_raw().drop("__bucket")
@@ -105,19 +254,15 @@ class PartitionedUpsertTable:
         ``update_cols`` as in :func:`merge_upsert` (partial-column INSERT
         keeps unlisted fields of existing rows).
 
-        Commit is copy-on-write: the merged touched buckets write to a
-        STAGING dir first (the job reads the old files while writing —
-        no in-place overwrite race), then each touched bucket dir swaps
-        in by rename — untouched buckets are never read or rewritten, and
-        a failure mid-write leaves the live table untouched (the swap
-        loop itself is per-bucket-atomic; a crash between two renames
-        leaves buckets at mixed generations, the documented seam a real
-        deployment closes with Delta/Iceberg's transactional commit)."""
+        Commit is copy-on-write + manifest swap: the merged touched
+        buckets stage into a fresh generation dir (the job reads the old
+        files while writing — no in-place overwrite race), then ONE
+        atomic manifest replace points the touched buckets at the new
+        generation. A crash anywhere before the replace leaves readers on
+        the old, fully consistent state."""
         up = self._bucketed(updates.dropDuplicates([self.key]))
         touched = [int(r[0]) for r in up.select("__bucket").distinct().collect()]
-        current = self._read_raw().where(
-            F.col("__bucket").isin(touched)  # partition-pruned read
-        )
+        current = self._read_raw(touched)  # manifest-level pruned read
         if update_cols is not None:
             cur = current.drop("__bucket")
             merged_up = merge_upsert(cur, updates.dropDuplicates([self.key]),
@@ -135,35 +280,31 @@ class PartitionedUpsertTable:
         """Delete whole records by key — reads and rewrites ONLY the
         buckets the deleted keys hash into (the per-shard delete of
         executeDeleteRecords, executor.go:9050-9320). A bucket whose
-        rows all die simply loses its directory."""
+        rows all die simply drops out of the manifest."""
         k = self._bucketed(keys.select(self.key).dropDuplicates([self.key]))
         touched = [int(r[0]) for r in k.select("__bucket").distinct().collect()]
-        current = self._read_raw().where(F.col("__bucket").isin(touched))
+        current = self._read_raw(touched)
         kept = current.join(
             F.broadcast(k.select(self.key)), self.key, "left_anti"
         )
         return self._commit_touched(kept, touched)
 
     def _commit_touched(self, merged: DataFrame, touched: list[int]) -> list[int]:
-        """Copy-on-write commit of the given buckets: stage, then swap
-        each touched bucket dir by rename (see :meth:`upsert`)."""
-        import shutil
-
-        staging = os.path.join(
-            os.path.dirname(self.path.rstrip("/")) or ".",
-            ".fb_staging_" + uuid.uuid4().hex[:12],
-        )
-        merged.repartition("__bucket").write.mode("overwrite").partitionBy(
-            "__bucket"
-        ).parquet(staging)
+        """Stage the merged touched buckets as a new generation, then
+        commit by atomic manifest replace (see :meth:`upsert`). A touched
+        bucket absent from the staged output (all its rows died) is
+        dropped from the manifest."""
+        gen, staged = self._write_generation(merged)
+        staged_set = set(staged)
+        man = self._load_manifest()
         for b in touched:
-            src = os.path.join(staging, f"__bucket={b}")
-            dst = os.path.join(self.path, f"__bucket={b}")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            if os.path.isdir(src):
-                os.rename(src, dst)
-        shutil.rmtree(staging, ignore_errors=True)
+            if b in staged_set:
+                man["buckets"][str(b)] = gen
+            else:
+                man["buckets"].pop(str(b), None)
+        man["version"] = int(man.get("version", 0)) + 1
+        self._swap_manifest(man)  # the single atomic commit point
+        self._vacuum(man)
         return sorted(touched)
 
 

@@ -222,12 +222,31 @@ def build_bitmap_index(
 # ---------------------------------------------------------------------------
 
 
+def _canon_value(v) -> str:
+    """Spark's ``CAST(x AS STRING)`` rendering for the scalar types an Atom
+    can carry — bools render lowercase ('true'/'false'), everything else
+    matches ``str()``. Index fragments store values in this form
+    (build_bitmap_index casts the column to string), so Atom identity must
+    use it too: otherwise Atom('f', 12) and Atom('f', '12') are distinct
+    Python objects that match the SAME fragment rows, and the exclusive
+    CASE tag in _leaves_frame hands each row to only the first leaf."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 @dataclass(frozen=True)
 class Atom:
-    """Row(field=value) resolved against a bitmap index."""
+    """Row(field=value) resolved against a bitmap index. The value is
+    canonicalized to the cast-string form at construction so Python
+    equality (leaf dedup, driver-cache keys) agrees with fragment
+    matching."""
 
     field: str
     value: object
+
+    def __post_init__(self):
+        object.__setattr__(self, "value", _canon_value(self.value))
 
 
 @dataclass(frozen=True)

@@ -202,8 +202,22 @@ def external_lookup_query(
     ``reader`` is the test seam (no JDBC driver in this container): a
     callable receiving the constructed subquery; omit in production for
     the real JDBC read."""
-    if "$1" not in query:
+    import re as _re
+
+    # $1 is the ONLY parameter this form binds (executor.go binds one id
+    # array); a boundary-aware match avoids rewriting the '$1' prefix of
+    # '$10'/'$12', and any other $N parameter is rejected outright rather
+    # than shipped unbound to the remote server.
+    if not _re.search(r"\$1(?!\d)", query):
         raise ValueError("ExternalLookup query form requires a $1 parameter")
+    others = sorted(
+        set(_re.findall(r"\$(\d+)", query)) - {"1"}, key=int
+    )
+    if others:
+        raise ValueError(
+            "ExternalLookup query form binds only $1; found $"
+            + ", $".join(others)
+        )
     rows = bitmap_ids.limit(max_param_ids + 1).collect()
     if len(rows) > max_param_ids:
         raise ValueError(
@@ -215,7 +229,8 @@ def external_lookup_query(
     else:
         vals = ", ".join(str(int(r[0])) for r in rows)
     arr = f"ARRAY[{vals}]::{id_type}[]"
-    sub = f"({query.replace('$1', arr)}) AS __fb_ext"
+    bound = _re.sub(r"\$1(?!\d)", lambda _: arr, query)
+    sub = f"({bound}) AS __fb_ext"
     if reader is not None:
         return reader(sub)
     return read_jdbc(spark, url, sub, **jdbc_options)

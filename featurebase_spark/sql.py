@@ -444,30 +444,55 @@ class _Rewriter:
 
 import re as _re
 
-_COUNT_ARGS = _re.compile(r"\bCOUNT\s*\(\s*([^()]*)\)", _re.IGNORECASE)
 
-
-def _check_count_args(sql: str) -> None:
+def _check_count_args(toks: list[str]) -> None:
     """Mirror the reference's COUNT argument analysis (defs_aggregate.go:
     29-40): COUNT takes exactly one argument and it must be ``*`` or a
     column reference — ``COUNT(1)`` and ``COUNT(a, b)`` are compile
-    errors with these exact messages."""
-    for m in _COUNT_ARGS.finditer(sql):
-        arg = m.group(1).strip()
-        if "," in arg:
-            n = arg.count(",") + 1
-            raise ValueError(
-                f"count of formal parameters (1) does not match count of "
-                f"actual parameters ({n})"
-            )
-        if _re.fullmatch(r"\d+(\.\d+)?", arg):
-            raise ValueError("column reference expected")
+    errors with these exact messages. Runs on the TOKEN stream, so a
+    COUNT(1)-shaped substring inside a string literal (one ``str`` token)
+    can never trip it."""
+    i, n = 0, len(toks)
+    while i < n:
+        tok = toks[i]
+        if (tok[:1].isalpha() or tok[:1] == "_") and tok.upper() == "COUNT":
+            j = i + 1
+            while j < n and _is_ws(toks[j]):
+                j += 1
+            if j < n and toks[j] == "(":
+                depth, j = 1, j + 1
+                args: list[list[str]] = [[]]
+                while j < n and depth:
+                    t = toks[j]
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    elif t == "," and depth == 1:
+                        args.append([])
+                        j += 1
+                        continue
+                    args[-1].append(t)
+                    j += 1
+                if len(args) > 1:
+                    raise ValueError(
+                        f"count of formal parameters (1) does not match "
+                        f"count of actual parameters ({len(args)})"
+                    )
+                arg = "".join(t for t in args[0] if not _is_ws(t)).strip()
+                if _re.fullmatch(r"\d+(\.\d+)?", arg):
+                    raise ValueError("column reference expected")
+                i = j
+        i += 1
 
 
 def translate(sql: str) -> str:
     """FeatureBase SQL text → Spark SQL text."""
-    _check_count_args(sql)
-    rw = _Rewriter(_tokenize(sql))
+    toks = _tokenize(sql)
+    _check_count_args(toks)
+    rw = _Rewriter(toks)
     return rw.scope(None).strip().rstrip(";")
 
 

@@ -125,10 +125,14 @@ def upsert_sink(
     (the DEFAULT since r3): only the hash-bucket partitions the batch's
     keys touch are rewritten — per-batch cost O(touched buckets), the
     reference's per-shard fragment merge on import (batch/batch.go). The
-    first batch materializes the current view into bucketed storage; with
-    Delta on the classpath the body becomes ``DeltaTable.merge``
-    unchanged. ``table_path`` roots the storage (default: a fresh temp
-    dir). Returns the StreamingQuery (caller:
+    first batch materializes the current view into bucketed storage —
+    UNLESS committed storage already exists at ``table_path``, in which
+    case the sink RESUMES from it: a checkpointed query restart must not
+    re-materialize from the pre-stream view while the checkpoint
+    suppresses replay of committed batches, or those upserts would be
+    silently lost. With Delta on the classpath the body becomes
+    ``DeltaTable.merge`` unchanged. ``table_path`` roots the storage
+    (default: a fresh temp dir). Returns the StreamingQuery (caller:
     ``q.processAllAvailable()``)."""
     import os
 
@@ -146,7 +150,10 @@ def upsert_sink(
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         if not state["init"]:
-            table.init(spark.table(target_view))
+            if table.exists():
+                table.load()  # restart: resume committed storage as-is
+            else:
+                table.init(spark.table(target_view))
             state["init"] = True
         table.upsert(batch)
         table.read().createOrReplaceTempView(target_view)

@@ -554,3 +554,24 @@ def test_driver_cache_invalidated_on_update(spark, tmp_path):
     )
     cat.update_field(delta, "f", cache=False)
     assert cat.count(Atom("f", "v0")) == before + 10
+
+
+def test_atom_identity_canonicalized(cat, tables):
+    """Atom('user_id', 12) and Atom('user_id', '12') match the SAME
+    fragments (values are stored cast-to-string), so they must BE the
+    same leaf — distinct Python identities used to survive dedup, and
+    the exclusive CASE tag in _leaves_frame handed the shared fragment
+    rows to only the first, silently zeroing (and cache-poisoning) the
+    second (ADVICE r3)."""
+    ev = tables["events"]
+    assert Atom("user_id", 12) == Atom("user_id", "12")
+    assert Atom("flag", True).value == "true"  # Spark's CAST rendering
+    exp = ev.where(F.col("user_id") == 12).count()
+    assert exp > 0
+    # both spellings in ONE batch: each must count the full fragment set,
+    # on the distributed path and the driver-cache path alike
+    for mode in ("distributed", "driver"):
+        got = cat.counts([Atom("user_id", 12), Atom("user_id", "12")], mode=mode)
+        assert got == [exp, exp], mode
+    # and mixed spellings inside one tree
+    assert cat.count(Or(Atom("user_id", 12), Atom("user_id", "12"))) == exp

@@ -271,14 +271,16 @@ def test_partitioned_upsert_touches_only_batch_buckets(spark, tmpdir):
     )
 
     def files():
-        return {
-            d: sorted(
-                os.path.getmtime(f)
-                for f in glob.glob(os.path.join(path, d, "*.parquet"))
-            )
-            for d in os.listdir(path)
-            if d.startswith("__bucket=")
-        }
+        # resolve each live bucket's dir through the manifest pointer
+        out = {}
+        for b in range(t.buckets):
+            d = t.bucket_dir(b)
+            if d is not None:
+                out[b] = sorted(
+                    (os.path.basename(f), os.path.getmtime(f))
+                    for f in glob.glob(os.path.join(d, "*.parquet"))
+                )
+        return out
 
     before = files()
     touched = t.upsert(
@@ -392,4 +394,122 @@ def test_external_lookup_query_form(spark):
         external_lookup_query(
             ids, spark, "jdbc:x", "SELECT * FROM t WHERE k = ANY($1)",
             max_param_ids=2, reader=reader,
+        )
+
+
+def test_manifest_commit_crash_atomic(spark, tmpdir, monkeypatch):
+    """The bucketed commit is crash-atomic: the ONLY commit point is the
+    atomic manifest replace. A crash after staging but before the
+    replace (simulated by failing os.replace once) leaves readers on the
+    old, fully consistent generation — no mixed-generation buckets — and
+    a retry commits cleanly (VERDICT r3 #2)."""
+    import os as _os
+
+    from featurebase_spark.operators.writes import PartitionedUpsertTable
+
+    path = os.path.join(tmpdir, "pu_crash")
+    t = PartitionedUpsertTable(spark, path, "_id", buckets=8)
+    t.init(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "_id LONG, v STRING"
+        )
+    )
+    before = {r["_id"]: r["v"] for r in t.read().collect()}
+
+    real_replace = _os.replace
+    state = {"fail": True}
+
+    def failing_replace(src, dst):
+        if state["fail"] and dst.endswith("MANIFEST.json"):
+            state["fail"] = False
+            raise OSError("simulated crash at the commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", failing_replace)
+    batch = spark.createDataFrame(
+        [(3, "NEW"), (11, "NEW"), (99, "ADD")], "_id LONG, v STRING"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated crash"):
+        t.upsert(batch)
+    # reader on a FRESH handle: old state, fully consistent
+    t2 = PartitionedUpsertTable(spark, path, "_id", buckets=8)
+    assert {r["_id"]: r["v"] for r in t2.read().collect()} == before
+    # retry succeeds end-to-end and the orphaned staging gen is vacuumed
+    t.upsert(batch)
+    got = {r["_id"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 41 and got[3] == "NEW" and got[99] == "ADD"
+    man = t._load_manifest()
+    live_gens = set(man["buckets"].values())
+    on_disk = {d for d in os.listdir(path) if d.startswith("g_")}
+    assert on_disk == live_gens
+
+
+def test_upsert_sink_resumes_committed_storage(spark, tmpdir):
+    """A checkpointed upsert_sink restart must RESUME the committed
+    bucketed storage, not re-materialize from the pre-stream view: the
+    checkpoint suppresses replay of committed batches, so re-init would
+    silently drop them (ADVICE r3)."""
+    import glob
+
+    table_path = os.path.join(tmpdir, "resume_tbl")
+    ckpt = os.path.join(tmpdir, "resume_ckpt")
+    src_dir = os.path.join(tmpdir, "resume_src")
+    os.makedirs(src_dir)
+    schema = "_id LONG, v DOUBLE"
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], schema)
+    base.createOrReplaceTempView("resume_view")
+
+    def run_batch(rows, tag):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, tag))
+        stream = STR.file_source(spark, src_dir + "/*", base.schema)
+        q = STR.upsert_sink(
+            stream,
+            "resume_view",
+            checkpoint=ckpt,
+            table_path=table_path,
+            buckets=4,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_batch([(2, 20.0), (3, 30.0)], "b1")
+    got = {r["_id"]: r["v"] for r in spark.table("resume_view").collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 30.0}
+
+    # simulate driver restart: the session's temp view reverts to the
+    # PRE-STREAM contents (what a fresh driver would register)
+    base.createOrReplaceTempView("resume_view")
+    run_batch([(4, 40.0)], "b2")
+    got = {r["_id"]: r["v"] for r in spark.table("resume_view").collect()}
+    # batch b1's upserts SURVIVE the restart (2->20.0, 3 added)
+    assert got == {1: 1.0, 2: 20.0, 3: 30.0, 4: 40.0}
+
+
+def test_external_lookup_query_dollar_params(spark):
+    """$1 binding is boundary-aware: '$10' must not have its '$1' prefix
+    rewritten — any $N other than $1 is rejected up front instead of
+    shipping a corrupted statement to the remote server (ADVICE r3)."""
+    from featurebase_spark.sources import external_lookup_query
+
+    ids = spark.createDataFrame([(1,), (2,)], "_id LONG")
+
+    def reader(sub):
+        return sub
+
+    with pytest.raises(ValueError, match=r"binds only \$1; found \$10"):
+        external_lookup_query(
+            ids, spark, "jdbc:x",
+            "SELECT * FROM t WHERE k = ANY($1) AND n = $10", reader=reader,
+        )
+    # a query with ONLY $10 has no $1 parameter at all
+    with pytest.raises(ValueError, match="requires a .1 parameter"):
+        external_lookup_query(
+            ids, spark, "jdbc:x", "SELECT * FROM t WHERE n = $10",
+            reader=reader,
         )

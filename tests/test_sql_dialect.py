@@ -131,3 +131,20 @@ def test_fb_sql_plan(spark, tables):
     )
     assert "Scan parquet" in plan and "PushedFilters" in plan
     assert "TakeOrderedAndProject" in plan or "CollectLimit" in plan
+
+
+def test_count_check_skips_string_literals(spark):
+    """The COUNT-argument compile check runs on the token stream, so a
+    COUNT(1)-shaped substring INSIDE a string literal must not raise
+    (ADVICE r3) — while real COUNT(1)/COUNT(a,b) still do."""
+    import pytest
+
+    from featurebase_spark.sql import translate
+
+    # literal containing COUNT(1): translates cleanly
+    out = translate("SELECT 'COUNT(1)' AS s, COUNT(*) AS n FROM r")
+    assert "'COUNT(1)'" in out
+    with pytest.raises(ValueError, match="column reference expected"):
+        translate("SELECT COUNT(1) FROM r")
+    with pytest.raises(ValueError, match="formal parameters"):
+        translate("SELECT COUNT(a, b) FROM r")

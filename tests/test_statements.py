@@ -404,13 +404,15 @@ def test_statement_insert_touches_only_key_buckets(spark, cat, tmp_path):
     store = cat._storage["bktins"]
 
     def bucket_bytes():
+        # resolve each live bucket's dir through the manifest pointer
         out = {}
-        for d in os.listdir(store.path):
-            if not d.startswith("__bucket="):
+        for b in range(store.buckets):
+            d = store.bucket_dir(b)
+            if d is None:
                 continue
-            out[d] = {
+            out[b] = {
                 os.path.basename(f): open(f, "rb").read()
-                for f in glob.glob(os.path.join(store.path, d, "*.parquet"))
+                for f in glob.glob(os.path.join(d, "*.parquet"))
             }
         return out
 
