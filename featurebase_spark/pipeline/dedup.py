@@ -269,16 +269,37 @@ def minhash_dedup_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: sign-sum of token-hash bits.
 
     Implemented as 64 conditional-sum aggregates over the exploded token
     table (JVM-side bit ops; one scan + one groupBy). Returns (id, simhash
-    long)."""
+    long).
+
+    ``token_hash``: ``'xxhash64'`` (fastest, JVM-native — the scale
+    default) or ``'sha256'`` (first 16 hex chars of sha256 read as a
+    signed 64-bit value — bit-identical in DuckDB via
+    ``('0x' || substr(sha256(tok),1,16))::UBIGINT``, which lets an
+    oracle replay the ENTIRE simhash pipeline cross-engine; same plan
+    shape, just a pricier per-token hash)."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
+    )
+    if token_hash == "xxhash64":
+        toks = toks.withColumn("th", F.xxhash64("tok"))
+    elif token_hash == "sha256":
+        toks = toks.withColumn(
+            "th",
+            F.conv(
+                F.substring(F.sha2(F.col("tok"), 256), 1, 16), 16, -10
+            ).cast("long"),
+        )
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -312,11 +333,12 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, via
     16-bit-band Hamming LSH (any pair within distance 3 shares at least one
     of 4 16-bit bands) + exact popcount verification. Equi-joins only."""
-    sig = simhash(df, text_col, id_col)
+    sig = simhash(df, text_col, id_col, token_hash=token_hash)
     bands = [
         F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"band{b}")
         for b in range(4)
@@ -336,7 +358,7 @@ def simhash_near_pairs(
             .select("id_a", "id_b", "sh_a", "sh_b")
         )
     cand = reduce(lambda x, y: x.union(y), per_band).distinct()
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return cand.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)

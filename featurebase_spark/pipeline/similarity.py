@@ -232,7 +232,9 @@ def ivf_topk(
     qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qv = qv / (np.linalg.norm(qv) + 1e-12)
     sims = np.asarray(centroids, dtype=np.float64) @ qv
-    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    # stable sort: ties go to the lower cell id — the deterministic order
+    # an oracle (ORDER BY dot DESC, cid ASC) reproduces exactly
+    probe = [int(i) for i in np.argsort(-sims, kind="stable")[:nprobe]]
     cand = ivf_assign(df, centroids, vec_col).where(F.col("cell").isin(probe))
     q = F.lit([float(x) for x in query_vec]).cast("array<double>")
     sim = cosine(F.col(vec_col), q)

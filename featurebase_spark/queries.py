@@ -1120,14 +1120,56 @@ def events_sessionize(spark, sf_dir):
     )
 
 
-@register("dedup_simhash")  # rows-only: xxhash64-based
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of simhash_near_pairs(token_hash='sha256'): the token
+    hash is the first 16 hex chars of sha256 read as a 64-bit value
+    (identical across engines — spot-verified bit-for-bit), so the oracle
+    replays the FULL pipeline: 64 sign-sum bit aggregates → packed
+    signature → 4×16-bit Hamming-LSH bands → exact popcount ≤ 3.
+    Upgrades this key from rows-only to a hash-compared oracle (the r3
+    SRP-LSH pattern: deterministic state inlined into SQL)."""
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ((u >> {i}) & 1::UBIGINT) = 1::UBIGINT "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END)"
+        for i in range(64)
+    )
+    bands = ", ".join(
+        f"((sig >> {16 * b}) & 65535::UBIGINT) AS band{b}" for b in range(4)
+    )
+    band_eq = " OR ".join(f"a.band{b} = b.band{b}" for b in range(4))
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "th AS (SELECT doc_id, "
+        "('0x' || substr(sha256(tok), 1, 16))::UBIGINT AS u FROM toks), "
+        f"bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id), "
+        f"sigt AS (SELECT doc_id, ({sig_terms}) AS sig FROM bits), "
+        f"banded AS (SELECT doc_id, sig, {bands} FROM sigt), "
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "a.sig AS sh_a, b.sig AS sh_b "
+        f"FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_eq})) "
+        "SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming "
+        "FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3"
+    )
+
+
+@register("dedup_simhash", _simhash_oracle_sql())
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs with Hamming ≤ 3 via 16-bit-band Hamming
-    LSH (pipeline/dedup.py simhash_near_pairs)."""
+    LSH (pipeline/dedup.py simhash_near_pairs). Registered with the
+    sha256 token hash so the DuckDB oracle replays the whole pipeline
+    (see _simhash_oracle_sql); xxhash64 stays the scale default for
+    non-verified runs (same plan, cheaper hash)."""
     from featurebase_spark.pipeline.dedup import simhash_near_pairs
 
     docs = _tables(spark, sf_dir)["documents"]
-    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+    return simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=3, token_hash="sha256"
+    )
 
 
 @register(
@@ -1823,17 +1865,54 @@ def model_linear_regression(spark, sf_dir):
     )
 
 
-@register("sim_ann_ivf_topk")  # rows-only: approximate by design (IVF probe)
+def _ivf_oracle_sql() -> str:
+    """DuckDB twin of ivf_topk over PINNED seed-derived centroids
+    (make_hyperplanes(64, 8, seed=7) — data-independent constants, the
+    r3 SRP-LSH inlining pattern): replays assignment (argmax dot, ties
+    to lower cell), the 3-cell probe selection, and the exact cosine
+    top-10 inside probed cells — upgrading this key from rows-only to a
+    hash-compared oracle of the full IVF probe path."""
+    from featurebase_spark.pipeline.similarity import make_hyperplanes
+
+    cents = make_hyperplanes(64, 8, 7)
+    vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return (
+        f"WITH cents AS (SELECT * FROM (VALUES {vals}) AS t(cid, c)), "
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        "assign AS (SELECT vec_id, cid AS cell FROM ("
+        "SELECT e.vec_id, cents.cid, ROW_NUMBER() OVER ("
+        "PARTITION BY e.vec_id "
+        "ORDER BY list_dot_product(e.v, cents.c) DESC, cents.cid ASC) AS rn "
+        "FROM e CROSS JOIN cents) WHERE rn = 1), "
+        "probe AS (SELECT cid FROM cents, q "
+        "ORDER BY list_dot_product(q.qv, c) DESC, cid ASC LIMIT 3) "
+        "SELECT e.vec_id, ROUND(list_dot_product(e.v, q.qv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * "
+        "sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine "
+        "FROM e JOIN assign ON e.vec_id = assign.vec_id, q "
+        "WHERE assign.cell IN (SELECT cid FROM probe) "
+        "ORDER BY cosine DESC, e.vec_id ASC LIMIT 10"
+    )
+
+
+@register("sim_ann_ivf_topk", _ivf_oracle_sql())
 def sim_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: learned-centroid cells, probe nprobe/n_cells of the corpus,
-    exact cosine inside probed cells (pipeline/similarity.py ivf_*). Scan
-    fraction ≈ nprobe/n_cells at any corpus size; full-probe equals the
-    brute-force oracle (asserted in tests/test_pipeline.py)."""
+    """IVF ANN: centroid cells, probe nprobe/n_cells of the corpus, exact
+    cosine inside probed cells (pipeline/similarity.py ivf_*). Scan
+    fraction ≈ nprobe/n_cells at any corpus size. Registered with PINNED
+    seed-derived centroids (random coarse quantizer) so the DuckDB
+    oracle can replay assignment+probe exactly (_ivf_oracle_sql);
+    ivf_train's Lloyd-refined centroids remain the quality path
+    (full-probe ≡ brute-force asserted in tests/test_pipeline.py)."""
     from featurebase_spark.pipeline import similarity as S
 
     emb = _tables(spark, sf_dir)["embeddings"]
-    qv = list(emb.orderBy("vec_id").first()["embedding"])
-    cents = S.ivf_train(emb, n_cells=8, seed=42, iters=3)
+    qv = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    cents = S.make_hyperplanes(64, 8, 7)
     return S.ivf_topk(emb, qv, cents, k=10, nprobe=3)
 
 
