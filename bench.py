@@ -55,13 +55,14 @@ BENCH_QUERIES = [
     "statement_insert_touched_buckets",
     "events_sessionize",
     "dedup_survivors",
+    # r4: the distributed (beyond-driver-cache-cap) fragment serving path
+    # timed next to the driver-cache path (VERDICT r3 next-round #3)
+    "bitmap_index_count_distributed",
 ]
 
 #: queries added after the prior round — excluded from regression flags
 _NEW_IN_ROUND = {
-    "statement_insert_touched_buckets",
-    "events_sessionize",
-    "dedup_survivors",
+    "bitmap_index_count_distributed",
 }
 
 
@@ -127,6 +128,7 @@ def main() -> None:
     # fragment row-cache exists for (cache.go:19-45).
     Q._bitmap_cat(spark, sf_dir)
     Q.SPARK_QUERIES["bitmap_index_count"](spark, sf_dir).collect()
+    Q.SPARK_QUERIES["bitmap_index_count_distributed"](spark, sf_dir).collect()
     Q.SPARK_QUERIES["bitmap_bsi_aggregates"](spark, sf_dir).collect()
     # bucketed-join tables likewise build at ingest time (write-side
     # layout is amortized across every later co-located join); the timed

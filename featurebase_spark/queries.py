@@ -1588,6 +1588,38 @@ def bitmap_index_count(spark, sf_dir):
 
 
 @register(
+    "bitmap_index_count_distributed",
+    "SELECT "
+    "(SELECT COUNT(*) FROM events WHERE event_type = 'click' AND user_id = 12) AS n_and, "
+    "(SELECT COUNT(*) FROM events WHERE event_type = 'click' OR user_id = 12) AS n_or, "
+    "(SELECT COUNT(*) FROM events WHERE event_type = 'click' AND NOT user_id = 12) AS n_andnot",
+)
+def bitmap_index_count_distributed(spark, sf_dir):
+    """The BEYOND-the-driver-cache serving path, timed explicitly: the
+    same three-expression batch as bitmap_index_count forced down the
+    one-shuffle scatter/gather (pruned fragment scan → groupBy(shard) →
+    per-shard pandas kernels → counts-only gather, the reference's
+    remote-shard scatter/gather executor.go:6449-6830). This is what
+    serving looks like past DRIVER_SHARD_LIMIT (256 shards ≈ 268M rows):
+    per-query latency is stage overhead + O(needed fragments) scan, flat
+    in base-table size, and the gather moves O(shards × trees) longs —
+    never blobs. Same oracle as the driver-cache key, so the gate proves
+    both serving tiers identical."""
+    from featurebase_spark.plans.bitmap_index import And, AndNot, Atom, Or
+
+    cat = _bitmap_cat(spark, sf_dir)
+    a, b = Atom("event_type", "click"), Atom("user_id", 12)
+    n_and, n_or, n_andnot = cat.counts(
+        [And(a, b), Or(a, b), AndNot(a, b)], mode="distributed"
+    )
+    return spark.sql(
+        f"SELECT CAST({n_and} AS BIGINT) AS n_and, "
+        f"CAST({n_or} AS BIGINT) AS n_or, "
+        f"CAST({n_andnot} AS BIGINT) AS n_andnot"
+    )
+
+
+@register(
     "bitmap_index_topk",
     "SELECT CAST(event_type AS VARCHAR) AS value, COUNT(*) AS count FROM events "
     "WHERE event_type IS NOT NULL GROUP BY event_type "
