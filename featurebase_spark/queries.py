@@ -1120,6 +1120,62 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@register(
+    "sessionize_text_door",
+    "WITH s AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
+    "  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 "
+    "  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "  THEN 1 ELSE 0 END AS brk FROM events), "
+    "t AS (SELECT user_id, ts, CAST(SUM(brk) OVER (PARTITION BY user_id "
+    "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s) "
+    "SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0) AS BIGINT)"
+    " AS duration_sec "
+    "FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id",
+)
+def sessionize_text_door(spark, sf_dir):
+    """Sessionization through the SQL TEXT door — the fb_sessions TVF
+    (DECLARED EXTENSION: the reference's TVF scaffolding is disabled,
+    optablevaluedfunction.go:45-47; a real user's first touch is SQL, so
+    the pipeline operator gets a FROM-clause spelling). Same plan as
+    events_sessionize: the TVF expands to the session_stats frame before
+    translation (sql._expand_tvfs)."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+    return fb_sql(
+        spark,
+        "SELECT user_id, CAST(session_id AS bigint) AS session_id, "
+        "CAST(n_events AS bigint) AS n_events, "
+        "CAST(duration_sec AS bigint) AS duration_sec "
+        "FROM fb_sessions(events, user_id, ts, 30) "
+        "ORDER BY user_id, session_id",
+    )
+
+
+@register(
+    "dedup_survivors_text_door",
+    "WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM documents), "
+    "keep AS (SELECT doc_id FROM (SELECT doc_id, "
+    "  ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp) "
+    "  WHERE rn = 1) "
+    "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars "
+    "FROM documents d JOIN keep USING (doc_id) ORDER BY d.doc_id",
+)
+def dedup_survivors_text_door(spark, sf_dir):
+    """Survivor selection through the SQL TEXT door — the
+    fb_dedup_survivors TVF (declared extension, see sessionize_text_door):
+    SELECT over the surviving rows, same plan as dedup_survivors."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["documents"].createOrReplaceTempView("documents")
+    return fb_sql(
+        spark,
+        "SELECT doc_id, CAST(length(text) AS bigint) AS n_chars "
+        "FROM fb_dedup_survivors(documents, text, doc_id) ORDER BY doc_id",
+    )
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB twin of simhash_near_pairs(token_hash='sha256'): the token
     hash is the first 16 hex chars of sha256 read as a 64-bit value

@@ -496,6 +496,126 @@ def translate(sql: str) -> str:
     return rw.scope(None).strip().rstrip(";")
 
 
+# --------------------------------------------------------------------------
+# Table-valued functions — DECLARED EXTENSION beyond reference parity.
+# The reference's TVF scaffolding is disabled (optablevaluedfunction.go:
+# 45-47 returns 'tvf not supported'); these give the pipeline operators a
+# SQL front door: FROM fb_sessionize(...) / fb_sessions(...) /
+# fb_dedup_survivors(...). Documented as extensions in COVERAGE.md.
+# --------------------------------------------------------------------------
+
+#: TVF name → (arity, signature shown in errors)
+_TVFS: dict[str, tuple[int, str]] = {
+    "FB_SESSIONIZE": (4, "(table, user_col, ts_col, gap_minutes)"),
+    "FB_SESSIONS": (4, "(table, user_col, ts_col, gap_minutes)"),
+    "FB_DEDUP_SURVIVORS": (3, "(table, text_col, id_col)"),
+}
+
+_TVF_GUARD = _re.compile(
+    r"\b(fb_sessionize|fb_sessions|fb_dedup_survivors)\b", _re.IGNORECASE
+)
+
+
+def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
+    """Materialize one TVF call as a temp view; returns the view name.
+    Arity/argument errors mirror the reference's compile-error phrasing
+    (sql3/errors.go: parameter-count / column-not-found)."""
+    arity, sig = _TVFS[name]
+    low = name.lower()
+    if len(args) != arity:
+        raise ValueError(
+            f"{low}: count of formal parameters ({arity}) does not match "
+            f"count of actual parameters ({len(args)}); expected {low}{sig}"
+        )
+    table = args[0]
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(f"{low}: table name expected, got {table!r}")
+    df = spark.table(table)
+    cols = set(df.columns)
+
+    def need_col(c: str, role: str):
+        if c not in cols:
+            raise ValueError(
+                f"{low}: column '{c}' not found in {table} ({role})"
+            )
+
+    if name in ("FB_SESSIONIZE", "FB_SESSIONS"):
+        from featurebase_spark.pipeline import sessions
+
+        user, ts, gap = args[1], args[2], args[3]
+        need_col(user, "user_col")
+        need_col(ts, "ts_col")
+        if not _re.fullmatch(r"\d+", gap):
+            raise ValueError(
+                f"{low}: integer literal expected for gap_minutes, got {gap!r}"
+            )
+        fn = (
+            sessions.sessionize
+            if name == "FB_SESSIONIZE"
+            else sessions.session_stats
+        )
+        out = fn(df, user, ts, int(gap))
+    else:
+        from featurebase_spark.pipeline import dedup
+
+        text_col, id_col = args[1], args[2]
+        need_col(text_col, "text_col")
+        need_col(id_col, "id_col")
+        out = dedup.dedup_survivors(df, text_col, id_col)
+    view = f"__fb_tvf_{idx}"
+    out.createOrReplaceTempView(view)
+    return view
+
+
+def _expand_tvfs(spark: SparkSession, sql: str) -> str:
+    """Replace every TVF call in the statement with a temp view holding
+    its result (the compile step the reference's planner would do if its
+    TVFs were enabled). No-op when no TVF name appears."""
+    if not _TVF_GUARD.search(sql):
+        return sql
+    toks = _tokenize(sql)
+    out: list[str] = []
+    i, n, count = 0, len(toks), 0
+    while i < n:
+        tok = toks[i]
+        up = tok.upper() if (tok[:1].isalpha() or tok[:1] == "_") else ""
+        if up in _TVFS:
+            j = i + 1
+            while j < n and _is_ws(toks[j]):
+                j += 1
+            if j < n and toks[j] == "(":
+                depth, j2 = 1, j + 1
+                args: list[str] = []
+                cur: list[str] = []
+                while j2 < n and depth:
+                    t = toks[j2]
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    elif t == "," and depth == 1:
+                        args.append("".join(cur).strip())
+                        cur = []
+                        j2 += 1
+                        continue
+                    cur.append(t)
+                    j2 += 1
+                if depth:
+                    raise ValueError(f"{up.lower()}: unterminated argument list")
+                tail = "".join(cur).strip()
+                if tail:
+                    args.append(tail)
+                out.append(_eval_tvf(spark, up, args, count))
+                count += 1
+                i = j2 + 1
+                continue
+        out.append(tok)
+        i += 1
+    return "".join(out)
+
+
 def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
     """Execute FeatureBase-dialect SQL against registered Spark views —
     the ``POST /sql`` front door (http_handler.go:1440-1530), with
@@ -511,6 +631,7 @@ def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
 
     if statements.is_statement(sql):
         return statements.execute_statement(spark, sql, catalog)
+    sql = _expand_tvfs(spark, sql)  # declared extension (TVF front door)
     if catalog is not None:
         # system tables are SELECT-able, not just SHOW-able
         # (opsystemtable.go registers them as ordinary planner tables)

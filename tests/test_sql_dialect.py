@@ -148,3 +148,70 @@ def test_count_check_skips_string_literals(spark):
         translate("SELECT COUNT(1) FROM r")
     with pytest.raises(ValueError, match="formal parameters"):
         translate("SELECT COUNT(a, b) FROM r")
+
+
+class TestTvfExtensions:
+    """TVF front door (DECLARED EXTENSION — the reference's TVF
+    scaffolding is disabled, optablevaluedfunction.go:45-47): the
+    pipeline operators get FROM-clause spellings with reference-style
+    compile errors for bad arity/arguments."""
+
+    def test_fb_sessions_end_to_end(self, spark, tables):
+        from featurebase_spark.sql import fb_sql
+
+        tables["events"].limit(500).createOrReplaceTempView("tvf_events")
+        out = fb_sql(
+            spark,
+            "SELECT user_id, session_id, n_events "
+            "FROM fb_sessions(tvf_events, user_id, ts, 30) "
+            "ORDER BY user_id, session_id",
+        ).collect()
+        assert len(out) > 0
+        # session ids are 1-based and dense per user
+        first = [r for r in out if r["user_id"] == out[0]["user_id"]]
+        assert [r["session_id"] for r in first] == list(range(1, len(first) + 1))
+
+    def test_fb_sessionize_row_level(self, spark, tables):
+        from featurebase_spark.sql import fb_sql
+
+        tables["events"].limit(200).createOrReplaceTempView("tvf_events")
+        out = fb_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM fb_sessionize(tvf_events, user_id, ts, 30)",
+        ).first()
+        assert out["n"] == 200  # row-level: input rows preserved
+
+    def test_fb_dedup_survivors_composes(self, spark, tables):
+        from featurebase_spark.sql import fb_sql
+
+        tables["documents"].createOrReplaceTempView("tvf_docs")
+        n_docs = tables["documents"].count()
+        out = fb_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM fb_dedup_survivors(tvf_docs, text, doc_id)",
+        ).first()
+        assert 0 < out["n"] <= n_docs
+
+    def test_tvf_arity_errors(self, spark, tables):
+        import pytest
+
+        from featurebase_spark.sql import fb_sql
+
+        tables["events"].limit(10).createOrReplaceTempView("tvf_events")
+        with pytest.raises(ValueError, match=r"formal parameters \(4\).*\(3\)"):
+            fb_sql(spark, "SELECT * FROM fb_sessions(tvf_events, user_id, ts)")
+        with pytest.raises(ValueError, match=r"formal parameters \(3\).*\(4\)"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_dedup_survivors(tvf_events, a, b, c)",
+            )
+        with pytest.raises(ValueError, match="integer literal expected"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_sessions(tvf_events, user_id, ts, gap)",
+            )
+        with pytest.raises(ValueError, match="column 'nope' not found"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_sessions(tvf_events, nope, ts, 30)",
+            )
