@@ -145,8 +145,32 @@ class Catalog:
         hash into); a 3-row INSERT into a huge table rewrites ≤3 bucket
         dirs, never the table."""
         if self.bucketed:
-            store = self._ensure_storage(name)
-            store.upsert(rows, update_cols=cols)
+            store = self._storage.get(name)
+            if store is None:
+                # FIRST write: merge the current view with the batch and
+                # init the bucketed storage from the result — ONE write
+                # job, instead of materializing the pre-write view and
+                # then upserting into it (two writes + a bucket probe)
+                import os
+
+                from featurebase_spark.operators.writes import (
+                    PartitionedUpsertTable,
+                    merge_upsert,
+                )
+
+                merged = merge_upsert(
+                    self.spark.table(name), rows, "_id", update_cols=cols
+                )
+                store = PartitionedUpsertTable(
+                    self.spark,
+                    os.path.join(self._data_path, f"{name}__buckets"),
+                    "_id",
+                    self.buckets,
+                )
+                store.init(merged)
+                self._storage[name] = store
+            else:
+                store.upsert(rows, update_cols=cols)
             self._register(name)
             return
         from featurebase_spark.operators.writes import materialize_view, merge_upsert

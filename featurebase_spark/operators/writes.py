@@ -84,6 +84,10 @@ class PartitionedUpsertTable:
         self.key = key
         self.buckets = buckets
         self.schema = None  # pinned on init()/load(); empty tables read back
+        #: (manifest version, frame) — whole-table reads reuse the frame
+        #: until the next commit bumps the version (each spark.read.parquet
+        #: costs a driver-side file listing; repeated reads shouldn't)
+        self._read_cache: tuple[int, DataFrame] | None = None
 
     # -- manifest (the generation pointer)
 
@@ -172,12 +176,24 @@ class PartitionedUpsertTable:
             "__bucket", F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.buckets))
         )
 
-    def _write_generation(self, bucketed: DataFrame) -> tuple[str, list[int]]:
-        """Stage a generation dir; returns (gen name, bucket ids present)."""
+    def _write_generation(
+        self, bucketed: DataFrame, n_buckets_hint: int | None = None
+    ) -> tuple[str, list[int]]:
+        """Stage a generation dir; returns (gen name, bucket ids present).
+        Bulk commits hash-place rows with a shuffle sized to the bucket
+        count (one compact file per bucket, no per-task file spray);
+        POINT-WRITE commits (≤4 touched buckets — the single-statement
+        upsert/delete shape) skip the shuffle entirely with a narrow
+        coalesce: per-bucket spray is bounded by that same tiny task
+        count, and the commit saves a whole stage boundary."""
         gen = "g_" + uuid.uuid4().hex[:12]
-        bucketed.repartition("__bucket").write.mode("overwrite").partitionBy(
-            "__bucket"
-        ).parquet(os.path.join(self.path, gen))
+        n = max(1, min(n_buckets_hint or self.buckets, self.buckets))
+        staged = (
+            bucketed.coalesce(n) if n <= 4 else bucketed.repartition(n, "__bucket")
+        )
+        staged.write.mode("overwrite").partitionBy("__bucket").parquet(
+            os.path.join(self.path, gen)
+        )
         return gen, self._staged_buckets(os.path.join(self.path, gen))
 
     def init(self, df: DataFrame) -> None:
@@ -212,6 +228,9 @@ class PartitionedUpsertTable:
         man = self._load_manifest()
         if self.schema is None:
             self.schema = StructType.fromJson(json.loads(man["schema"]))
+        version = int(man.get("version", 0))
+        if buckets is None and self._read_cache and self._read_cache[0] == version:
+            return self._read_cache[1]
         entries = man["buckets"]
         if buckets is not None:
             want = {int(b) for b in buckets}
@@ -235,10 +254,13 @@ class PartitionedUpsertTable:
                 f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
                 for f in self.schema.fields
             )
-            return self.spark.sql(f"SELECT {cols} WHERE 1=0")
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
+            out = self.spark.sql(f"SELECT {cols} WHERE 1=0")
+        else:
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+        if buckets is None:
+            self._read_cache = (version, out)
         return out
 
     def read(self) -> DataFrame:
@@ -294,7 +316,7 @@ class PartitionedUpsertTable:
         commit by atomic manifest replace (see :meth:`upsert`). A touched
         bucket absent from the staged output (all its rows died) is
         dropped from the manifest."""
-        gen, staged = self._write_generation(merged)
+        gen, staged = self._write_generation(merged, n_buckets_hint=len(touched))
         staged_set = set(staged)
         man = self._load_manifest()
         for b in touched:
@@ -338,26 +360,45 @@ def merge_upsert(
     of matched keys from the existing row (new keys keep their typed
     NULLs). ``None`` = all columns listed (whole-row replace).
 
-    Plan: the existing rows of touched keys come from a broadcast
-    SEMI-join (one pruned scan), so the column-merge join is
-    small×small and broadcastable; commit stays anti-join + union. With
-    Delta: ``MERGE WHEN MATCHED UPDATE SET <listed> WHEN NOT MATCHED
-    INSERT *``."""
+    Plan (partial-column case): ONE scan of the table LEFT-joined with
+    the broadcast batch produces kept rows AND in-place-updated matched
+    rows together; new keys come from an anti-join against the matched
+    key set (a table-derived frame bounded by |updates| — always
+    broadcastable). The table itself never moves — every join broadcasts
+    batch-sized frames, the scale shape of the reference's per-shard
+    import merge. With Delta: ``MERGE WHEN MATCHED UPDATE SET <listed>
+    WHEN NOT MATCHED INSERT *``."""
     all_cols = [c for c, _ in table.dtypes]
     if update_cols is not None:
         listed = set(update_cols) | {key}
         if set(all_cols) - listed:
-            old = table.join(
-                F.broadcast(updates.select(key)), key, "left_semi"
-            ).select(
-                key, *[F.col(c).alias(f"__old_{c}") for c in all_cols if c != key]
-            )
-            updates = updates.join(F.broadcast(old), key, "left").select(
+            u = updates.select(
+                F.col(key),
                 *[
-                    F.col(c) if c in listed else F.col(f"__old_{c}").alias(c)
+                    F.col(c).alias(f"__u_{c}")
+                    for c in all_cols
+                    if c != key and c in listed
+                ],
+                F.lit(True).alias("__m"),
+            )
+            hit = F.coalesce(F.col("__m"), F.lit(False))
+            ex = table.join(F.broadcast(u), key, "left").select(
+                *[
+                    (
+                        F.when(hit, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
+                        if c != key and c in listed
+                        else F.col(c)
+                    )
                     for c in all_cols
                 ]
             )
+            matched = table.join(
+                F.broadcast(updates.select(key)), key, "left_semi"
+            ).select(key)
+            new_rows = updates.select(*all_cols).join(
+                F.broadcast(matched), key, "left_anti"
+            )
+            return ex.unionByName(new_rows)
     kept = table.join(F.broadcast(updates.select(key)), key, "left_anti")
     return kept.unionByName(updates, allowMissingColumns=False)
 

@@ -696,9 +696,31 @@ def _delete(p: _P, spark: SparkSession, catalog) -> None:
         # keyed delete: only the buckets holding matching _ids rewrite
         # (PlanOpPQLFilteredDelete → per-shard delete)
         pred = translate(p.expr_until(()))
-        ids = spark.sql(
-            f"SELECT _id FROM {name} WHERE coalesce(({pred}), false)"
+        # _id-literal predicates (= or IN of literals) build the id set as
+        # a LocalRelation — no table scan to discover the keys, so the
+        # whole delete touches ONLY the keys' buckets (the reference's
+        # ConstRow-bitmap delete, executeDeleteRecords over a literal
+        # bitmap); any other predicate keeps the pushed-filter scan
+        import re as _re
+
+        lit = r"\d+|'(?:[^']|'')*'"
+        m = _re.fullmatch(
+            rf"\s*_id\s*(?:=\s*({lit})|IN\s*\(\s*((?:{lit})(?:\s*,\s*(?:{lit}))*)\s*\))\s*",
+            pred,
+            _re.IGNORECASE,
         )
+        if m:
+            # findall, not split(','): a quoted key may contain commas
+            vals = [m.group(1)] if m.group(1) else _re.findall(lit, m.group(2))
+            t = "string" if catalog._defs[name].keys else "bigint"
+            values_sql = ", ".join(f"(CAST({v} AS {t}))" for v in vals)
+            ids = spark.sql(
+                f"SELECT v AS _id FROM (VALUES {values_sql}) AS __v(v)"
+            )
+        else:
+            ids = spark.sql(
+                f"SELECT _id FROM {name} WHERE coalesce(({pred}), false)"
+            )
         catalog.delete_ids(name, ids)
     else:  # whole-table truncate (oppqltruncate.go) — metadata-only drop
         catalog.truncate(name)
