@@ -47,6 +47,15 @@ class Catalog:
         self._views: dict[str, str] = {}
         self._storage: dict[str, object] = {}  # name -> PartitionedUpsertTable
 
+    @staticmethod
+    def _view(name: str) -> str:
+        """Spark temp-view name for a table — identical to the table name
+        except for names Spark can't register (e.g. the reference-legal
+        hyphenated ``un-keyed``, scanner.go:338-339)."""
+        from featurebase_spark.schema import spark_view_name
+
+        return spark_view_name(name)
+
     @property
     def _data_path(self) -> str:
         if self.path_prefix is None:
@@ -63,7 +72,7 @@ class Catalog:
             if if_not_exists:
                 return
             raise ValueError(f"table {td.name} exists")  # [TABLE_OR_VIEW_ALREADY_EXISTS]
-        self._empty_frame(td).createOrReplaceTempView(td.name)
+        self._empty_frame(td).createOrReplaceTempView(self._view(td.name))
         self._defs[td.name] = td
 
     def _empty_frame(self, td: TableDef) -> DataFrame:
@@ -79,7 +88,7 @@ class Catalog:
     def drop_table(self, name: str, if_exists: bool = False) -> None:
         if name not in self._defs and not if_exists:
             raise ValueError(f"table {name} does not exist")
-        self.spark.catalog.dropTempView(name)
+        self.spark.catalog.dropTempView(self._view(name))
         self._defs.pop(name, None)
         store = self._storage.pop(name, None)
         if store is not None:
@@ -90,14 +99,14 @@ class Catalog:
     def alter_table_add_column(self, name: str, fdef) -> None:
         from featurebase_spark.schema import spark_type
 
-        df = self.spark.table(name).withColumn(
+        df = self.spark.table(self._view(name)).withColumn(
             fdef.name, F.lit(None).cast(spark_type(fdef))
         )
         self._defs[name].fields.append(fdef)
         self._replace_contents(name, df)
 
     def alter_table_drop_column(self, name: str, col: str) -> None:
-        df = self.spark.table(name).drop(col)
+        df = self.spark.table(self._view(name)).drop(col)
         self._defs[name].fields = [
             f for f in self._defs[name].fields if f.name != col
         ]
@@ -120,13 +129,13 @@ class Catalog:
                 "_id",
                 self.buckets,
             )
-            store.init(self.spark.table(name))
+            store.init(self.spark.table(self._view(name)))
             self._storage[name] = store
             self._register(name)
         return store
 
     def _register(self, name: str) -> None:
-        self._storage[name].read().createOrReplaceTempView(name)
+        self._storage[name].read().createOrReplaceTempView(self._view(name))
 
     def insert(
         self,
@@ -159,7 +168,8 @@ class Catalog:
                 )
 
                 merged = merge_upsert(
-                    self.spark.table(name), rows, "_id", update_cols=cols
+                    self.spark.table(self._view(name)), rows, "_id",
+                    update_cols=cols,
                 )
                 store = PartitionedUpsertTable(
                     self.spark,
@@ -175,7 +185,9 @@ class Catalog:
             return
         from featurebase_spark.operators.writes import materialize_view, merge_upsert
 
-        merged = merge_upsert(self.spark.table(name), rows, "_id", update_cols=cols)
+        merged = merge_upsert(
+            self.spark.table(self._view(name)), rows, "_id", update_cols=cols
+        )
         # distributed parquet commit — no rows ever pass through the driver
         materialize_view(merged, name, self._data_path)
 
@@ -189,7 +201,9 @@ class Catalog:
             return
         from featurebase_spark.operators.writes import delete_records
 
-        self.overwrite(name, delete_records(self.spark.table(name), ids))
+        self.overwrite(
+            name, delete_records(self.spark.table(self._view(name)), ids)
+        )
 
     def truncate(self, name: str) -> None:
         """TRUNCATE is metadata-only: drop the storage and re-register the
@@ -202,7 +216,9 @@ class Catalog:
             import shutil
 
             shutil.rmtree(store.path, ignore_errors=True)
-        self._empty_frame(self._defs[name]).createOrReplaceTempView(name)
+        self._empty_frame(self._defs[name]).createOrReplaceTempView(
+            self._view(name)
+        )
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Replace a table's contents wholesale (the commit path for
@@ -270,11 +286,11 @@ class Catalog:
     def create_view(self, name: str, sql_text: str, replace: bool = False) -> None:
         if name in self._views and not replace:
             raise ValueError(f"view {name} exists")
-        self.spark.sql(sql_text).createOrReplaceTempView(name)
+        self.spark.sql(sql_text).createOrReplaceTempView(self._view(name))
         self._views[name] = sql_text
 
     def drop_view(self, name: str) -> None:
-        self.spark.catalog.dropTempView(name)
+        self.spark.catalog.dropTempView(self._view(name))
         self._views.pop(name, None)
 
     # -- SHOW / system tables (opsystemtable.go, opfeaturebasetables.go)

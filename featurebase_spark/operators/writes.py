@@ -39,11 +39,13 @@ def materialize_view(df: DataFrame, name: str, base_path: str) -> DataFrame:
     :func:`vacuum_generations`; at scale the swap is a catalog pointer
     flip and old data files get vacuumed asynchronously, exactly Delta's
     commit model."""
+    from featurebase_spark.schema import spark_view_name
+
     spark = df.sparkSession
     path = os.path.join(base_path, name, uuid.uuid4().hex[:12])
     df.write.mode("overwrite").parquet(path)
     out = spark.read.schema(df.schema).parquet(path)
-    out.createOrReplaceTempView(name)
+    out.createOrReplaceTempView(spark_view_name(name))
     return out
 
 

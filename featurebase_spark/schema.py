@@ -94,3 +94,28 @@ class TableDef:
         cols = [StructField("_id", id_type, nullable=False)]
         cols += [StructField(f.name, spark_type(f), nullable=True) for f in self.fields]
         return StructType(cols)
+
+
+# --------------------------------------------------------------------------
+# Spark-safe view names
+# --------------------------------------------------------------------------
+
+import re as _re
+
+_SPARK_IDENT = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def spark_view_name(name: str) -> str:
+    """Spark temp-view name for a FeatureBase table name.
+
+    The reference's lexer treats ``-`` as an identifier character
+    (sql3/parser/scanner.go:338-339 — Pilosa index names allowed dashes),
+    so table names like ``un-keyed`` are legal there (defs_select.go
+    "table-with-hyphens"). Spark rejects hyphens in view names, so any
+    name that is not a plain Spark identifier is deterministically mangled
+    at the view boundary; ``Catalog._defs`` and every user-facing surface
+    (fb_tables, SHOW, error messages) keep the original spelling.
+    """
+    if _SPARK_IDENT.fullmatch(name):
+        return name
+    return "fbh__" + _re.sub(r"[^A-Za-z0-9_]", "_", name)

@@ -46,7 +46,7 @@ _TOKEN_RE = re.compile(
     | (?P<str>'(?:[^']|'')*')
     | (?P<qid>"(?:[^"]|"")*")
     | (?P<num>\d+(?:\.\d*)?|\.\d+)
-    | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_]*(?:-[A-Za-z0-9_]+)*)
     | (?P<op><=|>=|!=|<>|\|\||<<|>>|.)
     """,
     re.VERBOSE | re.DOTALL,
@@ -68,6 +68,33 @@ def _tokenize(sql: str) -> list[str]:
 
 def _is_ws(tok: str) -> bool:
     return tok[:1].isspace()
+
+
+def _emit_plain(tok: str) -> str:
+    """Generic token emission: map '!' (bitwise complement in the
+    dialect) to '~', and SQL-standard double-quoted identifiers
+    (scanner.go scanQuotedIdent — e.g. ``as "yy"``) to Spark's
+    backtick quoting."""
+    if tok == "!":
+        return "~"
+    if tok[:1] == '"' and tok[-1:] == '"' and len(tok) >= 2:
+        inner = tok[1:-1].replace('""', '"').replace("`", "``")
+        return f"`{inner}`"
+    return tok
+
+
+def _emit_word(tok: str) -> str:
+    """Emit one identifier/keyword token into Spark SQL. Hyphenated
+    identifiers (legal in the reference — scanner.go:338-339 treats '-'
+    as an identifier char, so ``un-keyed`` is ONE token, not subtraction)
+    are rewritten to their Spark-safe view name. Subtraction still works
+    when spaced (``a - b``) or against numeric literals (``a -1``),
+    exactly as in the reference dialect."""
+    if "-" in tok and (tok[:1].isalpha() or tok[:1] == "_"):
+        from featurebase_spark.schema import spark_view_name
+
+        return spark_view_name(tok)
+    return tok
 
 
 def _strip_str_literal(arg: str) -> Optional[str]:
@@ -323,6 +350,10 @@ class _Rewriter:
                 self.i += 1
                 inner = self.scope(")")
                 self.i += 1  # consume ')'
+                if not inner.strip():
+                    # `where ()` is a compile error in the reference
+                    # (defs_sql1.go:434-437)
+                    raise ValueError("expected expression, found ')'")
                 out.append(f"({inner})")
                 continue
             if tok == "[":
@@ -371,14 +402,14 @@ class _Rewriter:
                     continue
                 if up == "LIMIT":
                     saw_explicit_limit = True
-                out.append(tok)
+                out.append(_emit_word(tok))
                 self.i += 1
                 continue
             # unary '!' is BITWISE complement in the reference dialect
             # (defs_unops.go: !10 = -11; on bool it errors) — Spark's '!'
             # is logical NOT, so map to '~'. '!=' is a single token and
             # never reaches here.
-            out.append("~" if tok == "!" else tok)
+            out.append(_emit_plain(tok))
             self.i += 1
         text = "".join(out)
         if top_limit is not None and not saw_explicit_limit:
@@ -434,7 +465,8 @@ class _Rewriter:
                     self.i += 1
                     cur.append(f"CAST({_rewrite_cast(inner)})")
                     continue
-            cur.append("~" if tok == "!" else tok)
+            cur.append(_emit_plain(tok) if not (
+                tok[:1].isalpha() or tok[:1] == "_") else _emit_word(tok))
             self.i += 1
         tail = "".join(cur).strip()
         if tail:
@@ -645,7 +677,35 @@ def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
         for name, fn in _SYS.items():
             if _re.search(rf"\b{name}\b", sql, _re.IGNORECASE):
                 fn().createOrReplaceTempView(name)
-    return spark.sql(translate(sql))
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.sql(translate(sql))
+    except AnalysisException as e:
+        # Analyzer errors re-phrased to the reference's compile-error
+        # wording (sql3/errors.go: ErrTableOrViewNotFound /
+        # ErrColumnNotFound — asserted verbatim by the defs corpus, e.g.
+        # defs_sql1.go:534-556). Anything else propagates untouched.
+        cls = (
+            e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        ) or ""
+        params = e.getMessageParameters() or {}
+
+        def _bare(key: str) -> Optional[str]:
+            v = params.get(key)
+            if v is None:
+                return None
+            return v.replace("`", "").split(".")[-1]
+
+        if cls == "TABLE_OR_VIEW_NOT_FOUND":
+            name = _bare("relationName")
+            if name:
+                raise ValueError(f"table or view '{name}' not found") from e
+        if cls.startswith("UNRESOLVED_COLUMN"):
+            name = _bare("objectName")
+            if name:
+                raise ValueError(f"column '{name}' not found") from e
+        raise
 
 
 def fb_sql_plan(spark: SparkSession, sql: str, formatted: bool = True) -> str:

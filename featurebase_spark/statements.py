@@ -55,7 +55,9 @@ _VALID_TYPES = {
     "string", "stringset", "stringsetq", "timestamp",
 }
 
-_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+#: '-' is a legal identifier char in the reference (scanner.go:338-339);
+#: Spark-side view names are mangled via schema.spark_view_name.
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_-]*$")
 
 _CATALOGS: dict[int, object] = {}
 
@@ -718,8 +720,11 @@ def _delete(p: _P, spark: SparkSession, catalog) -> None:
                 f"SELECT v AS _id FROM (VALUES {values_sql}) AS __v(v)"
             )
         else:
+            from featurebase_spark.schema import spark_view_name
+
             ids = spark.sql(
-                f"SELECT _id FROM {name} WHERE coalesce(({pred}), false)"
+                f"SELECT _id FROM {spark_view_name(name)} "
+                f"WHERE coalesce(({pred}), false)"
             )
         catalog.delete_ids(name, ids)
     else:  # whole-table truncate (oppqltruncate.go) — metadata-only drop
@@ -761,10 +766,13 @@ def _copy(p: _P, spark: SparkSession, catalog) -> None:
                     api_key = _unquote(tok)
             else:
                 break
+    from featurebase_spark.schema import spark_view_name
+
+    src_view = spark_view_name(src)
     rows = (
-        spark.sql(f"SELECT * FROM {src} WHERE {where_sql}")
+        spark.sql(f"SELECT * FROM {src_view} WHERE {where_sql}")
         if where_sql
-        else spark.table(src)
+        else spark.table(src_view)
     )
     if url is not None:
         if REMOTE_COPY_WRITER is None:

@@ -888,3 +888,523 @@ def test_golden_in_between_forms(in_all_types, expr, expected):
         f"select _id, {expr} as p from in_all_types order by _id",
     ).collect()
     assert [r["p"] for r in rows] == expected
+
+
+# --- defs_inserts.go: insert shapes + error rows ----------------------------
+
+
+@pytest.fixture()
+def insert_cat(spark):
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table testinsert (_id id, a int min 0 max 1000, "
+           "b int min 0 max 1000, s string, bl bool, d decimal(2) min 0 max 1000, "
+           "event stringset, ievent idset)", catalog=cat)
+    yield cat
+    cat.drop_table("testinsert", if_exists=True)
+
+
+def test_golden_inserts_shapes(spark, insert_cat):
+    cat = insert_cat
+    # Insert + Replace of the same key (defs_inserts.go:18-35)
+    fb_sql(spark, "insert into testinsert (_id, a, b, s, bl, d, event, ievent) "
+           "values (4, 40, 400, 'foo', false, 10.12, ['A', 'B', 'C'], [1, 2, 3])",
+           catalog=cat)
+    fb_sql(spark, "replace into testinsert (_id, a, b, s, bl, d, event, ievent) "
+           "values (4, 40, 400, 'foo', false, 10.12, ['A', 'B', 'C'], [1, 2, 3])",
+           catalog=cat)
+    # multiple tuples (defs_inserts.go:36-44)
+    fb_sql(spark, "insert into testinsert (_id, a, b, s, bl, d, event, ievent) "
+           "values (4, 40, 400, 'foo', false, 10.12, ['A', 'B', 'C'], [1, 2, 3]), "
+           "(5, 50, 500, 'var', true, 20.24, ['X', 'Y', 'Z'], [4, 5, 6])",
+           catalog=cat)
+    # nulls (defs_inserts.go:45-54)
+    fb_sql(spark, "insert into testinsert (_id, a, b, s, bl, d, event, ievent) "
+           "values (5, null, null, null, null, null, null, null)", catalog=cat)
+    fb_sql(spark, "insert into testinsert (_id, a, b, s, bl, d, event, ievent) "
+           "values (6, 1, null, null, null, null, null, null)", catalog=cat)
+    # value expressions (defs_inserts.go:55-63)
+    fb_sql(spark, "insert into testinsert (_id, a, b, s, bl, d, event, ievent) "
+           "values (4, 40*10, 400+1, 'foo' || 'bar', 1 > 2, 10.12 + 3.1, "
+           "['A', 'B', 'C'], [1, 2, 3])", catalog=cat)
+    got = {r["_id"]: r for r in
+           fb_sql(spark, "select * from testinsert", catalog=cat).collect()}
+    assert set(got) == {4, 5, 6}
+    assert (got[4]["a"], got[4]["b"], got[4]["s"], got[4]["bl"]) == (
+        400, 401, "foobar", False)
+    assert float(got[4]["d"]) == pytest.approx(13.22)
+    assert got[5]["a"] is None and got[5]["s"] is None
+    assert got[6]["a"] == 1 and got[6]["b"] is None
+
+
+INSERT_ERR_CASES = [
+    # (sql, expected-substring) — defs_inserts.go:64-154 ExpErr rows
+    ("insert into ifoo (a, b) values (1, 2)", "table 'ifoo' not found"),
+    ("insert into testinsert (c, b) values (1, 2)", "column 'c' not found"),
+    ("insert into testinsert (a, a, b) values (1, 2)", "duplicate column 'a'"),
+    ("insert into testinsert (_id, a, b) values (1)",
+     "mismatch in the count of expressions and target columns"),
+    ("insert into testinsert values (4, 40, 400)",
+     "mismatch in the count of expressions and target columns"),
+    ("insert into testinsert (a, b) values (1, 2)",
+     "insert column list must have '_id' column specified"),
+    ("insert into testinsert (_id) values (1)",
+     "insert column list must have at least one non '_id' column specified"),
+    ("insert into testinsert (_id, a, event) values (4, 40, [101, 150])",
+     "an expression of type 'idset' cannot be assigned to type 'stringset'"),
+    ("insert into testinsert (_id, a, ievent) values (4, 40, ['POST', 'GET'])",
+     "an expression of type 'stringset' cannot be assigned to type 'idset'"),
+    ("insert into testinsert (_id, a) values (400, -1)",
+     "inserting value into column 'a', row 1, value '-1' out of range"),
+    ("insert into testinsert (_id, a) values (400, 1001)",
+     "inserting value into column 'a', row 1, value '1001' out of range"),
+    ("insert into testinsert (_id, d) values (400, -1.00)",
+     "inserting value into column 'd', row 1, value '-1' out of range"),
+    ("insert into testinsert (_id, d) values (400, 1001.00)",
+     "inserting value into column 'd', row 1, value '1001' out of range"),
+]
+
+
+@pytest.mark.parametrize(
+    "sql,err", INSERT_ERR_CASES, ids=[c[0][:55] for c in INSERT_ERR_CASES]
+)
+def test_golden_inserts_errors(spark, insert_cat, sql, err):
+    with pytest.raises(StatementError, match=re.escape(err)):
+        fb_sql(spark, sql, catalog=insert_cat)
+
+
+def test_golden_insert_timestamp_forms(spark):
+    # insertTimestampTest (defs_inserts.go:158-199): a string date literal
+    # and an epoch-seconds integer land on the same instant
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "CREATE TABLE insertTimestampTest (_id id, time timestamp "
+           "timeunit 'ms', ids idset, strings stringset);", catalog=cat)
+    fb_sql(spark, "INSERT INTO insertTimestampTest(_id, time, ids, strings) "
+           "VALUES (1, '2023-01-01', [6 , 1, 9], ['red', 'blue', 'green']);",
+           catalog=cat)
+    fb_sql(spark, "INSERT INTO insertTimestampTest(_id, time, ids, strings) "
+           "VALUES (2, 1672531200, [6 , 1, 9], ['red', 'blue', 'green']);",
+           catalog=cat)
+    got = [r[0] for r in
+           fb_sql(spark, "select time from insertTimestampTest;",
+                  catalog=cat).collect()]
+    want = datetime.datetime(2023, 1, 1, 0, 0, 0)
+    assert got == [want, want]
+    cat.drop_table("inserttimestamptest", if_exists=True)
+    cat.drop_table("insertTimestampTest".lower(), if_exists=True)
+
+
+# --- defs_timestamp_literals.go ---------------------------------------------
+
+
+def test_golden_timestamp_literals(spark):
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table testtimestampliterals (_id id, "
+           "a int min 0 max 1000, b int min 0 max 1000, d decimal(2), "
+           "ts timestamp, event stringset, ievent idset)", catalog=cat)
+    base = ("insert into testtimestampliterals (_id, a, b, d, ts, event, ievent)"
+            " values ({_id}, 40, 400, 10.12, {ts}, ['A', 'B', 'C'], [1, 2, 3])")
+    # current_timestamp / current_date / epoch 0 / epoch -86400
+    # (defs_timestamp_literals.go:18-53)
+    fb_sql(spark, base.format(_id=1, ts="current_timestamp"), catalog=cat)
+    fb_sql(spark, base.format(_id=2, ts="current_date"), catalog=cat)
+    fb_sql(spark, base.format(_id=3, ts="0"), catalog=cat)
+    fb_sql(spark, base.format(_id=4, ts="-86400"), catalog=cat)
+    got = {r["_id"]: r["yy"] for r in fb_sql(
+        spark,
+        'select _id, datetimepart(\'yy\', ts) as "yy" '
+        "from testtimestampliterals where _id in (3,4)",
+        catalog=cat).collect()}
+    # 0 -> 1970-01-01, -86400 -> 1969-12-31 (defs_timestamp_literals.go:54-68)
+    assert got == {3: 1970, 4: 1969}
+    assert fb_sql(spark, "select count(*) as n from testtimestampliterals "
+                  "where ts is not null", catalog=cat).first()["n"] == 4
+    cat.drop_table("testtimestampliterals")
+
+
+# --- defs_create_table.go / alterTable error rows ---------------------------
+
+
+CREATE_ERR_CASES = [
+    ("create table foo (_id id, i1 int) keypartitions 0",
+     "invalid value '0' for key partitions (should be a number between 1-10000)"),
+    ("create table foo (_id id, i1 int) keypartitions 10001",
+     "invalid value '10001' for key partitions (should be a number between 1-10000)"),
+    ("create table foo (_id id, i1 int) comment 34", "string literal expected"),
+    ("create table foo (_id id, i1 int) comment bad", "expected literal, found bad"),
+    ("create table bar (_id id, i1 int min 20 max 19)",
+     "int field min cannot be greater than max"),
+]
+
+
+@pytest.mark.parametrize(
+    "sql,err", CREATE_ERR_CASES, ids=[c[0][35:80] for c in CREATE_ERR_CASES]
+)
+def test_golden_create_table_errors(spark, sql, err):
+    from featurebase_spark.operators.ddl import Catalog
+
+    with pytest.raises(StatementError, match=re.escape(err)):
+        fb_sql(spark, sql, catalog=Catalog(spark))
+
+
+def test_golden_create_table_comment_ok(spark):
+    # defs_create_table.go:41-46: a string comment parses and is dropped
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table bar (_id id, i1 int) comment 'this should work'",
+           catalog=cat)
+    assert "bar" in cat.show_tables()
+    cat.drop_table("bar")
+
+
+def test_golden_alter_table_errors(spark):
+    # alterTable (defs_create_table.go:50-82)
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table alter_table_test (_id id, a_int int)", catalog=cat)
+    with pytest.raises(StatementError, match="table 'alter_table_test_foo' not found"):
+        fb_sql(spark, "alter table alter_table_test_foo add column a_int int",
+               catalog=cat)
+    with pytest.raises(StatementError, match="duplicate column 'a_int'"):
+        fb_sql(spark, "alter table alter_table_test add column a_int int",
+               catalog=cat)
+    with pytest.raises(StatementError, match="column 'b_int' not found"):
+        fb_sql(spark, "alter table alter_table_test drop column b_int",
+               catalog=cat)
+    cat.drop_table("alter_table_test")
+
+
+# --- defs_copy.go ------------------------------------------------------------
+
+
+def test_golden_copy_shapes(spark):
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    with pytest.raises(StatementError, match="table or view 'foo' not found"):
+        fb_sql(spark, "copy foo to bar;", catalog=cat)  # defs_copy.go:34-40
+    fb_sql(spark, "create table copytest (_id id, id_col id, string_col string, "
+           "int_col int, bool_col bool)", catalog=cat)
+    fb_sql(spark, "insert into copytest values (1, 10, 'foo', 10, false), "
+           "(2, 11, 'foo1', 11, true), (3, 12, 'foo2', 12, false), "
+           "(4, 13, 'foo3', 13, true)", catalog=cat)
+    with pytest.raises(StatementError, match="already exists"):
+        fb_sql(spark, "copy copytest to copytest;", catalog=cat)  # :42-47
+    fb_sql(spark, "copy copytest to copytesttwo;", catalog=cat)  # :48-56
+    src = sorted(map(tuple, fb_sql(spark, "select * from copytest",
+                                   catalog=cat).collect()))
+    dst = sorted(map(tuple, fb_sql(spark, "select * from copytesttwo",
+                                   catalog=cat).collect()))
+    assert src == dst and len(dst) == 4
+    cat.drop_table("copytest")
+    cat.drop_table("copytesttwo")
+
+
+# --- defs_select.go: hyphenated table names (scanner.go:338-339) -------------
+
+
+def test_golden_select_hyphenated_table(spark):
+    """The reference lexes '-' as an identifier character, so ``un-keyed``
+    is a legal table name (defs_select.go "table-with-hyphens"); the Spark
+    engine mangles it at the view boundary (schema.spark_view_name)."""
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table un-keyed (_id id, an_int int min 0 max 100, "
+           "an_id id, a_string string, a_string_set stringset)", catalog=cat)
+    fb_sql(spark, "insert into un-keyed values "
+           "(1, 11, 101, 'str1', ['a1', 'b1', 'c1']), "
+           "(2, 22, 201, 'str2', ['a2', 'b2', 'c2']), "
+           "(3, 33, 301, 'str3', ['a3', 'b3', 'c3']), "
+           "(4, 44, 401, 'str4', ['a4', 'b4', 'c4'])", catalog=cat)
+    rows = {r["_id"]: r for r in
+            fb_sql(spark, "select * from un-keyed", catalog=cat).collect()}
+    assert set(rows) == {1, 2, 3, 4} and rows[2]["a_string"] == "str2"
+    # projection spelling (defs_select.go:31)
+    assert fb_sql(spark, "select _id, an_int, an_id, a_string, a_string_set "
+                  "from un-keyed", catalog=cat).count() == 4
+    # select *, extra alias (defs_select.go:52-70)
+    r = fb_sql(spark, "select *, an_int AS foo from un-keyed where _id = 1",
+               catalog=cat).first()
+    assert r["foo"] == 11 and r["an_int"] == 11
+    # original spelling survives in SHOW (user-facing surfaces unmangled)
+    assert "un-keyed" in cat.show_tables()
+    cat.drop_table("un-keyed")
+
+
+def test_golden_select_keyed_and_between(spark):
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table selectkeyed (_id string, an_int int min 0 max 100, "
+           "a_string string)", catalog=cat)
+    fb_sql(spark, "insert into selectkeyed values ('user1', 11, 'str1'), "
+           "('user2', 22, 'str2'), ('user3', 33, 'str3'), ('user4', 44, 'str4')",
+           catalog=cat)
+    # keyed point lookup (defs_select.go:94-113)
+    r = fb_sql(spark, "select * from selectkeyed where _id = 'user1'",
+               catalog=cat).first()
+    assert (r["_id"], r["an_int"], r["a_string"]) == ("user1", 11, "str1")
+    # BETWEEN over the keyed table (defs_select.go:132-147)
+    got = sorted((r["_id"], r["an_int"]) for r in fb_sql(
+        spark, "select _id,an_int from selectkeyed where an_int between 22 AND 33",
+        catalog=cat).collect())
+    assert got == [("user2", 22), ("user3", 33)]
+    cat.drop_table("selectkeyed")
+
+
+# --- defs_unkeyed.go ---------------------------------------------------------
+
+
+def test_golden_unkeyed_selects(spark):
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table unkeyed (_id id, an_int int min 0 max 100, "
+           "an_id_set idset, an_id id, a_string string, a_string_set stringset)",
+           catalog=cat)
+    fb_sql(spark, "insert into unkeyed values "
+           "(1, 11, [11, 12, 13], 101, 'str1', ['a1', 'b1', 'c1']), "
+           "(2, 22, [21, 22, 23], 201, 'str2', ['a2', 'b2', 'c2']), "
+           "(3, 33, [31, 32, 33], 301, 'str3', ['a3', 'b3', 'c3']), "
+           "(4, 44, [41, 42, 43], 401, 'str4', ['a4', 'b4', 'c4'])", catalog=cat)
+    # select-all, both spellings (defs_unkeyed.go:28-52)
+    a = fb_sql(spark, "select * from unkeyed", catalog=cat)
+    b = fb_sql(spark, "select _id, an_int, an_id_set, an_id, a_string, "
+               "a_string_set from unkeyed", catalog=cat)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() == 4
+    # top(2) (defs_unkeyed.go:53-74)
+    assert fb_sql(spark, "select top(2) * from unkeyed", catalog=cat).count() == 2
+    # where on each scalar field type (defs_unkeyed.go:75-97)
+    for cond in ("an_int = 22", "a_string = 'str2'", "an_id = 201"):
+        rows = fb_sql(spark, f"select * from unkeyed where {cond}",
+                      catalog=cat).collect()
+        assert len(rows) == 1 and rows[0]["_id"] == 2, cond
+    cat.drop_table("unkeyed")
+
+
+# --- defs_minmaxnegative.go --------------------------------------------------
+
+
+def test_golden_minmax_negative(spark):
+    """Negative-range int constraints round-trip their STORED values.
+    (The reference's own ExpRows here are wrong — its TODO at
+    defs_minmaxnegative.go:34-39 says the correct results are the inserted
+    values; this mirror asserts the corrected ones.)"""
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table minmaxnegatives (_id id, "
+           "positive_int int min 10 max 100, negative_int int min -100 max -10)",
+           catalog=cat)
+    fb_sql(spark, "insert into minmaxnegatives values (1, 11, -11), "
+           "(2, 22, -22), (3, 33, -33)", catalog=cat)
+    got = sorted(map(tuple, fb_sql(spark, "select * from minmaxnegatives",
+                                   catalog=cat).collect()))
+    assert got == [(1, 11, -11), (2, 22, -22), (3, 33, -33)]
+    # constraint edges: below min / above max of the negative range
+    with pytest.raises(StatementError, match=re.escape(
+            "value '-101' out of range")):
+        fb_sql(spark, "insert into minmaxnegatives (_id, negative_int) "
+               "values (4, -101)", catalog=cat)
+    with pytest.raises(StatementError, match=re.escape("value '-9' out of range")):
+        fb_sql(spark, "insert into minmaxnegatives (_id, negative_int) "
+               "values (4, -9)", catalog=cat)
+    cat.drop_table("minmaxnegatives")
+
+
+# --- defs_sql1.go: grouper/joiner corpus (the reference's oldest SQL suite) --
+
+
+@pytest.fixture(scope="module")
+def sql1_cat(spark):
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    # column order alphabetical after _id so `select *` matches the
+    # reference's Extract header order (defs_sql1.go:109-146)
+    fb_sql(spark, "create table grouper (_id id, age int min 0 max 100, "
+           "color string, height int min 0 max 1000, "
+           "score int min -1000 max 1000, timestamp timestamp)", catalog=cat)
+    rows = [
+        (1, 27, "'blue'", 20, -10, "2011-04-02T12:32:00Z"),
+        (2, 16, "'blue'", 30, -8, "2011-01-02T12:32:00Z"),
+        (3, 19, "'red'", 40, 6, "2012-01-02T12:32:00Z"),
+        (4, 27, "'green'", 50, 0, "2013-09-02T12:32:00Z"),
+        (5, 16, "'blue'", 60, -2, "2014-01-02T12:32:00Z"),
+        (6, 34, "'blue'", 70, 100, "2010-05-02T12:32:00Z"),
+        (7, 27, "'blue'", 80, 0, "2016-08-02T12:32:00Z"),
+        (8, 16, "null", 90, -13, "2020-01-02T12:32:00Z"),
+        (9, 16, "'red'", 100, 80, "2000-03-02T12:32:00Z"),
+        (10, 31, "'red'", 110, -2, "2018-01-02T12:32:00Z"),
+    ]
+    fb_sql(spark, "insert into grouper values " + ", ".join(
+        f"({i}, {a}, {c}, {h}, {s}, '{t}')" for i, a, c, h, s, t in rows),
+        catalog=cat)
+    fb_sql(spark, "create table joiner (_id id, grouperid int min 0 max 1000, "
+           "jointype int min -1000 max 1000)", catalog=cat)
+    jrows = [(1, 1, 1), (2, 2, 1), (3, 5, 1), (4, 6, 1), (5, 7, 1),
+             (6, 3, 2), (7, 8, 2), (8, 9, 2), (9, 1, 3), (10, 2, 3)]
+    fb_sql(spark, "insert into joiner values " + ", ".join(
+        f"({i}, {g}, {j})" for i, g, j in jrows), catalog=cat)
+    fb_sql(spark, "create table delete_me (_id id, unused int)", catalog=cat)
+    fb_sql(spark, "insert into delete_me values (1, 1)", catalog=cat)
+    yield cat
+    for t in ("grouper", "joiner", "delete_me"):
+        cat.drop_table(t, if_exists=True)
+
+
+def test_golden_sql1_projections(spark, sql1_cat):
+    cat = sql1_cat
+    # select one column — 10 values as a multiset (defs_sql1.go:87-106)
+    got = sorted(r["age"] for r in
+                 fb_sql(spark, "select age from grouper;", catalog=cat).collect())
+    assert got == [16, 16, 16, 16, 19, 27, 27, 27, 31, 34]
+    # select * point lookup (defs_sql1.go:107-122)
+    r = fb_sql(spark, "select * from grouper where _id=2;", catalog=cat).first()
+    assert list(r.asDict())[:5] == ["_id", "age", "color", "height", "score"]
+    assert (r["_id"], r["age"], r["color"], r["height"], r["score"]) == (
+        2, 16, "blue", 30, -8)
+    assert r["timestamp"] == datetime.datetime(2011, 1, 2, 12, 32, 0)
+    # full select * (defs_sql1.go:123-147)
+    rows = {r["_id"]: r for r in
+            fb_sql(spark, "select * from grouper;", catalog=cat).collect()}
+    assert len(rows) == 10 and rows[8]["color"] is None
+    assert rows[9]["height"] == 100 and rows[10]["score"] == -2
+
+
+def test_golden_sql1_joins(spark, sql1_cat):
+    # DIVERGENCE (documented in COVERAGE.md): the reference binds an
+    # unqualified column that exists in BOTH join inputs to the leftmost
+    # table (defs_sql1.go:160-195 selects bare `_id`); Spark is
+    # ANSI-strict and rejects it as ambiguous, so the mirror qualifies.
+    cat = sql1_cat
+    assert fb_sql(spark, "select count(*) from grouper g INNER JOIN joiner j "
+                  "ON g._id = j.grouperid;", catalog=cat).first()[0] == 10
+    got = sorted(r["_id"] for r in fb_sql(
+        spark, "select distinct g._id from grouper g INNER JOIN joiner j "
+        "ON g._id = j.grouperid;", catalog=cat).collect())
+    assert got == [1, 2, 3, 5, 6, 7, 8, 9]
+    got = sorted(r["_id"] for r in fb_sql(
+        spark, "select g._id from grouper g INNER JOIN joiner j "
+        "ON g._id = j.grouperid where g.color = 'red';", catalog=cat).collect())
+    assert got == [3, 9]
+    got = sorted(r["_id"] for r in fb_sql(
+        spark, "select g._id from grouper g INNER JOIN joiner j "
+        "ON g._id = j.grouperid where g.color = 'red' and j.jointype = 2;",
+        catalog=cat).collect())
+    assert got == [3, 9]
+
+
+def test_golden_sql1_and_expr_permutations(spark, sql1_cat):
+    # extract.go AndExpr path permutations (defs_sql1.go:503-533): the same
+    # conjunction with predicates in every table order resolves identically
+    for where in (
+        "g.color = 'red' and j.jointype = 2 and g.age = 16",
+        "j.jointype = 2 and g.color = 'red' and g.age = 16",
+        "g.color = 'red' and g.age = 16 and j.jointype = 2",
+    ):
+        got = [r["_id"] for r in fb_sql(
+            spark, f"select g._id from grouper g INNER JOIN joiner j "
+            f"ON g._id = j.grouperid where {where};", catalog=sql1_cat).collect()]
+        assert got == [9], where
+
+
+def test_golden_sql1_distinct_orderby(spark, sql1_cat):
+    cat = sql1_cat
+    asc = [r["score"] for r in fb_sql(
+        spark, "select distinct score from grouper order by score asc;",
+        catalog=cat).collect()]
+    assert asc == [-13, -10, -8, -2, 0, 6, 80, 100]
+    desc = [r["score"] for r in fb_sql(
+        spark, "select distinct score from grouper order by score desc;",
+        catalog=cat).collect()]
+    assert desc == asc[::-1]
+    hs = sorted(r["height"] for r in fb_sql(
+        spark, "select distinct height from grouper;", catalog=cat).collect())
+    assert hs == [20, 30, 40, 50, 60, 70, 80, 90, 100, 110]
+
+
+def test_golden_sql1_groupby(spark, sql1_cat):
+    got = {r["yrs"]: r["cnt"] for r in fb_sql(
+        spark, "select age as yrs, count(*) as cnt from grouper group by age;",
+        catalog=sql1_cat).collect()}
+    assert got == {16: 4, 19: 1, 27: 3, 31: 1, 34: 1}
+
+
+def test_golden_sql1_timestamp_filters(spark, sql1_cat):
+    cat = sql1_cat
+    got = sorted(map(tuple, fb_sql(
+        spark, "select age, height from grouper where "
+        "timestamp > '2017-09-02T12:32:00Z' and height > 40 "
+        "group by age, height;", catalog=cat).collect()))
+    assert got == [(16, 90), (31, 110)]
+    got = sorted(map(tuple, fb_sql(
+        spark, "select age, height from grouper where "
+        "timestamp > '2017-09-02T12:32:00Z' or height > 90;",
+        catalog=cat).collect()))
+    assert got == [(16, 90), (16, 100), (31, 110)]
+    for q in (
+        "select age, height from grouper where timestamp > "
+        "'2017-09-02T12:32:00Z' and timestamp < '2019-09-02T12:32:00Z';",
+        "select age, height from grouper where (timestamp > "
+        "'2017-09-02T12:32:00Z' and timestamp < '2019-09-02T12:32:00Z');",
+    ):
+        got = [tuple(r) for r in fb_sql(spark, q, catalog=cat).collect()]
+        assert got == [(31, 110)], q
+    got = [r["age"] for r in fb_sql(
+        spark, "select distinct age from grouper where "
+        "timestamp > '2019-09-02T12:32:00Z';", catalog=cat).collect()]
+    assert got == [16]
+
+
+def test_golden_sql1_empty_where_parens(spark, sql1_cat):
+    # defs_sql1.go:434-437
+    with pytest.raises(ValueError, match=re.escape("expected expression, found")):
+        fb_sql(spark, "select age, height from grouper where ();",
+               catalog=sql1_cat)
+
+
+def test_golden_sql1_show(spark, sql1_cat):
+    cat = sql1_cat
+    names = {r["name"] for r in
+             fb_sql(spark, "show tables;", catalog=cat).collect()}
+    assert {"grouper", "joiner", "delete_me"} <= names  # ComparePartial
+    cols = [(r["name"], r["fb_type"]) for r in
+            fb_sql(spark, "show columns from grouper;", catalog=cat).collect()]
+    assert [c for c in cols if c[0] != "_id"] == [
+        ("age", "int"), ("color", "string"), ("height", "int"),
+        ("score", "int"), ("timestamp", "timestamp")]
+
+
+SQL1_ERR_CASES = [
+    ("select * from index_not_found;",
+     "table or view 'index_not_found' not found"),
+    ("select field_not_found from grouper;", "column 'field_not_found' not found"),
+    ("select * from grouper, index_not_found;",
+     "table or view 'index_not_found' not found"),
+    ("select _id, age, field_not_found from grouper;",
+     "column 'field_not_found' not found"),
+    ("select age, color, count(*) from grouper group by field_not_found, age, color;",
+     "column 'field_not_found' not found"),
+    ("select count(*) from grouper inner join joiner on "
+     "grouper._id = joiner.field_not_found;",
+     "column 'field_not_found' not found"),
+]
+
+
+@pytest.mark.parametrize(
+    "sql,err", SQL1_ERR_CASES, ids=[c[0][:55] for c in SQL1_ERR_CASES]
+)
+def test_golden_sql1_errors(spark, sql1_cat, sql, err):
+    # analyzer error phrasing parity (defs_sql1.go:534-556; sql3/errors.go)
+    with pytest.raises(ValueError, match=re.escape(err)):
+        fb_sql(spark, sql, catalog=sql1_cat)

@@ -85,6 +85,19 @@ def test_bsi_cmp_matches_python_filter(pairs, op, probe):
     assert got == set(offs[py].tolist())
 
 
+def _spark():
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # property file may run standalone
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.shuffle.partitions", "2")
+            .getOrCreate()
+        )
+    return spark
+
+
 @given(
     st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=40),
     st.integers(min_value=0, max_value=100),
@@ -94,17 +107,110 @@ def test_percentile_search_nearest_rank_property(values, nth):
     """percentile_search == the sorted nearest-rank definition, any ints."""
     import math
 
-    from pyspark.sql import SparkSession
-
     from featurebase_spark.pql.calls import percentile_search
 
-    spark = SparkSession.getActiveSession()
-    if spark is None:  # property file may run standalone
-        spark = (
-            SparkSession.builder.master("local[2]")
-            .config("spark.sql.shuffle.partitions", "2")
-            .getOrCreate()
-        )
-    df = spark.createDataFrame([(v,) for v in values], "v LONG")
+    df = _spark().createDataFrame([(v,) for v in values], "v LONG")
     rank = max(1, math.ceil(nth / 100.0 * len(values)))
     assert percentile_search(df, "v", nth) == sorted(values)[rank - 1]
+
+
+# --- Float/decimal percentile vs DuckDB quantile_disc -----------------------
+# The reference's Percentile is BSI (int-only); the float path is a declared
+# extension whose exactness claim these tests lock against an independent
+# engine. DuckDB's quantile_disc uses the same nearest-rank definition
+# (verified: index == ceil(q*n)), so a direct comparison is a hard oracle.
+# max_iters is deliberately driven low in some cases: correctness must hold
+# for ANY iteration budget because the candidate-resolution step restores
+# exactness from count(<=lo) regardless of how tight the bracket got.
+
+
+def _duckdb_quantile_disc(values, nth):
+    import duckdb
+
+    return duckdb.sql(
+        "SELECT quantile_disc(x, ?::DOUBLE) FROM (SELECT unnest(?::DOUBLE[]) x)",
+        params=[nth / 100.0, list(values)],
+    ).fetchone()[0]
+
+
+def _check_float_percentile(values, nth, max_iters):
+    from featurebase_spark.pql.calls import percentile_search
+
+    df = _spark().createDataFrame([(float(v),) for v in values], "v DOUBLE")
+    got = percentile_search(df, "v", nth, max_iters=max_iters)
+    want = _duckdb_quantile_disc(values, nth)
+    assert got == want, (sorted(values), nth, max_iters, got, want)
+
+
+finite_doubles = st.floats(
+    allow_nan=False,
+    allow_infinity=False,
+    allow_subnormal=True,
+    width=64,
+)
+
+
+@given(
+    st.lists(finite_doubles, min_size=1, max_size=30),
+    st.integers(min_value=0, max_value=100),
+    st.integers(min_value=0, max_value=12),
+)
+@settings(max_examples=12, deadline=None)
+def test_percentile_float_matches_duckdb_quantile_disc(values, nth, iters):
+    """Arbitrary finite doubles (incl. subnormals, huge exponents, -0.0)
+    at any iteration budget — the bracket search plus candidate resolution
+    must equal DuckDB quantile_disc exactly."""
+    _check_float_percentile(values, nth, max_iters=iters)
+
+
+@given(
+    st.lists(
+        st.sampled_from([0.25, 0.5, 1.0]), min_size=2, max_size=24
+    ),  # heavy-tie pool
+    st.lists(st.integers(min_value=-3, max_value=3), min_size=0, max_size=8),
+    st.integers(min_value=1, max_value=99),
+)
+@settings(max_examples=12, deadline=None)
+def test_percentile_float_ties_at_bracket_edges(base, ulp_steps, nth):
+    """Massed duplicates plus ulp-adjacent neighbors of the tied value:
+    the bracket endpoints land ON tie clusters, the regime where an
+    off-by-one in count(<=lo) bookkeeping or a (lo, hi] boundary slip
+    would surface. Adjacent doubles also exercise the cannot-split-further
+    early exit."""
+    import math as m
+
+    anchor = base[0]
+    values = list(base) + [
+        m.nextafter(anchor, m.inf if s >= 0 else -m.inf) if s != 0 else anchor
+        for s in ulp_steps
+        for _ in range(1)
+    ]
+    # step k ulps away so some candidates differ only in the last bits
+    vals = []
+    for v, s in zip(values, list(ulp_steps) + [0] * len(values)):
+        x = v
+        for _ in range(abs(s)):
+            x = m.nextafter(x, m.inf if s > 0 else -m.inf)
+        vals.append(x)
+    _check_float_percentile(vals, nth, max_iters=80)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(
+                min_value=5e-324, max_value=1e-308, allow_subnormal=True, width=64
+            ),
+            st.sampled_from([0.0, -0.0, 5e-324, -5e-324]),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=100),
+)
+@settings(max_examples=10, deadline=None)
+def test_percentile_float_subnormals(values, nth):
+    """All-subnormal distributions: (hi-lo) underflows the relative-width
+    stop condition's scale guard, and midpoints round to the endpoints —
+    exactness must come from candidate resolution alone."""
+    _check_float_percentile(values, nth, max_iters=80)
