@@ -58,11 +58,14 @@ BENCH_QUERIES = [
     # r4: the distributed (beyond-driver-cache-cap) fragment serving path
     # timed next to the driver-cache path (VERDICT r3 next-round #3)
     "bitmap_index_count_distributed",
+    # r4: PQL text parsed + routed + served from fragments end-to-end
+    "pql_text_routed_serving",
 ]
 
 #: queries added after the prior round — excluded from regression flags
 _NEW_IN_ROUND = {
     "bitmap_index_count_distributed",
+    "pql_text_routed_serving",
 }
 
 
@@ -130,6 +133,7 @@ def main() -> None:
     Q.SPARK_QUERIES["bitmap_index_count"](spark, sf_dir).collect()
     Q.SPARK_QUERIES["bitmap_index_count_distributed"](spark, sf_dir).collect()
     Q.SPARK_QUERIES["bitmap_bsi_aggregates"](spark, sf_dir).collect()
+    Q.SPARK_QUERIES["pql_text_routed_serving"](spark, sf_dir).collect()
     # bucketed-join tables likewise build at ingest time (write-side
     # layout is amortized across every later co-located join); the timed
     # key measures the zero-Exchange probe

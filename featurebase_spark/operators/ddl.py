@@ -46,6 +46,10 @@ class Catalog:
         self._defs: dict[str, TableDef] = {}
         self._views: dict[str, str] = {}
         self._storage: dict[str, object] = {}  # name -> PartitionedUpsertTable
+        #: table -> BitmapCatalog of its indexed fields (plans/bitmap_index)
+        self._bitmap: dict[str, object] = {}
+        #: table -> {field: "eq"|"bsi"} — which fields are indexed and how
+        self._index_fields: dict[str, dict[str, str]] = {}
 
     @staticmethod
     def _view(name: str) -> str:
@@ -90,6 +94,8 @@ class Catalog:
             raise ValueError(f"table {name} does not exist")
         self.spark.catalog.dropTempView(self._view(name))
         self._defs.pop(name, None)
+        self._bitmap.pop(name, None)
+        self._index_fields.pop(name, None)
         store = self._storage.pop(name, None)
         if store is not None:
             import shutil
@@ -182,6 +188,7 @@ class Catalog:
             else:
                 store.upsert(rows, update_cols=cols)
             self._register(name)
+            self._index_upsert(name, rows, cols)
             return
         from featurebase_spark.operators.writes import materialize_view, merge_upsert
 
@@ -190,10 +197,12 @@ class Catalog:
         )
         # distributed parquet commit — no rows ever pass through the driver
         materialize_view(merged, name, self._data_path)
+        self._index_upsert(name, rows, cols)
 
     def delete_ids(self, name: str, ids: DataFrame) -> None:
         """DELETE by key set — bucketed: rewrites only the buckets the
         deleted keys live in (per-shard delete, executor.go:9050-9320)."""
+        self._index_delete(name, ids)
         if self.bucketed:
             store = self._ensure_storage(name)
             store.delete_keys(ids)
@@ -219,6 +228,7 @@ class Catalog:
         self._empty_frame(self._defs[name]).createOrReplaceTempView(
             self._view(name)
         )
+        self._index_rebuild(name)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Replace a table's contents wholesale (the commit path for
@@ -254,8 +264,175 @@ class Catalog:
             self._storage[name] = new_store
             self._register(name)
             shutil.rmtree(old.path, ignore_errors=True)
+            self._index_rebuild(name)
             return
         materialize_view(df, name, self._data_path)
+        self._index_rebuild(name)
+
+    # -- bitmap indexes (plans/bitmap_index) — DECLARED EXTENSION ---------
+    #
+    # The reference has no CREATE INDEX: EVERY field is implicitly a
+    # fragment bitmap (field.go), because fragments ARE its storage. On
+    # Spark the base table is parquet and fragments are an acceleration
+    # structure, so which fields get one is a user choice — CREATE INDEX
+    # declares it. Once declared, the index is maintained through every
+    # Catalog write (insert upsert / delete / truncate) with the same
+    # clear-then-set semantics as the reference's import path, and the PQL
+    # door serves covered calls from it (pql/parser.execute bitmap=).
+
+    def create_index(self, table: str, fields: list[str]) -> None:
+        from featurebase_spark.plans.bitmap_index import BitmapCatalog
+
+        if table not in self._defs:
+            raise ValueError(f"table '{table}' not found")
+        td = self._defs[table]
+        if td.keys:
+            raise ValueError(
+                f"table '{table}' is string-keyed; bitmap indexes require "
+                "integer record ids (reference key translation is not "
+                "implemented — use an id-keyed table)"
+            )
+        by_name = {f.name: f for f in td.fields}
+        plan: list[tuple[str, str]] = []
+        existing = self._index_fields.get(table, {})
+        for f in fields:
+            if f not in by_name:
+                raise ValueError(f"column '{f}' not found")
+            if f in existing:
+                raise ValueError(
+                    f"index on column '{f}' of table '{table}' already exists"
+                )
+            t = by_name[f].fb_type
+            if t == "int":
+                plan.append((f, "bsi"))
+            elif t in ("id", "string", "bool", "idset", "stringset"):
+                plan.append((f, "eq"))
+            else:
+                raise ValueError(
+                    f"column '{f}' of type '{t}' cannot be indexed "
+                    "(int -> BSI; id/string/bool/idset/stringset -> equality)"
+                )
+        cat = self._bitmap.get(table)
+        if cat is None:
+            cat = BitmapCatalog()
+            self._bitmap[table] = cat
+            self._index_fields[table] = {}
+        df = self.spark.table(self._view(table))
+        for f, kind in plan:
+            if kind == "bsi":
+                cat.index_bsi_field(df, f, cache=False)
+            else:
+                cat.index_field(df, f, cache=False)
+            self._pin_field(cat, f, kind)
+            self._index_fields[table][f] = kind
+
+    def drop_index(self, table: str, fields: Optional[list[str]] = None) -> None:
+        if table not in self._index_fields:
+            raise ValueError(f"no indexes on table '{table}'")
+        reg = self._index_fields[table]
+        cat = self._bitmap[table]
+        targets = list(reg) if fields is None else fields
+        for f in targets:
+            if f not in reg:
+                raise ValueError(
+                    f"no index on column '{f}' of table '{table}'"
+                )
+        for f in targets:
+            kind = reg.pop(f)
+            cat._invalidate_field(f)
+            (cat._bsi if kind == "bsi" else cat._indexes).pop(f, None)
+        if not reg:
+            del self._index_fields[table]
+            del self._bitmap[table]
+
+    def fb_indexes(self, table: Optional[str] = None) -> DataFrame:
+        """SHOW INDEXES [FROM t] — one row per indexed field."""
+        rows = [
+            SparkRow(table=t, field=f, kind=k)
+            for t, reg in sorted(self._index_fields.items())
+            for f, k in sorted(reg.items())
+            if table is None or t == table
+        ]
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "table STRING, field STRING, kind STRING"
+            )
+        return self.spark.createDataFrame(rows)
+
+    def bitmap_catalog(self, table: str):
+        """The table's BitmapCatalog, or None if nothing is indexed."""
+        return self._bitmap.get(table)
+
+    def _index_upsert(self, table: str, rows: DataFrame, cols) -> None:
+        """Post-write index maintenance: clear-then-set the batch into
+        every indexed field the statement wrote (unlisted columns of a
+        partial INSERT keep their values, so their indexes are untouched).
+        A BSI delta outside the encoding range rebuilds that field from
+        the committed table (reference bitDepth widening)."""
+        from featurebase_spark.plans.bitmap_index import BsiRangeError
+
+        reg = self._index_fields.get(table)
+        if not reg:
+            return
+        cat = self._bitmap[table]
+        written = None if cols is None else set(cols)
+        for f, kind in reg.items():
+            if written is not None and f not in written:
+                continue
+            try:
+                if kind == "bsi":
+                    cat.upsert_bsi_field(rows, f, cache=False)
+                else:
+                    cat.upsert_field(rows, f, cache=False)
+            except BsiRangeError:
+                cat.index_bsi_field(
+                    self.spark.table(self._view(table)), f, cache=False
+                )
+            self._pin_field(cat, f, kind)
+
+    def _index_delete(self, table: str, ids: DataFrame) -> None:
+        reg = self._index_fields.get(table)
+        if not reg:
+            return
+        cat = self._bitmap[table]
+        for f, kind in reg.items():
+            cat.delete_field_ids(ids, f, cache=False)
+            self._pin_field(cat, f, kind)
+
+    @staticmethod
+    def _pin_field(cat, f: str, kind: str) -> None:
+        """Materialize a field's fragment frame EAGERLY and cut its
+        lineage (localCheckpoint): the build/merge plan references the
+        table view and the write batch, and ``cache()`` is not enough —
+        replacing the temp view at the next commit UNCACHES dependent
+        plans, whose recompute would read vacuumed storage generations.
+        The reference's import applies fragment merges eagerly under the
+        shard write Tx for the same reason. The previous pinned blocks
+        free via the context cleaner when the old frame is dropped."""
+        if kind == "bsi":
+            frame, mv, nb = cat._bsi[f]
+            cat._bsi[f] = (frame.localCheckpoint(eager=True), mv, nb)
+        else:
+            cat._indexes[f] = cat._indexes[f].localCheckpoint(eager=True)
+        cat._invalidate_field(f)
+
+    def _index_rebuild(self, table: str) -> None:
+        """Arbitrary-rewrite commits (ALTER, overwrite, truncate) rebuild
+        the table's indexes from the new contents."""
+        reg = self._index_fields.get(table)
+        if not reg:
+            return
+        cat = self._bitmap[table]
+        df = self.spark.table(self._view(table))
+        for f, kind in list(reg.items()):
+            if f not in {fd.name for fd in self._defs[table].fields}:
+                self.drop_index(table, [f])  # ALTER dropped the column
+                continue
+            if kind == "bsi":
+                cat.index_bsi_field(df, f, cache=False)
+            else:
+                cat.index_field(df, f, cache=False)
+            self._pin_field(cat, f, kind)
 
     def ddl_text(self, name: str) -> str:
         """SHOW CREATE TABLE reconstruction from the stored TableDef."""

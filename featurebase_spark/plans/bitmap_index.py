@@ -512,6 +512,12 @@ def _eval_tree(tree, blobs: dict[int, bytes]) -> bytes:
     return out
 
 
+class BsiRangeError(ValueError):
+    """A BSI delta value falls outside the index's (min, nbits) encoding —
+    callers rebuild the field index with a wider encoding (the reference
+    widens bitDepth on import, field.go:856+)."""
+
+
 class BitmapCatalog:
     """Registry of per-field bitmap index tables + the query router.
 
@@ -1076,6 +1082,279 @@ class BitmapCatalog:
             merged = merged.cache()
         self._invalidate_field(field)
         self._indexes[field] = merged
+        return merged
+
+    # -- incremental maintenance with CLEAR semantics ---------------------
+    #
+    # The reference's import path clears a record's existing bits before
+    # setting the new ones (fragment.go setValue/clearValue under a shard
+    # write Tx; opinsert.go replaces by _id) — update_field above is the
+    # append-only fast path, these are the full upsert/delete analogues.
+
+    #: shard count above which touched-shard pruning falls back to an
+    #: unpruned join (the delta is no longer "small"; a full merge is the
+    #: right plan anyway)
+    TOUCHED_SHARD_CAP = 4096
+
+    def _clear_frame(self, ids: DataFrame, id_col: str) -> DataFrame:
+        """(shard, bitmap) of the delta's record offsets — the per-shard
+        clear mask every fragment of a touched shard is ANDNOT-ed with."""
+        width_mask = (1 << self.shard_exp) - 1
+        rows = ids.select(
+            F.shiftright(F.col(id_col).cast("long"), self.shard_exp).alias(
+                "shard"
+            ),
+            F.col(id_col)
+            .cast("long")
+            .bitwiseAND(F.lit(width_mask).cast("long"))
+            .alias("offset"),
+        )
+
+        def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            offs = np.unique(pdf["offset"].to_numpy(dtype=np.int64))
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "bitmap": [_pack(offs)],
+                    "cardinality": [len(offs)],
+                }
+            )
+
+        return rows.groupBy("shard").applyInPandas(
+            pack_group,
+            StructType(
+                [
+                    StructField("shard", LongType(), False),
+                    StructField("bitmap", BinaryType(), True),
+                    StructField("cardinality", LongType(), False),
+                ]
+            ),
+        )
+
+    def _touched_shards(self, clears: DataFrame) -> Optional[list[int]]:
+        """Driver-side touched-shard list (bounded by the delta's size /
+        the cap — the same O(touched) pruning writes.py uses for buckets),
+        or None when the delta spans too many shards to enumerate."""
+        shards = [
+            r["shard"]
+            for r in clears.select("shard")
+            .limit(self.TOUCHED_SHARD_CAP + 1)
+            .collect()
+        ]
+        if len(shards) > self.TOUCHED_SHARD_CAP:
+            return None
+        return shards
+
+    @staticmethod
+    def _merge_clear_set(old_col, clear_col, new_col):
+        """(old ANDNOT clear) OR new, elementwise over fragment rows."""
+
+        @F.pandas_udf(BinaryType())
+        def merge(a: pd.Series, c: pd.Series, b: pd.Series) -> pd.Series:
+            out = []
+            for x, m, y in zip(a, c, b):
+                x = bytes(x) if x is not None else b""
+                m = bytes(m) if m is not None else b""
+                y = bytes(y) if y is not None else b""
+                out.append(bitmap_or(bitmap_andnot(x, m), y))
+            return pd.Series(out)
+
+        return merge(old_col, clear_col, new_col)
+
+    @staticmethod
+    def _card(col):
+        @F.pandas_udf(LongType())
+        def card(bm: pd.Series) -> pd.Series:
+            return pd.Series(
+                [_popcount(bytes(x) if x is not None else b"") for x in bm]
+            )
+
+        return card(col)
+
+    def upsert_field(
+        self, delta: DataFrame, field: str, id_col: str = "_id", cache: bool = True
+    ) -> DataFrame:
+        """Full upsert of an EQUALITY index: every delta id's old bits are
+        cleared from its shard's fragments, then the delta's new (value,
+        id) bits are set — a record whose value CHANGED (or became NULL)
+        leaves no stale bit behind. Fragments in untouched shards pass
+        through without a byte of work (shard-pruned), mirroring the
+        reference's per-shard import transaction."""
+        new_frags = build_bitmap_index(delta, field, id_col, self.shard_exp)
+        clears = self._clear_frame(delta.select(id_col), id_col)
+        old = self._indexes[field]
+        touched = self._touched_shards(clears)
+        untouched = None
+        if touched is not None:
+            untouched = old.where(~F.col("shard").isin(touched))
+            old = old.where(F.col("shard").isin(touched))
+        joined = (
+            old.select("value", "shard", F.col("bitmap").alias("b_old"))
+            .join(
+                new_frags.select(
+                    "value", "shard", F.col("bitmap").alias("b_new")
+                ),
+                ["value", "shard"],
+                "full_outer",
+            )
+            .join(
+                F.broadcast(
+                    clears.select("shard", F.col("bitmap").alias("b_clear"))
+                ),
+                ["shard"],
+                "left",
+            )
+        )
+        merged = (
+            joined.select(
+                "value",
+                "shard",
+                self._merge_clear_set(
+                    F.col("b_old"), F.col("b_clear"), F.col("b_new")
+                ).alias("bitmap"),
+            )
+            .withColumn("cardinality", self._card(F.col("bitmap")))
+            .where(F.col("cardinality") > 0)
+        )
+        if untouched is not None:
+            merged = untouched.unionByName(merged)
+        if cache:
+            merged = merged.cache()
+        self._invalidate_field(field)
+        self._indexes[field] = merged
+        return merged
+
+    def upsert_bsi_field(
+        self, delta: DataFrame, field: str, id_col: str = "_id", cache: bool = True
+    ) -> DataFrame:
+        """Full upsert of a BSI index: clear delta ids from every plane of
+        their shards, then OR in the delta's planes built against the
+        EXISTING (min, nbits) encoding. Raises ``BsiRangeError`` when a
+        delta value falls outside the encodable range — the caller
+        rebuilds with a wider encoding (the reference widens bitDepth on
+        import, field.go:856+)."""
+        frame, minv, nbits = self._bsi[field]
+        width_mask = (1 << self.shard_exp) - 1
+        rows = delta.select(
+            F.col(field).cast("long").alias("val"),
+            F.shiftright(F.col(id_col).cast("long"), self.shard_exp).alias(
+                "shard"
+            ),
+            F.col(id_col)
+            .cast("long")
+            .bitwiseAND(F.lit(width_mask).cast("long"))
+            .alias("offset"),
+        ).where(F.col("val").isNotNull())
+        mm = rows.agg(F.min("val").alias("lo"), F.max("val").alias("hi")).first()
+        if mm["lo"] is not None and (
+            mm["lo"] < minv or mm["hi"] > minv + (1 << nbits) - 1
+        ):
+            raise BsiRangeError(
+                f"delta value range [{mm['lo']}, {mm['hi']}] outside BSI "
+                f"encoding [min={minv}, nbits={nbits}] for field '{field}'"
+            )
+
+        def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            offs = pdf["offset"].to_numpy(dtype=np.int64)
+            vals = pdf["val"].to_numpy(dtype=np.int64) - minv
+            shard = int(pdf["shard"].iloc[0])
+            out = {
+                "bit": [-1],
+                "shard": [shard],
+                "bitmap": [_pack(np.unique(offs))],
+                "cardinality": [len(np.unique(offs))],
+            }
+            for b in range(nbits):
+                sel = np.unique(offs[(vals >> b) & 1 == 1])
+                out["bit"].append(b)
+                out["shard"].append(shard)
+                out["bitmap"].append(_pack(sel))
+                out["cardinality"].append(len(sel))
+            return pd.DataFrame(out)
+
+        new_planes = rows.groupBy("shard").applyInPandas(pack_shard, BSI_SCHEMA)
+        clears = self._clear_frame(delta.select(id_col), id_col)
+        touched = self._touched_shards(clears)
+        old = frame
+        untouched = None
+        if touched is not None:
+            untouched = old.where(~F.col("shard").isin(touched))
+            old = old.where(F.col("shard").isin(touched))
+        joined = (
+            old.select("bit", "shard", F.col("bitmap").alias("b_old"))
+            .join(
+                new_planes.select(
+                    "bit", "shard", F.col("bitmap").alias("b_new")
+                ),
+                ["bit", "shard"],
+                "full_outer",
+            )
+            .join(
+                F.broadcast(
+                    clears.select("shard", F.col("bitmap").alias("b_clear"))
+                ),
+                ["shard"],
+                "left",
+            )
+        )
+        merged = joined.select(
+            "bit",
+            "shard",
+            self._merge_clear_set(
+                F.col("b_old"), F.col("b_clear"), F.col("b_new")
+            ).alias("bitmap"),
+        ).withColumn("cardinality", self._card(F.col("bitmap")))
+        if untouched is not None:
+            merged = untouched.unionByName(merged)
+        if cache:
+            merged = merged.cache()
+        self._invalidate_field(field)
+        self._bsi[field] = (merged, minv, nbits)
+        return merged
+
+    def delete_field_ids(
+        self, ids: DataFrame, field: str, id_col: str = "_id", cache: bool = True
+    ) -> DataFrame:
+        """Clear the given record ids from a field's index (equality or
+        BSI) — the DELETE side of the shard write Tx. Only fragments in
+        the ids' shards are rewritten."""
+        clears = self._clear_frame(ids.select(id_col), id_col)
+        touched = self._touched_shards(clears)
+        is_bsi = field in self._bsi
+        old = self._bsi[field][0] if is_bsi else self._indexes[field]
+        untouched = None
+        if touched is not None:
+            untouched = old.where(~F.col("shard").isin(touched))
+            old = old.where(F.col("shard").isin(touched))
+        key = "bit" if is_bsi else "value"
+        joined = old.select(
+            key, "shard", F.col("bitmap").alias("b_old")
+        ).join(
+            F.broadcast(
+                clears.select("shard", F.col("bitmap").alias("b_clear"))
+            ),
+            ["shard"],
+            "left",
+        )
+        merged = joined.select(
+            key,
+            "shard",
+            self._merge_clear_set(
+                F.col("b_old"), F.col("b_clear"), F.lit(None).cast("binary")
+            ).alias("bitmap"),
+        ).withColumn("cardinality", self._card(F.col("bitmap")))
+        if not is_bsi:
+            merged = merged.where(F.col("cardinality") > 0)
+        if untouched is not None:
+            merged = untouched.unionByName(merged)
+        if cache:
+            merged = merged.cache()
+        self._invalidate_field(field)
+        if is_bsi:
+            _, minv, nbits = self._bsi[field]
+            self._bsi[field] = (merged, minv, nbits)
+        else:
+            self._indexes[field] = merged
         return merged
 
     # -- persistence: fragments as parquet, partitioned by shard ----------

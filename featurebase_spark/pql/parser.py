@@ -368,17 +368,30 @@ def parse_all(text: str) -> list:
     return nodes
 
 
-def execute(idx: C.Index, text: str) -> DataFrame:
+def execute(idx: C.Index, text: str, bitmap=None) -> DataFrame:
     """Parse + compile + return the result DataFrame (row-calls return
     their id frames, readers their reader frames, write calls the
     TRANSFORMED table — commit it via Catalog/materialize_view) — the
-    PQL front door."""
+    PQL front door.
+
+    ``bitmap``: an optional :class:`~featurebase_spark.plans.bitmap_index.
+    BitmapCatalog` holding this table's field indexes. When given,
+    index-covered reader calls (Count/Sum/Min/Max/Percentile/unfiltered
+    TopN) are served from fragment blobs instead of the base-table scan —
+    the reference's ONLY serving path (every executeCall reads fragments,
+    executor.go:723-835); here it is the low-latency option and the scan
+    stays the fallback. Routed answers are exactly equal to scan answers
+    (plans/router contract)."""
     node = parse(text)
-    return _execute_node(idx, node)
+    return _execute_node(idx, node, bitmap)
 
 
-def _execute_node(idx: C.Index, node) -> DataFrame:
+def _execute_node(idx: C.Index, node, bitmap=None) -> DataFrame:
     if isinstance(node, C.ReaderCall):
+        if bitmap is not None:
+            routed = _route_reader(bitmap, node, idx)
+            if routed is not None:
+                return routed
         return node.to_df(idx)
     if isinstance(node, C.WriteCall):
         return node.to_table(idx)
@@ -387,17 +400,102 @@ def _execute_node(idx: C.Index, node) -> DataFrame:
     raise TypeError(f"unexecutable node {node!r}")
 
 
-def execute_all(idx: C.Index, text: str) -> list[DataFrame]:
+def _route_reader(cat, node, idx: C.Index) -> Optional[DataFrame]:
+    """Serve one reader call from the bitmap catalog when covered, with
+    the SAME result schema as the scan path; None → not covered, caller
+    scans. Scalars come back to the coordinator (the reference's
+    scatter/gather merges per-shard scalars there too), so results are
+    LocalRelations — no job at all for cached fragments."""
+    from featurebase_spark.plans import router
+    from featurebase_spark.plans.bitmap_index import Cmp
+
+    spark = idx.df.sparkSession
+
+    def lit_frame(pairs) -> DataFrame:
+        cols = ", ".join(
+            f"CAST({'NULL' if v is None else v} AS {t}) AS {name}"
+            for name, v, t in pairs
+        )
+        return spark.sql(f"SELECT {cols}")
+
+    if isinstance(node, C.Count):
+        expr = router.to_bitmap_expr(cat, node.child)
+        if expr is None:
+            return None
+        return lit_frame([("count", cat.count(expr), "BIGINT")])
+    if isinstance(node, (C.Sum, C.Min, C.Max, C.Percentile)):
+        if node.field not in cat._bsi:
+            return None
+        filt = None
+        if node.filter is not None:
+            filt = router.to_bitmap_expr(cat, node.filter)
+            if filt is None:
+                return None
+        if isinstance(node, C.Sum):
+            # scan-path Sum carries the contributing count (for AVG)
+            _, minv, _ = cat._bsi[node.field]
+            exists = Cmp(node.field, ">=", minv)
+            from featurebase_spark.plans.bitmap_index import And as BAnd
+
+            n = cat.count(BAnd(exists, filt) if filt is not None else exists)
+            return lit_frame(
+                [
+                    ("sum", cat.bsi_sum(node.field, filt), "BIGINT"),
+                    ("count", n, "BIGINT"),
+                ]
+            )
+        if isinstance(node, C.Min):
+            return lit_frame([("min", cat.bsi_min(node.field, filt), "BIGINT")])
+        if isinstance(node, C.Max):
+            return lit_frame([("max", cat.bsi_max(node.field, filt), "BIGINT")])
+        return lit_frame(
+            [
+                (
+                    "percentile",
+                    router._index_percentile(cat, node.field, node.nth, filt),
+                    "BIGINT",
+                )
+            ]
+        )
+    if (
+        isinstance(node, C.TopN)
+        and node.filter is None
+        and node.field in cat._indexes
+    ):
+        # fragment-cardinality TopK (cache.go niche); cast the stringified
+        # fragment value back to the base column type and re-sort — ties
+        # at the k boundary may pick different members than the scan
+        # (string vs native ordering), the same divergence class as the
+        # reference's approximate TopN
+        from pyspark.sql import functions as F
+
+        ftype = dict(idx.df.dtypes).get(node.field, "string")
+        if ftype.startswith("array<"):
+            ftype = ftype[6:-1]
+        return (
+            cat.topk_values(node.field, node.n)
+            .select(
+                F.col("value").cast(ftype).alias(node.field), F.col("count")
+            )
+            .orderBy(F.desc("count"), F.asc(node.field))
+        )
+    return None
+
+
+def execute_all(idx: C.Index, text: str, bitmap=None) -> list[DataFrame]:
     """Execute a multi-call query string; returns one result per call,
     in order — the reference's one-request-many-results contract
     (wire_response.go carries a result list). Write calls thread their
     transformed table into the Index seen by SUBSEQUENT calls (the
-    reference's writes are visible to later calls in the same request)."""
+    reference's writes are visible to later calls in the same request) —
+    and stop index routing for the rest of the request (the routed
+    fragments describe the pre-write table)."""
     results = []
     cur = idx
     for node in parse_all(text):
-        out = _execute_node(cur, node)
+        out = _execute_node(cur, node, bitmap)
         results.append(out)
         if isinstance(node, C.WriteCall):
             cur = C.Index(out, id_col=cur.id_col, time_col=cur.time_col)
+            bitmap = None
     return results

@@ -1689,6 +1689,59 @@ def bitmap_index_topk(spark, sf_dir):
 
 
 @register(
+    "pql_text_routed_serving",
+    "SELECT "
+    "(SELECT COUNT(*) FROM events WHERE event_type = 'click' "
+    " AND CAST(FLOOR(value) AS BIGINT) > 150) AS n_count, "
+    "(SELECT CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) FROM events "
+    " WHERE user_id = 12 AND value IS NOT NULL) AS sum_v, "
+    "(SELECT CAST(MIN(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) FROM events) AS min_v, "
+    "(SELECT CAST(MAX(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) FROM events) AS max_v, "
+    "(SELECT CAST(v AS BIGINT) FROM ("
+    "   SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n "
+    "   FROM (SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events "
+    "         WHERE value IS NOT NULL)"
+    ") WHERE rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT))) AS p95_v",
+)
+def pql_text_routed_serving(spark, sf_dir):
+    """PQL TEXT served from the bitmap-index tier: parse → route → answer
+    from fragment blobs, never touching the base table — the reference's
+    one-and-only serving path (every executeCall reads fragments,
+    executor.go:723-835; here it is the declared acceleration path with
+    the scan as fallback, pql/parser.execute bitmap=). The oracle replays
+    every call in SQL over the raw parquet, so a hash match proves the
+    fragment tier — Count over an And tree, filtered BSI Sum, Min/Max,
+    and the BSI-binary-search Percentile (executor.go:1310-1603) — all
+    agree with the scan semantics exactly."""
+    from featurebase_spark.pql.parser import execute
+
+    cat = _bitmap_cat(spark, sf_dir)
+    ev = _tables(spark, sf_dir)["events"].withColumn(
+        "ivalue", F.floor(F.col("value")).cast("long")
+    )
+    idx = Index(ev, id_col="event_id")
+    vals = [
+        int(
+            execute(idx, q, bitmap=cat).first()[0]
+        )
+        for q in (
+            'Count(Intersect(Row(event_type="click"), Row(ivalue > 150)))',
+            "Sum(Row(user_id=12), field=ivalue)",
+            "Min(field=ivalue)",
+            "Max(field=ivalue)",
+            "Percentile(field=ivalue, nth=95)",
+        )
+    ]
+    return spark.sql(
+        f"SELECT CAST({vals[0]} AS BIGINT) AS n_count, "
+        f"CAST({vals[1]} AS BIGINT) AS sum_v, "
+        f"CAST({vals[2]} AS BIGINT) AS min_v, "
+        f"CAST({vals[3]} AS BIGINT) AS max_v, "
+        f"CAST({vals[4]} AS BIGINT) AS p95_v"
+    )
+
+
+@register(
     "pql_text_frontend",
     "SELECT event_type, user_id, COUNT(*) AS count FROM events "
     "WHERE value > 150 AND event_type IS NOT NULL AND user_id IS NOT NULL "

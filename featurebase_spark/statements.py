@@ -353,7 +353,60 @@ def _alter_table(p: _P, spark: SparkSession, catalog) -> None:
         raise StatementError(f"expected ADD or DROP, found {action}")
 
 
+def _create_index(p: _P, spark: SparkSession, catalog) -> None:
+    """CREATE INDEX [name] ON table (f1, f2, ...) — DECLARED EXTENSION.
+
+    The reference has no CREATE INDEX because every field is implicitly a
+    fragment bitmap (field.go — fragments ARE its storage engine); on
+    Spark the base table is parquet, so declaring which fields carry a
+    bitmap/BSI acceleration index is a user choice. The optional index
+    name is accepted and discarded (the registry is per (table, field),
+    matching the reference's (index, field) fragment keys)."""
+    p.expect("INDEX")
+    if p.peek_up() != "ON":
+        p.ident("index name")  # optional, unused
+    p.expect("ON")
+    table = p.ident("table name")
+    p.expect("(")
+    fields = []
+    while p.peek() != ")":
+        fields.append(p.ident("column name"))
+        if p.peek() == ",":
+            p.take()
+    p.expect(")")
+    if not fields:
+        raise StatementError("expected column name")
+    try:
+        catalog.create_index(table, fields)
+    except ValueError as e:
+        raise StatementError(str(e)) from e
+
+
+def _drop_index(p: _P, spark: SparkSession, catalog) -> None:
+    """DROP INDEX ON table [(f1, ...)] — all of the table's indexes when
+    no column list is given."""
+    p.expect("ON")
+    table = p.ident("table name")
+    fields = None
+    if p.peek() == "(":
+        p.take()
+        fields = []
+        while p.peek() != ")":
+            fields.append(p.ident("column name"))
+            if p.peek() == ",":
+                p.take()
+        p.expect(")")
+    try:
+        catalog.drop_index(table, fields)
+    except ValueError as e:
+        raise StatementError(str(e)) from e
+
+
 def _drop(p: _P, spark: SparkSession, catalog) -> None:
+    if p.peek_up() == "INDEX":
+        p.take()
+        _drop_index(p, spark, catalog)
+        return
     kind = p.take().upper()
     if_exists = False
     if p.accept("IF"):
@@ -811,6 +864,13 @@ def _show(p: _P, spark: SparkSession, catalog) -> DataFrame:
         if name not in catalog._defs:
             raise StatementError(f"table '{name}' not found")
         return catalog.fb_columns(name)
+    if what == "INDEXES":
+        table = None
+        if p.accept("FROM"):
+            table = p.ident("table name")
+            if table not in catalog._defs:
+                raise StatementError(f"table '{table}' not found")
+        return catalog.fb_indexes(table)
     if what == "CREATE":
         p.expect("TABLE")
         name = p.ident("table name")
@@ -883,6 +943,9 @@ def execute_statement(
                 if not replace:
                     raise StatementError(f"view '{name}' already exists")
             catalog.create_view(name, body, replace=True)
+            return None
+        if p.peek_up() == "INDEX":
+            _create_index(p, spark, catalog)
             return None
         _create_table(p, spark, catalog)
         return None

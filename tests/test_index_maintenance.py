@@ -1,0 +1,231 @@
+"""Bitmap-index lifecycle through the Catalog + statement door: CREATE
+INDEX DDL, clear-then-set incremental maintenance on every write path, and
+PQL text-door routing served from fragments.
+
+Reference parity frame: the reference has no CREATE INDEX — every field IS
+a fragment bitmap (field.go) and every query serves from fragments
+(executor.go:723-835); its import path clears a record's old bits before
+setting new ones (fragment.go setValue/clearValue under the shard write
+Tx, opinsert.go replaces by _id). Here the same lifecycle is explicit:
+CREATE INDEX declares the fields (a documented extension), Catalog writes
+maintain the fragments with identical clear-then-set semantics, and the
+PQL door routes covered calls to them. Every routed answer must equal the
+scan answer exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurebase_spark.operators.ddl import Catalog
+from featurebase_spark.pql import calls as C
+from featurebase_spark.pql.parser import execute
+from featurebase_spark.sql import fb_sql
+from featurebase_spark.statements import StatementError
+
+
+def _mk_table(spark, cat, name="ixt", n=120):
+    fb_sql(spark, f"create table {name} (_id id, etype string, "
+           "score int min -1000 max 100000, tags stringset)", catalog=cat)
+    rows = ", ".join(
+        f"({i}, '{['click', 'view', 'buy'][i % 3]}', {i * 13 % 500}, "
+        f"['t{i % 4}', 't{i % 7}'])"
+        for i in range(n)
+    )
+    fb_sql(spark, f"insert into {name} values {rows}", catalog=cat)
+
+
+QUERIES = [
+    'Count(Row(etype="click"))',
+    'Count(Intersect(Row(etype="click"), Row(score > 100)))',
+    'Count(Union(Row(etype="buy"), Row(score <= 50)))',
+    'Count(Difference(Row(score >= 10), Row(etype="view")))',
+    "Sum(field=score)",
+    'Sum(Row(etype="buy"), field=score)',
+    "Min(field=score)",
+    "Max(field=score)",
+    "Percentile(field=score, nth=90)",
+    'Count(Row(tags="t2"))',
+]
+
+
+def _assert_routed_equals_scan(spark, bm, view="ixt"):
+    idx = C.Index(spark.table(view))
+    for q in QUERIES:
+        routed = [tuple(r) for r in execute(idx, q, bitmap=bm).collect()]
+        scanned = [tuple(r) for r in execute(idx, q).collect()]
+        assert routed == scanned, (q, routed, scanned)
+
+
+class TestIndexDDL:
+    def test_create_show_drop(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat, n=30)
+        fb_sql(spark, "create index ix1 on ixt (etype, score, tags)",
+               catalog=cat)
+        got = {(r["field"], r["kind"]) for r in
+               fb_sql(spark, "show indexes from ixt", catalog=cat).collect()}
+        assert got == {("etype", "eq"), ("score", "bsi"), ("tags", "eq")}
+        fb_sql(spark, "drop index on ixt (tags)", catalog=cat)
+        assert fb_sql(spark, "show indexes from ixt",
+                      catalog=cat).count() == 2
+        fb_sql(spark, "drop index on ixt", catalog=cat)
+        assert fb_sql(spark, "show indexes", catalog=cat).count() == 0
+        cat.drop_table("ixt")
+
+    def test_errors(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat, n=10)
+        for sql, err in [
+            ("create index on nope (x)", "table 'nope' not found"),
+            ("create index on ixt (missing)", "column 'missing' not found"),
+            ("drop index on ixt (score)", "no indexes on table 'ixt'"),
+        ]:
+            with pytest.raises(StatementError, match=err):
+                fb_sql(spark, sql, catalog=cat)
+        fb_sql(spark, "create index on ixt (etype)", catalog=cat)
+        with pytest.raises(StatementError, match="already exists"):
+            fb_sql(spark, "create index on ixt (etype)", catalog=cat)
+        with pytest.raises(StatementError, match="no index on column 'score'"):
+            fb_sql(spark, "drop index on ixt (score)", catalog=cat)
+        cat.drop_table("ixt")
+
+    def test_keyed_table_rejected(self, spark):
+        cat = Catalog(spark)
+        fb_sql(spark, "create table keyed_ix (_id string, a int)", catalog=cat)
+        with pytest.raises(StatementError, match="string-keyed"):
+            fb_sql(spark, "create index on keyed_ix (a)", catalog=cat)
+        cat.drop_table("keyed_ix")
+
+
+class TestRoutedServing:
+    def test_routed_equals_scan_fresh_index(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat)
+        fb_sql(spark, "create index on ixt (etype, score, tags)", catalog=cat)
+        _assert_routed_equals_scan(spark, cat.bitmap_catalog("ixt"))
+        cat.drop_table("ixt")
+
+    def test_uncovered_falls_back_to_scan(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat, n=40)
+        fb_sql(spark, "create index on ixt (etype)", catalog=cat)
+        bm = cat.bitmap_catalog("ixt")
+        idx = C.Index(spark.table("ixt"))
+        # score is NOT indexed -> scan fallback, same answer
+        q = "Count(Row(score > 100))"
+        assert execute(idx, q, bitmap=bm).first()[0] == \
+            execute(idx, q).first()[0]
+        # GroupBy is never routed
+        q = "GroupBy(Rows(etype))"
+        assert [tuple(r) for r in execute(idx, q, bitmap=bm).collect()] == \
+            [tuple(r) for r in execute(idx, q).collect()]
+        cat.drop_table("ixt")
+
+    def test_topn_routed(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat)
+        fb_sql(spark, "create index on ixt (etype)", catalog=cat)
+        bm = cat.bitmap_catalog("ixt")
+        idx = C.Index(spark.table("ixt"))
+        a = [tuple(r) for r in
+             execute(idx, "TopN(etype, n=3)", bitmap=bm).collect()]
+        b = [tuple(r) for r in execute(idx, "TopN(etype, n=3)").collect()]
+        assert a == b
+        cat.drop_table("ixt")
+
+
+class TestIncrementalMaintenance:
+    def test_upsert_changes_values(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat)
+        fb_sql(spark, "create index on ixt (etype, score, tags)", catalog=cat)
+        bm = cat.bitmap_catalog("ixt")
+        # change existing rows' values + add new rows in a new shard-local id
+        fb_sql(spark, "insert into ixt values "
+               "(0, 'buy', 499, ['t9']), (1, 'buy', 0, ['t9']), "
+               "(900, 'click', 77, ['t0'])", catalog=cat)
+        _assert_routed_equals_scan(spark, bm)
+        cat.drop_table("ixt")
+
+    def test_upsert_null_clears(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat, n=60)
+        fb_sql(spark, "create index on ixt (etype, score)", catalog=cat)
+        bm = cat.bitmap_catalog("ixt")
+        fb_sql(spark, "insert into ixt (_id, etype, score) values "
+               "(5, null, null)", catalog=cat)
+        _assert_routed_equals_scan(spark, bm)
+        cat.drop_table("ixt")
+
+    def test_partial_insert_touches_only_listed_indexes(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat, n=60)
+        fb_sql(spark, "create index on ixt (etype, score)", catalog=cat)
+        bm = cat.bitmap_catalog("ixt")
+        fb_sql(spark, "insert into ixt (_id, etype) values (7, 'buy')",
+               catalog=cat)
+        _assert_routed_equals_scan(spark, bm)
+        cat.drop_table("ixt")
+
+    def test_delete_and_truncate(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat)
+        fb_sql(spark, "create index on ixt (etype, score)", catalog=cat)
+        bm = cat.bitmap_catalog("ixt")
+        fb_sql(spark, "delete from ixt where _id in (0, 1, 2, 50)",
+               catalog=cat)
+        _assert_routed_equals_scan(spark, bm)
+        fb_sql(spark, "delete from ixt where score > 250", catalog=cat)
+        _assert_routed_equals_scan(spark, bm)
+        fb_sql(spark, "delete from ixt", catalog=cat)  # truncate
+        idx = C.Index(spark.table("ixt"))
+        assert execute(idx, 'Count(Row(etype="buy"))',
+                       bitmap=bm).first()[0] == 0
+        cat.drop_table("ixt")
+
+    def test_bsi_range_widening_rebuild(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat, n=40)
+        fb_sql(spark, "create index on ixt (score)", catalog=cat)
+        bm = cat.bitmap_catalog("ixt")
+        # 99999 is outside the built encoding -> rebuild path (field.go
+        # bitDepth widening analogue)
+        fb_sql(spark, "insert into ixt (_id, score) values (3, 99999), "
+               "(200, -999)", catalog=cat)
+        idx = C.Index(spark.table("ixt"))
+        for q in ("Max(field=score)", "Min(field=score)", "Sum(field=score)",
+                  "Count(Row(score > 400))"):
+            assert execute(idx, q, bitmap=bm).first()[0] == \
+                execute(idx, q).first()[0], q
+        cat.drop_table("ixt")
+
+    def test_randomized_write_sequence(self, spark):
+        """Randomized upsert/delete rounds: routed results must track the
+        scan truth after every commit (quick-check style, SURVEY §5.3)."""
+        rng = random.Random(7)
+        cat = Catalog(spark)
+        _mk_table(spark, cat, n=80)
+        fb_sql(spark, "create index on ixt (etype, score)", catalog=cat)
+        bm = cat.bitmap_catalog("ixt")
+        for _ in range(4):
+            if rng.random() < 0.7:
+                vals = ", ".join(
+                    f"({rng.randrange(0, 160)}, "
+                    f"'{rng.choice(['click', 'view', 'buy'])}', "
+                    f"{rng.randrange(0, 500)}, ['t1'])"
+                    for _ in range(rng.randrange(1, 6))
+                )
+                fb_sql(spark, f"insert into ixt values {vals}", catalog=cat)
+            else:
+                ids = ", ".join(
+                    str(rng.randrange(0, 160))
+                    for _ in range(rng.randrange(1, 4))
+                )
+                fb_sql(spark, f"delete from ixt where _id in ({ids})",
+                       catalog=cat)
+            _assert_routed_equals_scan(spark, bm)
+        cat.drop_table("ixt")
