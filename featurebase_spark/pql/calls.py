@@ -734,6 +734,13 @@ class GroupBy(ReaderCall):
                 )
             else:
                 raise ValueError(f"unknown aggregate {kind}")
+        return self._finish(agged, keys)
+
+    def _finish(self, agged: DataFrame, keys: Sequence[str]) -> DataFrame:
+        """having/sort/limit/offset post-step over the aggregated frame —
+        the coordinator-side tail of executeGroupBy (executor.go:
+        3389-3438), shared by the scan plan and the fragment-routed plan
+        (pql/parser._route_reader)."""
         if self.having is not None:
             name, op, val = self.having
             c = F.col(name)

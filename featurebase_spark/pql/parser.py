@@ -458,6 +458,58 @@ def _route_reader(cat, node, idx: C.Index) -> Optional[DataFrame]:
             ]
         )
     if (
+        isinstance(node, C.Rows)
+        and node.field in cat._indexes
+        and node.column is None
+        and node.from_ is None
+        and node.to is None
+    ):
+        # distinct values straight off the fragment value column
+        # (executeRows executor.go:3987-4076 iterates fragment rows) —
+        # like/in/previous/limit re-applied on the cast values
+        from pyspark.sql import functions as F
+
+        ftype = dict(idx.df.dtypes).get(node.field, "string")
+        if ftype.startswith("array<"):
+            ftype = ftype[6:-1]
+        vals = cat._indexes[node.field].select("value").distinct()
+        if node.like is not None:
+            vals = vals.where(F.col("value").like(node.like))
+        vals = vals.select(F.col("value").cast(ftype).alias(node.field))
+        if node.in_ is not None:
+            vals = vals.where(F.col(node.field).isin(list(node.in_)))
+        if node.previous is not None:
+            vals = vals.where(F.col(node.field) > F.lit(node.previous))
+        vals = vals.orderBy(node.field)
+        if node.limit is not None:
+            vals = vals.limit(node.limit)
+        return vals
+    if (
+        isinstance(node, C.GroupBy)
+        and len(node.rows) == 1
+        and node.filter is None
+        and node.aggregate is None
+        and node.rows[0].field in cat._indexes
+    ):
+        # single-field count GroupBy from fragment cardinalities — the
+        # reference's core GroupBy loop over row bitmaps
+        # (executeGroupBy executor.go:3176-3438) without touching rows;
+        # having/sort/limit run through the same _finish post-step as
+        # the scan plan
+        from pyspark.sql import functions as F
+
+        f = node.rows[0].field
+        ftype = dict(idx.df.dtypes).get(f, "string")
+        if ftype.startswith("array<"):
+            ftype = ftype[6:-1]
+        agged = (
+            cat._indexes[f]
+            .groupBy("value")
+            .agg(F.sum("cardinality").alias("count"))
+            .select(F.col("value").cast(ftype).alias(f), F.col("count"))
+        )
+        return node._finish(agged, [f])
+    if (
         isinstance(node, C.TopN)
         and node.filter is None
         and node.field in cat._indexes

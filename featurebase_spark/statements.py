@@ -560,10 +560,21 @@ def _insert(p: _P, spark: SparkSession, catalog, replace: bool) -> None:
         ) + ")"
         for tup in tuples
     )
+
+    def _is_set(c: str) -> bool:
+        fdef = by_name.get(c)
+        return fdef is not None and fdef.fb_type in ("idset", "stringset")
     casts = []
     for c in all_cols:
         if c in cols:
-            casts.append(f"v{cols.index(c)} AS {c}")
+            v = f"v{cols.index(c)}"
+            if _is_set(c):
+                # set semantics: bitmap storage can't hold duplicates and
+                # renders members sorted (opinsert.go stores into row
+                # bitmaps; SELECT walks them in key order). Applied in
+                # the projection — inline VALUES rejects lambda exprs.
+                v = f"array_sort(array_distinct({v}))"
+            casts.append(f"{v} AS {c}")
         else:
             casts.append(f"CAST(NULL AS {_target_type(c)}) AS {c}")
     rows = spark.sql(

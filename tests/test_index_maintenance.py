@@ -125,6 +125,31 @@ class TestRoutedServing:
             [tuple(r) for r in execute(idx, q).collect()]
         cat.drop_table("ixt")
 
+    def test_rows_and_groupby_routed(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat)
+        fb_sql(spark, "create index on ixt (etype, tags)", catalog=cat)
+        bm = cat.bitmap_catalog("ixt")
+        idx = C.Index(spark.table("ixt"))
+        for q in (
+            "Rows(etype)",
+            'Rows(etype, like="%i%")',
+            "Rows(tags, limit=3)",
+            'Rows(etype, previous="buy")',
+            "GroupBy(Rows(etype))",
+            "GroupBy(Rows(tags), having=Condition(count > 20))",
+            'GroupBy(Rows(etype), sort="count desc", limit=2)',
+        ):
+            a = [tuple(r) for r in execute(idx, q, bitmap=bm).collect()]
+            b = [tuple(r) for r in execute(idx, q).collect()]
+            assert a == b, (q, a, b)
+        # filtered GroupBy is NOT routed — still equal via fallback
+        q = 'GroupBy(Rows(etype), filter=Row(score > 100))'
+        a = [tuple(r) for r in execute(idx, q, bitmap=bm).collect()]
+        b = [tuple(r) for r in execute(idx, q).collect()]
+        assert a == b
+        cat.drop_table("ixt")
+
     def test_topn_routed(self, spark):
         cat = Catalog(spark)
         _mk_table(spark, cat)
