@@ -88,15 +88,55 @@ def shingles(text_col, n: int = 5) -> Column:
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:
-    """Exploded (id, shingle) posting table — the join key for candidate
-    generation. At scale, repartition by shingle so the self-join co-locates.
-    The tokenize+explode is the CPU-heavy stage, so under-split inputs
-    spread to full parallelism first."""
+    """(id, shingle) posting table with 64-bit HASHED shingles — the join
+    key for candidate generation and Jaccard intersection counting.
+
+    Shape chosen for codegen: array higher-order functions (transform/
+    slice, the :func:`shingles` string form) run INTERPRETED per element
+    in Spark, so the hot path instead posexplodes tokens (a codegen'd
+    generator) and forms each n-gram with ``lead()`` over a doc window,
+    hashing the n token columns directly — ``xxhash64(t0..t4)`` chains
+    per-column seeds, so equality classes match the string form exactly
+    (no concat ambiguity) while the posting key is a LONG, which also
+    makes every downstream join/group cheaper than ~25-char strings.
+    ONE shuffle total: the window's hash-partition on the doc id is
+    reused by the per-doc dedup AND the signature aggregation (both
+    cluster on a superset of the partition key → no extra Exchange).
+    Trade-off vs the HOF form: that one shuffle carries the token table
+    (the HOF form shuffled only |docs|×k signature partials) — accepted
+    because the posting table is re-shuffled by the candidate-verify
+    joins anyway, and interpreted per-element HOF CPU dominated measured
+    wall-clock; revisit if a corpus is signature-only (no verify stage).
+
+    Short docs (< n tokens) keep the whole-text fallback: trailing lead
+    columns are NULL, which Spark's hash chain skips, so the pos-0 row
+    hashes exactly the present tokens. At 100 TB: tokenize+hash is
+    embarrassingly parallel, and the only shuffle carries (id, long)."""
+    from pyspark.sql import Window
+
     from featurebase_spark.pipeline import spread_small_input
 
     src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
-    return src.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    toks = tokens(F.col(text_col))
+    # empty text still contributes its one fallback shingle (split('')
+    # yields [''] — keep parity with the string form and the oracle)
+    rows = src.select(
+        F.col(id_col),
+        F.size(toks).alias("n_toks"),
+        F.posexplode(toks).alias("pos", "t0"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    rows = rows.select(F.col(id_col), "n_toks", "pos", "t0", *lead_cols)
+    gram_hash = F.xxhash64(*[F.col(f"t{i}") for i in range(n)])
+    grams = rows.where(
+        (F.col("n_toks") >= n) & F.col(f"t{n-1}").isNotNull()
+        | (F.col("n_toks") < n) & (F.col("pos") == 0)
+    ).select(F.col(id_col), gram_hash.alias("shingle"))
+    # per-doc distinct (array_distinct in the string form) — clusters on
+    # (id, shingle) ⊇ the window's id partitioning: no new Exchange
+    return grams.groupBy(id_col, "shingle").agg(F.lit(1)).select(
+        F.col(id_col), "shingle"
     )
 
 
@@ -169,6 +209,29 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _minhash_aggs(num_hashes: int) -> list[Column]:
+    """k MinHash aggregate columns over a HASHED shingle column, derived
+    two-hash style (Kirsch–Mitzenmacher): b1 = the shingle hash itself,
+    b2 = one more xxhash64 of it, h_i = b1 XOR rotate(b2, 5i mod 64).
+    Rotate-XOR instead of the classic ``b1 + i*b2`` because Spark's ANSI
+    mode rejects wrapping long arithmetic; 5 is invertible mod 64 so all
+    k ≤ 64 rotations are distinct. One long-input hash per shingle row
+    instead of k string hashes — the signature pass drops from O(k·|sh|)
+    string hashing to O(|sh|) — and LSH recall is corpus-verified against
+    the brute-force oracle (the driver's hash gate re-proves it per run)."""
+
+    def rot(c: Column, k: int) -> Column:
+        if k == 0:
+            return c
+        return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+    b1, b2 = F.col("shingle"), F.xxhash64(F.col("shingle"), F.lit(1))
+    return [
+        F.min(b1.bitwiseXOR(rot(b2, (i * 5) % 64))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -176,22 +239,18 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """k-permutation MinHash signature per document, computed as k
-    ``min(xxhash64(shingle, seed_i))`` aggregates over the exploded shingle
-    table — one scan + one groupBy, all JVM-side (no Python UDF; this is the
-    Arrow-free fast path). Columns: id, h0..h{k-1}.
+    """k-permutation MinHash signature per document: k min-aggregates over
+    the hashed shingle table — one scan + one groupBy, all JVM-side (no
+    Python UDF). Columns: id, h0..h{k-1}.
 
     Deliberately explode+aggregate, NOT ``array_min(transform(...))`` over
     in-row shingle arrays: array higher-order functions are interpreted
-    per element in Spark (outside whole-stage codegen), measuring ~2×
-    slower here, while the exploded min-agg is fully codegen'd with
-    map-side partials — the shuffle carries only |docs|×k mins."""
+    per element in Spark (outside whole-stage codegen), while the exploded
+    min-agg is fully codegen'd with map-side partials — the shuffle
+    carries only |docs|×k mins (and shares the shingle table's doc-id
+    clustering, so no extra Exchange)."""
     sh = shingle_table(df, text_col, id_col, shingle_n)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
 
 
 def lsh_candidate_pairs(
@@ -246,14 +305,10 @@ def minhash_dedup_pairs(
     persist to storage partitioned by shingle instead of memory-cache)."""
     sh = shingle_table(df, text_col, id_col, shingle_n).cache()
     try:
-        aggs = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
         # cache the signatures too: the banded SELF-join reads them twice
         # (left/right legs), and |docs|×(k+1) longs is small relative to
         # the corpus at any scale (MEMORY_AND_DISK spills if not)
-        sigs = sh.groupBy(id_col).agg(*aggs).cache()
+        sigs = sh.groupBy(id_col).agg(*_minhash_aggs(num_hashes)).cache()
         cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
         return ngram_jaccard_pairs(
             df, text_col, id_col, shingle_n, threshold,

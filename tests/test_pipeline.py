@@ -37,9 +37,51 @@ def test_exact_dedup_roundtrip(spark):
 
 
 def test_shingles_short_doc(spark):
-    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
-    sh = D.shingle_table(df).collect()
-    assert [r["shingle"] for r in sh] == ["a b"]
+    # a short doc contributes exactly ONE whole-text shingle, and two
+    # short docs with the same text share it (hashed posting keys)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    sh = {r["doc_id"]: r["shingle"] for r in D.shingle_table(df).collect()}
+    assert len(sh) == 3
+    assert sh[1] == sh[2] and sh[1] != sh[3]
+
+
+def test_shingle_table_matches_string_form(spark):
+    """The hashed posting table has the same per-doc shingle COUNTS and
+    cross-doc equality classes as the string form (the DuckDB oracles
+    compute the string form)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "tiny"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    hashed = D.shingle_table(df)
+    strings = df.select(
+        F.col("doc_id"), F.explode(D.shingles(F.col("text"), 5)).alias("s")
+    )
+    hc = {r["doc_id"]: r["n"] for r in
+          hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sc = {r["doc_id"]: r["n"] for r in
+          strings.groupBy("doc_id").agg(F.countDistinct("s").alias("n")).collect()}
+    assert hc == sc
+    # intersection counts per pair match too (docs 1 and 3 identical)
+    def inter(t, col):
+        a = t.select(F.col("doc_id").alias("ia"), F.col(col))
+        b = t.select(F.col("doc_id").alias("ib"), F.col(col))
+        return {
+            (r["ia"], r["ib"]): r["n"]
+            for r in a.join(b, col).where("ia < ib")
+            .groupBy("ia", "ib").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    assert inter(hashed, "shingle") == inter(strings.distinct(), "s")
 
 
 def test_minhash_lsh_contains_all_true_pairs(docs):
