@@ -1689,6 +1689,57 @@ def bitmap_index_topk(spark, sf_dir):
 
 
 @register(
+    "sql_routed_agg",
+    "SELECT "
+    "(SELECT COUNT(*) FROM events WHERE event_type = 'click' "
+    " AND CAST(FLOOR(value) AS BIGINT) > 150) AS n_click_hi, "
+    "(SELECT CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) FROM events "
+    " WHERE user_id = 12 AND value IS NOT NULL) AS sum_u12, "
+    "(SELECT COUNT(*) FROM events WHERE event_type = 'click' "
+    " OR event_type = 'view') AS n_cv",
+)
+def sql_routed_agg(spark, sf_dir):
+    """The SQL text door served from fragments: ``SELECT COUNT(*)/SUM
+    ... WHERE`` over an indexed table routes through the bitmap tier
+    (sql.py _route_simple_agg) exactly as the reference's sql3 planner
+    lowers such selects to PQL aggregates over fragment bitmaps
+    (compileselect.go → PlanOpPQLAggregate). The oracle replays each
+    statement over the raw parquet; a hash match proves the SQL-door
+    routing ≡ scan semantics."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sql import fb_sql
+
+    bm = _bitmap_cat(spark, sf_dir)
+    cat = Catalog(spark)
+    # adopt the shared pre-built fragment catalog as table "events_ix"
+    # (event_type/user_id equality + ivalue BSI over events, keyed by
+    # event_id) — the serving tier under both text doors is the same
+    cat._index_fields["events_ix"] = {
+        "event_type": "eq",
+        "user_id": "eq",
+        "ivalue": "bsi",
+    }
+    cat._bitmap["events_ix"] = bm
+    vals = [
+        int(
+            fb_sql(spark, q, catalog=cat).first()[0]
+        )
+        for q in (
+            "SELECT COUNT(*) FROM events_ix "
+            "WHERE event_type = 'click' AND ivalue > 150",
+            "SELECT SUM(ivalue) FROM events_ix WHERE user_id = 12",
+            "SELECT COUNT(*) FROM events_ix "
+            "WHERE event_type = 'click' OR event_type = 'view'",
+        )
+    ]
+    return spark.sql(
+        f"SELECT CAST({vals[0]} AS BIGINT) AS n_click_hi, "
+        f"CAST({vals[1]} AS BIGINT) AS sum_u12, "
+        f"CAST({vals[2]} AS BIGINT) AS n_cv"
+    )
+
+
+@register(
     "pql_text_routed_serving",
     "SELECT "
     "(SELECT COUNT(*) FROM events WHERE event_type = 'click' "

@@ -648,6 +648,137 @@ def _expand_tvfs(spark: SparkSession, sql: str) -> str:
     return "".join(out)
 
 
+def _route_simple_agg(
+    spark: SparkSession, sql: str, catalog
+) -> Optional[DataFrame]:
+    """Serve ``SELECT <one agg> FROM <indexed table> [WHERE <and/or of
+    simple predicates>]`` from the table's bitmap fragments — the
+    reference's actual compile path: sql3 lowers exactly this shape to a
+    PQL Count/Sum/Min/Max over fragment bitmaps (compileselect.go →
+    PlanOpPQLAggregate). Returns None for anything not fully covered
+    (the Catalyst scan path is the fallback and the answers are equal —
+    tests assert it). Result schema matches what ``spark.sql`` would
+    name (``count(1)``/``sum(f)``/... or the AS alias)."""
+    toks = [t for t in _tokenize(sql) if not _is_ws(t)]
+    if len(toks) < 4 or toks[0].upper() != "SELECT":
+        return None
+
+    i = 1
+    agg = toks[i].upper() if i < len(toks) else ""
+    if agg not in ("COUNT", "SUM", "MIN", "MAX"):
+        return None
+    if i + 1 >= len(toks) or toks[i + 1] != "(":
+        return None
+    arg = toks[i + 2] if i + 2 < len(toks) else None
+    if arg is None or (i + 3 >= len(toks)) or toks[i + 3] != ")":
+        return None
+    i += 4
+    alias = None
+    if i < len(toks) and toks[i].upper() == "AS":
+        alias = toks[i + 1] if i + 1 < len(toks) else None
+        if alias is None:
+            return None
+        if alias[:1] == '"' and alias[-1:] == '"':
+            alias = alias[1:-1].replace('""', '"')
+        i += 2
+    if i >= len(toks) or toks[i].upper() != "FROM":
+        return None
+    table = toks[i + 1] if i + 1 < len(toks) else None
+    i += 2
+    if table is None or table.lower() not in getattr(catalog, "_index_fields", {}):
+        return None
+    table = table.lower()
+    reg = catalog._index_fields[table]
+    cat = catalog._bitmap[table]
+
+    # WHERE clause → bitmap expression (and/or over field-op-literal)
+    expr = None
+    if i < len(toks):
+        if toks[i].upper() != "WHERE":
+            return None
+        from featurebase_spark.plans import bitmap_index as B
+
+        pos = [i + 1]
+
+        def parse_or():
+            node = parse_and()
+            while (
+                node is not None
+                and pos[0] < len(toks)
+                and toks[pos[0]].upper() == "OR"
+            ):
+                pos[0] += 1
+                rhs = parse_and()
+                node = B.Or(node, rhs) if rhs is not None else None
+            return node
+
+        def parse_and():
+            node = parse_leaf()
+            while (
+                node is not None
+                and pos[0] < len(toks)
+                and toks[pos[0]].upper() == "AND"
+            ):
+                pos[0] += 1
+                rhs = parse_leaf()
+                node = B.And(node, rhs) if rhs is not None else None
+            return node
+
+        def parse_leaf():
+            if pos[0] < len(toks) and toks[pos[0]] == "(":
+                pos[0] += 1
+                node = parse_or()
+                if (
+                    node is None
+                    or pos[0] >= len(toks)
+                    or toks[pos[0]] != ")"
+                ):
+                    return None
+                pos[0] += 1
+                return node
+            if pos[0] + 2 >= len(toks):
+                return None
+            f, op, lit = toks[pos[0]], toks[pos[0] + 1], toks[pos[0] + 2]
+            pos[0] += 3
+            f = f.lower()
+            if op == "=" and f in reg and reg[f] == "eq":
+                v = lit[1:-1].replace("''", "'") if lit[:1] == "'" else lit
+                return B.Atom(f, v)
+            if (
+                op in ("=", "!=", "<>", "<", "<=", ">", ">=")
+                and f in reg
+                and reg[f] == "bsi"
+            ):
+                try:
+                    v = int(lit)
+                except ValueError:
+                    return None
+                o = {"=": "==", "<>": "!="}.get(op, op)
+                return B.Cmp(f, o, v)
+            return None
+
+        expr = parse_or()
+        if expr is None or pos[0] != len(toks):
+            return None
+
+    if agg == "COUNT":
+        # unfiltered COUNT(*) has no fragment answer (an eq index only
+        # covers rows where its field is set) — scan path handles it
+        if arg != "*" or expr is None:
+            return None
+        val = cat.count(expr)
+        name = alias or "count(1)"
+    else:
+        f = arg.lower()
+        if f not in reg or reg[f] != "bsi":
+            return None
+        fn = {"SUM": cat.bsi_sum, "MIN": cat.bsi_min, "MAX": cat.bsi_max}[agg]
+        val = fn(f, expr)
+        name = alias or f"{agg.lower()}({f})"
+    lit = "NULL" if val is None else str(int(val))
+    return spark.sql(f"SELECT CAST({lit} AS BIGINT) AS `{name}`")
+
+
 def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
     """Execute FeatureBase-dialect SQL against registered Spark views —
     the ``POST /sql`` front door (http_handler.go:1440-1530), with
@@ -658,11 +789,18 @@ def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
     ``executionplanner.go:137-188``) route through
     :mod:`featurebase_spark.statements` to the Catalog/write/source
     implementations. DDL/DML return None (the reference returns empty
-    headers); SHOW and queries return a DataFrame."""
+    headers); SHOW and queries return a DataFrame. Simple aggregate
+    SELECTs over tables with declared bitmap indexes serve from
+    fragments (:func:`_route_simple_agg`) — the reference's sql3→PQL
+    compile path — with the Catalyst scan as fallback."""
     from featurebase_spark import statements
 
     if statements.is_statement(sql):
         return statements.execute_statement(spark, sql, catalog)
+    if catalog is not None:
+        routed = _route_simple_agg(spark, sql, catalog)
+        if routed is not None:
+            return routed
     sql = _expand_tvfs(spark, sql)  # declared extension (TVF front door)
     if catalog is not None:
         # system tables are SELECT-able, not just SHOW-able

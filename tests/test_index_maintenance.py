@@ -163,6 +163,58 @@ class TestRoutedServing:
         cat.drop_table("ixt")
 
 
+class TestSqlDoorRouting:
+    """Simple aggregate SELECTs over indexed tables serve from fragments
+    (sql.py _route_simple_agg) — the reference's sql3→PQL compile path.
+    Routed result must equal the scan result INCLUDING the schema name."""
+
+    @pytest.fixture()
+    def sql_cat(self, spark):
+        cat = Catalog(spark)
+        _mk_table(spark, cat)
+        fb_sql(spark, "create index on ixt (etype, score)", catalog=cat)
+        yield cat
+        cat.drop_table("ixt", if_exists=True)
+
+    ROUTED = [
+        "select count(*) from ixt where etype = 'click'",
+        "select count(*) as n from ixt where etype = 'click' and score > 100",
+        "select count(*) from ixt where etype = 'buy' or etype = 'view'",
+        "select count(*) from ixt where (etype = 'buy' or score < 10) and score >= 0",
+        "select count(*) from ixt where score != 39",
+        "select sum(score) from ixt",
+        "select sum(score) as s from ixt where etype = 'buy'",
+        "select min(score) from ixt where etype = 'click'",
+        "select max(score) from ixt",
+    ]
+
+    @pytest.mark.parametrize("q", ROUTED, ids=[q[7:45] for q in ROUTED])
+    def test_routed_equals_scan_sql(self, spark, sql_cat, q, monkeypatch):
+        from featurebase_spark import sql as sqlmod
+
+        routed = fb_sql(spark, q, catalog=sql_cat)
+        # prove it actually routed (no fallback) by poisoning the matcher
+        assert sqlmod._route_simple_agg(spark, q, sql_cat) is not None
+        scan = spark.sql(sqlmod.translate(q))
+        assert routed.columns == scan.columns
+        assert routed.first()[0] == scan.first()[0], q
+
+    FALLBACK = [
+        "select count(*) from ixt",  # unfiltered count includes nulls
+        "select count(*) from ixt where tags = 't1'",  # not indexed
+        "select avg(score) from ixt where etype = 'buy'",  # agg not covered
+        "select count(*) from ixt where etype like 'c%'",  # op not covered
+        "select count(*), max(score) from ixt where etype = 'buy'",  # 2 aggs
+        "select count(*) from other_t where a = 1",  # table not indexed
+    ]
+
+    @pytest.mark.parametrize("q", FALLBACK, ids=[q[7:45] for q in FALLBACK])
+    def test_not_covered_falls_back(self, spark, sql_cat, q):
+        from featurebase_spark import sql as sqlmod
+
+        assert sqlmod._route_simple_agg(spark, q, sql_cat) is None
+
+
 class TestIncrementalMaintenance:
     def test_upsert_changes_values(self, spark):
         cat = Catalog(spark)
