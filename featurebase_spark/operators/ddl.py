@@ -50,6 +50,8 @@ class Catalog:
         self._bitmap: dict[str, object] = {}
         #: table -> {field: "eq"|"bsi"} — which fields are indexed and how
         self._index_fields: dict[str, dict[str, str]] = {}
+        #: table -> KeyTranslator for string-keyed tables (translate.go)
+        self._translators: dict[str, object] = {}
 
     @staticmethod
     def _view(name: str) -> str:
@@ -96,6 +98,7 @@ class Catalog:
         self._defs.pop(name, None)
         self._bitmap.pop(name, None)
         self._index_fields.pop(name, None)
+        self._translators.pop(name, None)
         store = self._storage.pop(name, None)
         if store is not None:
             import shutil
@@ -286,12 +289,6 @@ class Catalog:
         if table not in self._defs:
             raise ValueError(f"table '{table}' not found")
         td = self._defs[table]
-        if td.keys:
-            raise ValueError(
-                f"table '{table}' is string-keyed; bitmap indexes require "
-                "integer record ids (reference key translation is not "
-                "implemented — use an id-keyed table)"
-            )
         by_name = {f.name: f for f in td.fields}
         plan: list[tuple[str, str]] = []
         existing = self._index_fields.get(table, {})
@@ -317,14 +314,29 @@ class Catalog:
             cat = BitmapCatalog()
             self._bitmap[table] = cat
             self._index_fields[table] = {}
-        df = self.spark.table(self._view(table))
+        df, id_col = self._indexed_frame(table)
         for f, kind in plan:
             if kind == "bsi":
-                cat.index_bsi_field(df, f, cache=False)
+                cat.index_bsi_field(df, f, id_col=id_col, cache=False)
             else:
-                cat.index_field(df, f, cache=False)
+                cat.index_field(df, f, id_col=id_col, cache=False)
             self._pin_field(cat, f, kind)
             self._index_fields[table][f] = kind
+
+    def _indexed_frame(self, table: str):
+        """(frame, id_col) for fragment building: id-keyed tables index on
+        ``_id`` directly; string-keyed tables join the key translator's
+        internal ids on (translate.go — fragments only ever see ints)."""
+        df = self.spark.table(self._view(table))
+        if not self._defs[table].keys:
+            return df, "_id"
+        from featurebase_spark.operators.translate import KeyTranslator
+
+        tr = self._translators.get(table)
+        if tr is None:
+            tr = KeyTranslator(self.spark)
+            self._translators[table] = tr
+        return tr.attach(df, "_id"), "__fbid"
 
     def drop_index(self, table: str, fields: Optional[list[str]] = None) -> None:
         if table not in self._index_fields:
@@ -375,19 +387,22 @@ class Catalog:
         if not reg:
             return
         cat = self._bitmap[table]
+        id_col = "_id"
+        if table in self._translators:
+            rows = self._translators[table].attach(rows, "_id")
+            id_col = "__fbid"
         written = None if cols is None else set(cols)
         for f, kind in reg.items():
             if written is not None and f not in written:
                 continue
             try:
                 if kind == "bsi":
-                    cat.upsert_bsi_field(rows, f, cache=False)
+                    cat.upsert_bsi_field(rows, f, id_col=id_col, cache=False)
                 else:
-                    cat.upsert_field(rows, f, cache=False)
+                    cat.upsert_field(rows, f, id_col=id_col, cache=False)
             except BsiRangeError:
-                cat.index_bsi_field(
-                    self.spark.table(self._view(table)), f, cache=False
-                )
+                df, rid = self._indexed_frame(table)
+                cat.index_bsi_field(df, f, id_col=rid, cache=False)
             self._pin_field(cat, f, kind)
 
     def _index_delete(self, table: str, ids: DataFrame) -> None:
@@ -395,8 +410,17 @@ class Catalog:
         if not reg:
             return
         cat = self._bitmap[table]
+        id_col = "_id"
+        if table in self._translators:
+            # lookup-only: a never-seen key has no bits to clear
+            ids = (
+                self._translators[table]
+                .ids_for(ids, "_id")
+                .select(F.col("id").alias("__fbid"))
+            )
+            id_col = "__fbid"
         for f, kind in reg.items():
-            cat.delete_field_ids(ids, f, cache=False)
+            cat.delete_field_ids(ids, f, id_col=id_col, cache=False)
             self._pin_field(cat, f, kind)
 
     @staticmethod
@@ -423,15 +447,15 @@ class Catalog:
         if not reg:
             return
         cat = self._bitmap[table]
-        df = self.spark.table(self._view(table))
+        df, id_col = self._indexed_frame(table)
         for f, kind in list(reg.items()):
             if f not in {fd.name for fd in self._defs[table].fields}:
                 self.drop_index(table, [f])  # ALTER dropped the column
                 continue
             if kind == "bsi":
-                cat.index_bsi_field(df, f, cache=False)
+                cat.index_bsi_field(df, f, id_col=id_col, cache=False)
             else:
-                cat.index_field(df, f, cache=False)
+                cat.index_field(df, f, id_col=id_col, cache=False)
             self._pin_field(cat, f, kind)
 
     def ddl_text(self, name: str) -> str:

@@ -93,12 +93,65 @@ class TestIndexDDL:
             fb_sql(spark, "drop index on ixt (score)", catalog=cat)
         cat.drop_table("ixt")
 
-    def test_keyed_table_rejected(self, spark):
+    def test_keyed_table_indexes_via_translation(self, spark):
+        """String-keyed tables index through key translation (translate.go
+        — fragments only ever see integer ids): create, serve, maintain
+        through upserts (new keys allocate, changed keys clear old bits)
+        and deletes, always equal to the scan."""
         cat = Catalog(spark)
-        fb_sql(spark, "create table keyed_ix (_id string, a int)", catalog=cat)
-        with pytest.raises(StatementError, match="string-keyed"):
-            fb_sql(spark, "create index on keyed_ix (a)", catalog=cat)
+        fb_sql(spark, "create table keyed_ix (_id string, etype string, "
+               "score int min 0 max 10000)", catalog=cat)
+        fb_sql(spark, "insert into keyed_ix values " + ", ".join(
+            f"('u{i}', '{['click', 'view', 'buy'][i % 3]}', {i * 13 % 500})"
+            for i in range(90)), catalog=cat)
+        fb_sql(spark, "create index on keyed_ix (etype, score)", catalog=cat)
+        bm = cat.bitmap_catalog("keyed_ix")
+
+        def check():
+            idx = C.Index(spark.table("keyed_ix"))
+            for q in ('Count(Row(etype="click"))',
+                      'Count(Intersect(Row(etype="buy"), Row(score > 100)))',
+                      "Sum(field=score)", "Max(field=score)"):
+                a = [tuple(r) for r in execute(idx, q, bitmap=bm).collect()]
+                b = [tuple(r) for r in execute(idx, q).collect()]
+                assert a == b, (q, a, b)
+
+        check()
+        # upsert: change existing keys + allocate new ones
+        fb_sql(spark, "insert into keyed_ix values ('u0', 'buy', 499), "
+               "('new1', 'click', 7), ('new2', 'view', 9)", catalog=cat)
+        check()
+        # delete by key (incl. a never-seen key — nothing to clear)
+        fb_sql(spark, "delete from keyed_ix where _id in ('u1', 'u2', 'ghost')",
+               catalog=cat)
+        check()
+        # the SQL door routes over the keyed table too
+        routed = fb_sql(spark, "select count(*) from keyed_ix "
+                        "where etype = 'buy'", catalog=cat).first()[0]
+        assert routed == spark.table("keyed_ix").where("etype = 'buy'").count()
         cat.drop_table("keyed_ix")
+
+    def test_key_translator_allocation(self, spark):
+        """Ids are unique, stable across calls, and partition-disjoint
+        (GenerateNextPartitionedID: per-partition sequential ranges)."""
+        from featurebase_spark.operators.translate import KeyTranslator
+
+        tr = KeyTranslator(spark)
+        k1 = spark.createDataFrame([(f"k{i}",) for i in range(50)], "_id STRING")
+        m1 = {r["key"]: r["id"] for r in tr.translate(k1).collect()}
+        assert len(set(m1.values())) == 50
+        # re-translating the same keys allocates nothing new
+        m2 = {r["key"]: r["id"] for r in tr.translate(k1).collect()}
+        assert m1 == m2
+        # a second batch keeps old ids and allocates fresh disjoint ones
+        k2 = spark.createDataFrame(
+            [(f"k{i}",) for i in range(40, 80)], "_id STRING")
+        m3 = {r["key"]: r["id"] for r in tr.translate(k2).collect()}
+        assert all(m3[k] == m1[k] for k in m1)
+        assert len(set(m3.values())) == 80
+        # ids stay within their allocation partition's span
+        for k, i in m3.items():
+            assert 0 <= i % KeyTranslator.SPAN < KeyTranslator.SPAN
 
 
 class TestRoutedServing:
