@@ -191,6 +191,34 @@ def partitioned_upsert_sink(
     return writer.start()
 
 
+def catalog_upsert_sink(
+    stream: DataFrame,
+    catalog,
+    table: str,
+    checkpoint: Optional[str] = None,
+):
+    """Stream into a Catalog table: each micro-batch commits through
+    ``Catalog.insert``, which means BOTH the bucketed storage (O(touched
+    buckets) per batch) and every declared bitmap index are maintained
+    with clear-then-set semantics before the next batch — the reference's
+    actual ingest pipeline, where an import updates the shard's fragments
+    under the write Tx and queries see the new bits immediately
+    (idk/ingest.go → api.Import → fragment merge). After each batch a
+    routed Count over the table's indexes answers with the fresh state.
+    String-keyed tables translate their batch keys on the way in
+    (allocating new ids) exactly as batch INSERT does."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        catalog.insert(table, batch)
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 # --- Time quantum + TTL (field.go:325-351, time.go:18-142)
 
 _QUANTUM_UNITS = {"Y": "year", "M": "month", "D": "day", "H": "hour"}

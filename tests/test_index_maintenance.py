@@ -359,3 +359,64 @@ class TestIncrementalMaintenance:
                        catalog=cat)
             _assert_routed_equals_scan(spark, bm)
         cat.drop_table("ixt")
+
+
+class TestStreamingIndexMaintenance:
+    def test_stream_into_indexed_catalog_table(self, spark, tmp_path):
+        """Structured Streaming into an indexed Catalog table: every
+        micro-batch maintains fragments before the next, so routed
+        queries serve each batch's state — the reference's ingest
+        pipeline (import -> fragment merge under the shard Tx -> queries
+        see new bits). Covers new keys, value changes (old bits
+        cleared), and the SQL text door over the streamed table."""
+        import json as _json
+        import os
+
+        from featurebase_spark.streaming import catalog_upsert_sink
+
+        cat = Catalog(spark)
+        fb_sql(spark, "create table strix (_id id, etype string, "
+               "score int min 0 max 10000)", catalog=cat)
+        fb_sql(spark, "insert into strix values (1, 'click', 10), "
+               "(2, 'view', 20)", catalog=cat)
+        fb_sql(spark, "create index on strix (etype, score)", catalog=cat)
+        bm = cat.bitmap_catalog("strix")
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        stream = (
+            spark.readStream.schema("_id LONG, etype STRING, score LONG")
+            .json(src)
+        )
+        q = catalog_upsert_sink(
+            stream, cat, "strix", checkpoint=str(tmp_path / "ckpt")
+        )
+        try:
+            def feed(rows, name):
+                with open(os.path.join(src, name), "w") as fh:
+                    for r in rows:
+                        fh.write(_json.dumps(r) + "\n")
+                q.processAllAvailable()
+
+            def check():
+                idx = C.Index(spark.table("strix"))
+                for qq in ('Count(Row(etype="click"))', "Sum(field=score)",
+                           "Max(field=score)", 'Count(Row(score > 15))'):
+                    a = execute(idx, qq, bitmap=bm).first()[0]
+                    b = execute(idx, qq).first()[0]
+                    assert a == b, (qq, a, b)
+
+            # batch 1: new keys
+            feed([{"_id": 3, "etype": "click", "score": 30},
+                  {"_id": 4, "etype": "buy", "score": 40}], "b1.json")
+            check()
+            assert spark.table("strix").count() == 4
+            # batch 2: changes an existing key's values (old bits cleared)
+            feed([{"_id": 1, "etype": "buy", "score": 99}], "b2.json")
+            check()
+            routed = fb_sql(spark, "select count(*) from strix "
+                            "where etype = 'click'", catalog=cat).first()[0]
+            assert routed == 1
+        finally:
+            q.stop()
+        cat.drop_table("strix")
