@@ -60,12 +60,16 @@ BENCH_QUERIES = [
     "bitmap_index_count_distributed",
     # r4: PQL text parsed + routed + served from fragments end-to-end
     "pql_text_routed_serving",
+    # r4: index WRITE path — CREATE INDEX + clear-then-set maintenance
+    # + routed serving, all through the statement door
+    "bitmap_index_maintenance",
 ]
 
 #: queries added after the prior round — excluded from regression flags
 _NEW_IN_ROUND = {
     "bitmap_index_count_distributed",
     "pql_text_routed_serving",
+    "bitmap_index_maintenance",
 }
 
 

@@ -432,12 +432,20 @@ class Catalog:
         plans, whose recompute would read vacuumed storage generations.
         The reference's import applies fragment merges eagerly under the
         shard write Tx for the same reason. The previous pinned blocks
-        free via the context cleaner when the old frame is dropped."""
+        free via the context cleaner when the old frame is dropped.
+
+        Driver-LOCAL fields (small indexes) skip all of this: their
+        in-process merge already rebuilt a LocalRelation. After a
+        distributed pin, small indexes are (re)adopted into the local
+        tier so subsequent maintenance is job-free."""
+        if cat.is_local(f):
+            return
         if kind == "bsi":
             frame, mv, nb = cat._bsi[f]
             cat._bsi[f] = (frame.localCheckpoint(eager=True), mv, nb)
         else:
             cat._indexes[f] = cat._indexes[f].localCheckpoint(eager=True)
+        cat.try_localize(f)
         cat._invalidate_field(f)
 
     def _index_rebuild(self, table: str) -> None:

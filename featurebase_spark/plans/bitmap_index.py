@@ -60,6 +60,15 @@ _DENSE = 0x00  # packed little-endian bitset
 _ARRAY = 0x01  # sorted uint32 offsets
 
 
+def _active_spark():
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("no active SparkSession")
+    return s
+
+
 def _pack(offsets: np.ndarray) -> bytes:
     """Offsets within a shard → the smaller of the two container encodings.
     Break-even at cardinality ≈ max_offset/32, exactly roaring's rule."""
@@ -561,17 +570,112 @@ class BitmapCatalog:
         self._frag_cache: "OrderedDict[tuple, dict]" = OrderedDict()
         self._frag_cache_bytes = 0
         self.frag_cache_cap = 64 << 20
+        # DRIVER-LOCAL small-index tier: field → {(value|bit, shard): blob}.
+        # The reference holds every fragment in-process and merges imports
+        # there (fragment.go, under the shard write Tx); for indexes under
+        # SMALL_INDEX_ROWS fragment rows we do the same — maintenance is
+        # pure numpy (no Spark job), serving is pure driver kernels, and
+        # the frame registered for distributed consumers is a
+        # LocalRelation over the same blobs. Fields spill back to the
+        # distributed tier when they outgrow the cap.
+        self._eq_local: dict[str, dict] = {}
+        self._bsi_local: dict[str, dict] = {}
+
+    #: fragment-row cap for the driver-local tier
+    SMALL_INDEX_ROWS = 4096
+    #: delta-row cap for the in-process merge fast path
+    SMALL_DELTA_ROWS = 2048
 
     # -- driver-side fragment gather + eval (the low-latency serving path)
 
-    def _driver_ok(self, mode: str) -> bool:
+    def _driver_ok(self, mode: str, leaves: Optional[Sequence] = None) -> bool:
         if mode == "driver":
             return True
-        return (
-            mode == "auto"
-            and self.n_shards is not None
+        if mode != "auto":
+            return False
+        if (
+            self.n_shards is not None
             and self.n_shards <= self.DRIVER_SHARD_LIMIT
-        )
+        ):
+            return True
+        return leaves is not None and self._leaves_local(leaves)
+
+    def _leaves_local(self, leaves: Sequence) -> bool:
+        """True iff every leaf's field lives in the driver-local tier."""
+        ok = False
+        for lf in leaves:
+            if isinstance(lf, Atom):
+                if lf.field not in self._eq_local:
+                    return False
+            elif isinstance(lf, Cmp):
+                if lf.field not in self._bsi_local:
+                    return False
+            else:
+                return False
+            ok = True
+        return ok
+
+    def _bsi_leaves(self, field: str, filter_node) -> list:
+        """Leaf list representing a BSI aggregate call (the field plus the
+        filter's leaves) — for locality gating."""
+        leaves = [Cmp(field, "==", 0)]
+        if filter_node is not None:
+            _, fl = _compile_trees([filter_node])
+            leaves += list(fl)
+        return leaves
+
+    def is_local(self, field: str) -> bool:
+        return field in self._eq_local or field in self._bsi_local
+
+    def try_localize(self, field: str) -> bool:
+        """Adopt a small field index into the driver-local tier: collect
+        its fragment rows (cheap off a pinned frame), keep them as a blob
+        dict + a LocalRelation frame. Returns False (state untouched)
+        when the index exceeds SMALL_INDEX_ROWS."""
+        is_bsi = field in self._bsi
+        frame = self._bsi[field][0] if is_bsi else self._indexes[field]
+        rows = frame.limit(self.SMALL_INDEX_ROWS + 1).collect()
+        if len(rows) > self.SMALL_INDEX_ROWS:
+            return False
+        key = "bit" if is_bsi else "value"
+        d = {
+            (r[key], int(r["shard"])): bytes(r["bitmap"])
+            if r["bitmap"] is not None
+            else b""
+            for r in rows
+        }
+        self._adopt_local(field, d, is_bsi, frame.sparkSession)
+        return True
+
+    def _adopt_local(self, field: str, d: dict, is_bsi: bool, spark) -> None:
+        frame = self._local_relation(d, is_bsi, spark)
+        if is_bsi:
+            _, minv, nbits = self._bsi[field]
+            self._bsi[field] = (frame, minv, nbits)
+            self._bsi_local[field] = d
+            self._eq_local.pop(field, None)
+        else:
+            self._indexes[field] = frame
+            self._eq_local[field] = d
+            self._bsi_local.pop(field, None)
+        self._invalidate_field(field)
+
+    @staticmethod
+    def _local_relation(d: dict, is_bsi: bool, spark) -> DataFrame:
+        """The dict's fragments as a LocalRelation DataFrame — the form
+        every distributed consumer (joins, groupBys, the one-shuffle
+        serving path) reads; no lineage, nothing to pin."""
+        rows = [
+            (k, int(s), blob, _popcount(blob))
+            for (k, s), blob in sorted(d.items(), key=lambda kv: str(kv[0]))
+        ]
+        return spark.createDataFrame(rows, BSI_SCHEMA if is_bsi else INDEX_SCHEMA)
+
+    def _spill_local(self, field: str) -> None:
+        """Drop the dict (the LocalRelation frame stays valid) — the field
+        returns to the distributed tier."""
+        self._eq_local.pop(field, None)
+        self._bsi_local.pop(field, None)
 
     def _invalidate_field(self, field: str) -> None:
         """Drop the driver cache's entries for a field — REQUIRED whenever
@@ -612,6 +716,30 @@ class BitmapCatalog:
         missing_fields = [
             f for f in bsi_fields if ("bsi", f) not in self._frag_cache
         ]
+        # driver-local fields fill their cache entries straight from the
+        # in-process blob dicts — no scan at all
+        for a in list(missing_atoms):
+            d = self._eq_local.get(a.field)
+            if d is not None:
+                entry = {
+                    s: blob for (v, s), blob in d.items() if v == a.value
+                }
+                self._cache_put(
+                    ("eq", a), entry, sum(len(b) for b in entry.values())
+                )
+                missing_atoms.remove(a)
+        for f in list(missing_fields):
+            d = self._bsi_local.get(f)
+            if d is not None:
+                entry: dict[int, dict] = {}
+                for (bit, s), blob in d.items():
+                    entry.setdefault(int(s), {})[int(bit)] = blob
+                self._cache_put(
+                    ("bsi", f),
+                    entry,
+                    sum(len(b) for x in entry.values() for b in x.values()),
+                )
+                missing_fields.remove(f)
         if missing_atoms or missing_fields:
             probe_leaves: list = list(missing_atoms) + [
                 Cmp(f, "==", 0) for f in missing_fields
@@ -686,6 +814,7 @@ class BitmapCatalog:
         idx = build_bitmap_index(df, field, id_col, self.shard_exp)
         if cache:
             idx = idx.cache()
+        self._spill_local(field)  # a full rebuild supersedes the local tier
         self._invalidate_field(field)
         self._indexes[field] = idx
         return idx
@@ -697,6 +826,7 @@ class BitmapCatalog:
         frame, minv, nbits = build_bsi_index(df, field, id_col, self.shard_exp)
         if cache:
             frame = frame.cache()
+        self._spill_local(field)  # a full rebuild supersedes the local tier
         self._invalidate_field(field)
         self._bsi[field] = (frame, minv, nbits)
         return frame
@@ -816,7 +946,7 @@ class BitmapCatalog:
         scale. ``mode``: 'auto' | 'driver' | 'distributed'."""
         compiled, leaves = _compile_trees(list(nodes))
         specs = self._leaf_specs(leaves)
-        if self._driver_ok(mode):
+        if self._driver_ok(mode, leaves):
             shards, blobs_for = self._driver_leaf_blobs(leaves, specs)
             out = [0] * len(compiled)
             for s in shards:
@@ -884,7 +1014,7 @@ class BitmapCatalog:
         No filter (distributed) → pure metadata (precomputed
         cardinalities, zero blob reads)."""
         frame, minv, _ = self._bsi[field]
-        if self._driver_ok(mode):
+        if self._driver_ok(mode, self._bsi_leaves(field, filter_node)):
             planes = self._gather([], [field])[1][field]
             ffn = self._driver_filter_fn(filter_node)
             total = 0
@@ -968,13 +1098,13 @@ class BitmapCatalog:
         return None if r["v"] is None else int(r["v"])
 
     def bsi_max(self, field: str, filter_node=None, mode: str = "auto"):
-        if self._driver_ok(mode):
+        if self._driver_ok(mode, self._bsi_leaves(field, filter_node)):
             mm = self.bsi_minmax(field, filter_node, mode="driver")
             return mm[1]
         return self._bsi_extreme(field, True, filter_node)
 
     def bsi_min(self, field: str, filter_node=None, mode: str = "auto"):
-        if self._driver_ok(mode):
+        if self._driver_ok(mode, self._bsi_leaves(field, filter_node)):
             mm = self.bsi_minmax(field, filter_node, mode="driver")
             return mm[0]
         return self._bsi_extreme(field, False, filter_node)
@@ -985,7 +1115,7 @@ class BitmapCatalog:
         (the multi-call-request batching of count_many, for extremes).
         Small index → driver fragment-cache descent (see :meth:`counts`)."""
         frame, minv, nbits = self._bsi[field]
-        if self._driver_ok(mode):
+        if self._driver_ok(mode, self._bsi_leaves(field, filter_node)):
             planes_raw = self._gather([], [field])[1][field]
             ffn = self._driver_filter_fn(filter_node)
             lo = hi = None
@@ -1171,6 +1301,115 @@ class BitmapCatalog:
 
         return card(col)
 
+    def _delta_rows(self, delta: DataFrame, field: str, id_col: str):
+        """Collect a small delta for the in-process merge; None when it
+        exceeds SMALL_DELTA_ROWS (caller takes the distributed path)."""
+        rows = delta.select(id_col, field).limit(
+            self.SMALL_DELTA_ROWS + 1
+        ).collect()
+        if len(rows) > self.SMALL_DELTA_ROWS:
+            return None
+        return rows
+
+    def _local_clear(self, d: dict, ids) -> set:
+        """ANDNOT every delta id's offset out of its shard's fragments
+        (in place); returns the touched shard set."""
+        mask = (1 << self.shard_exp) - 1
+        by_shard: dict[int, list] = {}
+        for i in ids:
+            by_shard.setdefault(int(i) >> self.shard_exp, []).append(
+                int(i) & mask
+            )
+        clears = {
+            s: _pack(np.asarray(offs, dtype=np.int64))
+            for s, offs in by_shard.items()
+        }
+        for (k, s), blob in list(d.items()):
+            c = clears.get(s)
+            if c is not None:
+                d[(k, s)] = bitmap_andnot(blob, c)
+        return set(clears)
+
+    def _local_finish(self, field: str, d: dict, is_bsi: bool, spark):
+        """Drop empty equality fragments, rebuild the LocalRelation frame,
+        spill to the distributed tier if the dict outgrew the cap."""
+        if not is_bsi:
+            for k in [k for k, b in d.items() if not b]:
+                del d[k]
+        frame = self._local_relation(d, is_bsi, spark)
+        if is_bsi:
+            _, minv, nbits = self._bsi[field]
+            self._bsi[field] = (frame, minv, nbits)
+        else:
+            self._indexes[field] = frame
+        if len(d) > self.SMALL_INDEX_ROWS:
+            self._spill_local(field)
+        self._invalidate_field(field)
+        return frame
+
+    def _local_upsert_eq(self, field: str, rows, id_col: str, field_name: str):
+        """In-process clear-then-set for a driver-local equality index —
+        the reference's import-time fragment merge (fragment.go
+        setValue/clearValue), no Spark job at all."""
+        d = self._eq_local[field]
+        mask = (1 << self.shard_exp) - 1
+        self._local_clear(d, [r[id_col] for r in rows])
+        new: dict[tuple, list] = {}
+        for r in rows:
+            v = r[field_name]
+            if v is None:
+                continue
+            vals = v if isinstance(v, (list, tuple)) else [v]
+            i = int(r[id_col])
+            s, off = i >> self.shard_exp, i & mask
+            for x in vals:
+                if x is not None:
+                    new.setdefault((_canon_value(x), s), []).append(off)
+        for key, offs in new.items():
+            d[key] = bitmap_or(
+                d.get(key, b""), _pack(np.asarray(offs, dtype=np.int64))
+            )
+        return self._local_finish(
+            field, d, False, _active_spark()
+        )
+
+    def _local_upsert_bsi(self, field: str, rows, id_col: str, field_name: str):
+        """In-process clear-then-set for a driver-local BSI index; raises
+        :class:`BsiRangeError` exactly like the distributed path."""
+        _, minv, nbits = self._bsi[field]
+        vals = [
+            (int(r[id_col]), int(r[field_name]))
+            for r in rows
+            if r[field_name] is not None
+        ]
+        if vals:
+            lo = min(v for _, v in vals)
+            hi = max(v for _, v in vals)
+            if lo < minv or hi > minv + (1 << nbits) - 1:
+                raise BsiRangeError(
+                    f"delta value range [{lo}, {hi}] outside BSI encoding "
+                    f"[min={minv}, nbits={nbits}] for field '{field}'"
+                )
+        d = self._bsi_local[field]
+        mask = (1 << self.shard_exp) - 1
+        self._local_clear(d, [r[id_col] for r in rows])
+        by_shard: dict[int, list] = {}
+        for i, v in vals:
+            by_shard.setdefault(i >> self.shard_exp, []).append(
+                (i & mask, v - minv)
+            )
+        for s, pairs in by_shard.items():
+            offs = np.asarray([p[0] for p in pairs], dtype=np.int64)
+            vv = np.asarray([p[1] for p in pairs], dtype=np.int64)
+            d[(-1, s)] = bitmap_or(d.get((-1, s), b""), _pack(offs))
+            for b in range(nbits):
+                sel = offs[(vv >> b) & 1 == 1]
+                if len(sel):
+                    d[(b, s)] = bitmap_or(d.get((b, s), b""), _pack(sel))
+                else:
+                    d.setdefault((b, s), d.get((b, s), b""))
+        return self._local_finish(field, d, True, _active_spark())
+
     def upsert_field(
         self, delta: DataFrame, field: str, id_col: str = "_id", cache: bool = True
     ) -> DataFrame:
@@ -1179,7 +1418,16 @@ class BitmapCatalog:
         id) bits are set — a record whose value CHANGED (or became NULL)
         leaves no stale bit behind. Fragments in untouched shards pass
         through without a byte of work (shard-pruned), mirroring the
-        reference's per-shard import transaction."""
+        reference's per-shard import transaction.
+
+        Driver-local fields (small indexes) merge IN PROCESS — pure
+        numpy, no Spark job — exactly the reference's fragment merge
+        under the shard write Tx."""
+        if field in self._eq_local:
+            rows = self._delta_rows(delta, field, id_col)
+            if rows is not None:
+                return self._local_upsert_eq(field, rows, id_col, field)
+            self._spill_local(field)
         new_frags = build_bitmap_index(delta, field, id_col, self.shard_exp)
         clears = self._clear_frame(delta.select(id_col), id_col)
         old = self._indexes[field]
@@ -1232,7 +1480,12 @@ class BitmapCatalog:
         EXISTING (min, nbits) encoding. Raises ``BsiRangeError`` when a
         delta value falls outside the encodable range — the caller
         rebuilds with a wider encoding (the reference widens bitDepth on
-        import, field.go:856+)."""
+        import, field.go:856+). Driver-local fields merge in process."""
+        if field in self._bsi_local:
+            local_rows = self._delta_rows(delta, field, id_col)
+            if local_rows is not None:
+                return self._local_upsert_bsi(field, local_rows, id_col, field)
+            self._spill_local(field)
         frame, minv, nbits = self._bsi[field]
         width_mask = (1 << self.shard_exp) - 1
         rows = delta.select(
@@ -1317,7 +1570,20 @@ class BitmapCatalog:
     ) -> DataFrame:
         """Clear the given record ids from a field's index (equality or
         BSI) — the DELETE side of the shard write Tx. Only fragments in
-        the ids' shards are rewritten."""
+        the ids' shards are rewritten. Driver-local fields clear in
+        process."""
+        if self.is_local(field):
+            id_rows = ids.select(id_col).limit(
+                self.SMALL_DELTA_ROWS + 1
+            ).collect()
+            if len(id_rows) <= self.SMALL_DELTA_ROWS:
+                local_bsi = field in self._bsi_local
+                d = (self._bsi_local if local_bsi else self._eq_local)[field]
+                self._local_clear(d, [r[id_col] for r in id_rows])
+                return self._local_finish(
+                    field, d, local_bsi, _active_spark()
+                )
+            self._spill_local(field)
         clears = self._clear_frame(ids.select(id_col), id_col)
         touched = self._touched_shards(clears)
         is_bsi = field in self._bsi

@@ -2270,6 +2270,63 @@ def statement_insert_touched_buckets(spark, sf_dir):
 
 
 @register(
+    "bitmap_index_maintenance",
+    "WITH t(i, e, v) AS (SELECT i, CASE CAST(i % 3 AS INT) WHEN 0 THEN 'click' "
+    "WHEN 1 THEN 'view' ELSE 'buy' END, i * 7 % 100 FROM range(80) s(i)), "
+    "final AS ("
+    "  SELECT i, CASE WHEN i = 0 THEN 'buy' ELSE e END AS e, "
+    "         CASE WHEN i = 0 THEN 99 ELSE v END AS v "
+    "  FROM t WHERE i NOT IN (5, 6) "
+    "  UNION ALL SELECT 200, 'click', 55) "
+    "SELECT "
+    "(SELECT COUNT(*) FROM final WHERE e = 'click') AS n_click, "
+    "(SELECT CAST(SUM(v) AS BIGINT) FROM final) AS sum_v, "
+    "(SELECT COUNT(*) FROM final WHERE v > 50) AS n_hi",
+)
+def bitmap_index_maintenance(spark, sf_dir):
+    """The index WRITE path end-to-end: CREATE INDEX over a seeded
+    statement-door table, then the maintenance shapes — a value-changing
+    upsert (old bits cleared), a new-key insert, a keyed delete — with
+    every answer served ROUTED from the maintained fragments
+    (sql.py _route_simple_agg). The oracle is the literal end state, so
+    the driver's hash match proves clear-then-set maintenance
+    (fragment.go setValue/clearValue under the shard write Tx) end to
+    end. Timed cost = 4 statement commits + 2 fragment merges + 3
+    driver-cache serves; flat in table size by the O(touched) design."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    cat.drop_table("t_ix_maint", if_exists=True)
+    fb_sql(spark, "create table t_ix_maint (_id id, e string, "
+           "v int min 0 max 1000)", catalog=cat)
+    seed = ", ".join(
+        f"({i}, '{['click', 'view', 'buy'][i % 3]}', {i * 7 % 100})"
+        for i in range(80)
+    )
+    fb_sql(spark, f"insert into t_ix_maint values {seed}", catalog=cat)
+    fb_sql(spark, "create index on t_ix_maint (e, v)", catalog=cat)
+    # maintenance: change _id=0 (clear old bits), add _id=200, delete 2
+    fb_sql(spark, "insert into t_ix_maint values (0, 'buy', 99), "
+           "(200, 'click', 55)", catalog=cat)
+    fb_sql(spark, "delete from t_ix_maint where _id in (5, 6)", catalog=cat)
+    vals = [
+        int(fb_sql(spark, q, catalog=cat).first()[0])
+        for q in (
+            "select count(*) from t_ix_maint where e = 'click'",
+            "select sum(v) from t_ix_maint",
+            "select count(*) from t_ix_maint where v > 50",
+        )
+    ]
+    cat.drop_table("t_ix_maint", if_exists=True)
+    return spark.sql(
+        f"SELECT CAST({vals[0]} AS BIGINT) AS n_click, "
+        f"CAST({vals[1]} AS BIGINT) AS sum_v, "
+        f"CAST({vals[2]} AS BIGINT) AS n_hi"
+    )
+
+
+@register(
     "sql_text_bulk_delete",
     "SELECT p_partkey AS _id, upper(p_name) AS name, "
     "CAST(p_size * 2 AS BIGINT) AS size2 FROM part "

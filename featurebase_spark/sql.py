@@ -648,6 +648,152 @@ def _expand_tvfs(spark: SparkSession, sql: str) -> str:
     return "".join(out)
 
 
+def _route_group_distinct(
+    spark: SparkSession, sql: str, catalog
+) -> Optional[DataFrame]:
+    """Serve ``SELECT f, COUNT(*) FROM t GROUP BY f [ORDER BY ...]
+    [LIMIT n]`` and ``SELECT DISTINCT f FROM t [ORDER BY f] [LIMIT n]``
+    from an equality index's fragment value/cardinality columns — the
+    reference's PlanOpPQLGroupBy / PlanOpPQLRowsOp lowering (single
+    ungrouped field, no WHERE). None → Catalyst scan fallback."""
+    toks = [t for t in _tokenize(sql) if not _is_ws(t)]
+    if len(toks) < 4 or toks[0].upper() != "SELECT":
+        return None
+    from pyspark.sql import functions as F
+
+    def field_type(table: str, f: str) -> Optional[str]:
+        view = catalog._view(table)
+        t = dict(spark.table(view).dtypes).get(f)
+        if t is None:
+            return None
+        return t[6:-1] if t.startswith("array<") else t
+
+    i = 1
+    if toks[i].upper() == "DISTINCT":
+        # SELECT DISTINCT f FROM t [ORDER BY f [ASC]] [LIMIT n]
+        if i + 3 >= len(toks) or toks[i + 2].upper() != "FROM":
+            return None
+        f, table = toks[i + 1].lower(), toks[i + 3].lower()
+        i += 4
+        reg = getattr(catalog, "_index_fields", {}).get(table)
+        if not reg or reg.get(f) != "eq":
+            return None
+        ordered = False
+        if i < len(toks) and toks[i].upper() == "ORDER":
+            if (
+                i + 2 >= len(toks)
+                or toks[i + 1].upper() != "BY"
+                or toks[i + 2].lower() != f
+            ):
+                return None
+            i += 3
+            if i < len(toks) and toks[i].upper() == "ASC":
+                i += 1
+            ordered = True
+        limit = None
+        if i + 1 < len(toks) and toks[i].upper() == "LIMIT":
+            if not toks[i + 1].isdigit():
+                return None
+            limit = int(toks[i + 1])
+            i += 2
+        if i != len(toks):
+            return None
+        ft = field_type(table, f)
+        if ft is None:
+            return None
+        out = (
+            catalog._bitmap[table]._indexes[f]
+            .select("value")
+            .distinct()
+            .select(F.col("value").cast(ft).alias(f))
+        )
+        if ordered:
+            out = out.orderBy(f)
+        return out.limit(limit) if limit is not None else out
+
+    # SELECT f, COUNT(*) [AS a] FROM t GROUP BY f [ORDER BY ...] [LIMIT n]
+    if i + 1 >= len(toks) or toks[i + 1] != ",":
+        return None
+    f = toks[i].lower()
+    i += 2
+    if (
+        i + 3 >= len(toks)
+        or toks[i].upper() != "COUNT"
+        or toks[i + 1] != "("
+        or toks[i + 2] != "*"
+        or toks[i + 3] != ")"
+    ):
+        return None
+    i += 4
+    alias = None
+    if i + 1 < len(toks) and toks[i].upper() == "AS":
+        alias = toks[i + 1]
+        if alias[:1] == '"' and alias[-1:] == '"':
+            alias = alias[1:-1].replace('""', '"')
+        i += 2
+    if i + 1 >= len(toks) or toks[i].upper() != "FROM":
+        return None
+    table = toks[i + 1].lower()
+    i += 2
+    reg = getattr(catalog, "_index_fields", {}).get(table)
+    if not reg or reg.get(f) != "eq":
+        return None
+    if (
+        i + 2 >= len(toks)
+        or toks[i].upper() != "GROUP"
+        or toks[i + 1].upper() != "BY"
+        or toks[i + 2].lower() != f
+    ):
+        return None
+    i += 3
+    cname = alias or "count(1)"
+    order = None
+    if i + 1 < len(toks) and toks[i].upper() == "ORDER" and toks[i + 1].upper() == "BY":
+        i += 2
+        order = []
+        while i < len(toks) and toks[i].upper() != "LIMIT":
+            col = toks[i].lower()
+            if col == ",":
+                i += 1
+                continue
+            if col not in (f, cname.lower(), "count"):
+                return None
+            direction = "asc"
+            if i + 1 < len(toks) and toks[i + 1].upper() in ("ASC", "DESC"):
+                direction = toks[i + 1].lower()
+                i += 1
+            order.append((f if col == f else cname, direction))
+            i += 1
+    limit = None
+    if i + 1 < len(toks) and toks[i].upper() == "LIMIT":
+        if not toks[i + 1].isdigit():
+            return None
+        limit = int(toks[i + 1])
+        i += 2
+    if i != len(toks):
+        return None
+    ft = field_type(table, f)
+    if ft is None:
+        return None
+    out = (
+        catalog._bitmap[table]._indexes[f]
+        .groupBy("value")
+        .agg(F.sum("cardinality").alias("__n"))
+        .select(
+            F.col("value").cast(ft).alias(f),
+            F.col("__n").cast("long").alias(cname),
+        )
+    )
+    if order:
+        out = out.orderBy(
+            *[
+                F.desc(c) if d == "desc" else F.asc(c)
+                for c, d in order
+            ]
+        )
+    return out.limit(limit) if limit is not None else out
+
+
 def _route_simple_agg(
     spark: SparkSession, sql: str, catalog
 ) -> Optional[DataFrame]:
@@ -799,6 +945,8 @@ def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
         return statements.execute_statement(spark, sql, catalog)
     if catalog is not None:
         routed = _route_simple_agg(spark, sql, catalog)
+        if routed is None:
+            routed = _route_group_distinct(spark, sql, catalog)
         if routed is not None:
             return routed
     sql = _expand_tvfs(spark, sql)  # declared extension (TVF front door)

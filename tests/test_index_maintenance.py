@@ -252,6 +252,44 @@ class TestSqlDoorRouting:
         assert routed.columns == scan.columns
         assert routed.first()[0] == scan.first()[0], q
 
+    GROUPED = [
+        "select etype, count(*) from ixt group by etype",
+        "select etype, count(*) as n from ixt group by etype order by n desc, etype limit 2",
+        "select etype, count(*) from ixt group by etype order by etype",
+        "select distinct etype from ixt",
+        "select distinct etype from ixt order by etype limit 2",
+    ]
+
+    @pytest.mark.parametrize("q", GROUPED, ids=[q[7:52] for q in GROUPED])
+    def test_group_distinct_routed(self, spark, sql_cat, q):
+        from featurebase_spark import sql as sqlmod
+
+        routed = sqlmod._route_group_distinct(spark, q, sql_cat)
+        assert routed is not None, q
+        scan = spark.sql(sqlmod.translate(q))
+        assert routed.columns == scan.columns
+        a, b = routed.collect(), scan.collect()
+        if "order by" in q:
+            assert [tuple(r) for r in a] == [tuple(r) for r in b], q
+        else:
+            assert sorted(map(tuple, a)) == sorted(map(tuple, b)), q
+
+    GROUP_FALLBACK = [
+        "select etype, count(*) from ixt where score > 3 group by etype",
+        "select tags, count(*) from ixt group by tags",  # not indexed
+        "select etype, score, count(*) from ixt group by etype, score",
+        "select distinct score from ixt",  # bsi field, not eq
+        "select distinct etype from other_t",
+    ]
+
+    @pytest.mark.parametrize(
+        "q", GROUP_FALLBACK, ids=[q[7:52] for q in GROUP_FALLBACK]
+    )
+    def test_group_distinct_fallback(self, spark, sql_cat, q):
+        from featurebase_spark import sql as sqlmod
+
+        assert sqlmod._route_group_distinct(spark, q, sql_cat) is None
+
     FALLBACK = [
         "select count(*) from ixt",  # unfiltered count includes nulls
         "select count(*) from ixt where tags = 't1'",  # not indexed
@@ -420,3 +458,35 @@ class TestStreamingIndexMaintenance:
         finally:
             q.stop()
         cat.drop_table("strix")
+
+
+class TestLocalTier:
+    def test_local_merge_and_spill(self, spark, monkeypatch):
+        """Small indexes live driver-local (in-process merges, job-free);
+        outgrowing the cap spills to the distributed tier with identical
+        answers before and after."""
+        from featurebase_spark.plans.bitmap_index import BitmapCatalog
+
+        monkeypatch.setattr(BitmapCatalog, "SMALL_INDEX_ROWS", 8)
+        cat = Catalog(spark)
+        fb_sql(spark, "create table loc_t (_id id, e string)", catalog=cat)
+        fb_sql(spark, "insert into loc_t values (1, 'a'), (2, 'b')", catalog=cat)
+        fb_sql(spark, "create index on loc_t (e)", catalog=cat)
+        bm = cat.bitmap_catalog("loc_t")
+        assert bm.is_local("e")
+        # in-process merge keeps it local under the cap
+        fb_sql(spark, "insert into loc_t values (3, 'c'), (1, 'b')", catalog=cat)
+        assert bm.is_local("e")
+        routed = fb_sql(spark, "select count(*) from loc_t where e = 'b'",
+                        catalog=cat).first()[0]
+        assert routed == spark.table("loc_t").where("e = 'b'").count() == 2
+        # grow past the cap -> spills, answers unchanged
+        vals = ", ".join(f"({i}, 'v{i}')" for i in range(10, 30))
+        fb_sql(spark, f"insert into loc_t values {vals}", catalog=cat)
+        assert not bm.is_local("e")
+        routed = fb_sql(spark, "select count(*) from loc_t where e = 'v15'",
+                        catalog=cat).first()[0]
+        assert routed == 1
+        assert fb_sql(spark, "select count(*) from loc_t where e = 'b'",
+                      catalog=cat).first()[0] == 2
+        cat.drop_table("loc_t")
