@@ -944,30 +944,55 @@ class WriteCall:
 
 @dataclass
 class Set(WriteCall):
-    """``Set(col, field=value)`` (executeSet executor.go:6194-6353)."""
+    """``Set(col, field=value[, field2=value2...][, timestamp])``
+    (executeSet executor.go:6194-6353; grammar pqlpeg_test SetManyArgs /
+    SetTimestamp). DIVERGENCE (documented): with several field args the
+    reference sets ONE arbitrary field (FieldArg iterates a Go map,
+    ast.go:736-742); here all listed fields set deterministically. The
+    optional trailing timestamp lands in the Index's ``time_col`` when
+    one is configured (the reference writes the bit into that time's
+    quantum views)."""
 
     col: int
     field: str
     value: object
+    more: Optional[dict] = None
+    ts: Optional[str] = None
 
     def to_table(self, idx: Index) -> DataFrame:
         from featurebase_spark.operators.writes import set_bit
 
-        return set_bit(idx.df, self.col, self.field, self.value, idx.id_col)
+        out = set_bit(idx.df, self.col, self.field, self.value, idx.id_col)
+        for f, v in (self.more or {}).items():
+            out = set_bit(out, self.col, f, v, idx.id_col)
+        if self.ts is not None and idx.time_col in out.columns:
+            out = out.withColumn(
+                idx.time_col,
+                F.when(
+                    F.col(idx.id_col) == F.lit(self.col),
+                    F.lit(self.ts).cast("timestamp"),
+                ).otherwise(F.col(idx.time_col)),
+            )
+        return out
 
 
 @dataclass
 class Clear(WriteCall):
-    """``Clear(col, field=value)`` (executeClearBit executor.go:5895-5975)."""
+    """``Clear(col, field=value[, field2=value2...])`` (executeClearBit
+    executor.go:5895-5975; multi-field divergence as in :class:`Set`)."""
 
     col: int
     field: str
     value: object
+    more: Optional[dict] = None
 
     def to_table(self, idx: Index) -> DataFrame:
         from featurebase_spark.operators.writes import clear_bit
 
-        return clear_bit(idx.df, self.col, self.field, self.value, idx.id_col)
+        out = clear_bit(idx.df, self.col, self.field, self.value, idx.id_col)
+        for f, v in (self.more or {}).items():
+            out = clear_bit(out, self.col, f, v, idx.id_col)
+        return out
 
 
 @dataclass

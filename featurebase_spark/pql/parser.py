@@ -30,6 +30,8 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<timestamp>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(?::\d{2})?(?:\.\d+)?
+                  (?:Z|[+-]\d{2}:\d{2})?)
   | (?P<number>-?\d+\.\d+|-?\d+)
   | (?P<op><=|>=|==|!=|><|<|>|=)
   | (?P<punct>[(),\[\]])
@@ -37,6 +39,12 @@ _TOKEN_RE = re.compile(
 """,
     re.VERBOSE,
 )
+
+#: reference parser error texts asserted by pql/pqlpeg_test.go
+#: (pql/parser.go:16-18)
+_DUP_ARG_ERR = "duplicate argument provided"
+_INT_RANGE_ERR = "integer is not in signed 64-bit range"
+_BAD_TS_ERR = "string is not a valid timestamp"
 
 
 @dataclass
@@ -53,6 +61,16 @@ def _tokenize(s: str) -> list[_Tok]:
             raise SyntaxError(f"PQL: unexpected character {s[i]!r} at {i}")
         i = m.end()
         kind = m.lastgroup
+        if kind == "timestamp":
+            # unquoted timestamp literal (pql.peg timestampfmt) — validated
+            # at lex time, matching the reference (pqlpeg_test
+            # SetBadTimestamp: month 94 is a parse error)
+            import datetime as _dt
+
+            try:
+                _dt.datetime.fromisoformat(m.group().replace("Z", "+00:00"))
+            except ValueError:
+                raise SyntaxError(f"{_BAD_TS_ERR}: {m.group()}") from None
         if kind != "ws":
             out.append(_Tok(kind, m.group()))
     return out
@@ -87,7 +105,14 @@ class _Parser:
         if t.kind == "string":
             return t.text[1:-1].replace('\\"', '"').replace("\\'", "'")
         if t.kind == "number":
-            return float(t.text) if "." in t.text else int(t.text)
+            if "." in t.text:
+                return float(t.text)
+            v = int(t.text)
+            if not -(1 << 63) <= v < (1 << 63):
+                raise SyntaxError(_INT_RANGE_ERR)  # pql/parser.go:17
+            return v
+        if t.kind == "timestamp":
+            return t.text  # same value form as the quoted spelling
         if t.text == "[":
             items = []
             while self.peek() and self.peek().text != "]":
@@ -116,14 +141,25 @@ class _Parser:
         self.expect("(")
         pos: list[Any] = []
         kw: dict[str, Any] = {}
+        seen: set[str] = set()
         while self.peek() and self.peek().text != ")":
-            self.arg(pos, kw)
+            self.arg(pos, kw, seen)
             if self.peek() and self.peek().text == ",":
                 self.next()
         self.expect(")")
         return _build(name.text, pos, kw)
 
-    def arg(self, pos: list, kw: dict) -> None:
+    @staticmethod
+    def _mark(seen: set, name: str) -> None:
+        """Each field/kwarg name may appear once per call — the reference
+        errors on duplicates (pql/ast.go:168, pqlpeg_test
+        TestDuplicateArgError), for value, conditional, and list forms
+        alike."""
+        if name in seen:
+            raise SyntaxError(f"{_DUP_ARG_ERR}: {name}")
+        seen.add(name)
+
+    def arg(self, pos: list, kw: dict, seen: Optional[set] = None) -> None:
         t0, t1 = self.peek(0), self.peek(1)
         # nested call: Name (
         if t0 and t0.kind == "name" and t1 and t1.text == "(":
@@ -136,6 +172,8 @@ class _Parser:
             field = self.next().text
             op2 = self.next().text
             hi = self.literal()
+            if seen is not None:
+                self._mark(seen, field)
             lo_v = lo if op1 == "<=" else lo + _one(lo)
             hi_v = hi if op2 == "<=" else hi - _one(hi)
             pos.append(C.Row(field, between=(lo_v, hi_v)))
@@ -145,6 +183,8 @@ class _Parser:
             if t1 and t1.kind == "op":
                 name = self.next().text
                 op = self.next().text
+                if seen is not None:
+                    self._mark(seen, name)
                 # kwarg value may itself be a call: aggregate=Sum(field=x),
                 # having=Condition(count > 5), filter=Row(...)
                 nxt, nxt2 = self.peek(0), self.peek(1)
@@ -192,6 +232,29 @@ def _row_from_kw(kw: dict) -> C.Row:
 
 def _build(name: str, pos: list, kw: dict):
     if name == "Row" or name == "Range":
+        if name == "Row" and any(isinstance(p, str) for p in pos):
+            # bare positional timestamps belong to the legacy Range form
+            # only; Row takes from=/to= (pqlpeg_test RangeTimeGT /
+            # RangeTimeOneStamp are parse errors)
+            raise SyntaxError(
+                "PQL Row: bare timestamp arguments not allowed — use "
+                "from=/to="
+            )
+        if name == "Range":
+            # legacy Range(field=v, fromTs, toTs) positional-timestamp
+            # form (pqlpeg_test OldRange)
+            ts_strs = [p for p in pos if isinstance(p, str)]
+            if ts_strs:
+                base = (
+                    pos[0]
+                    if pos and isinstance(pos[0], C.Row)
+                    else _row_from_kw(kw)
+                )
+                return C.Row(
+                    base.field, base.op, base.value, between=base.between,
+                    from_=ts_strs[0],
+                    to=ts_strs[1] if len(ts_strs) > 1 else None,
+                )
         if pos and isinstance(pos[0], C.Row):
             r = pos[0]
             return C.Row(
@@ -302,14 +365,21 @@ def _build(name: str, pos: list, kw: dict):
     if name == "Arrow":
         header = kw.get("header", [])
         return C.Arrow(pos[0], *header)
-    # write calls (executor.go:5895-6353, 9050-9320): the single
-    # field=value kwarg is whatever key isn't a reserved arg name
+    # write calls (executor.go:5895-6353, 9050-9320): field=value kwargs
+    # are whatever keys aren't reserved arg names; Set also accepts a
+    # trailing bare timestamp (pqlpeg_test SetTimestamp / SetManyArgs)
     if name in ("Set", "Clear"):
-        if len(pos) != 1 or len(kw) != 1:
+        ts = None
+        if name == "Set" and len(pos) == 2 and isinstance(pos[1], str):
+            ts = pos.pop(1)
+        if len(pos) != 1 or not kw:
             raise SyntaxError(f"PQL {name}: expected (col, field=value)")
-        (field, value), = kw.items()
-        cls = C.Set if name == "Set" else C.Clear
-        return cls(pos[0], field, value)
+        items = list(kw.items())
+        field, value = items[0]
+        more = dict(items[1:]) or None
+        if name == "Set":
+            return C.Set(pos[0], field, value, more=more, ts=ts)
+        return C.Clear(pos[0], field, value, more=more)
     if name == "ClearRow":
         if len(kw) != 1:
             raise SyntaxError("PQL ClearRow: expected (field=value)")

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from featurebase_spark.pql import Index
 from featurebase_spark.pql import calls as C
-from featurebase_spark.pql.parser import execute, parse
+from featurebase_spark.pql.parser import execute, parse, parse_all
 
 
 @pytest.fixture(scope="module")
@@ -244,3 +244,98 @@ def test_apply_reduce_program(spark, tables):
         C.Apply("+/value", reduce_op="+/").to_df(idx).collect()
     with pytest.raises(SyntaxError, match="unsupported reduce"):
         C.Apply("value", reduce_op="nope").to_df(idx).collect()
+
+
+# --- pql/pqlpeg_test.go golden mirrors --------------------------------------
+# Grammar-acceptance, error, and error-text cases taken verbatim from the
+# reference's PEG test suite (TestPEGWorking / TestPEGErrors /
+# TestDuplicateArgError; error texts pql/parser.go:16-18).
+
+PEG_ACCEPT = [
+    "Set(2, f=10)",
+    "Set('foo', f=10)",
+    'Set("foo", f=10)',
+    "Set(2, f=1, 1999-12-31T00:00)",              # SetTime
+    "Set(1, a=4)Set(2, a=4)",                     # DoubleSet
+    "Set(1, a=4) \n Set(2, a=4)",                 # DoubleSetNewline
+    "Set(1, a=zoom)",                             # SetStringArg
+    "Set(1, a=4, b=5)",                           # SetManyArgs
+    "Set(1, a=4, bsd=haha)",                      # SetManyMixedArgs
+    "Set(1, a=4, 2017-04-03T19:34)",              # SetTimestamp
+    "Set(1, a='2017-04-03T19:34:00Z')",           # SetTimestampField
+    "Set(1, a='2017-04-03T19:34:00-07:00')",      # SetTimestampTZField
+    "Union()",
+    "Union(Row(a=1))",
+    "Union(Row(a=1), Row(z=44))",
+    "TopN(boondoggle)",                           # TopN no args
+    "TopN(myfield, n=44)",
+    "TopN(myfield, Row(a=47), n=10)",             # TopNBitmap
+    'Row(a="zm\'\'e")',                           # double quoted args
+    "Row(a='zm\"\"e')",                           # single quoted args
+    "Clear(1, a=53)",
+    "Clear(1, a=53, b=33)",                       # Clear2args
+    "Row(a < 4)", "Row(a > 4)", "Row(a <= 4)", "Row(a >= 4)",
+    "Row(a == 4)", "Row(a == null)", "Row(a != 4)", "Row(a != null)",
+    "Row(4 < a < 9)", "Row(4 < a <= 9)", "Row(4 <= a < 9)",
+    "Row(4 <= a <= 9)",
+    "Row(a=4, from=2010-07-04T00:00, to=2010-08-04T00:00)",  # RangeTime
+    "Row(a=4, from='2010-07-04T00:00', to=\"2010-08-04T00:00\")",
+    "Row(a=4, from='2010-07-04T00:00')",
+    "Row(a=4, to=\"2010-08-04T00:00\")",
+    "Set(1, my-frame=9)",                         # Dashed Frame
+    "Range(blah=1, 2019-04-07T00:00, 2019-08-07T00:00)",  # OldRange
+    "Row(a=falsen0)",                             # falsen0 is a string
+]
+
+
+@pytest.mark.parametrize("q", PEG_ACCEPT, ids=[q[:40] for q in PEG_ACCEPT])
+def test_peg_accepts(q):
+    parse_all(q)  # must not raise
+
+
+PEG_ERRORS = [
+    # (input, required error substring or None) — TestPEGErrors +
+    # TestDuplicateArgError, texts from pql/parser.go:16-18
+    ("Set", None),                                # SetNoParens
+    ("Set(1, a=4, 2017-94-03T19:34)", "string is not a valid timestamp"),
+    ("Set(1, 2017-04-03T19:34)", None),           # SetTimestampNoArg
+    ("Set(, 1, a=4)", None),                      # SetStartingComma
+    ("Row(, a=4)", None),                         # StartinCommaArb
+    ("Clear(9)", None),                           # Clear0args
+    ("Row(a>4, 2010-07-04T00:00, 2010-08-04T00:00)", None),  # RangeTimeGT
+    ("Row(a=4, 2010-07-04T00:00)", None),         # RangeTimeOneStamp
+    ("Row(a=9223372036854775808)", "integer is not in signed 64-bit range"),
+    ("Row(a=-9223372036854775809)", "integer is not in signed 64-bit range"),
+    ("Row(a==foo, a==bar)", "duplicate argument provided: a"),
+    ("Row(a=foo, a=bar)", "duplicate argument provided: a"),
+    ("Row(a>5, a>6)", "duplicate argument provided: a"),
+    ("Row(a=7, a=8)", "duplicate argument provided: a"),
+    ("Row(a=[7], a=[7,8])", "duplicate argument provided: a"),
+]
+
+
+@pytest.mark.parametrize(
+    "q,sub", PEG_ERRORS, ids=[c[0][:40] for c in PEG_ERRORS]
+)
+def test_peg_errors(q, sub):
+    with pytest.raises(Exception) as ei:
+        parse_all(q)
+    if sub:
+        assert sub in str(ei.value)
+
+
+def test_set_many_fields_and_timestamp_execute(spark):
+    """Multi-field Set + trailing timestamp execute deterministically
+    (documented divergence: the reference sets ONE arbitrary field,
+    FieldArg iterating a Go map — ast.go:736)."""
+    from featurebase_spark.pql import calls as C
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, None)], "_id LONG, a LONG, b LONG, ts TIMESTAMP"
+    )
+    idx = C.Index(df, time_col="ts")
+    node = parse("Set(1, a=4, b=5, 2017-04-03T19:34)")
+    out = node.to_table(idx)
+    r = out.first()
+    assert (r["a"], r["b"]) == (4, 5)
+    assert r["ts"] is not None and r["ts"].year == 2017
