@@ -104,3 +104,53 @@ def test_dedup_survivors_never_shuffles_text(spark, tables):
     for section in p.split("Exchange")[1:]:
         head = section.splitlines()[0]
         assert "text" not in head, head
+
+
+def test_routed_sql_agg_is_local_relation(spark, tables):
+    """A routed SQL aggregate must be answered WITHOUT a base-table scan:
+    the result plan is a 1-row LocalRelation (the count happened against
+    fragment blobs in the driver), the reference's coordinator-answer
+    shape. A FileScan here would mean the routing silently fell back."""
+    df = Q.SPARK_QUERIES["sql_routed_agg"](spark, SF_DIR)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Scan parquet" not in p and "FileScan" not in p
+
+
+def test_minhash_signature_plan_single_exchange_no_udf(spark, tables):
+    """The hashed-shingle signature pipeline: exactly ONE Exchange (the
+    doc-id window shuffle, reused by the per-doc dedup AND the signature
+    aggregation) and ZERO Python evals — every stage is codegen'd JVM
+    (the interpreted HOF form this replaced ran outside codegen)."""
+    from featurebase_spark.pipeline.dedup import minhash_signatures
+    from featurebase_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    # shingle_n=4: distinct from the cached n=5 subtrees other tests
+    # create, so the plan under audit is the real pipeline, not an
+    # InMemoryTableScan over a cache hit
+    sigs = minhash_signatures(docs, "text", "doc_id", 32, 4)
+    p = sigs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # one hash exchange (the doc-id window shuffle); the only other
+    # exchange is the deliberate round-robin spread of under-split input
+    assert p.count("hashpartitioning(") == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_index_maintenance_key_serves_without_table_scan(spark, tables):
+    """bitmap_index_maintenance's routed answers come back as literal
+    frames — the serving step never rescans the statement table."""
+    df = Q.SPARK_QUERIES["bitmap_index_maintenance"](spark, SF_DIR)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Scan parquet" not in p and "FileScan" not in p
