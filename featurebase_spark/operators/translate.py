@@ -48,7 +48,14 @@ class KeyTranslator:
         """(key, id) for every distinct key in ``keys``, allocating ids for
         unseen keys (TranslateStore.CreateKeys). Deterministic given the
         allocation history: within a batch, new keys allocate in key order
-        per partition."""
+        per partition.
+
+        Cost note: each call re-pins the merged map (O(|map|) blocks) —
+        right for session-scoped tables. The 100-TB path stores the map
+        as a bucketed parquet table (PartitionedUpsertTable keyed on
+        ``key``) so a batch rewrites only the buckets its new keys hash
+        into — the boltdb-per-partition persistence of the reference's
+        translate store; the allocation arithmetic here is unchanged."""
         ks = (
             keys.select(F.col(key_col).cast("string").alias("key"))
             .where(F.col("key").isNotNull())

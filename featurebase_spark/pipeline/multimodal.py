@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched Pandas functions.
 
-The Spark-side contract (schemas, partition-size control, mapInPandas batch
-shape) is real and tested; the actual media decoding is STUBBED because
-image/audio libraries are not in this container — each stub raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic fake decode so the distributed plumbing can be exercised
-end-to-end.
+The decode path is REAL for the codec-free formats
+(:mod:`featurebase_spark.pipeline.media_codecs`): PNG (zlib + scanline
+filters), BMP, PPM/PGM images and PCM WAV audio decode in pure
+stdlib+numpy, so decode → feature-extract executes genuinely in this
+container and is verified against hand-built files and an arithmetic
+DuckDB oracle (gradient images whose statistics have closed forms).
+Formats that require external codecs (JPEG, MP3, video) raise
+``UnsupportedMediaError``; ``fake=True`` substitutes the deterministic
+hash-embed stub for synthetic corpora.
 
 Scale notes: media blobs dominate row size, so operators (a) never shuffle
 the binary column — feature extraction happens map-side before any
@@ -67,6 +70,32 @@ def _fake_decode(payload: bytes, feat_dim: int) -> list[float]:
     return out[:feat_dim]
 
 
+#: real-decode output: dimensions + exact pixel statistics + thumbnail
+IMAGE_DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("mean_px", DoubleType(), True),
+        StructField("min_px", LongType(), True),
+        StructField("max_px", LongType(), True),
+        StructField("thumb", ArrayType(DoubleType()), True),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("zero_cross_rate", DoubleType(), True),
+        StructField("spectral_centroid", DoubleType(), True),
+    ]
+)
+
+
 def extract_image_features(
     df: DataFrame,
     feat_dim: int = 16,
@@ -77,22 +106,28 @@ def extract_image_features(
     batches; the Pandas iterator keeps peak memory to one batch of blobs per
     task). Output drops the payload — only compact features flow downstream.
 
-    ``fake=False`` raises NotImplementedError at execution time (no media
-    libs in this container); ``fake=True`` uses the deterministic stub."""
+    ``fake=False`` decodes FOR REAL (PNG/BMP/PPM via media_codecs;
+    other formats raise UnsupportedMediaError) and emits a ``feat_dim``
+    grayscale-thumbnail embedding; ``fake=True`` uses the deterministic
+    hash stub for synthetic corpora."""
 
     def run(batches: Iterator) -> Iterator:
+        import math
+
         import pandas as pd
 
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        side = max(1, math.ceil(math.sqrt(feat_dim)))
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv — not in container; "
-                    "pass fake=True for the deterministic stub"
-                )
-            feats = [
-                _fake_decode(bytes(p) if p is not None else b"", feat_dim)
-                for p in pdf["payload"]
-            ]
+            feats = []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else b""
+                if fake:
+                    feats.append(_fake_decode(b, feat_dim))
+                else:
+                    f = MC.image_features(b, thumb=side)
+                    feats.append(f["thumb"][:feat_dim])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -108,6 +143,71 @@ def extract_image_features(
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     return df.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def decode_image_stats(df: DataFrame, thumb: int = 4, batch_rows: int = 64) -> DataFrame:
+    """REAL image decode → dimensions + exact pixel statistics + a
+    ``thumb``×``thumb`` grayscale thumbnail, map-side (payloads never
+    shuffle). Deterministic: integer stats are exact and the mean is a
+    rational with an exact float64 sum, so results hash-match an
+    arithmetic oracle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_DECODE_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = MC.decode_image(bytes(p))
+                gray = (
+                    img[:, :, :3].mean(axis=2)
+                    if img.shape[2] >= 3
+                    else img[:, :, 0].astype(float)
+                )
+                t = MC.resize_image(gray, thumb, thumb)
+                out["media_id"].append(int(mid))
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["channels"].append(img.shape[2])
+                out["mean_px"].append(float(np.mean(img, dtype=np.float64)))
+                out["min_px"].append(int(img.min()))
+                out["max_px"].append(int(img.max()))
+                out["thumb"].append((t / 255.0).ravel().tolist())
+            yield pd.DataFrame(out)
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    return df.select("media_id", "payload").mapInPandas(run, IMAGE_DECODE_SCHEMA)
+
+
+def extract_audio_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """REAL audio decode (PCM WAV via stdlib wave) → duration, RMS,
+    zero-crossing rate, spectral centroid — map-side, payloads never
+    shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                f = MC.audio_features(bytes(p))
+                out["media_id"].append(int(mid))
+                for k in (
+                    "sample_rate", "duration_ms", "rms",
+                    "zero_cross_rate", "spectral_centroid",
+                ):
+                    out[k].append(f[k])
+            yield pd.DataFrame(out)
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(

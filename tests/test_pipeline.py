@@ -193,9 +193,12 @@ def test_multimodal_fake_decode(spark):
     assert {r["media_id"]: r["features"] for r in again}[1] == out[1]["features"]
 
 
-def test_multimodal_real_decode_stubbed(spark):
+def test_multimodal_unknown_format_raises(spark):
+    # codec-requiring formats (JPEG etc.) still raise honestly; the
+    # codec-free set (PNG/BMP/PPM/WAV) decodes FOR REAL — see
+    # test_real_decode_distributed
     df = spark.createDataFrame([(1, b"x")], "media_id LONG, payload BINARY")
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    with pytest.raises(Exception, match="UnsupportedMedia|external codecs"):
         extract_image_features(df, fake=False).collect()
 
 
@@ -280,3 +283,183 @@ def test_sessionize_gap_semantics(spark):
     }
     assert stats[(1, 1)] == (3, 2400) and stats[(1, 2)] == (1, 0)
     assert stats[(2, 1)] == (1, 0)
+
+
+# --- real media decode (pipeline/media_codecs) ------------------------------
+
+
+class TestMediaCodecs:
+    def test_png_roundtrip_all_channel_counts(self):
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        rng = np.random.default_rng(7)
+        for ch in (1, 2, 3, 4):
+            img = rng.integers(0, 256, (13, 9, ch), dtype=np.uint8)
+            assert np.array_equal(MC.decode_png(MC.encode_png(img)), img)
+
+    def test_png_all_filter_types(self):
+        """Hand-filtered scanlines (types 0-4 incl. Paeth) decode back to
+        the source pixels — the part a roundtrip through our filter-0
+        encoder cannot cover."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+        h, w, ch = img.shape
+        rows, prev = [], np.zeros(w * ch, np.int32)
+        for yy, ft in zip(range(h), [0, 1, 2, 3, 4, 0]):
+            cur = img[yy].ravel().astype(np.int32)
+            enc = np.zeros(w * ch, np.int32)
+            for x in range(w * ch):
+                left = cur[x - ch] if x >= ch else 0
+                up = prev[x]
+                ul = prev[x - ch] if x >= ch else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = left
+                elif ft == 2:
+                    pred = up
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc
+                        else (up if pb <= pc else ul)
+                    )
+                enc[x] = (cur[x] - pred) & 0xFF
+            rows.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+            prev = cur
+        raw = b"".join(rows)
+
+        def chunk(t, d):
+            body = t + d
+            return (
+                struct.pack(">I", len(d)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+            )
+
+        png = (
+            MC.PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(MC.decode_png(png), img)
+
+    def test_bmp_bottom_up_padded(self):
+        import struct
+
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+        stride = (9 + 3) & ~3
+        body = b""
+        for yy in range(4, -1, -1):
+            row = img[yy][:, [2, 1, 0]].tobytes()
+            body += row + b"\x00" * (stride - len(row))
+        bmp = (
+            b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, 3, 5, 1, 24, 0, len(body), 0, 0, 0, 0
+            ) + body
+        )
+        assert np.array_equal(MC.decode_bmp(bmp), img)
+
+    def test_ppm_with_comment(self):
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        ppm = b"P6\n# c\n3 2\n255\n" + bytes(range(18))
+        assert MC.decode_ppm(ppm).shape == (2, 3, 3)
+
+    def test_wav_sine_features(self):
+        import io
+        import wave
+
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        rate = 8000
+        t = np.arange(800) / rate
+        sig = (np.sin(2 * np.pi * 440 * t) * 32000).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(sig.tobytes())
+        f = MC.audio_features(buf.getvalue())
+        assert f["duration_ms"] == 100
+        assert abs(f["spectral_centroid"] - 440) < 15
+        assert 0.6 < f["rms"] < 0.8  # sine RMS ≈ A/√2
+
+    def test_unsupported_raises(self):
+        import pytest as _pytest
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        with _pytest.raises(NotImplementedError):
+            MC.decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_real_decode_distributed(spark):
+    """decode_image_stats + extract_audio_features run the REAL decoders
+    through mapInPandas — the multimodal transform executing genuinely,
+    distributed, payload never shuffled."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from featurebase_spark.pipeline import media_codecs as MC
+    from featurebase_spark.pipeline.multimodal import (
+        decode_image_stats,
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (10, 8, 3), dtype=np.uint8) for _ in range(6)]
+    media = spark.createDataFrame(
+        [(i, bytearray(MC.encode_png(im))) for i, im in enumerate(imgs)],
+        "media_id LONG, payload BINARY",
+    )
+    got = {r["media_id"]: r for r in decode_image_stats(media).collect()}
+    for i, im in enumerate(imgs):
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"]) == (8, 10, 3)
+        assert r["min_px"] == int(im.min()) and r["max_px"] == int(im.max())
+        assert abs(r["mean_px"] - im.mean()) < 1e-9
+    # real-decode feature embedding path (fake=False)
+    feats = extract_image_features(media, feat_dim=16).collect()
+    assert all(len(r["features"]) == 16 for r in feats)
+    # audio
+    rate = 8000
+    t = np.arange(400) / rate
+    rows = []
+    for i, hz in enumerate((220, 880)):
+        sig = (np.sin(2 * np.pi * hz * t) * 30000).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(sig.tobytes())
+        rows.append((i, bytearray(buf.getvalue())))
+    au = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {r["media_id"]: r for r in extract_audio_features(au).collect()}
+    assert abs(got[0]["spectral_centroid"] - 220) < 25
+    assert abs(got[1]["spectral_centroid"] - 880) < 25
