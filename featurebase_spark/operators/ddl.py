@@ -466,6 +466,55 @@ class Catalog:
                 cat.index_field(df, f, id_col=id_col, cache=False)
             self._pin_field(cat, f, kind)
 
+    def save_indexes(self, path: str) -> None:
+        """Persist every table's fragment catalog — and its key-translator
+        map, for string-keyed tables — to parquet under ``path`` (the
+        durable per-(field,shard) fragment files of fragment.go:30-80 via
+        BitmapCatalog.save). Reopen in a later session with
+        :meth:`load_indexes`; serving reads are lazy and shard-pruned."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        meta = {}
+        for t, reg in self._index_fields.items():
+            self._bitmap[t].save(os.path.join(path, t, "fragments"))
+            entry: dict = {"fields": reg}
+            tr = self._translators.get(t)
+            if tr is not None and tr._map is not None:
+                tr._map.write.mode("overwrite").parquet(
+                    os.path.join(path, t, "keys")
+                )
+                entry["next"] = tr._next
+            meta[t] = entry
+        with open(os.path.join(path, "indexes.json"), "w") as fh:
+            json.dump(meta, fh)
+
+    def load_indexes(self, path: str) -> None:
+        """Reopen persisted indexes: fragment frames become lazy parquet
+        reads (shard-partition-pruned at query time); small fields
+        re-adopt into the driver-local tier on their next maintenance
+        pin."""
+        import json
+        import os
+
+        from featurebase_spark.plans.bitmap_index import BitmapCatalog
+
+        with open(os.path.join(path, "indexes.json")) as fh:
+            meta = json.load(fh)
+        for t, entry in meta.items():
+            self._bitmap[t] = BitmapCatalog.load(
+                self.spark, os.path.join(path, t, "fragments")
+            )
+            self._index_fields[t] = dict(entry["fields"])
+            if "next" in entry:
+                from featurebase_spark.operators.translate import KeyTranslator
+
+                tr = KeyTranslator(self.spark)
+                tr._map = self.spark.read.parquet(os.path.join(path, t, "keys"))
+                tr._next = list(entry["next"])
+                self._translators[t] = tr
+
     def ddl_text(self, name: str) -> str:
         """SHOW CREATE TABLE reconstruction from the stored TableDef."""
         td = self._defs[name]
