@@ -85,59 +85,141 @@ def shingles(text_col, n: int = 5) -> Column:
     )
 
 
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_GRAM_SEED = 42
+
+
+def _splitmix64(h):
+    """Full-avalanche finalizer (splitmix64) over a uint64 ndarray."""
+    import numpy as np
+
+    h = h ^ (h >> np.uint64(30))
+    h = h * np.uint64(0xBF58476D1CE4E5B9)
+    h = h ^ (h >> np.uint64(27))
+    h = h * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _hash_tokens_np(token_bytes: list) -> "object":
+    """Vectorized 64-bit hash of a flat list of UTF-8 token byte strings:
+    FNV-1a body + splitmix64 finalizer. One numpy pass per byte position
+    (tokens are short words), no per-token Python work beyond the single
+    C-speed ``b"".join``."""
+    import numpy as np
+
+    cnt = len(token_bytes)
+    if cnt == 0:
+        return np.empty(0, np.uint64)
+    lens = np.fromiter((len(t) for t in token_bytes), np.int64, cnt)
+    buf = np.frombuffer(b"".join(token_bytes), np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    h = np.full(cnt, _FNV_OFFSET, np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    maxlen = int(lens.max())
+    for j in range(maxlen):
+        active = lens > j
+        if active.all():
+            h = (h ^ buf[starts + j].astype(np.uint64)) * prime
+        else:
+            idx = starts[active] + j
+            h[active] = (h[active] ^ buf[idx].astype(np.uint64)) * prime
+    return _splitmix64(h)
+
+
+def _shingle_batch(texts, n: int):
+    """Per-doc distinct hashed n-gram shingles for one Arrow batch.
+
+    Returns (row_indices, shingle_int64) — row_indices point back into
+    the batch (null-text rows contribute nothing). Pure numpy: tokenization is
+    str.split(' ') (same semantics as Spark's split on ' ', trailing
+    empties kept), token hashing is one vectorized pass, and the n-gram
+    hash is a polynomial chain over consecutive token hashes evaluated
+    for ALL positions at once with doc-boundary masks. Short docs
+    (< n tokens) contribute one whole-doc chain — same equality classes
+    as the :func:`shingles` string form (which the DuckDB oracles use)."""
+    import numpy as np
+
+    doc_tokens: list = []
+    counts = []
+    keep_docs = []
+    for d, text in enumerate(texts):
+        if text is None or (isinstance(text, float)):  # null text → no rows
+            continue
+        toks = text.split(" ")
+        keep_docs.append(d)
+        counts.append(len(toks))
+        doc_tokens.extend(t.encode("utf-8") for t in toks)
+    if not keep_docs:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    th = _hash_tokens_np(doc_tokens)
+    counts = np.asarray(counts, np.int64)
+    keep_docs = np.asarray(keep_docs, np.int64)
+    total = int(counts.sum())
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    ends = starts + counts  # exclusive, per doc
+    # per token position: which doc, and that doc's [start, end)
+    docidx = np.repeat(np.arange(len(counts)), counts)
+    tok_end = ends[docidx]
+    pos = np.arange(total, dtype=np.int64)
+    # polynomial chain c_{j} = c_{j-1} * P + th[i+j], masked at doc end —
+    # evaluates every position's chain in n vectorized steps
+    c = np.full(total, _GRAM_SEED, np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    for j in range(n):
+        p = pos + j
+        valid = p < tok_end
+        c[valid] = c[valid] * prime + th[p[valid]]
+    gram = _splitmix64(c)
+    full = counts[docidx] >= n
+    keep = np.where(full, pos + n <= tok_end, pos == starts[docidx])
+    docidx, gram = docidx[keep], gram[keep]
+    # per-doc distinct: lexsort + run-length mask
+    order = np.lexsort((gram, docidx))
+    docidx, gram = docidx[order], gram[order]
+    first = np.ones(len(gram), bool)
+    first[1:] = (docidx[1:] != docidx[:-1]) | (gram[1:] != gram[:-1])
+    return keep_docs[docidx[first]], gram[first].view(np.int64)
+
+
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:
     """(id, shingle) posting table with 64-bit HASHED shingles — the join
     key for candidate generation and Jaccard intersection counting.
 
-    Shape chosen for codegen: array higher-order functions (transform/
-    slice, the :func:`shingles` string form) run INTERPRETED per element
-    in Spark, so the hot path instead posexplodes tokens (a codegen'd
-    generator) and forms each n-gram with ``lead()`` over a doc window,
-    hashing the n token columns directly — ``xxhash64(t0..t4)`` chains
-    per-column seeds, so equality classes match the string form exactly
-    (no concat ambiguity) while the posting key is a LONG, which also
-    makes every downstream join/group cheaper than ~25-char strings.
-    ONE shuffle total: the window's hash-partition on the doc id is
-    reused by the per-doc dedup AND the signature aggregation (both
-    cluster on a superset of the partition key → no extra Exchange).
-    Trade-off vs the HOF form: that one shuffle carries the token table
-    (the HOF form shuffled only |docs|×k signature partials) — accepted
-    because the posting table is re-shuffled by the candidate-verify
-    joins anyway, and interpreted per-element HOF CPU dominated measured
-    wall-clock; revisit if a corpus is signature-only (no verify stage).
+    Shape: an Arrow-batched ``mapInPandas`` per-doc shingle hasher. Docs
+    are atomic per row, so shingling needs NO shuffle at all — the
+    ``lead()``-over-doc-window form this replaces hash-partitioned the
+    full exploded TOKEN table on doc_id (a corpus-sized exchange) before
+    any n-gram existed. Now tokenize→hash→dedup happens map-side in
+    numpy (vectorized FNV-1a + splitmix64 per token, polynomial chain
+    per n-gram — zero per-row Python), and the first exchange anywhere
+    downstream is the signature aggregation's own groupBy, which after
+    map-side partial-min carries only |docs|×k longs. Equality classes
+    match the :func:`shingles` string form exactly (the DuckDB oracles
+    compute that form): per-doc distinct, whole-doc fallback for docs
+    with < n tokens, split-on-space with trailing empties kept.
 
-    Short docs (< n tokens) keep the whole-text fallback: trailing lead
-    columns are NULL, which Spark's hash chain skips, so the pos-0 row
-    hashes exactly the present tokens. At 100 TB: tokenize+hash is
-    embarrassingly parallel, and the only shuffle carries (id, long)."""
-    from pyspark.sql import Window
-
+    The posting key is a well-mixed 64-bit LONG: downstream joins/groups
+    are cheap, and the Kirsch–Mitzenmacher signature derivation
+    (:func:`_minhash_aggs`) stays JVM-side and unchanged. At 100 TB:
+    embarrassingly parallel, no exchange, binary text never leaves the
+    scan partition. Reference analogue: per-shard local compute before
+    any merge (executor.go:6449-6830)."""
     from featurebase_spark.pipeline import spread_small_input
 
     src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
-    toks = tokens(F.col(text_col))
-    # empty text still contributes its one fallback shingle (split('')
-    # yields [''] — keep parity with the string form and the oracle)
-    rows = src.select(
-        F.col(id_col),
-        F.size(toks).alias("n_toks"),
-        F.posexplode(toks).alias("pos", "t0"),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    lead_cols = [F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, n)]
-    rows = rows.select(F.col(id_col), "n_toks", "pos", "t0", *lead_cols)
-    gram_hash = F.xxhash64(*[F.col(f"t{i}") for i in range(n)])
-    grams = rows.where(
-        (F.col("n_toks") >= n) & F.col(f"t{n-1}").isNotNull()
-        | (F.col("n_toks") < n) & (F.col("pos") == 0)
-    ).select(F.col(id_col), gram_hash.alias("shingle"))
-    # per-doc distinct (array_distinct in the string form) — clusters on
-    # (id, shingle) ⊇ the window's id partitioning: no new Exchange
-    return grams.groupBy(id_col, "shingle").agg(F.lit(1)).select(
-        F.col(id_col), "shingle"
-    )
+    id_type = src.schema[id_col].dataType.simpleString()
+
+    def hash_partition(batches):
+        for pdf in batches:
+            idx, grams = _shingle_batch(pdf[text_col].tolist(), n)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[idx], "shingle": grams}
+            )
+
+    return src.mapInPandas(hash_partition, f"{id_col} {id_type}, shingle long")
 
 
 def ngram_jaccard_pairs(

@@ -120,11 +120,14 @@ def test_routed_sql_agg_is_local_relation(spark, tables):
     assert "Scan parquet" not in p and "FileScan" not in p
 
 
-def test_minhash_signature_plan_single_exchange_no_udf(spark, tables):
-    """The hashed-shingle signature pipeline: exactly ONE Exchange (the
-    doc-id window shuffle, reused by the per-doc dedup AND the signature
-    aggregation) and ZERO Python evals — every stage is codegen'd JVM
-    (the interpreted HOF form this replaced ran outside codegen)."""
+def test_minhash_signature_plan_zero_exchanges_before_groupby(spark, tables):
+    """The mapInPandas shingler removed every exchange upstream of the
+    signature aggregation: the ONLY hash exchange in the whole plan is
+    the signature groupBy's own, and map-side partial_min runs before it
+    (so the exchange carries |docs|×k longs, not the posting table — the
+    lead()-window form this replaced shuffled the full exploded token
+    table on doc_id before any n-gram existed). The Arrow stage is the
+    one MapInPandas; no row-at-a-time Python evals anywhere."""
     from featurebase_spark.pipeline.dedup import minhash_signatures
     from featurebase_spark.session import load_tables
 
@@ -138,9 +141,13 @@ def test_minhash_signature_plan_single_exchange_no_udf(spark, tables):
             "formatted"
         )
     )
-    # one hash exchange (the doc-id window shuffle); the only other
-    # exchange is the deliberate round-robin spread of under-split input
+    # the only hash exchange is the signature groupBy itself (any other
+    # exchange is the deliberate round-robin spread of under-split input)
     assert p.count("hashpartitioning(") == 1, p
+    # map-side combine: a partial_min aggregate appears before the exchange
+    head = p.split("hashpartitioning(")[0]
+    assert "partial_min" in head, p
+    assert "MapInPandas" in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
