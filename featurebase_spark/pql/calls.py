@@ -705,7 +705,12 @@ class GroupBy(ReaderCall):
             if idx.is_array_field(f):
                 df = df.withColumn(f, F.explode(f))
             keys.append(f)
-        df = df.na.drop(subset=keys)
+        # chained isNotNull instead of na.drop: na.drop compiles to
+        # atleastnnonnulls(k, ...), which Spark does NOT push to the
+        # parquet scan; per-column IsNotNull reaches PushedFilters and
+        # lets row-group stats skip all-null stripes at scale
+        for k in keys:
+            df = df.where(F.col(k).isNotNull())
         if self.aggregate is None:
             agged = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
         elif isinstance(self.aggregate, list):
