@@ -2375,6 +2375,55 @@ def multimodal_real_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_decode",
+    # JPEG twin of multimodal_real_decode: gray images CONSTANT per 8x8
+    # block are exactly invertible through baseline JPEG with a flat
+    # Q=8 quant table (DC-only blocks, integer DC) — so DuckDB derives
+    # the stats arithmetically from the block formula while Spark
+    # decodes genuine JPEG bytes (markers → Huffman → dequant → IDCT).
+    "SELECT i AS media_id, CAST(24 AS BIGINT) AS width, "
+    "CAST(16 AS BIGINT) AS height, CAST(1 AS BIGINT) AS channels, "
+    "AVG(v) AS mean_px, CAST(MIN(v) AS BIGINT) AS min_px, "
+    "CAST(MAX(v) AS BIGINT) AS max_px "
+    "FROM (SELECT i, ((x//8)*7 + (y//8)*13 + i*31) % 256 AS v "
+    "      FROM range(20) t(i), range(24) xs(x), range(16) ys(y)) "
+    "GROUP BY i ORDER BY i",
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode end to end: 20 block-gradient gray
+    images are ENCODED to genuine JFIF baseline JPEG (standard Annex K
+    Huffman tables, flat Q=8 quant), decoded distributedly by the
+    pure-numpy decoder (pipeline/media_codecs.decode_jpeg — no PIL),
+    and their exact pixel statistics compared against DuckDB computing
+    the same numbers from the generating formula. Per-8x8-block-constant
+    gray input makes the lossy pipeline pixel-exact (DC-only blocks,
+    DC quantized by 8 losslessly), so the hash match proves the whole
+    bitstream path: marker walk, Huffman entropy decode, dequant, IDCT.
+    Payloads never enter a shuffle (mapInPandas, map-side)."""
+    import numpy as np
+
+    from featurebase_spark.pipeline.media_codecs import FLAT_QUANT8, encode_jpeg
+    from featurebase_spark.pipeline.multimodal import decode_image_stats
+
+    bx = np.arange(3).reshape(1, 3)
+    by = np.arange(2).reshape(2, 1)
+    rows = []
+    for i in range(20):
+        blocks = ((bx * 7 + by * 13 + i * 31) % 256).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)  # 16 rows x 24 cols
+        rows.append((i, bytearray(encode_jpeg(img, quant=FLAT_QUANT8))))
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    return (
+        decode_image_stats(media)
+        .select(
+            "media_id", "width", "height", "channels",
+            "mean_px", "min_px", "max_px",
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
     "sql_text_bulk_delete",
     "SELECT p_partkey AS _id, upper(p_name) AS name, "
     "CAST(p_size * 2 AS BIGINT) AS size2 FROM part "

@@ -406,6 +406,75 @@ class TestMediaCodecs:
         assert abs(f["spectral_centroid"] - 440) < 15
         assert 0.6 < f["rms"] < 0.8  # sine RMS ≈ A/√2
 
+    def test_jpeg_blocky_gray_exact_roundtrip(self):
+        """Per-8x8-block-constant gray + flat Q=8 quant: DC-only blocks
+        survive the lossy pipeline EXACTLY (DC = 8·(v−128) quantized by 8
+        losslessly) — the contract the multimodal_jpeg_decode oracle
+        builds on. Covers markers, Annex K Huffman, dequant, IDCT."""
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        rng = np.random.default_rng(3)
+        bvals = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+        img = np.repeat(np.repeat(bvals, 8, 0), 8, 1)
+        dec = MC.decode_jpeg(MC.encode_jpeg(img, quant=MC.FLAT_QUANT8))
+        assert dec.shape == (32, 40, 1)
+        assert np.array_equal(dec[:, :, 0], img)
+
+    def test_jpeg_gray_noise_bounded_error(self):
+        """Arbitrary gray content through flat Q=8: every quantized AC
+        coefficient is off by ≤4, so pixel error stays small — and
+        non-multiple-of-8 dimensions exercise edge padding."""
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (33, 45), dtype=np.uint8)
+        dec = MC.decode_jpeg(MC.encode_jpeg(img, quant=MC.FLAT_QUANT8))
+        assert dec.shape == (33, 45, 1)
+        err = np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()
+        assert err <= 16, err
+
+    def test_jpeg_color_smooth_roundtrip(self):
+        """RGB 4:4:4 with the standard Annex K quant tables: smooth
+        gradients decode within normal JPEG tolerance, proving the
+        3-component scan interleave and YCbCr conversion both ways."""
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        x, y = np.meshgrid(np.arange(40) * 3 % 256, np.arange(24) * 5 % 256,
+                           indexing="ij")
+        img = np.stack([x, y, np.full_like(x, 90)], axis=2).astype(np.uint8)
+        dec = MC.decode_jpeg(MC.encode_jpeg(img))
+        assert dec.shape == (40, 24, 3)
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        assert err <= 12, err
+
+    def test_jpeg_sniff_and_dispatch(self):
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        img = np.full((8, 8), 100, np.uint8)
+        payload = MC.encode_jpeg(img, quant=MC.FLAT_QUANT8)
+        assert MC.sniff(payload) == "jpeg"
+        assert MC.decode_image(payload).shape == (8, 8, 1)
+
+    def test_jpeg_progressive_raises(self):
+        import struct
+
+        import pytest as _pytest
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        # SOF2 (progressive) frame header
+        sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
+        with _pytest.raises(NotImplementedError, match="progressive"):
+            MC.decode_jpeg(sof2)
+
     def test_unsupported_raises(self):
         import pytest as _pytest
 
@@ -413,6 +482,8 @@ class TestMediaCodecs:
 
         with _pytest.raises(NotImplementedError):
             MC.decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+        with _pytest.raises(NotImplementedError):
+            MC.decode_image(b"GIF89a not supported")
 
 
 def test_real_decode_distributed(spark):
