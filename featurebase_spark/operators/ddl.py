@@ -162,6 +162,7 @@ class Catalog:
         Bucketed (default): commit cost is O(buckets the batch's keys
         hash into); a 3-row INSERT into a huge table rewrites ≤3 bucket
         dirs, never the table."""
+        self._check_foreign_keys(name, rows)
         if self.bucketed:
             store = self._storage.get(name)
             if store is None:
@@ -201,6 +202,37 @@ class Catalog:
         # distributed parquet commit — no rows ever pass through the driver
         materialize_view(merged, name, self._data_path)
         self._index_upsert(name, rows, cols)
+
+    def _check_foreign_keys(self, name: str, rows: DataFrame) -> None:
+        """Write-time foreign-index enforcement (field.go:133-141, checked
+        on field open field.go:607-611): every non-null value of a field
+        declared ``REFERENCES other (_id)`` must be an existing record id
+        of the target table. The probe is one distinct anti-join per
+        declared field — batch-sized, never table-sized, and at scale the
+        target _id side is the join's build side (broadcast for dims).
+        A superset of the current reference (which now validates only
+        index existence, having once enforced values) — the semantic the
+        declaration promises."""
+        td = self._defs.get(name)
+        if td is None:
+            return
+        for f in td.fields:
+            if not f.foreign_index or f.name not in rows.columns:
+                continue
+            tgt = self.spark.table(self._view(f.foreign_index)).select("_id")
+            bad = (
+                rows.select(F.col(f.name).alias("v"))
+                .where(F.col("v").isNotNull())
+                .distinct()
+                .join(tgt, F.col("v") == F.col("_id"), "left_anti")
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"value '{bad[0][0]}' for field '{f.name}' "
+                    f"not in foreign index '{f.foreign_index}'"
+                )
 
     def delete_ids(self, name: str, ids: DataFrame) -> None:
         """DELETE by key set — bucketed: rewrites only the buckets the
@@ -576,6 +608,8 @@ class Catalog:
                     parts.append(f"ttl '{f.ttl}'")
             if f.cache_type:
                 parts.append(f"cachetype {f.cache_type}")
+            if f.foreign_index:
+                parts.append(f"references {f.foreign_index} (_id)")
             cols.append(" ".join(parts))
         return f"create table {name} ({', '.join(cols)})"
 

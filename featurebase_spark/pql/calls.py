@@ -463,6 +463,26 @@ class Distinct(_FieldAgg):
         return df.select(self.field).where(F.col(self.field).isNotNull()).distinct()
 
 
+def foreign_distinct_rows(
+    target: Index, source: Index, distinct: "Distinct"
+) -> DataFrame:
+    """Cross-index ``Distinct`` consumption — the foreign-index query
+    pattern (field.go:133-141; executor.go dispatches a nested
+    ``Distinct(index=other, field=fk)`` remotely and feeds the resulting
+    row set into the OUTER index's filter): the fk values distinct-ed on
+    the SOURCE index are record ids of the TARGET index, so the target
+    consumes them as a row filter — Spark-first this is one LEFT-SEMI
+    join of the target on its id column (the ``Row(in=…)`` form), which
+    Catalyst broadcasts when the distinct side is small. Returns the
+    target rows whose ``_id`` is referenced."""
+    vals = distinct.to_df(source).select(
+        F.col(distinct.field).alias("__fk")
+    )
+    return target.df.join(
+        vals, F.col(target.id_col) == F.col("__fk"), "left_semi"
+    )
+
+
 @dataclass
 class Percentile(ReaderCall):
     """Exact nearest-rank percentile (executePercentile executor.go:1310-1603

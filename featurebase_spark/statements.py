@@ -202,7 +202,8 @@ def _parse_type(p: _P) -> tuple[str, Optional[int]]:
     return name, scale
 
 
-_CONSTRAINT_KWS = {"MIN", "MAX", "TIMEUNIT", "TIMEQUANTUM", "CACHETYPE"}
+_CONSTRAINT_KWS = {"MIN", "MAX", "TIMEUNIT", "TIMEQUANTUM", "CACHETYPE",
+                   "REFERENCES"}
 
 
 def _parse_column_def(p: _P) -> dict:
@@ -240,6 +241,18 @@ def _parse_column_def(p: _P) -> dict:
                 if kind != "num":
                     raise StatementError("literal expected")
                 col["cachesize"] = int(tok)
+        elif kw == "REFERENCES":
+            # column-level foreign-index constraint (parser.go:1029-1045,
+            # OptFieldForeignIndex field.go:133-141): REFERENCES tbl (_id)
+            col["references"] = p.ident("foreign table name")
+            if p.accept("("):
+                fcol = p.ident("foreign column name")
+                if fcol != "_id":
+                    raise StatementError(
+                        "foreign key must reference _id"
+                    )
+                if not p.accept(")"):
+                    raise StatementError("expected right paren")
     return col
 
 
@@ -302,12 +315,18 @@ def _create_table(p: _P, spark: SparkSession, catalog) -> None:
                 ttl=col.get("ttl"),
                 time_unit=col.get("timeunit"),
                 cache_type=col.get("cachetype"),
+                foreign_index=col.get("references"),
             )
         )
     if name in catalog._defs:
         if if_not_exists:
             return
         raise StatementError(f"table '{name}' already exists")
+    # foreign index must exist at field-create time (field.go:607-611,
+    # applyForeignIndex field.go:715-722; ErrForeignIndexNotFound)
+    for f in fields:
+        if f.foreign_index and f.foreign_index not in catalog._defs:
+            raise StatementError(f"{f.foreign_index}: foreign index not found")
     catalog.create_table(TableDef(name, fields, keys=keyed))
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from featurebase_spark.operators.ddl import Catalog
 from featurebase_spark.sql import fb_sql
@@ -445,3 +446,89 @@ def test_statement_insert_touches_only_key_buckets(spark, cat, tmp_path):
     fb_sql(spark, "insert into bktins (_id, a, s) values (1, 1, 'x')", catalog=cat)
     assert spark.table("bktins").count() == 1
     cat.drop_table("bktins")
+
+
+# --- foreign-index fields (field.go:133-141, 607-611, 715-722) --------------
+
+
+def test_foreign_index_must_exist_at_create(spark, cat):
+    """Declaring REFERENCES against a missing table fails at field-create
+    time with the reference's error (ErrForeignIndexNotFound wrapped with
+    the index name, field.go:715-722)."""
+    with pytest.raises(StatementError,
+                       match="nosuchtbl: foreign index not found"):
+        fb_sql(spark, "create table fkchild (_id id, parent id "
+               "references nosuchtbl (_id))", catalog=cat)
+    fb_sql(spark, "create table fkparent (_id id, label string)",
+           catalog=cat)
+    fb_sql(spark, "create table fkchild (_id id, parent id "
+           "references fkparent (_id))", catalog=cat)
+    assert "references fkparent (_id)" in cat.ddl_text("fkchild")
+    # referencing any column but _id is rejected (records are keyed by _id)
+    with pytest.raises(StatementError, match="foreign key must reference _id"):
+        fb_sql(spark, "create table fkchild2 (_id id, parent id "
+               "references fkparent (label))", catalog=cat)
+    cat.drop_table("fkchild")
+    cat.drop_table("fkparent")
+
+
+def test_foreign_index_write_enforcement(spark, cat):
+    """Write-time enforcement: values of a foreign-index field must be
+    existing _ids of the target table; NULL is allowed (no reference)."""
+    fb_sql(spark, "create table fkp (_id id, label string)", catalog=cat)
+    fb_sql(spark, "insert into fkp values (1, 'a'), (2, 'b'), (3, 'c')",
+           catalog=cat)
+    fb_sql(spark, "create table fkc (_id id, parent id "
+           "references fkp (_id), score int)", catalog=cat)
+    fb_sql(spark, "insert into fkc values (10, 1, 5), (11, 3, 7)",
+           catalog=cat)
+    with pytest.raises(Exception,
+                       match="value '99' for field 'parent' "
+                             "not in foreign index 'fkp'"):
+        fb_sql(spark, "insert into fkc values (12, 99, 9)", catalog=cat)
+    # the failed batch left no partial write
+    assert spark.table("fkc").count() == 2
+    # NULL fk is fine
+    fb_sql(spark, "insert into fkc (_id, score) values (13, 11)",
+           catalog=cat)
+    assert spark.table("fkc").count() == 3
+    cat.drop_table("fkc")
+    cat.drop_table("fkp")
+
+
+def test_foreign_distinct_semi_join_recipe(spark, cat):
+    """The cross-index query the declaration exists for: Distinct(filter,
+    field=fk) evaluated on the CHILD index yields parent record ids,
+    consumed by the PARENT index as a row filter — one left-semi join
+    (the Row(in=...) form), verified against the plain-join answer."""
+    from featurebase_spark.pql.calls import (
+        Distinct,
+        Index,
+        Row,
+        foreign_distinct_rows,
+    )
+
+    fb_sql(spark, "create table fdp (_id id, label string)", catalog=cat)
+    fb_sql(spark, "insert into fdp values " + ", ".join(
+        f"({i}, 'p{i}')" for i in range(20)), catalog=cat)
+    fb_sql(spark, "create table fdc (_id id, parent id "
+           "references fdp (_id), kind string)", catalog=cat)
+    fb_sql(spark, "insert into fdc values " + ", ".join(
+        f"({100 + i}, {i % 7}, '{'hot' if i % 3 == 0 else 'cold'}')"
+        for i in range(30)), catalog=cat)
+
+    parent = Index(spark.table("fdp"))
+    child = Index(spark.table("fdc"))
+    got = foreign_distinct_rows(
+        parent, child, Distinct(field="parent", filter=Row("kind", "==", "hot"))
+    )
+    want = (
+        spark.table("fdp").alias("p")
+        .join(spark.table("fdc").where("kind = 'hot'").alias("c"),
+              F.col("p._id") == F.col("c.parent"), "left_semi")
+    )
+    assert sorted(r["_id"] for r in got.collect()) == \
+        sorted(r["_id"] for r in want.collect())
+    assert got.count() > 0
+    cat.drop_table("fdc")
+    cat.drop_table("fdp")
