@@ -69,12 +69,17 @@ def _active_spark():
     return s
 
 
-def _pack(offsets: np.ndarray) -> bytes:
+def _pack(offsets: np.ndarray, assume_sorted: bool = False) -> bytes:
     """Offsets within a shard → the smaller of the two container encodings.
-    Break-even at cardinality ≈ max_offset/32, exactly roaring's rule."""
+    Break-even at cardinality ≈ max_offset/32, exactly roaring's rule.
+    ``assume_sorted``: skip the dedup-sort when the caller guarantees
+    sorted-unique input (e.g. flatnonzero output) — np.unique's sort
+    dominated the serving-path seal cost."""
     if len(offsets) == 0:
         return b""
-    offs = np.unique(np.asarray(offsets, dtype=np.int64))
+    offs = np.asarray(offsets, dtype=np.int64)
+    if not assume_sorted:
+        offs = np.unique(offs)
     dense_bytes = (int(offs[-1]) >> 3) + 1
     array_bytes = 4 * len(offs)
     if array_bytes < dense_bytes:
@@ -367,9 +372,10 @@ def _dense_bits(offs: np.ndarray, nbytes: int) -> np.ndarray:
 
 def _seal(arr: np.ndarray) -> bytes:
     """Packed dense byte array → container-encoded blob (re-choosing the
-    cheaper encoding for the result)."""
+    cheaper encoding for the result). flatnonzero output is already
+    sorted-unique, so the pack skips its dedup-sort."""
     offs = np.flatnonzero(np.unpackbits(arr, bitorder="little"))
-    return _pack(offs)
+    return _pack(offs, assume_sorted=True)
 
 
 def _aligned_planes(pdf: pd.DataFrame) -> tuple[dict[int, np.ndarray], int]:
@@ -570,6 +576,16 @@ class BitmapCatalog:
         self._frag_cache: "OrderedDict[tuple, dict]" = OrderedDict()
         self._frag_cache_bytes = 0
         self.frag_cache_cap = 64 << 20
+        # decoded dense-plane LRU: (field, shard) → ({bit: dense bits},
+        # nbytes). A BSI Cmp must unpack every plane container to dense
+        # bits before the bit descent — the percentile binary search
+        # issues O(nbits) Cmp counts against the SAME planes, so caching
+        # the decoded form makes each probe a pure numpy descent instead
+        # of a re-unpack (the reference's fragments are already decoded
+        # in-process; this mirrors that). Invalidated with the field.
+        self._dense_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._dense_cache_bytes = 0
+        self.dense_cache_cap = 128 << 20
         # DRIVER-LOCAL small-index tier: field → {(value|bit, shard): blob}.
         # The reference holds every fragment in-process and merges imports
         # there (fragment.go, under the shard write Tx); for indexes under
@@ -693,6 +709,9 @@ class BitmapCatalog:
                 len(b) if isinstance(b, bytes) else sum(len(x) for x in b.values())
                 for b in old.values()
             )
+        for k in [k for k in self._dense_cache if k[0] == field]:
+            _, nbytes = self._dense_cache.pop(k)
+            self._dense_cache_bytes -= nbytes
 
     def _cache_put(self, key: tuple, entry: dict, nbytes: int) -> None:
         self._frag_cache[key] = entry
@@ -791,12 +810,42 @@ class BitmapCatalog:
                     out[i] = eq[lf].get(shard, b"")
                 else:
                     spec = specs[i]
-                    out[i] = _cmp_blob(
-                        planes[lf.field].get(shard), spec[2], spec[3], spec[4]
+                    dense = self._dense_planes_for(
+                        lf.field, shard, planes[lf.field].get(shard)
+                    )
+                    out[i] = (
+                        b""
+                        if dense is None
+                        else _seal(
+                            _bsi_cmp_shard(dense, spec[4], spec[2], spec[3])
+                        )
                     )
             return out
 
         return shards, blobs_for
+
+    def _dense_planes_for(self, field: str, shard: int, raw):
+        """Decoded dense planes for one (field, shard), LRU-cached —
+        None when the shard has no values of the field."""
+        key = (field, shard)
+        hit = self._dense_cache.get(key)
+        if hit is None:
+            if not raw or -1 not in raw:
+                hit = (None, 0)
+            else:
+                dense, _ = _dense_planes(raw)
+                hit = (dense, sum(a.nbytes for a in dense.values()))
+            self._dense_cache[key] = hit
+            self._dense_cache_bytes += hit[1]
+            while (
+                self._dense_cache_bytes > self.dense_cache_cap
+                and len(self._dense_cache) > 1
+            ):
+                _, (_, nb) = self._dense_cache.popitem(last=False)
+                self._dense_cache_bytes -= nb
+        else:
+            self._dense_cache.move_to_end(key)
+        return hit[0]
 
     def _driver_filter_fn(self, node):
         """Filter tree → ``fn(shard) -> blob | None`` evaluated from the

@@ -1,0 +1,93 @@
+"""Scaling-curve harness: local evidence for the size-independence claims.
+
+The routed-serving and O(touched-bucket) write keys claim their cost is
+flat in TABLE SIZE (driver-cache / fragment serving never rescans the
+base table; a k-row INSERT rewrites only the buckets its keys hash into).
+This harness measures those keys across the generated scale factors —
+sf0.001 → sf0.1 is a 100× data range — and asserts bounded growth.
+
+Methodology: one warm pass of every (key, sf) pair first (JIT, parquet
+footers, Arrow workers — same treatment bench.py gives its keys), then
+``repeats`` timed runs keeping the MINIMUM (the right statistic for a
+flatness claim: jitter only ever adds time). Keys measured:
+
+- ``bitmap_index_count``        — routed count from the driver fragment tier
+- ``bitmap_index_maintenance``  — statement commits + incremental index
+                                  maintenance + routed serving, O(touched)
+- ``statement_insert_touched_buckets`` — bucketed INSERT, O(touched buckets)
+- ``pql_text_routed_serving``   — PQL text → routed serving, no base scan
+
+Run: ``python -m featurebase_spark.scaling [out.json]`` — writes the
+artifact and exits non-zero if any key grows beyond the bound.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+SCALING_KEYS = [
+    "bitmap_index_count",
+    "bitmap_index_maintenance",
+    "statement_insert_touched_buckets",
+    "pql_text_routed_serving",
+]
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+#: max allowed t(largest)/t(smallest) across the 100× data range
+GROWTH_BOUND = 1.3
+
+
+def measure(spark, keys=None, sf_dirs=None, repeats: int = 3) -> dict:
+    from featurebase_spark.queries import SPARK_QUERIES
+
+    keys = keys or SCALING_KEYS
+    sf_dirs = sf_dirs or SF_DIRS
+    out: dict = {"keys": {}, "growth_bound": GROWTH_BOUND}
+    for key in keys:
+        fn = SPARK_QUERIES[key]
+        per_sf = {}
+        for sf in sf_dirs:
+            fn(spark, sf).collect()  # warm
+            best = min(
+                _timed(fn, spark, sf) for _ in range(repeats)
+            )
+            per_sf[sf] = round(best, 4)
+        times = [per_sf[sf] for sf in sf_dirs]
+        growth = times[-1] / times[0] if times[0] > 0 else float("inf")
+        out["keys"][key] = {
+            "seconds": per_sf,
+            "growth_100x": round(growth, 3),
+            "flat": growth <= GROWTH_BOUND,
+        }
+    out["all_flat"] = all(v["flat"] for v in out["keys"].values())
+    return out
+
+
+def _timed(fn, spark, sf) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf).collect()
+    return time.perf_counter() - t0
+
+
+def main(out_path: str = "SCALING_r05.json") -> int:
+    from featurebase_spark.session import get_spark
+
+    spark = get_spark()
+    result = measure(spark)
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=2)
+    for k, v in result["keys"].items():
+        print(k, v["seconds"], f"growth={v['growth_100x']}x flat={v['flat']}")
+    return 0 if result["all_flat"] else 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main(*sys.argv[1:]))
