@@ -83,17 +83,27 @@ def _emit_plain(tok: str) -> str:
     return tok
 
 
-def _emit_word(tok: str) -> str:
+#: keywords after which a hyphenated identifier is a TABLE reference
+_TABLE_POS_KWS = {"FROM", "JOIN", "INTO", "TABLE", "UPDATE"}
+
+
+def _emit_word(tok: str, table_pos: bool = False) -> str:
     """Emit one identifier/keyword token into Spark SQL. Hyphenated
     identifiers (legal in the reference — scanner.go:338-339 treats '-'
     as an identifier char, so ``un-keyed`` is ONE token, not subtraction)
-    are rewritten to their Spark-safe view name. Subtraction still works
-    when spaced (``a - b``) or against numeric literals (``a -1``),
-    exactly as in the reference dialect."""
+    are position-sensitive: in table position they rewrite to the
+    Spark-safe VIEW name (Spark rejects hyphens in view names); in
+    expression position they are COLUMN references, which Spark accepts
+    with backtick quoting (the physical DataFrame column keeps the
+    hyphenated spelling). Subtraction still works when spaced (``a - b``)
+    or against numeric literals (``a -1``), exactly as in the reference
+    dialect."""
     if "-" in tok and (tok[:1].isalpha() or tok[:1] == "_"):
-        from featurebase_spark.schema import spark_view_name
+        if table_pos:
+            from featurebase_spark.schema import spark_view_name
 
-        return spark_view_name(tok)
+            return spark_view_name(tok)
+        return f"`{tok}`"
     return tok
 
 
@@ -333,6 +343,12 @@ class _Rewriter:
             j += 1
         return self.toks[j] if j < len(self.toks) else None
 
+    def _prev_word(self, j: int) -> Optional[str]:
+        """Previous non-ws token at or before j, if it exists."""
+        while j >= 0 and _is_ws(self.toks[j]):
+            j -= 1
+        return self.toks[j] if j >= 0 else None
+
     def scope(self, stop: Optional[str]) -> str:
         """Rewrite one query scope (whole statement or a (...) group).
 
@@ -402,7 +418,12 @@ class _Rewriter:
                     continue
                 if up == "LIMIT":
                     saw_explicit_limit = True
-                out.append(_emit_word(tok))
+                prev = self._prev_word(self.i - 1)
+                out.append(_emit_word(
+                    tok,
+                    table_pos=prev is not None
+                    and prev.upper() in _TABLE_POS_KWS,
+                ))
                 self.i += 1
                 continue
             # unary '!' is BITWISE complement in the reference dialect

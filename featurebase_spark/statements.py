@@ -593,9 +593,9 @@ def _insert(p: _P, spark: SparkSession, catalog, replace: bool) -> None:
                 # bitmaps; SELECT walks them in key order). Applied in
                 # the projection — inline VALUES rejects lambda exprs.
                 v = f"array_sort(array_distinct({v}))"
-            casts.append(f"{v} AS {c}")
+            casts.append(f"{v} AS `{c}`")
         else:
-            casts.append(f"CAST(NULL AS {_target_type(c)}) AS {c}")
+            casts.append(f"CAST(NULL AS {_target_type(c)}) AS `{c}`")
     rows = spark.sql(
         f"SELECT {', '.join(casts)} FROM (VALUES {values_sql}) "
         f"AS __v({', '.join(f'v{i}' for i in range(len(cols)))})"

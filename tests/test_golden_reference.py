@@ -1408,3 +1408,32 @@ def test_golden_sql1_errors(spark, sql1_cat, sql, err):
     # analyzer error phrasing parity (defs_sql1.go:534-556; sql3/errors.go)
     with pytest.raises(ValueError, match=re.escape(err)):
         fb_sql(spark, sql, catalog=sql1_cat)
+
+
+def test_golden_select_hyphenated_column(spark):
+    """'-' is an identifier char in the reference lexer (scanner.go:
+    338-339), for COLUMNS too. Expression position emits the column
+    backtick-quoted for Spark (physical DataFrame columns keep the
+    hyphenated spelling); table position still mangles to the Spark-safe
+    view name. Spaced '-' stays subtraction, as in the reference."""
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table hyphcol (_id id, a-int int min 0 max 100, "
+           "b string)", catalog=cat)
+    fb_sql(spark, "insert into hyphcol (_id, a-int, b) values "
+           "(1, 11, 'x'), (2, 22, 'y')", catalog=cat)
+    r = fb_sql(spark, "select _id, a-int, b from hyphcol where a-int > 15",
+               catalog=cat).collect()
+    assert len(r) == 1 and r[0]["a-int"] == 22
+    assert [x["a-int"] for x in fb_sql(
+        spark, "select a-int from hyphcol order by a-int desc",
+        catalog=cat).collect()] == [22, 11]
+    # spaced '-' is still subtraction
+    assert fb_sql(spark, "select a-int - 1 as m from hyphcol where _id = 1",
+                  catalog=cat).first()["m"] == 10
+    assert fb_sql(spark, "select sum(a-int) as s from hyphcol",
+                  catalog=cat).first()["s"] == 33
+    fb_sql(spark, "delete from hyphcol where a-int > 15", catalog=cat)
+    assert spark.table("hyphcol").count() == 1
+    cat.drop_table("hyphcol")
