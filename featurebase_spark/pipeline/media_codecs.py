@@ -661,9 +661,14 @@ def _encode_block(w: _BitWriter, qblk: np.ndarray, pred: int,
 
 
 def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
-                chroma_quant: np.ndarray = None) -> bytes:
-    """Minimal baseline JPEG writer (4:4:4, no restarts) — builds real
-    test payloads without PIL. Gray (HxW / HxWx1) or RGB (HxWx3).
+                chroma_quant: np.ndarray = None, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Minimal baseline JPEG writer — builds real test payloads without
+    PIL. Gray (HxW / HxWx1) or RGB (HxWx3); 4:4:4 by default,
+    ``subsample=True`` emits 4:2:0 (2x2 luma sampling, box-averaged
+    chroma — exercises the decoder's interleaved-MCU and upsample
+    paths); ``restart_interval=n`` emits DRI + RSTn markers every n MCUs
+    (exercises the decoder's bitstream-resync path).
     ``quant=FLAT_QUANT8`` with per-8x8-block-constant GRAY input makes the
     decode round-trip pixel-exact (the arithmetic oracle's contract)."""
     img = np.asarray(img, dtype=np.uint8)
@@ -683,7 +688,20 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
             + 0.5 * rgbf[:, :, 2]
         cr = 128.0 + 0.5 * rgbf[:, :, 0] - 0.418688 * rgbf[:, :, 1] \
             - 0.081312 * rgbf[:, :, 2]
-        planes = [y, cb, cr]
+        if subsample:
+            # 4:2:0: pad to even, box-average chroma 2x2
+            eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+
+            def down2(p):
+                p = np.pad(p, ((0, eh - h), (0, ew - w)), mode="edge")
+                return (p[0::2, 0::2] + p[1::2, 0::2]
+                        + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+
+            planes = [y, down2(cb), down2(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1)] * 3
         qtabs = [lq, cq, cq]
         qids = [0, 1, 1]
         huffs = [(_STD_DC_LUMA, _STD_AC_LUMA), (_STD_DC_CHROMA, _STD_AC_CHROMA),
@@ -691,30 +709,47 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
         hids = [0, 1, 1]
     else:
         planes = [img[:, :, 0].astype(np.float64)]
+        samps = [(1, 1)]
         qtabs, qids = [lq], [0]
         huffs = [(_STD_DC_LUMA, _STD_AC_LUMA)]
         hids = [0]
-    # pad to 8-multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     bw = _BitWriter()
     dc_codes = [_huff_codes(*hf[0]) for hf in huffs]
     ac_codes = [_huff_codes(*hf[1]) for hf in huffs]
-    # quantized blocks per component (batched DCT)
+    # quantized blocks per component (batched DCT), MCU-grid padded
     qblocks = []
     for pi, plane in enumerate(planes):
-        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
-        blocks = p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        hi, vi = samps[pi]
+        ph_i, pw_i = mcuy * vi * 8, mcux * hi * 8
+        ch_i, cw_i = plane.shape
+        p = np.pad(plane, ((0, ph_i - ch_i), (0, pw_i - cw_i)),
+                   mode="edge") - 128.0
+        blocks = p.reshape(ph_i // 8, 8, pw_i // 8, 8).transpose(0, 2, 1, 3)
         F = np.einsum("ux,ryxc,vc->ryuv", _DCT_A, blocks, _DCT_A)
         q = np.round(F / qtabs[pi][None, None, :, :]).astype(np.int32)
         qblocks.append(q)
     preds = [0] * len(planes)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    mcu_n, rst_n = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * len(planes)
+            mcu_n += 1
             for pi in range(len(planes)):
-                preds[pi] = _encode_block(
-                    bw, qblocks[pi][by, bx], preds[pi],
-                    dc_codes[pi], ac_codes[pi],
-                )
+                hi, vi = samps[pi]
+                for by in range(vi):
+                    for bx in range(hi):
+                        preds[pi] = _encode_block(
+                            bw,
+                            qblocks[pi][my * vi + by, mx * hi + bx],
+                            preds[pi], dc_codes[pi], ac_codes[pi],
+                        )
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -729,9 +764,12 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
         emitted_q.add(tq)
         zz = qtabs[pi][_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
         out += seg(0xDB, bytes([tq]) + zz)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for pi in range(len(planes)):
-        sof += bytes([pi + 1, 0x11, qids[pi]])
+        hi, vi = samps[pi]
+        sof += bytes([pi + 1, (hi << 4) | vi, qids[pi]])
     out += seg(0xC0, sof)
     emitted_h = set()
     for pi, th in enumerate(hids):

@@ -534,3 +534,50 @@ def test_real_decode_distributed(spark):
     got = {r["media_id"]: r for r in extract_audio_features(au).collect()}
     assert abs(got[0]["spectral_centroid"] - 220) < 25
     assert abs(got[1]["spectral_centroid"] - 880) < 25
+
+
+class TestJpegAdvancedPaths:
+    def test_jpeg_420_subsampled_roundtrip(self):
+        """4:2:0 encode (2x2 luma sampling, box-averaged chroma) through
+        the decoder's interleaved-MCU + chroma-upsample path."""
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        x, y = np.meshgrid(np.arange(40) * 3 % 256, np.arange(24) * 5 % 256,
+                           indexing="ij")
+        img = np.stack([x, y, np.full_like(x, 90)], axis=2).astype(np.uint8)
+        dec = MC.decode_jpeg(MC.encode_jpeg(img, subsample=True))
+        assert dec.shape == (40, 24, 3)
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        assert err <= 16, err
+
+    def test_jpeg_restart_intervals_exact(self):
+        """DRI + RSTn markers every 3 MCUs: the decoder's byte-align +
+        DC-predictor-reset resync path, verified pixel-exact on the
+        DC-only contract."""
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        rng = np.random.default_rng(9)
+        bvals = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+        img = np.repeat(np.repeat(bvals, 8, 0), 8, 1)
+        payload = MC.encode_jpeg(img, quant=MC.FLAT_QUANT8, restart_interval=3)
+        assert b"\xff\xdd" in payload  # DRI emitted
+        dec = MC.decode_jpeg(payload)
+        assert np.array_equal(dec[:, :, 0], img)
+
+    def test_jpeg_420_with_restarts(self):
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        x, y = np.meshgrid(np.arange(40) * 3 % 256, np.arange(24) * 5 % 256,
+                           indexing="ij")
+        img = np.stack([x, y, np.full_like(x, 90)], axis=2).astype(np.uint8)
+        dec = MC.decode_jpeg(
+            MC.encode_jpeg(img, subsample=True, restart_interval=1)
+        )
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        assert err <= 16, err
