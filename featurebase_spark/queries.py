@@ -1574,6 +1574,98 @@ def source_bulk_insert(spark, sf_dir):
     return df.where(F.col("size2") > 50)
 
 
+@register(
+    "source_spool_consume",
+    # DuckDB replays the producer's records arithmetically and applies the
+    # same at-least-once + upsert-by-key semantics: per key, the LAST
+    # record in offset order wins; the consumer kill/replay between the
+    # two runs must leave exactly this state.
+    "WITH recs(off, id, grp, v) AS ("
+    "  SELECT i, i % 25, CASE CAST(i % 3 AS INT) WHEN 0 THEN 'a' "
+    "         WHEN 1 THEN 'b' ELSE 'c' END, i * 11 % 97 FROM range(60) t(i)), "
+    "last AS (SELECT id, grp, v, "
+    "         ROW_NUMBER() OVER (PARTITION BY id ORDER BY off DESC) AS rn "
+    "         FROM recs) "
+    "SELECT id AS _id, grp AS etype, CAST(v AS BIGINT) AS score "
+    "FROM last WHERE rn = 1 ORDER BY _id",
+)
+def source_spool_consume(spark, sf_dir):
+    """The idk consumer loop end to end, oracle-gated: a spool of 60
+    offset-ordered records (keys colliding 60→25 so replay order
+    matters) is consumed in two runs — the first KILLED between a
+    batch's import and its offset commit (sources/spool.consume_spool
+    fail injection), the second resuming from the committed offset and
+    replaying the uncommitted batch. The final table must equal the
+    exactly-once last-write-wins state DuckDB derives from the producer
+    formula — the hash match proves commit-after-import + idempotent
+    upsert absorb the replay (idk/ingest.go:222-560)."""
+    import tempfile
+
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sources.spool import (
+        ConsumerKilled,
+        SpoolSource,
+        consume_spool,
+    )
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    cat.drop_table("t_spool_q", if_exists=True)
+    fb_sql(spark, "create table t_spool_q (_id id, etype string, "
+           "score int min 0 max 100)", catalog=cat)
+    d = tempfile.mkdtemp(prefix="fb_spool_q_")
+    src = SpoolSource(d)
+    recs = [
+        {"_id": i % 25, "etype": "abc"[i % 3], "score": i * 11 % 97}
+        for i in range(60)
+    ]
+    for seg in range(0, 60, 20):  # 3 producer segments
+        src.append_segment(recs[seg : seg + 20])
+    schema = "_id long, etype string, score long"
+    try:
+        consume_spool(spark, src, cat, "t_spool_q", schema, batch_size=25,
+                      crash_before_commit_at_batch=2)
+    except ConsumerKilled:
+        pass
+    consume_spool(spark, src, cat, "t_spool_q", schema, batch_size=25)
+    out = (
+        spark.table("t_spool_q")
+        .select("_id", "etype", F.col("score").cast("long").alias("score"))
+        .orderBy("_id")
+    )
+    rows = out.collect()
+    cat.drop_table("t_spool_q", if_exists=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "pql_foreign_distinct",
+    "SELECT c_custkey AS _id, c_name, c_nationkey FROM customer "
+    "WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders "
+    "                    WHERE o_totalprice > 150000) "
+    "ORDER BY _id",
+)
+def pql_foreign_distinct(spark, sf_dir):
+    """Cross-index Distinct consumption — the foreign-index query pattern
+    (field.go:133-141; a nested Distinct(index=other, field=fk) feeds the
+    outer index's row filter): Distinct(filter, field=o_custkey) on the
+    orders index yields customer record ids, consumed by the customer
+    index as one left-semi join (pql/calls.foreign_distinct_rows — the
+    Row(in=...) form, broadcast when the distinct side is small)."""
+    from featurebase_spark.pql.calls import foreign_distinct_rows
+
+    t = _tables(spark, sf_dir)
+    customer = Index(t["customer"], id_col="c_custkey")
+    orders = Index(t["orders"], id_col="o_orderkey")
+    out = foreign_distinct_rows(
+        customer, orders,
+        Distinct(field="o_custkey", filter=Row("o_totalprice", ">", 150000)),
+    )
+    return out.select(
+        F.col("c_custkey").alias("_id"), "c_name", "c_nationkey"
+    ).orderBy("_id")
+
+
 # ===========================================================================
 # Bitmap-index fast path (SURVEY §7 phase 6 — "Spark SQL + bitmap indexing
 # UDFs", BASELINE.json north star)
