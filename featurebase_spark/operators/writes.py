@@ -25,6 +25,115 @@ from typing import Mapping, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 
+# --------------------------------------------------------------------------
+# Driver-side replica of Spark's xxhash64 (XXH64, seed 42) — lets a
+# literal statement batch compute its touched buckets on the driver, the
+# way the reference's coordinator computes shard = id / ShardWidth
+# without consulting the cluster. Exactness is test-enforced against
+# F.xxhash64 (tests/test_writes_ddl.py).
+# --------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """Spark's ``xxhash64(bigint)`` (XXH64.hashLong): the 8-byte word
+    form, bit-exact."""
+    value &= _M64
+    h = (seed + _XXP5 + 8) & _M64
+    h ^= (_rotl64((value * _XXP2) & _M64, 31) * _XXP1) & _M64
+    h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+    return _xx_fmix(h)
+
+
+def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
+    """Spark's ``xxhash64(string)`` over the UTF-8 bytes (XXH64
+    hashUnsafeBytes), bit-exact for any length."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            w1 = int.from_bytes(data[i : i + 8], "little")
+            w2 = int.from_bytes(data[i + 8 : i + 16], "little")
+            w3 = int.from_bytes(data[i + 16 : i + 24], "little")
+            w4 = int.from_bytes(data[i + 24 : i + 32], "little")
+            v1 = (_rotl64((v1 + w1 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v2 = (_rotl64((v2 + w2 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v3 = (_rotl64((v3 + w3 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            v4 = (_rotl64((v4 + w4 * _XXP2) & _M64, 31) * _XXP1) & _M64
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = ((h * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        w = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl64((w * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        w = int.from_bytes(data[i : i + 4], "little")
+        h ^= (w * _XXP1) & _M64
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    return _xx_fmix(h)
+
+
+def _is_literal_plan(df: DataFrame) -> bool:
+    """True when the frame constant-folds to a LocalRelation (a VALUES
+    literal from the statement door) — its collect runs entirely on the
+    driver, so driver-side bucket routing is free. ``df.isLocal()`` is
+    too strict (it inspects the pre-optimization plan)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return plan.getClass().getSimpleName() == "LocalRelation"
+    except Exception:  # pragma: no cover — connect-mode or analysis error
+        return False
+
+
+def spark_bucket(key, n_buckets: int) -> int:
+    """pmod(xxhash64(key), n) for a long or string key — the bucket id
+    :meth:`PartitionedUpsertTable._bucketed` assigns, computed driver-side."""
+    if isinstance(key, str):
+        h = xxhash64_bytes(key.encode("utf-8"))
+    else:
+        h = xxhash64_long(int(key))
+    if h >= 1 << 63:  # Spark's value is a SIGNED long
+        h -= 1 << 64
+    return h % n_buckets  # Python % is pmod for positive modulus
+
+
 def materialize_view(df: DataFrame, name: str, base_path: str) -> DataFrame:
     """Commit ``df`` as the new contents of temp view ``name`` via a
     distributed parquet write to a fresh generation directory — the
@@ -178,6 +287,23 @@ class PartitionedUpsertTable:
             "__bucket", F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.buckets))
         )
 
+    def _touched(self, batch: DataFrame) -> list[int]:
+        """Bucket ids a batch's keys hash into. A LITERAL batch (the
+        single-statement door shape — ``isLocal`` means collect needs no
+        executors) with a long/string key routes on the DRIVER via the
+        bit-exact :func:`spark_bucket` replica — the reference
+        coordinator's ``shard = id / ShardWidth`` arithmetic, saving the
+        distinct+exchange job a plan-side computation costs. Distributed
+        batches keep the aggregation (keys may be billions; never
+        collected)."""
+        dtype = dict(batch.dtypes).get(self.key)
+        if dtype in ("bigint", "string") and _is_literal_plan(batch):
+            ks = {r[0] for r in batch.select(self.key).collect()
+                  if r[0] is not None}
+            return sorted({spark_bucket(k, self.buckets) for k in ks})
+        b = self._bucketed(batch.dropDuplicates([self.key]))
+        return [int(r[0]) for r in b.select("__bucket").distinct().collect()]
+
     def _write_generation(
         self, bucketed: DataFrame, n_buckets_hint: int | None = None
     ) -> tuple[str, list[int]]:
@@ -285,7 +411,7 @@ class PartitionedUpsertTable:
         generation. A crash anywhere before the replace leaves readers on
         the old, fully consistent state."""
         up = self._bucketed(updates.dropDuplicates([self.key]))
-        touched = [int(r[0]) for r in up.select("__bucket").distinct().collect()]
+        touched = self._touched(updates)
         current = self._read_raw(touched)  # manifest-level pruned read
         if update_cols is not None:
             cur = current.drop("__bucket")
@@ -306,7 +432,7 @@ class PartitionedUpsertTable:
         executeDeleteRecords, executor.go:9050-9320). A bucket whose
         rows all die simply drops out of the manifest."""
         k = self._bucketed(keys.select(self.key).dropDuplicates([self.key]))
-        touched = [int(r[0]) for r in k.select("__bucket").distinct().collect()]
+        touched = self._touched(keys)
         current = self._read_raw(touched)
         kept = current.join(
             F.broadcast(k.select(self.key)), self.key, "left_anti"

@@ -264,3 +264,76 @@ def test_system_tables_selectable(spark):
     ).first()["n"]
     assert n == 1
     cat.drop_table("sys_sel_t")
+
+
+def test_driver_side_xxhash64_replica_is_bit_exact(spark):
+    """spark_bucket routes literal statement batches on the driver; its
+    xxhash64 replica must match Spark's BIT-EXACTLY for long and string
+    keys or routed writes would read the wrong buckets."""
+    import random
+    import string as _string
+
+    from pyspark.sql import functions as F
+
+    from featurebase_spark.operators.writes import (
+        spark_bucket,
+        xxhash64_bytes,
+        xxhash64_long,
+    )
+
+    def signed(h):
+        return ((h + 2**63) % 2**64) - 2**63
+
+    rng = random.Random(7)
+    longs = [0, 1, -1, 42, 2**62, -(2**62)] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(100)
+    ]
+    got = spark.createDataFrame([(v,) for v in longs], "v long").select(
+        "v", F.xxhash64("v").alias("h"), F.pmod(F.xxhash64("v"), F.lit(16)).alias("b")
+    ).collect()
+    for r in got:
+        assert signed(xxhash64_long(r["v"])) == r["h"]
+        assert spark_bucket(r["v"], 16) == r["b"]
+    strs = ["", "a", "abcdefgh", "x" * 31, "y" * 32, "z" * 100,
+            "héllo ✓ wörld"] + [
+        "".join(rng.choices(_string.printable, k=rng.randint(0, 64)))
+        for _ in range(100)
+    ]
+    got = spark.createDataFrame([(s,) for s in strs], "s string").select(
+        "s", F.xxhash64("s").alias("h"), F.pmod(F.xxhash64("s"), F.lit(16)).alias("b")
+    ).collect()
+    for r in got:
+        assert signed(xxhash64_bytes(r["s"].encode("utf-8"))) == r["h"]
+        assert spark_bucket(r["s"], 16) == r["b"]
+
+
+def test_touched_buckets_driver_route_equals_plan_route(spark, tmp_path):
+    """The driver-side bucket routing must touch EXACTLY the buckets the
+    plan-side aggregation would — verified by running an upsert through
+    a literal batch and asserting the rewritten buckets equal the
+    Spark-computed bucket set of the same keys."""
+    from pyspark.sql import functions as F
+
+    from featurebase_spark.operators.writes import PartitionedUpsertTable
+
+    t = PartitionedUpsertTable(spark, str(tmp_path / "bkt"), "_id", 16)
+    base = spark.range(200).select(F.col("id").alias("_id"),
+                                   (F.col("id") * 3).alias("v"))
+    t.init(base)
+    batch = spark.sql(
+        "SELECT v0 AS _id, v1 AS v FROM (VALUES "
+        "(CAST(3 AS bigint), CAST(999 AS bigint)), "
+        "(CAST(77 AS bigint), CAST(111 AS bigint)), "
+        "(CAST(3 AS bigint), CAST(1000 AS bigint))) AS __v(v0, v1)"
+    )
+    from featurebase_spark.operators.writes import _is_literal_plan
+    assert _is_literal_plan(batch)
+    touched = t.upsert(batch)
+    want = sorted(
+        r[0] for r in batch.select(
+            F.pmod(F.xxhash64("_id"), F.lit(16)).alias("b")
+        ).distinct().collect()
+    )
+    assert sorted(touched) == want
+    rows = {r["_id"]: r["v"] for r in t.read().collect()}
+    assert rows[77] == 111 and rows[3] in (999, 1000) and rows[5] == 15
