@@ -63,13 +63,18 @@ BENCH_QUERIES = [
     # r4: index WRITE path — CREATE INDEX + clear-then-set maintenance
     # + routed serving, all through the statement door
     "bitmap_index_maintenance",
+    # r5: real baseline-JPEG decode, the idk consumer loop (spool-backed,
+    # kill-and-resume), and the cross-index Distinct semi-join
+    "multimodal_jpeg_decode",
+    "source_spool_consume",
+    "pql_foreign_distinct",
 ]
 
 #: queries added after the prior round — excluded from regression flags
 _NEW_IN_ROUND = {
-    "bitmap_index_count_distributed",
-    "pql_text_routed_serving",
-    "bitmap_index_maintenance",
+    "multimodal_jpeg_decode",
+    "source_spool_consume",
+    "pql_foreign_distinct",
 }
 
 
@@ -116,6 +121,11 @@ def main() -> None:
 
     _warm = F.pandas_udf(lambda s: s, "long")
     spark.range(32).select(_warm("id")).collect()
+    # ...and the mapInPandas worker pool (fork + pandas/numpy import in
+    # every reused python worker — the r5 shingler/codecs run there)
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).collect()
     # warm the parquet-write/commit path once (codegen + committer JIT)
     # so write-path queries measure the statement flow, not first-write
     # session warm-up

@@ -1623,11 +1623,11 @@ def source_spool_consume(spark, sf_dir):
         src.append_segment(recs[seg : seg + 20])
     schema = "_id long, etype string, score long"
     try:
-        consume_spool(spark, src, cat, "t_spool_q", schema, batch_size=25,
+        consume_spool(spark, src, cat, "t_spool_q", schema, batch_size=30,
                       crash_before_commit_at_batch=2)
     except ConsumerKilled:
         pass
-    consume_spool(spark, src, cat, "t_spool_q", schema, batch_size=25)
+    consume_spool(spark, src, cat, "t_spool_q", schema, batch_size=30)
     out = (
         spark.table("t_spool_q")
         .select("_id", "etype", F.col("score").cast("long").alias("score"))

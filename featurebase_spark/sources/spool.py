@@ -135,8 +135,16 @@ def consume_spool(
         nonlocal imported
         if not batch:
             return
+        # intra-batch last-write-wins by offset: the reference batcher
+        # applies records in arrival order, so a later record for the
+        # same key overrides an earlier one WITHIN the batch too
+        # (idk/ingest.go batching). Catalog.insert's dropDuplicates
+        # picks an arbitrary winner, so dedupe here, deterministically.
+        last: dict = {}
+        for rec in batch:
+            last[rec.get(names[0])] = rec
         df = spark.createDataFrame(
-            [tuple(rec.get(n) for n in names) for rec in batch], st
+            [tuple(rec.get(n) for n in names) for rec in last.values()], st
         )
         catalog.insert(table, df)  # import FIRST (fragment merge)
         imported += 1
