@@ -1639,6 +1639,53 @@ def source_spool_consume(spark, sf_dir):
 
 
 @register(
+    "source_external_lookup",
+    # the oracle replays both sides: the bitmap (distinct clicking users)
+    # and the external table's generating formula (uid, 'u'||uid, uid*7)
+    "SELECT uid, 'u' || CAST(uid AS VARCHAR) AS name, "
+    "CAST(uid * 7 AS BIGINT) AS score "
+    "FROM (SELECT DISTINCT user_id AS uid FROM events "
+    "      WHERE event_type = 'click' AND user_id IS NOT NULL) "
+    "ORDER BY uid",
+)
+def source_external_lookup(spark, sf_dir):
+    """PQL ExternalLookup EXECUTED end to end (executor.go:4357-4710):
+    the bitmap's record ids (distinct users with a click) bind to the
+    ``$1`` array parameter of ONE statement run on a REAL external SQL
+    engine (DuckDB standing in for Postgres over the DBAPI2 seam —
+    sources.external_lookup_query connect=), and the remote rows feed
+    back into the plan. The oracle recomputes both sides from the base
+    data, so the hash match proves the id binding, remote execution, and
+    row round-trip exactly."""
+    import tempfile
+
+    import duckdb
+
+    from featurebase_spark.sources import external_lookup_query
+
+    path = tempfile.mktemp(suffix=".duckdb", prefix="fb_ext_")
+    con = duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE users AS SELECT i AS uid, 'u' || CAST(i AS VARCHAR) "
+        "AS name, CAST(i * 7 AS BIGINT) AS score FROM range(1000000) t(i)"
+    )
+    con.close()
+    ids = (
+        _tables(spark, sf_dir)["events"]
+        .where((F.col("event_type") == "click") & F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("_id"))
+        .distinct()
+    )
+    return external_lookup_query(
+        ids, spark, "",
+        "SELECT uid, name, score FROM users "
+        "WHERE uid = ANY(SELECT unnest($1)) ORDER BY uid",
+        connect=lambda: duckdb.connect(path),
+        schema="uid long, name string, score long",
+    )
+
+
+@register(
     "pql_foreign_distinct",
     "SELECT c_custkey AS _id, c_name, c_nationkey FROM customer "
     "WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders "

@@ -159,20 +159,58 @@ def read_jdbc(
     return reader.load()
 
 
+def dbapi_read(
+    spark: SparkSession, connect, sql: str, params=None, schema=None
+) -> DataFrame:
+    """Execute ``sql`` on a DBAPI2 connection factory and return the
+    result as a Spark DataFrame — the COORDINATOR-side external query the
+    reference's ExternalLookup actually performs (executor.go:4357-4710
+    runs ONE statement against Postgres from the coordinator and feeds
+    the rows back into the plan). ``connect`` is any zero-arg callable
+    returning a DBAPI2-ish connection (psycopg2, duckdb, sqlite3…), so
+    the path EXECUTES in this container (DuckDB/sqlite stand in for
+    Postgres in tests) where the JDBC form can only be seam-tested.
+    For cluster-scale pulls use :func:`read_jdbc` instead — this form is
+    intentionally single-connection, exactly like the reference."""
+    con = connect()
+    try:
+        cur = con.cursor() if hasattr(con, "cursor") else con
+        cur.execute(sql, params or ())
+        cols = [d[0] for d in cur.description]
+        rows = [tuple(r) for r in cur.fetchall()]
+    finally:
+        con.close()
+    if schema is not None:
+        return spark.createDataFrame(rows, schema)
+    if not rows:
+        raise ValueError(
+            "dbapi_read: empty result needs an explicit schema "
+            "(types cannot be inferred from zero rows)"
+        )
+    return spark.createDataFrame(rows, cols)
+
+
 def external_lookup(
     bitmap_ids: DataFrame,
     spark: SparkSession,
     url: str,
     query_table: str,
     key_col: str,
+    connect=None,
     **jdbc_options: str,
 ) -> DataFrame:
     """PQL ``ExternalLookup(child, query=...)`` (executor.go:4357-4710):
     ship the bitmap's record IDs to an external PostgreSQL and join. The
     reference interpolates ids as a ``$1`` array param; distributed
     equivalent: JDBC-read the remote table (partitioned) and semi-join on
-    the ids — pushes work to executors instead of one coordinator."""
-    remote = read_jdbc(spark, url, query_table, **jdbc_options)
+    the ids — pushes work to executors instead of one coordinator.
+    ``connect``: DBAPI2 factory alternative to JDBC (see
+    :func:`dbapi_read`) — the remote table is pulled over one connection
+    and semi-joined locally."""
+    if connect is not None:
+        remote = dbapi_read(spark, connect, f"SELECT * FROM {query_table}")
+    else:
+        remote = read_jdbc(spark, url, query_table, **jdbc_options)
     return remote.join(
         bitmap_ids.withColumnRenamed("_id", key_col), key_col, "left_semi"
     )
@@ -186,6 +224,8 @@ def external_lookup_query(
     id_type: str = "bigint",
     max_param_ids: int = 100_000,
     reader=None,
+    connect=None,
+    schema=None,
     **jdbc_options: str,
 ) -> DataFrame:
     """PQL ``ExternalLookup`` with the reference's ARBITRARY-SQL form
@@ -230,6 +270,12 @@ def external_lookup_query(
         vals = ", ".join(str(int(r[0])) for r in rows)
     arr = f"ARRAY[{vals}]::{id_type}[]"
     bound = _re.sub(r"\$1(?!\d)", lambda _: arr, query)
+    if connect is not None:
+        # DBAPI2 execution: ONE statement on the external engine from
+        # the coordinator — the reference's exact shape (it binds the id
+        # array to $1 of a single Postgres statement). DuckDB/sqlite
+        # stand in for Postgres in this container.
+        return dbapi_read(spark, connect, bound, schema=schema)
     sub = f"({bound}) AS __fb_ext"
     if reader is not None:
         return reader(sub)
@@ -266,6 +312,47 @@ def external_lookup_write(
     for k, v in jdbc_options.items():
         w = w.option(k, v)
     w.save()
+
+
+def external_lookup_write_query(
+    bitmap_ids: DataFrame,
+    connect,
+    query: str,
+    id_type: str = "bigint",
+    max_param_ids: int = 100_000,
+) -> int:
+    """``ExternalLookup(child, query=..., write=true)`` EXECUTED on a
+    DBAPI2 connection (executor.go:4383-4413): the bitmap's ids bind to
+    the statement's ``$1`` array parameter and the single write statement
+    runs on the external engine from the coordinator — the reference's
+    literal behavior. Returns the statement's rowcount (or -1 when the
+    driver does not report one)."""
+    import re as _re
+
+    if not _re.search(r"\$1(?!\d)", query):
+        raise ValueError("ExternalLookup query form requires a $1 parameter")
+    rows = bitmap_ids.limit(max_param_ids + 1).collect()
+    if len(rows) > max_param_ids:
+        raise ValueError(
+            f"id set exceeds max_param_ids={max_param_ids}"
+        )
+    if id_type == "text":
+        vals = ", ".join("'" + str(r[0]).replace("'", "''") + "'" for r in rows)
+    else:
+        vals = ", ".join(str(int(r[0])) for r in rows)
+    bound = _re.sub(
+        r"\$1(?!\d)", lambda _: f"ARRAY[{vals}]::{id_type}[]", query
+    )
+    con = connect()
+    try:
+        cur = con.cursor() if hasattr(con, "cursor") else con
+        cur.execute(bound)
+        n = getattr(cur, "rowcount", -1)
+        if hasattr(con, "commit"):
+            con.commit()
+        return n if n is not None else -1
+    finally:
+        con.close()
 
 
 def export_csv(df: DataFrame, path: str, header: bool = True) -> None:

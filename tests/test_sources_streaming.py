@@ -752,3 +752,81 @@ class TestSpoolConsumerLoop:
                 for r in spark.table("spool2").collect()}
         assert rows[8] == ("buy", 80) and len(rows) == 9
         cat.drop_table("spool2")
+
+
+# --- ExternalLookup EXECUTED against a real external SQL engine -------------
+
+
+class TestExternalLookupDbapi:
+    """The container has no JDBC driver, but ExternalLookup's actual
+    shape — ONE statement run on the external engine from the
+    coordinator with the bitmap ids bound to $1 (executor.go:4357-4710)
+    — executes fine over DBAPI2. DuckDB stands in for Postgres."""
+
+    def _extdb(self, tmp_path):
+        import duckdb
+
+        path = str(tmp_path / "ext.duckdb")
+        con = duckdb.connect(path)
+        con.execute("CREATE TABLE users (uid BIGINT, name VARCHAR, "
+                    "score BIGINT)")
+        con.execute("INSERT INTO users SELECT i, 'u' || i, i * 7 "
+                    "FROM range(50) t(i)")
+        con.close()
+        return lambda: duckdb.connect(path)
+
+    def test_query_form_executes(self, spark, tmp_path):
+        from featurebase_spark.sources import external_lookup_query
+
+        connect = self._extdb(tmp_path)
+        ids = spark.createDataFrame([(3,), (7,), (11,)], ["_id"])
+        out = external_lookup_query(
+            ids, spark, "",
+            "SELECT uid, name, score FROM users "
+            "WHERE uid = ANY(SELECT unnest($1)) ORDER BY uid",
+            connect=connect,
+        )
+        rows = out.collect()
+        assert [(r["uid"], r["name"], r["score"]) for r in rows] == [
+            (3, "u3", 21), (7, "u7", 49), (11, "u11", 77)]
+
+    def test_semi_join_form_executes(self, spark, tmp_path):
+        from featurebase_spark.sources import external_lookup
+
+        connect = self._extdb(tmp_path)
+        ids = spark.createDataFrame([(5,), (6,)], ["_id"])
+        out = external_lookup(ids, spark, "", "users", "uid",
+                              connect=connect)
+        assert sorted(r["uid"] for r in out.collect()) == [5, 6]
+
+    def test_write_form_executes(self, spark, tmp_path):
+        import duckdb
+
+        from featurebase_spark.sources import external_lookup_write_query
+
+        connect = self._extdb(tmp_path)
+        ids = spark.createDataFrame([(1,), (2,), (49,)], ["_id"])
+        n = external_lookup_write_query(
+            ids, connect,
+            "DELETE FROM users WHERE uid = ANY(SELECT unnest($1))",
+        )
+        con = connect()
+        left = con.execute("SELECT COUNT(*) FROM users").fetchone()[0]
+        con.close()
+        assert left == 47
+        assert n in (-1, 3)
+
+    def test_empty_result_needs_schema(self, spark, tmp_path):
+        from featurebase_spark.sources import external_lookup_query
+
+        connect = self._extdb(tmp_path)
+        ids = spark.createDataFrame([(999,)], ["_id"])
+        q = ("SELECT uid, name FROM users "
+             "WHERE uid = ANY(SELECT unnest($1))")
+        with pytest.raises(ValueError, match="explicit schema"):
+            external_lookup_query(ids, spark, "", q, connect=connect)
+        out = external_lookup_query(
+            ids, spark, "", q, connect=connect,
+            schema="uid long, name string",
+        )
+        assert out.count() == 0 and out.columns == ["uid", "name"]
