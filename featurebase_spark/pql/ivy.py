@@ -38,7 +38,7 @@ _TOK = re.compile(
       (?P<red>[+*]/|max/|min/)
     | (?P<num>\d+\.\d+|\d+)
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>\*\*|[+\-*/()]|max|min)
+    | (?P<op>\*\*|<=|>=|!=|==|[+\-*/()<>]|max|min|mod)
     )""",
     re.VERBOSE,
 )
@@ -51,6 +51,17 @@ _BINOPS = {
     "**": lambda a, b: a.cast("double") ** b,
     "max": F.greatest,
     "min": F.least,
+    # ivy relational operators yield 1/0 vectors (APL booleans) —
+    # composable with arithmetic (e.g. ``+/ value > 100`` counts)
+    "<": lambda a, b: (a < b).cast("long"),
+    "<=": lambda a, b: (a <= b).cast("long"),
+    ">": lambda a, b: (a > b).cast("long"),
+    ">=": lambda a, b: (a >= b).cast("long"),
+    "==": lambda a, b: (a == b).cast("long"),
+    "!=": lambda a, b: (a != b).cast("long"),
+    # ivy mod follows the divisor's sign (Euclidean for positive
+    # divisors) — Spark's pmod is exactly that for b > 0
+    "mod": F.pmod,
 }
 
 _REDUCTIONS = {

@@ -339,3 +339,26 @@ def test_set_many_fields_and_timestamp_execute(spark):
     r = out.first()
     assert (r["a"], r["b"]) == (4, 5)
     assert r["ts"] is not None and r["ts"].year == 2017
+
+
+def test_ivy_relational_and_mod_ops(spark):
+    """ivy relational operators yield 1/0 vectors composable with
+    arithmetic (APL booleans), and mod follows the divisor's sign —
+    right-associative precedence-free evaluation throughout."""
+    from featurebase_spark.pql.ivy import apply_ivy
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 40)], ["_id", "v"]
+    )
+    got = {r["_id"]: r["result"]
+           for r in apply_ivy(df, "v > 20").collect()}
+    assert got == {1: 0, 2: 1, 3: 1}
+    # reduction over a relational vector = a count
+    assert apply_ivy(df, "+/ v >= 25").first()["result"] == 2
+    got = {r["_id"]: r["result"]
+           for r in apply_ivy(df, "v mod 7").collect()}
+    assert got == {1: 3, 2: 4, 3: 5}
+    # right-associative: v == 10 + 15 parses as v == (10 + 15)
+    got = {r["_id"]: r["result"]
+           for r in apply_ivy(df, "v == 10 + 15").collect()}
+    assert got == {1: 0, 2: 1, 3: 0}
