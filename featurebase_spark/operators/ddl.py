@@ -19,6 +19,20 @@ from pyspark.sql import DataFrame, Row as SparkRow, SparkSession, functions as F
 from featurebase_spark.schema import TableDef
 
 
+def _dir_bytes(path: str) -> int:
+    """Recursive on-disk size (fb_cluster_nodes.space_used stand-in)."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 class Catalog:
     """FeatureBase DDL façade over a SparkSession catalog.
 
@@ -652,6 +666,64 @@ class Catalog:
             for f in td.fields
         ]
         return self.spark.createDataFrame(rows)
+
+    def fb_database_info(self) -> DataFrame:
+        """``fb_database_info`` (alias ``fb_cluster_info`` —
+        opsystemtable.go:22-54,69-113): deployment-level metadata. On
+        Spark the "database" is the session's cluster; node_count is the
+        executor count (1 driver-only in local mode — local[*] is a
+        cluster of one), platform/versions come from the session."""
+        import platform as _plat
+
+        sc = self.spark.sparkContext
+        try:
+            n_exec = max(
+                1, sc._jsc.sc().getExecutorMemoryStatus().size() - 1
+            )
+        except Exception:
+            n_exec = 1
+        row = SparkRow(
+            id=sc.applicationId,
+            name=sc.appName,
+            platform=f"spark/{_plat.system().lower()}",
+            platform_version=sc.version,
+            db_version=sc.version,
+            state="RUNNING",
+            node_count=n_exec,
+            replica_count=1,
+        )
+        return self.spark.createDataFrame([row])
+
+    def fb_cluster_info(self) -> DataFrame:
+        return self.fb_database_info()
+
+    def fb_database_nodes(self) -> DataFrame:
+        """``fb_database_nodes`` (alias ``fb_cluster_nodes`` —
+        opsystemtable.go:115-160): one row per node. Spark's analogue is
+        the executor set; in local mode the driver doubles as the single
+        executor (is_primary = the driver)."""
+        import os
+
+        sc = self.spark.sparkContext
+        master = sc.master
+        rows = [
+            SparkRow(
+                id="node0",
+                type="driver+executor" if master.startswith("local")
+                else "driver",
+                state="STARTED",
+                uri=master,
+                grpc_uri=sc.uiWebUrl or "",
+                is_primary=True,
+                space_used=_dir_bytes(self._data_path)
+                if os.path.isdir(self._data_path) else 0,
+                nodeid=sc.applicationId,
+            )
+        ]
+        return self.spark.createDataFrame(rows)
+
+    def fb_cluster_nodes(self) -> DataFrame:
+        return self.fb_database_nodes()
 
     def fb_databases(self) -> DataFrame:
         """SHOW DATABASES (opfeaturebasedatabases.go) — Spark catalogs/

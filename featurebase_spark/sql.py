@@ -980,6 +980,10 @@ def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
             "fb_databases": catalog.fb_databases,
             "fb_exec_requests": catalog.fb_exec_requests,
             "fb_performance_counters": catalog.fb_performance_counters,
+            "fb_database_info": catalog.fb_database_info,
+            "fb_cluster_info": catalog.fb_cluster_info,
+            "fb_database_nodes": catalog.fb_database_nodes,
+            "fb_cluster_nodes": catalog.fb_cluster_nodes,
         }
         for name, fn in _SYS.items():
             if _re.search(rf"\b{name}\b", sql, _re.IGNORECASE):

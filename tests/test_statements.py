@@ -532,3 +532,22 @@ def test_foreign_distinct_semi_join_recipe(spark, cat):
     assert got.count() > 0
     cat.drop_table("fdc")
     cat.drop_table("fdp")
+
+
+def test_cluster_system_tables(spark, cat):
+    """fb_cluster_info/fb_cluster_nodes (aliases fb_database_info/
+    fb_database_nodes, opsystemtable.go:22-54): deployment metadata as
+    SELECT-able system tables. local[*] is a cluster of one node (the
+    driver doubling as the executor)."""
+    info = fb_sql(spark, "select * from fb_cluster_info", catalog=cat).first()
+    assert info["state"] == "RUNNING" and info["node_count"] >= 1
+    assert info["platform"].startswith("spark/")
+    assert info["db_version"] == spark.sparkContext.version
+    nodes = fb_sql(spark, "select id, type, state, is_primary "
+                   "from fb_cluster_nodes", catalog=cat).collect()
+    assert len(nodes) == 1 and nodes[0]["is_primary"]
+    assert nodes[0]["state"] == "STARTED"
+    # the fb_database_* spellings resolve to the same tables
+    a = fb_sql(spark, "select count(*) as n from fb_database_nodes",
+               catalog=cat).first()["n"]
+    assert a == 1
