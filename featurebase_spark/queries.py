@@ -125,6 +125,42 @@ def pql_row_time_range(spark, sf_dir):
 
 
 @register(
+    "pql_range_alias",
+    "SELECT event_id AS _id FROM events WHERE event_type = 'view' "
+    "AND ts >= TIMESTAMP '2024-02-01 00:00:00' AND ts < TIMESTAMP '2024-02-15 00:00:00'",
+)
+def pql_range_alias(spark, sf_dir):
+    """PQL ``Range`` — the deprecated alias of time-ranged Row the
+    reference still dispatches (executor.go:1729,1791; pql grammar keeps
+    the call name)."""
+    from featurebase_spark.pql.calls import Range
+
+    return Range(
+        "event_type", "==", "view", from_="2024-02-01", to="2024-02-15"
+    ).ids(_events(spark, sf_dir))
+
+
+@register(
+    "pql_options_shards",
+    # shard = _id >> 12 (shardwidth helper.go:14 with a 2^12 test width
+    # so sf0.01's id space spans 3 shards); DuckDB replays the same
+    # shard arithmetic on the id
+    "SELECT event_id AS _id FROM events WHERE event_type = 'click' "
+    "AND (event_id >> 12) IN (0, 2)",
+)
+def pql_options_shards(spark, sf_dir):
+    """PQL ``Options(child, shards=[...])`` (executeOptionsCall
+    executor.go:883-906): restrict execution to the given shards. The
+    predicate form keeps the restriction pushdown-eligible — Spark's
+    partition-pruning analogue of the reference's shard routing."""
+    from featurebase_spark.pql.calls import Options
+
+    return Options(
+        Row("event_type", "==", "click"), shards=[0, 2], shard_exp=12
+    ).ids(_events(spark, sf_dir))
+
+
+@register(
     "pql_intersect",
     "SELECT event_id AS _id FROM events WHERE event_type = 'click' AND value > 250",
 )
