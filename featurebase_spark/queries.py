@@ -127,7 +127,7 @@ def pql_row_time_range(spark, sf_dir):
 @register(
     "pql_range_alias",
     "SELECT event_id AS _id FROM events WHERE event_type = 'view' "
-    "AND ts >= TIMESTAMP '2024-02-01 00:00:00' AND ts < TIMESTAMP '2024-02-15 00:00:00'",
+    "AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00:00'",
 )
 def pql_range_alias(spark, sf_dir):
     """PQL ``Range`` — the deprecated alias of time-ranged Row the
@@ -136,7 +136,7 @@ def pql_range_alias(spark, sf_dir):
     from featurebase_spark.pql.calls import Range
 
     return Range(
-        "event_type", "==", "view", from_="2024-02-01", to="2024-02-15"
+        "event_type", "==", "view", from_="2024-01-10", to="2024-01-25"
     ).ids(_events(spark, sf_dir))
 
 
