@@ -1722,6 +1722,47 @@ def source_external_lookup(spark, sf_dir):
 
 
 @register(
+    "statement_copy",
+    "SELECT p_partkey AS _id, upper(p_name) AS name, "
+    "CAST(p_size AS BIGINT) AS psize FROM part "
+    "WHERE p_size > 30 ORDER BY _id",
+)
+def statement_copy(spark, sf_dir):
+    """COPY src TO tgt WHERE ... (opcopy.go:24-515, local form): the
+    target table is created from the source's DDL and bulk-loaded with
+    the filtered rows; reading the TARGET back must equal the filtered
+    source — through the statement text door end to end."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    for t in ("t_copy_src", "t_copy_tgt"):
+        cat.drop_table(t, if_exists=True)
+    fb_sql(spark, "create table t_copy_src (_id id, name string, psize int)",
+           catalog=cat)
+    fb_sql(
+        spark,
+        "bulk insert into t_copy_src (_id, name, psize) "
+        "map (p_partkey id, p_name string, p_size int) "
+        "transform (@0, upper(@1), @2) "
+        f"from '{sf_dir}/part.parquet' with format 'PARQUET' input 'FILE'",
+        catalog=cat,
+    )
+    fb_sql(spark, "copy t_copy_src to t_copy_tgt where psize > 30",
+           catalog=cat)
+    out = fb_sql(
+        spark,
+        "select _id, name, cast(psize as bigint) as psize "
+        "from t_copy_tgt order by _id",
+        catalog=cat,
+    )
+    rows = out.collect()
+    for t in ("t_copy_src", "t_copy_tgt"):
+        cat.drop_table(t, if_exists=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "pql_foreign_distinct",
     "SELECT c_custkey AS _id, c_name, c_nationkey FROM customer "
     "WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders "
@@ -2752,6 +2793,7 @@ _GATE_PRIORITY = [
     # LLM-pipeline: multimodal
     "multimodal_features",
     "multimodal_real_decode",
+    "multimodal_jpeg_decode",
     # Sessionization (DataFrame + TVF text door)
     "events_sessionize",
     "sessionize_text_door",
@@ -2767,6 +2809,9 @@ _GATE_PRIORITY = [
     # Statements / sources / DDL
     "statement_insert_touched_buckets",
     "source_bulk_insert",
+    "source_spool_consume",
+    "source_external_lookup",
+    "pql_foreign_distinct",
     "sql_text_ddl_insert",
     "sql_text_bulk_delete",
     "ddl_catalog_roundtrip",
@@ -2785,14 +2830,10 @@ _GATE_PRIORITY = [
     "pql_groupby",
     "pql_topk",
     "pql_percentile",
-    "pql_distinct",
-    "pql_extract",
     # Representative SQL core
     "sql_q1_pricing_summary",
     "sql_join_inner",
     "sql_agg_stats",
-    "sql_string_functions",
-    "sql_date_functions",
 ]
 
 
