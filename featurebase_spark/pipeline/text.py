@@ -180,3 +180,44 @@ def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang_pred.alias("lang_pred"),
         F.md5(F.lower(F.trim(txt))).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step of
+    an LLM training pipeline: each document becomes overlapping chunks of
+    ``chunk_size`` tokens advancing by ``chunk_size - overlap``. Returns
+    (id, chunk_id, chunk_text, n_chunk_tokens); the final chunk may be
+    short, and a doc with ≤ chunk_size tokens yields exactly one chunk.
+
+    Spark-first: chunk starts come from ``sequence`` and each chunk is a
+    ``slice`` + ``concat_ws`` over the token array — JVM-side, no UDF,
+    no shuffle (posexplode is a generator in the same stage). At 100 TB
+    this is embarrassingly parallel map work; the output inherits the
+    input's partitioning."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - chunk_size) / F.lit(float(stride))).cast("int") + 1
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.concat_ws(TOKEN_SEP, chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )

@@ -1722,6 +1722,34 @@ def source_external_lookup(spark, sf_dir):
 
 
 @register(
+    "text_chunking",
+    # DuckDB replays the sliding-window arithmetic over the same token
+    # lists: starts at i*stride, inclusive 1-based list_slice
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    "FROM documents), "
+    "n AS (SELECT doc_id, toks, len(toks) AS nt FROM t), "
+    "c AS (SELECT doc_id, toks, nt, "
+    "  CASE WHEN nt <= 16 THEN 1 "
+    "  ELSE CAST(CEIL((nt - 16) / 12.0) AS INT) + 1 END AS nc FROM n), "
+    "e AS (SELECT doc_id, toks, unnest(range(nc)) AS i FROM c) "
+    "SELECT doc_id, CAST(i AS INT) AS chunk_id, "
+    "array_to_string(list_slice(toks, i*12 + 1, i*12 + 16), ' ') AS chunk_text, "
+    "CAST(len(list_slice(toks, i*12 + 1, i*12 + 16)) AS BIGINT) AS n_chunk_tokens "
+    "FROM e ORDER BY doc_id, chunk_id",
+)
+def text_chunking(spark, sf_dir):
+    """Sliding-window document chunking (pipeline/text.chunk_documents):
+    16-token chunks, 4-token overlap — the LLM context-window prep step,
+    all JVM-side sequence/slice/concat (no UDF, no shuffle)."""
+    from featurebase_spark.pipeline.text import chunk_documents
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return chunk_documents(
+        docs, "text", "doc_id", chunk_size=16, overlap=4
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
     "statement_copy",
     "SELECT p_partkey AS _id, upper(p_name) AS name, "
     "CAST(p_size AS BIGINT) AS psize FROM part "

@@ -581,3 +581,23 @@ class TestJpegAdvancedPaths:
         )
         err = np.abs(dec.astype(int) - img.astype(int)).max()
         assert err <= 16, err
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Sliding-window chunking: stride = chunk_size - overlap, exact
+    coverage, short-doc single chunk, validation errors."""
+    from featurebase_spark.pipeline.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+            for r in chunk_documents(df, chunk_size=4, overlap=1).collect()}
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t3 t4 t5 t6", 4)  # overlap of 1 token
+    assert rows[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert rows[(2, 0)] == ("a b", 2)  # short doc: one chunk, no padding
+    assert len(rows) == 4
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_size=4, overlap=4)
