@@ -221,3 +221,25 @@ def chunk_documents(
         F.concat_ws(TOKEN_SEP, chunk).alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )
+
+
+#: PII patterns chosen to mean the same thing in Java regex (Spark) and
+#: RE2 (DuckDB) — no lookarounds, no backrefs; applied in list order.
+PII_PATTERNS: tuple = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,19}\b", "<CARD>"),  # long digit runs (card/account ids)
+)
+
+
+def scrub_pii(col, patterns=PII_PATTERNS) -> Column:
+    """Mask common PII shapes (emails, phone numbers, IPv4, long digit
+    runs) with typed placeholder tokens — the redaction pass of a
+    training-data pipeline. Pure ``regexp_replace`` chain: JVM-side,
+    codegen'd, no UDF; order matters (emails first so their digit runs
+    are not half-eaten by later patterns)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -1749,6 +1749,55 @@ def text_chunking(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
+_PII_SRC = (
+    "'row ' || CAST(i AS VARCHAR) || ' email u' || CAST(i AS VARCHAR) || "
+    "'@ex' || CAST(i % 5 AS VARCHAR) || '.com phone 555-12' || "
+    "CAST(i % 10 AS VARCHAR) || '-456' || CAST(i % 10 AS VARCHAR) || "
+    "' ip 10.0.' || CAST(i % 256 AS VARCHAR) || '.42 card 4111111111111' || "
+    "CAST(100 + i % 900 AS VARCHAR) || ' end'"
+)
+
+
+def _pii_oracle_sql() -> str:
+    from featurebase_spark.pipeline.text import PII_PATTERNS
+
+    expr = _PII_SRC
+    for pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")  # DuckDB literals keep backslashes
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return (
+        f"SELECT i AS doc_id, {expr} AS scrubbed "
+        "FROM range(200) t(i) ORDER BY doc_id"
+    )
+
+
+@register("text_pii_scrub", _pii_oracle_sql())
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction (pipeline/text.scrub_pii): emails, phones, IPv4 and
+    long digit runs masked with typed placeholders over a 200-row corpus
+    both engines generate identically — DuckDB replays the exact
+    regexp_replace chain (RE2 'g' ≡ Java replace-all for these
+    lookaround-free patterns), so the hash match proves the masking
+    byte-for-byte. JVM-side codegen'd regexp chain, no UDF."""
+    from featurebase_spark.pipeline.text import scrub_pii
+
+    base = spark.range(200).select(F.col("id").alias("doc_id"))
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    text = F.concat(
+        F.lit("row "), s(i), F.lit(" email u"), s(i), F.lit("@ex"),
+        s(i % 5), F.lit(".com phone 555-12"), s(i % 10), F.lit("-456"),
+        s(i % 10), F.lit(" ip 10.0."), s(i % 256), F.lit(".42 card 4111111111111"),
+        s(100 + i % 900), F.lit(" end"),
+    )
+    return base.select("doc_id", scrub_pii(text).alias("scrubbed")).orderBy(
+        "doc_id"
+    )
+
+
 @register(
     "statement_copy",
     "SELECT p_partkey AS _id, upper(p_name) AS name, "

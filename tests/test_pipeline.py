@@ -601,3 +601,20 @@ def test_chunk_documents_window_semantics(spark):
     assert len(rows) == 4
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_scrub_pii_masks_and_preserves(spark):
+    from featurebase_spark.pipeline.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "write bob.smith+x@ex-ample.co.uk or call 555-123-4567"),
+         (2, "server at 192.168.1.254 card 4111111111111111"),
+         (3, "clean text with number 42 and date 2024-01-05")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["s"]
+           for r in df.select("doc_id", scrub_pii("text").alias("s")).collect()}
+    assert got[1] == "write <EMAIL> or call <PHONE>"
+    assert got[2] == "server at <IP> card <CARD>"
+    # short numbers and dates survive (not PII shapes)
+    assert got[3] == "clean text with number 42 and date 2024-01-05"
