@@ -1799,6 +1799,42 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @register(
+    "source_idk_csv",
+    # DuckDB recomputes the typed rows from the generating formula the
+    # key wrote into the CSV (typed headers: name__Type)
+    "SELECT i AS id, 'tag' || CAST(i AS VARCHAR) AS asset_tag, "
+    "CAST(i * 3 AS BIGINT) AS qty, "
+    "CAST(i % 2 = 0 AS BOOLEAN) AS active, "
+    "CAST(i AS DOUBLE) / 4 AS score "
+    "FROM range(120) t(i) ORDER BY id",
+)
+def source_idk_csv(spark, sf_dir):
+    """idk CSV consumer with TYPED HEADERS (idk/csv/,
+    idk/interfaces.go:258-770): ``name__Type`` column headers declare the
+    field types. The key writes a 120-row CSV with Id/String/Int/Bool/
+    Decimal headers, reads it through sources.read_idk_csv, and DuckDB
+    recomputes the typed rows from the same formula — proving header
+    parsing and per-type casts end to end."""
+    import os
+    import tempfile
+
+    from featurebase_spark.sources import read_idk_csv
+
+    d = tempfile.mkdtemp(prefix="fb_idk_csv_")
+    path = os.path.join(d, "in.csv")
+    with open(path, "w") as fh:
+        fh.write("id__ID,asset_tag__String,qty__Int,active__Bool,score__Decimal\n")
+        for i in range(120):
+            fh.write(f"{i},tag{i},{i * 3},{str(i % 2 == 0).lower()},{i / 4}\n")
+    df = read_idk_csv(spark, path)
+    return df.select(
+        "id", "asset_tag", "qty",
+        F.col("active").cast("boolean").alias("active"),
+        F.col("score").cast("double").alias("score"),
+    ).orderBy("id")
+
+
+@register(
     "statement_copy",
     "SELECT p_partkey AS _id, upper(p_name) AS name, "
     "CAST(p_size AS BIGINT) AS psize FROM part "
@@ -2197,6 +2233,74 @@ def sql_q6_forecast_revenue(spark, sf_dir):
         F.sum(dec("l_extendedprice") * dec("l_discount"))
         .cast("double")
         .alias("revenue")
+    )
+
+
+@register(
+    "sql_q4_order_priority",
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+def sql_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a LEFT-SEMI
+    join by Catalyst (the reference would run this as a nested-loop
+    subquery per row, sql3/planner nested-loop only) — late-shipping
+    order counts by priority."""
+    t = _tables(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o.createOrReplaceTempView("__q4_orders")
+    t["lineitem"].createOrReplaceTempView("__q4_lineitem")
+    return spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS order_count FROM __q4_orders o "
+        "WHERE EXISTS (SELECT 1 FROM __q4_lineitem l "
+        "  WHERE l.l_orderkey = o.o_orderkey "
+        "  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
+@register(
+    "sql_q10_returned_revenue",
+    "SELECT c_custkey, c_name, n_name, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue "
+    "FROM customer, orders, lineitem, nation "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND c_nationkey = n_nationkey AND l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def sql_q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way star join (two broadcast dims, one
+    big⋈big), decimal-exact revenue aggregate, TakeOrdered top-20 —
+    the returned-item revenue report."""
+    t = _tables(spark, sf_dir)
+    j = (
+        t["lineitem"].where(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    rev = (
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev)
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
     )
 
 
