@@ -182,6 +182,73 @@ def _shingle_batch(texts, n: int):
     return keep_docs[docidx[first]], gram[first].view(np.int64)
 
 
+def _xxh64_chain_np(v):
+    """Vectorized bit-exact replica of Spark's ``xxhash64(col, lit(1))``
+    over a uint64 ndarray: Spark CHAINS multi-argument xxhash64 — seed
+    42 → hashLong(col) → hashInt(1) (XXH64.hashLong / hashInt) — so the
+    fused per-doc signature path produces IDENTICAL signatures to the
+    JVM aggregate form ``_minhash_aggs`` (equality is test-enforced)."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    def fmix(h):
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+        return h
+
+    # hashLong(v, seed=42)
+    h = np.uint64(42) + P5 + np.uint64(8)
+    h = h ^ (rotl(v * P2, 31) * P1)
+    h = rotl(h, 27) * P1 + P4
+    seed = fmix(h)
+    # hashInt(1, seed)
+    h = seed + P5 + np.uint64(4)
+    h = h ^ (np.uint64(1) * P1)
+    h = rotl(h, 23) * P2 + P3
+    return fmix(h)
+
+
+def _doc_signatures(texts, n: int, num_hashes: int):
+    """Per-doc MinHash signatures for one Arrow batch: the Kirsch–
+    Mitzenmacher derivation of :func:`_minhash_aggs` (b1 = shingle hash,
+    b2 = xxhash64(b1, 1), h_i = b1 XOR rotl(b2, 5i mod 64)) evaluated in
+    numpy with per-doc ``minimum.reduceat`` — bit-identical to the JVM
+    aggregate form. Returns (row_indices, sig_matrix[len(rows), k])."""
+    import numpy as np
+
+    idx, grams = _shingle_batch(texts, n)
+    if len(idx) == 0:
+        return np.empty(0, np.int64), np.empty((0, num_hashes), np.int64)
+    b1 = grams.view(np.uint64)
+    b2 = _xxh64_chain_np(b1)
+    # doc boundaries within the (already doc-sorted) gram stream
+    first = np.ones(len(idx), bool)
+    first[1:] = idx[1:] != idx[:-1]
+    starts = np.flatnonzero(first)
+    doc_rows = idx[starts]
+    sigs = np.empty((len(starts), num_hashes), np.uint64)
+    for i in range(num_hashes):
+        k = (i * 5) % 64
+        hv = b1 ^ (b2 if k == 0 else (b2 << np.uint64(k)) | (b2 >> np.uint64(64 - k)))
+        # signed min, matching the JVM's F.min over LongType
+        sv = hv.view(np.int64)
+        sigs[:, i] = np.array(
+            np.minimum.reduceat(sv, starts), np.int64
+        ).view(np.uint64)
+    return doc_rows, sigs.view(np.int64)
+
+
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:
@@ -320,17 +387,42 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 5,
+    fused: bool = True,
 ) -> DataFrame:
-    """k-permutation MinHash signature per document: k min-aggregates over
-    the hashed shingle table — one scan + one groupBy, all JVM-side (no
-    Python UDF). Columns: id, h0..h{k-1}.
+    """k-permutation MinHash signature per document. Columns: id,
+    h0..h{k-1}.
 
-    Deliberately explode+aggregate, NOT ``array_min(transform(...))`` over
-    in-row shingle arrays: array higher-order functions are interpreted
-    per element in Spark (outside whole-stage codegen), while the exploded
-    min-agg is fully codegen'd with map-side partials — the shuffle
-    carries only |docs|×k mins (and shares the shingle table's doc-id
-    clustering, so no extra Exchange)."""
+    ``fused`` (default): signatures come straight out of the per-doc
+    mapInPandas shingle hasher — docs are atomic per row, so the whole
+    signature pipeline is map-side with ZERO exchanges (the reference's
+    per-shard local compute, executor.go:6449-6830); the two-hash
+    derivation is replicated bit-exactly in numpy (test-enforced equal
+    to the aggregate form). ``fused=False`` keeps the JVM form: the
+    hashed shingle table + k codegen'd min-aggregates, one exchange of
+    |docs|×k partial mins — useful when the posting table is being
+    materialized anyway and the signature can share its scan."""
+    if fused:
+        from featurebase_spark.pipeline import spread_small_input
+
+        src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+        id_type = src.schema[id_col].dataType.simpleString()
+        schema = ", ".join(
+            [f"{id_col} {id_type}"] + [f"h{i} long" for i in range(num_hashes)]
+        )
+
+        def sig_partition(batches):
+            import numpy as np
+
+            for pdf in batches:
+                rows, sigs = _doc_signatures(
+                    pdf[text_col].tolist(), shingle_n, num_hashes
+                )
+                out = {id_col: pdf[id_col].to_numpy()[rows]}
+                for i in range(num_hashes):
+                    out[f"h{i}"] = sigs[:, i]
+                yield pd.DataFrame(out)
+
+        return src.mapInPandas(sig_partition, schema)
     sh = shingle_table(df, text_col, id_col, shingle_n)
     return sh.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
 

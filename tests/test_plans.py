@@ -135,7 +135,7 @@ def test_minhash_signature_plan_zero_exchanges_before_groupby(spark, tables):
     # shingle_n=4: distinct from the cached n=5 subtrees other tests
     # create, so the plan under audit is the real pipeline, not an
     # InMemoryTableScan over a cache hit
-    sigs = minhash_signatures(docs, "text", "doc_id", 32, 4)
+    sigs = minhash_signatures(docs, "text", "doc_id", 32, 4, fused=False)
     p = sigs._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
@@ -149,6 +149,31 @@ def test_minhash_signature_plan_zero_exchanges_before_groupby(spark, tables):
     assert "partial_min" in head, p
     assert "MapInPandas" in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_minhash_fused_signatures_zero_exchanges_and_bit_equal(spark, tables):
+    """The FUSED signature path (default): per-doc signatures straight
+    out of mapInPandas — ZERO hash exchanges anywhere in the plan (the
+    reference's per-shard local compute), and the numpy two-hash
+    derivation is BIT-IDENTICAL to the JVM aggregate form."""
+    from featurebase_spark.pipeline.dedup import minhash_signatures
+    from featurebase_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    fused = minhash_signatures(docs, "text", "doc_id", 16, 4)
+    p = fused._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert p.count("hashpartitioning(") == 0, p
+    assert "MapInPandas" in p, p
+    jvm = minhash_signatures(docs, "text", "doc_id", 16, 4, fused=False)
+    a = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(16))
+         for r in fused.collect()}
+    b = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(16))
+         for r in jvm.collect()}
+    assert a == b
 
 
 def test_index_maintenance_key_serves_without_table_scan(spark, tables):
