@@ -1835,6 +1835,89 @@ def source_idk_csv(spark, sf_dir):
 
 
 @register(
+    "pql_arrow_table",
+    "SELECT event_id AS _id, user_id, CAST(FLOOR(value) AS BIGINT) AS ivalue "
+    "FROM events WHERE event_type = 'purchase' AND value > 300 "
+    "ORDER BY _id",
+)
+def pql_arrow_table(spark, sf_dir):
+    """PQL ``Arrow(filter, header=[...])`` (arrow.go:26-120, dispatch
+    executor.go:835): the filtered records' named columns as an Arrow
+    table. Arrow IS Spark's interchange format — the call is
+    filter+project; the key returns the DataFrame the Arrow table is
+    collected from (to_arrow is a driver-side view of the same rows)."""
+    from featurebase_spark.pql.calls import Arrow
+
+    idx = _events(spark, sf_dir)
+    ev = idx.df.withColumn("ivalue", F.floor(F.col("value")).cast("long"))
+    idx2 = Index(ev, id_col="event_id", time_col="ts")
+    df = Arrow(
+        Intersect(Row("event_type", "==", "purchase"), Row("value", ">", 300)),
+        "user_id", "ivalue",
+    ).to_df(idx2)
+    return df.select(
+        F.col("event_id").alias("_id"), "user_id", "ivalue"
+    ).orderBy("_id")
+
+
+@register(
+    "streaming_upsert_visibility",
+    # the oracle replays the two micro-batches' upsert-by-key semantics
+    # literally: batch 2 overrides batch 1 per key, new keys append
+    "WITH b1(id, v) AS (SELECT i, i * 10 FROM range(20) t(i)), "
+    "b2(id, v) AS (SELECT i * 2, 1000 + i FROM range(8) t(i)), "
+    "merged AS (SELECT id, v FROM b1 WHERE id NOT IN (SELECT id FROM b2) "
+    "           UNION ALL SELECT id, v FROM b2) "
+    "SELECT id AS _id, CAST(v AS BIGINT) AS v FROM merged ORDER BY _id",
+)
+def streaming_upsert_visibility(spark, sf_dir):
+    """Structured Streaming ingest END TO END under the hash gate: a
+    file-source stream delivers two micro-batches through the bucketed
+    upsert sink (bit-flip visibility, idk/ingest.go -> api.Import); the
+    final registered view must equal the literal batch replay — batch 2
+    overrides batch 1 per key, new keys append, untouched keys survive.
+    The stream runs inside the key (processAllAvailable) so the driver's
+    comparator exercises readStream -> foreachBatch -> O(touched-bucket)
+    commit -> view swap, not a pre-materialized table."""
+    import json as _json
+    import os
+    import tempfile
+
+    from featurebase_spark.streaming import upsert_sink
+
+    d = tempfile.mkdtemp(prefix="fb_stream_q_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    spark.createDataFrame([], "_id LONG, v LONG").createOrReplaceTempView(
+        "t_stream_vis"
+    )
+    stream = spark.readStream.schema("_id LONG, v LONG").json(src)
+    q = upsert_sink(
+        stream, "t_stream_vis",
+        checkpoint=os.path.join(d, "ckpt"),
+        table_path=os.path.join(d, "tbl"),
+    )
+    try:
+        with open(os.path.join(src, "b1.json"), "w") as fh:
+            for i in range(20):
+                fh.write(_json.dumps({"_id": i, "v": i * 10}) + "\n")
+        q.processAllAvailable()
+        with open(os.path.join(src, "b2.json"), "w") as fh:
+            for i in range(8):
+                fh.write(_json.dumps({"_id": i * 2, "v": 1000 + i}) + "\n")
+        q.processAllAvailable()
+        rows = (
+            spark.table("t_stream_vis")
+            .select("_id", F.col("v").cast("long").alias("v"))
+            .orderBy("_id")
+            .collect()
+        )
+    finally:
+        q.stop()
+    return spark.createDataFrame(rows, "_id long, v long")
+
+
+@register(
     "statement_copy",
     "SELECT p_partkey AS _id, upper(p_name) AS name, "
     "CAST(p_size AS BIGINT) AS psize FROM part "
