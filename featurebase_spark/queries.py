@@ -1918,6 +1918,44 @@ def streaming_upsert_visibility(spark, sf_dir):
 
 
 @register(
+    "statement_view_lifecycle",
+    "WITH t(i) AS (SELECT i FROM range(40) s(i)) "
+    "SELECT i AS _id, CAST(i * i AS BIGINT) AS sq FROM t "
+    "WHERE i % 3 = 0 AND i * i > 50 ORDER BY _id",
+)
+def statement_view_lifecycle(spark, sf_dir):
+    """CREATE/ALTER VIEW through the statement door (defs_views.go
+    lifecycle, compilecreateview.go:14-60 — stored SQL text re-compiled
+    on use): a view over a seeded table, ALTERed to a narrower
+    definition, then queried with a further filter — the final SELECT
+    must equal the literal formula replay."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    for stmt in (
+        "create table t_view_q (_id id, sq int)",
+        "insert into t_view_q values "
+        + ", ".join(f"({i}, {i * i})" for i in range(40)),
+        "create view v_view_q as select _id, sq from t_view_q",
+        # ALTER narrows the view to every third record
+        "alter view v_view_q as select _id, sq from t_view_q "
+        "where _id % 3 = 0",
+    ):
+        fb_sql(spark, stmt, catalog=cat)
+    out = fb_sql(
+        spark,
+        "select _id, cast(sq as bigint) as sq from v_view_q "
+        "where sq > 50 order by _id",
+        catalog=cat,
+    )
+    rows = out.collect()
+    cat.drop_view("v_view_q")
+    cat.drop_table("t_view_q", if_exists=True)
+    return spark.createDataFrame(rows, "_id long, sq long")
+
+
+@register(
     "statement_copy",
     "SELECT p_partkey AS _id, upper(p_name) AS name, "
     "CAST(p_size AS BIGINT) AS psize FROM part "
