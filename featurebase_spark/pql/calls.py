@@ -371,6 +371,13 @@ class ReaderCall:
 
 
 def _filtered(idx: Index, flt: Optional[RowCall]) -> DataFrame:
+    if flt is not None and not isinstance(flt, RowCall):
+        # e.g. Count(Arrow(...)): reader calls are not row filters — the
+        # reference's analyzer rejects non-bitmap children the same way
+        raise TypeError(
+            f"{type(flt).__name__}() does not produce a row set and "
+            "cannot be used as a filter argument"
+        )
     return idx.df if flt is None else flt.filter_df(idx)
 
 
@@ -383,6 +390,13 @@ class Count(ReaderCall):
     child: RowCall
 
     def to_df(self, idx: Index) -> DataFrame:
+        if not isinstance(self.child, RowCall):
+            # e.g. Count(Arrow(...)): reader calls are not row filters —
+            # the reference's analyzer rejects non-bitmap children too
+            raise TypeError(
+                f"{type(self.child).__name__}() does not produce a row "
+                "set and cannot be used as a filter argument"
+            )
         # filter-then-count keeps the predicate at the scan (PushedFilters)
         # and counts no columns at all — parquet answers from row-group
         # metadata where possible.

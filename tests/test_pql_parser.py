@@ -362,3 +362,14 @@ def test_ivy_relational_and_mod_ops(spark):
     got = {r["_id"]: r["result"]
            for r in apply_ivy(df, "v == 10 + 15").collect()}
     assert got == {1: 0, 2: 1, 3: 0}
+
+
+def test_reader_call_as_filter_rejected(spark):
+    """Count(Arrow(...)) and other reader-call-as-filter mistakes get a
+    clean analyzer error, not an AttributeError."""
+    from featurebase_spark.pql.calls import Index
+    from featurebase_spark.pql.parser import execute
+
+    df = spark.createDataFrame([(1, "a")], ["_id", "k"])
+    with pytest.raises(TypeError, match="does not produce a row set"):
+        execute(Index(df), 'Count(Arrow(Row(k="a")))')
