@@ -214,3 +214,60 @@ def test_percentile_float_subnormals(values, nth):
     stop condition's scale guard, and midpoints round to the endpoints —
     exactness must come from candidate resolution alone."""
     _check_float_percentile(values, nth, max_iters=80)
+
+
+# --- JPEG codec properties (pure numpy, no Spark) ---------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_blocky_gray_roundtrip_exact_property(bh, bw, seed):
+    """ANY per-8x8-block-constant gray image round-trips pixel-exactly
+    through baseline JPEG with the flat Q=8 table — the invariant the
+    multimodal_jpeg_decode oracle is built on, over random block grids."""
+    import numpy as np
+
+    from featurebase_spark.pipeline.media_codecs import (
+        FLAT_QUANT8,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(seed % 2**31)
+    blocks = rng.randint(0, 256, (bh, bw)).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    dec = decode_jpeg(encode_jpeg(img, quant=FLAT_QUANT8))
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_arbitrary_gray_bounded_error_property(h, w, seed, restarts):
+    """Arbitrary gray content (any size, incl. non-multiple-of-8 edges,
+    with and without restart markers) decodes with small bounded error
+    under flat Q=8 — every quantized coefficient is off by ≤4."""
+    import numpy as np
+
+    from featurebase_spark.pipeline.media_codecs import (
+        FLAT_QUANT8,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(seed % 2**31)
+    img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    payload = encode_jpeg(
+        img, quant=FLAT_QUANT8, restart_interval=2 if restarts else 0
+    )
+    dec = decode_jpeg(payload)
+    assert dec.shape == (h, w, 1)
+    assert int(np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()) <= 16
