@@ -92,6 +92,14 @@ class Catalog:
             if if_not_exists:
                 return
             raise ValueError(f"table {td.name} exists")  # [TABLE_OR_VIEW_ALREADY_EXISTS]
+        # foreign index must exist at field-create time (field.go:607-611,
+        # applyForeignIndex 715-722) — mirrored here so the API path gets
+        # the same guard the statement compiler applies
+        for f in td.fields:
+            if f.foreign_index and f.foreign_index not in self._defs:
+                raise ValueError(
+                    f"{f.foreign_index}: foreign index not found"
+                )
         self._empty_frame(td).createOrReplaceTempView(self._view(td.name))
         self._defs[td.name] = td
 

@@ -551,3 +551,15 @@ def test_cluster_system_tables(spark, cat):
     a = fb_sql(spark, "select count(*) as n from fb_database_nodes",
                catalog=cat).first()["n"]
     assert a == 1
+
+
+def test_foreign_index_api_path_guard(spark):
+    """Catalog.create_table (the API path, not the statement compiler)
+    applies the same foreign-index existence check."""
+    from featurebase_spark.schema import FieldDef, TableDef
+
+    c = Catalog(spark)
+    with pytest.raises(ValueError, match="ghost: foreign index not found"):
+        c.create_table(TableDef("fkapi", [
+            FieldDef("parent", "id", foreign_index="ghost")
+        ]))
