@@ -53,11 +53,13 @@ from pyspark.sql.types import (
 
 DEFAULT_SHARD_EXP = 20  # reference ShardWidth = 1 << 20 (shardwidth/helper.go:14)
 
-#: Container tags (first byte of every non-empty blob) — the roaring
-#: array-vs-bitmap container choice (roaring/containers_*.go; roaring keeps
-#: an RLE container too, which the array form subsumes at these payloads).
+#: Container tags (first byte of every non-empty blob) — the full roaring
+#: container set (roaring/containers_*.go): bitmap, array, AND run (RLE) —
+#: dense CONSECUTIVE id ranges (auto-increment keys, recent-window views)
+#: collapse to (start, length) pairs, the reference's run containers.
 _DENSE = 0x00  # packed little-endian bitset
 _ARRAY = 0x01  # sorted uint32 offsets
+_RUN = 0x02  # (start uint32, length uint32) pairs, sorted, non-adjacent
 
 
 def _active_spark():
@@ -82,6 +84,17 @@ def _pack(offsets: np.ndarray, assume_sorted: bool = False) -> bytes:
         offs = np.unique(offs)
     dense_bytes = (int(offs[-1]) >> 3) + 1
     array_bytes = 4 * len(offs)
+    # run container: consecutive-id ranges collapse to (start, len) pairs
+    breaks = np.flatnonzero(np.diff(offs) != 1)
+    n_runs = len(breaks) + 1
+    run_bytes = 8 * n_runs
+    if run_bytes < array_bytes and run_bytes < dense_bytes:
+        starts = np.concatenate(([0], breaks + 1))
+        ends = np.concatenate((breaks, [len(offs) - 1]))
+        pairs = np.empty(2 * n_runs, dtype="<u4")
+        pairs[0::2] = offs[starts]
+        pairs[1::2] = offs[ends] - offs[starts] + 1
+        return bytes([_RUN]) + pairs.tobytes()
     if array_bytes < dense_bytes:
         return bytes([_ARRAY]) + offs.astype("<u4").tobytes()
     width = int(offs[-1]) + 1
@@ -97,6 +110,13 @@ def _unpack(blob: bytes) -> np.ndarray:
     blob = bytes(blob)
     if blob[0] == _ARRAY:
         return np.frombuffer(blob, dtype="<u4", offset=1).astype(np.int64)
+    if blob[0] == _RUN:
+        pairs = np.frombuffer(blob, dtype="<u4", offset=1).astype(np.int64)
+        starts, lens = pairs[0::2], pairs[1::2]
+        # expand all runs: arange over total length + per-run base offsets
+        total = int(lens.sum())
+        idx = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        return idx + np.arange(total, dtype=np.int64)
     bits = np.unpackbits(
         np.frombuffer(blob, dtype=np.uint8, offset=1), bitorder="little"
     )
@@ -113,6 +133,9 @@ def _popcount(blob: bytes) -> int:
     blob = bytes(blob)
     if blob[0] == _ARRAY:
         return (len(blob) - 1) // 4
+    if blob[0] == _RUN:
+        # O(runs): the run container's whole point
+        return int(np.frombuffer(blob, dtype="<u4", offset=1)[1::2].sum())
     return int(
         np.unpackbits(
             np.frombuffer(blob, dtype=np.uint8, offset=1), bitorder="little"
