@@ -830,3 +830,96 @@ def dedup_survivors(
         .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs → connected components → canonical docs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the step that
+    turns near-dup PAIRS into dedup CLUSTERS (a chain a~b~c is ONE group
+    even when (a,c) was never emitted). Returns (id, component) where
+    component = the minimum id reachable from the node; docs in no pair
+    are their own singleton component.
+
+    Algorithm: iterative min-label propagation (the standard large-graph
+    CC: each round every node takes the min of its own label and its
+    neighbors' labels, until fixpoint). Each round is one join + one
+    groupBy — all hash-partitioned on the node id, so successive rounds
+    reuse the same partitioning; rounds needed = graph diameter, and
+    near-dup clusters are short chains (a handful of rounds). The loop
+    is driver-side CONTROL only — no data ever collects; the fixpoint
+    test is a count of changed labels (reference analogue: dedup has no
+    clustering step — a genuine extension a training pipeline needs)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "component")
+
+
+def neardup_canonical(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The dedup pipeline's END STATE: MinHash→LSH→verified pairs →
+    connected components → (id, component, is_canonical) — canonical =
+    the min id of each near-dup cluster; a training pipeline keeps
+    ``is_canonical`` rows and drops the rest."""
+    prs = minhash_dedup_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n, threshold
+    )
+    comp = connected_components(prs, df.select(id_col), id_col)
+    return comp.select(
+        id_col,
+        "component",
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )

@@ -1102,6 +1102,54 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_canonical",
+    # the same brute-force pair oracle as dedup_minhash_lsh, extended by
+    # a recursive-CTE transitive closure: component = min reachable id,
+    # singletons are their own component — DuckDB replays the CLUSTERING,
+    # not just the pairs
+    "WITH RECURSIVE sh AS ("
+    "  SELECT doc_id, unnest(CASE WHEN len(w) >= 5"
+    "    THEN list_distinct(list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' ')))"
+    "    ELSE [array_to_string(w, ' ')] END) AS shingle"
+    "  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)"
+    "), sizes AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id), "
+    "cand AS ("
+    "  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) inter"
+    "  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id"
+    "  GROUP BY 1, 2), "
+    "prs AS ("
+    "  SELECT id_a, id_b FROM cand "
+    "  JOIN sizes sa ON cand.id_a = sa.doc_id "
+    "  JOIN sizes sb ON cand.id_b = sb.doc_id "
+    "  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5), "
+    "edges AS (SELECT id_a s, id_b d FROM prs "
+    "          UNION ALL SELECT id_b, id_a FROM prs), "
+    "reach(a, b) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s) "
+    "SELECT a AS doc_id, MIN(b) AS component, "
+    "a = MIN(b) AS is_canonical "
+    "FROM reach GROUP BY a ORDER BY doc_id",
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    """The dedup pipeline's END STATE (pipeline/dedup.neardup_canonical):
+    verified near-dup pairs → CONNECTED COMPONENTS (iterative min-label
+    propagation, one join+groupBy per round, driver loop is control
+    only) → canonical assignment (component = min reachable id,
+    is_canonical marks the survivor). A chain a~b~c is ONE cluster even
+    though (a,c) was never a pair — DuckDB's recursive-CTE transitive
+    closure replays exactly that, so the hash match proves the iterative
+    distributed algorithm, not just the pair list."""
+    from featurebase_spark.pipeline.dedup import neardup_canonical
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return neardup_canonical(docs, "text", "doc_id", 32, 8, 5, 0.5).orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "dedup_survivors",
     "WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM documents), "
     "keep AS (SELECT doc_id FROM (SELECT doc_id, "

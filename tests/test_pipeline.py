@@ -618,3 +618,49 @@ def test_scrub_pii_masks_and_preserves(spark):
     assert got[2] == "server at <IP> card <CARD>"
     # short numbers and dates survive (not PII shapes)
     assert got[3] == "clean text with number 42 and date 2024-01-05"
+
+
+def test_connected_components_chains_and_singletons(spark):
+    """Pairs→clusters: a chain a~b~c~d is ONE component (min id label)
+    even though only adjacent pairs exist; disjoint clusters stay
+    separate; unpaired nodes are singletons."""
+    from featurebase_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain → component 1
+         (10, 11),                    # pair → component 10
+         (20, 22), (21, 22)],         # star → component 20
+        ["id_a", "id_b"],
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 20, 21, 22, 99)], ["doc_id"]
+    )
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 99: 99}
+
+
+def test_neardup_canonical_end_state(docs):
+    """The full pipeline over the corpus: every doc gets a component,
+    exactly one canonical per component, canonical = min id, and every
+    verified near-dup pair lands in the same component."""
+    from featurebase_spark.pipeline.dedup import (
+        minhash_dedup_pairs,
+        neardup_canonical,
+    )
+
+    out = neardup_canonical(docs, threshold=0.5)
+    rows = out.collect()
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    assert len(rows) == docs.count()
+    # canonical flags: one per component, equal to the min member
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for c, members in by_comp.items():
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["doc_id"] == c
+        assert c == min(m["doc_id"] for m in members)
+    for p in minhash_dedup_pairs(docs, threshold=0.5).collect():
+        assert comp[p["id_a"]] == comp[p["id_b"]]
