@@ -454,6 +454,10 @@ def _decode_jpeg_scan(
             mcu_count += 1
             for ci, c in enumerate(comps):
                 td, ta = sel[c["id"]]
+                if td not in huff_dc or ta not in huff_ac:
+                    raise UnsupportedMediaError(
+                        f"JPEG: missing Huffman table (dc={td}, ac={ta})"
+                    )
                 dct, act = huff_dc[td], huff_ac[ta]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
@@ -485,6 +489,11 @@ def _decode_jpeg_scan(
                         coef[ci][y0 : y0 + 8, x0 : x0 + 8] = b8
     # dequant + batched IDCT per component
     planes = []
+    for c in comps:
+        if c["tq"] not in qt:
+            raise UnsupportedMediaError(
+                f"JPEG: missing quant table {c['tq']}"
+            )
     for ci, c in enumerate(comps):
         ph, pw = coef[ci].shape
         blocks = (
