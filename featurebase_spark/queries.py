@@ -3129,8 +3129,8 @@ _GATE_PRIORITY = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_exact_fingerprints",
+    "dedup_cluster_canonical",
     "dedup_survivors",
-    "dedup_survivors_text_door",
     # LLM-pipeline: similarity / ANN
     "sim_bruteforce_topk",
     "sim_ann_lsh_topk",
