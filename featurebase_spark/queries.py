@@ -2004,6 +2004,50 @@ def statement_view_lifecycle(spark, sf_dir):
 
 
 @register(
+    "text_quality_filter",
+    # quality formula identical to text_quality_langid's oracle; the
+    # corpus-relative threshold is the nearest-rank p40 of the quality
+    # multiset (the house percentile semantics), computed from the SAME
+    # doubles in both engines — so the kept set matches exactly
+    "WITH s AS (SELECT doc_id, string_split(text, ' ') w FROM documents), "
+    "sc AS (SELECT doc_id, "
+    "  CAST(len(w) AS BIGINT) AS n, "
+    "  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS diversity, "
+    f"  CAST(len(list_filter(w, t -> t IN {_STOP_SQL})) AS DOUBLE) / len(w) AS stop_ratio "
+    "FROM s), "
+    "q AS (SELECT doc_id, "
+    "(CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END) * 0.4 "
+    "+ diversity * 0.4 "
+    "+ (CASE WHEN stop_ratio <= 0.5 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality "
+    "FROM sc), "
+    "thr AS (SELECT quality AS t FROM ("
+    "  SELECT quality, ROW_NUMBER() OVER (ORDER BY quality) AS rn, "
+    "         COUNT(*) OVER () AS cnt FROM q"
+    ") WHERE rn = GREATEST(1, CAST(CEIL(0.4 * cnt) AS BIGINT))) "
+    "SELECT doc_id, quality FROM q, thr WHERE quality >= t ORDER BY doc_id",
+)
+def text_quality_filter(spark, sf_dir):
+    """Corpus-relative quality filtering — the 'keep the best X%' pass of
+    a training pipeline: score every document (C4/Gopher-style rule
+    combo), take the exact nearest-rank p40 of the corpus's quality
+    distribution as the threshold, keep docs at or above it. Scale
+    shape: one scoring projection + the rank-free percentile machinery
+    + one filtered scan; no global sort."""
+    from featurebase_spark.pipeline import text as T
+
+    docs = _tables(spark, sf_dir)["documents"]
+    q = docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    thr = (
+        Percentile("quality", 40)
+        .to_df(Index(q, id_col="doc_id"))
+        .first()[0]
+    )
+    return q.where(F.col("quality") >= thr).orderBy("doc_id")
+
+
+@register(
     "statement_copy",
     "SELECT p_partkey AS _id, upper(p_name) AS name, "
     "CAST(p_size AS BIGINT) AS psize FROM part "
