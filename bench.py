@@ -94,6 +94,17 @@ def _load_baseline() -> dict[str, float]:
                 d = json.load(fh)
             # the driver wraps our JSON line under "parsed"
             best = (d.get("parsed") or d).get("queries", {}) or {}
+            if not best and d.get("tail"):
+                # r5's JSON line outgrew the driver's tail buffer
+                # (parsed=null); scrape per-query seconds from the
+                # truncated tail instead. Scrape only the region before
+                # "vs_prev_round" (after it the same names map to
+                # ratios, not seconds).
+                frag = d["tail"].split('"vs_prev_round"')[0]
+                for m in re.finditer(r'"(\w+)":\s*([0-9.]+)', frag):
+                    name, val = m.group(1), float(m.group(2))
+                    if name in BENCH_QUERIES and name not in best:
+                        best[name] = val
         except Exception:
             best = {}
     return best
@@ -176,19 +187,25 @@ def main() -> None:
     }
     if regressions:
         print(f"# REGRESSIONS >1.5x: {regressions}", file=sys.stderr)
+    # round-over-round deltas are diagnostics — stderr only. The driver
+    # captures a bounded tail of stdout and parses the JSON line out of
+    # it, so the stdout line must stay compact (r5's line grew past the
+    # buffer and the driver recorded parsed=null).
+    print(f"# vs_prev_round: {json.dumps(deltas)}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": per_query,
-                "vs_prev_round": deltas,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(total, 4),
+            "unit": "sec",
+            "queries": per_query,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1800:  # stay well inside the driver's tail buffer
+        print(f"# WARNING: bench JSON line is {len(line)} chars", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -124,8 +124,13 @@ def _is_literal_plan(df: DataFrame) -> bool:
 
 def spark_bucket(key, n_buckets: int) -> int:
     """pmod(xxhash64(key), n) for a long or string key — the bucket id
-    :meth:`PartitionedUpsertTable._bucketed` assigns, computed driver-side."""
-    if isinstance(key, str):
+    :meth:`PartitionedUpsertTable._bucketed` assigns, computed driver-side.
+    ``None`` follows Spark's hash semantics: a NULL input leaves the
+    xxhash64 accumulator at its seed (42), so NULL keys land in bucket
+    ``42 % n`` — the same bucket the distributed path stages them into."""
+    if key is None:
+        h = 42
+    elif isinstance(key, str):
         h = xxhash64_bytes(key.encode("utf-8"))
     else:
         h = xxhash64_long(int(key))
@@ -298,8 +303,11 @@ class PartitionedUpsertTable:
         collected)."""
         dtype = dict(batch.dtypes).get(self.key)
         if dtype in ("bigint", "string") and _is_literal_plan(batch):
-            ks = {r[0] for r in batch.select(self.key).collect()
-                  if r[0] is not None}
+            # NULL keys included: _bucketed stages them into bucket
+            # pmod(xxhash64(NULL)=seed 42, n), so the driver-computed set
+            # must cover that bucket too or the staged rows would never
+            # be repointed by the manifest commit (silent row drop).
+            ks = {r[0] for r in batch.select(self.key).collect()}
             return sorted({spark_bucket(k, self.buckets) for k in ks})
         b = self._bucketed(batch.dropDuplicates([self.key]))
         return [int(r[0]) for r in b.select("__bucket").distinct().collect()]

@@ -101,17 +101,41 @@ def _splitmix64(h):
     return h ^ (h >> np.uint64(31))
 
 
+#: tokens longer than this hash via a per-token sha256 digest instead of
+#: the per-byte-position vectorized loop. Natural-language tokens are
+#: short; the loop runs max(len) passes over the whole batch, so ONE
+#: pathological unbroken blob (base64, URL dumps) would otherwise force
+#: thousands of near-empty masked passes. The digest substitution keeps
+#: the hash's EQUALITY CLASSES intact (same token → same digest, distinct
+#: tokens → distinct digests mod 2^-256 collisions), which is all the
+#: dedup oracles depend on — they compare shingle STRINGS, never hash
+#: values.
+_TOKEN_HASH_CAP = 256
+
+
 def _hash_tokens_np(token_bytes: list) -> "object":
     """Vectorized 64-bit hash of a flat list of UTF-8 token byte strings:
     FNV-1a body + splitmix64 finalizer. One numpy pass per byte position
     (tokens are short words), no per-token Python work beyond the single
-    C-speed ``b"".join``."""
+    C-speed ``b"".join``. Tokens beyond ``_TOKEN_HASH_CAP`` bytes are
+    replaced by a tagged sha256 digest first (C-speed, per long token
+    only) so batch cost stays O(cap × n_tokens) regardless of blob
+    tokens."""
     import numpy as np
 
     cnt = len(token_bytes)
     if cnt == 0:
         return np.empty(0, np.uint64)
     lens = np.fromiter((len(t) for t in token_bytes), np.int64, cnt)
+    if int(lens.max()) > _TOKEN_HASH_CAP:
+        import hashlib
+
+        token_bytes = [
+            t if len(t) <= _TOKEN_HASH_CAP
+            else b"\xff" + hashlib.sha256(t).digest()
+            for t in token_bytes
+        ]
+        lens = np.fromiter((len(t) for t in token_bytes), np.int64, cnt)
     buf = np.frombuffer(b"".join(token_bytes), np.uint8)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     h = np.full(cnt, _FNV_OFFSET, np.uint64)
@@ -857,7 +881,16 @@ def connected_components(
     near-dup clusters are short chains (a handful of rounds). The loop
     is driver-side CONTROL only — no data ever collects; the fixpoint
     test is a count of changed labels (reference analogue: dedup has no
-    clustering step — a genuine extension a training pipeline needs)."""
+    clustering step — a genuine extension a training pipeline needs).
+
+    The loop ALWAYS runs to the fixpoint: min-label propagation is
+    monotone over a finite graph, so it terminates in ≤ diameter rounds.
+    ``max_iterations`` is a soft expectation, not a truncation — a
+    corpus whose duplicate chains exceed it just keeps iterating (each
+    extra round is one cheap re-partitioned join), with a warning so
+    pathological graph shapes are visible. Truncating instead would
+    silently split one true cluster into several "canonical" docs —
+    silent duplicate retention."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -868,7 +901,9 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     )
-    for _ in range(max_iterations):
+    rounds = 0
+    while True:
+        rounds += 1
         neighbor_min = (
             edges.join(
                 labels.withColumnRenamed("node", "dst"), "dst"
@@ -898,6 +933,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+        if rounds == max_iterations:
+            import warnings
+
+            warnings.warn(
+                f"connected_components: not converged after {rounds} "
+                "rounds (duplicate-chain diameter exceeds max_iterations); "
+                "continuing to the fixpoint",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return labels.select(F.col("node").alias(id_col), "component")
 
 

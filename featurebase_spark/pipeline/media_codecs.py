@@ -437,6 +437,12 @@ def _decode_jpeg_scan(
     mcux = -(-W // (8 * hmax))
     mcuy = -(-H // (8 * vmax))
     sel = {cs: (td, ta) for cs, td, ta in scan_sel}
+    # a baseline JPEG may legally carry non-interleaved scans (one SOS
+    # per component); this decoder handles the single interleaved-scan
+    # form only — raise the module's typed error, not a KeyError mid-MCU
+    missing = [c["id"] for c in comps if c["id"] not in sel]
+    if missing:
+        raise UnsupportedMediaError("JPEG: non-interleaved scans unsupported")
     data, _marks = _unstuff_scan(payload, start)
     r = _BitReader(data)
     # coefficient planes per component, MCU-padded

@@ -86,8 +86,23 @@ def _emit_plain(tok: str) -> str:
 #: keywords after which a hyphenated identifier is a TABLE reference
 _TABLE_POS_KWS = {"FROM", "JOIN", "INTO", "TABLE", "UPDATE"}
 
+#: keywords that END a FROM clause's table list — after one of these a
+#: comma separates expressions (ORDER BY a, b), not table references
+_FROM_LIST_ENDERS = {
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+    "INTERSECT", "EXCEPT", "SELECT", "SET", "VALUES",
+}
+
 
 def _emit_word(tok: str, table_pos: bool = False) -> str:
+    """See :func:`_emit_word_ctx` — kept for arg-list emission where no
+    token lookahead context exists."""
+    return _emit_word_ctx(tok, table_pos=table_pos)
+
+
+def _emit_word_ctx(
+    tok: str, table_pos: bool = False, qualifier: bool = False
+) -> str:
     """Emit one identifier/keyword token into Spark SQL. Hyphenated
     identifiers (legal in the reference — scanner.go:338-339 treats '-'
     as an identifier char, so ``un-keyed`` is ONE token, not subtraction)
@@ -97,9 +112,12 @@ def _emit_word(tok: str, table_pos: bool = False) -> str:
     with backtick quoting (the physical DataFrame column keeps the
     hyphenated spelling). Subtraction still works when spaced (``a - b``)
     or against numeric literals (``a -1``), exactly as in the reference
-    dialect."""
+    dialect. ``qualifier``: the identifier is immediately followed by
+    '.', i.e. it QUALIFIES a column (``my-tbl.k``) — the reference has
+    no struct fields, so a dotted hyphenated identifier is always a
+    table reference and rewrites to the view name too."""
     if "-" in tok and (tok[:1].isalpha() or tok[:1] == "_"):
-        if table_pos:
+        if table_pos or qualifier:
             from featurebase_spark.schema import spark_view_name
 
             return spark_view_name(tok)
@@ -358,6 +376,7 @@ class _Rewriter:
         out: list[str] = []
         top_limit: Optional[str] = None
         saw_explicit_limit = False
+        in_from_list = False  # inside FROM's table list (through JOIN/ON)
         while self.i < len(self.toks):
             tok = self.toks[self.i]
             if stop is not None and tok == stop:
@@ -418,11 +437,21 @@ class _Rewriter:
                     continue
                 if up == "LIMIT":
                     saw_explicit_limit = True
+                if up == "FROM":
+                    in_from_list = True
+                elif up in _FROM_LIST_ENDERS:
+                    in_from_list = False
                 prev = self._prev_word(self.i - 1)
-                out.append(_emit_word(
+                # table position: right after FROM/JOIN/INTO/..., or
+                # after a ',' while still inside the FROM table list
+                # (`FROM a, my-tbl` — the reference dialect accepts the
+                # hyphenated name there too, scanner.go:338-339)
+                out.append(_emit_word_ctx(
                     tok,
                     table_pos=prev is not None
-                    and prev.upper() in _TABLE_POS_KWS,
+                    and (prev.upper() in _TABLE_POS_KWS
+                         or (in_from_list and prev == ",")),
+                    qualifier=nxt == ".",
                 ))
                 self.i += 1
                 continue
@@ -487,7 +516,8 @@ class _Rewriter:
                     cur.append(f"CAST({_rewrite_cast(inner)})")
                     continue
             cur.append(_emit_plain(tok) if not (
-                tok[:1].isalpha() or tok[:1] == "_") else _emit_word(tok))
+                tok[:1].isalpha() or tok[:1] == "_") else _emit_word_ctx(
+                    tok, qualifier=self._peek_word(self.i + 1) == "."))
             self.i += 1
         tail = "".join(cur).strip()
         if tail:

@@ -664,3 +664,103 @@ def test_neardup_canonical_end_state(docs):
         assert c == min(m["doc_id"] for m in members)
     for p in minhash_dedup_pairs(docs, threshold=0.5).collect():
         assert comp[p["id_a"]] == comp[p["id_b"]]
+
+
+def test_connected_components_converges_past_max_iterations(spark):
+    """A duplicate chain LONGER than max_iterations still resolves to ONE
+    component: the loop runs to the fixpoint (truncating would silently
+    split the cluster — duplicate retention), warning on the way."""
+    import warnings
+
+    from featurebase_spark.pipeline.dedup import connected_components
+
+    n = 9  # chain diameter 8 > max_iterations=2
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(
+                pairs, nodes, max_iterations=2
+            ).collect()
+        }
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert any("not converged" in str(x.message) for x in w)
+
+
+def test_hash_tokens_long_blob_equality_classes():
+    """Tokens beyond _TOKEN_HASH_CAP hash via a per-token digest — the
+    vectorized loop stays O(cap) passes instead of O(longest blob) — and
+    the hash's equality classes are preserved exactly (all the dedup
+    oracles compare shingle STRINGS, never hash values)."""
+    import time
+
+    from featurebase_spark.pipeline.dedup import _TOKEN_HASH_CAP, _hash_tokens_np
+
+    blob1 = b"A" * 200_000
+    blob2 = b"A" * 200_000 + b"B"
+    short = [b"abc", b"xy", b"abc"]
+    t0 = time.perf_counter()
+    h = _hash_tokens_np([short[0], blob1, blob2, blob1, short[1], short[2]])
+    dt = time.perf_counter() - t0
+    assert h[1] != h[2]          # distinct blobs stay distinct
+    assert h[1] == h[3]          # same blob, same hash
+    assert h[0] == h[5] != h[4]  # short tokens unaffected by each other
+    # short tokens hash identically with and without blobs in the batch
+    h_alone = _hash_tokens_np(short)
+    assert h[0] == h_alone[0] and h[4] == h_alone[1]
+    # a 200k-byte blob must not force 200k masked passes
+    assert dt < 2.0, dt
+    # boundary: a token at exactly the cap uses the plain FNV path
+    at_cap = b"z" * _TOKEN_HASH_CAP
+    assert _hash_tokens_np([at_cap])[0] == _hash_tokens_np([at_cap, blob1])[0]
+
+
+def test_shingle_batch_with_blob_token_matches_string_form(spark):
+    """A doc containing one giant unbroken token still produces the same
+    shingle EQUALITY CLASSES as the string-shingle form the oracles use:
+    two docs equal up to the blob shingle the same; a one-byte blob
+    difference separates them."""
+    import numpy as np
+
+    from featurebase_spark.pipeline.dedup import _shingle_batch
+
+    blob = "Q" * 50_000
+    texts = [
+        f"a b c {blob} d e",
+        f"a b c {blob} d e",
+        f"a b c {blob}X d e",
+    ]
+    idx, grams = _shingle_batch(texts, 3)
+    by_doc = {}
+    for i, g in zip(idx.tolist(), grams.tolist()):
+        by_doc.setdefault(i, set()).add(g)
+    assert by_doc[0] == by_doc[1]
+    assert by_doc[0] != by_doc[2]
+
+
+def test_jpeg_non_interleaved_scan_raises_typed_error():
+    """A baseline JPEG whose SOS lists fewer components than the frame
+    (legal: one scan per component) must raise the module's typed
+    UnsupportedMediaError, not crash with a KeyError mid-MCU."""
+    import numpy as np
+    import pytest as _pytest
+
+    from featurebase_spark.pipeline import media_codecs as MC
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    payload = MC.encode_jpeg(img)
+    i = payload.find(b"\xff\xda")
+    assert i > 0
+    ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+    ns = payload[i + 4]
+    assert ns == 3
+    comp0 = payload[i + 5 : i + 7]          # first component's (id, tables)
+    tail = payload[i + 2 + ln - 3 : i + 2 + ln]  # Ss/Se/AhAl
+    new_sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1]) + comp0 + tail
+    mutated = payload[:i] + new_sos + payload[i + 2 + ln :]
+    with _pytest.raises(MC.UnsupportedMediaError, match="non-interleaved"):
+        MC.decode_jpeg(mutated)

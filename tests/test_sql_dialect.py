@@ -215,3 +215,50 @@ class TestTvfExtensions:
                 spark,
                 "SELECT * FROM fb_sessions(tvf_events, nope, ts, 30)",
             )
+
+
+def test_translate_hyphenated_table_in_from_list():
+    """A hyphenated table name after a COMMA in a FROM list is table
+    position (reference scanner lexes '-' as an identifier char), so it
+    rewrites to the mangled view name — not a backticked column."""
+    out = translate("select * from foo, my-tbl where foo.x = my-tbl.y")
+    assert "fbh__my_tbl" in out.split("where")[0]
+    # qualified column refs after WHERE mangle the hyphenated QUALIFIER
+    # too (no struct fields in the dialect — dotted ident = table ref)
+    assert "foo.x = fbh__my_tbl.y" in out
+    # three-element list, hyphenated in the middle
+    out = translate("select 1 from a, b-c, d")
+    assert " fbh__b_c," in out
+    # a comma OUTSIDE a FROM list is expression position: ORDER BY keeps
+    # hyphenated identifiers as backticked COLUMN references
+    out = translate("select 1 from t order by a-b, c-d")
+    assert "`a-b`, `c-d`" in out
+    # GROUP BY likewise
+    out = translate("select count(*) from t group by a-b, c-d")
+    assert "`a-b`, `c-d`" in out
+    # JOIN ... ON then a comma resumes the FROM table list
+    out = translate("select 1 from a join b on a.x = b.x, c-d")
+    assert "fbh__c_d" in out
+
+
+def test_fb_sql_hyphenated_table_from_list(spark):
+    """End-to-end: `FROM a, my-tbl` (comma join) resolves the hyphenated
+    table through the mangled view and returns the cross-filtered rows."""
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table fromlist_a (_id id, k int)", catalog=cat)
+    fb_sql(spark, "create table from-list-b (_id id, k int, v string)",
+           catalog=cat)
+    fb_sql(spark, "insert into fromlist_a values (1, 10), (2, 20)", catalog=cat)
+    fb_sql(spark, "insert into from-list-b values (1, 10, 'x'), (2, 30, 'y')",
+           catalog=cat)
+    rows = fb_sql(
+        spark,
+        "select fromlist_a._id as ida, v from fromlist_a, from-list-b "
+        "where fromlist_a.k = from-list-b.k",
+        catalog=cat,
+    ).collect()
+    assert [(r["ida"], r["v"]) for r in rows] == [(1, "x")]
+    cat.drop_table("fromlist_a")
+    cat.drop_table("from-list-b")

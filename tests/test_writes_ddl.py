@@ -337,3 +337,32 @@ def test_touched_buckets_driver_route_equals_plan_route(spark, tmp_path):
     assert sorted(touched) == want
     rows = {r["_id"]: r["v"] for r in t.read().collect()}
     assert rows[77] == 111 and rows[3] in (999, 1000) and rows[5] == 15
+
+
+def test_literal_upsert_null_key_not_dropped(spark, tmp_path):
+    """A literal (statement-door) batch containing a NULL key: the
+    distributed path stages that row into bucket pmod(xxhash64(NULL)=42,
+    n), so the driver-computed touched set must include that bucket or
+    the commit never repoints it — silent row drop."""
+    from pyspark.sql import functions as F
+
+    from featurebase_spark.operators.writes import (
+        PartitionedUpsertTable,
+        spark_bucket,
+    )
+
+    n = 16
+    # driver replica agrees with the engine on the NULL bucket
+    eng = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(None).cast("bigint")), F.lit(n)).alias("b")
+    ).first()["b"]
+    assert spark_bucket(None, n) == eng
+    t = PartitionedUpsertTable(spark, str(tmp_path / "nk"), "_id", n)
+    t.init(spark.createDataFrame([(1, "a")], "_id bigint, v string"))
+    batch = spark.createDataFrame(
+        [(None, "nullrow"), (2, "b")], "_id bigint, v string"
+    )
+    touched = t.upsert(batch)
+    assert spark_bucket(None, n) in touched
+    rows = {r["_id"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: "a", 2: "b", None: "nullrow"}
