@@ -3158,6 +3158,507 @@ def skew_salted_groupby(spark, sf_dir):
 
 
 # ===========================================================================
+# TPC-H breadth (r6): the remaining dashboard-query shapes expressible
+# over the available columns (no partsupp table / l_commitdate /
+# l_receiptdate / c_phone in the testdata, so Q2/Q9/Q11/Q12/Q16/Q20/Q21
+# have no faithful adaptation; Q22 adapts phone-prefix → nation).
+# ===========================================================================
+
+
+@register(
+    "sql_q7_volume_shipping",
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue "
+    "FROM supplier, lineitem, orders, customer, nation n1, nation n2 "
+    "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+    "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+    "AND c_nationkey = n2.n_nationkey "
+    "AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11') "
+    "  OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')) "
+    "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+)
+def sql_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year. Scale design: both nation-filtered dims (supplier side and
+    customer side) broadcast; the only big-big shuffle is
+    lineitem⋈orders on orderkey; the OR-of-nation-pairs predicate
+    evaluates after the joins on already-tiny rows."""
+    t = _tables(spark, sf_dir)
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin("NATION_20", "NATION_11"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cus = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin("NATION_20", "NATION_11"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation",
+                  F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "sql_q8_market_share",
+    # num/den each an exact decimal sum cast to double ONCE; the share is
+    # then a single correctly-rounded division — cross-engine exact
+    "SELECT o_year, CAST(CAST(SUM(n_vol) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share "
+    "FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "  CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume, "
+    "  CASE WHEN n2.n_name = 'NATION_3' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) "
+    "       ELSE CAST(0 AS DECIMAL(18,2)) END AS n_vol "
+    "  FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region "
+    "  WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey "
+    "  AND o_custkey = c_custkey AND l_suppkey = s_suppkey "
+    "  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey "
+    "  AND s_nationkey = n2.n_nationkey AND r_name = 'ASIA' "
+    "  AND p_type = 'PROMO') "
+    "GROUP BY o_year ORDER BY o_year",
+)
+def sql_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's supplier share of the ASIA PROMO
+    market by order year. All dims (part-filtered, region-filtered
+    customer side, nation-tagged supplier side) broadcast; one big-big
+    lineitem⋈orders shuffle; the share is a ratio of two decimal-exact
+    sums divided once as doubles."""
+    t = _tables(spark, sf_dir)
+    promo = t["part"].where(F.col("p_type") == "PROMO").select("p_partkey")
+    cust_asia = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    sup_n = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.when(F.col("supp_nation") == "NATION_3", vol)
+            .otherwise(F.lit(0).cast("decimal(18,2)"))
+            .alias("n_vol"),
+        )
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            (
+                F.sum("n_vol").cast("double")
+                / F.sum("volume").cast("double")
+            ).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "sql_q14_promo_revenue",
+    "SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' "
+    "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) "
+    "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS DOUBLE) AS promo_revenue "
+    "FROM lineitem, part WHERE l_partkey = p_partkey "
+    "AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'",
+)
+def sql_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo-type revenue share for one quarter. The
+    part dim broadcasts (it is the small side even at 100 TB — parts
+    grow far slower than lineitems); the aggregate is a map-side partial
+    over the date-pruned scan."""
+    t = _tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    j = li.join(
+        F.broadcast(t["part"].select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", vol)
+                .otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).cast("double")
+            / F.sum(vol).cast("double")
+        ).cast("double").alias("promo_revenue")
+    )
+
+
+@register(
+    "sql_q15_top_supplier",
+    "WITH rev AS (SELECT l_suppkey AS supplier_no, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue FROM supplier, rev "
+    "WHERE s_suppkey = supplier_no "
+    "AND total_revenue = (SELECT MAX(total_revenue) FROM rev) "
+    "ORDER BY s_suppkey",
+)
+def sql_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier via revenue view): per-supplier
+    quarterly revenue, then the max-revenue supplier(s). The revenue
+    'view' computes once and is joined against its own max — equality on
+    doubles is safe because both sides come from the same decimal-exact
+    sum. Scale: one groupBy shuffle on suppkey; the max is a 1-row
+    broadcast."""
+    t = _tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "sql_q17_small_quantity",
+    # the correlated 0.2*avg(qty) threshold: avg spelled explicitly as
+    # exact-long sum / count so neither engine accumulates doubles
+    "SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly "
+    "FROM lineitem, part WHERE p_partkey = l_partkey AND p_brand = 'Brand#13' "
+    "AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE) / "
+    "CAST(COUNT(*) AS DOUBLE)) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)",
+)
+def sql_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small orders of one brand. The
+    correlated per-part average decorrelates to an aggregate-then-join
+    (Catalyst does this automatically from the SQL text; the reference
+    planner would nested-loop it). The per-part avg uses exact integer
+    sum/count so the threshold double is engine-independent."""
+    t = _tables(spark, sf_dir)
+    t["lineitem"].createOrReplaceTempView("__q17_lineitem")
+    t["part"].createOrReplaceTempView("__q17_part")
+    return spark.sql(
+        "SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly "
+        "FROM __q17_lineitem, __q17_part "
+        "WHERE p_partkey = l_partkey AND p_brand = 'Brand#13' "
+        "AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE) / "
+        "CAST(COUNT(*) AS DOUBLE)) FROM __q17_lineitem l2 WHERE l2.l_partkey = p_partkey)"
+    )
+
+
+@register(
+    "sql_q18_large_orders",
+    "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+    "CAST(o_totalprice AS DOUBLE) AS o_totalprice, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+    "FROM customer, orders, lineitem "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) "
+    "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
+    "GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def sql_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds a threshold, with their customers. The HAVING
+    subquery is a semi-join on orderkey — the same key the outer
+    lineitem⋈orders join shuffles on, so at scale the two aggregations
+    share a co-partitioning; top-10 is TakeOrdered."""
+    t = _tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast("long")
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sq"))
+        .where(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    j = (
+        t["lineitem"]
+        .join(big.withColumnRenamed("l_orderkey", "bk"),
+              F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                  F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .agg(F.sum(qty).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "sql_q19_discounted_revenue",
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue "
+    "FROM lineitem, part WHERE p_partkey = l_partkey AND ("
+    "  (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 "
+    "   AND l_quantity >= 1 AND l_quantity <= 20) "
+    "  OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25 "
+    "   AND l_quantity >= 5 AND l_quantity <= 35) "
+    "  OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 40 "
+    "   AND l_quantity >= 10 AND l_quantity <= 50))",
+)
+def sql_q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of brand/size/quantity bands. The
+    part dim broadcasts; the OR-of-ANDs predicate rides the join (the
+    reference would evaluate it row-at-a-time post-join too — no index
+    helps a disjunction)."""
+    t = _tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 25)
+           & (q >= 5) & (q <= 35))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(1, 40)
+           & (q >= 10) & (q <= 50))
+    )
+    return j.where(cond).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "sql_q22_global_sales",
+    # Q22 adapted: phone-prefix cohorts → nation cohorts (no c_phone
+    # column); the positive-balance average uses exact decimal sum /
+    # exact count so the threshold double is engine-independent
+    "WITH avg_bal AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / "
+    "CAST(COUNT(*) AS DOUBLE) AS a FROM customer WHERE c_acctbal > 0) "
+    "SELECT c_nationkey, COUNT(*) AS numcust, "
+    "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal "
+    "FROM customer WHERE c_acctbal > (SELECT a FROM avg_bal) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') "
+    "GROUP BY c_nationkey ORDER BY c_nationkey",
+)
+def sql_q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: nation cohorts for the missing phone
+    prefix; 'no orders' → 'no order since 2000' because every customer
+    in this corpus has SOME order): rich-but-inactive customers. The
+    NOT EXISTS decorrelates to a LEFT-ANTI join on custkey; the scalar
+    avg broadcasts. At scale: customer shuffles once on custkey against
+    orders' date-pruned distinct custkeys."""
+    t = _tables(spark, sf_dir)
+    t["customer"].createOrReplaceTempView("__q22_customer")
+    t["orders"].createOrReplaceTempView("__q22_orders")
+    return spark.sql(
+        "WITH avg_bal AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / "
+        "CAST(COUNT(*) AS DOUBLE) AS a FROM __q22_customer WHERE c_acctbal > 0) "
+        "SELECT c_nationkey, COUNT(*) AS numcust, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal "
+        "FROM __q22_customer WHERE c_acctbal > (SELECT a FROM avg_bal) "
+        "AND NOT EXISTS (SELECT 1 FROM __q22_orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') "
+        "GROUP BY c_nationkey ORDER BY c_nationkey"
+    )
+
+
+# ===========================================================================
+# Deterministic sampling / splitting / mixing + decontamination (r6):
+# pipeline/sampling.py, pipeline/contamination.py
+# ===========================================================================
+
+
+@register(
+    "sample_hash_split",
+    # exact-binary weights (0.75/0.125/0.125 sum to 1.0 with no float
+    # error) → cumulative thresholds 0.75*2^32=0xc0000000 and
+    # 0.875*2^32=0xe0000000; the oracle replays the md5-prefix compare
+    # byte for byte
+    "SELECT doc_id, CASE "
+    "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000' THEN 'train' "
+    "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e0000000' THEN 'val' "
+    "ELSE 'test' END AS split FROM documents ORDER BY doc_id",
+)
+def sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by key hash
+    (pipeline/sampling.hash_split): a pure projection — zero shuffles,
+    stable under corpus growth (new docs never move old ones), and
+    engine-independent (the DuckDB oracle replays the md5-prefix string
+    compare exactly, no float anywhere)."""
+    from featurebase_spark.pipeline.sampling import hash_split
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return hash_split(
+        docs, "doc_id",
+        {"train": 0.75, "val": 0.125, "test": 0.125}, seed=42,
+    ).select("doc_id", "split").orderBy("doc_id")
+
+
+@register(
+    "sample_deterministic",
+    # rate 0.25 → threshold 0x40000000, seed 7
+    "SELECT doc_id, source, n_chars FROM documents "
+    "WHERE substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000' "
+    "ORDER BY doc_id",
+)
+def sample_deterministic(spark, sf_dir):
+    """Deterministic 25% sample by key hash (pipeline/sampling.
+    hash_sample): an ordinary pushed-down filter — re-runs and failed-task
+    retries select the exact same rows, unlike df.sample."""
+    from featurebase_spark.pipeline.sampling import hash_sample
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return hash_sample(docs, "doc_id", rate=0.25, seed=7).select(
+        "doc_id", "source", "n_chars"
+    ).orderBy("doc_id")
+
+
+@register(
+    "mix_temperature_sample",
+    # full replay of the rate derivation: exact integer sizes → sqrt →
+    # DECIMAL(38,12) quantized weights (exact order-independent sum) →
+    # pinned-order double ops → frozen hex threshold → md5 compare
+    "WITH sizes AS (SELECT source, SUM(n_chars) AS src_size "
+    "               FROM documents GROUP BY source), "
+    "sized AS (SELECT source, src_size, "
+    "          CAST(sqrt(CAST(src_size AS DOUBLE)) AS DECIMAL(38,12)) AS w "
+    "          FROM sizes), "
+    "tot AS (SELECT SUM(src_size) AS tot_size, SUM(w) AS tot_w FROM sized), "
+    "rates AS (SELECT source, src_size, "
+    "  least(CAST(1.0 AS DOUBLE), ((0.5 * CAST(tot_size AS DOUBLE)) * "
+    "    (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) / "
+    "    CAST(src_size AS DOUBLE)) AS rate FROM sized, tot), "
+    "rx AS (SELECT source, CASE WHEN rate >= 1.0 THEN 'g' ELSE "
+    "  printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) END AS rate_hex "
+    "  FROM rates) "
+    "SELECT d.source AS source, rx.rate_hex AS rate_hex, "
+    "COUNT(*) AS kept_docs, SUM(d.n_chars) AS kept_chars "
+    "FROM documents d JOIN rx ON d.source = rx.source "
+    "WHERE substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < rx.rate_hex "
+    "GROUP BY 1, 2 ORDER BY 1",
+)
+def mix_temperature_sample(spark, sf_dir):
+    """Temperature-weighted source mixing (pipeline/sampling.
+    temperature_rates + the mix filter): per-source acceptance rates
+    ∝ size^0.5 scaled to keep half the corpus, frozen to hex thresholds,
+    applied as a broadcast-join + hash filter (the probe side never
+    shuffles). The oracle replays the ENTIRE derivation — aggregate,
+    quantized weight sum, pinned double ops, threshold freeze, accept
+    decision — so the hash match proves bit-exact reproducibility on an
+    independent engine."""
+    from featurebase_spark.pipeline.sampling import (
+        hash_uniform_hex,
+        temperature_rates,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    rates = temperature_rates(docs, "source", "n_chars", 0.5, 0.5)
+    u = hash_uniform_hex(F.col("doc_id"), 42)
+    kept = docs.join(
+        F.broadcast(rates.select("source", "rate_hex")), "source"
+    ).where(u < F.col("rate_hex"))
+    return (
+        kept.groupBy("source", "rate_hex")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+        .select("source", "rate_hex", "kept_docs", "kept_chars")
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    # benchmark set = every 20th doc (doc_id % 20 = 3); hits = DISTINCT
+    # shared 4-gram shingles per doc (whole-doc fallback under 5 tokens,
+    # the dedup shingle contract). The oracle computes STRING shingles;
+    # equality classes match the hashed form exactly.
+    "WITH sh AS ("
+    "  SELECT doc_id, unnest(CASE WHEN len(w) >= 5"
+    "    THEN list_distinct(list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' ')))"
+    "    ELSE [array_to_string(w, ' ')] END) AS shingle"
+    "  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)"
+    "), bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 3), "
+    "h AS (SELECT sh.doc_id, COUNT(*) AS hits FROM sh JOIN bsh USING (shingle) "
+    "      GROUP BY sh.doc_id) "
+    "SELECT d.doc_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, "
+    "COALESCE(h.hits, 0) >= 1 AS contaminated "
+    "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id ORDER BY d.doc_id",
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination (pipeline/contamination.py): flag
+    training docs sharing ≥1 word 5-gram with the benchmark set (here:
+    every 20th doc stands in for an eval set). Corpus side shingles
+    map-side (zero-shuffle Arrow hasher); benchmark shingles broadcast;
+    the only exchange carries matched doc_ids. Oracle recomputes string
+    shingles brute-force — hash match proves exact hit counts."""
+    from featurebase_spark.pipeline.contamination import contamination_hits
+
+    docs = _tables(spark, sf_dir)["documents"]
+    bench = docs.where(F.col("doc_id") % 20 == 3)
+    hits = contamination_hits(docs, bench, "text", "doc_id", n=5)
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 1).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
 # Registry ordering — driver hard-gate priority
 # ===========================================================================
 # The driver's correctness gate hash-checks the first 50 registration-order

@@ -1,0 +1,140 @@
+"""pipeline/sampling.py + pipeline/contamination.py unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurebase_spark.pipeline.sampling import (
+    hash_sample,
+    hash_split,
+    hash_uniform_hex,
+    hex_threshold,
+    temperature_mix,
+    temperature_rates,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tables):
+    return tables["documents"]
+
+
+def test_hex_threshold_edges():
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(0.25) == "40000000"
+    assert hex_threshold(1.0) == "g"  # accept-all sentinel beats any hex
+    with pytest.raises(ValueError):
+        hex_threshold(1.5)
+
+
+def test_hash_split_disjoint_exhaustive_and_proportioned(docs):
+    out = hash_split(docs, "doc_id",
+                     {"train": 0.75, "val": 0.125, "test": 0.125}, seed=42)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = docs.count()
+    assert sum(counts.values()) == total  # every row in exactly one split
+    # binomial tolerance on 500 docs
+    assert abs(counts["train"] / total - 0.75) < 0.08
+    assert abs(counts["val"] / total - 0.125) < 0.06
+    assert abs(counts["test"] / total - 0.125) < 0.06
+
+
+def test_hash_split_stable_under_corpus_growth(docs):
+    """The property df.sample cannot give: a document's split never
+    changes when the corpus grows — assignment depends on the key hash
+    alone."""
+    subset = docs.where(F.col("doc_id") < 100)
+    full = {r["doc_id"]: r["split"]
+            for r in hash_split(docs, "doc_id").collect()}
+    sub = {r["doc_id"]: r["split"]
+           for r in hash_split(subset, "doc_id").collect()}
+    assert sub == {k: v for k, v in full.items() if k < 100}
+
+
+def test_hash_sample_deterministic_and_seed_sensitive(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, seed=1).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, seed=1).collect()}
+    c = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, seed=2).collect()}
+    assert a == b  # re-run identical
+    assert a != c  # different seed, different sample
+    assert abs(len(a) / docs.count() - 0.3) < 0.08
+    # nested rates: a lower-rate sample with the same seed is a subset
+    d = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1, seed=1).collect()}
+    assert d <= a
+
+
+def test_temperature_rates_upweight_small_sources(spark):
+    """alpha=0.5: the small source's acceptance rate must exceed the
+    large source's (the entire point of temperature mixing), and the
+    expected kept size should approximate the target fraction."""
+    rows = [(i, "big", 100) for i in range(900)] + [
+        (i + 1000, "small", 100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    rates = {r["source"]: r for r in
+             temperature_rates(df, "source", "n_chars", 0.5, 0.5).collect()}
+    assert rates["small"]["rate"] > rates["big"]["rate"]
+    assert 0 < rates["big"]["rate"] < 1
+    # weights: w_small=sqrt(10000)=100, w_big=sqrt(90000)=300 → target
+    # shares 12500/37500 of the 50000-char budget; the small source needs
+    # rate 1.25 → capped at 1.0 and its lost 2500 chars are NOT
+    # redistributed (documented), so expected kept = 47500 exactly
+    assert rates["small"]["rate"] == 1.0
+    assert rates["small"]["rate_hex"] == "g"
+    assert abs(rates["big"]["rate"] - 37500 / 90000) < 1e-12
+    exp = sum(min(1.0, rates[s]["rate"]) * rates[s]["src_size"]
+              for s in rates)
+    tot = sum(rates[s]["src_size"] for s in rates)
+    assert abs(exp / tot - 0.475) < 1e-9
+
+
+def test_temperature_mix_is_subset_and_deterministic(docs):
+    kept1 = {r["doc_id"] for r in
+             temperature_mix(docs, target_frac=0.4).select("doc_id").collect()}
+    kept2 = {r["doc_id"] for r in
+             temperature_mix(docs, target_frac=0.4).select("doc_id").collect()}
+    assert kept1 == kept2
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept1 < all_ids
+    assert len(kept1) > 0
+
+
+def test_contamination_hits_and_decontaminate(spark):
+    from featurebase_spark.pipeline.contamination import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # has gram
+            (2, "completely unrelated text with other words here"),
+            (3, "prefix quick brown fox jumps over suffix pad pad"),  # has gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    hits = {r["doc_id"]: r["hits"]
+            for r in contamination_hits(docs, bench, n=5).collect()}
+    assert hits.get(1, 0) >= 1 and hits.get(3, 0) >= 1
+    assert 2 not in hits  # zero-hit docs omitted from the sparse frame
+    out = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(docs, bench, n=5).collect()}
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_sampling_plan_no_shuffle(docs):
+    """hash_sample / hash_split are pure scan-side projections: the
+    physical plan must contain no Exchange at all."""
+    for df in (
+        hash_sample(docs, "doc_id", 0.5),
+        hash_split(docs, "doc_id"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
