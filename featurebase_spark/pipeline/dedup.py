@@ -856,6 +856,53 @@ def dedup_survivors(
     return df.join(keep, id_col, "left_semi")
 
 
+def common_span_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+) -> DataFrame:
+    """Exact-span dedup signal: per document, how many of its n-token
+    spans occur VERBATIM in at least one other document — the
+    substring-level duplication measure (à la "Deduplicating Training
+    Data Makes Language Models Better": repeated long spans are memorized
+    even when whole documents are unique). Returns a dense
+    (id, shared_spans, has_shared_span) frame.
+
+    Spark shape: the map-side hashed shingle stream (zero shuffle —
+    :func:`shingle_table`) feeds ONE groupBy on the 64-bit span hash to
+    find multi-doc spans, then one hash-join back to count per doc. The
+    suffix-array construction the paper uses is a single-machine
+    algorithm; the k-gram posting aggregation is its distributed
+    equivalent and the only global view this needs. Shuffles carry
+    (hash, id) longs only — text never leaves the scan."""
+    sh = shingle_table(df, text_col, id_col, n)
+    multi = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("shingle")
+    )
+    hits = (
+        sh.join(multi, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("shared_spans"), F.lit(0))
+            .cast("long")
+            .alias("shared_spans"),
+            (F.coalesce(F.col("shared_spans"), F.lit(0)) > 0).alias(
+                "has_shared_span"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: pairs → connected components → canonical docs
 # ---------------------------------------------------------------------------

@@ -323,7 +323,13 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG bytes → HxWxC uint8 (C = 1 gray or 3 RGB)."""
+    """Baseline JFIF JPEG bytes → HxWxC uint8 (C = 1 gray or 3 RGB).
+
+    Handles both the common single interleaved scan and NON-INTERLEAVED
+    baseline streams (multiple SOS segments, one component each — legal
+    per T.81 and emitted by some hardware encoders): each scan decodes
+    into the shared coefficient planes with its own DC predictor chain,
+    and tables (DQT/DHT/DRI) may legally change between scans."""
     if payload[:3] != b"\xff\xd8\xff":
         raise UnsupportedMediaError("not a JPEG")
     pos = 2
@@ -332,6 +338,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict = {}
     frame = None
     restart_interval = 0
+    coef = None
+    decoded: set = set()
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -392,18 +400,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
                 scan_sel.append((cs, tdta >> 4, tdta & 15))
-            scan_start = pos + seglen
-            return _decode_jpeg_scan(
-                payload, scan_start, frame, scan_sel, qt, huff_dc, huff_ac,
-                restart_interval,
+            if coef is None:
+                coef = _alloc_coef(frame)
+            pos = _decode_scan_into(
+                payload, pos + seglen, frame, scan_sel, qt, huff_dc,
+                huff_ac, restart_interval, coef,
             )
+            for cs, _, _ in scan_sel:
+                decoded.add(cs)
+            continue  # pos already advanced past the entropy segment
         pos += seglen
-    raise UnsupportedMediaError("JPEG: no scan found")
+    if coef is None:
+        raise UnsupportedMediaError("JPEG: no scan found")
+    missing = [c["id"] for c in frame["comps"] if c["id"] not in decoded]
+    if missing:
+        raise UnsupportedMediaError(
+            f"JPEG: no scan for component(s) {missing}"
+        )
+    return _finish_jpeg(frame, coef, qt)
 
 
 def _unstuff_scan(payload: bytes, start: int):
     """Strip byte-stuffing (FF 00 → FF) and restart markers from the
-    entropy-coded segment; returns (bytes, restart marker bit-positions)."""
+    entropy-coded segment; returns (bytes, restart marker bit-positions,
+    payload index of the terminating marker) — the index lets the caller
+    resume marker parsing after the scan (non-interleaved streams carry
+    more scans)."""
     out = bytearray()
     marks = []  # unstuffed byte offsets where a restart marker sat
     i, n = start, len(payload)
@@ -422,34 +444,112 @@ def _unstuff_scan(payload: bytes, start: int):
             i += 2
         else:  # EOI or next marker ends the scan
             break
-    return bytes(out), marks
+    return bytes(out), marks, min(i, n)
 
 
-def _decode_jpeg_scan(
-    payload, start, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
-):
+def _frame_geom(frame):
+    """(hmax, vmax, mcux, mcuy) for a validated frame."""
     W, H, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
         if (c["h"], c["v"]) not in ((1, 1), (2, 1), (1, 2), (2, 2)):
             raise UnsupportedMediaError("JPEG: sampling factor > 2")
-    mcux = -(-W // (8 * hmax))
-    mcuy = -(-H // (8 * vmax))
+    return hmax, vmax, -(-W // (8 * hmax)), -(-H // (8 * vmax))
+
+
+def _alloc_coef(frame):
+    """Per-component MCU-padded coefficient planes, shared by all scans."""
+    _, _, mcux, mcuy = _frame_geom(frame)
+    return [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _scan_tables(cid_sel, huff_dc, huff_ac):
+    td, ta = cid_sel
+    if td not in huff_dc or ta not in huff_ac:
+        raise UnsupportedMediaError(
+            f"JPEG: missing Huffman table (dc={td}, ac={ta})"
+        )
+    return huff_dc[td], huff_ac[ta]
+
+
+def _read_block(r, dct, act, pred):
+    """One Huffman-coded 8x8 block → (de-zigzagged int32 8x8, new DC
+    pred)."""
+    blk = np.zeros(64, np.int32)
+    t = r.decode_huff(dct)
+    diff = _extend(r.bits(t), t) if t else 0
+    pred += diff
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = r.decode_huff(act)
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise UnsupportedMediaError("JPEG: AC index overflow")
+        blk[k] = _extend(r.bits(s), s)
+        k += 1
+    b8 = np.zeros((8, 8), np.int32)
+    b8[_ZZ_ROWS, _ZZ_COLS] = blk
+    return b8, pred
+
+
+def _decode_scan_into(
+    payload, start, frame, scan_sel, qt, huff_dc, huff_ac,
+    restart_interval, coef,
+):
+    """Decode ONE scan's entropy segment into the shared coefficient
+    planes; returns the payload index of the terminating marker.
+
+    ns == frame components → the interleaved-MCU traversal; ns == 1 →
+    the non-interleaved traversal (raster over that component's own
+    block grid — NOT MCU-padded, per T.81 A.2.2; restart counts blocks).
+    Partial interleaves (1 < ns < ncomp) are rare and unsupported."""
+    W, H, comps = frame["w"], frame["h"], frame["comps"]
+    hmax, vmax, mcux, mcuy = _frame_geom(frame)
     sel = {cs: (td, ta) for cs, td, ta in scan_sel}
-    # a baseline JPEG may legally carry non-interleaved scans (one SOS
-    # per component); this decoder handles the single interleaved-scan
-    # form only — raise the module's typed error, not a KeyError mid-MCU
+    data, _marks, end = _unstuff_scan(payload, start)
+    r = _BitReader(data)
+    if len(scan_sel) == 1:
+        cs = scan_sel[0][0]
+        ci = next(
+            (i for i, c in enumerate(comps) if c["id"] == cs), None
+        )
+        if ci is None:
+            raise UnsupportedMediaError(
+                f"JPEG: scan references undeclared component {cs}"
+            )
+        c = comps[ci]
+        dct, act = _scan_tables(sel[cs], huff_dc, huff_ac)
+        cx = -(-(W * c["h"]) // hmax)  # component width  = ceil(W*h/hmax)
+        cy = -(-(H * c["v"]) // vmax)  # component height = ceil(H*v/vmax)
+        bw_c = -(-cx // 8)
+        bh_c = -(-cy // 8)
+        pred = 0
+        nblk = 0
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                if restart_interval and nblk and nblk % restart_interval == 0:
+                    r.align()
+                    pred = 0
+                nblk += 1
+                b8, pred = _read_block(r, dct, act, pred)
+                coef[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = b8
+        return end
     missing = [c["id"] for c in comps if c["id"] not in sel]
     if missing:
-        raise UnsupportedMediaError("JPEG: non-interleaved scans unsupported")
-    data, _marks = _unstuff_scan(payload, start)
-    r = _BitReader(data)
-    # coefficient planes per component, MCU-padded
-    coef = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.int32)
-        for c in comps
-    ]
+        raise UnsupportedMediaError(
+            "JPEG: partially-interleaved scans unsupported"
+        )
     pred = [0] * len(comps)
     mcu_count = 0
     for my in range(mcuy):
@@ -459,41 +559,20 @@ def _decode_jpeg_scan(
                 pred = [0] * len(comps)
             mcu_count += 1
             for ci, c in enumerate(comps):
-                td, ta = sel[c["id"]]
-                if td not in huff_dc or ta not in huff_ac:
-                    raise UnsupportedMediaError(
-                        f"JPEG: missing Huffman table (dc={td}, ac={ta})"
-                    )
-                dct, act = huff_dc[td], huff_ac[ta]
+                dct, act = _scan_tables(sel[c["id"]], huff_dc, huff_ac)
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = np.zeros(64, np.int32)
-                        t = r.decode_huff(dct)
-                        diff = _extend(r.bits(t), t) if t else 0
-                        pred[ci] += diff
-                        blk[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = r.decode_huff(act)
-                            rr, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if rr == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise UnsupportedMediaError(
-                                    "JPEG: AC index overflow"
-                                )
-                            blk[k] = _extend(r.bits(s), s)
-                            k += 1
+                        b8, pred[ci] = _read_block(r, dct, act, pred[ci])
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
-                        b8 = np.zeros((8, 8), np.int32)
-                        b8[_ZZ_ROWS, _ZZ_COLS] = blk
                         coef[ci][y0 : y0 + 8, x0 : x0 + 8] = b8
-    # dequant + batched IDCT per component
+    return end
+
+
+def _finish_jpeg(frame, coef, qt):
+    """Dequant + batched IDCT + upsample + color transform."""
+    W, H, comps = frame["w"], frame["h"], frame["comps"]
+    hmax, vmax, _, _ = _frame_geom(frame)
     planes = []
     for c in comps:
         if c["tq"] not in qt:
@@ -677,13 +756,16 @@ def _encode_block(w: _BitWriter, qblk: np.ndarray, pred: int,
 
 def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
                 chroma_quant: np.ndarray = None, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, interleaved: bool = True) -> bytes:
     """Minimal baseline JPEG writer — builds real test payloads without
     PIL. Gray (HxW / HxWx1) or RGB (HxWx3); 4:4:4 by default,
     ``subsample=True`` emits 4:2:0 (2x2 luma sampling, box-averaged
     chroma — exercises the decoder's interleaved-MCU and upsample
     paths); ``restart_interval=n`` emits DRI + RSTn markers every n MCUs
-    (exercises the decoder's bitstream-resync path).
+    (exercises the decoder's bitstream-resync path);
+    ``interleaved=False`` emits one SOS PER COMPONENT (the legal
+    non-interleaved baseline form T.81 A.2.2 — block-raster traversal
+    over each component's own grid, restart counting blocks).
     ``quant=FLAT_QUANT8`` with per-8x8-block-constant GRAY input makes the
     decode round-trip pixel-exact (the arithmetic oracle's contract)."""
     img = np.asarray(img, dtype=np.uint8)
@@ -746,26 +828,53 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
         F = np.einsum("ux,ryxc,vc->ryuv", _DCT_A, blocks, _DCT_A)
         q = np.round(F / qtabs[pi][None, None, :, :]).astype(np.int32)
         qblocks.append(q)
-    preds = [0] * len(planes)
-    mcu_n, rst_n = 0, 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + rst_n])
-                rst_n = (rst_n + 1) % 8
-                preds = [0] * len(planes)
-            mcu_n += 1
-            for pi in range(len(planes)):
-                hi, vi = samps[pi]
-                for by in range(vi):
-                    for bx in range(hi):
-                        preds[pi] = _encode_block(
-                            bw,
-                            qblocks[pi][my * vi + by, mx * hi + bx],
-                            preds[pi], dc_codes[pi], ac_codes[pi],
-                        )
-    bw.flush()
+    scans: list = []  # (component indices, entropy bytes)
+    if interleaved:
+        preds = [0] * len(planes)
+        mcu_n, rst_n = 0, 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + rst_n])
+                    rst_n = (rst_n + 1) % 8
+                    preds = [0] * len(planes)
+                mcu_n += 1
+                for pi in range(len(planes)):
+                    hi, vi = samps[pi]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            preds[pi] = _encode_block(
+                                bw,
+                                qblocks[pi][my * vi + by, mx * hi + bx],
+                                preds[pi], dc_codes[pi], ac_codes[pi],
+                            )
+        bw.flush()
+        scans.append((list(range(len(planes))), bytes(bw.out)))
+    else:
+        for pi in range(len(planes)):
+            sw = _BitWriter()
+            hi, vi = samps[pi]
+            # the component's OWN block grid (not MCU-padded) — T.81
+            # non-interleaved traversal
+            cx = -(-(w * hi) // hmax)
+            cy = -(-(h * vi) // vmax)
+            bw_c, bh_c = -(-cx // 8), -(-cy // 8)
+            pred, nblk, rst_n = 0, 0, 0
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    if restart_interval and nblk and nblk % restart_interval == 0:
+                        sw.flush()
+                        sw.out += bytes([0xFF, 0xD0 + rst_n])
+                        rst_n = (rst_n + 1) % 8
+                        pred = 0
+                    nblk += 1
+                    pred = _encode_block(
+                        sw, qblocks[pi][by, bx], pred,
+                        dc_codes[pi], ac_codes[pi],
+                    )
+            sw.flush()
+            scans.append(([pi], bytes(sw.out)))
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -793,12 +902,13 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
         emitted_h.add(th)
         for tc, (counts, syms) in ((0, huffs[pi][0]), (1, huffs[pi][1])):
             out += seg(0xC4, bytes([(tc << 4) | th]) + counts + syms)
-    sos = bytes([len(planes)])
-    for pi in range(len(planes)):
-        sos += bytes([pi + 1, (hids[pi] << 4) | hids[pi]])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
-    out += bw.out
+    for comp_idx, entropy in scans:
+        sos = bytes([len(comp_idx)])
+        for pi in comp_idx:
+            sos += bytes([pi + 1, (hids[pi] << 4) | hids[pi]])
+        sos += b"\x00\x3f\x00"
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -3009,7 +3009,9 @@ def multimodal_jpeg_decode(spark, sf_dir):
     gray input makes the lossy pipeline pixel-exact (DC-only blocks,
     DC quantized by 8 losslessly), so the hash match proves the whole
     bitstream path: marker walk, Huffman entropy decode, dequant, IDCT.
-    Payloads never enter a shuffle (mapInPandas, map-side)."""
+    Odd images encode NON-INTERLEAVED (multi-scan, T.81 A.2.2) so both
+    scan layouts sit under the oracle gate. Payloads never enter a
+    shuffle (mapInPandas, map-side)."""
     import numpy as np
 
     from featurebase_spark.pipeline.media_codecs import FLAT_QUANT8, encode_jpeg
@@ -3021,7 +3023,9 @@ def multimodal_jpeg_decode(spark, sf_dir):
     for i in range(20):
         blocks = ((bx * 7 + by * 13 + i * 31) % 256).astype(np.uint8)
         img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)  # 16 rows x 24 cols
-        rows.append((i, bytearray(encode_jpeg(img, quant=FLAT_QUANT8))))
+        rows.append((i, bytearray(
+            encode_jpeg(img, quant=FLAT_QUANT8, interleaved=bool(i % 2 == 0))
+        )))
     media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
     return (
         decode_image_stats(media)
@@ -3617,6 +3621,36 @@ def mix_temperature_sample(spark, sf_dir):
 
 
 @register(
+    "dedup_common_spans",
+    # per-doc count of 10-token spans appearing verbatim in another doc;
+    # the oracle recomputes STRING spans brute-force (equality classes
+    # identical to the hashed form)
+    "WITH sh AS ("
+    "  SELECT doc_id, unnest(CASE WHEN len(w) >= 10"
+    "    THEN list_distinct(list_transform(range(1, len(w)-8), i -> array_to_string(w[i:i+9], ' ')))"
+    "    ELSE [array_to_string(w, ' ')] END) AS shingle"
+    "  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)"
+    "), cnt AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle), "
+    "h AS (SELECT sh.doc_id, COUNT(*) AS shared_spans FROM sh "
+    "      JOIN cnt USING (shingle) WHERE cnt.c > 1 GROUP BY sh.doc_id) "
+    "SELECT d.doc_id, CAST(COALESCE(h.shared_spans, 0) AS BIGINT) AS shared_spans, "
+    "COALESCE(h.shared_spans, 0) > 0 AS has_shared_span "
+    "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id ORDER BY d.doc_id",
+)
+def dedup_common_spans(spark, sf_dir):
+    """Exact-span (substring-level) duplication counts
+    (pipeline/dedup.common_span_docs): 10-token verbatim spans shared
+    across documents — the repeated-span signal suffix-array dedup
+    targets, here as one posting groupBy over map-side span hashes.
+    Oracle is the brute-force string form; hash match proves exact
+    counts."""
+    from featurebase_spark.pipeline.dedup import common_span_docs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return common_span_docs(docs, "text", "doc_id", n=10).orderBy("doc_id")
+
+
+@register(
     "decontaminate_ngram_overlap",
     # benchmark set = every 20th doc (doc_id % 20 = 3); hits = DISTINCT
     # shared 4-gram shingles per doc (whole-doc fallback under 5 tokens,
@@ -3718,16 +3752,19 @@ _GATE_PRIORITY = [
     "pql_write_delete",
     "pql_groupby_multi_agg",
     "pql_percentile_search",
-    # Representative PQL core (r1-era, keep under the hard gate)
+    # r6: deterministic sampling/mixing + decontamination (the newest,
+    # highest-risk oracles belong under the driver's hard gate)
+    "sample_hash_split",
+    "mix_temperature_sample",
+    "decontaminate_ngram_overlap",
+    "sql_q8_market_share",
+    # Representative PQL core (r1-era, keep under the hard gate;
+    # pql_percentile_search above already covers the percentile engine)
     "pql_row_equals",
-    "pql_row_bsi_range",
-    "pql_intersect",
     "pql_groupby",
     "pql_topk",
-    "pql_percentile",
     # Representative SQL core
     "sql_q1_pricing_summary",
-    "sql_join_inner",
     "sql_agg_stats",
 ]
 

@@ -742,25 +742,53 @@ def test_shingle_batch_with_blob_token_matches_string_form(spark):
     assert by_doc[0] != by_doc[2]
 
 
-def test_jpeg_non_interleaved_scan_raises_typed_error():
-    """A baseline JPEG whose SOS lists fewer components than the frame
-    (legal: one scan per component) must raise the module's typed
-    UnsupportedMediaError, not crash with a KeyError mid-MCU."""
+def test_jpeg_non_interleaved_roundtrips():
+    """NON-INTERLEAVED baseline JPEGs (one SOS per component, T.81
+    A.2.2) decode identically to their interleaved twins — same
+    quantized coefficients, different scan layout — across 4:4:4,
+    4:2:0 (per-component block grids differ from the MCU grid), odd
+    dimensions, and restart intervals; single-component gray stays
+    pixel-exact under the flat-quant contract."""
+    import numpy as np
+
+    from featurebase_spark.pipeline import media_codecs as MC
+
+    rng = np.random.default_rng(3)
+    bvals = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    gray = np.repeat(np.repeat(bvals, 8, 0), 8, 1)
+    dec = MC.decode_jpeg(
+        MC.encode_jpeg(gray, quant=MC.FLAT_QUANT8, interleaved=False)
+    )
+    assert np.array_equal(dec[:, :, 0], gray)
+    x, y = np.meshgrid(np.arange(40) * 3 % 256, np.arange(24) * 5 % 256,
+                       indexing="ij")
+    cimg = np.stack([x, y, np.full_like(x, 90)], axis=2).astype(np.uint8)
+    for kw in ({}, {"subsample": True}, {"restart_interval": 3}):
+        a = MC.decode_jpeg(MC.encode_jpeg(cimg, **kw))
+        b = MC.decode_jpeg(MC.encode_jpeg(cimg, interleaved=False, **kw))
+        assert np.array_equal(a, b), kw
+    odd = rng.integers(0, 256, (33, 45, 3), dtype=np.uint8)
+    a = MC.decode_jpeg(MC.encode_jpeg(odd, subsample=True))
+    b = MC.decode_jpeg(MC.encode_jpeg(odd, subsample=True, interleaved=False))
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_missing_component_scan_raises_typed_error():
+    """A non-interleaved stream TRUNCATED to its first scan (components
+    2/3 never scanned) raises the module's typed error, not a silent
+    half-gray image or a KeyError."""
     import numpy as np
     import pytest as _pytest
 
     from featurebase_spark.pipeline import media_codecs as MC
 
     img = np.zeros((8, 8, 3), np.uint8)
-    payload = MC.encode_jpeg(img)
-    i = payload.find(b"\xff\xda")
-    assert i > 0
-    ln = int.from_bytes(payload[i + 2 : i + 4], "big")
-    ns = payload[i + 4]
-    assert ns == 3
-    comp0 = payload[i + 5 : i + 7]          # first component's (id, tables)
-    tail = payload[i + 2 + ln - 3 : i + 2 + ln]  # Ss/Se/AhAl
-    new_sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1]) + comp0 + tail
-    mutated = payload[:i] + new_sos + payload[i + 2 + ln :]
-    with _pytest.raises(MC.UnsupportedMediaError, match="non-interleaved"):
-        MC.decode_jpeg(mutated)
+    payload = MC.encode_jpeg(img, interleaved=False)
+    # cut after the first scan's entropy: find the SECOND SOS and drop
+    # everything from there, re-appending EOI
+    first = payload.find(b"\xff\xda")
+    second = payload.find(b"\xff\xda", first + 2)
+    assert second > first > 0
+    truncated = payload[:second] + b"\xff\xd9"
+    with _pytest.raises(MC.UnsupportedMediaError, match="no scan for component"):
+        MC.decode_jpeg(truncated)
