@@ -3,14 +3,16 @@ and PCM WAV audio, in numpy — no codec libraries required.
 
 These give the multimodal pipeline a REAL decode path in a container
 without PIL/opencv/ffmpeg: PNG needs only ``zlib`` (stdlib) plus the five
-scanline filters; baseline-sequential JPEG (the dominant real-world image
-format) is a full marker walk + canonical Huffman entropy decode +
-dequant + batched matrix IDCT + YCbCr conversion; BMP and PPM are plain
-array layouts; WAV decodes with the stdlib ``wave`` module. Formats
-outside this set (progressive/arithmetic JPEG, MP3, video codecs) still
-raise — honest about what a codec-free container can do — but the
-decode → feature-extract transform itself executes for real and is
-verified against hand-built files in tests.
+scanline filters; JPEG covers baseline-sequential (interleaved AND
+non-interleaved scan layouts) and PROGRESSIVE (spectral selection +
+successive approximation, T.81 G.2) — a full marker walk + canonical
+Huffman entropy decode + dequant + batched matrix IDCT + YCbCr
+conversion; BMP and PPM are plain array layouts; WAV decodes with the
+stdlib ``wave`` module. Formats outside this set (arithmetic-coded /
+hierarchical / 12-bit JPEG, MP3, video codecs) still raise — honest
+about what a codec-free container can do — but the decode →
+feature-extract transform itself executes for real and is verified
+against hand-built files in tests.
 
 Everything returns numpy so the Arrow-batched feature extraction in
 :mod:`featurebase_spark.pipeline.multimodal` stays vectorized.
@@ -372,7 +374,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = seg[i + 17 : i + 17 + nsym]
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 i += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 (both Huffman seq.)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 seq., SOF2 progressive
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise UnsupportedMediaError(f"JPEG: {prec}-bit precision")
@@ -384,11 +386,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-            frame = {"w": width, "h": height, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": width, "h": height, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                "JPEG: progressive/arithmetic/hierarchical frames unsupported"
+                "JPEG: arithmetic/hierarchical/lossless frames unsupported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -400,12 +403,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
                 scan_sel.append((cs, tdta >> 4, tdta & 15))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            spectral = (ss, se, ahal >> 4, ahal & 15)
             if coef is None:
                 coef = _alloc_coef(frame)
-            pos = _decode_scan_into(
-                payload, pos + seglen, frame, scan_sel, qt, huff_dc,
-                huff_ac, restart_interval, coef,
-            )
+            if frame.get("progressive"):
+                pos = _decode_progressive_scan(
+                    payload, pos + seglen, frame, scan_sel, huff_dc,
+                    huff_ac, restart_interval, coef, spectral,
+                )
+            else:
+                pos = _decode_scan_into(
+                    payload, pos + seglen, frame, scan_sel, qt, huff_dc,
+                    huff_ac, restart_interval, coef,
+                )
             for cs, _, _ in scan_sel:
                 decoded.add(cs)
             continue  # pos already advanced past the entropy segment
@@ -459,10 +470,12 @@ def _frame_geom(frame):
 
 
 def _alloc_coef(frame):
-    """Per-component MCU-padded coefficient planes, shared by all scans."""
+    """Per-component MCU-padded coefficient blocks in ZIGZAG layout
+    (nblocks_y, nblocks_x, 64), shared by all scans — zigzag because
+    progressive spectral bands (Ss..Se) address zigzag indices."""
     _, _, mcux, mcuy = _frame_geom(frame)
     return [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.int32)
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
         for c in frame["comps"]
     ]
 
@@ -477,8 +490,7 @@ def _scan_tables(cid_sel, huff_dc, huff_ac):
 
 
 def _read_block(r, dct, act, pred):
-    """One Huffman-coded 8x8 block → (de-zigzagged int32 8x8, new DC
-    pred)."""
+    """One Huffman-coded 8x8 block → (zigzag int32[64], new DC pred)."""
     blk = np.zeros(64, np.int32)
     t = r.decode_huff(dct)
     diff = _extend(r.bits(t), t) if t else 0
@@ -498,9 +510,7 @@ def _read_block(r, dct, act, pred):
             raise UnsupportedMediaError("JPEG: AC index overflow")
         blk[k] = _extend(r.bits(s), s)
         k += 1
-    b8 = np.zeros((8, 8), np.int32)
-    b8[_ZZ_ROWS, _ZZ_COLS] = blk
-    return b8, pred
+    return blk, pred
 
 
 def _decode_scan_into(
@@ -542,8 +552,8 @@ def _decode_scan_into(
                     r.align()
                     pred = 0
                 nblk += 1
-                b8, pred = _read_block(r, dct, act, pred)
-                coef[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = b8
+                blk, pred = _read_block(r, dct, act, pred)
+                coef[ci][by, bx] = blk
         return end
     missing = [c["id"] for c in comps if c["id"] not in sel]
     if missing:
@@ -562,10 +572,183 @@ def _decode_scan_into(
                 dct, act = _scan_tables(sel[c["id"]], huff_dc, huff_ac)
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        b8, pred[ci] = _read_block(r, dct, act, pred[ci])
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        coef[ci][y0 : y0 + 8, x0 : x0 + 8] = b8
+                        blk, pred[ci] = _read_block(r, dct, act, pred[ci])
+                        coef[ci][my * c["v"] + by, mx * c["h"] + bx] = blk
+    return end
+
+
+def _comp_blocks(frame, c):
+    """A component's OWN block-grid dims (bw, bh) — T.81 non-interleaved
+    traversal, NOT MCU-padded."""
+    hmax, vmax, _, _ = _frame_geom(frame)
+    cx = -(-(frame["w"] * c["h"]) // hmax)
+    cy = -(-(frame["h"] * c["v"]) // vmax)
+    return -(-cx // 8), -(-cy // 8)
+
+
+def _decode_progressive_scan(
+    payload, start, frame, scan_sel, huff_dc, huff_ac,
+    restart_interval, coef, spectral,
+):
+    """One progressive scan (T.81 G.2): spectral selection [Ss..Se] with
+    successive approximation (Ah=prior point transform, Al=current).
+    DC scans (Ss=0) may interleave all components; AC scans carry ONE
+    component. First scans (Ah=0) Huffman-decode magnitudes shifted left
+    by Al; refinement scans (Ah>0) append one magnitude bit per
+    coefficient (correction bits for already-nonzero history). EOB runs
+    span blocks in AC scans; restarts reset predictors AND the EOB run."""
+    ss_, se_, ah, al = spectral
+    comps = frame["comps"]
+    data, _marks, end = _unstuff_scan(payload, start)
+    r = _BitReader(data)
+    members = []
+    for cs, td, ta in scan_sel:
+        ci = next((i for i, c in enumerate(comps) if c["id"] == cs), None)
+        if ci is None:
+            raise UnsupportedMediaError(
+                f"JPEG: scan references undeclared component {cs}"
+            )
+        members.append((ci, td, ta))
+
+    if ss_ == 0:  # DC scan
+        if se_ != 0:
+            raise UnsupportedMediaError("JPEG: progressive DC scan with Se>0")
+        if ah == 0:
+            for _, td, _ in members:
+                if td not in huff_dc:
+                    raise UnsupportedMediaError(
+                        f"JPEG: missing Huffman table (dc={td})"
+                    )
+
+        def dc_block(ci, td, pred):
+            if ah == 0:
+                t = r.decode_huff(huff_dc[td])
+                diff = _extend(r.bits(t), t) if t else 0
+                pred += diff
+                return pred, pred << al
+            return pred, None  # refinement handled by caller
+
+        if len(members) > 1:
+            _, _, mcux, mcuy = _frame_geom(frame)
+            preds = {ci: 0 for ci, _, _ in members}
+            mcu_n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                        r.align()
+                        preds = {ci: 0 for ci, _, _ in members}
+                    mcu_n += 1
+                    for ci, td, _ in members:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                yy, xx = my * c["v"] + by, mx * c["h"] + bx
+                                if ah == 0:
+                                    preds[ci], v = dc_block(ci, td, preds[ci])
+                                    coef[ci][yy, xx, 0] = v
+                                else:
+                                    coef[ci][yy, xx, 0] |= r.bit() << al
+        else:
+            ci, td, _ = members[0]
+            bw_c, bh_c = _comp_blocks(frame, comps[ci])
+            pred, nblk = 0, 0
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    if restart_interval and nblk and nblk % restart_interval == 0:
+                        r.align()
+                        pred = 0
+                    nblk += 1
+                    if ah == 0:
+                        pred, v = dc_block(ci, td, pred)
+                        coef[ci][by, bx, 0] = v
+                    else:
+                        coef[ci][by, bx, 0] |= r.bit() << al
+        return end
+
+    # AC scan: single component only (T.81 B.2.3)
+    if len(members) != 1:
+        raise UnsupportedMediaError("JPEG: interleaved progressive AC scan")
+    ci, _, ta = members[0]
+    if ta not in huff_ac:
+        raise UnsupportedMediaError(f"JPEG: missing Huffman table (ac={ta})")
+    act = huff_ac[ta]
+    bw_c, bh_c = _comp_blocks(frame, comps[ci])
+    eobrun = 0
+    nblk = 0
+    for by in range(bh_c):
+        for bx in range(bw_c):
+            if restart_interval and nblk and nblk % restart_interval == 0:
+                r.align()
+                eobrun = 0
+            nblk += 1
+            blk = coef[ci][by, bx]
+            if ah == 0:  # first scan of this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss_
+                while k <= se_:
+                    rs = r.decode_huff(act)
+                    rr, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if rr < 15:
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += rr
+                    if k > se_:
+                        raise UnsupportedMediaError("JPEG: AC index overflow")
+                    blk[k] = _extend(r.bits(s), s) << al
+                    k += 1
+            else:  # refinement
+                bit_pos = 1 << al
+                k = ss_
+                if eobrun == 0:
+                    while k <= se_:
+                        rs = r.decode_huff(act)
+                        rr, s = rs >> 4, rs & 15
+                        val = 0
+                        if s == 0:
+                            if rr < 15:
+                                eobrun = (1 << rr)
+                                if rr:
+                                    eobrun += r.bits(rr)
+                                break
+                            # rr == 15: ZRL — skip 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise UnsupportedMediaError(
+                                    "JPEG: bad refinement magnitude"
+                                )
+                            val = bit_pos if r.bit() else -bit_pos
+                        while k <= se_:
+                            cv = int(blk[k])
+                            if cv != 0:
+                                if r.bit() and (cv & bit_pos) == 0:
+                                    blk[k] = (
+                                        cv + bit_pos if cv >= 0 else cv - bit_pos
+                                    )
+                            else:
+                                if rr == 0:
+                                    if s:
+                                        blk[k] = val
+                                    k += 1
+                                    break
+                                rr -= 1
+                            k += 1
+                if eobrun > 0:
+                    while k <= se_:
+                        cv = int(blk[k])
+                        if cv != 0:
+                            if r.bit() and (cv & bit_pos) == 0:
+                                blk[k] = (
+                                    cv + bit_pos if cv >= 0 else cv - bit_pos
+                                )
+                        k += 1
+                    eobrun -= 1
     return end
 
 
@@ -580,16 +763,17 @@ def _finish_jpeg(frame, coef, qt):
                 f"JPEG: missing quant table {c['tq']}"
             )
     for ci, c in enumerate(comps):
-        ph, pw = coef[ci].shape
-        blocks = (
-            coef[ci].reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
-            .reshape(-1, 8, 8).astype(np.float64)
-        )
-        blocks *= qt[c["tq"]][None, :, :]
+        nby, nbx, _ = coef[ci].shape
+        # de-zigzag + dequant, vectorized over all blocks
+        dq = (coef[ci].astype(np.float64)
+              * qt[c["tq"]][_ZZ_ROWS, _ZZ_COLS][None, None, :])
+        blocks = np.zeros((nby, nbx, 8, 8), np.float64)
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = dq
+        blocks = blocks.reshape(-1, 8, 8)
         spat = np.einsum("ux,nuv,vy->nxy", _DCT_A, blocks, _DCT_A)
         plane = (
-            spat.reshape(ph // 8, pw // 8, 8, 8).transpose(0, 2, 1, 3)
-            .reshape(ph, pw)
+            spat.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
         )
         plane = np.clip(np.round(plane + 128.0), 0, 255)
         # upsample to full MCU-padded resolution, then crop
@@ -754,9 +938,143 @@ def _encode_block(w: _BitWriter, qblk: np.ndarray, pred: int,
     return dc
 
 
+#: AC Huffman table for PROGRESSIVE scans: the Annex K sequential tables
+#: carry no EOBn symbols (0x10..0xE0), so progressive encoders need their
+#: own table. This one is deliberately simple — every symbol we can emit
+#: (EOB runs r=0..14, ZRL, all (run,size) pairs s=1..10) at a uniform
+#: 8-bit code length: legal canonical Huffman, terrible compression,
+#: perfect for building verification payloads.
+_PROG_AC_SYMS = bytes(
+    sorted(
+        [r << 4 for r in range(15)]  # EOBn
+        + [0xF0]  # ZRL
+        + [(run << 4) | s for run in range(16) for s in range(1, 11)]
+    )
+)
+_PROG_AC = (
+    bytes([0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0]),
+    _PROG_AC_SYMS,
+)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: v / 2^al rounded TOWARD ZERO (T.81 G.1.2.1)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _enc_ac_first(bw, blocks, ac_codes, ss, se, al):
+    """Encode one component's AC band first scan (Ah=0) with EOB runs."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            code, ln = ac_codes[rr << 4]
+            bw.write(code, ln)
+            if rr:
+                bw.write(eobrun - (1 << rr), rr)
+            eobrun = 0
+
+    for blk in blocks:
+        run = 0
+        trailing = True
+        for k in range(ss, se + 1):
+            t = _pt(int(blk[k]), al)
+            if t == 0:
+                run += 1
+                continue
+            flush_eob()
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = abs(t).bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(t if t >= 0 else t + (1 << s) - 1, s)
+            run = 0
+            trailing = False
+        if run > 0 or trailing:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(bw, blocks, ac_codes, ss, se, al):
+    """Encode one component's AC band refinement scan (Ah=Al+1): newly
+    significant coefficients as (run,1) symbols + sign bit, correction
+    bits for already-significant coefficients placed exactly where the
+    decoder's advance consumes them, EOB runs with buffered bits."""
+    eobrun = 0
+    pend: list = []  # correction bits covered by the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pend
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            code, ln = ac_codes[rr << 4]
+            bw.write(code, ln)
+            if rr:
+                bw.write(eobrun - (1 << rr), rr)
+            eobrun = 0
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+
+    for blk in blocks:
+        ts = [_pt(int(blk[k]), al) for k in range(ss, se + 1)]
+        news = [i for i, t in enumerate(ts) if abs(t) == 1]
+        corr = {
+            i: (abs(int(blk[ss + i])) >> al) & 1
+            for i, t in enumerate(ts)
+            if abs(t) > 1
+        }
+        if not news:
+            eobrun += 1
+            pend.extend(corr[i] for i in sorted(corr))
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        pos = 0
+        for nk in news:
+            # walk [pos, nk): ZRL every 16 zero-history positions, each
+            # followed by the correction bits its advance consumed
+            run = 0
+            seg_bits: list = []
+            for i in range(pos, nk):
+                if ts[i] == 0:
+                    run += 1
+                    if run == 16:
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        for b in seg_bits:
+                            bw.write(b, 1)
+                        seg_bits = []
+                        run = 0
+                else:
+                    seg_bits.append(corr[i])
+            t = ts[nk]
+            code, ln = ac_codes[(run << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if t > 0 else 0, 1)
+            for b in seg_bits:
+                bw.write(b, 1)
+            pos = nk + 1
+        if pos <= se - ss:  # remainder → this block joins an EOB run
+            eobrun += 1
+            pend.extend(corr[i] for i in sorted(corr) if i >= pos)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
 def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
                 chroma_quant: np.ndarray = None, subsample: bool = False,
-                restart_interval: int = 0, interleaved: bool = True) -> bytes:
+                restart_interval: int = 0, interleaved: bool = True,
+                progressive: bool = False) -> bytes:
     """Minimal baseline JPEG writer — builds real test payloads without
     PIL. Gray (HxW / HxWx1) or RGB (HxWx3); 4:4:4 by default,
     ``subsample=True`` emits 4:2:0 (2x2 luma sampling, box-averaged
@@ -828,8 +1146,84 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
         F = np.einsum("ux,ryxc,vc->ryuv", _DCT_A, blocks, _DCT_A)
         q = np.round(F / qtabs[pi][None, None, :, :]).astype(np.int32)
         qblocks.append(q)
-    scans: list = []  # (component indices, entropy bytes)
-    if interleaved:
+    scans: list = []  # (component indices, entropy bytes, ss, se, ah, al)
+    if progressive:
+        if restart_interval:
+            raise UnsupportedMediaError(
+                "encode_jpeg: restart intervals not emitted in progressive mode"
+            )
+        zz = [qb[:, :, _ZZ_ROWS, _ZZ_COLS] for qb in qblocks]
+
+        def comp_grid(pi):
+            hi, vi = samps[pi]
+            cx = -(-(w * hi) // hmax)
+            cy = -(-(h * vi) // vmax)
+            return -(-cx // 8), -(-cy // 8)
+
+        def dc_scan(ah, al):
+            sw = _BitWriter()
+            members = list(range(len(planes)))
+            preds = {pi: 0 for pi in members}
+
+            def one(pi, by, bx):
+                dc = int(zz[pi][by, bx, 0]) >> al
+                if ah == 0:
+                    diff = dc - preds[pi]
+                    preds[pi] = dc
+                    t = int(diff != 0 and int(abs(diff)).bit_length())
+                    code, ln = dc_codes[pi][t]
+                    sw.write(code, ln)
+                    if t:
+                        sw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                else:
+                    sw.write(dc & 1, 1)
+
+            if len(members) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for pi in members:
+                            hi, vi = samps[pi]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    one(pi, my * vi + by, mx * hi + bx)
+            else:
+                bw_c, bh_c = comp_grid(0)
+                for by in range(bh_c):
+                    for bx in range(bw_c):
+                        one(0, by, bx)
+            sw.flush()
+            scans.append((members, bytes(sw.out), 0, 0, ah, al,
+                          [(hids[pi] << 4) for pi in members]))
+
+        prog_ac = _huff_codes(*_PROG_AC)
+
+        def ac_scans(ss_, se_, ah, al):
+            for pi in range(len(planes)):
+                sw = _BitWriter()
+                bw_c, bh_c = comp_grid(pi)
+                blocks = [
+                    zz[pi][by, bx]
+                    for by in range(bh_c)
+                    for bx in range(bw_c)
+                ]
+                if ah == 0:
+                    _enc_ac_first(sw, blocks, prog_ac, ss_, se_, al)
+                else:
+                    _enc_ac_refine(sw, blocks, prog_ac, ss_, se_, al)
+                sw.flush()
+                # AC table id 2 (the EOBn-capable progressive table)
+                scans.append(([pi], bytes(sw.out), ss_, se_, ah, al, [0x02]))
+
+        # the canonical successive-approximation script: coarse pass at
+        # Al=1 (DC interleaved, then per-component spectral bands), then
+        # the Al=0 refinement pass for each
+        dc_scan(0, 1)
+        ac_scans(1, 5, 0, 1)
+        ac_scans(6, 63, 0, 1)
+        dc_scan(1, 0)
+        ac_scans(1, 5, 1, 0)
+        ac_scans(6, 63, 1, 0)
+    elif interleaved:
         preds = [0] * len(planes)
         mcu_n, rst_n = 0, 0
         for my in range(mcuy):
@@ -850,7 +1244,8 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
                                 preds[pi], dc_codes[pi], ac_codes[pi],
                             )
         bw.flush()
-        scans.append((list(range(len(planes))), bytes(bw.out)))
+        scans.append((list(range(len(planes))), bytes(bw.out), 0, 63, 0, 0,
+                      [(hids[pi] << 4) | hids[pi] for pi in range(len(planes))]))
     else:
         for pi in range(len(planes)):
             sw = _BitWriter()
@@ -874,7 +1269,8 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
                         dc_codes[pi], ac_codes[pi],
                     )
             sw.flush()
-            scans.append(([pi], bytes(sw.out)))
+            scans.append(([pi], bytes(sw.out), 0, 63, 0, 0,
+                          [(hids[pi] << 4) | hids[pi]]))
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -894,7 +1290,7 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
     for pi in range(len(planes)):
         hi, vi = samps[pi]
         sof += bytes([pi + 1, (hi << 4) | vi, qids[pi]])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     emitted_h = set()
     for pi, th in enumerate(hids):
         if th in emitted_h:
@@ -902,11 +1298,13 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray = None,
         emitted_h.add(th)
         for tc, (counts, syms) in ((0, huffs[pi][0]), (1, huffs[pi][1])):
             out += seg(0xC4, bytes([(tc << 4) | th]) + counts + syms)
-    for comp_idx, entropy in scans:
+    if progressive:
+        out += seg(0xC4, bytes([(1 << 4) | 2]) + _PROG_AC[0] + _PROG_AC[1])
+    for comp_idx, entropy, ss_, se_, ah, al, tabs in scans:
         sos = bytes([len(comp_idx)])
-        for pi in comp_idx:
-            sos += bytes([pi + 1, (hids[pi] << 4) | hids[pi]])
-        sos += b"\x00\x3f\x00"
+        for pi, tdta in zip(comp_idx, tabs):
+            sos += bytes([pi + 1, tdta])
+        sos += bytes([ss_, se_, (ah << 4) | al])
         out += seg(0xDA, sos)
         out += entropy
     out += b"\xff\xd9"

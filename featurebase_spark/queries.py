@@ -3009,8 +3009,10 @@ def multimodal_jpeg_decode(spark, sf_dir):
     gray input makes the lossy pipeline pixel-exact (DC-only blocks,
     DC quantized by 8 losslessly), so the hash match proves the whole
     bitstream path: marker walk, Huffman entropy decode, dequant, IDCT.
-    Odd images encode NON-INTERLEAVED (multi-scan, T.81 A.2.2) so both
-    scan layouts sit under the oracle gate. Payloads never enter a
+    The fixtures rotate through all three scan layouts — interleaved
+    baseline, NON-INTERLEAVED baseline (multi-scan, T.81 A.2.2), and
+    PROGRESSIVE (SOF2 successive approximation, T.81 G.2) — so every
+    decoder path sits under the oracle gate. Payloads never enter a
     shuffle (mapInPandas, map-side)."""
     import numpy as np
 
@@ -3023,9 +3025,12 @@ def multimodal_jpeg_decode(spark, sf_dir):
     for i in range(20):
         blocks = ((bx * 7 + by * 13 + i * 31) % 256).astype(np.uint8)
         img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)  # 16 rows x 24 cols
-        rows.append((i, bytearray(
-            encode_jpeg(img, quant=FLAT_QUANT8, interleaved=bool(i % 2 == 0))
-        )))
+        kw = [
+            {},  # interleaved baseline
+            {"interleaved": False},  # non-interleaved baseline
+            {"progressive": True},  # progressive, successive approximation
+        ][i % 3]
+        rows.append((i, bytearray(encode_jpeg(img, quant=FLAT_QUANT8, **kw))))
     media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
     return (
         decode_image_stats(media)

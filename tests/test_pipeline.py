@@ -463,17 +463,56 @@ class TestMediaCodecs:
         assert MC.sniff(payload) == "jpeg"
         assert MC.decode_image(payload).shape == (8, 8, 1)
 
-    def test_jpeg_progressive_raises(self):
+    def test_jpeg_progressive_roundtrips(self):
+        """PROGRESSIVE JPEG (SOF2: spectral selection + successive
+        approximation, T.81 G.2) decodes IDENTICALLY to the baseline
+        encoding of the same image — same quantized coefficients,
+        different scan script (coarse Al=1 DC+AC passes, then the Al=0
+        refinement passes with EOB runs and correction bits)."""
+        import numpy as np
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        rng = np.random.default_rng(3)
+        bvals = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+        gray = np.repeat(np.repeat(bvals, 8, 0), 8, 1)
+        dec = MC.decode_jpeg(
+            MC.encode_jpeg(gray, quant=MC.FLAT_QUANT8, progressive=True)
+        )
+        assert np.array_equal(dec[:, :, 0], gray)  # DC-only exact contract
+        x, y = np.meshgrid(np.arange(40) * 3 % 256, np.arange(24) * 5 % 256,
+                           indexing="ij")
+        cimg = np.stack([x, y, np.full_like(x, 90)], axis=2).astype(np.uint8)
+        for kw in ({}, {"subsample": True}):
+            a = MC.decode_jpeg(MC.encode_jpeg(cimg, **kw))
+            b = MC.decode_jpeg(MC.encode_jpeg(cimg, progressive=True, **kw))
+            assert np.array_equal(a, b), kw
+        # dense-AC stress: noise exercises ZRL, EOB runs, and the AC
+        # refinement correction-bit path in every band
+        noisy = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+        a = MC.decode_jpeg(MC.encode_jpeg(noisy))
+        b = MC.decode_jpeg(MC.encode_jpeg(noisy, progressive=True))
+        assert np.array_equal(a, b)
+        # sparse-AC stress: mostly-flat image drives LONG cross-block EOB
+        # runs (eobrun > 1 with buffered correction bits)
+        flat = np.full((48, 64), 100, np.uint8)
+        flat[5, 7] = 250
+        flat[40, 60] = 3
+        a = MC.decode_jpeg(MC.encode_jpeg(flat))
+        b = MC.decode_jpeg(MC.encode_jpeg(flat, progressive=True))
+        assert np.array_equal(a, b)
+
+    def test_jpeg_arithmetic_still_raises(self):
         import struct
 
         import pytest as _pytest
 
         from featurebase_spark.pipeline import media_codecs as MC
 
-        # SOF2 (progressive) frame header
-        sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
-        with _pytest.raises(NotImplementedError, match="progressive"):
-            MC.decode_jpeg(sof2)
+        # SOF9 (arithmetic sequential) frame header
+        sof9 = b"\xff\xd8\xff\xc9" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
+        with _pytest.raises(NotImplementedError, match="arithmetic"):
+            MC.decode_jpeg(sof9)
 
     def test_unsupported_raises(self):
         import pytest as _pytest
