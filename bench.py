@@ -68,13 +68,26 @@ BENCH_QUERIES = [
     "multimodal_jpeg_decode",
     "source_spool_consume",
     "pql_foreign_distinct",
+    # r6: deterministic sampling/mixing, decontamination, exact-span
+    # dedup, the streaming window oracle, and the widest TPC-H star (Q8)
+    "sample_hash_split",
+    "mix_temperature_sample",
+    "decontaminate_ngram_overlap",
+    "dedup_common_spans",
+    "stream_windowed_counts",
+    "sql_q8_market_share",
+    "sql_q18_large_orders",
 ]
 
 #: queries added after the prior round — excluded from regression flags
 _NEW_IN_ROUND = {
-    "multimodal_jpeg_decode",
-    "source_spool_consume",
-    "pql_foreign_distinct",
+    "sample_hash_split",
+    "mix_temperature_sample",
+    "decontaminate_ngram_overlap",
+    "dedup_common_spans",
+    "stream_windowed_counts",
+    "sql_q8_market_share",
+    "sql_q18_large_orders",
 }
 
 

@@ -184,6 +184,42 @@ def temperature_rates(
     return out.select(source_col, "src_size", "rate", "rate_hex")
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int = 2048,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget PACKS (sequence packing for
+    training): within each ``part_col`` partition, documents in
+    ``order_col`` order fill packs of ``budget`` tokens by running sum —
+    ``pack_id = floor(tokens_before_this_doc / budget)``. Deterministic
+    (pure integer arithmetic over a total order) and SQL-replayable.
+
+    Scale shape: ONE shuffle on the partition column; each partition's
+    running sum is a window over its own rows — the per-source
+    parallelism a real packing job wants (a single global order would
+    serialize the corpus through one task). Long documents spanning a
+    boundary stay in the pack where they started (the consumer truncates
+    or overflows downstream — assignment here must stay a pure
+    projection)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(
+        F.sum(F.col(token_col).cast("long")).over(w), F.lit(0)
+    )
+    return df.withColumn(
+        out_col, F.floor(before / F.lit(int(budget))).cast("long")
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -47,6 +47,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (norm(ad) * norm(bd))
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard storage/
+    bandwidth reducer for large embedding corpora (4 bytes → 1 byte per
+    dim): ``scale = max(|v|)``, ``q_i = round(v_i / scale * 127)``.
+    Reconstruction is ``q_i * scale / 127``.
+
+    Pure per-row Catalyst expressions (transform / array_max / round) —
+    zero shuffle at any scale, and fully deterministic: every element
+    casts to DOUBLE before the divide so no engine does float32
+    arithmetic, making the quantized codes replayable bit-exactly on an
+    independent engine. All-zero vectors quantize to all zeros (scale 0
+    kept, not NaN)."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") / scale * F.lit(127.0), 0).cast(
+                "long"
+            ),
+        )
+    )
+    return df.withColumn("scale", scale).withColumn(out_col, q)
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -71,6 +71,56 @@ def distinct_token_ratio(col) -> Column:
     return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
 
 
+def dup_ngram_fraction(col, n: int = 2) -> Column:
+    """Fraction of word n-grams that are REPEATS of an earlier n-gram in
+    the same document (Gopher's duplicate-n-gram repetition signal):
+    ``1 - distinct/total`` over NON-distinct grams. 0.0 for docs with
+    < n tokens. Pure per-row Catalyst expressions — zero shuffle."""
+    toks = tokens(col)
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.concat_ws(TOKEN_SEP, F.slice(toks, i, n)),
+    )
+    total = F.size(grams).cast("double")
+    frac = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
+    return F.when(sz < n, F.lit(0.0)).otherwise(frac)
+
+
+def top_ngram_fraction(col, n: int = 2) -> Column:
+    """Fraction of all word n-grams taken by the single MOST FREQUENT
+    n-gram (Gopher's top-n-gram repetition signal — boilerplate and
+    template spam max this out). Computed shuffle-free per row: sort the
+    gram array and fold a longest-run counter over it with
+    ``F.aggregate`` (JVM-side, no explode/groupBy). 0.0 for docs with
+    < n tokens."""
+    toks = tokens(col)
+    sz = F.size(toks)
+    grams = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(TOKEN_SEP, F.slice(toks, i, n)),
+        )
+    )
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    folded = F.aggregate(
+        grams,
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    frac = folded["best"].cast("double") / F.size(grams).cast("double")
+    return F.when(sz < n, F.lit(0.0)).otherwise(frac)
+
+
 def quality_score(col) -> Column:
     """Deterministic [0,1] quality score combining length, diversity and
     stopword signals (shape follows the C4/Gopher-style rule filters)."""

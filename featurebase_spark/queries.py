@@ -2748,6 +2748,74 @@ def quantum_view_rollup(spark, sf_dir):
 
 
 @register(
+    "stream_windowed_counts",
+    # 6-hour tumbling windows, epoch-aligned like Spark's window();
+    # naive-timestamp arithmetic avoids any session-timezone surface
+    "SELECT CAST(TIMESTAMP '1970-01-01 00:00:00' + "
+    "CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600 * INTERVAL 1 SECOND AS TIMESTAMP) AS win_start, "
+    "event_type, COUNT(*) AS n FROM events "
+    "WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2024-01-08 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-15 00:00:00' "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming windowed aggregation END TO END, oracle-gated:
+    a week of events replays through a REAL file-source stream (2 files,
+    maxFilesPerTrigger=1 → 2 micro-batches), a watermarked 6-hour
+    tumbling window aggregation maintains state across batches, and
+    update-mode emissions upsert into a result table whose FINAL state
+    must equal DuckDB's batch replay exactly — proving the streaming
+    operator graph (file source → withWatermark → window groupBy →
+    stateful agg) computes the batch answer regardless of how rows split
+    across micro-batches. The watermark delay exceeds the data span so
+    no row is late-dropped (drop semantics are unit-tested separately:
+    the oracle needs a batch-order-independent final state). Driver-side
+    upsert state is bounded by |windows × event types| — aggregated
+    rows, never raw events."""
+    import tempfile
+
+    from featurebase_spark.streaming import windowed_counts
+
+    ev = (
+        _tables(spark, sf_dir)["events"]
+        .where(
+            F.col("ts").isNotNull()
+            & (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        )
+        .select("ts", "event_type")
+    )
+    d = tempfile.mkdtemp(prefix="fb_stream_wc_")
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    wc = windowed_counts(
+        s, "ts", ["event_type"], window="6 hours", watermark="3650 days"
+    )
+    state: dict = {}
+
+    def upsert(batch, epoch_id):
+        for r in batch.collect():
+            state[(r["win"]["start"], r["event_type"])] = r["n"]
+
+    q = (
+        wc.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(k[0], k[1], int(v)) for k, v in sorted(state.items())]
+    return spark.createDataFrame(
+        rows, "win_start timestamp, event_type string, n long"
+    ).orderBy("win_start", "event_type")
+
+
+@register(
     "ddl_catalog_roundtrip",
     "SELECT * FROM (VALUES (1, 'ANN', 31), (2, 'BOB', 41), (3, 'CAZ', 28)) "
     "AS t(_id, name, age) ORDER BY _id",
@@ -3626,6 +3694,50 @@ def mix_temperature_sample(spark, sf_dir):
 
 
 @register(
+    "text_repetition_signals",
+    # Gopher-style repetition quality signals replayed per doc: duplicate
+    # 2-/5-gram fractions (1 - distinct/total) and the top-bigram share
+    # (max per-doc bigram frequency / total bigrams)
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "g AS (SELECT doc_id, len(w) AS ntok, "
+    "  CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) "
+    "       ELSE [] END AS g2, "
+    "  CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' ')) "
+    "       ELSE [] END AS g5 FROM t), "
+    "f AS (SELECT doc_id, gg, COUNT(*) AS c FROM "
+    "      (SELECT doc_id, unnest(g2) AS gg FROM g) GROUP BY 1, 2), "
+    "tp AS (SELECT doc_id, MAX(c) AS mx FROM f GROUP BY 1) "
+    "SELECT g.doc_id, "
+    "CASE WHEN ntok < 2 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) END AS dup_bigram_frac, "
+    "CASE WHEN ntok < 5 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g5)) AS DOUBLE) / CAST(len(g5) AS DOUBLE) END AS dup_5gram_frac, "
+    "CASE WHEN ntok < 2 THEN 0.0 ELSE CAST(tp.mx AS DOUBLE) / CAST(len(g2) AS DOUBLE) END AS top_bigram_frac "
+    "FROM g LEFT JOIN tp ON g.doc_id = tp.doc_id ORDER BY g.doc_id",
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (pipeline/text.py
+    dup_ngram_fraction / top_ngram_fraction): duplicate-bigram,
+    duplicate-5-gram, and top-bigram fractions per document — the
+    boilerplate/template-spam filters a training pipeline cuts on.
+    Spark computes all three SHUFFLE-FREE per row (sorted-array fold via
+    F.aggregate for the top-gram count — no explode/groupBy); the oracle
+    recomputes with DuckDB list ops + a per-doc frequency aggregate.
+    Integer-count divisions ⇒ bit-identical doubles."""
+    from featurebase_spark.pipeline.text import (
+        dup_ngram_fraction,
+        top_ngram_fraction,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        dup_ngram_fraction(c, 2).alias("dup_bigram_frac"),
+        dup_ngram_fraction(c, 5).alias("dup_5gram_frac"),
+        top_ngram_fraction(c, 2).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+@register(
     "dedup_common_spans",
     # per-doc count of 10-token spans appearing verbatim in another doc;
     # the oracle recomputes STRING spans brute-force (equality classes
@@ -3653,6 +3765,79 @@ def dedup_common_spans(spark, sf_dir):
 
     docs = _tables(spark, sf_dir)["documents"]
     return common_span_docs(docs, "text", "doc_id", n=10).orderBy("doc_id")
+
+
+@register(
+    "embed_quantize_int8",
+    # per-vector symmetric int8 codes summarized scalar-wise (sums/
+    # extremes pin every element without array-cell comparison); every
+    # element casts to DOUBLE before dividing so neither engine does
+    # float32 arithmetic
+    "WITH q AS (SELECT vec_id, "
+    "  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale, "
+    "  embedding FROM embeddings), "
+    "c AS (SELECT vec_id, scale, CASE WHEN scale = 0 THEN "
+    "  list_transform(embedding, x -> CAST(0 AS BIGINT)) ELSE "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0) AS BIGINT)) "
+    "  END AS qv FROM q) "
+    "SELECT vec_id, CAST(scale AS DOUBLE) AS scale, "
+    "CAST(list_sum(qv) AS BIGINT) AS q_sum, "
+    "CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1, "
+    "CAST(list_min(qv) AS BIGINT) AS q_min, CAST(list_max(qv) AS BIGINT) AS q_max "
+    "FROM c ORDER BY vec_id",
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 embedding quantization
+    (pipeline/similarity.quantize_int8) — the 4x storage/bandwidth
+    reducer a 100 TB vector corpus applies before serving. Zero-shuffle
+    per-row Catalyst transform; the oracle replays the quantizer
+    element-exactly in DuckDB list ops and compares scalar summaries
+    (sum / L1 / min / max per vector) that pin every code."""
+    from featurebase_spark.pipeline.similarity import quantize_int8
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    q = quantize_int8(emb, "embedding", "qvec")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "pack_sequences_budget",
+    "SELECT doc_id, source, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER ("
+    "  PARTITION BY source ORDER BY doc_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) "
+    "AS pack_id FROM documents ORDER BY doc_id",
+)
+def pack_sequences_budget(spark, sf_dir):
+    """Sequence packing for training (pipeline/sampling.pack_sequences):
+    documents fill fixed 512-token packs per source by running token
+    sum — deterministic integer arithmetic over a per-source total
+    order. ONE shuffle on the source partition column (a global order
+    would serialize the corpus through one task); the oracle replays the
+    window sum + floor division exactly."""
+    from featurebase_spark.pipeline.sampling import pack_sequences
+    from featurebase_spark.pipeline.text import token_count
+
+    docs = _tables(spark, sf_dir)["documents"].withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    return (
+        pack_sequences(docs, "n_tokens", budget=512)
+        .select("doc_id", "source", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -75,7 +75,7 @@ def _timed(fn, spark, sf) -> float:
     return time.perf_counter() - t0
 
 
-def main(out_path: str = "SCALING_r05.json") -> int:
+def main(out_path: str = "SCALING_r06.json") -> int:
     from featurebase_spark.session import get_spark
 
     spark = get_spark()

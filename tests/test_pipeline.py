@@ -831,3 +831,37 @@ def test_jpeg_missing_component_scan_raises_typed_error():
     truncated = payload[:second] + b"\xff\xd9"
     with _pytest.raises(MC.UnsupportedMediaError, match="no scan for component"):
         MC.decode_jpeg(truncated)
+
+
+def test_repetition_signals_crafted(spark):
+    """dup/top n-gram fractions on hand-computable inputs — the Gopher
+    repetition filters, computed shuffle-free per row."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # bigrams: ab ba ab ba ab → 5 total, 2 distinct
+            (2, "w x y z q r"),       # all bigrams unique
+            (3, "spam spam spam spam"),  # 3 bigrams, all 'spam spam'
+            (4, "one"),               # < 2 tokens → 0.0 everywhere
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.dup_ngram_fraction(F.col("text"), 2).alias("dup2"),
+            T.top_ngram_fraction(F.col("text"), 2).alias("top2"),
+        ).collect()
+    }
+    assert out[1]["dup2"] == pytest.approx(1 - 2 / 5)
+    assert out[1]["top2"] == pytest.approx(3 / 5)  # 'a b' occurs 3 of 5
+    assert out[2]["dup2"] == 0.0 and out[2]["top2"] == pytest.approx(1 / 5)
+    assert out[3]["dup2"] == pytest.approx(1 - 1 / 3)
+    assert out[3]["top2"] == pytest.approx(1.0)
+    assert out[4]["dup2"] == 0.0 and out[4]["top2"] == 0.0
+    # shuffle-free: no Exchange in the plan
+    plan = (
+        df.select(T.top_ngram_fraction(F.col("text"), 2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

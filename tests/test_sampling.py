@@ -138,3 +138,43 @@ def test_sampling_plan_no_shuffle(docs):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_quantize_int8_roundtrip_properties(spark):
+    from featurebase_spark.pipeline.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 4.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # all-zero: scale 0, codes 0
+            (3, [-0.1, 0.1, -0.1, 0.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert out[1]["scale"] == pytest.approx(4.0)
+    assert out[1]["qvec"] == [32, -64, 16, 127]  # round(v/4*127)
+    assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0, 0]
+    assert all(-127 <= q <= 127 for q in out[3]["qvec"])
+    # reconstruction error bounded by scale/254 per element
+    for r in (out[1], out[3]):
+        s = r["scale"]
+        for v, q in zip([1.0, -2.0, 0.5, 4.0] if r is out[1] else
+                        [-0.1, 0.1, -0.1, 0.1], r["qvec"]):
+            assert abs(q * s / 127 - v) <= s / 254 + 1e-9
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    from featurebase_spark.pipeline.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "s", 100) for i in range(1, 8)]  # 7 docs x 100 tokens
+        + [(10, "t", 250), (11, "t", 250), (12, "t", 250)],
+        "doc_id long, source string, n long",
+    )
+    out = {r["doc_id"]: r["pack_id"]
+           for r in pack_sequences(df, "n", budget=300).collect()}
+    # source s: before = 0,100,200,300,400,500,600 → packs 0,0,0,1,1,1,2
+    assert [out[i] for i in range(1, 8)] == [0, 0, 0, 1, 1, 1, 2]
+    # source t: independent numbering per partition
+    assert [out[i] for i in (10, 11, 12)] == [0, 0, 1]
