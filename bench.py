@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "stream_windowed_counts",
     "sql_q8_market_share",
     "sql_q18_large_orders",
+    "sim_ann_pq_adc_topk",
 ]
 
 #: queries added after the prior round — excluded from regression flags
@@ -88,6 +89,7 @@ _NEW_IN_ROUND = {
     "stream_windowed_counts",
     "sql_q8_market_share",
     "sql_q18_large_orders",
+    "sim_ann_pq_adc_topk",
 }
 
 

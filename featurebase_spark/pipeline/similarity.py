@@ -241,6 +241,143 @@ def ivf_assign(
     return df.withColumn(cell_col, nearest(F.col(vec_col)))
 
 
+# --- Product quantization (PQ): sub-vector codebooks + asymmetric
+# --- distance — the memory-bound ANN tier (codes are m bytes per vector)
+
+
+def make_pq_codebooks(
+    dim: int, m: int = 8, ks: int = 16, seed: int = 11, scale: float = 0.125
+) -> list[list[list[float]]]:
+    """Seeded deterministic PQ codebooks: ``m`` subspaces of ``dim/m``
+    dims, ``ks`` codewords each — data-independent constants (the
+    make_hyperplanes pattern) so an independent engine can replay
+    encode/ADC exactly. ``pq_train`` (Lloyd) is the quality path; these
+    pinned books are the verification path."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = random.Random(seed)
+    sub = dim // m
+    return [
+        [[rng.gauss(0.0, scale) for _ in range(sub)] for _ in range(ks)]
+        for _ in range(m)
+    ]
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 11,
+    iters: int = 5,
+    sample_limit: int = 20_000,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks per subspace with a few Lloyd iterations over a
+    bounded driver-side sample (standard PQ practice — codebooks are tiny
+    and training is sample-based; encoding is the distributed part)."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample_limit).collect()
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        cents = Xs[rng.choice(len(Xs), size=min(ks, len(Xs)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = Xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([c.tolist() for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector to ``m`` small codes (nearest codeword per
+    subspace, L2, ties to the lower code — np.argmin's first-occurrence).
+    One Arrow-batched pandas UDF, numpy distance matrices per subspace —
+    map-side, zero shuffle; at scale the code column is what you persist
+    (m bytes/vector instead of 4·dim)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([list(v) for v in vecs], dtype=np.float64)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(code_col, enc(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    round_digits: Optional[int] = 6,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes: the
+    driver precomputes the m×ks lookup table of squared distances from
+    the query's subvectors to every codeword; each row's approximate
+    distance is then a pure JVM fold over its m codes into the literal
+    LUT (``F.aggregate`` + ``element_at`` — no Python, no shuffle, no
+    vector column read). This is the memory-bandwidth-bound ANN shape:
+    at 100 TB the scan touches m-byte codes, not 4·dim-byte vectors."""
+    lut_flat: list[float] = []
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    for s in range(m):
+        qs = q[s * sub : (s + 1) * sub]
+        for c in range(ks):
+            w = codebooks[s][c]
+            d = 0.0
+            for i in range(sub):
+                d += (qs[i] - w[i]) * (qs[i] - w[i])
+            lut_flat.append(d)
+    codes = F.col(code_col)
+    lut = F.lit(lut_flat).cast("array<double>")
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(lut, (s * ks + F.element_at(codes, s + 1) + 1).cast("int")),
+    )
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    encoded = df if code_col in df.columns else pq_encode(df, codebooks, vec_col, code_col)
+    return (
+        encoded.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -2701,6 +2701,62 @@ def _ivf_oracle_sql() -> str:
     )
 
 
+def _pq_oracle_sql() -> str:
+    """DuckDB twin of pq_encode + pq_adc_topk over PINNED seed-derived
+    codebooks (make_pq_codebooks(64, 8, 16, seed=11) — data-independent
+    constants, the IVF inlining pattern): replays per-subspace nearest-
+    codeword encoding (ties to the lower code), the query-side LUT, and
+    the ADC top-10 — a hash-compared oracle of the full product-
+    quantization path. Distances round to 6 digits (both engines sum a
+    handful of doubles; rounding absorbs association order, as in the
+    cosine keys)."""
+    from featurebase_spark.pipeline.similarity import make_pq_codebooks
+
+    books = make_pq_codebooks(64, 8, 16, seed=11)
+    vals = ", ".join(
+        f"({s}, {c}, [" + ", ".join(repr(x) for x in w) + "]::DOUBLE[])"
+        for s, book in enumerate(books)
+        for c, w in enumerate(book)
+    )
+    return (
+        f"WITH cw AS (SELECT * FROM (VALUES {vals}) AS t(s, c, w)), "
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "sub AS (SELECT vec_id, r.s, v[r.s*8+1 : r.s*8+8] AS sv "
+        "        FROM e, range(8) r(s)), "
+        "enc AS (SELECT vec_id, s, c FROM ("
+        "  SELECT sub.vec_id, sub.s, cw.c, ROW_NUMBER() OVER ("
+        "    PARTITION BY sub.vec_id, sub.s ORDER BY "
+        "    list_sum(list_transform(range(1, 9), i -> (sv[i]-w[i])*(sv[i]-w[i]))) ASC, "
+        "    cw.c ASC) AS rn FROM sub JOIN cw ON sub.s = cw.s) WHERE rn = 1), "
+        "q AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0), "
+        "lut AS (SELECT cw.s, cw.c, "
+        "  list_sum(list_transform(range(1, 9), i -> (qsv[i]-w[i])*(qsv[i]-w[i]))) AS d "
+        "  FROM cw JOIN q ON cw.s = q.s) "
+        "SELECT vec_id, ROUND(SUM(lut.d), 6) AS adc_dist "
+        "FROM enc JOIN lut ON enc.s = lut.s AND enc.c = lut.c "
+        "GROUP BY vec_id ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"
+    )
+
+
+@register("sim_ann_pq_adc_topk", _pq_oracle_sql())
+def sim_ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (pipeline/similarity.pq_*): vectors
+    encode to 8 codes (16 codewords per subspace), search is asymmetric
+    distance — a JVM fold of each row's codes into the query's literal
+    LUT, never touching the vector column. The memory-bandwidth ANN
+    tier: the scan reads m bytes per vector instead of 4·dim. Registered
+    with PINNED codebooks so DuckDB replays encode+LUT+top-k exactly;
+    pq_train's Lloyd books are the quality path (reconstruction-error
+    tests in pytest)."""
+    from featurebase_spark.pipeline import similarity as S
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    qv = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    books = S.make_pq_codebooks(64, 8, 16, seed=11)
+    coded = S.pq_encode(emb, books)
+    return S.pq_adc_topk(coded, qv, books, k=10)
+
+
 @register("sim_ann_ivf_topk", _ivf_oracle_sql())
 def sim_ann_ivf_topk(spark, sf_dir):
     """IVF ANN: centroid cells, probe nprobe/n_cells of the corpus, exact

@@ -865,3 +865,43 @@ def test_repetition_signals_crafted(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pq_train_beats_random_books(emb):
+    """Lloyd-trained codebooks must reconstruct better than the pinned
+    random books (the quality path vs the verification path)."""
+    import numpy as np
+
+    rows = emb.select("embedding").collect()
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+
+    def recon_err(books):
+        B = [np.asarray(b) for b in books]
+        sub = B[0].shape[1]
+        err = 0.0
+        for s in range(len(B)):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err
+
+    trained = S.pq_train(emb, m=8, ks=16, seed=11)
+    random_books = S.make_pq_codebooks(64, 8, 16, seed=11)
+    assert recon_err(trained) < recon_err(random_books)
+
+
+def test_pq_adc_ranks_query_first(emb):
+    """ADC over trained books: the query vector itself must rank at
+    distance ~0 (its own codes ARE the nearest codewords)."""
+    books = S.pq_train(emb, m=8, ks=16, seed=11)
+    qv = list(emb.where(F.col("vec_id") == 7).first()["embedding"])
+    top = S.pq_adc_topk(S.pq_encode(emb, books), qv, books, k=5).collect()
+    ids = [r["vec_id"] for r in top]
+    assert 7 in ids
+    # the plan's distance eval is a JVM fold over the code column — the
+    # only Python stage is encode; top-k must be TakeOrdered
+    plan = (
+        S.pq_adc_topk(S.pq_encode(emb, books), qv, books, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
