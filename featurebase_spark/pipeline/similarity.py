@@ -241,6 +241,33 @@ def ivf_assign(
     return df.withColumn(cell_col, nearest(F.col(vec_col)))
 
 
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The composed billion-scale ANN stack (FAISS's IVF-PQ shape): IVF
+    cell pruning picks nprobe/n_cells of the corpus, then ADC over PQ
+    codes ranks candidates without reading full vectors. At 100 TB:
+    partition-prune on cell, then an m-byte-per-row scan — both stages
+    already verified independently (sim_ann_ivf_topk /
+    sim_ann_pq_adc_topk oracles)."""
+    import numpy as np
+
+    qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = qv / (np.linalg.norm(qv) + 1e-12)
+    sims = np.asarray(centroids, dtype=np.float64) @ qn
+    probe = [int(i) for i in np.argsort(-sims, kind="stable")[:nprobe]]
+    cand = ivf_assign(df, centroids, vec_col).where(F.col("cell").isin(probe))
+    coded = pq_encode(cand, codebooks, vec_col)
+    return pq_adc_topk(coded, query_vec, codebooks, k, id_col, vec_col)
+
+
 # --- Product quantization (PQ): sub-vector codebooks + asymmetric
 # --- distance — the memory-bound ANN tier (codes are m bytes per vector)
 

@@ -3794,6 +3794,31 @@ def text_repetition_signals(spark, sf_dir):
 
 
 @register(
+    "sample_split_text_door",
+    # same oracle as sample_hash_split — the TVF must not change results
+    "SELECT doc_id, CASE "
+    "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000' THEN 'train' "
+    "WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e0000000' THEN 'val' "
+    "ELSE 'test' END AS split FROM documents ORDER BY doc_id",
+)
+def sample_split_text_door(spark, sf_dir):
+    """Deterministic split through the SQL TEXT door — the fb_hash_split
+    TVF (DECLARED EXTENSION, the fb_sessionize pattern): a user types
+    ``SELECT ... FROM fb_hash_split(documents, doc_id, 42)`` and gets
+    the same hash-range assignment the DataFrame API produces; the
+    oracle is byte-identical to sample_hash_split's, proving the door
+    adds nothing."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["documents"].createOrReplaceTempView("documents")
+    return fb_sql(
+        spark,
+        "SELECT doc_id, split FROM fb_hash_split(documents, doc_id, 42) "
+        "ORDER BY doc_id",
+    )
+
+
+@register(
     "dedup_common_spans",
     # per-doc count of 10-token spans appearing verbatim in another doc;
     # the oracle recomputes STRING spans brute-force (equality classes

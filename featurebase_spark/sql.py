@@ -592,10 +592,18 @@ _TVFS: dict[str, tuple[int, str]] = {
     "FB_SESSIONIZE": (4, "(table, user_col, ts_col, gap_minutes)"),
     "FB_SESSIONS": (4, "(table, user_col, ts_col, gap_minutes)"),
     "FB_DEDUP_SURVIVORS": (3, "(table, text_col, id_col)"),
+    # deterministic-sampling family (pipeline/sampling.py): split uses
+    # binary-exact 3/4-1/8-1/8 train/val/test weights; sample takes the
+    # rate as a decimal literal
+    "FB_HASH_SPLIT": (3, "(table, id_col, seed)"),
+    "FB_HASH_SAMPLE": (4, "(table, id_col, rate, seed)"),
+    "FB_DECONTAMINATE": (5, "(table, bench_table, text_col, id_col, ngram)"),
 }
 
 _TVF_GUARD = _re.compile(
-    r"\b(fb_sessionize|fb_sessions|fb_dedup_survivors)\b", _re.IGNORECASE
+    r"\b(fb_sessionize|fb_sessions|fb_dedup_survivors|fb_hash_split"
+    r"|fb_hash_sample|fb_decontaminate)\b",
+    _re.IGNORECASE,
 )
 
 
@@ -638,6 +646,49 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
             else sessions.session_stats
         )
         out = fn(df, user, ts, int(gap))
+    elif name == "FB_HASH_SPLIT":
+        from featurebase_spark.pipeline import sampling
+
+        id_col, seed = args[1], args[2]
+        need_col(id_col, "id_col")
+        if not _re.fullmatch(r"\d+", seed):
+            raise ValueError(
+                f"{low}: integer literal expected for seed, got {seed!r}"
+            )
+        out = sampling.hash_split(
+            df, id_col,
+            {"train": 0.75, "val": 0.125, "test": 0.125}, int(seed),
+        )
+    elif name == "FB_HASH_SAMPLE":
+        from featurebase_spark.pipeline import sampling
+
+        id_col, rate, seed = args[1], args[2], args[3]
+        need_col(id_col, "id_col")
+        if not _re.fullmatch(r"\d*\.?\d+", rate):
+            raise ValueError(
+                f"{low}: numeric literal expected for rate, got {rate!r}"
+            )
+        if not _re.fullmatch(r"\d+", seed):
+            raise ValueError(
+                f"{low}: integer literal expected for seed, got {seed!r}"
+            )
+        out = sampling.hash_sample(df, id_col, float(rate), int(seed))
+    elif name == "FB_DECONTAMINATE":
+        from featurebase_spark.pipeline import contamination
+
+        bench_tbl, text_col, id_col, ng = args[1], args[2], args[3], args[4]
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", bench_tbl):
+            raise ValueError(
+                f"{low}: table name expected, got {bench_tbl!r}"
+            )
+        bench = spark.table(bench_tbl)
+        need_col(text_col, "text_col")
+        need_col(id_col, "id_col")
+        if not _re.fullmatch(r"\d+", ng):
+            raise ValueError(
+                f"{low}: integer literal expected for ngram, got {ng!r}"
+            )
+        out = contamination.decontaminate(df, bench, text_col, id_col, int(ng))
     else:
         from featurebase_spark.pipeline import dedup
 

@@ -905,3 +905,24 @@ def test_pq_adc_ranks_query_first(emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_pq_composed_stack(emb):
+    """IVF cell pruning + PQ ADC compose: full-probe IVF-PQ equals plain
+    PQ ADC (same codes, no cells pruned), and a pruned probe returns a
+    subset ranked by the same distances."""
+    cents = S.make_hyperplanes(64, 8, 7)
+    books = S.pq_train(emb, m=8, ks=16, seed=11)
+    qv = list(emb.where(F.col("vec_id") == 3).first()["embedding"])
+    full = [r["vec_id"] for r in
+            S.ivf_pq_topk(emb, qv, cents, books, k=10, nprobe=8).collect()]
+    plain = [r["vec_id"] for r in
+             S.pq_adc_topk(S.pq_encode(emb, books), qv, books, k=10).collect()]
+    assert full == plain  # probing every cell = no pruning at all
+    pruned = [r["vec_id"] for r in
+              S.ivf_pq_topk(emb, qv, cents, books, k=10, nprobe=2).collect()]
+    assert set(pruned) <= set(
+        r["vec_id"] for r in
+        S.pq_adc_topk(S.pq_encode(emb, books), qv, books, k=10_000).collect()
+    )
+    assert len(pruned) > 0

@@ -262,3 +262,52 @@ def test_fb_sql_hyphenated_table_from_list(spark):
     assert [(r["ida"], r["v"]) for r in rows] == [(1, "x")]
     cat.drop_table("fromlist_a")
     cat.drop_table("from-list-b")
+
+
+class TestSamplingTvfs:
+    """fb_hash_split / fb_hash_sample / fb_decontaminate through the SQL
+    text door (the fb_sessionize TVF pattern)."""
+
+    def test_hash_sample_door(self, spark, tables):
+        from featurebase_spark.pipeline.sampling import hash_sample
+
+        tables["documents"].createOrReplaceTempView("documents")
+        got = {r["doc_id"] for r in fb_sql(
+            spark,
+            "SELECT doc_id FROM fb_hash_sample(documents, doc_id, 0.25, 7)",
+        ).collect()}
+        want = {r["doc_id"] for r in
+                hash_sample(tables["documents"], "doc_id", 0.25, 7)
+                .select("doc_id").collect()}
+        assert got == want and len(got) > 0
+
+    def test_decontaminate_door(self, spark, tables):
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the dog"),
+             (2, "completely unrelated words in this one here")],
+            "doc_id long, text string",
+        )
+        docs.createOrReplaceTempView("tvf_docs")
+        spark.createDataFrame(
+            [(9, "quick brown fox jumps over")], "doc_id long, text string"
+        ).createOrReplaceTempView("tvf_bench")
+        out = {r["doc_id"]: r["contaminated"] for r in fb_sql(
+            spark,
+            "SELECT doc_id, contaminated FROM "
+            "fb_decontaminate(tvf_docs, tvf_bench, text, doc_id, 5)",
+        ).collect()}
+        assert out == {1: True, 2: False}
+
+    def test_sampling_tvf_arity_and_literal_errors(self, spark, tables):
+        tables["documents"].createOrReplaceTempView("documents")
+        with pytest.raises(ValueError, match="formal parameters"):
+            fb_sql(spark, "SELECT * FROM fb_hash_split(documents, doc_id)")
+        with pytest.raises(ValueError, match="integer literal expected for seed"):
+            fb_sql(spark,
+                   "SELECT * FROM fb_hash_split(documents, doc_id, banana)")
+        with pytest.raises(ValueError, match="numeric literal expected for rate"):
+            fb_sql(spark,
+                   "SELECT * FROM fb_hash_sample(documents, doc_id, x, 7)")
+        with pytest.raises(ValueError, match="column 'nope' not found"):
+            fb_sql(spark,
+                   "SELECT * FROM fb_hash_split(documents, nope, 42)")
