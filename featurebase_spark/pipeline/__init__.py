@@ -9,6 +9,11 @@ beyond FeatureBase's own surface — BASELINE.json north star):
   random-hyperplane LSH bucketed ANN.
 - :mod:`featurebase_spark.pipeline.multimodal` — opaque-binary column
   plumbing (decode/resize/frame-sample as Arrow-batched stubs).
+- :mod:`featurebase_spark.pipeline.sampling` — deterministic hash-range
+  train/val/test splits, keyed sampling, temperature-weighted source
+  mixing, fixed-budget sequence packing.
+- :mod:`featurebase_spark.pipeline.contamination` — benchmark n-gram
+  overlap decontamination.
 """
 
 from pyspark.sql import DataFrame
