@@ -271,3 +271,96 @@ def test_jpeg_arbitrary_gray_bounded_error_property(h, w, seed, restarts):
     dec = decode_jpeg(payload)
     assert dec.shape == (h, w, 1)
     assert int(np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()) <= 16
+
+
+# --- r6: deterministic-sampling cross-engine parity ------------------------
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-2**62, 2**62),
+            # exclude NUL (DuckDB VARCHAR rejects it) and surrogates
+            # (not UTF-8-encodable); everything else round-trips
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters="\x00",
+                    blacklist_categories=("Cs",),
+                ),
+                min_size=0, max_size=40,
+            ),
+        ),
+        min_size=1, max_size=60, unique=True,
+    ),
+    st.integers(0, 2**31),
+    st.floats(0.0, 1.0, allow_nan=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_hash_uniform_matches_duckdb_md5_property(keys, seed, rate):
+    """The sampling family's whole cross-engine contract is that
+    ``md5(seed || ':' || CAST(key AS VARCHAR))`` produces the same hex
+    in Spark and DuckDB, and the threshold compare partitions keys
+    identically. Replay the decision in DuckDB for random keys/seeds/
+    rates and require exact agreement (Python's hashlib stands in for
+    Spark's md5 — same algorithm, verified equal in the gate keys)."""
+    import hashlib
+
+    import duckdb
+
+    from featurebase_spark.pipeline.sampling import hex_threshold
+
+    thr = hex_threshold(rate)
+    con = duckdb.connect()
+    for k in keys:
+        ks = str(k)  # Spark CAST(long AS STRING) == str for integers
+        py_hex = hashlib.md5(f"{seed}:{ks}".encode()).hexdigest()[:8]
+        duck_hex = con.execute(
+            "SELECT substr(md5(? || ':' || ?), 1, 8)", [str(seed), ks]
+        ).fetchone()[0]
+        assert py_hex == duck_hex
+        assert (py_hex < thr) == (duck_hex < thr)
+    con.close()
+
+
+@given(
+    st.integers(8, 40),
+    st.integers(8, 40),
+    st.integers(0, 2**32 - 1),
+    st.booleans(),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(h, w, seed, color):
+    """For ANY image content, the progressive scan script (spectral
+    selection + successive approximation, EOB runs, AC refinement
+    correction bits) must decode to EXACTLY the same pixels as the
+    baseline encoding — both carry the same quantized coefficients."""
+    from featurebase_spark.pipeline import media_codecs as MC
+
+    rng = np.random.default_rng(seed)
+    if color:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    else:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    base = MC.decode_jpeg(MC.encode_jpeg(img))
+    prog = MC.decode_jpeg(MC.encode_jpeg(img, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+@given(
+    st.integers(8, 40),
+    st.integers(8, 40),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_noninterleaved_equals_interleaved_property(h, w, seed):
+    """Scan layout must never change decoded pixels: non-interleaved
+    (one SOS per component) == interleaved for random color content,
+    including 4:2:0 where per-component block grids differ."""
+    from featurebase_spark.pipeline import media_codecs as MC
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    for kw in ({}, {"subsample": True}):
+        a = MC.decode_jpeg(MC.encode_jpeg(img, **kw))
+        b = MC.decode_jpeg(MC.encode_jpeg(img, interleaved=False, **kw))
+        assert np.array_equal(a, b), kw
