@@ -184,6 +184,34 @@ def temperature_rates(
     return out.select(source_col, "src_size", "rate", "rate_hex")
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    part_col: str = "source",
+    n_per_part: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic equal-N per-partition sample (balanced eval/holdout
+    construction): within each ``part_col`` group, keep the ``n_per_part``
+    rows with the LOWEST key-hash — a uniform draw that is reproducible
+    across runs/engines and stable per row (a document's selection never
+    depends on which other documents exist in OTHER partitions; within
+    its partition, membership shifts only as lower-hash rows arrive —
+    the unavoidable property of any fixed-N draw).
+
+    One shuffle on the partition column; rank by the md5-prefix hex with
+    the key as tiebreak, so the selected SET is engine-exact."""
+    from pyspark.sql import Window
+
+    u = hash_uniform_hex(F.col(id_col), seed)
+    w = Window.partitionBy(part_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(n_per_part))
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -3695,6 +3695,29 @@ def sample_deterministic(spark, sf_dir):
 
 
 @register(
+    "sample_stratified_per_source",
+    "SELECT doc_id, source FROM ("
+    "  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
+    "  ORDER BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) ASC, "
+    "  doc_id ASC) AS rn FROM documents) WHERE rn <= 5 ORDER BY doc_id",
+)
+def sample_stratified_per_source(spark, sf_dir):
+    """Balanced per-source sampling (pipeline/sampling.stratified_sample):
+    the 5 lowest-hash documents of every source — the deterministic
+    equal-N draw an eval/holdout set needs. One shuffle on the source
+    partition; the oracle replays the hash-ordered window rank
+    exactly."""
+    from featurebase_spark.pipeline.sampling import stratified_sample
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        stratified_sample(docs, "doc_id", "source", 5, seed=42)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "mix_temperature_sample",
     # full replay of the rate derivation: exact integer sizes → sqrt →
     # DECIMAL(38,12) quantized weights (exact order-independent sum) →

@@ -178,3 +178,19 @@ def test_pack_sequences_budget_boundaries(spark):
     assert [out[i] for i in range(1, 8)] == [0, 0, 0, 1, 1, 1, 2]
     # source t: independent numbering per partition
     assert [out[i] for i in (10, 11, 12)] == [0, 0, 1]
+
+
+def test_stratified_sample_balanced_and_deterministic(docs):
+    from featurebase_spark.pipeline.sampling import stratified_sample
+
+    out = stratified_sample(docs, "doc_id", "source", 3, seed=9)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_sources = docs.select("source").distinct().count()
+    assert len(counts) == n_sources
+    assert all(v == 3 for v in counts.values())  # every source has >=3 docs
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs, "doc_id", "source", 3, seed=9)
+         .select("doc_id").collect()}
+    assert a == b
