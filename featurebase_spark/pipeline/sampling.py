@@ -16,12 +16,17 @@ from a cryptographic hash of the ROW KEY alone, so:
 The uniform variate is the first 8 hex chars of ``md5(seed || ':' ||
 key)``, compared AS A HEX STRING against a hex threshold — string
 comparison avoids any float conversion, so there is no cross-engine
-rounding surface at all for split/sample. Temperature mixing needs
-per-source rates (doubles); those are derived from exact integer sums
-and DECIMAL-quantized weights (exact, order-independent summation) with
-single correctly-rounded IEEE ops in a pinned order, then frozen into an
-8-hex-digit threshold per source (``printf('%08x', ...)`` on both
-engines), so the accept decision is again a pure string compare.
+rounding surface at all for split/sample. Temperature mixing derives
+its per-source thresholds with INTEGER-EXACT arithmetic: the only
+engine-executed floating-point op in the whole contract is one
+correctly-rounded ``sqrt`` (+ one correctly-rounded multiply + floor)
+that freezes each source weight into a BIGINT; everything downstream —
+total sums, the share ratio, the threshold — is exact integer division
+(Spark DECIMAL(38,0) ``div`` ≡ DuckDB HUGEINT ``//``), which no
+engine-version difference in decimal↔double conversion or summation
+order can perturb (the round-6 driver divergence class). The frozen
+threshold prints as 8 hex digits on both engines and the accept
+decision is again a pure string compare.
 
 Reference: FeatureBase has no sampling surface — this is part of the
 training-data extension goals (BASELINE.json). The hash-mod technique
@@ -41,6 +46,8 @@ __all__ = [
     "hash_sample",
     "temperature_rates",
     "temperature_mix",
+    "stratified_sample",
+    "pack_sequences",
 ]
 
 #: width of the hex prefix used as the uniform variate (8 hex = 32 bits:
@@ -59,9 +66,15 @@ def hash_uniform_hex(key: Column, seed: int = 42) -> Column:
     """The deterministic uniform variate for ``key``: first 8 hex chars
     of ``md5(seed || ':' || key)`` (lowercase). Uniform over [0, 2^32)
     when read as hex; compared as a STRING against :func:`hex_threshold`
-    so no engine ever converts it to a number."""
+    so no engine ever converts it to a number.
+
+    NULL keys yield a NULL variate (``F.concat`` propagates NULL exactly
+    like SQL ``||``), so every comparison against a threshold is NULL and
+    the row is dropped by filters — identical to the DuckDB oracles'
+    ``seed || ':' || key`` behaviour. (``concat_ws`` would silently SKIP
+    the null and hash the bare seed — a cross-engine divergence.)"""
     return F.md5(
-        F.concat_ws(":", F.lit(int(seed)).cast("string"), key.cast("string"))
+        F.concat(F.lit(f"{int(seed)}:"), key.cast("string"))
     ).substr(1, _HEX_W)
 
 
@@ -121,6 +134,13 @@ def hash_sample(
     return df.where(u < F.lit(hex_threshold(rate)))
 
 
+#: fixed-point scales for the integer-exact threshold derivation; a
+#: change here changes every frozen threshold — mirror in all oracles
+_W_SCALE = 10_000  # source weight = floor(sqrt(size) * 1e4), a BIGINT
+_SHARE_SCALE = 1_000_000_000  # source size share in parts-per-billion
+_TF_SCALE = 10_000  # target_frac quantized to 1/10000ths
+
+
 def temperature_rates(
     df: DataFrame,
     source_col: str = "source",
@@ -137,23 +157,40 @@ def temperature_rates(
     matching the one-shot rule large pipelines use).
 
     Returns (source, src_size, rate, rate_hex): ``rate_hex`` is the
-    frozen threshold :func:`temperature_mix` compares against.
+    frozen threshold :func:`temperature_mix` compares against; ``rate``
+    is the informational double ``threshold / 2^32`` (exact: an integer
+    divided by a power of two).
 
-    Cross-engine determinism, piece by piece:
+    Cross-engine determinism — the round-6 lesson. The previous
+    derivation chained engine-executed double ops (decimal quantization,
+    decimal sums, divides) and diverged by ~5e-13 between DuckDB
+    builds: an engine-VERSION-sized difference no pinned-op-order
+    discipline survives. This derivation removes every such op from the
+    contract:
+
     - per-source sizes are exact integer sums;
-    - the weight ``sqrt(c_s)`` is correctly rounded per IEEE-754 (unlike
-      ``pow``, which may differ across libm builds — alpha != 0.5 works
-      but voids the bit-exact oracle contract);
-    - the weight is quantized to DECIMAL(38,12) before the total-weight
-      sum, which is then EXACT and order-independent (double summation
-      order varies between engines/partitions; decimal summation does
-      not);
-    - the remaining ops (one divide, two multiplies, one divide, floor)
-      are single correctly-rounded IEEE ops in a pinned order.
+    - the weight freezes IMMEDIATELY to an integer:
+      ``w_int = floor(sqrt(c_s) * 1e4)`` — ``sqrt`` is correctly
+      rounded per IEEE-754 (hardware sqrtsd; unlike ``pow``, which may
+      differ across libm builds — alpha != 0.5 works but voids the
+      bit-exact oracle contract), the multiply is one correctly-rounded
+      op, floor is exact, so every engine computes the same BIGINT;
+    - the total weight is an exact INTEGER sum (order-free, unlike
+      double summation);
+    - the size share quantizes to parts-per-billion by exact integer
+      division: ``share_ppb = max(1, (c_s * 1e9) div tot_size)``;
+    - the threshold is ONE exact integer division:
+      ``thr = (tf_num * w_int * 2^32 * 1e9)
+      div (1e4 * tot_w * share_ppb)`` with ``tf_num =
+      round(target_frac * 1e4)`` — Spark evaluates it in DECIMAL(38,0)
+      (``div``), DuckDB in HUGEINT (``//``); both are exact and
+      bit-identical (max operand magnitude ~7e32 at 100 TB, within
+      both engines' 38-digit / 127-bit range).
 
     One tiny aggregate (|sources| rows) is the only shuffle; the caller
     broadcast-joins the result back, so at 100 TB the probe side never
     moves."""
+    tf_num = round(float(target_frac) * _TF_SCALE)
     sizes = df.groupBy(source_col).agg(
         F.sum(F.col(size_col).cast("long")).alias("src_size")
     )
@@ -161,27 +198,41 @@ def temperature_rates(
         w_double = F.sqrt(F.col("src_size").cast("double"))
     else:
         w_double = F.pow(F.col("src_size").cast("double"), F.lit(float(alpha)))
-    sized = sizes.withColumn("w", w_double.cast("decimal(38,12)"))
+    sized = sizes.withColumn(
+        "w_int", F.floor(w_double * F.lit(float(_W_SCALE))).cast("long")
+    )
     totals = sized.agg(
-        F.sum("src_size").alias("tot_size"),
-        F.sum("w").alias("tot_w"),
+        F.sum(F.col("src_size").cast("decimal(38,0)")).alias("tot_size"),
+        F.sum(F.col("w_int").cast("decimal(38,0)")).alias("tot_w"),
     )
     joined = sized.crossJoin(F.broadcast(totals))
-    # pinned op order — mirror EXACTLY in any oracle:
-    #   a = target_frac * tot_size ; b = w / tot_w ; rate = (a * b) / src
-    a = F.lit(float(target_frac)) * F.col("tot_size").cast("double")
-    b = F.col("w").cast("double") / F.col("tot_w").cast("double")
-    rate = F.least(F.lit(1.0), (a * b) / F.col("src_size").cast("double"))
-    out = joined.withColumn("rate", rate).withColumn(
-        "rate_hex",
-        F.when(F.col("rate") >= 1.0, F.lit(_ACCEPT_ALL)).otherwise(
-            F.format_string(
-                f"%0{_HEX_W}x",
-                F.floor(F.col("rate") * F.lit(float(_SPACE))).cast("long"),
-            )
+    d = "decimal(38,0)"
+    share = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(
+            f"CAST(src_size AS {d}) * CAST({_SHARE_SCALE} AS {d}) "
+            f"div CAST(tot_size AS {d})"
         ),
     )
-    return out.select(source_col, "src_size", "rate", "rate_hex")
+    shared = joined.withColumn("share_ppb", share)
+    thr = F.expr(
+        f"(CAST({tf_num} AS {d}) * CAST(w_int AS {d}) "
+        f"* CAST({_SPACE} AS {d}) * CAST({_SHARE_SCALE} AS {d})) "
+        f"div (CAST({_TF_SCALE} AS {d}) * CAST(tot_w AS {d}) "
+        f"* CAST(share_ppb AS {d}))"
+    )
+    out = shared.withColumn("thr", thr).select(
+        source_col,
+        F.col("src_size"),
+        (
+            F.least(F.col("thr"), F.lit(_SPACE)).cast("double")
+            / F.lit(float(_SPACE))
+        ).alias("rate"),
+        F.when(F.col("thr") >= F.lit(_SPACE), F.lit(_ACCEPT_ALL))
+        .otherwise(F.format_string(f"%0{_HEX_W}x", F.col("thr")))
+        .alias("rate_hex"),
+    )
+    return out
 
 
 def stratified_sample(
@@ -190,6 +241,7 @@ def stratified_sample(
     part_col: str = "source",
     n_per_part: int = 10,
     seed: int = 42,
+    oversample: float = 8.0,
 ) -> DataFrame:
     """Deterministic equal-N per-partition sample (balanced eval/holdout
     construction): within each ``part_col`` group, keep the ``n_per_part``
@@ -199,17 +251,122 @@ def stratified_sample(
     its partition, membership shifts only as lower-hash rows arrive —
     the unavoidable property of any fixed-N draw).
 
-    One shuffle on the partition column; rank by the md5-prefix hex with
-    the key as tiebreak, so the selected SET is engine-exact."""
+    Scale shape (the round-6 fix): a naive
+    ``row_number() OVER (PARTITION BY source)`` funnels EVERY row of a
+    source through one task — ~5 TB per task on a 100 TB corpus with 20
+    sources. Instead the rank window only ever sees a hash-threshold
+    PRE-FILTERED candidate set: per source, keep
+    ``u < hex_threshold(oversample * n / N_s)`` (expected
+    ``oversample * n`` survivors — thousands of rows, not terabytes),
+    then rank the survivors. Because selection-by-rank keeps the LOWEST
+    hashes, any over-threshold filter that retains ≥ n rows per source
+    leaves the selected set bit-identical — and a deterministic
+    escalation loop guarantees that: after ranking, a tiny per-source
+    count verifies every source yielded ``min(n, N_s)`` rows; any
+    shortfall source (astronomically unlikely at the default 8×
+    oversample: P[Binomial(N, 8n/N) < n] < 1e-10 for n ≥ 5) is re-run
+    with the filter disabled. The result is therefore ALWAYS identical
+    to the unfiltered rank — the DuckDB oracle replays the plain window.
+
+    Driver-side state is bounded by |sources| (two tiny collects: the
+    per-source counts, and the post-rank verification counts read from
+    the persisted ~n·|sources|-row result)."""
     from pyspark.sql import Window
 
+    n = int(n_per_part)
     u = hash_uniform_hex(F.col(id_col), seed)
     w = Window.partitionBy(part_col).orderBy(u.asc(), F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= int(n_per_part))
-        .drop("__rn")
+    ranked_cols = [F.col(c) for c in df.columns]
+
+    def _rank(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n)
+            .select(*ranked_cols)
+        )
+
+    if oversample <= 0:
+        return _rank(df)
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(part_col).count().collect()
+    }  # bounded: one row per source
+    spark = df.sparkSession
+    full_scan = set()  # sources escalated to an unfiltered rank
+    while True:
+        thr_rows = [
+            (
+                s,
+                _ACCEPT_ALL
+                if s in full_scan or c <= n
+                else hex_threshold(min(1.0, oversample * n / c)),
+            )
+            for s, c in counts.items()
+        ]
+        thr_df = spark.createDataFrame(thr_rows, [part_col, "__thr"])
+        cand = (
+            df.join(F.broadcast(thr_df), part_col)
+            .where(u < F.col("__thr"))
+            .select(*ranked_cols)
+        )
+        out = _rank(cand).persist()  # tiny: ≤ n rows per source
+        got = {r[0]: r[1] for r in out.groupBy(part_col).count().collect()}
+        short = [
+            s for s, c in counts.items() if min(n, c) > got.get(s, 0)
+        ]
+        if not short:
+            return out
+        out.unpersist()
+        full_scan.update(short)
+
+
+def _order_aligned_chunk(
+    df: DataFrame, part_col: str, order_col: str, num_chunks: int
+) -> Column:
+    """A deterministic, order-aligned chunk id for hierarchical prefix
+    sums: hash-sample ~64·num_chunks (part, order) keys (the same
+    md5-filter machinery as :func:`hash_sample` — deterministic, so
+    every physical re-execution of the consuming subplans sees the SAME
+    boundaries), sort them driver-side, keep ``num_chunks - 1`` evenly
+    spaced boundary keys, and return ``chunk = #boundaries ≤ row`` — a
+    pure projection, monotone in (part, order) sort order. Driver
+    memory is bounded by the sample size; chunk balance depends on the
+    sample quality, chunk CORRECTNESS does not (any monotone chunking
+    yields the identical prefix sum)."""
+    if num_chunks <= 1:
+        return F.lit(0)
+    total = df.count()
+    if total == 0:
+        return F.lit(0)
+    rate = min(1.0, (64.0 * num_chunks) / total)
+    key = F.concat(
+        F.col(part_col).cast("string"),
+        F.lit(":"),
+        F.col(order_col).cast("string"),
     )
+    u = hash_uniform_hex(key, seed=7)
+    sample = (
+        df.select(F.col(part_col), F.col(order_col))
+        .where(u < F.lit(hex_threshold(rate)))
+        .collect()
+    )  # bounded: ~64 * num_chunks rows
+    keys = sorted((r[0], r[1]) for r in sample)
+    if not keys:
+        return F.lit(0)
+    step = max(1, len(keys) // num_chunks)
+    boundaries = []
+    for i in range(step, len(keys), step):
+        if len(boundaries) >= num_chunks - 1:
+            break
+        if not boundaries or keys[i] != boundaries[-1]:
+            boundaries.append(keys[i])
+    chunk: Column = F.lit(0)
+    for bp, bo in boundaries:
+        ge = (F.col(part_col) > F.lit(bp)) | (
+            (F.col(part_col) == F.lit(bp)) & (F.col(order_col) >= F.lit(bo))
+        )
+        chunk = chunk + F.when(ge, 1).otherwise(0)
+    return chunk
 
 
 def pack_sequences(
@@ -219,33 +376,86 @@ def pack_sequences(
     part_col: str = "source",
     order_col: str = "doc_id",
     out_col: str = "pack_id",
+    num_chunks: Optional[int] = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget PACKS (sequence packing for
     training): within each ``part_col`` partition, documents in
     ``order_col`` order fill packs of ``budget`` tokens by running sum —
     ``pack_id = floor(tokens_before_this_doc / budget)``. Deterministic
-    (pure integer arithmetic over a total order) and SQL-replayable.
+    (pure integer arithmetic over a total order; ``order_col`` must be a
+    unique key within each source) and SQL-replayable as a single plain
+    window.
 
-    Scale shape: ONE shuffle on the partition column; each partition's
-    running sum is a window over its own rows — the per-source
-    parallelism a real packing job wants (a single global order would
-    serialize the corpus through one task). Long documents spanning a
-    boundary stay in the pack where they started (the consumer truncates
-    or overflows downstream — assignment here must stay a pure
+    Scale shape (the round-6 fix): a plain
+    ``SUM() OVER (PARTITION BY source ORDER BY ...)`` serializes every
+    source through ONE task — fatal when a corpus has a few dominant
+    sources. This computes the identical prefix sum hierarchically:
+
+    1. assign every row an order-aligned chunk id — a DETERMINISTIC
+       projection ``count of boundary keys ≤ (part, order)`` against a
+       driver-collected, hash-sampled boundary list (bounded:
+       ~64·num_chunks sampled keys). ``repartitionByRange`` +
+       ``spark_partition_id`` would look simpler but its sampled range
+       boundaries differ between the two physical executions of the
+       subplan below (Spark re-samples per execution), which would
+       mis-align the offset join; a chunk id that is a pure function of
+       the row cannot;
+    2. running sum WITHIN each (source, chunk) — many bounded tasks
+       instead of one per source;
+    3. aggregate per-chunk token totals (tiny: one row per
+       (source, chunk)), prefix-sum THEM with a window over that tiny
+       frame, and broadcast the cumulative chunk offsets back;
+    4. ``before = chunk_offset + within_chunk_before``.
+
+    The pack assignment is provably invariant to the chunking (the
+    prefix sum is associative integer addition; chunk ids are monotone
+    in the (source, order) sort order so no source is ever reordered),
+    so the DuckDB oracle still replays the single-window formulation
+    and hash-matches bit-for-bit. Long documents spanning a boundary
+    stay in the pack where they started (the consumer truncates or
+    overflows downstream — assignment here must stay a pure
     projection)."""
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(part_col)
+    spark = df.sparkSession
+    if num_chunks is None:
+        num_chunks = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    tok = F.col(token_col).cast("long")
+    chunked = df.withColumn(
+        "__chunk",
+        _order_aligned_chunk(df, part_col, order_col, int(num_chunks)),
+    )
+    w_in = (
+        Window.partitionBy(part_col, "__chunk")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(
-        F.sum(F.col(token_col).cast("long")).over(w), F.lit(0)
+    within = chunked.withColumn(
+        "__before_in", F.coalesce(F.sum(tok).over(w_in), F.lit(0))
     )
-    return df.withColumn(
+    # tiny frame: one row per (source, chunk); its prefix-sum window is
+    # over at most num_chunks rows — negligible at any corpus size
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        chunked.groupBy(part_col, "__chunk")
+        .agg(F.sum(tok).alias("__chunk_tot"))
+        .withColumn(
+            "__offset",
+            F.coalesce(F.sum("__chunk_tot").over(w_off), F.lit(0)),
+        )
+        .select(part_col, "__chunk", "__offset")
+    )
+    out = within.join(F.broadcast(offsets), [part_col, "__chunk"])
+    before = F.col("__offset") + F.col("__before_in")
+    return out.withColumn(
         out_col, F.floor(before / F.lit(int(budget))).cast("long")
-    )
+    ).select(*df.columns, out_col)
 
 
 def temperature_mix(

@@ -3719,22 +3719,29 @@ def sample_stratified_per_source(spark, sf_dir):
 
 @register(
     "mix_temperature_sample",
-    # full replay of the rate derivation: exact integer sizes → sqrt →
-    # DECIMAL(38,12) quantized weights (exact order-independent sum) →
-    # pinned-order double ops → frozen hex threshold → md5 compare
+    # full replay of the INTEGER-EXACT rate derivation (the r6 fix: the
+    # only engine-executed float op left is one correctly-rounded sqrt +
+    # one multiply + floor, frozen immediately to a BIGINT; everything
+    # downstream is exact HUGEINT arithmetic — no decimal<->double
+    # conversion an engine version can perturb): exact integer sizes →
+    # w_int = floor(sqrt*1e4) → integer sums → ppb share by integer
+    # division → ONE exact integer division → hex threshold → md5 compare
     "WITH sizes AS (SELECT source, SUM(n_chars) AS src_size "
     "               FROM documents GROUP BY source), "
     "sized AS (SELECT source, src_size, "
-    "          CAST(sqrt(CAST(src_size AS DOUBLE)) AS DECIMAL(38,12)) AS w "
-    "          FROM sizes), "
-    "tot AS (SELECT SUM(src_size) AS tot_size, SUM(w) AS tot_w FROM sized), "
-    "rates AS (SELECT source, src_size, "
-    "  least(CAST(1.0 AS DOUBLE), ((0.5 * CAST(tot_size AS DOUBLE)) * "
-    "    (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE))) / "
-    "    CAST(src_size AS DOUBLE)) AS rate FROM sized, tot), "
-    "rx AS (SELECT source, CASE WHEN rate >= 1.0 THEN 'g' ELSE "
-    "  printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) END AS rate_hex "
-    "  FROM rates) "
+    "  CAST(floor(sqrt(CAST(src_size AS DOUBLE)) * 10000.0) AS BIGINT) AS w_int "
+    "  FROM sizes), "
+    "tot AS (SELECT SUM(src_size) AS tot_size, SUM(w_int) AS tot_w FROM sized), "
+    "rates AS (SELECT source, src_size, w_int, tot_w, "
+    "  GREATEST(1::HUGEINT, (CAST(src_size AS HUGEINT) * 1000000000) "
+    "           // CAST(tot_size AS HUGEINT)) AS share_ppb FROM sized, tot), "
+    "thr AS (SELECT source, "
+    "  (5000::HUGEINT * CAST(w_int AS HUGEINT) * 4294967296::HUGEINT "
+    "   * 1000000000::HUGEINT) "
+    "  // (10000::HUGEINT * CAST(tot_w AS HUGEINT) * share_ppb) AS t "
+    "  FROM rates), "
+    "rx AS (SELECT source, CASE WHEN t >= 4294967296 THEN 'g' ELSE "
+    "  printf('%08x', CAST(t AS BIGINT)) END AS rate_hex FROM thr) "
     "SELECT d.source AS source, rx.rate_hex AS rate_hex, "
     "COUNT(*) AS kept_docs, SUM(d.n_chars) AS kept_chars "
     "FROM documents d JOIN rx ON d.source = rx.source "
@@ -3747,9 +3754,10 @@ def mix_temperature_sample(spark, sf_dir):
     ∝ size^0.5 scaled to keep half the corpus, frozen to hex thresholds,
     applied as a broadcast-join + hash filter (the probe side never
     shuffles). The oracle replays the ENTIRE derivation — aggregate,
-    quantized weight sum, pinned double ops, threshold freeze, accept
-    decision — so the hash match proves bit-exact reproducibility on an
-    independent engine."""
+    integer weight freeze, exact HUGEINT/DECIMAL(38,0) threshold
+    division, accept decision — so the hash match proves bit-exact
+    reproducibility on an independent engine REGARDLESS of its version's
+    decimal/double semantics (the round-6 divergence class)."""
     from featurebase_spark.pipeline.sampling import (
         hash_uniform_hex,
         temperature_rates,
@@ -4017,8 +4025,8 @@ _GATE_PRIORITY = [
     "multimodal_features",
     "multimodal_real_decode",
     "multimodal_jpeg_decode",
-    # Sessionization (DataFrame + TVF text door)
-    "events_sessionize",
+    # Sessionization through the TVF text door (supersets the plain
+    # DataFrame key: parser + TVF expansion + identical sessionize)
     "sessionize_text_door",
     # Bitmap-index lifecycle + routed serving
     "bitmap_index_count",
@@ -4037,28 +4045,33 @@ _GATE_PRIORITY = [
     "pql_foreign_distinct",
     "sql_text_ddl_insert",
     "sql_text_bulk_delete",
-    "ddl_catalog_roundtrip",
     "quantum_view_rollup",
     "model_linear_regression",
-    "skew_salted_groupby",
     # PQL surfaces added r3/r4
     "pql_apply_ivy",
     "pql_write_delete",
     "pql_groupby_multi_agg",
     "pql_percentile_search",
-    # r6: deterministic sampling/mixing + decontamination (the newest,
-    # highest-risk oracles belong under the driver's hard gate)
+    # r6: deterministic sampling/mixing + decontamination
     "sample_hash_split",
     "mix_temperature_sample",
     "decontaminate_ngram_overlap",
     "sql_q8_market_share",
-    # Representative PQL core (r1-era, keep under the hard gate;
-    # pql_percentile_search above already covers the percentile engine)
-    "pql_row_equals",
-    "pql_groupby",
-    "pql_topk",
+    # r7 rotation (VERDICT r6 ask #2): the seven r6 surfaces that had
+    # only ever faced the LOCAL gate move under the driver's hard gate —
+    # r6 proved the two environments can disagree. Displaced (all remain
+    # under the full local replica gate): the long-stable keys
+    # pql_row_equals / pql_groupby / pql_topk / sql_q1_pricing_summary /
+    # skew_salted_groupby / ddl_catalog_roundtrip / events_sessionize
+    # (the last superseded in-gate by sessionize_text_door).
+    "stream_windowed_counts",
+    "sim_ann_pq_adc_topk",
+    "text_repetition_signals",
+    "embed_quantize_int8",
+    "pack_sequences_budget",
+    "sample_stratified_per_source",
+    "dedup_common_spans",
     # Representative SQL core
-    "sql_q1_pricing_summary",
     "sql_agg_stats",
 ]
 

@@ -364,3 +364,133 @@ def test_jpeg_noninterleaved_equals_interleaved_property(h, w, seed):
         a = MC.decode_jpeg(MC.encode_jpeg(img, **kw))
         b = MC.decode_jpeg(MC.encode_jpeg(img, interleaved=False, **kw))
         assert np.array_equal(a, b), kw
+
+
+# ---------------------------------------------------------------------------
+# Temperature-mix threshold: the r6→r7 integer-exact contract
+# ---------------------------------------------------------------------------
+
+def _w_int_py(s: int) -> int:
+    """Python emulation of the engine weight freeze: one correctly-
+    rounded sqrt + one correctly-rounded multiply + floor. math and
+    numpy float64 execute the identical IEEE ops the engines do."""
+    import math
+
+    return math.floor(math.sqrt(float(s)) * 10000.0)
+
+
+def _thr_py(sizes: dict, tf_num: int = 5000, tf_den: int = 10000) -> dict:
+    """Pure-Python-int replay of temperature_rates' threshold: after the
+    weight freeze there is NO floating-point op — sums, the ppb share,
+    and the final ratio are exact integer arithmetic."""
+    tot_size = sum(sizes.values())
+    w = {k: _w_int_py(v) for k, v in sizes.items()}
+    tot_w = sum(w.values())
+    out = {}
+    for k, s in sizes.items():
+        share = max(1, (s * 10**9) // tot_size)
+        out[k] = (tf_num * w[k] * (1 << 32) * 10**9) // (
+            tf_den * tot_w * share
+        )
+    return out
+
+
+@given(st.integers(min_value=1, max_value=2**53))
+@settings(max_examples=300, deadline=None)
+def test_weight_freeze_bit_identical_across_engines_property(s):
+    """The ONLY engine-executed float op left in the mix contract:
+    w_int = floor(sqrt(s)*1e4). sqrt and multiply are correctly rounded
+    per IEEE-754, so DuckDB, numpy, and libm must agree BIT-EXACTLY —
+    stronger than any ulp tolerance."""
+    import duckdb
+
+    py = _w_int_py(s)
+    np64 = int(np.floor(np.sqrt(np.float64(s)) * np.float64(10000.0)))
+    du = duckdb.sql(
+        f"SELECT CAST(floor(sqrt(CAST({s} AS DOUBLE)) * 10000.0) AS BIGINT)"
+    ).fetchone()[0]
+    assert py == np64 == du
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10**12),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=10000),
+)
+@settings(max_examples=60, deadline=None)
+def test_temperature_threshold_integer_exact_vs_duckdb_property(
+    sizes, tf_num
+):
+    """The full threshold derivation is engine-version-proof: a pure
+    Python int replay must equal DuckDB's HUGEINT replay for arbitrary
+    source sizes and target fractions. (The r6 driver divergence came
+    from decimal<->double conversion differences between DuckDB builds —
+    a class of perturbation that cannot touch integer '//'.)"""
+    import duckdb
+
+    table = {f"s{i}": v for i, v in enumerate(sizes)}
+    expect = _thr_py(table, tf_num=tf_num)
+    rows = ", ".join(f"('{k}', {v})" for k, v in table.items())
+    got = dict(
+        duckdb.sql(
+            "WITH sizes(source, src_size) AS (VALUES " + rows + "), "
+            "sized AS (SELECT source, src_size, CAST(floor(sqrt(CAST("
+            "src_size AS DOUBLE)) * 10000.0) AS BIGINT) AS w_int FROM sizes), "
+            "tot AS (SELECT SUM(src_size) AS tot_size, SUM(w_int) AS tot_w "
+            "        FROM sized) "
+            "SELECT source, "
+            f"({tf_num}::HUGEINT * CAST(w_int AS HUGEINT) * "
+            "4294967296::HUGEINT * 1000000000::HUGEINT) // "
+            "(10000::HUGEINT * CAST(tot_w AS HUGEINT) * "
+            " GREATEST(1::HUGEINT, (CAST(src_size AS HUGEINT) * 1000000000) "
+            "          // CAST(tot_size AS HUGEINT))) "
+            "FROM sized, tot"
+        ).fetchall()
+    )
+    assert got == expect
+
+
+def test_temperature_threshold_survives_ulp_perturbation():
+    """The measured r6 failure class: the driver's engine produced a
+    rate differing by ~5e-13 relative (thousands of ulps). Emulate an
+    adversarial engine by perturbing the OLD contract's intermediate
+    double (the derived rate) by ±1..±4096 ulp: the old hex freeze
+    flips for many size tables, while the new integer threshold — which
+    consumes no such double — is invariant by construction (recomputed
+    under every perturbation; the perturbed value has nowhere to
+    enter)."""
+    import math
+
+    flips = 0
+    for trial in range(500):
+        # deterministic pseudo-random size tables (no RNG in contract)
+        sizes = {
+            f"s{i}": 1 + (trial * 2654435761 + i * 40503) % 10**9
+            for i in range(1 + trial % 8)
+        }
+        tot = sum(sizes.values())
+        w = {k: math.sqrt(float(v)) for k, v in sizes.items()}
+        tot_w = sum(w.values())
+        base_new = _thr_py(sizes)
+        for k, s in sizes.items():
+            rate = min(1.0, (0.5 * tot) * (w[k] / tot_w) / s)
+            old_hex = math.floor(rate * 2**32)
+            for ulps in (-4096, -1, 1, 4096):
+                pert = math.nextafter(
+                    rate, math.inf if ulps > 0 else -math.inf
+                )
+                for _ in range(abs(ulps) - 1):
+                    pert = math.nextafter(
+                        pert, math.inf if ulps > 0 else -math.inf
+                    )
+                if math.floor(min(1.0, pert) * 2**32) != old_hex:
+                    flips += 1
+                # the new contract re-derived under the same perturbed
+                # environment: identical, because the threshold is a
+                # function of integers only
+                assert _thr_py(sizes) == base_new
+    # the old contract really was fragile at this perturbation scale
+    assert flips > 0
