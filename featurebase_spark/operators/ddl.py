@@ -196,20 +196,32 @@ class Catalog:
 
                 from featurebase_spark.operators.writes import (
                     PartitionedUpsertTable,
+                    _is_literal_plan,
                     merge_upsert,
+                    spark_bucket,
                 )
 
-                merged = merge_upsert(
-                    self.spark.table(self._view(name)), rows, "_id",
-                    update_cols=cols,
-                )
+                view = self.spark.table(self._view(name))
+                merged = merge_upsert(view, rows, "_id", update_cols=cols)
                 store = PartitionedUpsertTable(
                     self.spark,
                     os.path.join(self._data_path, f"{name}__buckets"),
                     "_id",
                     self.buckets,
                 )
-                store.init(merged)
+                # first statement into a fresh table: when both sides are
+                # literal plans the touched buckets are known driver-side
+                # for free — size the init shuffle to them instead of the
+                # full bucket count (a 30-row first INSERT stages ~20
+                # partitions, not 32+)
+                hint = None
+                if _is_literal_plan(rows) and _is_literal_plan(view):
+                    ks = {r[0] for r in view.select("_id").collect()}
+                    ks |= {r[0] for r in rows.select("_id").collect()}
+                    hint = len(
+                        {spark_bucket(k, self.buckets) for k in ks}
+                    ) or None
+                store.init(merged, n_buckets_hint=hint)
                 self._storage[name] = store
             else:
                 store.upsert(rows, update_cols=cols)

@@ -122,6 +122,45 @@ def _is_literal_plan(df: DataFrame) -> bool:
         return False
 
 
+def literal_frame(spark, rows: list, schema) -> DataFrame:
+    """Build a small batch as a VALUES-backed LocalRelation instead of
+    ``createDataFrame`` (which routes through an RDD scan in classic
+    PySpark, so the frame is NOT a literal plan: driver-side bucket
+    routing and the empty-init fast path both miss, costing a Spark job
+    per probe). Values are SQL-quoted driver-side; supported cell types
+    are None/bool/int/float/str — the statement-door batch shapes."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    casts = ", ".join(
+        f"CAST(c{i} AS {f.dataType.simpleString()}) AS `{f.name}`"
+        for i, f in enumerate(st.fields)
+    )
+    if not rows:
+        nulls = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in st.fields
+        )
+        return spark.sql(f"SELECT {nulls} WHERE 1=0")
+
+    def q(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        raise TypeError(f"literal_frame cannot quote {type(v).__name__}")
+
+    vals = ", ".join(
+        "(" + ", ".join(q(c) for c in r) + ")" for r in rows
+    )
+    names = ", ".join(f"c{i}" for i in range(len(st.fields)))
+    return spark.sql(f"SELECT {casts} FROM (VALUES {vals}) AS t({names})")
+
+
 def spark_bucket(key, n_buckets: int) -> int:
     """pmod(xxhash64(key), n) for a long or string key — the bucket id
     :meth:`PartitionedUpsertTable._bucketed` assigns, computed driver-side.
@@ -316,33 +355,49 @@ class PartitionedUpsertTable:
         self, bucketed: DataFrame, n_buckets_hint: int | None = None
     ) -> tuple[str, list[int]]:
         """Stage a generation dir; returns (gen name, bucket ids present).
-        Bulk commits hash-place rows with a shuffle sized to the bucket
-        count (one compact file per bucket, no per-task file spray);
-        POINT-WRITE commits (≤4 touched buckets — the single-statement
-        upsert/delete shape) skip the shuffle entirely with a narrow
-        coalesce: per-bucket spray is bounded by that same tiny task
-        count, and the commit saves a whole stage boundary."""
+        Commits hash-place rows with a shuffle sized to the touched
+        bucket count (one compact file per bucket, no per-task file
+        spray). Point writes use the same shape: an earlier revision
+        narrow-``coalesce``d ≤4-bucket commits to skip the stage
+        boundary, but measured on literal-batch parents the coalesced
+        single-task write costs 4-7x the tiny shuffle (~4.5s vs ~0.6s
+        for a 55-row staged batch — the merged write plan loses its
+        local-relation fast path), so the exchange wins at every n."""
         gen = "g_" + uuid.uuid4().hex[:12]
         n = max(1, min(n_buckets_hint or self.buckets, self.buckets))
-        staged = (
-            bucketed.coalesce(n) if n <= 4 else bucketed.repartition(n, "__bucket")
-        )
+        staged = bucketed.repartition(n, "__bucket")
         staged.write.mode("overwrite").partitionBy("__bucket").parquet(
             os.path.join(self.path, gen)
         )
         return gen, self._staged_buckets(os.path.join(self.path, gen))
 
-    def init(self, df: DataFrame) -> None:
+    def init(self, df: DataFrame, n_buckets_hint: int | None = None) -> None:
         """Initial (full) load. Works for EMPTY frames too — the schema is
         pinned (in memory and in the manifest) so later reads/upserts do
         not depend on file inference. Repartitioning on the bucket gives
         each bucket dir one compact file per shuffle partition instead of
         a per-task file spray (AQE coalesces the shuffle for small
-        loads)."""
+        loads). ``n_buckets_hint`` sizes the staging shuffle when the
+        caller knows the load touches few buckets (the first-statement
+        point-write shape)."""
         bucketed = self._bucketed(df)
         self.schema = bucketed.schema
         os.makedirs(self.path, exist_ok=True)
-        gen, staged = self._write_generation(bucketed)
+        if _is_literal_plan(df) and not df.take(1):
+            # empty CREATE TABLE init: the manifest alone pins the
+            # schema — skip the 0-row generation write job entirely
+            # (a full bucket-count shuffle + partitioned commit costs
+            # ~0.5s per statement for nothing)
+            man = {
+                "version": 1,
+                "key": self.key,
+                "n_buckets": self.buckets,
+                "schema": self.schema.json(),
+                "buckets": {},
+            }
+            self._swap_manifest(man)
+            return
+        gen, staged = self._write_generation(bucketed, n_buckets_hint)
         man = {
             "version": 1,
             "key": self.key,

@@ -125,6 +125,8 @@ def consume_spool(
     table state). Returns the number of batches imported."""
     from pyspark.sql.types import StructType
 
+    from featurebase_spark.operators.writes import literal_frame
+
     st = StructType.fromDDL(schema)
     names = [f.name for f in st.fields]
     batch: list = []
@@ -143,8 +145,12 @@ def consume_spool(
         last: dict = {}
         for rec in batch:
             last[rec.get(names[0])] = rec
-        df = spark.createDataFrame(
-            [tuple(rec.get(n) for n in names) for rec in last.values()], st
+        # literal_frame, not createDataFrame: the batch becomes a
+        # LocalRelation, so Catalog.insert's bucket routing runs on the
+        # driver (no distinct job per batch) and the first batch's init
+        # shuffle is sized to its touched buckets
+        df = literal_frame(
+            spark, [tuple(rec.get(n) for n in names) for rec in last.values()], st
         )
         catalog.insert(table, df)  # import FIRST (fragment merge)
         imported += 1

@@ -239,6 +239,24 @@ def test_translate_hyphenated_table_in_from_list():
     # JOIN ... ON then a comma resumes the FROM table list
     out = translate("select 1 from a join b on a.x = b.x, c-d")
     assert "fbh__c_d" in out
+    # r6 ADVICE probe: a parenthesized subquery inside the FROM list must
+    # NOT clear the outer list state (the rewriter recurses per paren
+    # scope, so the inner SELECT/WHERE only touch the inner scope's flag)
+    out = translate(
+        "select t.x from (select a as x from foo where a > 1) t, my-tbl"
+    )
+    assert "fbh__my_tbl" in out
+    out = translate(
+        "select 1 from a, (select b from c where b > 1) x, my-tbl"
+    )
+    assert "fbh__my_tbl" in out
+    out = translate(
+        "select 1 from a join (select b from c where b>1) x on a.i=x.b, m-n"
+    )
+    assert "fbh__m_n" in out
+    # and a scalar subquery BEFORE the FROM list must not pre-set it
+    out = translate("select (select max(b) from c where b>0), z from m-n")
+    assert "fbh__m_n" in out
 
 
 def test_fb_sql_hyphenated_table_from_list(spark):
