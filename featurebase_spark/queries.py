@@ -3643,6 +3643,136 @@ def sql_q22_global_sales(spark, sf_dir):
     )
 
 
+@register(
+    "sql_q13_customer_distribution",
+    # Q13 adapted: the excluded-comment predicate (o_comment NOT LIKE
+    # '%special%requests%') becomes an excluded-priority predicate — the
+    # testdata has no o_comment (TESTDATA.md §residuals); the SHAPE (left
+    # outer join inside a derived table, aggregate-of-aggregate histogram)
+    # is unchanged
+    "SELECT c_count, COUNT(*) AS custdist FROM ("
+    "  SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+    "  FROM customer LEFT OUTER JOIN orders "
+    "    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+    "  GROUP BY c_custkey) t "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+)
+def sql_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    join with a non-equi residual condition, per-customer count
+    (zero-order customers kept), then a histogram aggregate over the
+    counts. At scale the first aggregate shuffles on custkey (the join
+    key — one exchange shared by join+agg); the histogram input is
+    |customers| rows of two ints."""
+    t = _tables(spark, sf_dir)
+    joined = t["customer"].join(
+        t["orders"],
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+        .select("c_count", "custdist")
+    )
+
+
+@register(
+    "sql_q12_priority_shipping",
+    # Q12 adapted: l_shipmode/l_commitdate/l_receiptdate are absent
+    # (TESTDATA.md §residuals) — the mode group becomes l_returnflag and
+    # the late-delivery ordering predicate becomes shipdate > orderdate;
+    # the SHAPE (big join + dual conditional counts per group) is Q12's
+    "SELECT l_returnflag, "
+    "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "    THEN 1 ELSE 0 END) AS high_line_count, "
+    "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "    THEN 1 ELSE 0 END) AS low_line_count "
+    "FROM orders, lineitem WHERE o_orderkey = l_orderkey "
+    "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_shipdate > o_orderdate "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def sql_q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: orders⋈lineitem with a date-window scan filter
+    (pushed to the parquet scan), a cross-table ordering predicate, and
+    the canonical dual CASE-conditional counts per group. Integer counts
+    only — no float surface."""
+    t = _tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = li.join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    ).where(F.col("l_shipdate") > F.col("o_orderdate"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+        .select("l_returnflag", "high_line_count", "low_line_count")
+    )
+
+
+@register(
+    "sql_q16_supplier_part_counts",
+    # Q16 adapted: no partsupp table (TESTDATA.md §residuals) — lineitem
+    # stands in as the part↔supplier bridge; the complaints NOT-IN
+    # subquery becomes a negative-balance exclusion. The SHAPE (NOT IN
+    # subquery, NOT LIKE, IN-list, COUNT DISTINCT per 3-way group) is
+    # Q16's
+    "SELECT p_brand, p_type, p_size, "
+    "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM part, lineitem WHERE p_partkey = l_partkey "
+    "AND p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%' "
+    "AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49) "
+    "AND l_suppkey NOT IN "
+    "  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY p_brand, p_type, p_size "
+    "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
+)
+def sql_q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: part attributes with anti-filters (<>, NOT LIKE,
+    IN-list — all pushed to the part scan), a NOT IN subquery
+    (null-aware anti join; the exclusion set broadcasts), and COUNT
+    DISTINCT suppliers per (brand, type, size). part is the broadcast
+    side of the bridge join at any scale."""
+    t = _tables(spark, sf_dir)
+    p = t["part"].where(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .select("p_brand", "p_type", "p_size", "supplier_cnt")
+    )
+
+
 # ===========================================================================
 # Deterministic sampling / splitting / mixing + decontamination (r6):
 # pipeline/sampling.py, pipeline/contamination.py
