@@ -78,18 +78,18 @@ BENCH_QUERIES = [
     "sql_q8_market_share",
     "sql_q18_large_orders",
     "sim_ann_pq_adc_topk",
+    # r7: exact heavy hitters (candidate/verify two-phase), the Q13
+    # aggregate-of-aggregate shape, the stratified-sample prefilter path
+    "text_heavy_hitters",
+    "sql_q13_customer_distribution",
+    "sample_stratified_per_source",
 ]
 
 #: queries added after the prior round — excluded from regression flags
 _NEW_IN_ROUND = {
-    "sample_hash_split",
-    "mix_temperature_sample",
-    "decontaminate_ngram_overlap",
-    "dedup_common_spans",
-    "stream_windowed_counts",
-    "sql_q8_market_share",
-    "sql_q18_large_orders",
-    "sim_ann_pq_adc_topk",
+    "text_heavy_hitters",
+    "sql_q13_customer_distribution",
+    "sample_stratified_per_source",
 }
 
 

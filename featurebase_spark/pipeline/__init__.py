@@ -14,6 +14,9 @@ beyond FeatureBase's own surface — BASELINE.json north star):
   mixing, fixed-budget sequence packing.
 - :mod:`featurebase_spark.pipeline.contamination` — benchmark n-gram
   overlap decontamination.
+- :mod:`featurebase_spark.pipeline.frequent` — exact distributed heavy
+  hitters (pigeonhole candidate generation + candidate-restricted
+  verify; the shuffle never carries the vocabulary).
 """
 
 from pyspark.sql import DataFrame

@@ -1,0 +1,159 @@
+"""Exact distributed heavy hitters (frequent items) for 100 TB corpora.
+
+The corpus-statistics question every training-data pipeline asks —
+"which tokens / hosts / templates dominate?" — is naively a
+``groupBy(item).count()`` whose shuffle carries the ENTIRE item
+vocabulary (billions of distinct n-grams at corpus scale). This module
+answers it EXACTLY with a bounded shuffle using the classic two-phase
+candidate/verify pattern (Misra-Gries / SpaceSaving family, done
+loss-LESS-ly via the pigeonhole bound):
+
+1. **Candidate generation, map-side only.** Each of the P input
+   partitions counts its items locally (an Arrow-batched
+   ``mapInPandas`` generator — per-partition finalized aggregation is
+   the one shape Spark's partial aggregates cannot express, because a
+   partial agg still exchanges its combiners) and emits only items with
+   local count ≥ ceil(T / P), where T = ceil(min_share · N) is the
+   global frequency threshold. Pigeonhole: any item with global count
+   ≥ T has ≥ T/P occurrences in at least one of the P partitions, so
+   the union of the per-partition survivors is a SUPERSET of the true
+   answer — 100% recall, no approximation. Candidate volume is bounded:
+   a partition of n_p items emits ≤ n_p / (T/P) items, so the union is
+   ≤ P / min_share rows TOTAL (1e6 for P=1000, min_share=1e-3) —
+   driver/broadcast scale, independent of corpus size.
+
+2. **Exact verify, candidate-restricted shuffle.** Re-scan, keep only
+   candidate items (broadcast left-semi join), and run the exact
+   ``groupBy(item).count()`` — the shuffle now carries at most the
+   candidate set instead of the vocabulary. Filter ≥ T. Because phase 1
+   is a strict superset at ANY partitioning, the result is EXACT and
+   partitioning-independent — the DuckDB oracle replays the plain
+   full-vocabulary count and hash-matches.
+
+Reference: FeatureBase's TopN (executor.go:2779-2868) solves the
+serving-time variant against pre-built bitmaps; this is the
+corpus-construction variant over raw items. The candidate/verify shape
+is the published frequent-items pattern (Misra-Gries 1982; Agarwal et
+al. mergeable summaries) with the lossy sketch replaced by the exact
+pigeonhole cut — possible in a batch engine because we can afford the
+second pass, which a one-pass stream cannot.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["local_item_counts", "heavy_hitters", "heavy_hitter_tokens"]
+
+
+def local_item_counts(items: DataFrame, item_col: str) -> DataFrame:
+    """Per-PARTITION finalized (item, local_count) pairs via one
+    Arrow-batched generator pass — no exchange. The generator holds one
+    dict entry per DISTINCT item in its partition (the vocabulary slice,
+    not the row count); callers cut it down with a threshold filter
+    before anything is shuffled or collected."""
+    import pandas as pd
+
+    out_schema = f"{item_col} string, local_count long"
+
+    def count_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for b in batches:
+            c.update(b[item_col].dropna())
+        if c:
+            yield pd.DataFrame(
+                {item_col: list(c.keys()), "local_count": list(c.values())}
+            )
+
+    return items.select(item_col).mapInPandas(count_partition, out_schema)
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    min_share: float = 0.001,
+    total: Optional[int] = None,
+    min_count: Optional[int] = None,
+) -> DataFrame:
+    """EXACT items with global frequency ≥ ceil(min_share · N) and their
+    counts, from a frame of single items (one row per occurrence).
+
+    ``total`` overrides the pre-computed item count N (pass it when the
+    caller already knows it — e.g. a sum of per-document token counts —
+    to save the counting pass). ``min_count`` pins the absolute
+    threshold directly, bypassing the share-of-N derivation — use it
+    for bit-exact cross-engine contracts (an oracle should derive the
+    same integer with integer arithmetic, e.g. ``ceil(2N/1000)`` as
+    ``(2N + 999) // 1000``, never ``ceil(0.002 * N)``: 0.002 is a
+    DECIMAL in SQL but a rounded double in Python, and the two ceils
+    can disagree at exact multiples). Returns (item, freq) — the result
+    is partitioning-independent (see module docstring), so the oracle
+    can replay the naive full count."""
+    if min_count is None and not (0.0 < min_share <= 1.0):
+        raise ValueError(f"min_share must be in (0,1], got {min_share}")
+    if dict(items.dtypes).get(item_col) != "string":
+        # phase 1 emits string items (the Arrow schema is fixed); keep
+        # the verify join type-consistent by casting once up front
+        items = items.withColumn(item_col, F.col(item_col).cast("string"))
+    n = int(total) if total is not None else items.count()
+    if n == 0:
+        return (
+            items.select(F.col(item_col))
+            .where(F.lit(False))
+            .withColumn("freq", F.lit(0).cast("long"))
+        )
+    threshold = max(
+        1,
+        int(min_count) if min_count is not None
+        else math.ceil(min_share * n),
+    )
+    # partition count of the frame phase 1 will actually scan; the
+    # pigeonhole bound holds for any P ≥ the real partition count
+    p = max(1, items.rdd.getNumPartitions())
+    local_thr = max(1, math.ceil(threshold / p))
+    candidates = (
+        local_item_counts(items, item_col)
+        .where(F.col("local_count") >= F.lit(local_thr))
+        .select(item_col)
+        .distinct()
+    )
+    exact = (
+        items.join(F.broadcast(candidates), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= F.lit(threshold))
+    )
+    return exact
+
+
+def heavy_hitter_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_share: float = 0.001,
+    delimiter: str = " ",
+    share_permille: Optional[int] = None,
+) -> DataFrame:
+    """Heavy-hitter TOKENS of a document corpus: split on ``delimiter``
+    (identical to SQL ``string_split`` — empty strings from repeated
+    delimiters are counted, matching the oracle), then
+    :func:`heavy_hitters` over the exploded stream. The total token
+    count comes from a cheap map-side ``sum(size(split(..)))`` so the
+    exploded frame is only ever scanned by the two bounded phases.
+
+    ``share_permille`` selects the integer-exact threshold contract:
+    items with freq ≥ ceil(share_permille · N / 1000), derived with
+    pure integer arithmetic so a SQL oracle reproduces it exactly."""
+    toks = F.split(F.col(text_col), delimiter)
+    n = int(
+        docs.select(F.sum(F.size(toks)).alias("n")).collect()[0]["n"] or 0
+    )
+    items = docs.select(F.explode(toks).alias("token"))
+    if share_permille is not None:
+        mc = max(1, (int(share_permille) * n + 999) // 1000)
+        return heavy_hitters(items, "token", total=n, min_count=mc)
+    return heavy_hitters(items, "token", min_share, total=n)

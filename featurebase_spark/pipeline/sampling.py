@@ -48,6 +48,7 @@ __all__ = [
     "temperature_mix",
     "stratified_sample",
     "pack_sequences",
+    "deterministic_shuffle",
 ]
 
 #: width of the hex prefix used as the uniform variate (8 hex = 32 bits:
@@ -318,6 +319,21 @@ def stratified_sample(
             return out
         out.unpersist()
         full_scan.update(short)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Global deterministic corpus shuffle — the training-order
+    randomization every pre-training run needs, without RNG state:
+    ``ORDER BY md5(seed:key)`` with the key as tiebreak. Reproducible
+    bit-for-bit across runs, engines, and cluster sizes (``df.orderBy(
+    rand())`` is none of those), and re-shufflable per epoch by seed.
+    At scale this is ONE range exchange over an 8-char sort key — the
+    same cost as any global sort, and the sort Spark's writers need
+    anyway to emit ordered shards."""
+    u = hash_uniform_hex(F.col(id_col), seed)
+    return df.orderBy(u.asc(), F.col(id_col).asc())
 
 
 def _order_aligned_chunk(

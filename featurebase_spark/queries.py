@@ -3955,6 +3955,78 @@ def text_repetition_signals(spark, sf_dir):
 
 
 @register(
+    "text_heavy_hitters",
+    # exact corpus heavy hitters: the oracle runs the NAIVE full
+    # vocabulary count — the engine's candidate/verify two-phase must
+    # produce the identical set+counts (threshold = ceil(2N/1000) in
+    # pure integer arithmetic: (2N+999)//1000 on both engines — never
+    # ceil(0.002*N), whose SQL-decimal vs Python-double products differ)
+    "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token "
+    "              FROM documents), "
+    "tot AS (SELECT COUNT(*) AS n FROM toks), "
+    "cnt AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token) "
+    "SELECT token, freq FROM cnt, tot "
+    "WHERE freq >= (2 * n + 999) // 1000 "
+    "ORDER BY freq DESC, token",
+)
+def text_heavy_hitters(spark, sf_dir):
+    """EXACT heavy-hitter tokens ≥0.2% of the corpus
+    (pipeline/frequent.py): per-partition Arrow-batched local counts cut
+    at the pigeonhole bound ceil(T/P) generate a guaranteed-superset
+    candidate set (≤ P/share rows at ANY corpus size), then a
+    candidate-restricted exact count verifies — the shuffle carries the
+    candidate set, never the vocabulary. The oracle runs the naive full
+    count; the hash match proves the two-phase cut is lossless."""
+    from featurebase_spark.pipeline.frequent import heavy_hitter_tokens
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        heavy_hitter_tokens(docs, "text", share_permille=2)
+        .orderBy(F.col("freq").desc(), "token")
+        .select("token", "freq")
+    )
+
+
+@register(
+    "corpus_shuffle_head",
+    # deterministic global shuffle order, verified through its first 100
+    # positions (rank over a TakeOrdered-100 head — scale-safe; the
+    # operator itself is a plain hash-keyed sort)
+    "SELECT doc_id, shuffle_key, "
+    "ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS pos FROM ("
+    "  SELECT doc_id, substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+    "         AS shuffle_key FROM documents) "
+    "ORDER BY pos LIMIT 100",
+)
+def corpus_shuffle_head(spark, sf_dir):
+    """Deterministic corpus shuffle (pipeline/sampling.
+    deterministic_shuffle): global training order = sort by keyed md5 —
+    reproducible across runs/engines/cluster sizes, the standard
+    pre-training shuffle (a range exchange on an 8-char key at scale,
+    no RNG state). Verified by the exact first 100 positions: Spark
+    TakeOrdereds the head (no global window over the corpus — the
+    100-row rank happens on a coalesced tiny frame) and the oracle
+    replays the full ROW_NUMBER order."""
+    from featurebase_spark.pipeline.sampling import (
+        deterministic_shuffle,
+        hash_uniform_hex,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    head = (
+        deterministic_shuffle(docs, "doc_id", seed=7)
+        .select(
+            "doc_id", hash_uniform_hex(F.col("doc_id"), 7).alias("shuffle_key")
+        )
+        .limit(100)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("shuffle_key", "doc_id")  # 100 rows — tiny
+    return head.withColumn("pos", F.row_number().over(w)).orderBy("pos")
+
+
+@register(
     "sample_split_text_door",
     # same oracle as sample_hash_split — the TVF must not change results
     "SELECT doc_id, CASE "
@@ -4172,7 +4244,10 @@ _GATE_PRIORITY = [
     "source_bulk_insert",
     "source_spool_consume",
     "source_external_lookup",
-    "pql_foreign_distinct",
+    # r7 new surface: exact heavy hitters (candidate/verify two-phase) —
+    # newest oracle, belongs under the hard gate; displaces the
+    # r2-era-stable pql_foreign_distinct to the local replica
+    "text_heavy_hitters",
     "sql_text_ddl_insert",
     "sql_text_bulk_delete",
     "quantum_view_rollup",

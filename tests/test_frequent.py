@@ -1,0 +1,151 @@
+"""pipeline/frequent.py — exact distributed heavy hitters."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurebase_spark.pipeline.frequent import (
+    heavy_hitter_tokens,
+    heavy_hitters,
+    local_item_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    # 10_000 items: 'hot' 600x, 'warm' 120x, long tail of uniques
+    rows = (
+        [("hot",)] * 600
+        + [("warm",)] * 120
+        + [(f"u{i}",) for i in range(9280)]
+    )
+    return spark.createDataFrame(rows, "item string").repartition(8)
+
+
+def test_heavy_hitters_exact_vs_naive(items):
+    got = {
+        r["item"]: r["freq"]
+        for r in heavy_hitters(items, "item", min_share=0.01).collect()
+    }
+    naive = {
+        r["item"]: r["cnt"]
+        for r in items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 100)  # ceil(0.01 * 10_000)
+        .collect()
+    }
+    assert got == naive == {"hot": 600, "warm": 120}
+
+
+def test_heavy_hitters_superset_cut_is_lossless(items):
+    """Every threshold must yield EXACTLY the naive answer — the
+    pigeonhole candidate cut can over-generate but never under."""
+    n = items.count()
+    for share in (0.002, 0.005, 0.012, 0.06):
+        import math
+
+        thr = max(1, math.ceil(share * n))
+        got = {
+            (r["item"], r["freq"])
+            for r in heavy_hitters(items, "item", share).collect()
+        }
+        naive = {
+            (r["item"], r["cnt"])
+            for r in items.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= thr)
+            .collect()
+        }
+        assert got == naive, share
+
+
+def test_heavy_hitters_min_count_contract(items):
+    got = {
+        r["item"]
+        for r in heavy_hitters(items, "item", min_count=121).collect()
+    }
+    assert got == {"hot"}
+    got = {
+        r["item"]
+        for r in heavy_hitters(items, "item", min_count=120).collect()
+    }
+    assert got == {"hot", "warm"}
+
+
+def test_heavy_hitters_partitioning_invariant(items):
+    a = sorted(
+        (r["item"], r["freq"])
+        for r in heavy_hitters(
+            items.repartition(1), "item", 0.01
+        ).collect()
+    )
+    b = sorted(
+        (r["item"], r["freq"])
+        for r in heavy_hitters(
+            items.repartition(17), "item", 0.01
+        ).collect()
+    )
+    assert a == b
+
+
+def test_heavy_hitters_empty_and_validation(spark, items):
+    empty = spark.createDataFrame([], "item string")
+    assert heavy_hitters(empty, "item", 0.5).count() == 0
+    with pytest.raises(ValueError):
+        heavy_hitters(items, "item", min_share=0.0)
+
+
+def test_local_item_counts_no_exchange(items):
+    """Phase 1 is map-side only: no Exchange in the candidate plan."""
+    cand = local_item_counts(items.repartition(8), "item").where(
+        F.col("local_count") >= 3
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # the only exchange allowed is the fixture's own repartition
+    assert body.count("Exchange") <= 1, body
+
+
+def test_heavy_hitters_verify_broadcasts_candidates(items):
+    plan = (
+        heavy_hitters(items, "item", 0.01)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_heavy_hitter_tokens_matches_python(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c  a"),  # double space → empty-string token
+            (2, "b a d d a"),
+            (3, "a e"),
+        ],
+        "doc_id long, text string",
+    )
+    # N = 6 + 5 + 2 = 13 tokens incl. one empty; ceil(200*13/1000) = 3
+    got = {
+        r["token"]: r["freq"]
+        for r in heavy_hitter_tokens(
+            docs, "text", share_permille=200
+        ).collect()
+    }
+    assert got == {"a": 6}
+
+
+def test_deterministic_shuffle_stable_and_seeded(spark):
+    from featurebase_spark.pipeline.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    ).repartition(7)
+    a = [r["doc_id"] for r in deterministic_shuffle(df, seed=1).collect()]
+    b = [r["doc_id"] for r in deterministic_shuffle(df, seed=1).collect()]
+    c = [r["doc_id"] for r in deterministic_shuffle(df, seed=2).collect()]
+    assert a == b  # reproducible across runs/partitionings
+    assert a != c  # per-epoch reshuffle by seed
+    assert sorted(a) == list(range(500))  # a permutation, nothing lost
+    assert a != list(range(500))  # actually shuffled
