@@ -2872,6 +2872,64 @@ def stream_windowed_counts(spark, sf_dir):
 
 
 @register(
+    "stream_stateful_dedup",
+    # first-seen-wins dedup: the emitted payload is FUNCTIONALLY
+    # DEPENDENT on the key (v = k*7+1), so ANY per-key winner yields the
+    # same row and the final state is micro-batch-order independent —
+    # the property that lets an exact oracle exist for a streaming
+    # first-wins operator
+    "SELECT DISTINCT CAST(user_id % 64 AS BIGINT) AS k, "
+    "CAST((user_id % 64) * 7 + 1 AS BIGINT) AS v "
+    "FROM events WHERE user_id IS NOT NULL ORDER BY k",
+)
+def stream_stateful_dedup(spark, sf_dir):
+    """Custom stateful streaming operator END TO END, oracle-gated:
+    ``streaming.stateful_dedup`` (applyInPandasWithState, one boolean of
+    state per key — the Spark-native home for the reference's
+    first-set-wins fragment-bit semantics, idk/ingest.go +
+    fragment.go setBit) deduplicates a 2-micro-batch file stream; the
+    emitted first-rows accumulate through an update-mode foreachBatch
+    sink and the final key set must equal DuckDB's batch DISTINCT.
+    Payloads are derived from keys so the winner row is unique — the
+    oracle checks exact values, not just keys. State scales by key hash
+    across executors; driver-side sink state here is |keys| rows."""
+    import tempfile
+
+    from featurebase_spark.streaming import stateful_dedup
+
+    k = (F.col("user_id") % 64).cast("long")
+    ev = (
+        _tables(spark, sf_dir)["events"]
+        .where(F.col("user_id").isNotNull())
+        .select(k.alias("k"), (k * 7 + 1).alias("v"))
+    )
+    d = tempfile.mkdtemp(prefix="fb_stream_dd_")
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    state: dict = {}
+
+    def sink(batch, epoch_id):
+        for r in batch.collect():  # ≤ |keys| rows per batch
+            state.setdefault(r["k"], r["v"])
+
+    q = (
+        stateful_dedup(s, ["k"])
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(int(kk), int(vv)) for kk, vv in sorted(state.items())]
+    return spark.createDataFrame(rows, "k long, v long").orderBy("k")
+
+
+@register(
     "ddl_catalog_roundtrip",
     "SELECT * FROM (VALUES (1, 'ANN', 31), (2, 'BOB', 41), (3, 'CAZ', 28)) "
     "AS t(_id, name, age) ORDER BY _id",
@@ -4126,6 +4184,62 @@ def embed_quantize_int8(spark, sf_dir):
 
 
 @register(
+    "blocklist_filter_bloom",
+    # the oracle is the NAIVE anti-join — the bloom prune + candidate
+    # verify must reproduce it bit-for-bit even with a deliberately
+    # undersized bitmap (false positives only add verify work)
+    "SELECT doc_id, source, n_chars FROM documents "
+    "WHERE doc_id NOT IN "
+    "  (SELECT doc_id FROM documents WHERE doc_id % 11 = 3) "
+    "ORDER BY doc_id",
+)
+def blocklist_filter_bloom(spark, sf_dir):
+    """Bloom-pruned EXACT blocklist filtering (pipeline/blocklist.py):
+    distributed bit_or bloom build (shuffle bounded by m/64 words, not
+    |blocklist|), 1-row-broadcast pure-JVM probe, and a
+    candidate-restricted verify in which the blocklist is scanned but
+    never shuffled. The bitmap here is deliberately small (2^12 bits
+    for ~9% of doc ids) so the verify path carries real false
+    positives — the hash match proves the prune is lossless."""
+    from featurebase_spark.pipeline.blocklist import blocklist_filter
+
+    docs = _tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    bl = docs.where(F.col("doc_id") % 11 == 3).select("doc_id")
+    return blocklist_filter(docs, bl, "doc_id", m_bits=1 << 12,
+                            k_hashes=4).orderBy("doc_id")
+
+
+@register(
+    "heavy_hitters_text_door",
+    # same oracle as text_heavy_hitters — the TVF must not change results
+    "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token "
+    "              FROM documents), "
+    "tot AS (SELECT COUNT(*) AS n FROM toks), "
+    "cnt AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token) "
+    "SELECT token, freq FROM cnt, tot "
+    "WHERE freq >= (2 * n + 999) // 1000 "
+    "ORDER BY freq DESC, token",
+)
+def heavy_hitters_text_door(spark, sf_dir):
+    """Exact heavy hitters through the SQL TEXT door — the
+    fb_heavy_hitters TVF (DECLARED EXTENSION, the fb_sessionize
+    pattern): ``SELECT token, freq FROM fb_heavy_hitters(documents,
+    text, 2)`` runs the same candidate/verify two-phase the DataFrame
+    API runs; the oracle is byte-identical to text_heavy_hitters',
+    proving the door adds nothing."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["documents"].createOrReplaceTempView("documents")
+    return fb_sql(
+        spark,
+        "SELECT token, freq FROM fb_heavy_hitters(documents, text, 2) "
+        "ORDER BY freq DESC, token",
+    )
+
+
+@register(
     "pack_sequences_budget",
     "SELECT doc_id, source, "
     "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
@@ -4257,8 +4371,10 @@ _GATE_PRIORITY = [
     "pql_write_delete",
     "pql_groupby_multi_agg",
     "pql_percentile_search",
-    # r6: deterministic sampling/mixing + decontamination
-    "sample_hash_split",
+    # r7 new surface: bloom-pruned exact blocklist filtering (displaces
+    # the r6-driver-proven sample_hash_split, whose md5 machinery stays
+    # covered by the three sampling keys below)
+    "blocklist_filter_bloom",
     "mix_temperature_sample",
     "decontaminate_ngram_overlap",
     "sql_q8_market_share",

@@ -598,11 +598,14 @@ _TVFS: dict[str, tuple[int, str]] = {
     "FB_HASH_SPLIT": (3, "(table, id_col, seed)"),
     "FB_HASH_SAMPLE": (4, "(table, id_col, rate, seed)"),
     "FB_DECONTAMINATE": (5, "(table, bench_table, text_col, id_col, ngram)"),
+    # exact corpus heavy hitters (pipeline/frequent.py): threshold is
+    # share_permille of the total token count, integer-exact
+    "FB_HEAVY_HITTERS": (3, "(table, text_col, share_permille)"),
 }
 
 _TVF_GUARD = _re.compile(
     r"\b(fb_sessionize|fb_sessions|fb_dedup_survivors|fb_hash_split"
-    r"|fb_hash_sample|fb_decontaminate)\b",
+    r"|fb_hash_sample|fb_decontaminate|fb_heavy_hitters)\b",
     _re.IGNORECASE,
 )
 
@@ -689,6 +692,19 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
                 f"{low}: integer literal expected for ngram, got {ng!r}"
             )
         out = contamination.decontaminate(df, bench, text_col, id_col, int(ng))
+    elif name == "FB_HEAVY_HITTERS":
+        from featurebase_spark.pipeline import frequent
+
+        text_col, permille = args[1], args[2]
+        need_col(text_col, "text_col")
+        if not _re.fullmatch(r"\d+", permille):
+            raise ValueError(
+                f"{low}: integer literal expected for share_permille, "
+                f"got {permille!r}"
+            )
+        out = frequent.heavy_hitter_tokens(
+            df, text_col, share_permille=int(permille)
+        )
     else:
         from featurebase_spark.pipeline import dedup
 

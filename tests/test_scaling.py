@@ -27,8 +27,11 @@ def test_routed_and_touched_write_keys_flat_over_100x(spark):
         # timing test: one retry for the failing keys only — a parallel
         # test run saturating every core inflates single measurements
         # far beyond the flatness signal (min-of-3 absorbs jitter, not
-        # sustained contention)
-        retry = measure(spark, keys=sorted(bad), repeats=3)
+        # sustained contention). The retry runs more repeats: with six
+        # timed keys a full-suite run occasionally trips one on pure
+        # scheduler noise (r7: stream_windowed_counts adds timer-bound
+        # streaming triggers to the set)
+        retry = measure(spark, keys=sorted(bad), repeats=5)
         bad = {k: v for k, v in retry["keys"].items() if not v["flat"]}
     assert not bad, f"keys grew beyond {GROWTH_BOUND}x over 100x data: {bad}"
     assert set(result["keys"]) == set(SCALING_KEYS)
