@@ -79,10 +79,15 @@ BENCH_QUERIES = [
     "sql_q18_large_orders",
     "sim_ann_pq_adc_topk",
     # r7: exact heavy hitters (candidate/verify two-phase), the Q13
-    # aggregate-of-aggregate shape, the stratified-sample prefilter path
+    # aggregate-of-aggregate shape, the stratified-sample prefilter path,
+    # bloom-pruned blocklist filtering, and the hardest TPC-H
+    # decorrelations (Q9 star profit, Q21 double EXISTS self-join)
     "text_heavy_hitters",
     "sql_q13_customer_distribution",
     "sample_stratified_per_source",
+    "blocklist_filter_bloom",
+    "sql_q9_product_profit",
+    "sql_q21_waiting_supplier",
 ]
 
 #: queries added after the prior round — excluded from regression flags
@@ -90,6 +95,9 @@ _NEW_IN_ROUND = {
     "text_heavy_hitters",
     "sql_q13_customer_distribution",
     "sample_stratified_per_source",
+    "blocklist_filter_bloom",
+    "sql_q9_product_profit",
+    "sql_q21_waiting_supplier",
 }
 
 

@@ -3831,6 +3831,239 @@ def sql_q16_supplier_part_counts(spark, sf_dir):
     )
 
 
+@register(
+    "sql_q2_min_cost_supplier",
+    # Q2 adapted (no partsupp/ps_supplycost — TESTDATA.md §residuals):
+    # the part↔supplier bridge is lineitem and the minimized cost is
+    # s_acctbal; the SHAPE (5-table join + correlated scalar MIN
+    # subquery re-joining 4 tables + top-100) is Q2's
+    "SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name "
+    "FROM part, supplier, lineitem, nation, region "
+    "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+    "AND p_size = 15 AND p_type LIKE 'STANDARD%' "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'ASIA' "
+    "AND s_acctbal = (SELECT MIN(s2.s_acctbal) "
+    "  FROM supplier s2, lineitem l2, nation n2, region r2 "
+    "  WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey "
+    "  AND s2.s_nationkey = n2.n_nationkey "
+    "  AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA') "
+    "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100",
+)
+def sql_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier per qualifying part — a
+    correlated scalar MIN subquery that itself joins four tables,
+    decorrelated by Catalyst into an aggregate-then-join (the reference
+    planner would nested-loop it per part). No arithmetic on doubles:
+    the MIN and the equality compare move parquet values verbatim, so
+    the oracle is bit-exact."""
+    t = _tables(spark, sf_dir)
+    for n in ("part", "supplier", "lineitem", "nation", "region"):
+        t[n].createOrReplaceTempView(f"__q2_{n}")
+    return spark.sql(
+        "SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name "
+        "FROM __q2_part, __q2_supplier, __q2_lineitem, __q2_nation, "
+        "__q2_region "
+        "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+        "AND p_size = 15 AND p_type LIKE 'STANDARD%' "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' "
+        "AND s_acctbal = (SELECT MIN(s2.s_acctbal) "
+        "  FROM __q2_supplier s2, __q2_lineitem l2, __q2_nation n2, "
+        "  __q2_region r2 "
+        "  WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey "
+        "  AND s2.s_nationkey = n2.n_nationkey "
+        "  AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA') "
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+    )
+
+
+@register(
+    "sql_q9_product_profit",
+    # Q9 adapted (no ps_supplycost — TESTDATA.md §residuals): unit cost
+    # stands in as p_retailprice; the SHAPE (6-table star, LIKE part
+    # filter, decimal profit expression, group by nation x year) is Q9's
+    "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "  (1 - CAST(l_discount AS DECIMAL(18,2))) - "
+    "  CAST(p_retailprice AS DECIMAL(18,2)) * "
+    "  CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit "
+    "FROM part, supplier, lineitem, orders, nation "
+    "WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey "
+    "AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey "
+    "AND p_name LIKE '%red%' "
+    "GROUP BY n_name, year(o_orderdate) "
+    "ORDER BY nation, o_year DESC",
+)
+def sql_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-type profit by nation and year — the
+    6-way star with a LIKE filter on part names and a two-term decimal
+    profit expression (revenue minus cost), summed EXACTLY in decimal
+    and cast to double once. At scale: part/supplier/nation broadcast,
+    lineitem⋈orders is the one big join."""
+    t = _tables(spark, sf_dir)
+    profit = (
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+        - dec("p_retailprice") * dec("l_quantity")
+    )
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].where(F.col("p_name").like("%red%"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+        .select("nation", "o_year", "sum_profit")
+    )
+
+
+@register(
+    "sql_q11_part_value_concentration",
+    # Q11 adapted (no partsupp — TESTDATA.md §residuals): part value =
+    # shipped extendedprice x quantity through the lineitem bridge for
+    # one nation's suppliers; the HAVING threshold compares EXACT
+    # decimal sums (value * 1000 > total) instead of multiplying the
+    # total by a float fraction — no cross-engine float surface. The
+    # SHAPE (group-sum with a HAVING over a scalar subquery of the same
+    # sum) is Q11's
+    "SELECT l_partkey AS ps_partkey, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "  CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value "
+    "FROM lineitem, supplier "
+    "WHERE l_suppkey = s_suppkey AND s_nationkey = 7 "
+    "GROUP BY l_partkey "
+    "HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "  CAST(l_quantity AS DECIMAL(18,2))) * 1000 > "
+    "  (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "   CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem, supplier "
+    "   WHERE l_suppkey = s_suppkey AND s_nationkey = 7) "
+    "ORDER BY value DESC, ps_partkey",
+)
+def sql_q11_part_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's shipped value — group-sum filtered by a HAVING against a
+    scalar subquery of the global sum. The share compare is exact
+    decimal arithmetic (sum·1000 > total), so the kept set is
+    engine-independent. Catalyst evaluates the scalar subquery once and
+    broadcasts it."""
+    t = _tables(spark, sf_dir)
+    t["lineitem"].createOrReplaceTempView("__q11_lineitem")
+    t["supplier"].createOrReplaceTempView("__q11_supplier")
+    return spark.sql(
+        "SELECT l_partkey AS ps_partkey, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "  CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value "
+        "FROM __q11_lineitem, __q11_supplier "
+        "WHERE l_suppkey = s_suppkey AND s_nationkey = 7 "
+        "GROUP BY l_partkey "
+        "HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "  CAST(l_quantity AS DECIMAL(18,2))) * 1000 > "
+        "  (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "   CAST(l_quantity AS DECIMAL(18,2))) FROM __q11_lineitem, "
+        "   __q11_supplier WHERE l_suppkey = s_suppkey AND s_nationkey = 7) "
+        "ORDER BY value DESC, ps_partkey"
+    )
+
+
+@register(
+    "sql_q20_promo_suppliers",
+    # Q20 adapted (no partsupp/ps_availqty — TESTDATA.md §residuals):
+    # the 0.5*availqty threshold becomes an absolute shipped-quantity
+    # threshold through the lineitem bridge; the SHAPE (IN within IN
+    # within IN: supplier <- shipped-enough <- qualifying parts) is Q20's
+    "SELECT s_name, s_suppkey FROM supplier, nation "
+    "WHERE s_suppkey IN ("
+    "  SELECT l_suppkey FROM lineitem WHERE l_partkey IN ("
+    "    SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%') "
+    "  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "  GROUP BY l_suppkey "
+    "  HAVING SUM(CAST(l_quantity AS BIGINT)) > 50) "
+    "AND s_nationkey = n_nationkey AND n_name = 'NATION_3' "
+    "ORDER BY s_name, s_suppkey",
+)
+def sql_q20_promo_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one nation who shipped a
+    significant volume of qualifying (PROMO) parts in a year — the
+    triple-nested IN membership chain, each level decorrelating to a
+    semi-join. Quantities are integral doubles, summed as BIGINT (the
+    one double→int cast class that is cross-engine safe)."""
+    t = _tables(spark, sf_dir)
+    for n in ("supplier", "nation", "lineitem", "part"):
+        t[n].createOrReplaceTempView(f"__q20_{n}")
+    return spark.sql(
+        "SELECT s_name, s_suppkey FROM __q20_supplier, __q20_nation "
+        "WHERE s_suppkey IN ("
+        "  SELECT l_suppkey FROM __q20_lineitem WHERE l_partkey IN ("
+        "    SELECT p_partkey FROM __q20_part WHERE p_type LIKE 'PROMO%') "
+        "  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "  GROUP BY l_suppkey "
+        "  HAVING SUM(CAST(l_quantity AS BIGINT)) > 50) "
+        "AND s_nationkey = n_nationkey AND n_name = 'NATION_3' "
+        "ORDER BY s_name, s_suppkey"
+    )
+
+
+@register(
+    "sql_q21_waiting_supplier",
+    # Q21 adapted (no l_receiptdate/l_commitdate — TESTDATA.md
+    # §residuals): "late" = shipped >45 days after the order date; the
+    # SHAPE (finished orders where THIS supplier was late, another
+    # supplier participated, and NO other supplier was late — EXISTS +
+    # NOT EXISTS self-joins on lineitem) is Q21's
+    "SELECT s_name, COUNT(*) AS numwait "
+    "FROM supplier, lineitem l1, orders, nation "
+    "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey "
+    "AND o_orderstatus = 'F' "
+    "AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 "
+    "  WHERE l2.l_orderkey = l1.l_orderkey "
+    "  AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+    "  WHERE l3.l_orderkey = l1.l_orderkey "
+    "  AND l3.l_suppkey <> l1.l_suppkey "
+    "  AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY) "
+    "AND s_nationkey = n_nationkey AND n_name = 'NATION_1' "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20",
+)
+def sql_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who kept finished orders waiting — the
+    hardest decorrelation in the suite: one EXISTS and one NOT EXISTS,
+    both self-joins of lineitem on the outer order key (the NOT EXISTS
+    additionally correlated to the outer orders row's date), becoming a
+    left-semi and a left-anti join. Pure counts — no float surface."""
+    t = _tables(spark, sf_dir)
+    for n in ("supplier", "lineitem", "orders", "nation"):
+        t[n].createOrReplaceTempView(f"__q21_{n}")
+    return spark.sql(
+        "SELECT s_name, COUNT(*) AS numwait "
+        "FROM __q21_supplier, __q21_lineitem l1, __q21_orders, __q21_nation "
+        "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey "
+        "AND o_orderstatus = 'F' "
+        "AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY "
+        "AND EXISTS (SELECT 1 FROM __q21_lineitem l2 "
+        "  WHERE l2.l_orderkey = l1.l_orderkey "
+        "  AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM __q21_lineitem l3 "
+        "  WHERE l3.l_orderkey = l1.l_orderkey "
+        "  AND l3.l_suppkey <> l1.l_suppkey "
+        "  AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY) "
+        "AND s_nationkey = n_nationkey AND n_name = 'NATION_1' "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+    )
+
+
 # ===========================================================================
 # Deterministic sampling / splitting / mixing + decontamination (r6):
 # pipeline/sampling.py, pipeline/contamination.py
