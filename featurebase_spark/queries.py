@@ -2872,6 +2872,89 @@ def stream_windowed_counts(spark, sf_dir):
 
 
 @register(
+    "stream_session_windows",
+    # batch replay of streaming session_window semantics: break when the
+    # inactivity gap is >= 30 min (session_window merges an event iff it
+    # lands STRICTLY inside last_ts + gap); session_start = MIN(ts) of
+    # the island, exactly the window start Spark reports
+    "WITH e AS (SELECT user_id, ts FROM events "
+    "  WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+    "  AND ts >= TIMESTAMP '2024-01-08 00:00:00' "
+    "  AND ts < TIMESTAMP '2024-01-15 00:00:00'), "
+    "s AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
+    "  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+    "  >= 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "  IS NULL THEN 1 ELSE 0 END AS brk FROM e), "
+    "t AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+    "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM s) "
+    "SELECT user_id, MIN(ts) AS session_start, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM t GROUP BY user_id, sid ORDER BY user_id, session_start",
+)
+def stream_session_windows(spark, sf_dir):
+    """Streaming SESSION WINDOWS end to end, oracle-gated: a week of
+    events replays through a 2-micro-batch file stream into
+    ``streaming.session_window_counts`` (built-in ``session_window`` —
+    sessions grow and MERGE across batches in the state store); the
+    complete-mode sink snapshots the final merged state, which must
+    hash-equal DuckDB's batch gap-island replay — proving cross-batch
+    session merging. Watermark exceeds the data span so no session
+    drops; the
+    strict-gap boundary rule (new session at gap ≥ 30 min) is encoded
+    in both engines. Driver sink state is |sessions| aggregated rows."""
+    import tempfile
+
+    from featurebase_spark.streaming import session_window_counts
+
+    ev = (
+        _tables(spark, sf_dir)["events"]
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        )
+        .select("ts", "user_id")
+    )
+    d = tempfile.mkdtemp(prefix="fb_stream_sw_")
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    wc = session_window_counts(
+        s, "ts", ["user_id"], gap="30 minutes", watermark="3650 days"
+    )
+    # session-window aggregations support append (watermark-finalized)
+    # or COMPLETE output; complete emits the full merged state every
+    # micro-batch, so the sink snapshots the latest emission — sessions
+    # that merged across batches appear exactly once
+    state: dict = {}
+
+    def sink(batch, epoch_id):
+        snap = {
+            (r["user_id"], r["win"]["start"]): int(r["n"])
+            for r in batch.collect()  # aggregated session rows only
+        }
+        state.clear()
+        state.update(snap)
+
+    q = (
+        wc.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(u, st, n) for (u, st), n in state.items()]
+    return spark.createDataFrame(
+        rows, "user_id long, session_start timestamp, n long"
+    ).orderBy("user_id", "session_start")
+
+
+@register(
     "stream_stateful_dedup",
     # first-seen-wins dedup: the emitted payload is FUNCTIONALLY
     # DEPENDENT on the key (v = k*7+1), so ANY per-key winner yields the
@@ -4583,7 +4666,10 @@ _GATE_PRIORITY = [
     "bitmap_index_topk",
     "bitmap_bsi_aggregates",
     "bitmap_index_maintenance",
-    "sql_routed_agg",
+    # r7 new surface: cross-batch session-window merging (displaces the
+    # r4-era sql_routed_agg — pql_text_routed_serving keeps the routed
+    # serving path under the hard gate)
+    "stream_session_windows",
     "pql_text_routed_serving",
     "pql_text_frontend",
     # Statements / sources / DDL

@@ -388,3 +388,39 @@ def windowed_counts(
         .groupBy(w.alias("win"), *[F.col(k) for k in keys])
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def session_window_counts(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """EXTENSION: streaming SESSIONIZATION via the built-in
+    ``session_window`` — gap-based sessions that GROW AND MERGE as
+    events arrive across micro-batches (the streaming counterpart of
+    pipeline/sessions.py's batch windows; the reference has neither).
+
+    Merge semantics (mirror in any oracle): an event extends a session
+    iff it starts STRICTLY before session_end = last_ts + gap, i.e. a
+    new session begins when the inactivity gap is ≥ the threshold —
+    note the strict/non-strict asymmetry vs a naive ``diff > gap``
+    island rule.
+
+    Spark restricts session-window aggregation output to APPEND
+    (sessions finalize once the watermark passes their close) or
+    COMPLETE (the full merged state re-emits each batch; sessions that
+    merged across batches appear exactly once) — UPDATE is rejected
+    because a merged window would orphan its absorbed predecessors in a
+    naive upsert sink. The ``stream_session_windows`` oracle key drives
+    the complete-mode path and hash-matches a batch replay."""
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

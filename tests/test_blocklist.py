@@ -82,3 +82,27 @@ def test_blocklist_string_keys(spark):
     got = sorted(r["k"] for r in
                  blocklist_filter(df, bl, "k", 1 << 11, 3).collect())
     assert got == sorted(f"k{i}" for i in range(500) if i % 3 != 0)
+
+
+def test_bitmap_matches_python_xxhash_replica(spark):
+    """Cross-check the engine-built bitmap against the repo's bit-exact
+    Python xxhash64 replica (operators/writes.py): every key's k salted
+    bit positions must be set — the no-false-negative invariant,
+    verified hash-for-hash rather than end-to-end."""
+    import random
+
+    from featurebase_spark.operators.writes import xxhash64_bytes
+
+    rng = random.Random(99)
+    keys = [rng.randrange(10**12) for _ in range(300)]
+    kdf = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    m, k_hashes = 1 << 13, 4
+    bitmap = build_bloom_bitmap(kdf, "doc_id", m, k_hashes)
+    signed = (1 << 63)
+    for key in keys:
+        for i in range(k_hashes):
+            h = xxhash64_bytes(f"{i}:{key}".encode())
+            # Spark xxhash64 is SIGNED; pmod maps negatives into [0, m)
+            hs = h - (1 << 64) if h >= signed else h
+            pos = hs % m  # python % == pmod for positive modulus
+            assert bitmap[pos // 8] >> (pos % 8) & 1, (key, i)

@@ -261,3 +261,39 @@ def test_decontaminate_broadcasts_benchmark(spark, tables):
     p = plan(spark, "decontaminate_ngram_overlap")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_q9_star_broadcasts_all_dims(spark, tables):
+    """Q9 adaptation: part/supplier/nation broadcast; the only big join
+    is lineitem⋈orders. No SortMergeJoin of a dimension."""
+    p = plan(spark, "sql_q9_product_profit")
+    assert p.count("BroadcastHashJoin") >= 3, p
+    # the part scan must carry the LIKE pushdown
+    assert "StringContains(p_name,red)" in p.replace(" ", ""), p
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark, tables):
+    """Q21 adaptation: the EXISTS and NOT EXISTS lineitem self-joins
+    must decorrelate to LeftSemi and LeftAnti joins — no per-row
+    nested-loop subquery execution."""
+    p = plan(spark, "sql_q21_waiting_supplier")
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q2_correlated_min_decorrelates(spark, tables):
+    """Q2 adaptation: the correlated scalar MIN subquery becomes an
+    aggregate-then-join (its own HashAggregate), not a per-part
+    nested loop."""
+    p = plan(spark, "sql_q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_q20_nested_in_chain_is_semi_joins(spark, tables):
+    """Q20 adaptation: IN-in-IN-in-IN decorrelates to semi joins all the
+    way down."""
+    p = plan(spark, "sql_q20_promo_suppliers")
+    assert "LeftSemi" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p

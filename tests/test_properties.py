@@ -494,3 +494,29 @@ def test_temperature_threshold_survives_ulp_perturbation():
                 assert _thr_py(sizes) == base_new
     # the old contract really was fragile at this perturbation scale
     assert flips > 0
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=400), min_size=1,
+             max_size=60),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=200, deadline=None)
+def test_heavy_hitter_pigeonhole_superset_property(counts, p, thr):
+    """The candidate cut heavy_hitters relies on, as pure math: for ANY
+    split of an item's occurrences across p partitions, an item with
+    global count ≥ T has ≥ ceil(T/p) occurrences in SOME partition —
+    so the per-partition cut can never drop a true heavy hitter."""
+    import math
+    import random
+
+    rng = random.Random(p * 1_000_003 + thr)
+    local_thr = max(1, math.ceil(thr / p))
+    for item_id, c in enumerate(counts):
+        # adversarial-ish random split of c occurrences into p parts
+        parts = [0] * p
+        for _ in range(c):
+            parts[rng.randrange(p)] += 1
+        if c >= thr:
+            assert max(parts) >= local_thr, (c, thr, p, parts)
