@@ -49,6 +49,7 @@ __all__ = [
     "stratified_sample",
     "pack_sequences",
     "deterministic_shuffle",
+    "topk_per_group",
 ]
 
 #: width of the hex prefix used as the uniform variate (8 hex = 32 bits:
@@ -319,6 +320,36 @@ def stratified_sample(
             return out
         out.unpersist()
         full_scan.update(short)
+
+
+def topk_per_group(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    k: int = 10,
+    desc: bool = True,
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """Top-k rows per group (largest documents per source, top domains
+    per language, …) — the grouped counterpart of TopN. Expressed as a
+    rank window so Spark plants a map-side ``WindowGroupLimit``: every
+    input partition pre-prunes to its own local top-k BEFORE the
+    group-key exchange, so the shuffle carries at most
+    k · input_partitions rows per group, not the group's rows — the
+    property that keeps a dominant group from flooding one reducer at
+    100 TB. Ties break deterministically on ``tiebreak_col`` (default:
+    the order column ascending, then ``part_col`` rows are already
+    unique per key contract)."""
+    from pyspark.sql import Window
+
+    o = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    tb = F.col(tiebreak_col or order_col).asc()
+    w = Window.partitionBy(part_col).orderBy(o, tb)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(k))
+        .drop("__rk")
+    )
 
 
 def deterministic_shuffle(

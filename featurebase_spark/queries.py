@@ -4500,6 +4500,32 @@ def embed_quantize_int8(spark, sf_dir):
 
 
 @register(
+    "docs_topk_per_source",
+    # group-wise top-k: 3 largest documents per source, doc_id tiebreak
+    "SELECT doc_id, source, n_chars FROM ("
+    "  SELECT doc_id, source, n_chars, ROW_NUMBER() OVER ("
+    "    PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk "
+    "  FROM documents) WHERE rk <= 3 ORDER BY doc_id",
+)
+def docs_topk_per_source(spark, sf_dir):
+    """Group-wise top-k (pipeline/sampling.topk_per_group): the 3
+    largest documents of every source — the 'top domains per language'
+    corpus-statistics shape. Spark plants a map-side WindowGroupLimit
+    (plan-asserted), so each input partition pre-prunes to its local
+    top-3 before the group exchange — a dominant source ships
+    k·partitions rows, not its whole row set."""
+    from featurebase_spark.pipeline.sampling import topk_per_group
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        topk_per_group(docs, "source", "n_chars", 3, desc=True,
+                       tiebreak_col="doc_id")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "blocklist_filter_bloom",
     # the oracle is the NAIVE anti-join — the bloom prune + candidate
     # verify must reproduce it bit-for-bit even with a deliberately

@@ -373,3 +373,32 @@ def test_reader_call_as_filter_rejected(spark):
     df = spark.createDataFrame([(1, "a")], ["_id", "k"])
     with pytest.raises(TypeError, match="does not produce a row set"):
         execute(Index(df), 'Count(Arrow(Row(k="a")))')
+
+
+def test_parser_fuzz_never_crashes_unstructured():
+    """Robustness: arbitrary garbage must raise the parser's typed
+    error surface (SyntaxError with the reference's "PQL: ..." texts,
+    or ValueError from call building) or parse — never IndexError /
+    KeyError / RecursionError / AttributeError. Deterministic pseudo-
+    random corpus over PQL-ish fragments + raw bytes."""
+    import random
+
+    from featurebase_spark.pql.parser import parse_all
+
+    frags = [
+        "Row(", ")", "(", "f=", "42", "'x'", '"y"', ",", "Count",
+        "Intersect", "GroupBy", "Rows", "field", "=", "<", ">=", "[",
+        "]", "from=", "to=", "null", "true", "-", "1.5e3", " ", "\t",
+        "Set", "Delete", "Apply", "ivy", "\\", "*", "!", "§", "😀",
+    ]
+    rng = random.Random(7)
+    crashes = []
+    for i in range(2000):
+        s = "".join(rng.choice(frags) for _ in range(rng.randrange(1, 12)))
+        try:
+            parse_all(s)
+        except (ValueError, SyntaxError):
+            pass
+        except Exception as e:  # noqa: BLE001
+            crashes.append((s, type(e).__name__, str(e)[:80]))
+    assert not crashes, crashes[:5]

@@ -290,3 +290,23 @@ def test_stratified_sample_balanced_and_deterministic(docs):
          stratified_sample(docs, "doc_id", "source", 3, seed=9)
          .select("doc_id").collect()}
     assert a == b
+
+
+def test_topk_per_group_matches_naive_and_prunes_mapside(docs, spark):
+    from featurebase_spark.pipeline.sampling import topk_per_group
+
+    out = topk_per_group(docs, "source", "n_chars", 2, desc=True,
+                         tiebreak_col="doc_id")
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    naive = {
+        (r["source"], r["doc_id"])
+        for r in spark.sql("""
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY n_chars DESC, doc_id) rk
+              FROM {d}) WHERE rk <= 2
+        """, d=docs).collect()
+    }
+    assert got == naive
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p and "Partial" in p, p

@@ -329,3 +329,28 @@ class TestSamplingTvfs:
         with pytest.raises(ValueError, match="column 'nope' not found"):
             fb_sql(spark,
                    "SELECT * FROM fb_hash_split(documents, nope, 42)")
+
+
+def test_translate_fuzz_never_crashes():
+    """Robustness: the dialect rewriter over arbitrary token soup must
+    raise ValueError (its compile-error surface) or return a string —
+    never IndexError/KeyError/RecursionError."""
+    import random
+
+    frags = [
+        "select", "from", "where", "top", "(", ")", ",", "'x'", '"y"',
+        "[", "]", "cast", "as", "int", "my-tbl", "a.b", "count", "*",
+        "datetimepart", "rangeq", "!", "1.5", "group", "by", "union",
+        "values", "insert", " ", "\t", "--", "§",
+    ]
+    rng = random.Random(11)
+    crashes = []
+    for _ in range(2000):
+        s = " ".join(rng.choice(frags) for _ in range(rng.randrange(1, 14)))
+        try:
+            translate(s)
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            crashes.append((s, type(e).__name__, str(e)[:80]))
+    assert not crashes, crashes[:5]
