@@ -92,11 +92,20 @@ def blocklist_filter(
     key_col: str,
     m_bits: int = 1 << 23,
     k_hashes: int = 5,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """EXACTLY ``df`` minus rows whose ``key_col`` appears in
     ``blocklist`` — plain anti-join semantics, executed as bloom-prune +
     candidate verify (module docstring). Returns ``df``'s columns
-    unchanged."""
+    unchanged.
+
+    Sizing assumption for the default broadcast verify: candidates ≈
+    true hits + FP_rate·|corpus| must be broadcast-sized — true for the
+    takedown/decontamination shape this targets (rare hits, bloom sized
+    so FP_rate·|corpus| is small). For HIT-HEAVY workloads (a large
+    fraction of the corpus blocklisted) pass ``broadcast_verify=False``:
+    the verify becomes ordinary shuffled semi/anti joins — still
+    pruned to the candidate set, just without the broadcast bound."""
     spark = df.sparkSession
     bitmap = build_bloom_bitmap(blocklist, key_col, m_bits, k_hashes)
     bf = spark.createDataFrame([(bytearray(bitmap),)], "__bf binary")
@@ -117,10 +126,14 @@ def blocklist_filter(
     clean = tmp.where(~F.col("__maybe")).select(*keep_cols)
     cand = tmp.where(F.col("__maybe")).select(*keep_cols)
     cand_keys = cand.select(key_col).distinct()
+    if broadcast_verify:
+        cand_keys = F.broadcast(cand_keys)
     confirmed = (
-        blocklist.join(F.broadcast(cand_keys), key_col, "left_semi")
+        blocklist.join(cand_keys, key_col, "left_semi")
         .select(key_col)
         .distinct()
     )
-    kept_cand = cand.join(F.broadcast(confirmed), key_col, "left_anti")
+    if broadcast_verify:
+        confirmed = F.broadcast(confirmed)
+    kept_cand = cand.join(confirmed, key_col, "left_anti")
     return clean.unionByName(kept_cand)

@@ -106,3 +106,14 @@ def test_bitmap_matches_python_xxhash_replica(spark):
             hs = h - (1 << 64) if h >= signed else h
             pos = hs % m  # python % == pmod for positive modulus
             assert bitmap[pos // 8] >> (pos % 8) & 1, (key, i)
+
+
+def test_blocklist_shuffled_verify_matches(corpus, blocked):
+    """broadcast_verify=False (hit-heavy escape hatch) must produce the
+    identical exact result through shuffled semi/anti joins."""
+    a = sorted(r["doc_id"] for r in blocklist_filter(
+        corpus, blocked, "doc_id", 1 << 12, 4).collect())
+    b = sorted(r["doc_id"] for r in blocklist_filter(
+        corpus, blocked, "doc_id", 1 << 12, 4,
+        broadcast_verify=False).collect())
+    assert a == b == _expected()
