@@ -3202,6 +3202,88 @@ def bitmap_index_maintenance(spark, sf_dir):
 
 
 @register(
+    "stream_ingest_indexed_serving",
+    # the whole ingest tier end to end: the oracle derives the final
+    # table state from the two producer formulas (disjoint id ranges —
+    # the final state is micro-batch-order independent) and answers the
+    # three served questions from it
+    "WITH b1(i, e, v) AS (SELECT i, CASE CAST(i % 3 AS INT) WHEN 0 THEN "
+    "'click' WHEN 1 THEN 'view' ELSE 'buy' END, i * 7 % 100 "
+    "FROM range(40) s(i)), "
+    "b2(i, e, v) AS (SELECT i, CASE CAST(i % 2 AS INT) WHEN 0 THEN "
+    "'click' ELSE 'buy' END, i * 11 % 100 FROM range(40, 80) s(i)), "
+    "final AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2) "
+    "SELECT "
+    "(SELECT COUNT(*) FROM final WHERE e = 'click') AS n_click, "
+    "(SELECT CAST(SUM(v) AS BIGINT) FROM final) AS sum_v, "
+    "(SELECT COUNT(*) FROM final WHERE v > 50) AS n_hi",
+)
+def stream_ingest_indexed_serving(spark, sf_dir):
+    """The FULL ingest-to-serving pipeline in one oracle: a 2-micro-batch
+    file stream flows through ``streaming.catalog_upsert_sink`` — each
+    batch commits via Catalog.insert, i.e. bucketed O(touched) storage
+    AND the declared bitmap index maintain with clear-then-set BEFORE
+    the next batch — and the final questions are answered ROUTED from
+    the maintained fragments (sql.py _route_simple_agg), never from a
+    base-table scan. This stitches together the tiers the reference
+    runs as one daemon (idk consumer → api.Import → fragment merge →
+    executor serving) and that this repo otherwise gates separately.
+    Producer id ranges are disjoint so the final state is independent
+    of micro-batch arrival order (file-source ordering is an mtime
+    detail no correctness should lean on)."""
+    import tempfile
+
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sql import fb_sql
+    from featurebase_spark.streaming import catalog_upsert_sink
+
+    cat = Catalog(spark)
+    cat.drop_table("t_stream_ix", if_exists=True)
+    fb_sql(spark, "create table t_stream_ix (_id id, e string, "
+           "v int min 0 max 1000)", catalog=cat)
+    fb_sql(spark, "create index on t_stream_ix (e, v)", catalog=cat)
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    d = tempfile.mkdtemp(prefix="fb_stream_ix_")
+    b1 = [(i, ["click", "view", "buy"][i % 3], i * 7 % 100)
+          for i in range(40)]
+    b2 = [(i, "click" if i % 2 == 0 else "buy", i * 11 % 100)
+          for i in range(40, 80)]
+    schema = "_id long, e string, v long"
+    os_dir = f"{d}/stream"
+    _os.makedirs(os_dir, exist_ok=True)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(f"{d}/f{i}")
+        src = _glob.glob(f"{d}/f{i}/part-*.parquet")[0]
+        _shutil.copy(src, f"{os_dir}/{i:04d}.parquet")
+    sschema = spark.read.parquet(os_dir).schema
+    s = (
+        spark.readStream.schema(sschema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os_dir)
+    )
+    q = catalog_upsert_sink(s, cat, "t_stream_ix", available_now=True)
+    q.awaitTermination()
+    vals = [
+        int(fb_sql(spark, qq, catalog=cat).first()[0])
+        for qq in (
+            "select count(*) from t_stream_ix where e = 'click'",
+            "select sum(v) from t_stream_ix",
+            "select count(*) from t_stream_ix where v > 50",
+        )
+    ]
+    cat.drop_table("t_stream_ix", if_exists=True)
+    return spark.sql(
+        f"SELECT CAST({vals[0]} AS BIGINT) AS n_click, "
+        f"CAST({vals[1]} AS BIGINT) AS sum_v, "
+        f"CAST({vals[2]} AS BIGINT) AS n_hi"
+    )
+
+
+@register(
     "multimodal_real_decode",
     # the SAME statistics derived arithmetically: pixel (x,y,c) of image i
     # is (x*7 + y*5 + c*3 + i*11) % 256 — DuckDB computes the stats from
@@ -4670,11 +4752,16 @@ _GATE_PRIORITY = [
     "dedup_exact_fingerprints",
     "dedup_cluster_canonical",
     "dedup_survivors",
-    # LLM-pipeline: similarity / ANN
+    # LLM-pipeline: similarity / ANN (sim_ann_ivf_topk demoted to the
+    # local gate in r7 — driver-green r4-r6; pq_adc + lsh keep the ANN
+    # family's risk under the hard gate)
     "sim_bruteforce_topk",
     "sim_ann_lsh_topk",
-    "sim_ann_ivf_topk",
     "sim_embedding_neardup",
+    # r7 new surface: the WHOLE ingest tier in one key — streaming file
+    # source → catalog commit (bucketed storage + index clear-then-set
+    # per micro-batch) → routed fragment serving
+    "stream_ingest_indexed_serving",
     # LLM-pipeline: text analysis
     "text_profile",
     "text_quality_langid",

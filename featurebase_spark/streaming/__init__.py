@@ -196,6 +196,7 @@ def catalog_upsert_sink(
     catalog,
     table: str,
     checkpoint: Optional[str] = None,
+    available_now: bool = False,
 ):
     """Stream into a Catalog table: each micro-batch commits through
     ``Catalog.insert``, which means BOTH the bucketed storage (O(touched
@@ -216,6 +217,8 @@ def catalog_upsert_sink(
     writer = stream.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()
 
 
