@@ -601,11 +601,16 @@ _TVFS: dict[str, tuple[int, str]] = {
     # exact corpus heavy hitters (pipeline/frequent.py): threshold is
     # share_permille of the total token count, integer-exact
     "FB_HEAVY_HITTERS": (3, "(table, text_col, share_permille)"),
+    # group-wise top-k (map-side WindowGroupLimit pruning)
+    "FB_TOPK_PER_GROUP": (4, "(table, part_col, order_col, k)"),
+    # bloom-pruned exact blocklist filtering (pipeline/blocklist.py)
+    "FB_BLOCKLIST_FILTER": (3, "(table, blocklist_table, key_col)"),
 }
 
 _TVF_GUARD = _re.compile(
     r"\b(fb_sessionize|fb_sessions|fb_dedup_survivors|fb_hash_split"
-    r"|fb_hash_sample|fb_decontaminate|fb_heavy_hitters)\b",
+    r"|fb_hash_sample|fb_decontaminate|fb_heavy_hitters"
+    r"|fb_topk_per_group|fb_blocklist_filter)\b",
     _re.IGNORECASE,
 )
 
@@ -705,6 +710,30 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
         out = frequent.heavy_hitter_tokens(
             df, text_col, share_permille=int(permille)
         )
+    elif name == "FB_TOPK_PER_GROUP":
+        from featurebase_spark.pipeline import sampling
+
+        part_c, order_c, kk = args[1], args[2], args[3]
+        need_col(part_c, "part_col")
+        need_col(order_c, "order_col")
+        if not _re.fullmatch(r"\d+", kk):
+            raise ValueError(
+                f"{low}: integer literal expected for k, got {kk!r}"
+            )
+        out = sampling.topk_per_group(df, part_c, order_c, int(kk))
+    elif name == "FB_BLOCKLIST_FILTER":
+        from featurebase_spark.pipeline import blocklist as _bl
+
+        bl_tbl, key_c = args[1], args[2]
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", bl_tbl):
+            raise ValueError(f"{low}: table name expected, got {bl_tbl!r}")
+        bl = spark.table(bl_tbl)
+        need_col(key_c, "key_col")
+        if key_c not in bl.columns:
+            raise ValueError(
+                f"{low}: column '{key_c}' not found in {bl_tbl} (key_col)"
+            )
+        out = _bl.blocklist_filter(df, bl, key_c)
     else:
         from featurebase_spark.pipeline import dedup
 

@@ -354,3 +354,35 @@ def test_translate_fuzz_never_crashes():
         except Exception as e:  # noqa: BLE001
             crashes.append((s, type(e).__name__, str(e)[:80]))
     assert not crashes, crashes[:5]
+
+
+def test_fb_topk_and_blocklist_tvfs(spark, tables):
+    """r7 TVF doors compose with ordinary SQL and match the DataFrame
+    operators exactly."""
+    from featurebase_spark.pipeline.blocklist import blocklist_filter
+    from featurebase_spark.pipeline.sampling import topk_per_group
+
+    docs = tables["documents"]
+    docs.createOrReplaceTempView("tvf_docs2")
+    got = {(r["source"], r["doc_id"]) for r in fb_sql(
+        spark,
+        "SELECT source, doc_id FROM "
+        "fb_topk_per_group(tvf_docs2, source, n_chars, 2)",
+    ).collect()}
+    want = {(r["source"], r["doc_id"]) for r in
+            topk_per_group(docs, "source", "n_chars", 2).collect()}
+    assert got == want and len(got) > 0
+    bl = docs.where("doc_id % 5 = 0").select("doc_id")
+    bl.createOrReplaceTempView("tvf_bl")
+    got = {r["doc_id"] for r in fb_sql(
+        spark,
+        "SELECT doc_id FROM fb_blocklist_filter(tvf_docs2, tvf_bl, doc_id)",
+    ).collect()}
+    want = {r["doc_id"] for r in
+            blocklist_filter(docs, bl, "doc_id").collect()}
+    naive = {r["doc_id"] for r in docs.where("doc_id % 5 != 0")
+             .select("doc_id").collect()}
+    assert got == want == naive
+    # arity error mirrors the reference phrasing
+    with pytest.raises(ValueError, match="formal parameters"):
+        fb_sql(spark, "SELECT * FROM fb_topk_per_group(tvf_docs2, source)")
