@@ -1,0 +1,73 @@
+"""Exact grouped percentiles (nearest-rank) at scale.
+
+The reference's ``Percentile`` is GLOBAL only (executor.go:3146-3240,
+bigger/smaller bisection over one field) and its GroupBy aggregates stop
+at count/sum/min/max/distinct — a per-group percentile is a natural
+extension every analytics user reaches for. The naive Spark spelling
+(``percentile`` window or rank-per-group over raw rows) serializes each
+group's ROWS through its partition; this implementation works on the
+(group, value) HISTOGRAM instead:
+
+1. ``groupBy(group, value).count()`` — Spark's partial aggregation
+   combines map-side, so the shuffle carries one row per DISTINCT
+   (group, value), not per input row (for bounded-domain values — BSI
+   ints, quantities, scores — that is orders of magnitude smaller);
+2. a cumulative window over the histogram (per group, ordered by value:
+   input is |distinct values| rows, never corpus rows);
+3. nearest-rank pick: the smallest value whose cumulative count reaches
+   ``r = ceil(permille·n / 1000)`` — derived with INTEGER arithmetic
+   (``(permille·n + 999) div 1000``) on both engines, so the selected
+   rank is engine-exact (no float quantile surface at all; the value
+   itself is moved verbatim, never computed).
+
+The nearest-rank convention matches the repo's global ``Percentile``
+(pql/calls.py) and DuckDB's ``quantile_disc`` at every permille where
+ceil-rank and disc-rank agree; oracles replay the rank formula itself,
+so the contract never depends on either engine's quantile built-in.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["grouped_percentile"]
+
+
+def grouped_percentile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    permille: int = 500,
+    out_col: str = "pct_value",
+) -> DataFrame:
+    """Exact nearest-rank percentile of ``value_col`` per group:
+    the smallest value v such that at least ``ceil(permille·n/1000)``
+    of the group's n rows are ≤ v. ``permille=500`` is the median.
+    NULL values are excluded (SQL aggregate semantics). Returns one row
+    per group: (*group_cols, out_col)."""
+    if not (1 <= int(permille) <= 1000):
+        raise ValueError(f"permille must be in [1,1000], got {permille}")
+    groups = list(group_cols)
+    v = F.col(value_col)
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(*groups, v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*groups)
+    t = hist.withColumn("__cum", F.sum("__cnt").over(w_cum)).withColumn(
+        "__n", F.sum("__cnt").over(w_tot)
+    )
+    rank = F.expr(f"({int(permille)} * __n + 999) div 1000")
+    picked = t.where(F.col("__cum") >= rank)
+    return (
+        picked.groupBy(*groups)
+        .agg(F.min("__v").alias(out_col))
+    )

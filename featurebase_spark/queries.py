@@ -3997,6 +3997,40 @@ def sql_q16_supplier_part_counts(spark, sf_dir):
 
 
 @register(
+    "grouped_percentile_median",
+    # exact nearest-rank median per group, replayed over the histogram:
+    # the rank is pure integer arithmetic ((500n+999)//1000) so no
+    # engine quantile built-in (or float q) enters the contract
+    "WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, "
+    "           COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2), "
+    "t AS (SELECT l_returnflag, v, cnt, "
+    "  SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum, "
+    "  SUM(cnt) OVER (PARTITION BY l_returnflag) AS n FROM c) "
+    "SELECT l_returnflag, CAST(MIN(CASE WHEN cum >= "
+    "  (500 * n + 999) // 1000 THEN v END) AS BIGINT) AS p50_qty "
+    "FROM t GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def grouped_percentile_median(spark, sf_dir):
+    """EXTENSION: exact nearest-rank percentile PER GROUP
+    (operators/grouped.py) — the reference's Percentile is global-only
+    and its GroupBy lacks quantiles. Computed over the (group, value)
+    HISTOGRAM (map-side combined — the shuffle and windows see one row
+    per distinct value, never corpus rows), with the rank derived in
+    pure integer arithmetic; the oracle replays the rank formula, so no
+    engine quantile built-in is in the contract."""
+    from featurebase_spark.operators.grouped import grouped_percentile
+
+    li = _tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return (
+        grouped_percentile(li, ["l_returnflag"], "qty", 500, "p50_qty")
+        .orderBy("l_returnflag")
+        .select("l_returnflag", "p50_qty")
+    )
+
+
+@register(
     "sql_q2_min_cost_supplier",
     # Q2 adapted (no partsupp/ps_supplycost — TESTDATA.md §residuals):
     # the part↔supplier bridge is lineitem and the minimized cost is

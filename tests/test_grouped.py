@@ -1,0 +1,69 @@
+"""operators/grouped.py — exact grouped nearest-rank percentiles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from featurebase_spark.operators.grouped import grouped_percentile
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = []
+    for g, vals in (
+        ("a", list(range(1, 101))),            # 1..100
+        ("b", [5] * 50 + [9] * 50),            # heavy ties
+        ("c", [42]),                           # singleton
+        ("d", [7, None, 3, None, 9]),          # nulls excluded
+    ):
+        rows += [(g, v) for v in vals]
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def _naive(vals, permille):
+    vals = sorted(v for v in vals if v is not None)
+    r = (permille * len(vals) + 999) // 1000
+    return vals[max(r, 1) - 1]
+
+
+@pytest.mark.parametrize("permille", [1, 100, 250, 500, 900, 999, 1000])
+def test_grouped_percentile_matches_naive(df, permille):
+    got = {r["g"]: r["pct_value"]
+           for r in grouped_percentile(df, ["g"], "v", permille).collect()}
+    data = {
+        "a": list(range(1, 101)),
+        "b": [5] * 50 + [9] * 50,
+        "c": [42],
+        "d": [7, 3, 9],
+    }
+    want = {g: _naive(vs, permille) for g, vs in data.items()}
+    assert got == want, permille
+
+
+def test_grouped_percentile_median_ties(df):
+    got = {r["g"]: r["pct_value"]
+           for r in grouped_percentile(df, ["g"], "v", 500).collect()}
+    assert got["b"] == 5  # rank 50 of 100 → the tied low value
+    assert got["c"] == 42
+    assert got["d"] == 7  # nulls excluded: sorted [3,7,9], rank 2
+
+
+def test_grouped_percentile_histogram_plan(df):
+    """The windows run over the HISTOGRAM, not raw rows: the plan
+    aggregates (group, value) BEFORE any Window."""
+    out = grouped_percentile(df, ["g"], "v", 500)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    lines = p.splitlines()
+    win = min(i for i, l in enumerate(lines) if "Window" in l)
+    aggs = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    # children print below parents: an aggregate must sit under the window
+    assert any(i > win for i in aggs), p
+
+
+def test_grouped_percentile_validation(df):
+    with pytest.raises(ValueError):
+        grouped_percentile(df, ["g"], "v", 0)
+    with pytest.raises(ValueError):
+        grouped_percentile(df, ["g"], "v", 1001)
