@@ -4779,11 +4779,14 @@ def decontaminate_ngram_overlap(spark, sf_dir):
 # callable and oracle; only dict insertion order changes.
 
 _GATE_PRIORITY = [
-    # LLM-pipeline: dedup family
+    # LLM-pipeline: dedup family (dedup_ngram_jaccard demoted to the
+    # local gate in r7 — driver-green since r2, and dedup_minhash_lsh's
+    # verify stage exercises the same Jaccard machinery)
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_exact_fingerprints",
+    # r7 new surface: exact grouped nearest-rank percentile
+    "grouped_percentile_median",
     "dedup_cluster_canonical",
     "dedup_survivors",
     # LLM-pipeline: similarity / ANN (sim_ann_ivf_topk demoted to the
