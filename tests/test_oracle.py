@@ -24,3 +24,24 @@ def test_oracle_match(name, spark, tables, duck):
     du = duck.sql(Q.ORACLE_SQL[name]).df()
     problems = compare_frames(sp, du)
     assert not problems, f"{name}: {problems}"
+
+
+def test_bench_json_line_fits_driver_tail_buffer():
+    """The driver parses bench stdout from its LAST 2000 chars; the JSON
+    line must stay well under that with every key at worst-case width
+    (r5 regression: an embedded dict pushed parsed=null)."""
+    import json
+
+    from bench import BENCH_QUERIES
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 9999.9999,
+            "unit": "sec",
+            "queries": {k: 99.9999 for k in BENCH_QUERIES},
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1800, len(line)

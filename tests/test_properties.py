@@ -520,3 +520,32 @@ def test_heavy_hitter_pigeonhole_superset_property(counts, p, thr):
             parts[rng.randrange(p)] += 1
         if c >= thr:
             assert max(parts) >= local_thr, (c, thr, p, parts)
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1,
+             max_size=200),
+    st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=100, deadline=None)
+def test_grouped_percentile_rank_formula_cross_engine_property(
+    vals, permille
+):
+    """The nearest-rank formula grouped_percentile and its oracle share:
+    smallest v with cumulative count ≥ (permille·n + 999) // 1000 —
+    DuckDB's replay must equal the Python sort for arbitrary multisets
+    and permilles (integer arithmetic: no engine surface)."""
+    import duckdb
+
+    svals = sorted(vals)
+    r = (permille * len(svals) + 999) // 1000
+    want = svals[max(r, 1) - 1]
+    rows = ", ".join(f"({v})" for v in vals)
+    got = duckdb.sql(
+        f"WITH x(v) AS (VALUES {rows}), "
+        "c AS (SELECT v, COUNT(*) AS cnt FROM x GROUP BY v), "
+        "t AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, "
+        "      SUM(cnt) OVER () AS n FROM c) "
+        f"SELECT MIN(v) FROM t WHERE cum >= ({permille} * n + 999) // 1000"
+    ).fetchone()[0]
+    assert got == want
