@@ -210,6 +210,56 @@ def extract_audio_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_EXACT_SCHEMA = (
+    "media_id long, sample_rate long, n_samples long, "
+    "sum_amp long, sum_abs long, zero_crossings long"
+)
+
+
+def audio_exact_stats(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """REAL WAV decode → INTEGER-EXACT sample statistics (sum, L1,
+    zero crossings) — the oracle-able counterpart of
+    :func:`extract_audio_features` (whose RMS/FFT centroid are real but
+    not SQL-replayable). 16-bit PCM samples recover exactly from the
+    decoder's float64 (int16/32768 is a dyadic rational: the division
+    and the multiply back are both exact), so every emitted stat is an
+    integer an engine can replay from the generating formula. Map-side
+    mapInPandas; payloads never shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from featurebase_spark.pipeline import media_codecs as MC
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_samples": [],
+                "sum_amp": [], "sum_abs": [], "zero_crossings": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, x = MC.decode_wav(bytes(p))
+                s = np.rint(x * 32768.0).astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(int(len(s)))
+                out["sum_amp"].append(int(s.sum()))
+                out["sum_abs"].append(int(np.abs(s).sum()))
+                sgn = np.sign(s)
+                out["zero_crossings"].append(
+                    int((sgn[1:] != sgn[:-1]).sum()) if len(s) > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+    )
+    return df.select("media_id", "payload").mapInPandas(
+        run, AUDIO_EXACT_SCHEMA
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

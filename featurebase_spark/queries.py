@@ -3284,6 +3284,58 @@ def stream_ingest_indexed_serving(spark, sf_dir):
 
 
 @register(
+    "multimodal_wav_decode",
+    # square-wave audio: sample i of clip c is A_c when (i div H_c) is
+    # even else -A_c, with A_c = 1000 + 500c and H_c = 50 + 10c. DuckDB
+    # recomputes the exact integer stats from the formula while Spark
+    # decodes the actual RIFF/WAVE bytes — integer equality end to end
+    "WITH p AS (SELECT c, 1000 + 500 * c AS a, 50 + 10 * c AS h "
+    "           FROM range(10) t(c)), "
+    "s AS (SELECT c, i, CASE WHEN CAST(i // h AS BIGINT) % 2 = 0 "
+    "      THEN a ELSE -a END AS v, h FROM p, range(8000) r(i)) "
+    "SELECT c AS media_id, CAST(8000 AS BIGINT) AS sample_rate, "
+    "CAST(COUNT(*) AS BIGINT) AS n_samples, "
+    "CAST(SUM(v) AS BIGINT) AS sum_amp, "
+    "CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs, "
+    "CAST(SUM(CASE WHEN i > 0 AND CAST(i // h AS BIGINT) % 2 <> "
+    "  CAST((i - 1) // h AS BIGINT) % 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS zero_crossings "
+    "FROM s GROUP BY c ORDER BY c",
+)
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode, oracle-gated (the WAV analogue of
+    multimodal_real_decode's PNG proof): 10 square-wave clips are
+    ENCODED to genuine 16-bit PCM RIFF/WAVE bytes (stdlib wave),
+    decoded distributedly by pipeline/media_codecs.decode_wav, and
+    their INTEGER-EXACT sample statistics (sum, L1, zero crossings —
+    pipeline/multimodal.audio_exact_stats) must equal DuckDB computing
+    the same numbers from the generating formula. 16-bit samples
+    round-trip the decoder's dyadic float64 scaling exactly, so the
+    equality is integer-for-integer; payloads never enter a shuffle."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    from featurebase_spark.pipeline.multimodal import audio_exact_stats
+
+    rows = []
+    for c in range(10):
+        a, h = 1000 + 500 * c, 50 + 10 * c
+        i = np.arange(8000)
+        v = np.where((i // h) % 2 == 0, a, -a).astype("<i2")
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(v.tobytes())
+        rows.append((c, bytearray(buf.getvalue())))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return audio_exact_stats(media).orderBy("media_id")
+
+
+@register(
     "multimodal_real_decode",
     # the SAME statistics derived arithmetically: pixel (x,y,c) of image i
     # is (x*7 + y*5 + c*3 + i*11) % 256 — DuckDB computes the stats from
@@ -4803,8 +4855,9 @@ _GATE_PRIORITY = [
     "text_profile",
     "text_quality_langid",
     "text_token_count_bpeish",
-    # LLM-pipeline: multimodal
-    "multimodal_features",
+    # LLM-pipeline: multimodal (multimodal_features — fake-decode
+    # plumbing, driver-green r2-r6 — demoted for the REAL WAV decode)
+    "multimodal_wav_decode",
     "multimodal_real_decode",
     "multimodal_jpeg_decode",
     # Sessionization through the TVF text door (supersets the plain
