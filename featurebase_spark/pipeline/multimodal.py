@@ -238,7 +238,21 @@ def audio_exact_stats(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                 "sum_amp": [], "sum_abs": [], "zero_crossings": [],
             }
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                rate, x = MC.decode_wav(bytes(p))
+                payload = bytes(p)
+                # integer recovery assumes the 16-bit dyadic scaling;
+                # other widths would decode fine but mis-scale the
+                # integers SILENTLY — refuse instead
+                import io as _io
+                import wave as _wave
+
+                with _wave.open(_io.BytesIO(payload), "rb") as wf:
+                    if wf.getsampwidth() != 2:
+                        raise MC.UnsupportedMediaError(
+                            "audio_exact_stats requires 16-bit PCM "
+                            f"(got width {wf.getsampwidth()}); use "
+                            "extract_audio_features for float stats"
+                        )
+                rate, x = MC.decode_wav(payload)
                 s = np.rint(x * 32768.0).astype(np.int64)
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(int(rate))

@@ -926,3 +926,44 @@ def test_ivf_pq_composed_stack(emb):
         S.pq_adc_topk(S.pq_encode(emb, books), qv, books, k=10_000).collect()
     )
     assert len(pruned) > 0
+
+
+def test_audio_exact_stats_16bit_exact_and_width_guard(spark):
+    """audio_exact_stats: integer stats recovered exactly from the
+    decoder's float64; non-16-bit WAVs refuse (silent mis-scaling would
+    be worse than an error)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from featurebase_spark.pipeline.multimodal import audio_exact_stats
+
+    def wav_bytes(samples, width=2):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(width)
+            wf.setframerate(8000)
+            wf.writeframes(samples)
+        return bytearray(buf.getvalue())
+
+    s = np.array([100, -100, 32767, -32768, 0, 7], dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, wav_bytes(s.tobytes()))], "media_id long, payload binary"
+    )
+    r = audio_exact_stats(df).first()
+    assert r["n_samples"] == 6 and r["sample_rate"] == 8000
+    assert r["sum_amp"] == int(s.astype(np.int64).sum())
+    assert r["sum_abs"] == int(np.abs(s.astype(np.int64)).sum())
+    # sign pattern: + - + - 0 + → crossings at 4 sign CHANGES incl. 0
+    sgn = np.sign(s.astype(np.int64))
+    assert r["zero_crossings"] == int((sgn[1:] != sgn[:-1]).sum())
+    # 8-bit input refuses with the typed media error
+    df8 = spark.createDataFrame(
+        [(2, wav_bytes(bytes([0, 255, 128, 7]), width=1))],
+        "media_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="16-bit PCM"):
+        audio_exact_stats(df8).collect()
