@@ -18,6 +18,7 @@ Null-handling note: ``Set`` on a mutex/int field REPLACES the old value
 
 from __future__ import annotations
 
+import math
 import os
 import uuid
 from typing import Mapping, Sequence
@@ -148,10 +149,22 @@ def literal_frame(spark, rows: list, schema) -> DataFrame:
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            # repr(nan)/repr(inf) are not valid SQL literals; Spark spells
+            # non-finite doubles as quoted casts.
+            if math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            if math.isinf(v):
+                return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+            return repr(v)
+        if isinstance(v, int):
             return repr(v)
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
+            # Spark's default parser honors backslash escapes inside string
+            # literals (spark.sql.parser.escapedStringLiterals=false), so a
+            # bare backslash must be doubled or 'C:\temp' silently becomes
+            # 'C:<TAB>emp' on commit (spool payloads carry paths/regexes).
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         raise TypeError(f"literal_frame cannot quote {type(v).__name__}")
 
     vals = ", ".join(

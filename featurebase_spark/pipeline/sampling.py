@@ -149,6 +149,7 @@ def temperature_rates(
     size_col: str = "n_chars",
     alpha: float = 0.5,
     target_frac: float = 0.5,
+    keep_stages: bool = False,
 ) -> DataFrame:
     """Per-source acceptance rates for temperature-weighted mixing:
     source ``s`` with total size ``c_s`` gets target share ∝ c_s^alpha
@@ -223,8 +224,8 @@ def temperature_rates(
         f"div (CAST({_TF_SCALE} AS {d}) * CAST(tot_w AS {d}) "
         f"* CAST(share_ppb AS {d}))"
     )
-    out = shared.withColumn("thr", thr).select(
-        source_col,
+    cols = [
+        F.col(source_col),
         F.col("src_size"),
         (
             F.least(F.col("thr"), F.lit(_SPACE)).cast("double")
@@ -233,8 +234,17 @@ def temperature_rates(
         F.when(F.col("thr") >= F.lit(_SPACE), F.lit(_ACCEPT_ALL))
         .otherwise(F.format_string(f"%0{_HEX_W}x", F.col("thr")))
         .alias("rate_hex"),
-    )
-    return out
+    ]
+    if keep_stages:
+        # diagnostic surface (r7 verdict ask #3): every frozen integer
+        # stage of the derivation as plain BIGINTs, so a cross-engine
+        # mismatch localizes to a stage instead of a 20-row hash
+        cols += [
+            F.col("w_int").cast("long").alias("w_int"),
+            F.col("share_ppb").cast("long").alias("share_ppb"),
+            F.col("thr").cast("long").alias("thr"),
+        ]
+    return shared.withColumn("thr", thr).select(*cols)
 
 
 def stratified_sample(
@@ -290,8 +300,16 @@ def stratified_sample(
     if oversample <= 0:
         return _rank(df)
 
+    # Count only rows the threshold filter can ever keep: ``u < __thr``
+    # is NULL (dropped) for a NULL id even at the ACCEPT_ALL threshold,
+    # so NULL-id rows are unreachable — counting them would set a target
+    # min(n, count) the escalation loop can never meet (a confirmed hang).
     counts = {
-        r[0]: r[1] for r in df.groupBy(part_col).count().collect()
+        r[0]: r[1]
+        for r in df.where(F.col(id_col).isNotNull())
+        .groupBy(part_col)
+        .count()
+        .collect()
     }  # bounded: one row per source
     spark = df.sparkSession
     full_scan = set()  # sources escalated to an unfiltered rank
@@ -316,7 +334,11 @@ def stratified_sample(
         short = [
             s for s, c in counts.items() if min(n, c) > got.get(s, 0)
         ]
-        if not short:
+        if not short or set(short) <= full_scan:
+            # Done — or every short source already ran unfiltered, so no
+            # further escalation can add rows (loop-termination backstop;
+            # unreachable once counts track reachable rows, but cheap).
+            out.unpersist()  # verification counts above materialized it
             return out
         out.unpersist()
         full_scan.update(short)

@@ -3964,10 +3964,10 @@ def sql_q13_customer_distribution(spark, sf_dir):
     # the late-delivery ordering predicate becomes shipdate > orderdate;
     # the SHAPE (big join + dual conditional counts per group) is Q12's
     "SELECT l_returnflag, "
-    "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-    "    THEN 1 ELSE 0 END) AS high_line_count, "
-    "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
-    "    THEN 1 ELSE 0 END) AS low_line_count "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
     "FROM orders, lineitem WHERE o_orderkey = l_orderkey "
     "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
     "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
@@ -4415,7 +4415,7 @@ def sample_stratified_per_source(spark, sf_dir):
     "rx AS (SELECT source, CASE WHEN t >= 4294967296 THEN 'g' ELSE "
     "  printf('%08x', CAST(t AS BIGINT)) END AS rate_hex FROM thr) "
     "SELECT d.source AS source, rx.rate_hex AS rate_hex, "
-    "COUNT(*) AS kept_docs, SUM(d.n_chars) AS kept_chars "
+    "COUNT(*) AS kept_docs, CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars "
     "FROM documents d JOIN rx ON d.source = rx.source "
     "WHERE substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < rx.rate_hex "
     "GROUP BY 1, 2 ORDER BY 1",
@@ -4449,6 +4449,65 @@ def mix_temperature_sample(spark, sf_dir):
         )
         .orderBy("source")
         .select("source", "rate_hex", "kept_docs", "kept_chars")
+    )
+
+
+@register(
+    "mix_stage_weights",
+    # diagnostic stage 1 of the mix contract (r7 verdict ask #3): the
+    # frozen integer inputs — exact per-source sizes and the
+    # floor(sqrt·1e4) weight — as plain BIGINTs. A driver red here
+    # localizes a divergence to the size aggregation / weight freeze.
+    "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_size, "
+    "CAST(floor(sqrt(CAST(SUM(n_chars) AS DOUBLE)) * 10000.0) AS BIGINT) "
+    "AS w_int FROM documents GROUP BY source ORDER BY source",
+)
+def mix_stage_weights(spark, sf_dir):
+    """Stage-isolated replay of temperature_rates' first freeze:
+    (source, src_size, w_int) — pure BIGINT outputs, no HUGEINT/decimal
+    anywhere in the SELECT surface (the r6/r7 defect class)."""
+    from featurebase_spark.pipeline.sampling import temperature_rates
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        temperature_rates(docs, "source", "n_chars", 0.5, 0.5, keep_stages=True)
+        .select("source", "src_size", "w_int")
+        .orderBy("source")
+    )
+
+
+@register(
+    "mix_stage_thresholds",
+    # diagnostic stage 2: the ppb share (one exact integer division) and
+    # the final threshold (one exact HUGEINT/DECIMAL(38,0) division),
+    # both emitted as BIGINT. A red here with stage 1 green localizes to
+    # the wide-integer division semantics.
+    "WITH sizes AS (SELECT source, SUM(n_chars) AS src_size "
+    "               FROM documents GROUP BY source), "
+    "sized AS (SELECT source, src_size, "
+    "  CAST(floor(sqrt(CAST(src_size AS DOUBLE)) * 10000.0) AS BIGINT) AS w_int "
+    "  FROM sizes), "
+    "tot AS (SELECT SUM(src_size) AS tot_size, SUM(w_int) AS tot_w FROM sized), "
+    "rates AS (SELECT source, src_size, w_int, tot_w, "
+    "  GREATEST(1::HUGEINT, (CAST(src_size AS HUGEINT) * 1000000000) "
+    "           // CAST(tot_size AS HUGEINT)) AS share_ppb FROM sized, tot) "
+    "SELECT source, CAST(share_ppb AS BIGINT) AS share_ppb, "
+    "CAST((5000::HUGEINT * CAST(w_int AS HUGEINT) * 4294967296::HUGEINT "
+    "      * 1000000000::HUGEINT) "
+    "     // (10000::HUGEINT * CAST(tot_w AS HUGEINT) * share_ppb) AS BIGINT) "
+    "AS thr FROM rates ORDER BY source",
+)
+def mix_stage_thresholds(spark, sf_dir):
+    """Stage-isolated replay of temperature_rates' division chain:
+    (source, share_ppb, thr) as BIGINTs — Spark runs it in
+    DECIMAL(38,0) ``div``, the oracle in HUGEINT ``//``; both exact."""
+    from featurebase_spark.pipeline.sampling import temperature_rates
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        temperature_rates(docs, "source", "n_chars", 0.5, 0.5, keep_stages=True)
+        .select("source", "share_ppb", "thr")
+        .orderBy("source")
     )
 
 

@@ -59,6 +59,12 @@ GROWTH_BOUND = 1.3
 #: test is "no base-table rescan", i.e. no ~100× cost term)
 ABS_SLACK_SEC = 0.1
 
+#: the slack only applies when the largest-SF time is itself tiny —
+#: otherwise a genuine 2-3× O(data) growth on a sub-100 ms key would be
+#: masked by jitter slack (r7 ADVICE low #5); above this floor, ratio
+#: alone decides
+ABS_SLACK_MAX_T_SEC = 0.2
+
 
 def measure(spark, keys=None, sf_dirs=None, repeats: int = 3) -> dict:
     from featurebase_spark.queries import SPARK_QUERIES
@@ -78,11 +84,17 @@ def measure(spark, keys=None, sf_dirs=None, repeats: int = 3) -> dict:
         times = [per_sf[sf] for sf in sf_dirs]
         growth = times[-1] / times[0] if times[0] > 0 else float("inf")
         spread = max(times) - min(times)
+        ratio_flat = growth <= GROWTH_BOUND
+        slack_flat = (
+            spread <= ABS_SLACK_SEC and times[-1] <= ABS_SLACK_MAX_T_SEC
+        )
         out["keys"][key] = {
             "seconds": per_sf,
             "growth_100x": round(growth, 3),
             "spread_sec": round(spread, 4),
-            "flat": growth <= GROWTH_BOUND or spread <= ABS_SLACK_SEC,
+            "ratio_flat": ratio_flat,
+            "slack_flat": slack_flat,
+            "flat": ratio_flat or slack_flat,
         }
     out["all_flat"] = all(v["flat"] for v in out["keys"].values())
     return out

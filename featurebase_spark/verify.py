@@ -52,7 +52,33 @@ def _cells_equal(a, b) -> bool:
     return a == b
 
 
-def compare_frames(sp: pd.DataFrame, du: pd.DataFrame) -> list[str]:
+# numeric dtype "kind" buckets whose string canonicalization differs: a
+# driver that hashes stringified cells renders int64 4995 as "4995" but
+# float64 4995.0 as "4995.0", so an int-vs-float column-dtype mismatch is
+# a hash-red even when every cell compares == (the r6/r7
+# mix_temperature_sample defect: DuckDB HUGEINT -> pandas float64).
+_NUM_KIND = {"i": "int", "u": "int", "f": "float"}
+
+
+def _dtype_mismatches(sp: pd.DataFrame, du: pd.DataFrame) -> list[str]:
+    out = []
+    for col in sp.columns:
+        if col not in du.columns:
+            continue
+        ka = _NUM_KIND.get(sp[col].dtype.kind)
+        kb = _NUM_KIND.get(du[col].dtype.kind)
+        if ka and kb and ka != kb:
+            out.append(
+                f"column {col}: numeric dtype kind mismatch "
+                f"spark={sp[col].dtype} duck={du[col].dtype} — a canonicalizing "
+                f"hash distinguishes '1' from '1.0' even when values compare =="
+            )
+    return out
+
+
+def compare_frames(
+    sp: pd.DataFrame, du: pd.DataFrame, strict_dtypes: bool = True
+) -> list[str]:
     problems = []
     if sorted(sp.columns) != sorted(du.columns):
         problems.append(f"columns differ: spark={sorted(sp.columns)} duck={sorted(du.columns)}")
@@ -60,6 +86,8 @@ def compare_frames(sp: pd.DataFrame, du: pd.DataFrame) -> list[str]:
     if len(sp) != len(du):
         problems.append(f"row count differs: spark={len(sp)} duck={len(du)}")
         return problems
+    if strict_dtypes:
+        problems.extend(_dtype_mismatches(sp, du))
     a, b = _canon(sp), _canon(du)
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()

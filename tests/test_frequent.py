@@ -117,6 +117,35 @@ def test_heavy_hitters_verify_broadcasts_candidates(items):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
+def test_local_item_counts_markers_count_nonempty_partitions(items):
+    surv = local_item_counts(items.repartition(6), "item", with_markers=True)
+    sentinels = surv.where(F.col("item").isNull()).collect()
+    assert len(sentinels) == 6  # 10k rows → every partition non-empty
+    assert all(r["local_count"] == -1 for r in sentinels)
+    # real rows never collide with the sentinel encoding
+    assert surv.where(F.col("item").isNotNull() & (F.col("local_count") < 1)).count() == 0
+
+
+def test_heavy_hitters_bound_enforced_on_repartitioned_frame(items, monkeypatch):
+    """Fabricate the hazard: the frame reports 1 planned partition while
+    8 partitions actually hold data — the operator must refuse instead
+    of silently cutting candidates with an 8x-too-tight local threshold."""
+    try:  # pyspark 4: the concrete class owns the .rdd property
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover
+        from pyspark.sql import DataFrame
+
+    many = items.repartition(8)
+
+    class _FakeRDD:
+        def getNumPartitions(self):
+            return 1
+
+    monkeypatch.setattr(DataFrame, "rdd", property(lambda self: _FakeRDD()))
+    with pytest.raises(RuntimeError, match="pigeonhole bound violated"):
+        heavy_hitters(many, "item", min_share=0.01)
+
+
 def test_heavy_hitter_tokens_matches_python(spark):
     docs = spark.createDataFrame(
         [
@@ -134,6 +163,25 @@ def test_heavy_hitter_tokens_matches_python(spark):
         ).collect()
     }
     assert got == {"a": 6}
+
+
+def test_heavy_hitter_tokens_literal_delimiter_and_null_text(spark):
+    """'.' must split literally (string_split semantics), not as a Java
+    regex; NULL text must not skew N via size(split(NULL)) = -1."""
+    docs = spark.createDataFrame(
+        [(1, "a.b.a"), (2, "a.c"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["token"]: r["freq"]
+        for r in heavy_hitter_tokens(
+            docs, "text", delimiter=".", share_permille=500
+        ).collect()
+    }
+    # N = 3 + 2 = 5 tokens; ceil(500*5/1000) = 3 → only 'a' (freq 3).
+    # A regex '.' would have split every char away (all-empty tokens);
+    # counting the NULL row would have set N = 4 and threshold 2.
+    assert got == {"a": 3}
 
 
 def test_deterministic_shuffle_stable_and_seeded(spark):

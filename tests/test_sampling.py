@@ -254,6 +254,21 @@ def test_stratified_sample_prefilter_matches_full_rank(docs):
     assert tiny == full
 
 
+def test_stratified_sample_null_ids_terminate(spark):
+    """NULL-id rows are unreachable (u < thr is NULL) — the target must
+    count only reachable rows or the escalation loop hangs forever
+    (r7 ADVICE high #2: confirmed hang with 3 non-null + 5 null ids)."""
+    from featurebase_spark.pipeline.sampling import stratified_sample
+
+    rows = [(1, "s"), (2, "s"), (3, "s")] + [(None, "s")] * 5
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, "doc_id", "source", 5).collect()
+    )
+    assert got == [1, 2, 3]  # all reachable rows, loop terminated
+
+
 def test_stratified_sample_plan_filters_before_window(docs):
     """The rank window's input is the threshold-filtered candidate set:
     the md5-hex filter sits BELOW the Window in the physical plan (the

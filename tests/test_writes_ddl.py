@@ -366,3 +366,34 @@ def test_literal_upsert_null_key_not_dropped(spark, tmp_path):
     assert spark_bucket(None, n) in touched
     rows = {r["_id"]: r["v"] for r in t.read().collect()}
     assert rows == {1: "a", 2: "b", None: "nullrow"}
+
+
+def test_literal_frame_roundtrips_hostile_payloads(spark):
+    """r7 ADVICE high #1: Spark's parser honors backslash escapes in
+    string literals, so un-doubled backslashes silently corrupt spool
+    payloads ('C:\\temp\\new' became 'C:<TAB>emp<LF>ew'); repr(nan/inf)
+    are not valid SQL. literal_frame must round-trip all of them."""
+    import math
+
+    from featurebase_spark.operators.writes import literal_frame
+
+    rows = [
+        (1, "C:\\temp\\new", 1.5),
+        (2, "line1\nline2\ttab", float("nan")),
+        (3, "quote ' and \\' mix", float("inf")),
+        (4, "regex \\d+ \\Q\\E", float("-inf")),
+        (5, None, -2.5),
+    ]
+    df = literal_frame(spark, rows, "id long, s string, x double")
+    got = {r["id"]: (r["s"], r["x"]) for r in df.collect()}
+    for i, s, x in rows:
+        gs, gx = got[i]
+        assert gs == s, (gs, s)
+        if math.isnan(x):
+            assert math.isnan(gx)
+        else:
+            assert gx == x
+    # Spark normalizes a -0.0 literal to 0.0 (SQL equality semantics);
+    # the VALUES path must at least not error and must stay == 0.0
+    z = literal_frame(spark, [(1, -0.0)], "id long, x double").first()["x"]
+    assert z == 0.0
