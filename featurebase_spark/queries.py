@@ -4890,82 +4890,89 @@ def decontaminate_ngram_overlap(spark, sf_dir):
 # callable and oracle; only dict insertion order changes.
 
 _GATE_PRIORITY = [
-    # LLM-pipeline: dedup family (dedup_ngram_jaccard demoted to the
-    # local gate in r7 — driver-green since r2, and dedup_minhash_lsh's
-    # verify stage exercises the same Jaccard machinery)
+    # LLM-pipeline: dedup family (r8 rotation: dedup_exact_fingerprints
+    # — driver-green r1-r7 — joins dedup_ngram_jaccard in the local
+    # gate; the exact-hash machinery stays covered by cluster_canonical
+    # + survivors below)
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_exact_fingerprints",
     # r7 new surface: exact grouped nearest-rank percentile
     "grouped_percentile_median",
     "dedup_cluster_canonical",
     "dedup_survivors",
-    # LLM-pipeline: similarity / ANN (sim_ann_ivf_topk demoted to the
-    # local gate in r7 — driver-green r4-r6; pq_adc + lsh keep the ANN
+    # LLM-pipeline: similarity / ANN (r8: sim_bruteforce_topk —
+    # driver-green r2-r7 — demoted; lsh + pq_adc + neardup keep the ANN
     # family's risk under the hard gate)
-    "sim_bruteforce_topk",
     "sim_ann_lsh_topk",
     "sim_embedding_neardup",
     # r7 new surface: the WHOLE ingest tier in one key — streaming file
     # source → catalog commit (bucketed storage + index clear-then-set
     # per micro-batch) → routed fragment serving
     "stream_ingest_indexed_serving",
-    # LLM-pipeline: text analysis
+    # r8 promotion (r7 verdict ask #4): cross-batch stateful streaming
+    # dedup had only ever faced the local gate
+    "stream_stateful_dedup",
+    # LLM-pipeline: text analysis (r8: text_token_count_bpeish —
+    # driver-green r2-r7 — demoted; profile/langid/repetition/heavy
+    # hitters keep text under the hard gate)
     "text_profile",
     "text_quality_langid",
-    "text_token_count_bpeish",
-    # LLM-pipeline: multimodal (multimodal_features — fake-decode
-    # plumbing, driver-green r2-r6 — demoted for the REAL WAV decode)
+    # LLM-pipeline: multimodal (r8: the r5-era real-JPEG key — driver-
+    # green r5-r7 — demoted; WAV + PNG real decodes keep both codec
+    # paths, and JPEG stays in the local replica)
     "multimodal_wav_decode",
     "multimodal_real_decode",
-    "multimodal_jpeg_decode",
     # Sessionization through the TVF text door (supersets the plain
     # DataFrame key: parser + TVF expansion + identical sessionize)
     "sessionize_text_door",
-    # Bitmap-index lifecycle + routed serving
-    "bitmap_index_count",
+    # Bitmap-index lifecycle + routed serving (r8: the driver-cache-path
+    # bitmap_index_count — driver-green r2-r7 — demoted; the distributed
+    # path supersets it and topk/bsi/maintenance stay)
     "bitmap_index_count_distributed",
     "bitmap_index_topk",
     "bitmap_bsi_aggregates",
     "bitmap_index_maintenance",
-    # r7 new surface: cross-batch session-window merging (displaces the
-    # r4-era sql_routed_agg — pql_text_routed_serving keeps the routed
-    # serving path under the hard gate)
+    # r7 new surface: cross-batch session-window merging
     "stream_session_windows",
     "pql_text_routed_serving",
     "pql_text_frontend",
-    # Statements / sources / DDL
+    # Statements / sources / DDL (r8: source_bulk_insert — driver-green
+    # r1-r7 — demoted; spool consumer + external lookup keep the source
+    # tier under the hard gate)
     "statement_insert_touched_buckets",
-    "source_bulk_insert",
     "source_spool_consume",
     "source_external_lookup",
-    # r7 new surface: exact heavy hitters (candidate/verify two-phase) —
-    # newest oracle, belongs under the hard gate; displaces the
-    # r2-era-stable pql_foreign_distinct to the local replica
     "text_heavy_hitters",
+    # r8 promotion: the heavy-hitters TVF text door (parser + TVF
+    # expansion over the same oracle) joins its DataFrame twin
+    "heavy_hitters_text_door",
     "sql_text_ddl_insert",
     "sql_text_bulk_delete",
     "quantum_view_rollup",
     "model_linear_regression",
-    # PQL surfaces added r3/r4
+    # PQL surfaces (r8: pql_groupby_multi_agg + pql_percentile_search —
+    # driver-green r3-r7 — demoted; apply_ivy/write_delete/text keys
+    # keep PQL execution + grouped_percentile_median keeps the
+    # percentile machinery under the hard gate)
     "pql_apply_ivy",
     "pql_write_delete",
-    "pql_groupby_multi_agg",
-    "pql_percentile_search",
-    # r7 new surface: bloom-pruned exact blocklist filtering (displaces
-    # the r6-driver-proven sample_hash_split, whose md5 machinery stays
-    # covered by the three sampling keys below)
+    # r7 new surface: bloom-pruned exact blocklist filtering
     "blocklist_filter_bloom",
     "mix_temperature_sample",
+    # r8 (verdict ask #3): stage-isolated BIGINT replays of the mix
+    # derivation — one round of driver coverage so any residual red
+    # localizes to a stage instead of a 20-row hash
+    "mix_stage_weights",
+    "mix_stage_thresholds",
     "decontaminate_ngram_overlap",
     "sql_q8_market_share",
-    # r7 rotation (VERDICT r6 ask #2): the seven r6 surfaces that had
-    # only ever faced the LOCAL gate move under the driver's hard gate —
-    # r6 proved the two environments can disagree. Displaced (all remain
-    # under the full local replica gate): the long-stable keys
-    # pql_row_equals / pql_groupby / pql_topk / sql_q1_pricing_summary /
-    # skew_salted_groupby / ddl_catalog_roundtrip / events_sessionize
-    # (the last superseded in-gate by sessionize_text_door).
+    # r8 promotion (verdict ask #4): the post-fix Q12 (tests the
+    # HUGEINT-cast defect class AND the dual-conditional-count shape)
+    # plus the two hardest decorrelation shapes, never driver-tested
+    "sql_q12_priority_shipping",
+    "sql_q2_min_cost_supplier",
+    "sql_q21_waiting_supplier",
+    # r7 rotation survivors (driver-green r7 only — too young to demote)
     "stream_windowed_counts",
     "sim_ann_pq_adc_topk",
     "text_repetition_signals",
@@ -4973,8 +4980,9 @@ _GATE_PRIORITY = [
     "pack_sequences_budget",
     "sample_stratified_per_source",
     "dedup_common_spans",
-    # Representative SQL core
-    "sql_agg_stats",
+    # r8 promotion: never-driver-tested corpus ops (verdict ask #4)
+    "corpus_shuffle_head",
+    "docs_topk_per_source",
 ]
 
 

@@ -22,7 +22,13 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-R5_TREE = os.path.join(REPO, ".bench_r5")
+#: control tree: a git worktree of the prior round's final commit
+#: (r7: HEAD-vs-r5 at .bench_r5; r8+: HEAD-vs-prev at .bench_ctl unless
+#: overridden by $BENCH_CONTROL_TREE / $BENCH_CONTROL_LABEL)
+CTL_TREE = os.environ.get(
+    "BENCH_CONTROL_TREE", os.path.join(REPO, ".bench_ctl")
+)
+CTL_LABEL = os.environ.get("BENCH_CONTROL_LABEL", "ctl")
 
 
 def run_bench(tree: str) -> dict:
@@ -52,21 +58,21 @@ def run_bench(tree: str) -> dict:
     return out
 
 
-def main(rounds: int = 3, out_path: str = "BENCH_CONTROL_r07.json") -> int:
+def main(rounds: int = 3, out_path: str = "BENCH_CONTROL.json") -> int:
     head_commit = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         cwd=REPO, capture_output=True, text=True,
     ).stdout.strip()
-    r5_commit = subprocess.run(
+    ctl_commit = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
-        cwd=R5_TREE, capture_output=True, text=True,
+        cwd=CTL_TREE, capture_output=True, text=True,
     ).stdout.strip()
-    series: dict[str, list[dict]] = {"r5": [], "head": []}
+    series: dict[str, list[dict]] = {CTL_LABEL: [], "head": []}
     for i in range(rounds):
         order = (
-            [("r5", R5_TREE), ("head", REPO)]
+            [(CTL_LABEL, CTL_TREE), ("head", REPO)]
             if i % 2 == 0
-            else [("head", REPO), ("r5", R5_TREE)]
+            else [("head", REPO), (CTL_LABEL, CTL_TREE)]
         )
         for label, tree in order:
             rec = run_bench(tree)
@@ -83,31 +89,32 @@ def main(rounds: int = 3, out_path: str = "BENCH_CONTROL_r07.json") -> int:
         }
         for lab, runs in series.items()
     }
-    common = sorted(set(best["r5"]) & set(best["head"]))
-    r5_sum = sum(best["r5"][k] for k in common)
+    common = sorted(set(best[CTL_LABEL]) & set(best["head"]))
+    ctl_sum = sum(best[CTL_LABEL][k] for k in common)
     head_sum = sum(best["head"][k] for k in common)
     result = {
         "protocol": (
             "interleaved same-session two-tree bench; per-key MIN over "
             f"{rounds} alternating pairs; fresh process per run"
         ),
-        "r5_commit": r5_commit,
+        "control_label": CTL_LABEL,
+        "control_commit": ctl_commit,
         "head_commit": head_commit,
         "common_keys": len(common),
-        "r5_common_total_sec": round(r5_sum, 3),
+        "control_common_total_sec": round(ctl_sum, 3),
         "head_common_total_sec": round(head_sum, 3),
-        "head_over_r5_ratio": round(head_sum / r5_sum, 4),
+        "head_over_control_ratio": round(head_sum / ctl_sum, 4),
         "per_key_min": {
             k: {
-                "r5": round(best["r5"][k], 4),
+                CTL_LABEL: round(best[CTL_LABEL][k], 4),
                 "head": round(best["head"][k], 4),
-                "ratio": round(best["head"][k] / best["r5"][k], 3)
-                if best["r5"][k] > 0
+                "ratio": round(best["head"][k] / best[CTL_LABEL][k], 3)
+                if best[CTL_LABEL][k] > 0
                 else None,
             }
             for k in common
         },
-        "head_only_keys": sorted(set(best["head"]) - set(best["r5"])),
+        "head_only_keys": sorted(set(best["head"]) - set(best[CTL_LABEL])),
         "totals_per_run": {
             lab: [r["value"] for r in runs] for lab, runs in series.items()
         },
@@ -115,13 +122,13 @@ def main(rounds: int = 3, out_path: str = "BENCH_CONTROL_r07.json") -> int:
     with open(os.path.join(REPO, out_path), "w") as fh:
         json.dump(result, fh, indent=2)
     print(
-        f"common={len(common)} r5={r5_sum:.2f}s head={head_sum:.2f}s "
-        f"ratio={head_sum / r5_sum:.4f} -> {out_path}"
+        f"common={len(common)} {CTL_LABEL}={ctl_sum:.2f}s head={head_sum:.2f}s "
+        f"ratio={head_sum / ctl_sum:.4f} -> {out_path}"
     )
     return 0
 
 
 if __name__ == "__main__":
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    out = sys.argv[2] if len(sys.argv) > 2 else "BENCH_CONTROL_r07.json"
+    out = sys.argv[2] if len(sys.argv) > 2 else "BENCH_CONTROL.json"
     sys.exit(main(rounds, out))
