@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from featurebase_spark.pipeline.dedup import shingle_table
 
-__all__ = ["contamination_hits", "decontaminate"]
+__all__ = ["contamination_hits", "decontaminate", "source_overlap_jaccard"]
 
 
 def contamination_hits(
@@ -76,3 +76,77 @@ def decontaminate(
         id_col,
         "left",
     ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+
+
+def source_overlap_jaccard(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 5,
+    top: int = 25,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard overlap BETWEEN SOURCES — the
+    corpus-level contamination/diversity matrix ("how much does source A
+    repeat source B?") a mixing decision needs before weighting sources.
+
+    Scale shape: the (source, gram) posting table is deduplicated once,
+    then ONE groupBy(gram) collects the per-gram source set (bounded by
+    |sources|, e.g. 20 — never corpus-scale) and explodes its sorted
+    pairs; the pair aggregation shuffles at most
+    |grams| · C(|sources-per-gram|, 2) tiny rows. No pairwise self-join
+    of the posting table (the naive form duplicates the corpus
+    |sources| times in the exchange).
+
+    Jaccard is emitted in exact parts-per-million (integer division) so
+    an independent engine reproduces it bit-for-bit. Returns the ``top``
+    most-overlapping pairs: (src_a, src_b, inter, jaccard_ppm), ordered
+    by jaccard_ppm DESC then names ASC.
+
+    Word n-grams follow the repo-wide shingle contract
+    (dedup.shingle_table equality classes): documents shorter than ``n``
+    words contribute their whole text as one gram."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+            f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+        ),
+    ).otherwise(F.array(F.array_join(w, " ")))
+    sg = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(source_col).alias("src"), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    pairs = (
+        sg.groupBy("gram")
+        .agg(F.expr("array_sort(collect_set(src))").alias("ss"))
+        .where(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, a -> "
+                    "transform(filter(ss, b -> b > a), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("src").alias("src_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("src").alias("src_b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr(
+                "CAST(inter * CAST(1000000 AS BIGINT) "
+                "div (na + nb - inter) AS BIGINT)"
+            ),
+        )
+        .select("src_a", "src_b", "inter", "jaccard_ppm")
+        .orderBy(F.col("jaccard_ppm").desc(), "src_a", "src_b")
+        .limit(top)
+    )

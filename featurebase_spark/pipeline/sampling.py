@@ -46,6 +46,7 @@ __all__ = [
     "hash_sample",
     "temperature_rates",
     "temperature_mix",
+    "corpus_mix_plan",
     "stratified_sample",
     "pack_sequences",
     "deterministic_shuffle",
@@ -245,6 +246,68 @@ def temperature_rates(
             F.col("thr").cast("long").alias("thr"),
         ]
     return shared.withColumn("thr", thr).select(*cols)
+
+
+def corpus_mix_plan(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    alpha: float = 0.5,
+    max_epochs_x1000: int = 4_000,
+) -> DataFrame:
+    """Per-source token/char QUOTAS and epoch counts for a fixed training
+    budget — the planning half of temperature mixing (the rates half is
+    :func:`temperature_rates`): source ``s`` gets ``budget · w_s / Σw``
+    where ``w_s = floor(size_s^alpha · 1e4)``, capped at
+    ``max_epochs_x1000/1000`` passes over the source (the standard "no
+    more than N epochs of any source" rule, e.g. 4 epochs); the epoch
+    count is reported in exact thousandths.
+
+    Entirely integer arithmetic after the one frozen ``w_int`` (same
+    cross-engine contract as :func:`temperature_rates`): quotas are one
+    DECIMAL(38,0)/HUGEINT division, the cap and the ceil-divide are
+    exact, so an independent engine reproduces every output bit. One
+    |sources|-row aggregate is the only shuffle.
+
+    Returns (source, src_size, quota, epochs_x1000) — all BIGINT.
+    Under-filled budget from capped sources is NOT redistributed
+    (one-shot rule, same as temperature_rates' rate cap)."""
+    if alpha == 0.5:
+        w_double = F.sqrt(F.col("src_size").cast("double"))
+    else:
+        w_double = F.pow(F.col("src_size").cast("double"), F.lit(float(alpha)))
+    sized = (
+        df.groupBy(source_col)
+        .agg(F.sum(F.col(size_col).cast("long")).alias("src_size"))
+        .withColumn(
+            "w_int", F.floor(w_double * F.lit(float(_W_SCALE))).cast("long")
+        )
+    )
+    totals = sized.agg(
+        F.sum(F.col("w_int").cast("decimal(38,0)")).alias("tot_w")
+    )
+    d = "decimal(38,0)"
+    b = int(budget)
+    me = int(max_epochs_x1000)
+    quota_raw = F.expr(
+        f"CAST({b} AS {d}) * CAST(w_int AS {d}) div CAST(tot_w AS {d})"
+    )
+    cap = F.expr(f"CAST({me} AS {d}) * CAST(src_size AS {d}) div 1000")
+    return (
+        sized.crossJoin(F.broadcast(totals))
+        .withColumn("quota", F.least(quota_raw, cap).cast("long"))
+        .withColumn(
+            "epochs_x1000",
+            F.when(F.col("src_size") <= 0, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    f"CAST((CAST(quota AS {d}) * 1000 + CAST(src_size AS {d}) - 1) "
+                    f"div CAST(src_size AS {d}) AS BIGINT)"
+                )
+            ),
+        )
+        .select(source_col, "src_size", "quota", "epochs_x1000")
+    )
 
 
 def stratified_sample(

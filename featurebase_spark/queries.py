@@ -4512,6 +4512,82 @@ def mix_stage_thresholds(spark, sf_dir):
 
 
 @register(
+    "mix_epoch_plan",
+    # the planning half of temperature mixing (r8 extension): per-source
+    # char quotas for a budget of half the corpus, ∝ sqrt(size), capped
+    # at 4.000 epochs; epoch counts in exact thousandths. Pure integer
+    # arithmetic after the frozen w_int — HUGEINT here, DECIMAL(38,0)
+    # div on the Spark side, every output CAST to BIGINT.
+    "WITH sizes AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_size "
+    "               FROM documents GROUP BY source), "
+    "sized AS (SELECT source, src_size, "
+    "  CAST(floor(sqrt(CAST(src_size AS DOUBLE)) * 10000.0) AS BIGINT) AS w_int "
+    "  FROM sizes), "
+    "tot AS (SELECT SUM(CAST(w_int AS HUGEINT)) AS tot_w FROM sized), "
+    "bud AS (SELECT CAST(SUM(n_chars) AS HUGEINT) // 2 AS b FROM documents), "
+    "q AS (SELECT source, src_size, "
+    "  LEAST((b * CAST(w_int AS HUGEINT)) // tot_w, "
+    "        (4000::HUGEINT * CAST(src_size AS HUGEINT)) // 1000) AS quota "
+    "  FROM sized, tot, bud) "
+    "SELECT source, src_size, CAST(quota AS BIGINT) AS quota, "
+    "CAST(CASE WHEN src_size <= 0 THEN 0 ELSE "
+    "  (quota * 1000 + CAST(src_size AS HUGEINT) - 1) // src_size END "
+    "  AS BIGINT) AS epochs_x1000 "
+    "FROM q ORDER BY source",
+)
+def mix_epoch_plan(spark, sf_dir):
+    """Per-source quota + epoch plan for a half-corpus training budget
+    (pipeline/sampling.corpus_mix_plan): quotas ∝ sqrt(source size),
+    capped at 4 epochs of any source, epochs reported in exact
+    thousandths. The oracle replays the entire integer derivation, so
+    the hash match proves bit-exact cross-engine reproducibility —
+    all four output columns are BIGINT by construction."""
+    from featurebase_spark.pipeline.sampling import corpus_mix_plan
+
+    docs = _tables(spark, sf_dir)["documents"]
+    budget = (
+        docs.agg(F.sum(F.col("n_chars").cast("long")).alias("t")).collect()[0]["t"]
+        // 2
+    )
+    return corpus_mix_plan(docs, budget, "source", "n_chars").orderBy("source")
+
+
+@register(
+    "source_overlap_matrix",
+    # exact pairwise 5-gram Jaccard between sources, in integer ppm —
+    # the brute-force posting self-join oracle; the Spark plan is the
+    # collect_set form (one groupBy(gram), no posting self-join)
+    "WITH sg AS (SELECT DISTINCT source AS src, gram FROM ("
+    "  SELECT source, unnest(CASE WHEN len(w) >= 5 "
+    "    THEN list_transform(range(1, len(w)-3), i -> array_to_string(w[i:i+4], ' ')) "
+    "    ELSE [array_to_string(w, ' ')] END) AS gram "
+    "  FROM (SELECT source, string_split(text, ' ') w FROM documents "
+    "        WHERE text IS NOT NULL))), "
+    "sizes AS (SELECT src, COUNT(*) AS n_grams FROM sg GROUP BY src), "
+    "pairs AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS inter "
+    "  FROM sg a JOIN sg b USING (gram) WHERE a.src < b.src GROUP BY 1, 2) "
+    "SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter, "
+    "CAST((CAST(inter AS HUGEINT) * 1000000) "
+    "     // (sa.n_grams + sb.n_grams - inter) AS BIGINT) AS jaccard_ppm "
+    "FROM pairs JOIN sizes sa ON pairs.src_a = sa.src "
+    "JOIN sizes sb ON pairs.src_b = sb.src "
+    "ORDER BY jaccard_ppm DESC, src_a, src_b LIMIT 25",
+)
+def source_overlap_matrix(spark, sf_dir):
+    """Top-25 most-overlapping source pairs by exact 5-gram Jaccard
+    (pipeline/contamination.source_overlap_jaccard). The Spark plan
+    never self-joins the posting table: one groupBy(gram) collects the
+    ≤|sources| per-gram source set and explodes its sorted pairs — the
+    oracle is the naive posting self-join, so the hash match proves the
+    set-form rewrite exact. Integer-ppm Jaccard ⇒ bit-identical across
+    engines."""
+    from featurebase_spark.pipeline.contamination import source_overlap_jaccard
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return source_overlap_jaccard(docs, "text", "source", n=5, top=25)
+
+
+@register(
     "text_repetition_signals",
     # Gopher-style repetition quality signals replayed per doc: duplicate
     # 2-/5-gram fractions (1 - distinct/total) and the top-bigram share

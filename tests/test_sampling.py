@@ -325,3 +325,56 @@ def test_topk_per_group_matches_naive_and_prunes_mapside(docs, spark):
     assert got == naive
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p and "Partial" in p, p
+
+
+def test_corpus_mix_plan_integer_contract(spark):
+    """Quotas ∝ floor(sqrt(size)·1e4), budget split exactly, 4-epoch cap
+    binds for tiny sources, epochs are exact ceil-thousandths."""
+    import math
+
+    from featurebase_spark.pipeline.sampling import corpus_mix_plan
+
+    rows = [("big", 10_000), ("mid", 2_500), ("tiny", 4)]
+    df = spark.createDataFrame(
+        [(s, n) for s, n in rows for _ in (0,)], "source string, n_chars long"
+    )
+    budget = 8_000
+    got = {
+        r["source"]: (r["src_size"], r["quota"], r["epochs_x1000"])
+        for r in corpus_mix_plan(df, budget, max_epochs_x1000=4000).collect()
+    }
+    w = {s: math.floor(math.sqrt(n) * 10_000) for s, n in rows}
+    tot_w = sum(w.values())
+    for s, n in rows:
+        quota = min(budget * w[s] // tot_w, 4000 * n // 1000)
+        epochs = (quota * 1000 + n - 1) // n
+        assert got[s] == (n, quota, epochs), (s, got[s], (n, quota, epochs))
+    # the cap actually binds on the tiny source (sanity of the scenario)
+    assert got["tiny"][1] == 16 and got["tiny"][2] == 4000
+
+
+def test_source_overlap_jaccard_matches_naive(spark):
+    from featurebase_spark.pipeline.contamination import source_overlap_jaccard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "s1"),       # grams: "a b c d e","b c d e f"
+            (2, "a b c d e g h", "s2"),     # shares "a b c d e" with s1
+            (3, "x y", "s3"),               # short doc → whole-text gram
+            (4, "x y", "s1"),               # s1∩s3 via short gram
+            (5, None, "s2"),                # NULL text ignored
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = [
+        (r["src_a"], r["src_b"], r["inter"], r["jaccard_ppm"])
+        for r in source_overlap_jaccard(docs, "text", "source").collect()
+    ]
+    # s1 grams: {"a b c d e","b c d e f","x y"} (3); s2: {"a b c d e",
+    # "b c d e g","c d e g h"} (3); s3: {"x y"} (1)
+    # s1-s2: inter=1, union=5 → 200000; s1-s3: inter=1, union=3 → 333333
+    assert ("s1", "s3", 1, 333_333) in got
+    assert ("s1", "s2", 1, 200_000) in got
+    assert len(got) == 2
+    # ordered by overlap desc
+    assert got[0][:2] == ("s1", "s3")
