@@ -144,36 +144,27 @@ def heavy_hitters(
     # recall to an over-tight local threshold.
     p = max(1, items.rdd.getNumPartitions())
     local_thr = max(1, math.ceil(threshold / p))
-    surv = (
+    surv_rows = (
         local_item_counts(items, item_col, with_markers=True)
         .where(
             (F.col("local_count") >= F.lit(local_thr))
             | F.col(item_col).isNull()
         )
-        .persist()  # bounded: ≤ P/min_share candidates + P sentinels
+        .select(item_col)
+        # one job pulls sentinels AND candidates (both driver-bound and
+        # bounded: ≤ P/min_share candidates + P sentinels), so phase 1
+        # scans the corpus exactly once with no persist to leak
+        .collect()
     )
-    try:
-        observed = surv.where(F.col(item_col).isNull()).count()
-        if observed > p:
-            raise RuntimeError(
-                f"heavy_hitters pigeonhole bound violated: phase 1 saw "
-                f"{observed} non-empty partitions but the local threshold "
-                f"ceil({threshold}/{p})={local_thr} assumed ≤ {p}; the "
-                f"candidate cut can no longer guarantee 100% recall"
-            )
-        # candidates are broadcast (= pulled to the driver) anyway, so
-        # materialize them here from the cached phase-1 survivors and
-        # release the cache before returning — no persist leak, and the
-        # verify join below still plans as a broadcast semi join.
-        cand_vals = [
-            r[0]
-            for r in surv.where(F.col(item_col).isNotNull())
-            .select(item_col)
-            .distinct()
-            .collect()
-        ]
-    finally:
-        surv.unpersist()
+    observed = sum(1 for r in surv_rows if r[0] is None)
+    if observed > p:
+        raise RuntimeError(
+            f"heavy_hitters pigeonhole bound violated: phase 1 saw "
+            f"{observed} non-empty partitions but the local threshold "
+            f"ceil({threshold}/{p})={local_thr} assumed ≤ {p}; the "
+            f"candidate cut can no longer guarantee 100% recall"
+        )
+    cand_vals = sorted({r[0] for r in surv_rows if r[0] is not None})
     spark = items.sparkSession
     candidates = spark.createDataFrame(
         [(v,) for v in cand_vals], f"{item_col} string"
