@@ -88,16 +88,25 @@ BENCH_QUERIES = [
     "blocklist_filter_bloom",
     "sql_q9_product_profit",
     "sql_q21_waiting_supplier",
+    # r8: mixing/overlap corpus planning, the as-of/funnel/retention
+    # behavioral tier (windowed point-in-time join, ordered funnel,
+    # cohort triangle), and the zero-shuffle LM-novelty quality signal
+    "mix_epoch_plan",
+    "source_overlap_matrix",
+    "events_asof_join",
+    "events_funnel",
+    "events_retention",
+    "text_novel_bigrams",
 ]
 
 #: queries added after the prior round — excluded from regression flags
 _NEW_IN_ROUND = {
-    "text_heavy_hitters",
-    "sql_q13_customer_distribution",
-    "sample_stratified_per_source",
-    "blocklist_filter_bloom",
-    "sql_q9_product_profit",
-    "sql_q21_waiting_supplier",
+    "mix_epoch_plan",
+    "source_overlap_matrix",
+    "events_asof_join",
+    "events_funnel",
+    "events_retention",
+    "text_novel_bigrams",
 }
 
 

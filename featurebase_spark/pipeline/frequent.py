@@ -46,7 +46,13 @@ from typing import Iterator, Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["local_item_counts", "heavy_hitters", "heavy_hitter_tokens"]
+__all__ = [
+    "local_item_counts",
+    "heavy_hitters",
+    "heavy_hitter_tokens",
+    "word_grams",
+    "novel_bigram_ratio",
+]
 
 
 def local_item_counts(
@@ -211,3 +217,86 @@ def heavy_hitter_tokens(
         mc = max(1, (int(share_permille) * n + 999) // 1000)
         return heavy_hitters(items, "token", total=n, min_count=mc)
     return heavy_hitters(items, "token", min_share, total=n)
+
+
+def word_grams(text_col: str, n: int) -> Column:
+    """Word n-gram ARRAY expression under the repo-wide shingle contract
+    (pipeline/dedup.shingle_table, pipeline/contamination): documents
+    shorter than ``n`` words contribute their whole text as one gram.
+    Pure built-in higher-order functions — zero-shuffle, no UDF."""
+    w = F.split(F.col(text_col), " ")
+    return F.when(
+        F.size(w) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+            f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+        ),
+    ).otherwise(F.array(F.array_join(w, " ")))
+
+
+def novel_bigram_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    share_permille: int = 1,
+) -> DataFrame:
+    """Corpus-LM novelty score per document: the share (exact integer
+    ppm) of the document's DISTINCT word n-grams that are NOT in the
+    corpus's frequent-gram vocabulary (grams with global occurrence
+    count ≥ ceil(share_permille · N / 1000)). A high score means the
+    document's phrasing is unlike the corpus — the cheap, fully
+    deterministic stand-in for an n-gram-LM perplexity filter (the
+    KenLM role in C4/Gopher-style pipelines) that needs no model
+    artifact and no floats.
+
+    Scale shape: the vocabulary is built by :func:`heavy_hitters`
+    (pigeonhole candidate/verify — the shuffle carries ≤ P·1000/
+    share_permille candidates, never the vocabulary) and is BOUNDED by
+    1000/share_permille items, so it rides into phase B as an array
+    literal in a ZERO-SHUFFLE projection: per document,
+    ``array_intersect(distinct grams, vocab)`` — no explode, no join,
+    no exchange. Total gram count N comes from a map-side
+    ``sum(size(...))``.
+
+    Returns (id, n_grams, novel_ppm) — all BIGINT;
+    ``novel_ppm = (n_grams - seen) · 10^6 div n_grams`` over distinct
+    grams (type-level novelty, the standard for quality filters)."""
+    docs = docs.where(F.col(text_col).isNotNull())
+    grams = word_grams(text_col, n)
+    total = int(
+        docs.select(F.sum(F.size(grams)).alias("n")).collect()[0]["n"] or 0
+    )
+    mc = max(1, (int(share_permille) * total + 999) // 1000)
+    vocab = [
+        r[0]
+        for r in heavy_hitters(
+            docs.select(F.explode(grams).alias("gram")),
+            "gram",
+            total=total,
+            min_count=mc,
+        ).collect()
+    ]
+    vocab_lit = (
+        F.array(*[F.lit(v) for v in sorted(vocab)])
+        if vocab
+        else F.array().cast("array<string>")
+    )
+    dg = F.array_distinct(grams)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(dg).cast("long").alias("n_grams"),
+            F.size(F.array_intersect(dg, vocab_lit)).cast("long").alias("__seen"),
+        )
+        # distinct-gram count is ≥ 1 by the whole-text fallback, so the
+        # integer division is total
+        .select(
+            id_col,
+            "n_grams",
+            F.expr(
+                "CAST((n_grams - __seen) * CAST(1000000 AS BIGINT) "
+                "div n_grams AS BIGINT)"
+            ).alias("novel_ppm"),
+        )
+    )

@@ -64,3 +64,124 @@ def session_stats(
         )
         .orderBy(user_col, "session_id")
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_minutes: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users performed ``steps[0]``,
+    then ``steps[1]`` STRICTLY AFTER it, then ``steps[2]`` after that, …
+    each within ``horizon_minutes`` of the previous step (unbounded when
+    None). The classic product/behavior query the reference's
+    bitmap algebra can intersect (users who did A and B) but cannot
+    ORDER (A *then* B) — no window or inequality-join machinery
+    (SURVEY §2.3).
+
+    Per-user step time = the EARLIEST qualifying event (the standard
+    first-touch convention); a user is counted in step i only if counted
+    in step i-1. Returns (step, event_type, users) — step is 1-based,
+    users is BIGINT and non-increasing.
+
+    Scale shape: one groupBy(user) per step over the PRE-FILTERED
+    single-type event stream, joined back user-to-user — |steps| - 1
+    shuffles over frames already reduced to one row per qualifying user,
+    never the raw event log; the event scan is pruned by the pushed-down
+    type filter. No windows, so no single-task-per-user funneling."""
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    ev = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("__u"), F.col(type_col).alias("__e"), ep.alias("__t"))
+    horizon_us = (
+        None if horizon_minutes is None else int(horizon_minutes) * 60 * 1_000_000
+    )
+    counts = []
+    cur = (
+        ev.where(F.col("__e") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__t").alias("__t"))
+    )
+    counts.append(
+        cur.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(1).cast("long").alias("step"),
+            F.lit(steps[0]).alias("event_type"),
+            F.col("users").cast("long"),
+        )
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col("__e") == s).select(
+            "__u", F.col("__t").alias("__nt")
+        )
+        cond = F.col("__nt") > F.col("__t")
+        if horizon_us is not None:
+            cond = cond & (F.col("__nt") <= F.col("__t") + F.lit(horizon_us))
+        cur = (
+            nxt.join(cur, "__u")
+            .where(cond)
+            .groupBy("__u")
+            .agg(F.min("__nt").alias("__t"))
+        )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col("users").cast("long"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("step")
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: users are cohorted by the Monday-start
+    week of their FIRST event; for every later week in which they have
+    any event, the (cohort_week, week_offset) cell counts them. The
+    growth-accounting query every event warehouse serves daily; the
+    reference can intersect time-quantum views per week but cannot
+    correlate them per user without N² PQL round trips.
+
+    Scale shape: ONE groupBy(user) computes min(ts) AND the distinct
+    active weeks together (``collect_set`` over date_trunc'd weeks —
+    bounded by the calendar, not the event count, with map-side partial
+    dedup), then the exploded (cohort, offset) pairs — ≤ weeks-per-user
+    rows per user — feed one small groupBy. The raw event log shuffles
+    once, pre-reduced to per-user week sets.
+
+    Returns (cohort_week DATE, week_offset BIGINT, active_users BIGINT),
+    week_offset 0 = the cohort week itself."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    per_user = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), wk.alias("__w"))
+        .groupBy("__u")
+        .agg(
+            F.min("__w").alias("__cohort"),
+            F.collect_set("__w").alias("__weeks"),
+        )
+    )
+    return (
+        per_user.select(
+            F.col("__cohort").cast("date").alias("cohort_week"),
+            F.explode("__weeks").alias("__w"),
+        )
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(F.col("__w").cast("date"), F.col("cohort_week"))
+                / F.lit(7)
+            ).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -4588,6 +4588,160 @@ def source_overlap_matrix(spark, sf_dir):
 
 
 @register(
+    "events_asof_join",
+    # point-in-time join: every purchase gets the latest at-or-before
+    # click of the same user. DuckDB's NATIVE ASOF JOIN is the oracle —
+    # an independent implementation of the semantics, not a replay of
+    # our plan. Right side pre-deduped per (user, ts) so the pick is
+    # engine-agnostic; age_sec is exact integer µs→s floor division;
+    # click_value is an untouched stored double (no arithmetic, so the
+    # bits match).
+    "WITH r AS (SELECT user_id, ts, MAX(value) AS v FROM events "
+    "           WHERE event_type = 'click' GROUP BY user_id, ts), "
+    "l AS (SELECT event_id, user_id, ts FROM events "
+    "      WHERE event_type = 'purchase') "
+    "SELECT l.event_id, l.user_id, r.v AS click_value, "
+    "CAST((epoch_us(l.ts) - epoch_us(r.ts)) // 1000000 AS BIGINT) AS age_sec "
+    "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts "
+    "ORDER BY l.event_id",
+)
+def events_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/asof.asof_join): each purchase
+    event is annotated with the same user's most recent at-or-before
+    click value and its staleness in whole seconds. One union + one
+    user-key window — no inequality join, nothing replicated. The
+    oracle is DuckDB's built-in ASOF JOIN, so the hash match checks our
+    windowed formulation against an independent native implementation
+    of the same semantics."""
+    from featurebase_spark.operators.asof import asof_join
+
+    ev = _tables(spark, sf_dir)["events"]
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+        .select("user_id", F.col("ts").alias("rts"), "v")
+    )
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="rts",
+        value_cols=["v", "rts"], tiebreak="v", suffix="_asof",
+    )
+    age = F.expr(
+        "CAST((unix_micros(CAST(ts AS timestamp_ltz)) - "
+        "unix_micros(CAST(rts_asof AS timestamp_ltz))) div 1000000 AS BIGINT)"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("v_asof").alias("click_value"),
+        age.alias("age_sec"),
+    ).orderBy("event_id")
+
+
+@register(
+    "events_funnel",
+    # ordered 3-step funnel view → click → purchase, each step within 7
+    # days of the previous; per-user step time = earliest qualifying
+    # event. The oracle replays the same first-touch recursion as a CTE
+    # chain; all epoch math is integer microseconds.
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events "
+    "           WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+    "s1 AS (SELECT user_id, MIN(t) AS t FROM e WHERE event_type = 'view' "
+    "       GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, MIN(e.t) AS t FROM e JOIN s1 USING (user_id) "
+    "       WHERE e.event_type = 'click' AND e.t > s1.t "
+    "         AND e.t <= s1.t + 604800000000 GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, MIN(e.t) AS t FROM e JOIN s2 USING (user_id) "
+    "       WHERE e.event_type = 'purchase' AND e.t > s2.t "
+    "         AND e.t <= s2.t + 604800000000 GROUP BY e.user_id) "
+    "SELECT * FROM ("
+    "  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, "
+    "         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users "
+    "  UNION ALL SELECT CAST(2 AS BIGINT), 'click', "
+    "         CAST((SELECT COUNT(*) FROM s2) AS BIGINT) "
+    "  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', "
+    "         CAST((SELECT COUNT(*) FROM s3) AS BIGINT)) ORDER BY step",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered-funnel conversion (pipeline/sessions.funnel): users who
+    viewed, then clicked within 7 days, then purchased within 7 days of
+    the click — first-touch step times, strict ordering. The reference's
+    bitmap algebra can only intersect (A AND B), never order (A then
+    B); this is the windowless k-join formulation whose shuffles carry
+    one row per qualifying user."""
+    from featurebase_spark.pipeline.sessions import funnel
+
+    ev = _tables(spark, sf_dir)["events"]
+    return funnel(
+        ev, ["view", "click", "purchase"], horizon_minutes=7 * 24 * 60
+    )
+
+
+@register(
+    "events_retention",
+    # weekly retention triangle: cohort = Monday-start week of first
+    # event; (cohort, offset) counts users active that week. Offsets are
+    # exact day-diffs // 7 between Monday dates.
+    "WITH a AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk "
+    "           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+    "f AS (SELECT user_id, MIN(wk) AS cohort FROM a GROUP BY user_id), "
+    "d AS (SELECT DISTINCT a.user_id, f.cohort, a.wk FROM a "
+    "      JOIN f USING (user_id)) "
+    "SELECT cohort AS cohort_week, "
+    "CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset, "
+    "CAST(COUNT(*) AS BIGINT) AS active_users "
+    "FROM d GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_retention(spark, sf_dir):
+    """Weekly retention cohorts (pipeline/sessions.retention_cohorts):
+    ONE groupBy(user) computes the cohort week and the distinct active
+    weeks together (collect_set bounded by the calendar, map-side
+    partial dedup), so the raw event log shuffles exactly once."""
+    from featurebase_spark.pipeline.sessions import retention_cohorts
+
+    ev = _tables(spark, sf_dir)["events"]
+    return retention_cohorts(ev)
+
+
+@register(
+    "text_novel_bigrams",
+    # corpus-LM novelty: share of each doc's DISTINCT word bigrams not
+    # in the corpus-frequent vocabulary (count ≥ ceil(N/1000), integer
+    # derivation). The oracle rebuilds the vocabulary with the naive
+    # full count and replays the per-doc membership join; the engine's
+    # pigeonhole vocab + zero-shuffle array_intersect must hash-match.
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w "
+    "              FROM documents WHERE text IS NOT NULL), "
+    "g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 "
+    "  THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) "
+    "  ELSE [array_to_string(w, ' ')] END) AS gram FROM toks), "
+    "tot AS (SELECT COUNT(*) AS n FROM g), "
+    "vocab AS (SELECT gram FROM g, tot GROUP BY gram, n "
+    "          HAVING COUNT(*) >= GREATEST(1, (1 * n + 999) // 1000)), "
+    "dg AS (SELECT DISTINCT doc_id, gram FROM g), "
+    "per AS (SELECT dg.doc_id, COUNT(*) AS n_grams, COUNT(v.gram) AS seen "
+    "        FROM dg LEFT JOIN vocab v USING (gram) GROUP BY dg.doc_id) "
+    "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+    "CAST((n_grams - seen) * CAST(1000000 AS BIGINT) // n_grams AS BIGINT) "
+    "  AS novel_ppm "
+    "FROM per ORDER BY doc_id",
+)
+def text_novel_bigrams(spark, sf_dir):
+    """Per-document corpus-LM novelty (pipeline/frequent.
+    novel_bigram_ratio): the KenLM-role quality signal without floats —
+    the frequent-bigram vocabulary is exact heavy hitters (bounded ≤
+    1000 items, shuffle carries candidates not the vocabulary) and the
+    per-doc score is a zero-shuffle array_intersect projection."""
+    from featurebase_spark.pipeline.frequent import novel_bigram_ratio
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return novel_bigram_ratio(docs, share_permille=1).orderBy("doc_id")
+
+
+@register(
     "text_repetition_signals",
     # Gopher-style repetition quality signals replayed per doc: duplicate
     # 2-/5-gram fractions (1 - distinct/total) and the top-bigram share

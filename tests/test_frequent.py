@@ -197,3 +197,44 @@ def test_deterministic_shuffle_stable_and_seeded(spark):
     assert a != c  # per-epoch reshuffle by seed
     assert sorted(a) == list(range(500))  # a permutation, nothing lost
     assert a != list(range(500))  # actually shuffled
+
+
+def test_novel_bigram_ratio_hand_computed(spark):
+    """Vocab threshold ceil(300·N/1000), type-level novelty in exact ppm,
+    short-doc whole-text fallback."""
+    from featurebase_spark.pipeline.frequent import novel_bigram_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),  # occurrences: "a b"x2, "b a"; distinct 2
+            (2, "a b c"),    # "a b", "b c"
+            (3, "z"),        # short → whole-text gram "z"
+            (4, "a b"),      # "a b"
+            (5, None),       # excluded
+        ],
+        "doc_id long, text string",
+    )
+    # N = 7 occurrences → thr = (300·7+999)//1000 = 3; only "a b" (4) is
+    # in-vocab
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novel_ppm"])
+        for r in novel_bigram_ratio(docs, share_permille=300).collect()
+    }
+    assert got == {
+        1: (2, 500_000),
+        2: (2, 500_000),
+        3: (1, 1_000_000),
+        4: (1, 0),
+    }
+
+
+def test_novel_bigram_ratio_zero_shuffle_scoring(spark):
+    """Phase B (scoring) is a pure projection: no Exchange in its plan."""
+    from featurebase_spark.pipeline.frequent import novel_bigram_ratio
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z") for i in range(20)], "doc_id long, text string"
+    )
+    out = novel_bigram_ratio(docs, share_permille=500)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
