@@ -250,7 +250,11 @@ def DATETIMEDIFF(part: str, a, b) -> Column:
         return (
             (F.year(sb) - F.year(sa)) * 12 + (F.month(sb) - F.month(sa))
         ).cast("long")
-    micros = F.unix_micros(sb) - F.unix_micros(sa)
+    # NTZ columns (the parquet loader's native type) take the repo-wide
+    # UTC-pinned ltz view; plain TIMESTAMP passes through unchanged
+    micros = F.unix_micros(sb.cast("timestamp_ltz")) - F.unix_micros(
+        sa.cast("timestamp_ltz")
+    )
     divisors = {
         "d": 86_400_000_000,
         "hh": 3_600_000_000,

@@ -4706,6 +4706,75 @@ def events_retention(spark, sf_dir):
     return retention_cohorts(ev)
 
 
+def _register_behavior_doors():
+    """SQL text-door twins of the behavioral tier (fb_funnel /
+    fb_retention / fb_asof_join TVFs) — same oracles as the DataFrame
+    keys, so a hash match proves the parser + TVF expansion change
+    nothing."""
+    for door, base in (
+        ("events_funnel_text_door", "events_funnel"),
+        ("events_retention_text_door", "events_retention"),
+        ("events_asof_text_door", "events_asof_join"),
+    ):
+        ORACLE_SQL[door] = ORACLE_SQL[base]
+
+    def funnel_door(spark, sf_dir):
+        """fb_funnel TVF through the SQL text door (same oracle as
+        events_funnel)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+        return fb_sql(
+            spark,
+            "SELECT step, event_type, users FROM fb_funnel(events, "
+            "user_id, event_type, ts, 'view,click,purchase', 10080) "
+            "ORDER BY step",
+        )
+
+    def retention_door(spark, sf_dir):
+        """fb_retention TVF through the SQL text door (same oracle as
+        events_retention)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+        return fb_sql(
+            spark,
+            "SELECT cohort_week, week_offset, active_users "
+            "FROM fb_retention(events, user_id, ts) "
+            "ORDER BY cohort_week, week_offset",
+        )
+
+    def asof_door(spark, sf_dir):
+        """fb_asof_join TVF through the SQL text door (same oracle as
+        events_asof_join); staleness via the dialect's DATETIMEDIFF
+        (truncation == floor on the non-negative backward diff)."""
+        from featurebase_spark.sql import fb_sql
+
+        ev = _tables(spark, sf_dir)["events"]
+        ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        ).createOrReplaceTempView("purchases")
+        ev.where(F.col("event_type") == "click").groupBy(
+            "user_id", "ts"
+        ).agg(F.max("value").alias("v")).select(
+            "user_id", F.col("ts").alias("rts"), "v"
+        ).createOrReplaceTempView("clicks")
+        return fb_sql(
+            spark,
+            "SELECT event_id, user_id, v_asof AS click_value, "
+            "DATETIMEDIFF('s', rts_asof, ts) AS age_sec "
+            "FROM fb_asof_join(purchases, clicks, user_id, ts, rts) "
+            "ORDER BY event_id",
+        )
+
+    SPARK_QUERIES["events_funnel_text_door"] = funnel_door
+    SPARK_QUERIES["events_retention_text_door"] = retention_door
+    SPARK_QUERIES["events_asof_text_door"] = asof_door
+
+
+_register_behavior_doors()
+
+
 @register(
     "text_novel_bigrams",
     # corpus-LM novelty: share of each doc's DISTINCT word bigrams not

@@ -234,7 +234,12 @@ def _f_datetimediff(a: list[str]) -> str:
         return f"CAST(year({e}) - year({s}) AS BIGINT)"
     if p == "m":
         return f"CAST((year({e}) - year({s})) * 12 + (month({e}) - month({s})) AS BIGINT)"
-    micros = f"(unix_micros({e}) - unix_micros({s}))"
+    # NTZ columns (the parquet loader's native type) take the repo-wide
+    # UTC-pinned ltz view; plain TIMESTAMP casts are no-ops
+    micros = (
+        f"(unix_micros(CAST({e} AS timestamp_ltz)) - "
+        f"unix_micros(CAST({s} AS timestamp_ltz)))"
+    )
     if p == "ns":
         return f"CAST({micros} * 1000 AS BIGINT)"
     if p not in _DIFF_DIVISORS:
@@ -605,12 +610,21 @@ _TVFS: dict[str, tuple[int, str]] = {
     "FB_TOPK_PER_GROUP": (4, "(table, part_col, order_col, k)"),
     # bloom-pruned exact blocklist filtering (pipeline/blocklist.py)
     "FB_BLOCKLIST_FILTER": (3, "(table, blocklist_table, key_col)"),
+    # behavioral tier (pipeline/sessions.py, operators/asof.py): ordered
+    # funnel (steps as a quoted CSV literal, horizon 0 = unbounded),
+    # weekly retention triangle, and the backward point-in-time join
+    "FB_FUNNEL": (
+        6, "(table, user_col, type_col, ts_col, steps, horizon_minutes)"
+    ),
+    "FB_RETENTION": (3, "(table, user_col, ts_col)"),
+    "FB_ASOF_JOIN": (5, "(table, right_table, on_col, left_ts, right_ts)"),
 }
 
 _TVF_GUARD = _re.compile(
     r"\b(fb_sessionize|fb_sessions|fb_dedup_survivors|fb_hash_split"
     r"|fb_hash_sample|fb_decontaminate|fb_heavy_hitters"
-    r"|fb_topk_per_group|fb_blocklist_filter)\b",
+    r"|fb_topk_per_group|fb_blocklist_filter"
+    r"|fb_funnel|fb_retention|fb_asof_join)\b",
     _re.IGNORECASE,
 )
 
@@ -734,6 +748,64 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
                 f"{low}: column '{key_c}' not found in {bl_tbl} (key_col)"
             )
         out = _bl.blocklist_filter(df, bl, key_c)
+    elif name == "FB_FUNNEL":
+        from featurebase_spark.pipeline import sessions
+
+        user, typ, ts, steps, horizon = args[1], args[2], args[3], args[4], args[5]
+        need_col(user, "user_col")
+        need_col(typ, "type_col")
+        need_col(ts, "ts_col")
+        m = _re.fullmatch(r"'((?:[^']|'')*)'", steps)
+        if not m:
+            raise ValueError(
+                f"{low}: string literal expected for steps (a CSV of "
+                f"event types), got {steps!r}"
+            )
+        step_list = [s.strip() for s in m.group(1).replace("''", "'").split(",") if s.strip()]
+        if len(step_list) < 2:
+            raise ValueError(
+                f"{low}: steps must name at least two event types, "
+                f"got {steps!r}"
+            )
+        if not _re.fullmatch(r"\d+", horizon):
+            raise ValueError(
+                f"{low}: integer literal expected for horizon_minutes "
+                f"(0 = unbounded), got {horizon!r}"
+            )
+        out = sessions.funnel(
+            df, step_list, user, typ, ts,
+            horizon_minutes=(int(horizon) or None),
+        )
+    elif name == "FB_RETENTION":
+        from featurebase_spark.pipeline import sessions
+
+        user, ts = args[1], args[2]
+        need_col(user, "user_col")
+        need_col(ts, "ts_col")
+        out = sessions.retention_cohorts(df, user, ts)
+    elif name == "FB_ASOF_JOIN":
+        from featurebase_spark.operators.asof import asof_join
+
+        r_tbl, on_c, lts, rts = args[1], args[2], args[3], args[4]
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", r_tbl):
+            raise ValueError(f"{low}: table name expected, got {r_tbl!r}")
+        right = spark.table(r_tbl)
+        need_col(on_c, "on_col")
+        need_col(lts, "left_ts")
+        for c, role in ((on_c, "on_col"), (rts, "right_ts")):
+            if c not in right.columns:
+                raise ValueError(
+                    f"{low}: column '{c}' not found in {r_tbl} ({role})"
+                )
+        # expose the matched right timestamp too (<right_ts>_asof) so
+        # SQL callers can compute staleness without a second join
+        out = asof_join(
+            df, right, on_c, lts, rts,
+            value_cols=[c for c in right.columns if c != on_c],
+            tiebreak=next(
+                (c for c in right.columns if c not in (on_c, rts)), rts
+            ),
+        )
     else:
         from featurebase_spark.pipeline import dedup
 

@@ -217,6 +217,78 @@ class TestTvfExtensions:
             )
 
 
+    def test_fb_funnel_door(self, spark, tables):
+        from featurebase_spark.sql import fb_sql
+
+        tables["events"].createOrReplaceTempView("tvf_events")
+        out = fb_sql(
+            spark,
+            "SELECT step, event_type, users FROM fb_funnel(tvf_events, "
+            "user_id, event_type, ts, 'view,click,purchase', 0) "
+            "ORDER BY step",
+        ).collect()
+        assert [r["step"] for r in out] == [1, 2, 3]
+        users = [r["users"] for r in out]
+        assert users == sorted(users, reverse=True)  # non-increasing
+
+    def test_fb_funnel_bad_steps_literal(self, spark, tables):
+        import pytest
+
+        from featurebase_spark.sql import fb_sql
+
+        tables["events"].limit(10).createOrReplaceTempView("tvf_events")
+        with pytest.raises(ValueError, match="string literal expected"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_funnel(tvf_events, user_id, event_type, "
+                "ts, steps, 0)",
+            )
+        with pytest.raises(ValueError, match="at least two event types"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_funnel(tvf_events, user_id, event_type, "
+                "ts, 'view', 0)",
+            )
+
+    def test_fb_retention_door(self, spark, tables):
+        from featurebase_spark.sql import fb_sql
+
+        tables["events"].createOrReplaceTempView("tvf_events")
+        out = fb_sql(
+            spark,
+            "SELECT cohort_week, week_offset, active_users "
+            "FROM fb_retention(tvf_events, user_id, ts) "
+            "ORDER BY cohort_week, week_offset",
+        ).collect()
+        assert len(out) > 0
+        assert all(r["week_offset"] >= 0 for r in out)
+
+    def test_fb_asof_join_door(self, spark, tables):
+        from featurebase_spark.sql import fb_sql
+        from pyspark.sql import functions as F
+
+        ev = tables["events"]
+        ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        ).createOrReplaceTempView("tvf_purchases")
+        ev.where(F.col("event_type") == "click").groupBy(
+            "user_id", "ts"
+        ).agg(F.max("value").alias("v")).select(
+            "user_id", F.col("ts").alias("rts"), "v"
+        ).createOrReplaceTempView("tvf_clicks")
+        out = fb_sql(
+            spark,
+            "SELECT COUNT(*) AS n, COUNT(v_asof) AS matched, "
+            "COUNT(rts_asof) AS matched_ts "
+            "FROM fb_asof_join(tvf_purchases, tvf_clicks, user_id, ts, rts)",
+        ).first()
+        # left-join row preservation + the right ts rides along
+        n_left = ev.where(F.col("event_type") == "purchase").count()
+        assert out["n"] == n_left
+        assert 0 < out["matched"] <= out["n"]
+        assert out["matched_ts"] == out["matched"]
+
+
 def test_translate_hyphenated_table_in_from_list():
     """A hyphenated table name after a COMMA in a FROM list is table
     position (reference scanner lexes '-' as an identifier char), so it
