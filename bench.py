@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "text_novel_bigrams",
+    # r8: trigram-accelerated LIKE (the reference's skip-through step at
+    # corpus scale) and the Markov transition matrix
+    "like_trigram_search",
+    "events_transitions",
 ]
 
 #: queries added after the prior round — excluded from regression flags
@@ -107,6 +111,8 @@ _NEW_IN_ROUND = {
     "events_funnel",
     "events_retention",
     "text_novel_bigrams",
+    "like_trigram_search",
+    "events_transitions",
 }
 
 

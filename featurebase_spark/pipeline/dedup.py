@@ -398,7 +398,10 @@ def _minhash_aggs(num_hashes: int) -> list[Column]:
     # of driver-side plan construction (r7 verdict ask #7). One F.expr
     # per agg keeps it to k calls; Catalyst CSE dedupes the repeated
     # xxhash64(shingle, 1) subtree during codegen.
-    b2 = "xxhash64(shingle, 1L)"
+    # NOTE: the seed literal must stay INT (`1`, not `1L`): xxhash64
+    # hashes each argument's raw bytes, so hashInt(1) != hashLong(1),
+    # and the fused numpy path replays the 4-byte form bit-exactly
+    b2 = "xxhash64(shingle, 1)"
     out = []
     for i in range(num_hashes):
         k = (i * 5) % 64

@@ -185,3 +185,42 @@ def retention_cohorts(
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order event-transition matrix: for every consecutive pair
+    of events of the same user (ordered by ``ts_col``, ties broken by
+    ``id_col`` so the matrix is deterministic), count (from_type,
+    to_type). The "what do users do next" Markov view that drives
+    funnel discovery — the funnel/retention tier's third leg, and like
+    them inexpressible in the reference's PQL (no per-user ordering;
+    SURVEY §2.3 "Window functions: none").
+
+    Scale shape: the ONE user-key exchange every behavioral operator in
+    this module shares (sessionize/funnel/retention all hash on the
+    user), a single ``lead`` window pass over it, then a groupBy whose
+    shuffle is bounded by |event types|² rows — never the event log.
+
+    Returns (from_type, to_type, transitions), one row per observed
+    ordered pair."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    return (
+        df.where(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(type_col).isNotNull()
+        )
+        .select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )

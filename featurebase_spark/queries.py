@@ -5178,6 +5178,139 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     )
 
 
+@register(
+    "like_trigram_search",
+    # the oracle is the NAIVE full-scan LIKE — the trigram prune +
+    # candidate verify must reproduce it exactly (no false negatives
+    # for literals >= 3 chars; false positives only add verify work)
+    "SELECT doc_id, source, n_chars FROM documents "
+    "WHERE text LIKE '%big vector%' ORDER BY doc_id",
+)
+def like_trigram_search(spark, sf_dir):
+    """Trigram-index-accelerated substring search
+    (pipeline/trigram.like_contains): ``LIKE '%big vector%'`` as
+    posting-list intersection + candidate-restricted verify — the scale
+    path for the reference's skip-through LIKE step (like.go:66-130
+    planLike / filterStepSkipThrough), which otherwise scans every text
+    byte. Postings build map-side (pure Catalyst trigram extraction, no
+    UDF) and shuffle (trigram, id) pairs once; the probe touches only
+    the literal's 8 posting lists; the real ``contains`` runs on
+    candidates alone. Oracle = the full-scan LIKE, so the hash match
+    proves the prune is lossless."""
+    from featurebase_spark.pipeline.trigram import like_contains
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        like_contains(docs, "doc_id", "text", "big vector")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "grouped_percentiles_profile",
+    # p25/p50/p75/p99 document length per (source, lang) in ONE pass;
+    # the oracle replays the integer nearest-rank formula per permille
+    # over the same (group, value) histogram
+    "WITH h AS (SELECT source, lang, n_chars AS v, COUNT(*) AS cnt "
+    "           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1,2,3), "
+    "t AS (SELECT source, lang, v, "
+    "  SUM(cnt) OVER (PARTITION BY source, lang ORDER BY v) AS cum, "
+    "  SUM(cnt) OVER (PARTITION BY source, lang) AS n FROM h) "
+    "SELECT source, lang, "
+    "CAST(MIN(CASE WHEN cum >= (250*n+999)//1000 THEN v END) AS BIGINT) AS p250, "
+    "CAST(MIN(CASE WHEN cum >= (500*n+999)//1000 THEN v END) AS BIGINT) AS p500, "
+    "CAST(MIN(CASE WHEN cum >= (750*n+999)//1000 THEN v END) AS BIGINT) AS p750, "
+    "CAST(MIN(CASE WHEN cum >= (990*n+999)//1000 THEN v END) AS BIGINT) AS p990 "
+    "FROM t GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def grouped_percentiles_profile(spark, sf_dir):
+    """Multi-quantile corpus length profile
+    (operators/grouped.grouped_percentiles): exact nearest-rank
+    p25/p50/p75/p99 of n_chars per (source, lang) in ONE histogram pass
+    — the same (group, value) histogram shuffle as the single-quantile
+    key, each extra quantile one more conditional min in the same
+    aggregate. The oracle replays the integer rank formula, so no
+    engine's quantile built-in enters the contract."""
+    from featurebase_spark.operators.grouped import grouped_percentiles
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        grouped_percentiles(
+            docs, ["source", "lang"], "n_chars", (250, 500, 750, 990)
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "events_transitions",
+    # first-order Markov transition counts over per-user event order
+    # (ts, event_id tiebreak); the oracle is the window-lead spelling
+    "WITH s AS (SELECT event_type AS from_type, "
+    "  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "    AS to_type FROM events "
+    "  WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+    "    AND event_type IS NOT NULL) "
+    "SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS transitions "
+    "FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_transitions(spark, sf_dir):
+    """Event-transition matrix (pipeline/sessions.transitions): counts
+    of consecutive (from_type, to_type) pairs per user — the behavioral
+    tier's Markov view, sharing the one user-key exchange with
+    sessionize/funnel/retention; the final shuffle is bounded by
+    |event types|² rows, never the log."""
+    from featurebase_spark.pipeline.sessions import transitions
+
+    ev = _tables(spark, sf_dir)["events"]
+    return transitions(ev).orderBy("from_type", "to_type")
+
+
+def _register_search_doors():
+    """SQL text-door twins of the search/behavioral additions
+    (fb_like_search / fb_transitions TVFs) — same oracles as the
+    DataFrame keys."""
+    for door, base in (
+        ("like_search_text_door", "like_trigram_search"),
+        ("events_transitions_text_door", "events_transitions"),
+    ):
+        ORACLE_SQL[door] = ORACLE_SQL[base]
+
+    def like_door(spark, sf_dir):
+        """fb_like_search TVF through the SQL text door (same oracle as
+        like_trigram_search)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+            "documents"
+        )
+        return fb_sql(
+            spark,
+            "SELECT doc_id, source, n_chars FROM fb_like_search("
+            "documents, doc_id, text, 'big vector') ORDER BY doc_id",
+        )
+
+    def transitions_door(spark, sf_dir):
+        """fb_transitions TVF through the SQL text door (same oracle as
+        events_transitions)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+        return fb_sql(
+            spark,
+            "SELECT from_type, to_type, transitions FROM fb_transitions("
+            "events, user_id, event_type, ts, event_id) "
+            "ORDER BY from_type, to_type",
+        )
+
+    SPARK_QUERIES["like_search_text_door"] = like_door
+    SPARK_QUERIES["events_transitions_text_door"] = transitions_door
+
+
+_register_search_doors()
+
+
 # ===========================================================================
 # Registry ordering — driver hard-gate priority
 # ===========================================================================

@@ -618,13 +618,20 @@ _TVFS: dict[str, tuple[int, str]] = {
     ),
     "FB_RETENTION": (3, "(table, user_col, ts_col)"),
     "FB_ASOF_JOIN": (5, "(table, right_table, on_col, left_ts, right_ts)"),
+    # trigram-accelerated substring search (pipeline/trigram.py): the
+    # literal is a quoted string; wildcards are a compile error (the
+    # TVF is the skip-through step, not a pattern planner)
+    "FB_LIKE_SEARCH": (4, "(table, id_col, text_col, literal)"),
+    # first-order event-transition matrix (pipeline/sessions.py)
+    "FB_TRANSITIONS": (5, "(table, user_col, type_col, ts_col, id_col)"),
 }
 
 _TVF_GUARD = _re.compile(
     r"\b(fb_sessionize|fb_sessions|fb_dedup_survivors|fb_hash_split"
     r"|fb_hash_sample|fb_decontaminate|fb_heavy_hitters"
     r"|fb_topk_per_group|fb_blocklist_filter"
-    r"|fb_funnel|fb_retention|fb_asof_join)\b",
+    r"|fb_funnel|fb_retention|fb_asof_join"
+    r"|fb_like_search|fb_transitions)\b",
     _re.IGNORECASE,
 )
 
@@ -806,6 +813,33 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
                 (c for c in right.columns if c not in (on_c, rts)), rts
             ),
         )
+    elif name == "FB_LIKE_SEARCH":
+        from featurebase_spark.pipeline.trigram import like_contains
+
+        id_col, text_col, lit = args[1], args[2], args[3]
+        need_col(id_col, "id_col")
+        need_col(text_col, "text_col")
+        m = _re.fullmatch(r"'((?:[^']|'')*)'", lit)
+        if not m:
+            raise ValueError(
+                f"{low}: string literal expected for literal, got {lit!r}"
+            )
+        literal = m.group(1).replace("''", "'")
+        if any(ch in literal for ch in "%_"):
+            raise ValueError(
+                f"{low}: literal must not contain wildcards (%, _); "
+                f"got {lit!r}"
+            )
+        out = like_contains(df, id_col, text_col, literal)
+    elif name == "FB_TRANSITIONS":
+        from featurebase_spark.pipeline import sessions
+
+        user, typ, ts, id_col = args[1], args[2], args[3], args[4]
+        need_col(user, "user_col")
+        need_col(typ, "type_col")
+        need_col(ts, "ts_col")
+        need_col(id_col, "id_col")
+        out = sessions.transitions(df, user, typ, ts, id_col)
     else:
         from featurebase_spark.pipeline import dedup
 

@@ -5,6 +5,7 @@ ordering, horizon cutoffs, cohort offsets."""
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _ts(s):
@@ -173,3 +174,52 @@ def test_retention_cohort_offsets(spark):  # noqa: F811
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# transitions (first-order Markov matrix)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def transition_events(spark):
+    rows = [
+        # u1: view -> click -> purchase (two transitions)
+        (1, 1, "view", "2024-01-01 00:00:00"),
+        (2, 1, "click", "2024-01-01 01:00:00"),
+        (3, 1, "purchase", "2024-01-01 02:00:00"),
+        # u2: same-timestamp tie — event_id breaks it: view(4) then click(5)
+        (4, 2, "view", "2024-01-01 00:00:00"),
+        (5, 2, "click", "2024-01-01 00:00:00"),
+        # u3: single event — no transition
+        (6, 3, "view", "2024-01-01 00:00:00"),
+        # NULL user / ts / type rows are dropped
+        (7, None, "view", "2024-01-01 00:00:00"),
+        (8, 4, "view", None),
+        (9, 4, None, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_transitions_counts_and_ties(transition_events):
+    from featurebase_spark.pipeline.sessions import transitions
+
+    got = {
+        (r["from_type"], r["to_type"]): r["transitions"]
+        for r in transitions(transition_events).collect()
+    }
+    assert got == {("view", "click"): 2, ("click", "purchase"): 1}
+
+
+def test_transitions_single_user_exchange_plan(transition_events):
+    """One hash exchange on the user key feeds the lead window; the
+    final pair groupBy is the only other exchange."""
+    from featurebase_spark.pipeline.sessions import transitions
+
+    out = transitions(transition_events)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("hashpartitioning(user_id") == 1, p
+    assert "Window" in p

@@ -67,3 +67,44 @@ def test_grouped_percentile_validation(df):
         grouped_percentile(df, ["g"], "v", 0)
     with pytest.raises(ValueError):
         grouped_percentile(df, ["g"], "v", 1001)
+
+
+def test_grouped_percentiles_multi_matches_single(df):
+    """Every column of the one-pass multi form equals the single form."""
+    from featurebase_spark.operators.grouped import grouped_percentiles
+
+    ps = (250, 500, 750, 990)
+    multi = {r["g"]: r for r in grouped_percentiles(df, ["g"], "v", ps).collect()}
+    for p in ps:
+        single = {r["g"]: r["pct_value"]
+                  for r in grouped_percentile(df, ["g"], "v", p).collect()}
+        for g, want in single.items():
+            assert multi[g][f"p{p}"] == want, (g, p)
+
+
+def test_grouped_percentiles_shared_pass_plan(df):
+    """Adding quantiles must not add exchanges: the 4-quantile plan has
+    exactly as many Exchange operators as the 1-quantile plan."""
+    from featurebase_spark.operators.grouped import grouped_percentiles
+
+    p1 = (
+        grouped_percentile(df, ["g"], "v", 500)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    p4 = (
+        grouped_percentiles(df, ["g"], "v", (250, 500, 750, 990))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p4.count("Exchange") == p1.count("Exchange"), (p1, p4)
+    assert p4.count("Window") == p1.count("Window")
+
+
+def test_grouped_percentiles_validation(df):
+    from featurebase_spark.operators.grouped import grouped_percentiles
+
+    with pytest.raises(ValueError):
+        grouped_percentiles(df, ["g"], "v", ())
+    with pytest.raises(ValueError):
+        grouped_percentiles(df, ["g"], "v", (500, 500))
+    with pytest.raises(ValueError):
+        grouped_percentiles(df, ["g"], "v", (0,))

@@ -1,0 +1,99 @@
+"""Trigram-accelerated LIKE (pipeline/trigram.py) — exactness vs the
+naive scan, pruning guarantees, and the plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurebase_spark.pipeline.trigram import (
+    build_trigram_postings,
+    like_contains,
+    required_trigrams,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the big vector table"),
+        (2, "big vectors only"),          # contains 'big vector'
+        (3, "vector big"),                # all trigrams of 'big vector'? no
+        (4, "a bigger vector"),           # 'big vector' trigrams partial
+        (5, None),
+        (6, "xy"),                        # shorter than a trigram
+        (7, "big vector"),                # exact
+        (8, "contains big  vector"),      # double space — NOT a match
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_required_trigrams():
+    assert required_trigrams("abcd") == ["abc", "bcd"]
+    assert required_trigrams("aaaa") == ["aaa"]  # deduped
+    assert required_trigrams("ab") == []
+
+
+def test_matches_naive_scan(docs):
+    got = sorted(
+        r["doc_id"]
+        for r in like_contains(docs, "doc_id", "text", "big vector").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.where(F.col("text").contains("big vector")).collect()
+    )
+    assert got == want == [1, 2, 7]
+
+
+def test_short_literal_falls_back(docs):
+    got = sorted(
+        r["doc_id"]
+        for r in like_contains(docs, "doc_id", "text", "xy").collect()
+    )
+    assert got == [6]
+
+
+def test_wildcards_rejected(docs):
+    with pytest.raises(ValueError):
+        like_contains(docs, "doc_id", "text", "big%vector")
+
+
+def test_postings_distinct_per_doc(docs):
+    p = build_trigram_postings(docs, "doc_id", "text")
+    # 'aaaa' style repeats collapse: doc 7 'big vector' has 8 distinct
+    # trigrams, one posting row each
+    n = p.where(F.col("doc_id") == 7).count()
+    assert n == len(required_trigrams("big vector")) == 8
+    dup = (
+        p.groupBy("doc_id", "trigram").count().where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
+def test_prebuilt_postings_and_plan(docs):
+    """Probe with a prebuilt index; candidates broadcast back (no corpus
+    shuffle on the verify side)."""
+    postings = build_trigram_postings(docs, "doc_id", "text")
+    out = like_contains(docs, "doc_id", "text", "big vector", postings=postings)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 7]
+
+
+def test_no_false_negatives_on_corpus(tables):
+    """Sweep several literals on the real documents table: accelerated
+    result == naive scan, including 0-hit literals."""
+    docs = tables["documents"]
+    for lit in ("big vector", "merge batch part", "zzz-not-there"):
+        got = (
+            like_contains(docs, "doc_id", "text", lit)
+            .select("doc_id")
+            .collect()
+        )
+        want = (
+            docs.where(F.col("text").contains(lit)).select("doc_id").collect()
+        )
+        assert sorted(r["doc_id"] for r in got) == sorted(
+            r["doc_id"] for r in want
+        ), lit
