@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     # corpus scale) and the Markov transition matrix
     "like_trigram_search",
     "events_transitions",
+    # r8: Ed-Join-style fuzzy similarity join (prefix-pruned vs O(n^2))
+    "fuzzy_name_pairs",
 ]
 
 #: queries added after the prior round — excluded from regression flags
@@ -113,6 +115,7 @@ _NEW_IN_ROUND = {
     "text_novel_bigrams",
     "like_trigram_search",
     "events_transitions",
+    "fuzzy_name_pairs",
 }
 
 

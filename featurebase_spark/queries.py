@@ -5267,6 +5267,141 @@ def events_transitions(spark, sf_dir):
     return transitions(ev).orderBy("from_type", "to_type")
 
 
+@register(
+    "approx_distinct_hll",
+    # the HLL register contract replayed bit-for-bit: md5 hashing,
+    # 12-bit register, rho = 60-bit-tail leading zeros + 1, and the
+    # 2^61-scaled estimator denominator as an exact HUGEINT → STRING
+    "WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events "
+    "           WHERE user_id IS NOT NULL), "
+    "rr AS (SELECT CAST('0x' || substr(hx,1,3) AS BIGINT) AS register, "
+    "              CAST('0x' || substr(hx,4,15) AS BIGINT) AS v FROM h), "
+    "g AS (SELECT register, "
+    "        MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) "
+    "          AS max_rho FROM rr GROUP BY register) "
+    "SELECT CAST(4096 AS BIGINT) AS m, "
+    "CAST(COUNT(*) AS BIGINT) AS used_registers, "
+    "CAST(4096 - COUNT(*) AS BIGINT) AS zero_registers, "
+    "CAST(SUM(max_rho) AS BIGINT) AS sum_rho, "
+    "CAST(SUM(CAST(1 AS BIGINT) << (61 - max_rho)) "
+    "  + (4096 - COUNT(*)) * CAST(2305843009213693952 AS HUGEINT) "
+    "  AS VARCHAR) AS denom_scaled FROM g",
+)
+def approx_distinct_hll(spark, sf_dir):
+    """Mergeable HyperLogLog distinct sketch (pipeline/sketches.py):
+    distinct users of the event log folded into 4096 registers — the
+    shape that answers COUNT DISTINCT over unbounded keys with a
+    shuffle bounded by 2^b rows per shard, never the key cardinality
+    (the scale path beyond the reference's exact bitmap
+    Count(Distinct), executor.go executeCount). The whole register
+    derivation is integer-exact on both engines (md5 → hex-nibble
+    register, bin()-length rho, 2^61-scaled denominator in
+    DECIMAL(38,0)/HUGEINT); only the final float estimate lives
+    outside the oracle (pytest-verified within HLL error bounds)."""
+    from featurebase_spark.pipeline.sketches import hll_summary
+
+    ev = _tables(spark, sf_dir)["events"]
+    return hll_summary(ev, "user_id", b=12)
+
+
+@register(
+    "fuzzy_name_pairs",
+    # the oracle is the NAIVE all-pairs levenshtein join — the q-gram
+    # rarity-prefix prune + candidate verify must reproduce it exactly
+    "WITH c AS (SELECT c_custkey AS id, c_name AS t FROM customer "
+    "           WHERE c_custkey % 10 = 0) "
+    "SELECT a.id AS id_a, b.id AS id_b, "
+    "CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist "
+    "FROM c a JOIN c b ON a.id < b.id "
+    "WHERE levenshtein(a.t, b.t) <= 1 ORDER BY id_a, id_b",
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance similarity join (pipeline/fuzzy.fuzzy_join):
+    every customer-name pair within Levenshtein distance 1 — the
+    entity-resolution / near-key-matching shape. Ed-Join-style q-gram
+    rarity-prefix filtering (one bounded gram-df aggregate, prefixes of
+    q·d+1 = 3 rarest grams, posting self-join on the prefix only) with
+    a candidate-restricted levenshtein verify; strings outside the
+    prefix theorem route through an explicit exact side leg. The
+    oracle replays the brute-force O(n²) join, so the hash match
+    proves the prune is lossless."""
+    from featurebase_spark.pipeline.fuzzy import fuzzy_join
+
+    cust = _tables(spark, sf_dir)["customer"].where(
+        F.col("c_custkey") % 10 == 0
+    )
+    return (
+        fuzzy_join(cust, "c_custkey", "c_name", max_dist=1, q=2)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "stream_hll_registers",
+    # streaming sketch == batch sketch: register merge is associative/
+    # commutative/idempotent, so the stateful fold's final state must
+    # equal the batch register table no matter the micro-batching
+    "WITH h AS (SELECT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS hx "
+    "           FROM events WHERE user_id IS NOT NULL "
+    "             AND event_type IS NOT NULL), "
+    "rr AS (SELECT g, CAST('0x' || substr(hx,1,2) AS BIGINT) AS register, "
+    "              CAST('0x' || substr(hx,3,15) AS BIGINT) AS v FROM h) "
+    "SELECT g, CAST(register AS BIGINT) AS register, "
+    "CAST(MAX(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) "
+    "  AS BIGINT) AS max_rho "
+    "FROM rr GROUP BY g, register ORDER BY g, register",
+)
+def stream_hll_registers(spark, sf_dir):
+    """Streaming per-group HLL sketch END TO END, oracle-gated:
+    ``streaming.stateful_hll`` (applyInPandasWithState; state = the
+    group's 2^b register array) folds a real 2-micro-batch file stream
+    of (event_type, user_id) and the update-mode sink's final state
+    must equal DuckDB's batch register derivation exactly — the merge
+    algebra (max: associative, commutative, idempotent) is what makes
+    an exact oracle possible for a streaming approximate operator.
+    The register/rho math runs JVM-side pre-fold (the b=8 variant of
+    the approx_distinct_hll contract)."""
+    import tempfile
+
+    from featurebase_spark.streaming import stateful_hll
+
+    ev = (
+        _tables(spark, sf_dir)["events"]
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "user_id")
+    )
+    d = tempfile.mkdtemp(prefix="fb_stream_hll_")
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    state: dict = {}
+
+    def sink(batch, epoch_id):
+        for r in batch.collect():  # ≤ groups × 2^b rows per batch
+            state[(r["g"], r["register"])] = r["max_rho"]
+
+    q = (
+        stateful_hll(s, "event_type", "user_id", b=8)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (g, int(reg), int(rho))
+        for (g, reg), rho in sorted(state.items())
+    ]
+    return spark.createDataFrame(
+        rows, "g string, register long, max_rho long"
+    ).orderBy("g", "register")
+
+
 def _register_search_doors():
     """SQL text-door twins of the search/behavioral additions
     (fb_like_search / fb_transitions TVFs) — same oracles as the

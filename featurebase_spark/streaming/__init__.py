@@ -427,3 +427,60 @@ def session_window_counts(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def stateful_hll(
+    stream: DataFrame, group_col: str, key_col: str, b: int = 8
+) -> DataFrame:
+    """EXTENSION: streaming per-group distinct-count sketch — the HLL
+    register fold (pipeline/sketches.py) as a custom stateful operator.
+    Each group's state is its 2^b register array; every micro-batch
+    folds its rows in with ``max`` and emits the group's current used
+    registers (update semantics, ≤ 2^b rows per group per trigger).
+    Because register merge is associative/commutative/idempotent, the
+    final state is EXACTLY the batch sketch of the whole stream, no
+    matter how the input was micro-batched — which is what lets an
+    exact oracle exist for a streaming approximate operator.
+
+    The (register, rho) derivation runs JVM-side on the stream BEFORE
+    the stateful fold (the same integer-exact md5 contract as the batch
+    sketch); Python only takes per-register maxima. State per group is
+    2^b small ints, hash-partitioned by group across executors."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from featurebase_spark.pipeline.sketches import _register_and_rho
+
+    m = 1 << b
+    reg, rho = _register_and_rho(F.col(key_col), b)
+    prepped = (
+        stream.where(F.col(key_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            reg.alias("register"),
+            rho.alias("rho"),
+        )
+    )
+
+    def fold(key, pdfs, state):
+        # GroupState.get is a property returning the state tuple
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            for r, x in zip(pdf["register"], pdf["rho"]):
+                if x > regs[r]:
+                    regs[r] = int(x)
+        state.update((regs,))
+        used = [(key[0], i, v) for i, v in enumerate(regs) if v > 0]
+        yield pd.DataFrame(used, columns=["g", "register", "max_rho"])
+
+    out_type = (
+        prepped.schema["g"].dataType.simpleString()
+    )
+    return prepped.groupBy("g").applyInPandasWithState(
+        fold,
+        outputStructType=f"g {out_type}, register INT, max_rho INT",
+        stateStructType="regs ARRAY<INT>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

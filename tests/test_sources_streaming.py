@@ -830,3 +830,47 @@ class TestExternalLookupDbapi:
             schema="uid long, name string",
         )
         assert out.count() == 0 and out.columns == ["uid", "name"]
+
+
+def test_stateful_hll_batching_invariant(spark, tmpdir):
+    """Streaming HLL fold == batch sketch regardless of micro-batching:
+    the same rows split into 3 micro-batches produce exactly the batch
+    register table (merge is associative/commutative/idempotent)."""
+    import os
+
+    from featurebase_spark.pipeline.sketches import hll_registers
+
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(200)] + [("g2", i) for i in range(40)],
+        "g STRING, k LONG",
+    )
+    src_dir = os.path.join(tmpdir, "hll_src")
+    df.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state = {}
+
+    def sink(batch, _):
+        for r in batch.collect():
+            state[(r["g"], r["register"])] = r["max_rho"]
+
+    q = (
+        STR.stateful_hll(stream, "g", "k", b=8)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for g in ("g1", "g2"):
+        want = {
+            r["register"]: r["max_rho"]
+            for r in hll_registers(
+                df.where(df.g == g), "k", b=8
+            ).collect()
+        }
+        got = {reg: rho for (gg, reg), rho in state.items() if gg == g}
+        assert got == want, g
