@@ -5409,6 +5409,8 @@ def _register_search_doors():
     for door, base in (
         ("like_search_text_door", "like_trigram_search"),
         ("events_transitions_text_door", "events_transitions"),
+        ("fuzzy_join_text_door", "fuzzy_name_pairs"),
+        ("hll_text_door", "approx_distinct_hll"),
     ):
         ORACLE_SQL[door] = ORACLE_SQL[base]
 
@@ -5439,8 +5441,37 @@ def _register_search_doors():
             "ORDER BY from_type, to_type",
         )
 
+    def fuzzy_door(spark, sf_dir):
+        """fb_fuzzy_join TVF through the SQL text door (same oracle as
+        fuzzy_name_pairs)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["customer"].where(
+            F.col("c_custkey") % 10 == 0
+        ).createOrReplaceTempView("cust_sub")
+        return fb_sql(
+            spark,
+            "SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist "
+            "FROM fb_fuzzy_join(cust_sub, c_custkey, c_name, 1) "
+            "ORDER BY id_a, id_b",
+        )
+
+    def hll_door(spark, sf_dir):
+        """fb_hll TVF through the SQL text door (same oracle as
+        approx_distinct_hll)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+        return fb_sql(
+            spark,
+            "SELECT m, used_registers, zero_registers, sum_rho, "
+            "denom_scaled FROM fb_hll(events, user_id, 12)",
+        )
+
     SPARK_QUERIES["like_search_text_door"] = like_door
     SPARK_QUERIES["events_transitions_text_door"] = transitions_door
+    SPARK_QUERIES["fuzzy_join_text_door"] = fuzzy_door
+    SPARK_QUERIES["hll_text_door"] = hll_door
 
 
 _register_search_doors()

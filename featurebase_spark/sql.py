@@ -624,6 +624,10 @@ _TVFS: dict[str, tuple[int, str]] = {
     "FB_LIKE_SEARCH": (4, "(table, id_col, text_col, literal)"),
     # first-order event-transition matrix (pipeline/sessions.py)
     "FB_TRANSITIONS": (5, "(table, user_col, type_col, ts_col, id_col)"),
+    # Ed-Join edit-distance similarity join (pipeline/fuzzy.py)
+    "FB_FUZZY_JOIN": (4, "(table, id_col, text_col, max_dist)"),
+    # mergeable HLL distinct sketch summary (pipeline/sketches.py)
+    "FB_HLL": (3, "(table, key_col, b)"),
 }
 
 _TVF_GUARD = _re.compile(
@@ -631,7 +635,7 @@ _TVF_GUARD = _re.compile(
     r"|fb_hash_sample|fb_decontaminate|fb_heavy_hitters"
     r"|fb_topk_per_group|fb_blocklist_filter"
     r"|fb_funnel|fb_retention|fb_asof_join"
-    r"|fb_like_search|fb_transitions)\b",
+    r"|fb_like_search|fb_transitions|fb_fuzzy_join|fb_hll)\b",
     _re.IGNORECASE,
 )
 
@@ -840,6 +844,28 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
         need_col(ts, "ts_col")
         need_col(id_col, "id_col")
         out = sessions.transitions(df, user, typ, ts, id_col)
+    elif name == "FB_FUZZY_JOIN":
+        from featurebase_spark.pipeline.fuzzy import fuzzy_join
+
+        id_col, text_col, dd = args[1], args[2], args[3]
+        need_col(id_col, "id_col")
+        need_col(text_col, "text_col")
+        if not _re.fullmatch(r"[1-9]\d*", dd):
+            raise ValueError(
+                f"{low}: positive integer literal expected for max_dist, "
+                f"got {dd!r}"
+            )
+        out = fuzzy_join(df, id_col, text_col, max_dist=int(dd))
+    elif name == "FB_HLL":
+        from featurebase_spark.pipeline.sketches import hll_summary
+
+        key_c, bb = args[1], args[2]
+        need_col(key_c, "key_col")
+        if not _re.fullmatch(r"\d+", bb):
+            raise ValueError(
+                f"{low}: integer literal expected for b, got {bb!r}"
+            )
+        out = hll_summary(df, key_c, b=int(bb))
     else:
         from featurebase_spark.pipeline import dedup
 

@@ -458,3 +458,69 @@ def test_fb_topk_and_blocklist_tvfs(spark, tables):
     # arity error mirrors the reference phrasing
     with pytest.raises(ValueError, match="formal parameters"):
         fb_sql(spark, "SELECT * FROM fb_topk_per_group(tvf_docs2, source)")
+
+
+class TestSearchTvfs:
+    """fb_like_search / fb_transitions / fb_fuzzy_join / fb_hll doors:
+    compile-error surface (the end-to-end results are oracle-gated via
+    the *_text_door keys)."""
+
+    def test_like_search_errors(self, spark, tables):
+        import pytest
+
+        from featurebase_spark.sql import fb_sql
+
+        tables["documents"].limit(5).createOrReplaceTempView("tvf_docs")
+        with pytest.raises(ValueError, match="string literal expected"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_like_search(tvf_docs, doc_id, text, lit)",
+            )
+        with pytest.raises(ValueError, match="must not contain wildcards"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_like_search(tvf_docs, doc_id, text, "
+                "'a%b')",
+            )
+        with pytest.raises(ValueError, match="column 'nope' not found"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_like_search(tvf_docs, nope, text, 'ab')",
+            )
+
+    def test_transitions_arity(self, spark, tables):
+        import pytest
+
+        from featurebase_spark.sql import fb_sql
+
+        tables["events"].limit(5).createOrReplaceTempView("tvf_ev2")
+        with pytest.raises(ValueError, match=r"formal parameters \(5\)"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_transitions(tvf_ev2, user_id, "
+                "event_type, ts)",
+            )
+
+    def test_fuzzy_join_errors(self, spark, tables):
+        import pytest
+
+        from featurebase_spark.sql import fb_sql
+
+        tables["customer"].limit(5).createOrReplaceTempView("tvf_cust")
+        with pytest.raises(ValueError, match="positive integer literal"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_fuzzy_join(tvf_cust, c_custkey, "
+                "c_name, 0)",
+            )
+
+    def test_hll_door_small(self, spark, tables):
+        from featurebase_spark.sql import fb_sql
+
+        tables["events"].limit(50).createOrReplaceTempView("tvf_ev3")
+        row = fb_sql(
+            spark,
+            "SELECT * FROM fb_hll(tvf_ev3, user_id, 8)",
+        ).collect()[0]
+        assert row["m"] == 256
+        assert row["used_registers"] + row["zero_registers"] == 256
