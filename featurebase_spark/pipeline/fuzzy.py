@@ -96,7 +96,15 @@ def fuzzy_join(
             Window.partitionBy("__id").orderBy("__df", "gram")
         ),
     )
-    prefix = ranked.where(F.col("__rk") <= prefix_len).select("__id", "gram")
+    # the prefix postings feed BOTH sides of the self-join AND the
+    # short-string anti-join; localCheckpoint materializes the ranked
+    # subtree once (≤ prefix_len rows per string) instead of replaying
+    # the gram/df/window pipeline three times
+    prefix = (
+        ranked.where(F.col("__rk") <= prefix_len)
+        .select("__id", "gram")
+        .localCheckpoint(eager=False)
+    )
     left = prefix.select(F.col("__id").alias("id_a"), "gram")
     right = prefix.select(F.col("__id").alias("id_b"), "gram")
     cand = (
@@ -109,7 +117,7 @@ def fuzzy_join(
     # with ANY string within the length window — tiny for real corpora,
     # explicitly exact
     shorties = base.join(
-        eligible.select("__id").distinct(), "__id", "left_anti"
+        prefix.select("__id").distinct(), "__id", "left_anti"
     ).select(
         F.col("__id").alias("id_a"), F.col("__t").alias("__ta")
     )
