@@ -214,7 +214,7 @@ def main() -> None:
         df = Q.SPARK_QUERIES[name](spark, sf_dir)
         n = df.count() if name.startswith("pql_row") else len(df.collect())
         dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 4)
+        per_query[name] = round(dt, 3)  # ms precision keeps the JSON line inside the tail buffer
         total += dt
         note = ""
         if name in baseline and baseline[name] > 0:

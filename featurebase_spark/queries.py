@@ -5338,6 +5338,64 @@ def fuzzy_name_pairs(spark, sf_dir):
 
 
 @register(
+    "keyword_search_topk",
+    # integer-rank keyword search: docs scored by (#matched query terms,
+    # total term frequency), doc_id tiebreak — no float relevance model
+    # in the contract, so the oracle replays the ranking exactly
+    "WITH s AS (SELECT doc_id, source, "
+    "  len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf1, "
+    "  len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS tf2, "
+    "  len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS tf3 "
+    "  FROM documents WHERE text IS NOT NULL) "
+    "SELECT doc_id, source, "
+    "CAST(CAST(tf1 > 0 AS INT) + CAST(tf2 > 0 AS INT) "
+    "  + CAST(tf3 > 0 AS INT) AS BIGINT) AS matched, "
+    "CAST(tf1 + tf2 + tf3 AS BIGINT) AS total_tf "
+    "FROM s WHERE tf1 + tf2 + tf3 > 0 "
+    "ORDER BY matched DESC, total_tf DESC, doc_id ASC LIMIT 10",
+)
+def keyword_search_topk(spark, sf_dir):
+    """Multi-term keyword search, top-10 by (matched terms, total term
+    frequency, doc_id) — the exact-integer retrieval shape underneath
+    BM25-style ranking (the reference's Rows(like=)/TopN can filter OR
+    rank but not score-and-rank across terms, executor.go:2714).
+    Scoring is a ZERO-SHUFFLE projection (array filter per term, no
+    explode/groupBy); the top-10 is a TakeOrderedAndProject, so nothing
+    global ever sorts — per-partition heaps ship k rows each at any
+    corpus size."""
+    terms = ["vector", "stream", "merge"]
+    docs = _tables(spark, sf_dir)["documents"].where(
+        F.col("text").isNotNull()
+    )
+    # NB: a 2-arg lambda in F.filter is treated as (element, index) —
+    # build the per-term filters as parsed exprs instead
+    tfs = [
+        F.expr(f"size(filter(split(text, ' '), x -> x = '{t}'))").alias(
+            f"__tf{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    s = docs.select("doc_id", "source", *tfs)
+    matched = sum(
+        (F.col(f"__tf{i}") > 0).cast("long") for i in range(len(terms))
+    )
+    total = sum(F.col(f"__tf{i}") for i in range(len(terms)))
+    return (
+        s.select(
+            "doc_id",
+            "source",
+            matched.alias("matched"),
+            total.cast("long").alias("total_tf"),
+        )
+        .where(F.col("total_tf") > 0)
+        .orderBy(
+            F.col("matched").desc(), F.col("total_tf").desc(), F.col("doc_id")
+        )
+        .limit(10)
+    )
+
+
+@register(
     "stream_hll_registers",
     # streaming sketch == batch sketch: register merge is associative/
     # commutative/idempotent, so the stateful fold's final state must

@@ -297,3 +297,14 @@ def test_q20_nested_in_chain_is_semi_joins(spark, tables):
     p = plan(spark, "sql_q20_promo_suppliers")
     assert "LeftSemi" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_keyword_search_zero_exchange_takeordered(spark):
+    """keyword_search_topk: scoring is a pure projection and the top-k
+    is a TakeOrderedAndProject — ZERO exchanges, nothing global sorts."""
+    from featurebase_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["keyword_search_topk"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("Exchange") == 0, p
