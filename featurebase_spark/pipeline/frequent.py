@@ -264,14 +264,22 @@ def novel_bigram_ratio(
     grams (type-level novelty, the standard for quality filters)."""
     docs = docs.where(F.col(text_col).isNotNull())
     grams = word_grams(text_col, n)
+    # the gram extraction (split + window slices) is the expensive part
+    # and FOUR consumers need it (total count, both heavy-hitter phases,
+    # the scoring projection); checkpoint the per-doc gram arrays once
+    # instead of re-deriving them from text in every job
+    prep = docs.select(
+        F.col(id_col), grams.alias("__grams")
+    ).localCheckpoint(eager=False)
     total = int(
-        docs.select(F.sum(F.size(grams)).alias("n")).collect()[0]["n"] or 0
+        prep.select(F.sum(F.size("__grams")).alias("n")).collect()[0]["n"]
+        or 0
     )
     mc = max(1, (int(share_permille) * total + 999) // 1000)
     vocab = [
         r[0]
         for r in heavy_hitters(
-            docs.select(F.explode(grams).alias("gram")),
+            prep.select(F.explode("__grams").alias("gram")),
             "gram",
             total=total,
             min_count=mc,
@@ -282,9 +290,9 @@ def novel_bigram_ratio(
         if vocab
         else F.array().cast("array<string>")
     )
-    dg = F.array_distinct(grams)
+    dg = F.array_distinct(F.col("__grams"))
     return (
-        docs.select(
+        prep.select(
             F.col(id_col),
             F.size(dg).cast("long").alias("n_grams"),
             F.size(F.array_intersect(dg, vocab_lit)).cast("long").alias("__seen"),
