@@ -105,24 +105,38 @@ def source_overlap_jaccard(
     Word n-grams follow the repo-wide shingle contract
     (dedup.shingle_table equality classes): documents shorter than ``n``
     words contribute their whole text as one gram."""
-    w = F.split(F.col(text_col), " ")
-    grams = F.when(
-        F.size(w) >= n,
-        F.expr(
-            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
-            f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
-        ),
-    ).otherwise(F.array(F.array_join(w, " ")))
+    from featurebase_spark.pipeline.frequent import word_grams
+
+    # no .distinct() here: collect_set dedups (src, gram) pairs inside
+    # the ONE gram shuffle (map-side partial sets), so a separate
+    # distinct exchange would be pure overhead. split binds in its own
+    # projection so the gram transform slices a bound array instead of
+    # re-splitting the text per gram (see frequent.word_grams).
     sg = (
         docs.where(F.col(text_col).isNotNull())
-        .select(F.col(source_col).alias("src"), F.explode(grams).alias("gram"))
-        .distinct()
+        .select(
+            F.col(source_col).alias("src"),
+            F.split(F.col(text_col), " ").alias("__w"),
+        )
+        .select("src", F.explode(word_grams("__w", n)).alias("gram"))
     )
-    sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
-    pairs = (
+    # ONE pass builds the per-gram source sets; sizes derive from the
+    # same sets (each (src, gram) appears exactly once in sg, so
+    # exploding the sets counts each source's distinct grams) — the
+    # lazy checkpoint stops the extraction + distinct + gram shuffle
+    # from replaying for the second consumer
+    g = (
         sg.groupBy("gram")
         .agg(F.expr("array_sort(collect_set(src))").alias("ss"))
-        .where(F.size("ss") >= 2)
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        g.select(F.explode("ss").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    pairs = (
+        g.where(F.size("ss") >= 2)
         .select(
             F.explode(
                 F.expr(

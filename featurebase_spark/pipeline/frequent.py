@@ -219,17 +219,23 @@ def heavy_hitter_tokens(
     return heavy_hitters(items, "token", min_share, total=n)
 
 
-def word_grams(text_col: str, n: int) -> Column:
+def word_grams(words_col, n: int) -> Column:
     """Word n-gram ARRAY expression under the repo-wide shingle contract
     (pipeline/dedup.shingle_table, pipeline/contamination): documents
     shorter than ``n`` words contribute their whole text as one gram.
-    Pure built-in higher-order functions — zero-shuffle, no UDF."""
-    w = F.split(F.col(text_col), " ")
+    Pure built-in higher-order functions — zero-shuffle, no UDF.
+
+    ``words_col`` must be a PRE-SPLIT words column (select
+    ``split(text, ' ')`` into its own projection first): lambda bodies
+    re-evaluate their argument expressions per element, so embedding
+    ``split`` inside the transform re-tokenizes the text once PER GRAM
+    — O(len²) where a bound column reference is O(len·n)."""
+    w = F.col(words_col) if isinstance(words_col, str) else words_col
     return F.when(
         F.size(w) >= n,
-        F.expr(
-            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
-            f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
         ),
     ).otherwise(F.array(F.array_join(w, " ")))
 
@@ -263,14 +269,19 @@ def novel_bigram_ratio(
     ``novel_ppm = (n_grams - seen) · 10^6 div n_grams`` over distinct
     grams (type-level novelty, the standard for quality filters)."""
     docs = docs.where(F.col(text_col).isNotNull())
-    grams = word_grams(text_col, n)
     # the gram extraction (split + window slices) is the expensive part
     # and FOUR consumers need it (total count, both heavy-hitter phases,
     # the scoring projection); checkpoint the per-doc gram arrays once
-    # instead of re-deriving them from text in every job
-    prep = docs.select(
-        F.col(id_col), grams.alias("__grams")
-    ).localCheckpoint(eager=False)
+    # instead of re-deriving them from text in every job. The split
+    # binds in its own projection so the transform lambda slices a
+    # bound array instead of re-splitting per gram (see word_grams).
+    prep = (
+        docs.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+        )
+        .select(F.col(id_col), word_grams("__w", n).alias("__grams"))
+        .localCheckpoint(eager=False)
+    )
     total = int(
         prep.select(F.sum(F.size("__grams")).alias("n")).collect()[0]["n"]
         or 0
