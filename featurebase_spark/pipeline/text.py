@@ -71,12 +71,17 @@ def distinct_token_ratio(col) -> Column:
     return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
 
 
-def dup_ngram_fraction(col, n: int = 2) -> Column:
+def dup_ngram_fraction(col, n: int = 2, pre_split: bool = False) -> Column:
     """Fraction of word n-grams that are REPEATS of an earlier n-gram in
     the same document (Gopher's duplicate-n-gram repetition signal):
     ``1 - distinct/total`` over NON-distinct grams. 0.0 for docs with
-    < n tokens. Pure per-row Catalyst expressions — zero shuffle."""
-    toks = tokens(col)
+    < n tokens. Pure per-row Catalyst expressions — zero shuffle.
+
+    ``pre_split=True`` ⇒ ``col`` is already the token ARRAY (stage the
+    split in its own projection: lambda bodies re-evaluate argument
+    expressions per element, so an embedded split re-tokenizes the text
+    once per gram)."""
+    toks = (F.col(col) if isinstance(col, str) else col) if pre_split else tokens(col)
     sz = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), sz - (n - 1)),
@@ -87,14 +92,14 @@ def dup_ngram_fraction(col, n: int = 2) -> Column:
     return F.when(sz < n, F.lit(0.0)).otherwise(frac)
 
 
-def top_ngram_fraction(col, n: int = 2) -> Column:
+def top_ngram_fraction(col, n: int = 2, pre_split: bool = False) -> Column:
     """Fraction of all word n-grams taken by the single MOST FREQUENT
     n-gram (Gopher's top-n-gram repetition signal — boilerplate and
     template spam max this out). Computed shuffle-free per row: sort the
     gram array and fold a longest-run counter over it with
     ``F.aggregate`` (JVM-side, no explode/groupBy). 0.0 for docs with
-    < n tokens."""
-    toks = tokens(col)
+    < n tokens. ``pre_split`` as in :func:`dup_ngram_fraction`."""
+    toks = (F.col(col) if isinstance(col, str) else col) if pre_split else tokens(col)
     sz = F.size(toks)
     grams = F.array_sort(
         F.transform(

@@ -4841,16 +4841,20 @@ def text_repetition_signals(spark, sf_dir):
     Integer-count divisions ⇒ bit-identical doubles."""
     from featurebase_spark.pipeline.text import (
         dup_ngram_fraction,
+        tokens,
         top_ngram_fraction,
     )
 
     docs = _tables(spark, sf_dir)["documents"]
-    c = F.col("text")
-    return docs.select(
+    # stage the token array once: all three signals slice a bound array
+    # instead of re-splitting the text per gram per signal
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    t = F.col("__toks")
+    return staged.select(
         "doc_id",
-        dup_ngram_fraction(c, 2).alias("dup_bigram_frac"),
-        dup_ngram_fraction(c, 5).alias("dup_5gram_frac"),
-        top_ngram_fraction(c, 2).alias("top_bigram_frac"),
+        dup_ngram_fraction(t, 2, pre_split=True).alias("dup_bigram_frac"),
+        dup_ngram_fraction(t, 5, pre_split=True).alias("dup_5gram_frac"),
+        top_ngram_fraction(t, 2, pre_split=True).alias("top_bigram_frac"),
     ).orderBy("doc_id")
 
 
