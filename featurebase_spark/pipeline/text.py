@@ -11,6 +11,8 @@ keeps DuckDB oracles exact). Swap ``TOKEN_SEP`` for a regex tokenizer via
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 TOKEN_SEP = " "
@@ -298,3 +300,58 @@ def scrub_pii(col, patterns=PII_PATTERNS) -> Column:
     for pat, repl in patterns:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def keyword_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    k: int = 10,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Multi-term keyword search: top-``k`` documents by the integer
+    ranking (matched query terms DESC, total term frequency DESC,
+    id ASC) — the exact-retrieval shape underneath BM25-style scoring,
+    with no float relevance model. Scoring is a ZERO-SHUFFLE projection
+    (one array-filter per term over the split tokens; a 2-arg lambda in
+    F.filter would mean (element, index), so the filters are parsed
+    exprs) and the top-k is a TakeOrderedAndProject: per-partition
+    heaps ship k rows each at any corpus size — nothing global sorts.
+    Returns (id, *extra_cols, matched, total_tf)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    for t in terms:
+        if "'" in t or "\\" in t:
+            raise ValueError(f"term may not contain quotes/backslashes: {t!r}")
+    tfs = [
+        F.expr(
+            f"size(filter(split({text_col}, ' '), x -> x = '{t}'))"
+        ).alias(f"__tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    s = df.where(F.col(text_col).isNotNull()).select(
+        id_col, *extra_cols, *tfs
+    )
+    matched = None
+    total = None
+    for i in range(len(terms)):
+        m = (F.col(f"__tf{i}") > 0).cast("long")
+        t = F.col(f"__tf{i}")
+        matched = m if matched is None else matched + m
+        total = t if total is None else total + t
+    return (
+        s.select(
+            id_col,
+            *extra_cols,
+            matched.alias("matched"),
+            total.cast("long").alias("total_tf"),
+        )
+        .where(F.col("total_tf") > 0)
+        .orderBy(
+            F.col("matched").desc(), F.col("total_tf").desc(), F.col(id_col)
+        )
+        .limit(int(k))
+    )

@@ -5367,35 +5367,12 @@ def keyword_search_topk(spark, sf_dir):
     explode/groupBy); the top-10 is a TakeOrderedAndProject, so nothing
     global ever sorts — per-partition heaps ship k rows each at any
     corpus size."""
-    terms = ["vector", "stream", "merge"]
-    docs = _tables(spark, sf_dir)["documents"].where(
-        F.col("text").isNotNull()
-    )
-    # NB: a 2-arg lambda in F.filter is treated as (element, index) —
-    # build the per-term filters as parsed exprs instead
-    tfs = [
-        F.expr(f"size(filter(split(text, ' '), x -> x = '{t}'))").alias(
-            f"__tf{i}"
-        )
-        for i, t in enumerate(terms)
-    ]
-    s = docs.select("doc_id", "source", *tfs)
-    matched = sum(
-        (F.col(f"__tf{i}") > 0).cast("long") for i in range(len(terms))
-    )
-    total = sum(F.col(f"__tf{i}") for i in range(len(terms)))
-    return (
-        s.select(
-            "doc_id",
-            "source",
-            matched.alias("matched"),
-            total.cast("long").alias("total_tf"),
-        )
-        .where(F.col("total_tf") > 0)
-        .orderBy(
-            F.col("matched").desc(), F.col("total_tf").desc(), F.col("doc_id")
-        )
-        .limit(10)
+    from featurebase_spark.pipeline.text import keyword_topk
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return keyword_topk(
+        docs, "doc_id", "text", ["vector", "stream", "merge"], k=10,
+        extra_cols=["source"],
     )
 
 
@@ -5530,10 +5507,40 @@ def _register_search_doors():
             "denom_scaled FROM fb_hll(events, user_id, 12)",
         )
 
+    def keyword_door(spark, sf_dir):
+        """fb_keyword_search TVF through the SQL text door (the TVF
+        emits (id, matched, total_tf); same ranking contract as
+        keyword_search_topk without the extra column)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+            "documents"
+        )
+        return fb_sql(
+            spark,
+            "SELECT doc_id, matched, total_tf FROM fb_keyword_search("
+            "documents, doc_id, text, 'vector,stream,merge', 10)",
+        )
+
+    ORACLE_SQL["keyword_search_text_door"] = (
+        "WITH s AS (SELECT doc_id, "
+        "  len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf1, "
+        "  len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS tf2, "
+        "  len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS tf3 "
+        "  FROM documents WHERE text IS NOT NULL) "
+        "SELECT doc_id, "
+        "CAST(CAST(tf1 > 0 AS INT) + CAST(tf2 > 0 AS INT) "
+        "  + CAST(tf3 > 0 AS INT) AS BIGINT) AS matched, "
+        "CAST(tf1 + tf2 + tf3 AS BIGINT) AS total_tf "
+        "FROM s WHERE tf1 + tf2 + tf3 > 0 "
+        "ORDER BY matched DESC, total_tf DESC, doc_id ASC LIMIT 10"
+    )
+
     SPARK_QUERIES["like_search_text_door"] = like_door
     SPARK_QUERIES["events_transitions_text_door"] = transitions_door
     SPARK_QUERIES["fuzzy_join_text_door"] = fuzzy_door
     SPARK_QUERIES["hll_text_door"] = hll_door
+    SPARK_QUERIES["keyword_search_text_door"] = keyword_door
 
 
 _register_search_doors()

@@ -628,6 +628,8 @@ _TVFS: dict[str, tuple[int, str]] = {
     "FB_FUZZY_JOIN": (4, "(table, id_col, text_col, max_dist)"),
     # mergeable HLL distinct sketch summary (pipeline/sketches.py)
     "FB_HLL": (3, "(table, key_col, b)"),
+    # integer-rank keyword search (pipeline/text.keyword_topk)
+    "FB_KEYWORD_SEARCH": (5, "(table, id_col, text_col, terms, k)"),
 }
 
 _TVF_GUARD = _re.compile(
@@ -635,7 +637,8 @@ _TVF_GUARD = _re.compile(
     r"|fb_hash_sample|fb_decontaminate|fb_heavy_hitters"
     r"|fb_topk_per_group|fb_blocklist_filter"
     r"|fb_funnel|fb_retention|fb_asof_join"
-    r"|fb_like_search|fb_transitions|fb_fuzzy_join|fb_hll)\b",
+    r"|fb_like_search|fb_transitions|fb_fuzzy_join|fb_hll"
+    r"|fb_keyword_search)\b",
     _re.IGNORECASE,
 )
 
@@ -866,6 +869,33 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
                 f"{low}: integer literal expected for b, got {bb!r}"
             )
         out = hll_summary(df, key_c, b=int(bb))
+    elif name == "FB_KEYWORD_SEARCH":
+        from featurebase_spark.pipeline.text import keyword_topk
+
+        id_col, text_col, terms_lit, kk = args[1], args[2], args[3], args[4]
+        need_col(id_col, "id_col")
+        need_col(text_col, "text_col")
+        m = _re.fullmatch(r"'((?:[^']|'')*)'", terms_lit)
+        if not m:
+            raise ValueError(
+                f"{low}: string literal expected for terms (a CSV of "
+                f"search terms), got {terms_lit!r}"
+            )
+        term_list = [
+            t.strip()
+            for t in m.group(1).replace("''", "'").split(",")
+            if t.strip()
+        ]
+        if not term_list:
+            raise ValueError(
+                f"{low}: terms must name at least one search term, "
+                f"got {terms_lit!r}"
+            )
+        if not _re.fullmatch(r"[1-9]\d*", kk):
+            raise ValueError(
+                f"{low}: positive integer literal expected for k, got {kk!r}"
+            )
+        out = keyword_topk(df, id_col, text_col, term_list, k=int(kk))
     else:
         from featurebase_spark.pipeline import dedup
 

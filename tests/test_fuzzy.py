@@ -109,3 +109,24 @@ def test_validation(names):
         fuzzy_join(names, "id", "name", max_dist=0)
     with pytest.raises(ValueError):
         fuzzy_join(names, "id", "name", q=1)
+
+
+def test_randomized_exactness_seeded(spark):
+    """120 seeded-random short strings over a 3-char alphabet (dense
+    near-pair space, heavy repetition — the regime that stresses the
+    prefix theorem and the short/repetitive side leg): accelerated ==
+    brute force at d=1 and d=2."""
+    import random
+
+    rng = random.Random(0xFB08)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(1, 8))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_join(df, "id", "name", max_dist=d).collect()
+        }
+        assert got == _brute(rows, d), d

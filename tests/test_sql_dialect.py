@@ -524,3 +524,22 @@ class TestSearchTvfs:
         ).collect()[0]
         assert row["m"] == 256
         assert row["used_registers"] + row["zero_registers"] == 256
+
+    def test_keyword_search_door_errors(self, spark, tables):
+        import pytest
+
+        from featurebase_spark.sql import fb_sql
+
+        tables["documents"].limit(5).createOrReplaceTempView("tvf_docs2")
+        with pytest.raises(ValueError, match="at least one search term"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_keyword_search(tvf_docs2, doc_id, text, "
+                "' , ', 5)",
+            )
+        with pytest.raises(ValueError, match="positive integer literal"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_keyword_search(tvf_docs2, doc_id, text, "
+                "'a,b', 0)",
+            )
