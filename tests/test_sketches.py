@@ -88,3 +88,25 @@ def test_b_validation(keys):
         hll_registers(keys, "k", b=20)
     with pytest.raises(ValueError):
         hll_merge()
+
+
+def test_registers_match_python_md5_replay(spark):
+    """Bit-exactness of the register contract against an independent
+    pure-Python replay (hashlib.md5 over the decimal string, nibble
+    register, 60-bit-tail leading zeros + 1)."""
+    import hashlib
+
+    keys = [0, 1, 7, 42, 999_999_999, 2**40 + 3, -5]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["register"]: r["max_rho"]
+        for r in hll_registers(df, "k", b=12).collect()
+    }
+    want: dict = {}
+    for k in keys:
+        hx = hashlib.md5(str(k).encode()).hexdigest()
+        reg = int(hx[:3], 16)
+        v = int(hx[3:18], 16)
+        rho = 61 if v == 0 else 61 - v.bit_length()
+        want[reg] = max(want.get(reg, 0), rho)
+    assert got == want
