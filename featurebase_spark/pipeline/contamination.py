@@ -112,8 +112,10 @@ def source_overlap_jaccard(
     # distinct exchange would be pure overhead. split binds in its own
     # projection so the gram transform slices a bound array instead of
     # re-splitting the text per gram (see frequent.word_grams).
+    from featurebase_spark.pipeline import spread_small_input
+
     sg = (
-        docs.where(F.col(text_col).isNotNull())
+        spread_small_input(docs.where(F.col(text_col).isNotNull()))
         .select(
             F.col(source_col).alias("src"),
             F.split(F.col(text_col), " ").alias("__w"),

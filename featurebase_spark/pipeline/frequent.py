@@ -208,7 +208,9 @@ def heavy_hitter_tokens(
     toks = F.split(F.col(text_col), quoted)
     # NULL text: size(split(NULL)) is -1 (would skew the threshold's N)
     # while explode(NULL) emits nothing — drop NULLs before BOTH.
-    docs = docs.where(F.col(text_col).isNotNull())
+    from featurebase_spark.pipeline import spread_small_input
+
+    docs = spread_small_input(docs.where(F.col(text_col).isNotNull()))
     n = int(
         docs.select(F.sum(F.size(toks)).alias("n")).collect()[0]["n"] or 0
     )
@@ -268,7 +270,9 @@ def novel_bigram_ratio(
     Returns (id, n_grams, novel_ppm) — all BIGINT;
     ``novel_ppm = (n_grams - seen) · 10^6 div n_grams`` over distinct
     grams (type-level novelty, the standard for quality filters)."""
-    docs = docs.where(F.col(text_col).isNotNull())
+    from featurebase_spark.pipeline import spread_small_input
+
+    docs = spread_small_input(docs.where(F.col(text_col).isNotNull()))
     # the gram extraction (split + window slices) is the expensive part
     # and FOUR consumers need it (total count, both heavy-hitter phases,
     # the scoring projection); checkpoint the per-doc gram arrays once
