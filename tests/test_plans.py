@@ -308,3 +308,30 @@ def test_keyword_search_zero_exchange_takeordered(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p, p
     assert p.count("Exchange") == 0, p
+
+
+def test_trigram_probe_plan_no_corpus_shuffle(spark):
+    """like_trigram_search: the candidate set broadcasts back into the
+    corpus scan (BroadcastHashJoin LeftSemi) — the corpus itself never
+    hash-exchanges; the only aggregation runs over the posting rows of
+    the literal's trigrams."""
+    from featurebase_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["like_trigram_search"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    # no exchange hashes the full document relation: the only
+    # hashpartitioning keys are the candidate-count groupBy's
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "doc_id" in ln, ln
+
+
+def test_retention_single_user_exchange(spark, tables):
+    """retention_cohorts: the event log shuffles ONCE (user key); the
+    cohort-cell aggregation runs over per-user week sets."""
+    from featurebase_spark.pipeline.sessions import retention_cohorts
+
+    out = retention_cohorts(tables["events"])
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("hashpartitioning(__u") <= 1, p
