@@ -64,6 +64,10 @@ class Catalog:
         self._bitmap: dict[str, object] = {}
         #: table -> {field: "eq"|"bsi"} — which fields are indexed and how
         self._index_fields: dict[str, dict[str, str]] = {}
+        #: table -> {field: postings DataFrame | None} — trigram TEXT
+        #: indexes (pipeline/trigram); None marks the postings STALE
+        #: (a write touched the column — rebuilt lazily at next probe)
+        self._text_indexes: dict[str, dict[str, object]] = {}
         #: table -> KeyTranslator for string-keyed tables (translate.go)
         self._translators: dict[str, object] = {}
 
@@ -120,6 +124,7 @@ class Catalog:
         self._defs.pop(name, None)
         self._bitmap.pop(name, None)
         self._index_fields.pop(name, None)
+        self._text_indexes.pop(name, None)
         self._translators.pop(name, None)
         store = self._storage.pop(name, None)
         if store is not None:
@@ -404,24 +409,97 @@ class Catalog:
             self._translators[table] = tr
         return tr.attach(df, "_id"), "__fbid"
 
+    def create_text_index(self, table: str, field: str) -> None:
+        """CREATE TEXT INDEX — trigram posting lists for substring
+        search (pipeline/trigram; the scale path for the reference's
+        LIKE skip-through step, like.go:66-130). The posting frame is
+        built once (one (trigram, _id) shuffle) and materialized; every
+        :meth:`like_search` probe touches only the literal's posting
+        lists. Writes to the column mark the index STALE; the next
+        probe rebuilds it (the additive-maintenance path a production
+        deployment would run per ingest batch)."""
+        from featurebase_spark.pipeline.trigram import build_trigram_postings
+
+        if table not in self._defs:
+            raise ValueError(f"table '{table}' not found")
+        by_name = {f.name: f for f in self._defs[table].fields}
+        if field not in by_name:
+            raise ValueError(f"column '{field}' not found")
+        if by_name[field].fb_type != "string":
+            raise ValueError(
+                f"column '{field}' of type '{by_name[field].fb_type}' "
+                "cannot carry a text index (string only)"
+            )
+        if field in self._text_indexes.get(table, {}):
+            raise ValueError(
+                f"text index on column '{field}' of table '{table}' "
+                "already exists"
+            )
+        df = self.spark.table(self._view(table))
+        postings = build_trigram_postings(df, "_id", field).localCheckpoint(
+            eager=False
+        )
+        self._text_indexes.setdefault(table, {})[field] = postings
+
+    def like_search(self, table: str, field: str, literal: str) -> DataFrame:
+        """Substring search (``LIKE '%literal%'``) through the table's
+        trigram TEXT index — exact full-scan-LIKE semantics at posting-
+        list probe cost. Stale indexes (column written since the build)
+        rebuild transparently first."""
+        from featurebase_spark.pipeline.trigram import (
+            build_trigram_postings,
+            like_contains,
+        )
+
+        reg = self._text_indexes.get(table, {})
+        if field not in reg:
+            raise ValueError(
+                f"no text index on column '{field}' of table '{table}'"
+            )
+        df = self.spark.table(self._view(table))
+        if reg[field] is None:  # stale: a write touched the column
+            reg[field] = build_trigram_postings(
+                df, "_id", field
+            ).localCheckpoint(eager=False)
+        return like_contains(df, "_id", field, literal, postings=reg[field])
+
+    def _text_mark_stale(self, table: str, cols) -> None:
+        reg = self._text_indexes.get(table)
+        if not reg:
+            return
+        written = None if cols is None else set(cols)
+        for f in reg:
+            if written is None or f in written:
+                reg[f] = None
+
     def drop_index(self, table: str, fields: Optional[list[str]] = None) -> None:
-        if table not in self._index_fields:
+        reg = self._index_fields.get(table, {})
+        treg = self._text_indexes.get(table, {})
+        if not reg and not treg:
             raise ValueError(f"no indexes on table '{table}'")
-        reg = self._index_fields[table]
-        cat = self._bitmap[table]
-        targets = list(reg) if fields is None else fields
+        cat = self._bitmap.get(table)
+        targets = (
+            list(reg) + [f for f in treg if f not in reg]
+            if fields is None
+            else fields
+        )
         for f in targets:
-            if f not in reg:
+            if f not in reg and f not in treg:
                 raise ValueError(
                     f"no index on column '{f}' of table '{table}'"
                 )
         for f in targets:
-            kind = reg.pop(f)
-            cat._invalidate_field(f)
-            (cat._bsi if kind == "bsi" else cat._indexes).pop(f, None)
-        if not reg:
+            if f in treg:
+                treg.pop(f)
+            if f in reg:
+                kind = reg.pop(f)
+                cat._invalidate_field(f)
+                (cat._bsi if kind == "bsi" else cat._indexes).pop(f, None)
+        if table in self._index_fields and not reg:
             del self._index_fields[table]
             del self._bitmap[table]
+        if table in self._text_indexes and not treg:
+            del self._text_indexes[table]
 
     def fb_indexes(self, table: Optional[str] = None) -> DataFrame:
         """SHOW INDEXES [FROM t] — one row per indexed field."""
@@ -429,6 +507,11 @@ class Catalog:
             SparkRow(table=t, field=f, kind=k)
             for t, reg in sorted(self._index_fields.items())
             for f, k in sorted(reg.items())
+            if table is None or t == table
+        ] + [
+            SparkRow(table=t, field=f, kind="trigram")
+            for t, reg in sorted(self._text_indexes.items())
+            for f in sorted(reg)
             if table is None or t == table
         ]
         if not rows:
@@ -449,6 +532,7 @@ class Catalog:
         the committed table (reference bitDepth widening)."""
         from featurebase_spark.plans.bitmap_index import BsiRangeError
 
+        self._text_mark_stale(table, cols)
         reg = self._index_fields.get(table)
         if not reg:
             return
@@ -472,6 +556,7 @@ class Catalog:
             self._pin_field(cat, f, kind)
 
     def _index_delete(self, table: str, ids: DataFrame) -> None:
+        self._text_mark_stale(table, None)
         reg = self._index_fields.get(table)
         if not reg:
             return

@@ -5441,6 +5441,41 @@ def stream_hll_registers(spark, sf_dir):
     ).orderBy("g", "register")
 
 
+@register(
+    "like_text_index_door",
+    # the persisted-index probe must equal the naive full-scan LIKE
+    "SELECT doc_id AS _id FROM documents "
+    "WHERE text LIKE '%big vector%' ORDER BY 1",
+)
+def like_text_index_door(spark, sf_dir):
+    """The trigram TEXT index through the full DDL lifecycle
+    (operators/ddl.create_text_index + statements 'CREATE TEXT INDEX'):
+    documents load into a catalog table, the index builds its posting
+    lists once (one (trigram, id) shuffle), and the probe answers
+    ``LIKE '%big vector%'`` from the stored postings + candidate verify
+    — the build-once/probe-many deployment shape, oracle = the naive
+    full scan. Writes mark the index stale and the next probe rebuilds
+    (tested in test_writes_ddl)."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.schema import FieldDef, TableDef
+    from featurebase_spark.statements import execute_statement
+
+    cat = Catalog(spark)
+    if "ti_docs" in cat._defs:
+        cat.drop_table("ti_docs")
+    cat.create_table(TableDef("ti_docs", [FieldDef("body", "string")]))
+    docs = _tables(spark, sf_dir)["documents"].select(
+        F.col("doc_id").alias("_id"), F.col("text").alias("body")
+    )
+    cat.insert("ti_docs", docs)
+    execute_statement(spark, "CREATE TEXT INDEX ON ti_docs (body)", catalog=cat)
+    return (
+        cat.like_search("ti_docs", "body", "big vector")
+        .select("_id")
+        .orderBy("_id")
+    )
+
+
 def _register_search_doors():
     """SQL text-door twins of the search/behavioral additions
     (fb_like_search / fb_transitions TVFs) — same oracles as the

@@ -401,6 +401,26 @@ def _create_index(p: _P, spark: SparkSession, catalog) -> None:
         raise StatementError(str(e)) from e
 
 
+def _create_text_index(p: _P, spark: SparkSession, catalog) -> None:
+    """CREATE TEXT INDEX [name] ON table (col) — DECLARED EXTENSION:
+    trigram posting lists for exact LIKE-'%lit%' substring search
+    (Catalog.create_text_index; the scale path for the reference's
+    skip-through LIKE step, like.go:66-130)."""
+    p.expect("TEXT")
+    p.expect("INDEX")
+    if p.peek_up() != "ON":
+        p.ident("index name")  # optional, unused (registry is per column)
+    p.expect("ON")
+    table = p.ident("table name")
+    p.expect("(")
+    field = p.ident("column name")
+    p.expect(")")
+    try:
+        catalog.create_text_index(table, field)
+    except ValueError as e:
+        raise StatementError(str(e)) from e
+
+
 def _drop_index(p: _P, spark: SparkSession, catalog) -> None:
     """DROP INDEX ON table [(f1, ...)] — all of the table's indexes when
     no column list is given."""
@@ -976,6 +996,9 @@ def execute_statement(
             return None
         if p.peek_up() == "INDEX":
             _create_index(p, spark, catalog)
+            return None
+        if p.peek_up() == "TEXT":
+            _create_text_index(p, spark, catalog)
             return None
         _create_table(p, spark, catalog)
         return None

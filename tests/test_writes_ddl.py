@@ -397,3 +397,66 @@ def test_literal_frame_roundtrips_hostile_payloads(spark):
     # the VALUES path must at least not error and must stay == 0.0
     z = literal_frame(spark, [(1, -0.0)], "id long, x double").first()["x"]
     assert z == 0.0
+
+
+# ---------------------------------------------------------------------------
+# TEXT (trigram) indexes — CREATE TEXT INDEX / like_search / staleness
+# ---------------------------------------------------------------------------
+
+
+def test_text_index_lifecycle(spark):
+    from featurebase_spark.statements import execute_statement
+
+    cat = Catalog(spark)
+    td = TableDef(
+        "t_txt", [FieldDef("body", "string"), FieldDef("n", "int")]
+    )
+    cat.create_table(td)
+    rows = spark.createDataFrame(
+        [
+            (1, "the big vector table", 1),
+            (2, "small batch merge", 2),
+            (3, "vector big", 3),
+            (4, None, 4),
+        ],
+        spark.table("t_txt").schema,
+    )
+    cat.insert("t_txt", rows)
+    execute_statement(spark, "CREATE TEXT INDEX ON t_txt (body)", catalog=cat)
+    got = sorted(
+        r["_id"] for r in cat.like_search("t_txt", "body", "big vector").collect()
+    )
+    assert got == [1]
+    # SHOW INDEXES reports the trigram kind
+    kinds = {
+        (r["field"], r["kind"]) for r in cat.fb_indexes("t_txt").collect()
+    }
+    assert ("body", "trigram") in kinds
+    # a write marks the index stale; the next probe sees the new row
+    more = spark.createDataFrame(
+        [(5, "another big vector here", 5)], spark.table("t_txt").schema
+    )
+    cat.insert("t_txt", more)
+    got = sorted(
+        r["_id"] for r in cat.like_search("t_txt", "body", "big vector").collect()
+    )
+    assert got == [1, 5]
+    # DROP INDEX removes it; probes error
+    cat.drop_index("t_txt", ["body"])
+    with pytest.raises(ValueError, match="no text index"):
+        cat.like_search("t_txt", "body", "big vector")
+    cat.drop_table("t_txt")
+
+
+def test_text_index_errors(spark):
+    cat = Catalog(spark)
+    td = TableDef("t_txt2", [FieldDef("body", "string"), FieldDef("n", "int")])
+    cat.create_table(td)
+    with pytest.raises(ValueError, match="cannot carry a text index"):
+        cat.create_text_index("t_txt2", "n")
+    with pytest.raises(ValueError, match="column 'nope' not found"):
+        cat.create_text_index("t_txt2", "nope")
+    cat.create_text_index("t_txt2", "body")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_text_index("t_txt2", "body")
+    cat.drop_table("t_txt2")
