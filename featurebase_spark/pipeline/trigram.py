@@ -41,7 +41,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["build_trigram_postings", "like_contains", "required_trigrams"]
+__all__ = [
+    "build_trigram_postings",
+    "like_contains",
+    "like_match",
+    "pattern_literals",
+    "required_trigrams",
+]
 
 
 def build_trigram_postings(
@@ -105,3 +111,48 @@ def like_contains(
         .select(id_col)
     )
     return df.join(F.broadcast(cand), id_col, "left_semi").where(pred)
+
+
+def pattern_literals(pattern: str) -> list[str]:
+    """The literal fragments of a LIKE pattern — the text between
+    ``%``/``_`` wildcards (the exact-match tokens of the reference's
+    tokenizeLike, like.go:13-40). Any row matching the pattern CONTAINS
+    every fragment, which is what makes fragment-based pruning
+    lossless."""
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in pattern:
+        if ch in "%_":
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def like_match(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """EXACTLY ``df.where(text_col LIKE pattern)`` for a full wildcard
+    pattern (``%`` any run, ``_`` one char — the reference's planLike
+    surface, like.go:66-130). The LONGEST literal fragment of the
+    pattern (>= 3 chars) prunes candidates through the trigram index —
+    a necessary containment condition for ANY fragment position — and
+    the real ``LIKE`` verifies the whole pattern on candidates only.
+    Patterns with no prunable fragment fall back to the honest full
+    scan. No escape-sequence support (reference parity: like.go treats
+    every non-wildcard byte literally)."""
+    pred = F.col(text_col).like(pattern)
+    frags = [f for f in pattern_literals(pattern) if len(f) >= 3]
+    if not frags:
+        return df.where(pred)
+    anchor = max(frags, key=len)
+    cand = like_contains(df, id_col, text_col, anchor, postings=postings)
+    return cand.where(pred)

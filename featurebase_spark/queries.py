@@ -5442,6 +5442,40 @@ def stream_hll_registers(spark, sf_dir):
 
 
 @register(
+    "like_pattern_scan",
+    # the FULL wildcard surface (prefix anchor + % skip + _ single-char)
+    # through the pattern planner; oracle = the naive LIKE
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE text LIKE 'the %big_vector%' OR text LIKE 'the %merge%' "
+    "ORDER BY doc_id",
+)
+def like_pattern_scan(spark, sf_dir):
+    """Full LIKE pattern matching (pipeline/trigram.like_match): the
+    reference's planLike step surface (like.go:66-130 — prefix anchor,
+    %-skip-through, _ single-char) executed as longest-fragment trigram
+    pruning + whole-pattern verify; two patterns union through one
+    shared posting build. Oracle = the naive LIKE scan, so the hash
+    match proves fragment pruning lossless across wildcard positions."""
+    from featurebase_spark.pipeline.trigram import (
+        build_trigram_postings,
+        like_match,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    postings = build_trigram_postings(docs, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    a = like_match(docs, "doc_id", "text", "the %big_vector%", postings)
+    b = like_match(docs, "doc_id", "text", "the %merge%", postings)
+    return (
+        a.unionByName(b)
+        .select("doc_id", "n_chars")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "like_text_index_door",
     # the persisted-index probe must equal the naive full-scan LIKE
     "SELECT doc_id AS _id FROM documents "

@@ -97,3 +97,43 @@ def test_no_false_negatives_on_corpus(tables):
         assert sorted(r["doc_id"] for r in got) == sorted(
             r["doc_id"] for r in want
         ), lit
+
+
+def test_pattern_literals():
+    from featurebase_spark.pipeline.trigram import pattern_literals
+
+    assert pattern_literals("abc%def_g") == ["abc", "def", "g"]
+    assert pattern_literals("%%__") == []
+    assert pattern_literals("plain") == ["plain"]
+
+
+def test_like_match_wildcards(docs):
+    from featurebase_spark.pipeline.trigram import like_match
+
+    cases = [
+        "%big_vector%",      # _ matches the space
+        "the %vector%",      # anchored prefix + skip
+        "%vector",           # suffix
+        "xy",                # no wildcard, no prunable fragment
+        "%a%",               # fragment too short -> full scan
+    ]
+    for pat in cases:
+        got = sorted(
+            r["doc_id"]
+            for r in like_match(docs, "doc_id", "text", pat).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in docs.where(F.col("text").like(pat)).collect()
+        )
+        assert got == want, pat
+
+
+def test_like_match_corpus(tables):
+    from featurebase_spark.pipeline.trigram import like_match
+
+    docs = tables["documents"]
+    for pat in ("the %big_vector%", "%merge batch%part%", "row %"):
+        got = like_match(docs, "doc_id", "text", pat).count()
+        want = docs.where(F.col("text").like(pat)).count()
+        assert got == want, pat
