@@ -5519,6 +5519,7 @@ def _register_search_doors():
         ("events_transitions_text_door", "events_transitions"),
         ("fuzzy_join_text_door", "fuzzy_name_pairs"),
         ("hll_text_door", "approx_distinct_hll"),
+        ("like_pattern_text_door", "like_pattern_scan"),
     ):
         ORACLE_SQL[door] = ORACLE_SQL[base]
 
@@ -5605,11 +5606,32 @@ def _register_search_doors():
         "ORDER BY matched DESC, total_tf DESC, doc_id ASC LIMIT 10"
     )
 
+    def like_pattern_door(spark, sf_dir):
+        """fb_like_search with WILDCARD patterns (routes through
+        like_match; same oracle as like_pattern_scan)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+            "documents"
+        )
+        a = fb_sql(
+            spark,
+            "SELECT doc_id, n_chars FROM fb_like_search("
+            "documents, doc_id, text, 'the %big_vector%')",
+        )
+        b = fb_sql(
+            spark,
+            "SELECT doc_id, n_chars FROM fb_like_search("
+            "documents, doc_id, text, 'the %merge%')",
+        )
+        return a.unionByName(b).distinct().orderBy("doc_id")
+
     SPARK_QUERIES["like_search_text_door"] = like_door
     SPARK_QUERIES["events_transitions_text_door"] = transitions_door
     SPARK_QUERIES["fuzzy_join_text_door"] = fuzzy_door
     SPARK_QUERIES["hll_text_door"] = hll_door
     SPARK_QUERIES["keyword_search_text_door"] = keyword_door
+    SPARK_QUERIES["like_pattern_text_door"] = like_pattern_door
 
 
 _register_search_doors()

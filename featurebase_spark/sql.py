@@ -821,7 +821,10 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
             ),
         )
     elif name == "FB_LIKE_SEARCH":
-        from featurebase_spark.pipeline.trigram import like_contains
+        from featurebase_spark.pipeline.trigram import (
+            like_contains,
+            like_match,
+        )
 
         id_col, text_col, lit = args[1], args[2], args[3]
         need_col(id_col, "id_col")
@@ -833,11 +836,11 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
             )
         literal = m.group(1).replace("''", "'")
         if any(ch in literal for ch in "%_"):
-            raise ValueError(
-                f"{low}: literal must not contain wildcards (%, _); "
-                f"got {lit!r}"
-            )
-        out = like_contains(df, id_col, text_col, literal)
+            # a wildcard pattern routes through the full planLike
+            # surface (longest-fragment prune + whole-pattern verify)
+            out = like_match(df, id_col, text_col, literal)
+        else:
+            out = like_contains(df, id_col, text_col, literal)
     elif name == "FB_TRANSITIONS":
         from featurebase_spark.pipeline import sessions
 

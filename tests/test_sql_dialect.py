@@ -476,12 +476,16 @@ class TestSearchTvfs:
                 spark,
                 "SELECT * FROM fb_like_search(tvf_docs, doc_id, text, lit)",
             )
-        with pytest.raises(ValueError, match="must not contain wildcards"):
-            fb_sql(
-                spark,
-                "SELECT * FROM fb_like_search(tvf_docs, doc_id, text, "
-                "'a%b')",
-            )
+        # wildcard patterns route through the full planLike surface
+        out = fb_sql(
+            spark,
+            "SELECT doc_id FROM fb_like_search(tvf_docs, doc_id, text, "
+            "'%the %')",
+        ).count()
+        want = tables["documents"].limit(5).where(
+            "text LIKE '%the %'"
+        ).count()
+        assert out == want
         with pytest.raises(ValueError, match="column 'nope' not found"):
             fb_sql(
                 spark,
