@@ -5442,6 +5442,55 @@ def stream_hll_registers(spark, sf_dir):
 
 
 @register(
+    "docs_winsorized_profile",
+    # per-source winsorized length stats: clamp n_chars to the exact
+    # nearest-rank [p10, p90], then integer sums — the outlier-robust
+    # corpus statistic, composed from the grouped-percentile machinery
+    "WITH h AS (SELECT source, n_chars AS v, COUNT(*) AS cnt "
+    "           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2), "
+    "t AS (SELECT source, v, "
+    "  SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum, "
+    "  SUM(cnt) OVER (PARTITION BY source) AS n FROM h), "
+    "q AS (SELECT source, "
+    "  MIN(CASE WHEN cum >= (100*n+999)//1000 THEN v END) AS p100, "
+    "  MIN(CASE WHEN cum >= (900*n+999)//1000 THEN v END) AS p900 "
+    "  FROM t GROUP BY 1) "
+    "SELECT d.source, CAST(q.p100 AS BIGINT) AS p100, "
+    "CAST(q.p900 AS BIGINT) AS p900, "
+    "CAST(SUM(GREATEST(q.p100, LEAST(q.p900, d.n_chars))) AS BIGINT) "
+    "  AS winsorized_sum, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM documents d JOIN q USING (source) WHERE d.n_chars IS NOT NULL "
+    "GROUP BY 1, 2, 3 ORDER BY 1",
+)
+def docs_winsorized_profile(spark, sf_dir):
+    """Outlier-robust per-source length statistics: clamp each
+    document's n_chars to its source's exact nearest-rank [p10, p90]
+    (operators/grouped.grouped_percentiles — one histogram pass) and
+    sum the winsorized values. The quantile frame is |sources| rows, so
+    it broadcasts back onto the corpus scan — the winsorize pass adds
+    NO corpus shuffle beyond the histogram's, and every output is an
+    exact integer."""
+    from featurebase_spark.operators.grouped import grouped_percentiles
+
+    docs = _tables(spark, sf_dir)["documents"].where(
+        F.col("n_chars").isNotNull()
+    )
+    qs = grouped_percentiles(docs, ["source"], "n_chars", (100, 900))
+    clamped = F.greatest(F.col("p100"), F.least(F.col("p900"), F.col("n_chars")))
+    return (
+        docs.join(F.broadcast(qs), "source")
+        .groupBy("source", "p100", "p900")
+        .agg(
+            F.sum(clamped).cast("long").alias("winsorized_sum"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("source", "p100", "p900", "winsorized_sum", "n_docs")
+        .orderBy("source")
+    )
+
+
+@register(
     "like_pattern_scan",
     # the FULL wildcard surface (prefix anchor + % skip + _ single-char)
     # through the pattern planner; oracle = the naive LIKE
@@ -5520,6 +5569,7 @@ def _register_search_doors():
         ("fuzzy_join_text_door", "fuzzy_name_pairs"),
         ("hll_text_door", "approx_distinct_hll"),
         ("like_pattern_text_door", "like_pattern_scan"),
+        ("source_overlap_text_door", "source_overlap_matrix"),
     ):
         ORACLE_SQL[door] = ORACLE_SQL[base]
 
@@ -5630,8 +5680,23 @@ def _register_search_doors():
     SPARK_QUERIES["events_transitions_text_door"] = transitions_door
     SPARK_QUERIES["fuzzy_join_text_door"] = fuzzy_door
     SPARK_QUERIES["hll_text_door"] = hll_door
+    def overlap_door(spark, sf_dir):
+        """fb_source_overlap TVF through the SQL text door (same oracle
+        as source_overlap_matrix)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+            "documents"
+        )
+        return fb_sql(
+            spark,
+            "SELECT src_a, src_b, inter, jaccard_ppm FROM "
+            "fb_source_overlap(documents, text, source, 5, 25)",
+        )
+
     SPARK_QUERIES["keyword_search_text_door"] = keyword_door
     SPARK_QUERIES["like_pattern_text_door"] = like_pattern_door
+    SPARK_QUERIES["source_overlap_text_door"] = overlap_door
 
 
 _register_search_doors()

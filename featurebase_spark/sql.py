@@ -630,6 +630,8 @@ _TVFS: dict[str, tuple[int, str]] = {
     "FB_HLL": (3, "(table, key_col, b)"),
     # integer-rank keyword search (pipeline/text.keyword_topk)
     "FB_KEYWORD_SEARCH": (5, "(table, id_col, text_col, terms, k)"),
+    # cross-source n-gram overlap matrix (pipeline/contamination)
+    "FB_SOURCE_OVERLAP": (5, "(table, text_col, source_col, ngram, top)"),
 }
 
 _TVF_GUARD = _re.compile(
@@ -638,7 +640,7 @@ _TVF_GUARD = _re.compile(
     r"|fb_topk_per_group|fb_blocklist_filter"
     r"|fb_funnel|fb_retention|fb_asof_join"
     r"|fb_like_search|fb_transitions|fb_fuzzy_join|fb_hll"
-    r"|fb_keyword_search)\b",
+    r"|fb_keyword_search|fb_source_overlap)\b",
     _re.IGNORECASE,
 )
 
@@ -899,6 +901,21 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
                 f"{low}: positive integer literal expected for k, got {kk!r}"
             )
         out = keyword_topk(df, id_col, text_col, term_list, k=int(kk))
+    elif name == "FB_SOURCE_OVERLAP":
+        from featurebase_spark.pipeline.contamination import (
+            source_overlap_jaccard,
+        )
+
+        text_col, src_col, ng, top = args[1], args[2], args[3], args[4]
+        need_col(text_col, "text_col")
+        need_col(src_col, "source_col")
+        for v, role in ((ng, "ngram"), (top, "top")):
+            if not _re.fullmatch(r"[1-9]\d*", v):
+                raise ValueError(
+                    f"{low}: positive integer literal expected for {role}, "
+                    f"got {v!r}"
+                )
+        out = source_overlap_jaccard(df, text_col, src_col, int(ng), int(top))
     else:
         from featurebase_spark.pipeline import dedup
 
