@@ -5559,6 +5559,68 @@ def like_text_index_door(spark, sf_dir):
     )
 
 
+@register(
+    "stream_grouped_median",
+    # streaming histogram fold == batch histogram: histogram addition is
+    # associative/commutative, so the stateful operator's final medians
+    # must equal the batch nearest-rank replay at any micro-batching
+    "WITH h AS (SELECT source AS g, n_chars AS v, COUNT(*) AS cnt "
+    "           FROM documents WHERE source IS NOT NULL "
+    "             AND n_chars IS NOT NULL GROUP BY 1, 2), "
+    "t AS (SELECT g, v, "
+    "  SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum, "
+    "  SUM(cnt) OVER (PARTITION BY g) AS n FROM h) "
+    "SELECT g, "
+    "CAST(MIN(CASE WHEN cum >= (500*n+999)//1000 THEN v END) AS BIGINT) "
+    "  AS median, "
+    "CAST(MAX(n) AS BIGINT) AS n FROM t GROUP BY g ORDER BY g",
+)
+def stream_grouped_median(spark, sf_dir):
+    """Exact STREAMING grouped median end to end
+    (streaming.stateful_grouped_median): a real 2-micro-batch document
+    stream folds per-source value histograms in state
+    (applyInPandasWithState; one row of state per DISTINCT value — the
+    histogram-not-rows contract of the batch operator), and the
+    update-mode sink's final medians must equal DuckDB's batch
+    nearest-rank replay. The third streaming==batch-exact pair (dedup:
+    set union; HLL: register max; median: histogram sum)."""
+    import tempfile
+
+    from featurebase_spark.streaming import stateful_grouped_median
+
+    docs = (
+        _tables(spark, sf_dir)["documents"]
+        .where(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .select("source", "n_chars")
+    )
+    d = tempfile.mkdtemp(prefix="fb_stream_med_")
+    docs.repartition(2).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    state: dict = {}
+
+    def sink(batch, epoch_id):
+        for r in batch.collect():  # ≤ |groups| rows per trigger
+            state[r["g"]] = (r["median"], r["n"])
+
+    q = (
+        stateful_grouped_median(s, "source", "n_chars")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(g, int(m), int(n)) for g, (m, n) in sorted(state.items())]
+    return spark.createDataFrame(rows, "g string, median long, n long").orderBy(
+        "g"
+    )
+
+
 def _register_search_doors():
     """SQL text-door twins of the search/behavioral additions
     (fb_like_search / fb_transitions TVFs) — same oracles as the

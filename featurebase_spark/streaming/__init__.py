@@ -484,3 +484,63 @@ def stateful_hll(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_grouped_median(
+    stream: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """EXTENSION: exact streaming grouped median — the nearest-rank
+    percentile contract (operators/grouped.py) as a custom stateful
+    operator. Each group's state is its VALUE HISTOGRAM (value → count
+    pairs); histogram addition is associative/commutative, so the final
+    state is EXACTLY the batch histogram at any micro-batching — the
+    third streaming==batch-exact pair in this module (dedup: set union;
+    HLL: register max; median: histogram sum). Every trigger emits the
+    group's current median: the smallest value whose cumulative count
+    reaches ceil(n/2) — the same integer rank formula as the batch
+    operator, so a batch SQL oracle replays it.
+
+    State per group is one row per DISTINCT value (the histogram-not-
+    rows contract: bounded-domain values — lengths, scores, BSI ints —
+    keep it small no matter the event count)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepped = stream.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+
+    def fold(key, pdfs, state):
+        hist: dict[int, int] = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        for pdf in pdfs:
+            for v, c in pdf["v"].value_counts().items():
+                hist[int(v)] = hist.get(int(v), 0) + int(c)
+        vals = sorted(hist)
+        state.update((vals, [hist[v] for v in vals]))
+        n = sum(hist.values())
+        rank = (500 * n + 999) // 1000
+        cum = 0
+        med = None
+        for v in vals:
+            cum += hist[v]
+            if cum >= rank:
+                med = v
+                break
+        yield pd.DataFrame(
+            [(key[0], med, n)], columns=["g", "median", "n"]
+        )
+
+    out_type = prepped.schema["g"].dataType.simpleString()
+    return prepped.groupBy("g").applyInPandasWithState(
+        fold,
+        outputStructType=f"g {out_type}, median LONG, n LONG",
+        stateStructType="vals ARRAY<LONG>, cnts ARRAY<LONG>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -874,3 +874,44 @@ def test_stateful_hll_batching_invariant(spark, tmpdir):
         }
         got = {reg: rho for (gg, reg), rho in state.items() if gg == g}
         assert got == want, g
+
+
+def test_stateful_grouped_median_batching_invariant(spark, tmpdir):
+    """Streaming histogram fold == batch nearest-rank median at any
+    micro-batching (histogram addition is merge-invariant)."""
+    import os
+
+    from featurebase_spark.operators.grouped import grouped_percentile
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 2, 3, 100]]
+        + [("b", v) for v in [10] * 4 + [99]],
+        "g STRING, v LONG",
+    )
+    src_dir = os.path.join(tmpdir, "med_src")
+    df.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state = {}
+
+    def sink(batch, _):
+        for r in batch.collect():
+            state[r["g"]] = (r["median"], r["n"])
+
+    q = (
+        STR.stateful_grouped_median(stream, "g", "v")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = {
+        r["g"]: r["pct_value"]
+        for r in grouped_percentile(df, ["g"], "v", 500).collect()
+    }
+    assert {g: m for g, (m, _) in state.items()} == want
+    assert state["a"][1] == 5 and state["b"][1] == 5
