@@ -317,6 +317,7 @@ def stratified_sample(
     n_per_part: int = 10,
     seed: int = 42,
     oversample: float = 8.0,
+    materialize: bool = True,
 ) -> DataFrame:
     """Deterministic equal-N per-partition sample (balanced eval/holdout
     construction): within each ``part_col`` group, keep the ``n_per_part``
@@ -392,7 +393,17 @@ def stratified_sample(
             .where(u < F.col("__thr"))
             .select(*ranked_cols)
         )
-        out = _rank(cand).persist()  # tiny: ≤ n rows per source
+        # localCheckpoint, not persist+unpersist: the verification count
+        # below materializes it ONCE and the caller reuses the same
+        # materialization (an unpersist-before-return forces the caller
+        # to recompute the whole prefilter+window pipeline — measured
+        # ~1.3x on the bench key); checkpoint blocks free with the frame
+        # (no session-lifetime cache leak). Tiny: ≤ n rows per source.
+        # materialize=False keeps the raw plan inspectable (plan tests
+        # assert the filter-below-window shape on it).
+        out = _rank(cand)
+        if materialize:
+            out = out.localCheckpoint(eager=False)
         got = {r[0]: r[1] for r in out.groupBy(part_col).count().collect()}
         short = [
             s for s, c in counts.items() if min(n, c) > got.get(s, 0)
@@ -401,9 +412,7 @@ def stratified_sample(
             # Done — or every short source already ran unfiltered, so no
             # further escalation can add rows (loop-termination backstop;
             # unreachable once counts track reachable rows, but cheap).
-            out.unpersist()  # verification counts above materialized it
             return out
-        out.unpersist()
         full_scan.update(short)
 
 

@@ -275,7 +275,8 @@ def test_stratified_sample_plan_filters_before_window(docs):
     window never sees the full corpus)."""
     from featurebase_spark.pipeline.sampling import stratified_sample
 
-    out = stratified_sample(docs, "doc_id", "source", 3, seed=9)
+    out = stratified_sample(docs, "doc_id", "source", 3, seed=9,
+                            materialize=False)
     p = out._jdf.queryExecution().executedPlan().toString()
     lines = p.splitlines()
     win = min(i for i, l in enumerate(lines) if "Window" in l)
@@ -294,7 +295,8 @@ def test_stratified_sample_plan_filters_before_window(docs):
 def test_stratified_sample_balanced_and_deterministic(docs):
     from featurebase_spark.pipeline.sampling import stratified_sample
 
-    out = stratified_sample(docs, "doc_id", "source", 3, seed=9)
+    out = stratified_sample(docs, "doc_id", "source", 3, seed=9,
+                            materialize=False)
     counts = {r["source"]: r["n"] for r in
               out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     n_sources = docs.select("source").distinct().count()
