@@ -93,7 +93,11 @@ def asof_join(
         F.lit(None).cast(payload_t).alias("__p"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
     )
-    r_stream = right.select(
+    # NULL-timestamp right rows match nothing (pandas merge_asof and
+    # DuckDB ASOF JOIN semantics). Without this filter a NULL __t sorts
+    # NULLS FIRST under the ascending window order and its payload would
+    # be carried onto every left row as if it were the oldest match.
+    r_stream = right.where(ep(right_ts).isNotNull()).select(
         F.col(on).alias("__k"),
         ep(right_ts).alias("__t"),
         F.lit(0).alias("__side"),

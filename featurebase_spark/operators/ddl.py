@@ -441,11 +441,19 @@ class Catalog:
         )
         self._text_indexes.setdefault(table, {})[field] = postings
 
-    def like_search(self, table: str, field: str, literal: str) -> DataFrame:
+    def like_search(
+        self,
+        table: str,
+        field: str,
+        literal: str,
+        broadcast: bool | None = None,
+    ) -> DataFrame:
         """Substring search (``LIKE '%literal%'``) through the table's
         trigram TEXT index — exact full-scan-LIKE semantics at posting-
         list probe cost. Stale indexes (column written since the build)
-        rebuild transparently first."""
+        rebuild transparently first. ``broadcast`` is the candidate-join
+        strategy (trigram.like_contains): default None lets AQE pick by
+        runtime candidate size — safe at any selectivity."""
         from featurebase_spark.pipeline.trigram import (
             build_trigram_postings,
             like_contains,
@@ -461,7 +469,10 @@ class Catalog:
             reg[field] = build_trigram_postings(
                 df, "_id", field
             ).localCheckpoint(eager=False)
-        return like_contains(df, "_id", field, literal, postings=reg[field])
+        return like_contains(
+            df, "_id", field, literal, postings=reg[field],
+            broadcast=broadcast,
+        )
 
     def _text_mark_stale(self, table: str, cols) -> None:
         reg = self._text_indexes.get(table)

@@ -325,7 +325,9 @@ def stratified_sample(
     across runs/engines and stable per row (a document's selection never
     depends on which other documents exist in OTHER partitions; within
     its partition, membership shifts only as lower-hash rows arrive —
-    the unavoidable property of any fixed-N draw).
+    the unavoidable property of any fixed-N draw). NULL-``id_col`` rows
+    have no hash and are NEVER drawn, on every code path (an oracle
+    replaying the rank must add ``WHERE id IS NOT NULL``).
 
     Scale shape (the round-6 fix): a naive
     ``row_number() OVER (PARTITION BY source)`` funnels EVERY row of a
@@ -362,7 +364,11 @@ def stratified_sample(
         )
 
     if oversample <= 0:
-        return _rank(df)
+        # Same NULL-id contract as the filtered path below: a NULL id
+        # has no hash, so it can never be drawn (``u`` sorts NULLS FIRST,
+        # which would otherwise hand NULL-id rows the LOWEST ranks here
+        # while the oversample>0 path drops them at ``u < __thr``).
+        return _rank(df.where(F.col(id_col).isNotNull()))
 
     # Count only rows the threshold filter can ever keep: ``u < __thr``
     # is NULL (dropped) for a NULL id even at the ACCEPT_ALL threshold,

@@ -106,11 +106,18 @@ def hll_summary(df: DataFrame, key_col: str, b: int = 12) -> DataFrame:
         (F.lit(m) - F.count(F.lit(1))).cast("long").alias("zero_registers"),
         F.sum("max_rho").cast("long").alias("sum_rho"),
         (
-            F.sum(
-                F.expr(
-                    f"CAST(shiftleft(1L, {_TAIL_BITS + 1} - max_rho) "
-                    "AS DECIMAL(38,0))"
-                )
+            # coalesce: F.sum over ZERO register rows (empty/all-NULL
+            # input) is NULL, which would poison the + and violate the
+            # contract that each of the m empty registers contributes
+            # 2^61 to the denominator (estimate of 0 distinct, not None).
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"CAST(shiftleft(1L, {_TAIL_BITS + 1} - max_rho) "
+                        "AS DECIMAL(38,0))"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
             )
             + (F.lit(m) - F.count(F.lit(1))).cast("decimal(38,0)") * two61
         )

@@ -85,13 +85,26 @@ def like_contains(
     text_col: str,
     literal: str,
     postings: DataFrame | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """EXACTLY ``df.where(text_col CONTAINS literal)`` — the
     ``LIKE '%literal%'`` skip-through step — executed as trigram prune +
     candidate verify when ``literal`` has >= 3 chars. ``postings`` may
     be a prebuilt :func:`build_trigram_postings` frame (the 100 TB
     deployment shape: build once, probe many); if None it is derived
-    from ``df`` inline. Short literals fall back to the full scan."""
+    from ``df`` inline. Short literals fall back to the full scan.
+
+    ``broadcast`` governs how the candidate-id set semi-joins back into
+    the corpus scan. The candidate set is a SUPERSET of the true matches,
+    so for a non-selective literal over a 100 TB corpus it can be
+    billions of ids — a forced broadcast there kills the driver where a
+    shuffled semi-join is fine. ``None`` (default) leaves the join
+    unhinted: AQE's runtime size check picks broadcast-hash when the
+    candidate side is actually small and a shuffled join otherwise, the
+    safe behavior at any selectivity. ``True`` forces the broadcast hint
+    (a probe the caller KNOWS is selective, e.g. a rare literal against
+    a prebuilt index, skipping the candidate-side exchange); ``False``
+    forces the shuffled path (SHUFFLE_HASH hint) even when small."""
     if any(ch in literal for ch in "%_"):
         raise ValueError(
             "like_contains takes a plain literal (the skip-through step); "
@@ -110,7 +123,11 @@ def like_contains(
         .where(F.col("__hits") == len(req))
         .select(id_col)
     )
-    return df.join(F.broadcast(cand), id_col, "left_semi").where(pred)
+    if broadcast is True:
+        cand = F.broadcast(cand)
+    elif broadcast is False:
+        cand = cand.hint("shuffle_hash")
+    return df.join(cand, id_col, "left_semi").where(pred)
 
 
 def pattern_literals(pattern: str) -> list[str]:
@@ -133,26 +150,47 @@ def pattern_literals(pattern: str) -> list[str]:
     return out
 
 
+def _like_pred(text_col: str, pattern: str):
+    """The verify predicate for ``pattern`` with every non-wildcard char
+    treated literally (reference parity: like.go has no escape
+    sequences). Spark's bare LIKE defaults ``\\`` to an escape char, so
+    ``'abc\\%def'`` would match the literal text ``abc%def`` while
+    :func:`pattern_literals` extracts fragments ``('abc\\', 'def')`` —
+    the prune and the verify would disagree and the prune could drop
+    true matches. Neutralize by declaring an ESCAPE char that does not
+    occur in the pattern, so backslash is just a byte."""
+    for esc in "\x01\x02\x03\x04\x05\x06\x07":
+        if esc not in pattern:
+            return F.like(F.col(text_col), F.lit(pattern), F.lit(esc))
+    raise ValueError("pattern uses every candidate escape byte \\x01-\\x07")
+
+
 def like_match(
     df: DataFrame,
     id_col: str,
     text_col: str,
     pattern: str,
     postings: DataFrame | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
-    """EXACTLY ``df.where(text_col LIKE pattern)`` for a full wildcard
-    pattern (``%`` any run, ``_`` one char — the reference's planLike
-    surface, like.go:66-130). The LONGEST literal fragment of the
-    pattern (>= 3 chars) prunes candidates through the trigram index —
-    a necessary containment condition for ANY fragment position — and
-    the real ``LIKE`` verifies the whole pattern on candidates only.
-    Patterns with no prunable fragment fall back to the honest full
-    scan. No escape-sequence support (reference parity: like.go treats
-    every non-wildcard byte literally)."""
-    pred = F.col(text_col).like(pattern)
+    """EXACTLY ``df.where(text_col LIKE pattern ESCAPE <unused byte>)``
+    for a full wildcard pattern (``%`` any run, ``_`` one char — the
+    reference's planLike surface, like.go:66-130); the ESCAPE clause
+    neutralizes Spark's default backslash escape so every non-wildcard
+    char — backslash included — is a literal byte, matching both
+    like.go parity and :func:`pattern_literals`. The LONGEST literal
+    fragment of the pattern (>= 3 chars) prunes candidates through the
+    trigram index — a necessary containment condition for ANY fragment
+    position — and the real ``LIKE`` verifies the whole pattern on
+    candidates only. Patterns with no prunable fragment fall back to
+    the honest full scan. ``broadcast`` passes through to
+    :func:`like_contains` (candidate-join strategy)."""
+    pred = _like_pred(text_col, pattern)
     frags = [f for f in pattern_literals(pattern) if len(f) >= 3]
     if not frags:
         return df.where(pred)
     anchor = max(frags, key=len)
-    cand = like_contains(df, id_col, text_col, anchor, postings=postings)
+    cand = like_contains(
+        df, id_col, text_col, anchor, postings=postings, broadcast=broadcast
+    )
     return cand.where(pred)

@@ -1524,8 +1524,11 @@ def pql_apply_reduce(spark, sf_dir):
 
 @register(
     "pql_write_delete",
+    # event_id IS NOT NULL guard: NOT IN is null-aware, the Spark-side
+    # delete is an anti-join — keep the two semantics aligned
     "SELECT COUNT(*) AS count FROM events "
-    "WHERE event_id NOT IN (SELECT event_id FROM events WHERE value > 300)",
+    "WHERE event_id NOT IN (SELECT event_id FROM events "
+    "                       WHERE value > 300 AND event_id IS NOT NULL)",
 )
 def pql_write_delete(spark, sf_dir):
     """PQL Delete(child) (executeDeleteRecords executor.go:9050-9320):
@@ -1914,7 +1917,8 @@ def pql_arrow_table(spark, sf_dir):
     # literally: batch 2 overrides batch 1 per key, new keys append
     "WITH b1(id, v) AS (SELECT i, i * 10 FROM range(20) t(i)), "
     "b2(id, v) AS (SELECT i * 2, 1000 + i FROM range(8) t(i)), "
-    "merged AS (SELECT id, v FROM b1 WHERE id NOT IN (SELECT id FROM b2) "
+    "merged AS (SELECT id, v FROM b1 WHERE id NOT IN "
+    "           (SELECT id FROM b2 WHERE id IS NOT NULL) "
     "           UNION ALL SELECT id, v FROM b2) "
     "SELECT id AS _id, CAST(v AS BIGINT) AS v FROM merged ORDER BY _id",
 )
@@ -4011,8 +4015,13 @@ def sql_q12_priority_shipping(spark, sf_dir):
     "FROM part, lineitem WHERE p_partkey = l_partkey "
     "AND p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%' "
     "AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49) "
+    # s_suppkey IS NOT NULL: SQL NOT IN is null-aware (one NULL in the
+    # exclusion set empties the result) while the Spark side compiles to
+    # a left_anti join, which ignores NULLs — the guard pins both
+    # engines to the anti-join semantics even if a NULL ever appears
     "AND l_suppkey NOT IN "
-    "  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "  (SELECT s_suppkey FROM supplier "
+    "   WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL) "
     "GROUP BY p_brand, p_type, p_size "
     "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
 )
@@ -4371,7 +4380,8 @@ def sample_deterministic(spark, sf_dir):
     "SELECT doc_id, source FROM ("
     "  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
     "  ORDER BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) ASC, "
-    "  doc_id ASC) AS rn FROM documents) WHERE rn <= 5 ORDER BY doc_id",
+    "  doc_id ASC) AS rn FROM documents WHERE doc_id IS NOT NULL) "
+    "WHERE rn <= 5 ORDER BY doc_id",
 )
 def sample_stratified_per_source(spark, sf_dir):
     """Balanced per-source sampling (pipeline/sampling.stratified_sample):

@@ -619,8 +619,9 @@ _TVFS: dict[str, tuple[int, str]] = {
     "FB_RETENTION": (3, "(table, user_col, ts_col)"),
     "FB_ASOF_JOIN": (5, "(table, right_table, on_col, left_ts, right_ts)"),
     # trigram-accelerated substring search (pipeline/trigram.py): the
-    # literal is a quoted string; wildcards are a compile error (the
-    # TVF is the skip-through step, not a pattern planner)
+    # pattern is a quoted string; a plain literal runs the skip-through
+    # probe (like_contains), a pattern with %/_ wildcards routes through
+    # the like_match pattern planner (longest-fragment prune + verify)
     "FB_LIKE_SEARCH": (4, "(table, id_col, text_col, literal)"),
     # first-order event-transition matrix (pipeline/sessions.py)
     "FB_TRANSITIONS": (5, "(table, user_col, type_col, ts_col, id_col)"),

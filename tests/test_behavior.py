@@ -67,6 +67,30 @@ def test_asof_tolerance_nulls_stale_matches(asof_frames):
     assert out[1] == 1.0  # 0s stale
 
 
+def test_asof_null_right_ts_never_matches(spark):  # noqa: F811
+    """r8 ADVICE #1: a right row with a NULL timestamp must match
+    NOTHING (pandas merge_asof / DuckDB ASOF JOIN semantics). Before the
+    fix it sorted NULLS FIRST under the window order and its payload was
+    carried onto every left row as the 'oldest' match."""
+    from featurebase_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:00:10")),
+         (2, 10, None)],  # NULL LEFT ts: appears, matches nothing
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, None, 99.0),  # NULL RIGHT ts: must never attach
+         (10, _ts("2024-01-01 00:00:20"), 1.0)],  # after left 1
+        "user_id long, rts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["v_asof"]
+        for r in asof_join(left, right, "user_id", "ts", "rts", ["v"]).collect()
+    }
+    assert out == {1: None, 2: None}
+
+
 def test_asof_duplicate_right_ts_tiebreak(spark):  # noqa: F811
     from featurebase_spark.operators.asof import asof_join
 

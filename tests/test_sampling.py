@@ -268,6 +268,17 @@ def test_stratified_sample_null_ids_terminate(spark):
     )
     assert got == [1, 2, 3]  # all reachable rows, loop terminated
 
+    # r8 ADVICE #4: the oversample<=0 (plain-rank) path must apply the
+    # SAME NULL-id exclusion — before the fix it ranked NULL-hash rows
+    # (NULLS FIRST → lowest ranks) and the two paths diverged
+    full = sorted(
+        (r["doc_id"] is None, r["doc_id"] or 0)
+        for r in stratified_sample(
+            df, "doc_id", "source", 5, oversample=0
+        ).collect()
+    )
+    assert full == [(False, 1), (False, 2), (False, 3)]
+
 
 def test_stratified_sample_plan_filters_before_window(docs):
     """The rank window's input is the threshold-filtered candidate set:

@@ -68,6 +68,23 @@ def test_nulls_excluded(spark):
     assert row["used_registers"] == 2
 
 
+def test_empty_input_estimates_zero(spark):
+    """r8 ADVICE #3: zero rows (or all-NULL keys) must yield the
+    all-empty-registers summary — denom_scaled = m·2^61, estimate 0 —
+    not a NULL that crashes hll_estimate."""
+    for df in (
+        spark.createDataFrame([], "k long"),
+        spark.createDataFrame([(None,), (None,)], "k long"),
+    ):
+        row = hll_summary(df, "k", b=12).collect()[0]
+        m = row["m"]
+        assert row["used_registers"] == 0
+        assert row["zero_registers"] == m
+        assert int(row["denom_scaled"]) == m * (1 << 61)
+        est = hll_estimate(m, row["zero_registers"], row["denom_scaled"])
+        assert est == 0.0
+
+
 def test_partial_aggregation_plan(keys):
     """The register build partial-aggregates map-side: the plan has a
     HashAggregate BELOW the register exchange, so the shuffle carries

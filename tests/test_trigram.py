@@ -72,13 +72,38 @@ def test_postings_distinct_per_doc(docs):
 
 
 def test_prebuilt_postings_and_plan(docs):
-    """Probe with a prebuilt index; candidates broadcast back (no corpus
-    shuffle on the verify side)."""
+    """Probe with a prebuilt index under each candidate-join strategy
+    (r8 verdict "What's wrong #1"): forced broadcast plants the hint,
+    forced shuffle NEVER broadcasts (the 100 TB-safe path for a
+    non-selective literal), and the default leaves the choice to AQE's
+    runtime size check (which on this tiny corpus lands broadcast)."""
     postings = build_trigram_postings(docs, "doc_id", "text")
-    out = like_contains(docs, "doc_id", "text", "big vector", postings=postings)
-    p = out._jdf.queryExecution().executedPlan().toString()
+
+    forced = like_contains(
+        docs, "doc_id", "text", "big vector", postings=postings,
+        broadcast=True,
+    )
+    p = forced._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, p
-    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 7]
+    assert sorted(r["doc_id"] for r in forced.collect()) == [1, 2, 7]
+
+    shuffled = like_contains(
+        docs, "doc_id", "text", "big vector", postings=postings,
+        broadcast=False,
+    )
+    assert sorted(r["doc_id"] for r in shuffled.collect()) == [1, 2, 7]
+    # post-execution adaptive plan: the semi join must NOT be broadcast
+    p = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in p, p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
+
+    auto = like_contains(
+        docs, "doc_id", "text", "big vector", postings=postings,
+    )
+    assert sorted(r["doc_id"] for r in auto.collect()) == [1, 2, 7]
+    # AQE's runtime stats pick broadcast for the tiny candidate side
+    p = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
 
 
 def test_no_false_negatives_on_corpus(tables):
@@ -127,6 +152,36 @@ def test_like_match_wildcards(docs):
             for r in docs.where(F.col("text").like(pat)).collect()
         )
         assert got == want, pat
+
+
+def test_like_match_backslash_literal(spark):
+    """like.go parity (r8 ADVICE #2): every non-wildcard char — backslash
+    included — is a literal byte. Under Spark's bare LIKE, '\\' is an
+    escape char, so the prune (which treats it literally) and the verify
+    could disagree; like_match neutralizes the escape, so a pattern
+    containing '\\' matches exactly the texts containing that byte."""
+    from featurebase_spark.pipeline.trigram import like_match
+
+    rows = [
+        (1, r"path\to\file"),     # contains backslashes
+        (2, "path to file"),       # no backslash — must NOT match
+        (3, r"xpath\to\filez"),   # contains the fragment inside
+        (4, r"path\tofile"),      # missing the second '\'
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        r["doc_id"]
+        for r in like_match(
+            docs, "doc_id", "text", r"%path\to\file%"
+        ).collect()
+    )
+    assert got == [1, 3]
+    # anchored form too (no leading %): only the exact-prefix docs
+    got = sorted(
+        r["doc_id"]
+        for r in like_match(docs, "doc_id", "text", r"path\to%").collect()
+    )
+    assert got == [1, 4]
 
 
 def test_like_match_corpus(tables):
