@@ -5785,97 +5785,92 @@ _register_search_doors()
 # callable and oracle; only dict insertion order changes.
 
 _GATE_PRIORITY = [
-    # LLM-pipeline: dedup family (r8 rotation: dedup_exact_fingerprints
-    # — driver-green r1-r7 — joins dedup_ngram_jaccard in the local
-    # gate; the exact-hash machinery stays covered by cluster_canonical
-    # + survivors below)
+    # ── r9 rotation (r8 verdict ask #1): the 20 highest-risk
+    # never-driver-tested keys rotate IN — the whole r8-new surface
+    # (behavioral tier, trigram LIKE + pattern planner + TEXT-index DDL,
+    # Ed-Join fuzzy, HLL batch+streaming, novelty, keyword, overlap,
+    # epoch plan, multi-quantile, winsorized profile, streaming median)
+    # plus three never-gated veterans (streaming upsert replay, the
+    # NOT-IN-guarded Q16, the deepest TPC-H join tree Q9). 20 keys
+    # driver-green ≥3 rounds (plus the two one-shot mix stage
+    # diagnostics, purpose served) demote to the 184-key strict-dtype
+    # local gate. Every tier keeps a hard-gate representative.
+    # Behavioral/event tier (DuckDB ASOF JOIN / window oracles — the
+    # cross-engine canonicalization territory that went red twice)
+    "events_asof_join",
+    "events_funnel",
+    "events_retention",
+    "events_transitions",
+    # Trigram LIKE search: skip-through probe, wildcard planner, and the
+    # persisted TEXT-index DDL router (all candidate-join auto mode)
+    "like_trigram_search",
+    "like_pattern_scan",
+    "like_text_index_door",
+    # Ed-Join edit-distance similarity join (brute-force oracle)
+    "fuzzy_name_pairs",
+    # Float-free HLL: batch summary + streaming registers (the
+    # DECIMAL(38,0)/HUGEINT-scaled denominator contract)
+    "approx_distinct_hll",
+    "stream_hll_registers",
+    # Corpus text ops new in r8
+    "text_novel_bigrams",
+    "keyword_search_topk",
+    "source_overlap_matrix",
+    # Streaming exact grouped median (merge-invariant histogram state)
+    "stream_grouped_median",
+    # Mix planning + profiles new in r8
+    "mix_epoch_plan",
+    "grouped_percentiles_profile",
+    "docs_winsorized_profile",
+    # Never-gated veterans promoted: end-to-end streaming upsert
+    # visibility (oracle NULL-guarded this round), the NOT-IN-guarded
+    # Q16, and Q9 (the largest join tree in the TPC-H suite)
+    "streaming_upsert_visibility",
+    "sql_q16_supplier_part_counts",
+    "sql_q9_product_profit",
+    # ── hard-gate representatives retained per tier ──
+    # dedup flagship (LSH machinery; fused-hash regression class)
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    # r7 new surface: exact grouped nearest-rank percentile
+    "dedup_common_spans",
+    # ANN representative
+    "sim_ann_pq_adc_topk",
+    # exact grouped percentile machinery
     "grouped_percentile_median",
-    "dedup_cluster_canonical",
-    "dedup_survivors",
-    # LLM-pipeline: similarity / ANN (r8: sim_bruteforce_topk —
-    # driver-green r2-r7 — demoted; lsh + pq_adc + neardup keep the ANN
-    # family's risk under the hard gate)
-    "sim_ann_lsh_topk",
-    "sim_embedding_neardup",
-    # r7 new surface: the WHOLE ingest tier in one key — streaming file
-    # source → catalog commit (bucketed storage + index clear-then-set
-    # per micro-batch) → routed fragment serving
+    # streaming tier (ingest→index→serve, cross-batch state, windows)
     "stream_ingest_indexed_serving",
-    # r8 promotion (r7 verdict ask #4): cross-batch stateful streaming
-    # dedup had only ever faced the local gate
     "stream_stateful_dedup",
-    # LLM-pipeline: text analysis (r8: text_token_count_bpeish —
-    # driver-green r2-r7 — demoted; profile/langid/repetition/heavy
-    # hitters keep text under the hard gate)
-    "text_profile",
-    "text_quality_langid",
-    # LLM-pipeline: multimodal (r8: the r5-era real-JPEG key — driver-
-    # green r5-r7 — demoted; WAV + PNG real decodes keep both codec
-    # paths, and JPEG stays in the local replica)
-    "multimodal_wav_decode",
-    "multimodal_real_decode",
-    # Sessionization through the TVF text door (supersets the plain
-    # DataFrame key: parser + TVF expansion + identical sessionize)
-    "sessionize_text_door",
-    # Bitmap-index lifecycle + routed serving (r8: the driver-cache-path
-    # bitmap_index_count — driver-green r2-r7 — demoted; the distributed
-    # path supersets it and topk/bsi/maintenance stay)
-    "bitmap_index_count_distributed",
-    "bitmap_index_topk",
-    "bitmap_bsi_aggregates",
-    "bitmap_index_maintenance",
-    # r7 new surface: cross-batch session-window merging
     "stream_session_windows",
+    "stream_windowed_counts",
+    # multimodal decode representative (WAV real decode)
+    "multimodal_wav_decode",
+    # bitmap-index tier representative (write path + merge, the most
+    # failure-prone of the four bitmap keys)
+    "bitmap_index_maintenance",
+    # PQL tier: full text→route→serve superset + ivy compiler + writes
     "pql_text_routed_serving",
-    "pql_text_frontend",
-    # Statements / sources / DDL (r8: source_bulk_insert — driver-green
-    # r1-r7 — demoted; spool consumer + external lookup keep the source
-    # tier under the hard gate)
-    "statement_insert_touched_buckets",
-    "source_spool_consume",
-    "source_external_lookup",
-    "text_heavy_hitters",
-    # r8 promotion: the heavy-hitters TVF text door (parser + TVF
-    # expansion over the same oracle) joins its DataFrame twin
-    "heavy_hitters_text_door",
-    "sql_text_ddl_insert",
-    "sql_text_bulk_delete",
-    "quantum_view_rollup",
-    "model_linear_regression",
-    # PQL surfaces (r8: pql_groupby_multi_agg + pql_percentile_search —
-    # driver-green r3-r7 — demoted; apply_ivy/write_delete/text keys
-    # keep PQL execution + grouped_percentile_median keeps the
-    # percentile machinery under the hard gate)
     "pql_apply_ivy",
     "pql_write_delete",
-    # r7 new surface: bloom-pruned exact blocklist filtering
+    # statements / sources
+    "statement_insert_touched_buckets",
+    "source_spool_consume",
+    # text tier + its TVF door twin
+    "text_heavy_hitters",
+    "heavy_hitters_text_door",
+    "text_repetition_signals",
+    # blocklist / mix / decontamination
     "blocklist_filter_bloom",
     "mix_temperature_sample",
-    # r8 (verdict ask #3): stage-isolated BIGINT replays of the mix
-    # derivation — one round of driver coverage so any residual red
-    # localizes to a stage instead of a 20-row hash
-    "mix_stage_weights",
-    "mix_stage_thresholds",
     "decontaminate_ngram_overlap",
+    # SQL subquery + join shapes (young: driver-green once or twice)
     "sql_q8_market_share",
-    # r8 promotion (verdict ask #4): the post-fix Q12 (tests the
-    # HUGEINT-cast defect class AND the dual-conditional-count shape)
-    # plus the two hardest decorrelation shapes, never driver-tested
     "sql_q12_priority_shipping",
     "sql_q2_min_cost_supplier",
     "sql_q21_waiting_supplier",
-    # r7 rotation survivors (driver-green r7 only — too young to demote)
-    "stream_windowed_counts",
-    "sim_ann_pq_adc_topk",
-    "text_repetition_signals",
+    # sampling / packing / corpus ops (driver-green r7-r8; the
+    # stratified oracle gained the NULL-id guard this round)
     "embed_quantize_int8",
     "pack_sequences_budget",
     "sample_stratified_per_source",
-    "dedup_common_spans",
-    # r8 promotion: never-driver-tested corpus ops (verdict ask #4)
     "corpus_shuffle_head",
     "docs_topk_per_source",
 ]
