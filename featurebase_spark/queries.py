@@ -2862,13 +2862,19 @@ def stream_windowed_counts(spark, sf_dir):
         for r in batch.collect():
             state[(r["win"]["start"], r["event_type"])] = r["n"]
 
-    q = (
-        wc.writeStream.foreachBatch(upsert)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized to the ~140 state keys, not the session's
+    # shuffle width: 32 (or the plain session's 200) empty state stores
+    # are pure fixed cost per micro-batch (streaming.state_partitions)
+    from featurebase_spark.streaming import state_partitions
+
+    with state_partitions(spark, 4):
+        q = (
+            wc.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     rows = [(k[0], k[1], int(v)) for k, v in sorted(state.items())]
     return spark.createDataFrame(
         rows, "win_start timestamp, event_type string, n long"
@@ -2945,13 +2951,16 @@ def stream_session_windows(spark, sf_dir):
         state.clear()
         state.update(snap)
 
-    q = (
-        wc.writeStream.foreachBatch(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from featurebase_spark.streaming import state_partitions
+
+    with state_partitions(spark, 4):  # state keys ≈ |users×sessions|
+        q = (
+            wc.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     rows = [(u, st, n) for (u, st), n in state.items()]
     return spark.createDataFrame(
         rows, "user_id long, session_start timestamp, n long"
@@ -3004,14 +3013,17 @@ def stream_stateful_dedup(spark, sf_dir):
         for r in batch.collect():  # ≤ |keys| rows per batch
             state.setdefault(r["k"], r["v"])
 
-    q = (
-        stateful_dedup(s, ["k"])
-        .writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from featurebase_spark.streaming import state_partitions
+
+    with state_partitions(spark, 4):  # tiny keyed state
+        q = (
+            stateful_dedup(s, ["k"])
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     rows = [(int(kk), int(vv)) for kk, vv in sorted(state.items())]
     return spark.createDataFrame(rows, "k long, v long").orderBy("k")
 
@@ -5434,14 +5446,17 @@ def stream_hll_registers(spark, sf_dir):
         for r in batch.collect():  # ≤ groups × 2^b rows per batch
             state[(r["g"], r["register"])] = r["max_rho"]
 
-    q = (
-        stateful_hll(s, "event_type", "user_id", b=8)
-        .writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from featurebase_spark.streaming import state_partitions
+
+    with state_partitions(spark, 4):  # state keys = |groups| (≤ handful)
+        q = (
+            stateful_hll(s, "event_type", "user_id", b=8)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     rows = [
         (g, int(reg), int(rho))
         for (g, reg), rho in sorted(state.items())
@@ -5617,14 +5632,17 @@ def stream_grouped_median(spark, sf_dir):
         for r in batch.collect():  # ≤ |groups| rows per trigger
             state[r["g"]] = (r["median"], r["n"])
 
-    q = (
-        stateful_grouped_median(s, "source", "n_chars")
-        .writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from featurebase_spark.streaming import state_partitions
+
+    with state_partitions(spark, 4):  # state keys = |sources|
+        q = (
+            stateful_grouped_median(s, "source", "n_chars")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     rows = [(g, int(m), int(n)) for g, (m, n) in sorted(state.items())]
     return spark.createDataFrame(rows, "g string, median long, n long").orderBy(
         "g"

@@ -915,3 +915,21 @@ def test_stateful_grouped_median_batching_invariant(spark, tmpdir):
     }
     assert {g: m for g, (m, _) in state.items()} == want
     assert state["a"][1] == 5 and state["b"][1] == 5
+
+
+def test_state_partitions_scopes_and_restores(spark):
+    """streaming.state_partitions: the conf is set inside the block
+    (fixing the state-store partition count of streams started there)
+    and restored on exit — including on error."""
+    from featurebase_spark.streaming import state_partitions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    with state_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    try:
+        with state_partitions(spark, 5):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
