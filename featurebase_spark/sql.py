@@ -359,6 +359,9 @@ class _Rewriter:
     def __init__(self, toks: list[str]):
         self.toks = toks
         self.i = 0
+        # current clause keyword across nested paren scopes (RANGEQ is
+        # WHERE-only; parens inside WHERE must not reset the context)
+        self._clause = "select"
 
     def _peek_word(self, j: int) -> Optional[str]:
         """Next non-ws token at or after j, if it exists."""
@@ -418,6 +421,8 @@ class _Rewriter:
                     if self.i < len(self.toks) and _is_ws(self.toks[self.i]):
                         self.i += 1
                     continue
+                if up in ("SELECT", "WHERE", "GROUP", "ORDER", "HAVING"):
+                    self._clause = up.lower()
                 if up in _FUNCS and nxt == "(":
                     self.i += 1
                     while _is_ws(self.toks[self.i]):
@@ -426,9 +431,31 @@ class _Rewriter:
                     args = self.args_until(")")
                     lo, hi, emit = _FUNCS[up]
                     if not (lo <= len(args) <= hi):
+                        if up == "RANGEQ":
+                            # exact analyzer text, typo included
+                            # (inbuiltfunctionsquantum.go via
+                            # defs_timequantum.go)
+                            raise ValueError(
+                                f"'rangeq': count of formal parameters "
+                                f"({lo}) does not match count of actual "
+                                f"parameters ({len(args)})"
+                            )
                         raise ValueError(
                             f"{up} takes {lo}..{hi} args, got {len(args)}"
                         )
+                    if up == "RANGEQ":
+                        if self._clause != "where":
+                            # a WHERE-pushdown filter only — invalid in a
+                            # projection/order/having position
+                            raise ValueError("calling ranqeq() usage invalid")
+                        if (
+                            args[1].strip().upper() == "NULL"
+                            and args[2].strip().upper() == "NULL"
+                        ):
+                            raise ValueError(
+                                "calling ranqeq() 'from' and 'to' "
+                                "parameters cannot both be null"
+                            )
                     out.append(emit(args))
                     continue
                 if up == "CAST" and nxt == "(":

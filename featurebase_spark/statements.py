@@ -159,9 +159,9 @@ class _P:
             t = self.toks[self.i]
             if depth == 0 and (t in stops or t.upper() in stops):
                 break
-            if t in ("(", "["):
+            if t in ("(", "[", "{"):
                 depth += 1
-            elif t in (")", "]"):
+            elif t in (")", "]", "}"):
                 if depth == 0:
                     break
                 depth -= 1
@@ -502,6 +502,139 @@ def _literal_number(expr: str) -> Optional[Decimal]:
         return None
 
 
+def _tuple_members(expr: str) -> Optional[list[str]]:
+    """Top-level members of a ``{a, b}`` time-quantum tuple literal
+    (parser.go tuple syntax), else None."""
+    s = expr.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        return None
+    inner, depth, cur, out = s[1:-1], 0, [], []
+    i = 0
+    while i < len(inner):
+        ch = inner[i]
+        if ch == "'":  # skip string literal (with '' escapes)
+            j = i + 1
+            while j < len(inner):
+                if inner[j] == "'" and inner[j + 1 : j + 2] != "'":
+                    break
+                j += 2 if inner[j] == "'" else 1
+            cur.append(inner[i : j + 1])
+            i = j + 1
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    out.append("".join(cur).strip())
+    return out
+
+
+def _literal_type_name(expr: str) -> str:
+    """Reference type rendering for a literal member (errors.go style):
+    'string' / 'int' / 'stringset' / 'idset' / 'tuple(...)'."""
+    s = expr.strip()
+    kind = _array_kind(s)
+    if kind is not None:
+        return kind
+    mem = _tuple_members(s)
+    if mem is not None:
+        return "tuple(" + ", ".join(_literal_type_name(m) for m in mem) + ")"
+    if s.startswith("'"):
+        return "string"
+    if _literal_number(s) is not None:
+        return "int"
+    return "expression"
+
+
+def _set_elements(expr: str) -> list[str]:
+    """The literal element tokens of a translated ``array(...)`` text."""
+    inner = re.sub(r"^\s*array\s*\(", "", expr.strip(), flags=re.IGNORECASE)
+    return re.findall(r"'(?:[^']|'')*'|-?\d+(?:\.\d+)?", inner)
+
+
+def _quantum_ts_sql(member: str) -> str:
+    """SQL timestamp expression for a quantum tuple's first member: an
+    integer is epoch seconds, a string must parse as a timestamp
+    (opinsert.go:363-392 coerceValue → timestampFromString)."""
+    s = member.strip()
+    if _literal_number(s) is not None:
+        return f"CAST({s} AS TIMESTAMP)"
+    if s.startswith("'"):
+        raw = _unquote(s)
+        import datetime as _dt
+
+        txt = raw[:-1] + "+00:00" if raw.endswith("Z") else raw
+        try:
+            _dt.datetime.fromisoformat(txt)
+        except ValueError:
+            raise StatementError(
+                f"unable to convert '{raw}' to type 'timestamp'"
+            )
+        return f"TIMESTAMP'{txt}'"
+    raise StatementError(
+        f"unable to convert '{s}' to type 'timestamp'"
+    )
+
+
+def _quantum_rewrite(expr: str, fdef) -> str:
+    """Type-check and rewrite an INSERT literal aimed at a time-quantum
+    set column (idsetq/stringsetq — the repo models a quantum column as
+    array<struct<value,ts>>, schema.py). Mirrors opinsert.go:259-330 +
+    compileinsert.go assignment analysis, with the reference's exact
+    error texts (defs_timequantum.go):
+
+    - plain ``[a, b]`` set literal of the matching kind is valid; the
+      write is stamped ``current_timestamp()`` (opinsert.go:172
+      ``qbatchTime.Set(time.Now().UTC())``);
+    - ``{ts, [a, b]}`` stamps the given epoch-seconds int or timestamp
+      string;
+    - anything else is the reference's assignment type error."""
+    base = "stringset" if fdef.fb_type == "stringsetq" else "idset"
+    vt = "STRING" if base == "stringset" else "BIGINT"
+    s = expr.strip()
+
+    def _bad(type_name: str) -> StatementError:
+        return StatementError(
+            f"an expression of type '{type_name}' cannot be assigned "
+            f"to type '{fdef.fb_type}'"
+        )
+
+    mem = _tuple_members(s)
+    if mem is None:
+        kind = _array_kind(s)
+        if kind is None:
+            if s.upper() == "NULL":
+                return s
+            raise _bad(_literal_type_name(s))
+        if kind != base:
+            raise _bad(kind)
+        ts_sql, set_expr = "current_timestamp()", s
+    else:
+        if len(mem) != 2 or _array_kind(mem[-1]) is None:
+            raise _bad(_literal_type_name(s))
+        kind = _array_kind(mem[1])
+        if kind != base:
+            raise _bad(_literal_type_name(s))
+        # timestamp conversion errors take precedence over nothing here:
+        # the set kind check above mirrors the analyzer ordering
+        ts_sql, set_expr = _quantum_ts_sql(mem[0]), mem[1]
+    els = _set_elements(set_expr)
+    if not els:
+        return f"CAST(array() AS ARRAY<STRUCT<value: {vt}, ts: TIMESTAMP>>)"
+    structs = ", ".join(
+        f"named_struct('value', CAST({e} AS {vt}), 'ts', {ts_sql})"
+        for e in els
+    )
+    return f"array({structs})"
+
+
 def _insert(p: _P, spark: SparkSession, catalog, replace: bool) -> None:
     p.expect("INTO")
     name = p.ident("table name")
@@ -562,10 +695,20 @@ def _insert(p: _P, spark: SparkSession, catalog, replace: bool) -> None:
     # literal-level analysis: set-literal type check + min/max range check
     # (compileinsert.go type assignment; opinsert.go range enforcement)
     for r, exprs in enumerate(tuples, start=1):
-        for c, e in zip(cols, exprs):
+        for ci, (c, e) in enumerate(zip(cols, exprs)):
             fdef = by_name.get(c)
             if fdef is None:
                 continue
+            if fdef.fb_type in ("idsetq", "stringsetq"):
+                # quantum set literal analysis + rewrite to the stored
+                # array<struct<value,ts>> shape (defs_timequantum.go)
+                exprs[ci] = _quantum_rewrite(e, fdef)
+                continue
+            if _tuple_members(e) is not None:
+                raise StatementError(
+                    f"an expression of type '{_literal_type_name(e)}' "
+                    f"cannot be assigned to type '{fdef.fb_type}'"
+                )
             kind = _array_kind(e)
             if kind is not None and fdef.fb_type in ("idset", "stringset"):
                 if kind != fdef.fb_type:
@@ -602,7 +745,9 @@ def _insert(p: _P, spark: SparkSession, catalog, replace: bool) -> None:
 
     def _is_set(c: str) -> bool:
         fdef = by_name.get(c)
-        return fdef is not None and fdef.fb_type in ("idset", "stringset")
+        return fdef is not None and fdef.fb_type in (
+            "idset", "stringset", "idsetq", "stringsetq", "time",
+        )
     casts = []
     for c in all_cols:
         if c in cols:

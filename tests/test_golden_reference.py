@@ -1437,3 +1437,249 @@ def test_golden_select_hyphenated_column(spark):
     fb_sql(spark, "delete from hyphcol where a-int > 15", catalog=cat)
     assert spark.table("hyphcol").count() == 1
     cat.drop_table("hyphcol")
+
+
+# --- defs_keyed.go: string-keyed table, set fields, full PQL battery -------
+
+
+@pytest.fixture(scope="module")
+def keyed_table(spark):
+    """defs_keyed.go:6-27 — the 'keyed' table after both srcRows batches
+    (6 string-keyed records with IDSET/ID/STRING/STRINGSET fields)."""
+    rows = [
+        ("one", 11, [11, 12, 13], 101, "str1", ["a1", "b1", "c1"]),
+        ("two", 22, [11, 12, 23], 201, "str2", ["a2", "b2", "c2"]),
+        ("three", 33, [11, 32, 33], 301, "str3", ["a3", "b3", "c3"]),
+        ("four", 44, [41, 42, 43], 401, "str4", ["a4", "b4", "c4"]),
+        ("five", 55, [51, 52, 53], 501, "str5", ["a5", "b5", "c5"]),
+        ("six", 66, [61, 62, 63], 601, "str6", ["a6", "b6", "c6"]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "_id string, an_int long, an_id_set array<long>, an_id long, "
+        "a_string string, a_string_set array<string>",
+    )
+    df.createOrReplaceTempView("keyed")
+    return df
+
+
+def test_golden_keyed_select(spark, keyed_table):
+    """defs_keyed.go select-all / select-all-with-top /
+    select-all-with-where (SQL side, verbatim dialect text)."""
+    r = fb_sql(spark, "select * from keyed").collect()
+    assert len(r) == 6
+    by_id = {x["_id"]: x for x in r}
+    assert by_id["two"]["an_id_set"] == [11, 12, 23]
+    assert by_id["six"]["a_string_set"] == ["a6", "b6", "c6"]
+    # explicit column list is the same result
+    r2 = fb_sql(
+        spark,
+        "select _id, an_int, an_id_set, an_id, a_string, a_string_set "
+        "from keyed",
+    ).collect()
+    assert {x["_id"] for x in r2} == set(by_id)
+    # top(2): CompareIncludedIn with ExpRowCount=2
+    top = fb_sql(spark, "select top(2) * from keyed").collect()
+    assert len(top) == 2 and {x["_id"] for x in top} <= set(by_id)
+    # where on int / string / id fields all select record 'two'
+    for q in (
+        "select * from keyed where an_int = 22",
+        "select * from keyed where a_string = 'str2'",
+        "select * from keyed where an_id = 201",
+    ):
+        got = fb_sql(spark, q).collect()
+        assert len(got) == 1 and got[0]["_id"] == "two", q
+
+
+def test_golden_keyed_pql(spark, keyed_table):
+    """defs_keyed.go PQLTests, run VERBATIM through the PQL text parser
+    over the string-keyed index (executor.go keyed dispatch;
+    translate.go key translation is a no-op on Spark — string _id needs
+    no id mapping). Expected values are the reference's ExpRows.
+
+    One documented divergence: MinRow/MaxRow's `count` — the reference's
+    cross-shard reduce keeps the count of the WINNING SHARD only
+    (executor.go:1618-1638 reduceFn carries one PairField through), so
+    defs_keyed.go expects count=1 for minrow even though row 11 has 3
+    member records; our MinRow returns the GLOBAL count (3), a
+    shard-layout-independent superset documented in pql/calls.py. Row
+    ids — the stable part — must match exactly."""
+    from featurebase_spark.pql import Index
+    from featurebase_spark.pql.parser import execute
+
+    # the reference's PQLTests run against the FIRST srcRows batch (the
+    # second batch exists only for the SQL tests' ExpRowsPlus1 variants)
+    idx = Index(
+        keyed_table.where("_id in ('one', 'two', 'three', 'four')")
+    )
+
+    def rows(pql):
+        return [tuple(r) for r in execute(idx, pql).collect()]
+
+    # minrow/maxrow (defs_keyed.go:113-133): (11, ·) and (43, ·)
+    assert rows("MinRow(field=an_id_set)")[0][0] == 11
+    assert rows("MaxRow(field=an_id_set)")[0][0] == 43
+    # topk (defs_keyed.go:135-146)
+    assert rows("TopK(an_id_set, k=2)") == [(11, 3), (12, 2)]
+    # rows (defs_keyed.go:162-181)
+    assert rows("Rows(field=an_id_set)") == [
+        (11,), (12,), (13,), (23,), (32,), (33,), (41,), (42,), (43,),
+    ]
+    # includescolumn (defs_keyed.go:182-191)
+    assert rows("IncludesColumn(Row(an_id_set=12), column='two')") == [
+        (True,)
+    ]
+    # constrow + extract (defs_keyed.go:193-204)
+    assert rows("Extract(ConstRow(columns=['two']), Rows(an_id))") == [
+        ("two", 201)
+    ]
+    # fieldvalue (defs_keyed.go:206-216): (33, count 1)
+    assert rows("FieldValue(field=an_int, column='three')")[0][0] == 33
+    # unionrows (defs_keyed.go:218-226): all 4 records carry a value
+    assert rows("Count(UnionRows(Rows(field=an_id_set)))") == [(4,)]
+
+
+def test_golden_keyed_insert(spark):
+    """defs_keyed_insert.go: INSERT with a string _id and every scalar +
+    set type; readback must round-trip."""
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(
+        spark,
+        "create table testkeyedinsert (_id string, a int min 0 max 1000, "
+        "b int min 0 max 1000, s string, bl bool, d decimal(2), "
+        "event stringset, ievent idset)",
+        catalog=cat,
+    )
+    fb_sql(
+        spark,
+        "insert into testkeyedinsert (_id, a, b, s, bl, d, event, ievent) "
+        "values ('four', 40, 400, 'foo', false, 10.12, ['A', 'B', 'C'], "
+        "[1, 2, 3])",
+        catalog=cat,
+    )
+    r = fb_sql(spark, "select * from testkeyedinsert", catalog=cat).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["_id"] == "four" and row["a"] == 40 and row["b"] == 400
+    assert row["s"] == "foo" and row["bl"] is False
+    assert float(row["d"]) == 10.12
+    assert row["event"] == ["A", "B", "C"] and row["ievent"] == [1, 2, 3]
+    cat.drop_table("testkeyedinsert")
+
+
+# --- defs_timequantum.go: SETQ insert typing + RANGEQ analyzer errors ------
+
+
+def test_golden_timequantum_inserts(spark):
+    """defs_timequantum.go:14-120 — the full INSERT matrix for
+    time-quantum set columns: plain set literals are valid (stamped
+    time.Now(), opinsert.go:172), `{ts, [..]}` tuples stamp the given
+    epoch-int or timestamp string, and every mismatch raises the
+    reference's EXACT error text. The two rangeq CONTENT cases
+    (stringset-rangeq / idset-rangeq) are deliberately not mirrored:
+    their ExpRows depend on wall-clock now()-stamped writes and the
+    existing-view clamp of `to` (field.go:1063-1110), i.e. on WHEN the
+    suite runs — not a stable cross-engine contract."""
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(
+        spark,
+        "create table time_quantum_insert (_id id, i1 int min 0 max 1000, "
+        "ss1 stringsetq timequantum 'YMD', ids1 idsetq timequantum 'YMD')",
+        catalog=cat,
+    )
+    ok = [
+        "insert into time_quantum_insert (_id, i1, ss1, ids1) "
+        "values (1, 1, ['1'], [1])",
+        "insert into time_quantum_insert (_id, i1, ss1, ids1) "
+        "values (1, 1, {1676649734, ['1']}, {1676649734, [1]})",
+        "insert into time_quantum_insert(_id, i1, ss1, ids1) "
+        "values (1, 3, ['test1'], [1])",
+        "insert into time_quantum_insert(_id, i1, ss1, ids1) "
+        "values (1, 3, {1676649734, ['test2']}, {1676649734, [2]})",
+        "insert into time_quantum_insert(_id, i1, ss1, ids1) "
+        "values (1, 3, {'2022-01-01T00:00:00Z', ['test3']}, "
+        "{'2022-01-01T00:00:00Z', [3]})",
+    ]
+    for q in ok:
+        fb_sql(spark, q, catalog=cat)
+    # the upserted record carries the LAST write's quantum pairs
+    row = fb_sql(
+        spark, "select ss1, ids1 from time_quantum_insert", catalog=cat
+    ).first()
+    assert [x["value"] for x in row["ss1"]] == ["test3"]
+    assert row["ids1"][0]["value"] == 3
+    assert str(row["ids1"][0]["ts"]).startswith("2022-01-01")
+
+    err = [
+        ("insert into time_quantum_insert (_id, i1, ss1, ids1) "
+         "values (1, 1, {['1']}, {[1]})",
+         "an expression of type 'tuple(stringset)' cannot be assigned "
+         "to type 'stringsetq'"),
+        ("insert into time_quantum_insert (_id, i1, ss1, ids1) "
+         "values (1, 1, ['1'], {[1]})",
+         "an expression of type 'tuple(idset)' cannot be assigned "
+         "to type 'idsetq'"),
+        ("insert into time_quantum_insert (_id, i1, ss1, ids1) "
+         "values (1, 1, {'notatimestamp', ['1']}, [1])",
+         "unable to convert 'notatimestamp' to type 'timestamp'"),
+        ("insert into time_quantum_insert (_id, i1, ss1, ids1) "
+         "values (1, 1, ['1'], {'notatimestamp', [1]})",
+         "unable to convert 'notatimestamp' to type 'timestamp'"),
+        ("insert into time_quantum_insert (_id, i1, ss1, ids1) "
+         "values (1, 1, {'2022-01-01T00:00:00Z', [1]}, {[1]})",
+         "an expression of type 'tuple(string, idset)' cannot be "
+         "assigned to type 'stringsetq'"),
+        ("insert into time_quantum_insert (_id, i1, ss1, ids1) "
+         "values (1, 1, ['1'], {'2022-01-01T00:00:00Z', ['1']})",
+         "an expression of type 'tuple(string, stringset)' cannot be "
+         "assigned to type 'idsetq'"),
+        ("insert into time_quantum_insert (_id, i1, ss1, ids1) "
+         "values (1, 1, '1', {[1]})",
+         "an expression of type 'string' cannot be assigned to type "
+         "'stringsetq'"),
+        ("insert into time_quantum_insert (_id, i1, ss1, ids1) "
+         "values (1, 1, ['1'], 1)",
+         "an expression of type 'int' cannot be assigned to type "
+         "'idsetq'"),
+    ]
+    for q, msg in err:
+        with pytest.raises(StatementError) as ei:
+            fb_sql(spark, q, catalog=cat)
+        assert msg in str(ei.value), q
+    cat.drop_table("time_quantum_insert")
+
+
+def test_golden_timequantum_rangeq_errors(spark):
+    """defs_timequantum.go:122-147 — the RANGEQ analyzer error surface,
+    exact texts (typo 'ranqeq' included, inbuiltfunctionsquantum.go)."""
+    from featurebase_spark.operators.ddl import Catalog
+
+    cat = Catalog(spark)
+    fb_sql(
+        spark,
+        "create table tq_rangeq (_id id, i1 int min 0 max 1000, "
+        "ss1 stringsetq timequantum 'YMD')",
+        catalog=cat,
+    )
+    cases = [
+        ("select a._id, a.ss1 from tq_rangeq a "
+         "where rangeq(a.ss1, '2022-01-02T00:00:00Z')",
+         "'rangeq': count of formal parameters (3) does not match count "
+         "of actual parameters (2)"),
+        ("select a._id, a.ss1 from tq_rangeq a "
+         "where rangeq(a.ss1, null, null)",
+         "calling ranqeq() 'from' and 'to' parameters cannot both be "
+         "null"),
+        ("select a._id, a.ss1, rangeq(a.ss1, '2022-01-02T00:00:00Z', "
+         "null) from tq_rangeq a",
+         "calling ranqeq() usage invalid"),
+    ]
+    for q, msg in cases:
+        with pytest.raises(ValueError) as ei:
+            fb_sql(spark, q, catalog=cat)
+        assert msg in str(ei.value), q
+    cat.drop_table("tq_rangeq")
