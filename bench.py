@@ -38,14 +38,12 @@ BENCH_QUERIES = [
     "sql_q5_local_supplier_volume",
     # training-data pipeline headliners (documents/embeddings tables)
     "text_profile",
-    "text_token_count_bpeish",
     "dedup_exact_fingerprints",
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
     # r2 breadth: LSH scale paths, bitmap-index path, write path,
     # percentile search path (VERDICT r1 next-round #10)
     "sim_embedding_neardup",
-    "bitmap_index_count",
     "bitmap_bsi_aggregates",
     "pql_percentile_search",
     "sql_text_ddl_insert",
@@ -103,19 +101,19 @@ BENCH_QUERIES = [
     "events_transitions",
     # r8: Ed-Join-style fuzzy similarity join (prefix-pruned vs O(n^2))
     "fuzzy_name_pairs",
+    # r9: integer-exact BM25 ranking and BPE merge-candidate statistics
+    "rank_bm25_topk",
+    "vocab_bpe_pairs",
 ]
 
 #: queries added after the prior round — excluded from regression flags
+#: (r9 also DROPPED two multi-round-green sub-second projections,
+#: text_token_count_bpeish + bitmap_index_count, to keep the JSON line
+#: under the driver's 2000-char stdout tail with the new keys added;
+#: both remain under the local correctness gate)
 _NEW_IN_ROUND = {
-    "mix_epoch_plan",
-    "source_overlap_matrix",
-    "events_asof_join",
-    "events_funnel",
-    "events_retention",
-    "text_novel_bigrams",
-    "like_trigram_search",
-    "events_transitions",
-    "fuzzy_name_pairs",
+    "rank_bm25_topk",
+    "vocab_bpe_pairs",
 }
 
 

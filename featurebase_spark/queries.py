@@ -5398,6 +5398,92 @@ def keyword_search_topk(spark, sf_dir):
     )
 
 
+def _bm25_oracle(terms: list[str], k: int, k1: int = 1200,
+                 b: int = 750) -> str:
+    """DuckDB replay of pipeline/ranking.bm25_topk's integer formula —
+    HUGEINT // mirrors Spark DECIMAL(38,0) div exactly (the proven
+    engine-version-proof arithmetic)."""
+    sel_tf = ", ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) "
+        f"AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS df{i}"
+        for i in range(len(terms))
+    )
+    dl_norm = f"({1000 - b} + (CAST({b} AS HUGEINT) * dl * n) // tdl)"
+    parts = []
+    for i in range(len(terms)):
+        idf = (f"(CAST(n - df{i} AS HUGEINT) * 1000000 "
+               f"// CAST(df{i} + 1 AS HUGEINT))")
+        denom = (f"(CAST(tf{i} AS HUGEINT) * 1000 "
+                 f"+ CAST({k1} AS HUGEINT) * {dl_norm} // 1000)")
+        parts.append(
+            f"CAST(CAST(tf{i} AS HUGEINT) * {k1 + 1000} * {idf} "
+            f"// {denom} AS BIGINT)"
+        )
+    score = " + ".join(parts)
+    return (
+        "WITH s AS (SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, "
+        f"{sel_tf} FROM documents WHERE text IS NOT NULL), "
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(dl) AS BIGINT) AS tdl, {dfs} FROM s) "
+        f"SELECT doc_id, CAST({score} AS BIGINT) AS score FROM s, st "
+        f"WHERE {score} > 0 ORDER BY score DESC, doc_id LIMIT {k}"
+    )
+
+
+@register("rank_bm25_topk", _bm25_oracle(["vector", "merge", "batch"], 10))
+def rank_bm25_topk(spark, sf_dir):
+    """Integer-exact BM25 top-10 (pipeline/ranking.bm25_topk): classic
+    k1=1.2/b=0.75 normalization milli-scaled to exact integer division
+    and a rational idf (monotone surrogate for the log form) so NO float
+    enters the score — the oracle replays the full derivation (corpus
+    stats, per-term idf/denominator, summed score) with HUGEINT //,
+    proving bit-exact cross-engine ranking. Scale: zero-shuffle scoring
+    projection + one broadcast stats row + TakeOrderedAndProject (the
+    reference has exact retrieval but no relevance model at all)."""
+    from featurebase_spark.pipeline.ranking import bm25_topk
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return bm25_topk(docs, "doc_id", "text", ["vector", "merge", "batch"],
+                     k=10)
+
+
+@register(
+    "vocab_bpe_pairs",
+    # BPE step-1 statistic: adjacent char-pair counts weighted by word
+    # frequency — the merge-candidate table a tokenizer trainer derives
+    # before its first merge (Sennrich ACL'16)
+    "WITH w AS (SELECT word, COUNT(*) AS cnt FROM ("
+    "  SELECT unnest(string_split(text, ' ')) AS word FROM documents "
+    "  WHERE text IS NOT NULL) WHERE word <> '' GROUP BY word), "
+    "p AS (SELECT substr(w.word, CAST(i AS INT), 2) AS pair, w.cnt "
+    "  FROM w, unnest(generate_series(1, length(w.word) - 1)) AS t(i) "
+    "  WHERE length(w.word) >= 2) "
+    "SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM p "
+    "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20",
+)
+def vocab_bpe_pairs(spark, sf_dir):
+    """BPE vocabulary induction, step 1 (pipeline/vocab.bpe_pair_counts):
+    the top-20 adjacent character pairs weighted by word frequency. The
+    corpus collapses to its word-count table in ONE shuffle (map-side
+    combined — the same corpus→vocabulary reduction every real tokenizer
+    trainer performs); pair extraction is a projection over that bounded
+    table, so 100 TB of text becomes a few million aggregate rows before
+    any per-pair work happens. The greedy merge loop on top
+    (vocab.bpe_learn) is property-tested against a pure-Python replay
+    (tests/test_vocab.py) — iterative, so deliberately not an SQL
+    oracle."""
+    from featurebase_spark.pipeline.vocab import bpe_pair_counts
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return bpe_pair_counts(docs, "text", top=20)
+
+
 @register(
     "stream_hll_registers",
     # streaming sketch == batch sketch: register merge is associative/
@@ -5784,9 +5870,26 @@ def _register_search_doors():
             "fb_source_overlap(documents, text, source, 5, 25)",
         )
 
+    def bm25_door(spark, sf_dir):
+        """fb_bm25 TVF through the SQL text door (same oracle as
+        rank_bm25_topk — the door must not change a single score)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+            "documents"
+        )
+        return fb_sql(
+            spark,
+            "SELECT doc_id, score FROM fb_bm25("
+            "documents, doc_id, text, 'vector,merge,batch', 10)",
+        )
+
+    ORACLE_SQL["bm25_text_door"] = ORACLE_SQL["rank_bm25_topk"]
+
     SPARK_QUERIES["keyword_search_text_door"] = keyword_door
     SPARK_QUERIES["like_pattern_text_door"] = like_pattern_door
     SPARK_QUERIES["source_overlap_text_door"] = overlap_door
+    SPARK_QUERIES["bm25_text_door"] = bm25_door
 
 
 _register_search_doors()

@@ -658,6 +658,8 @@ _TVFS: dict[str, tuple[int, str]] = {
     "FB_HLL": (3, "(table, key_col, b)"),
     # integer-rank keyword search (pipeline/text.keyword_topk)
     "FB_KEYWORD_SEARCH": (5, "(table, id_col, text_col, terms, k)"),
+    # integer-exact BM25 ranking (pipeline/ranking.bm25_topk)
+    "FB_BM25": (5, "(table, id_col, text_col, terms, k)"),
     # cross-source n-gram overlap matrix (pipeline/contamination)
     "FB_SOURCE_OVERLAP": (5, "(table, text_col, source_col, ngram, top)"),
 }
@@ -668,7 +670,7 @@ _TVF_GUARD = _re.compile(
     r"|fb_topk_per_group|fb_blocklist_filter"
     r"|fb_funnel|fb_retention|fb_asof_join"
     r"|fb_like_search|fb_transitions|fb_fuzzy_join|fb_hll"
-    r"|fb_keyword_search|fb_source_overlap)\b",
+    r"|fb_keyword_search|fb_source_overlap|fb_bm25)\b",
     _re.IGNORECASE,
 )
 
@@ -929,6 +931,33 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
                 f"{low}: positive integer literal expected for k, got {kk!r}"
             )
         out = keyword_topk(df, id_col, text_col, term_list, k=int(kk))
+    elif name == "FB_BM25":
+        from featurebase_spark.pipeline.ranking import bm25_topk
+
+        id_col, text_col, terms_lit, kk = args[1], args[2], args[3], args[4]
+        need_col(id_col, "id_col")
+        need_col(text_col, "text_col")
+        m = _re.fullmatch(r"'((?:[^']|'')*)'", terms_lit)
+        if not m:
+            raise ValueError(
+                f"{low}: string literal expected for terms (a CSV of "
+                f"search terms), got {terms_lit!r}"
+            )
+        term_list = [
+            t.strip()
+            for t in m.group(1).replace("''", "'").split(",")
+            if t.strip()
+        ]
+        if not term_list:
+            raise ValueError(
+                f"{low}: terms must name at least one search term, "
+                f"got {terms_lit!r}"
+            )
+        if not _re.fullmatch(r"[1-9]\d*", kk):
+            raise ValueError(
+                f"{low}: positive integer literal expected for k, got {kk!r}"
+            )
+        out = bm25_topk(df, id_col, text_col, term_list, k=int(kk))
     elif name == "FB_SOURCE_OVERLAP":
         from featurebase_spark.pipeline.contamination import (
             source_overlap_jaccard,
