@@ -43,6 +43,25 @@ SCALING_KEYS = [
     "stream_windowed_counts",
 ]
 
+#: r9 (VERDICT r8 ask #7): corpus-scan keys whose SCALE claim is not
+#: flatness — they read every document once by design — but that the
+#: candidate/postings/vocab structures their cost story leans on stay
+#: BOUNDED: end-to-end growth across 100× data must be far below 100×
+#: (the candidate-generation stages must not add a superlinear term).
+#: Honest class separation: claiming "flat" for a scan would be false.
+SUBLINEAR_KEYS = [
+    "text_novel_bigrams",
+    "fuzzy_name_pairs",
+    "like_trigram_search",
+    "rank_bm25_topk",
+    "vocab_bpe_pairs",
+]
+
+#: max allowed t(sf0.1)/t(sf0.001) for the scan-class keys: 100× the
+#: data may cost at most this much more end-to-end (single-node wall
+#: clock; the scan itself parallelizes across executors at deployment)
+SUBLINEAR_BOUND = 12.0
+
 SF_DIRS = [
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
@@ -97,6 +116,26 @@ def measure(spark, keys=None, sf_dirs=None, repeats: int = 3) -> dict:
             "flat": ratio_flat or slack_flat,
         }
     out["all_flat"] = all(v["flat"] for v in out["keys"].values())
+
+    out["sublinear_bound"] = SUBLINEAR_BOUND
+    out["sublinear_keys"] = {}
+    for key in SUBLINEAR_KEYS:
+        fn = SPARK_QUERIES[key]
+        per_sf = {}
+        for sf in sf_dirs:
+            fn(spark, sf).collect()  # warm
+            best = min(_timed(fn, spark, sf) for _ in range(repeats))
+            per_sf[sf] = round(best, 4)
+        times = [per_sf[sf] for sf in sf_dirs]
+        growth = times[-1] / times[0] if times[0] > 0 else float("inf")
+        out["sublinear_keys"][key] = {
+            "seconds": per_sf,
+            "growth_100x": round(growth, 3),
+            "sublinear": growth <= SUBLINEAR_BOUND,
+        }
+    out["all_sublinear"] = all(
+        v["sublinear"] for v in out["sublinear_keys"].values()
+    )
     return out
 
 
@@ -115,7 +154,10 @@ def main(out_path: str = "SCALING_r07.json") -> int:
         json.dump(result, fh, indent=2)
     for k, v in result["keys"].items():
         print(k, v["seconds"], f"growth={v['growth_100x']}x flat={v['flat']}")
-    return 0 if result["all_flat"] else 1
+    for k, v in result["sublinear_keys"].items():
+        print(k, v["seconds"],
+              f"growth={v['growth_100x']}x sublinear={v['sublinear']}")
+    return 0 if result["all_flat"] and result["all_sublinear"] else 1
 
 
 if __name__ == "__main__":
