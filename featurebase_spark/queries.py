@@ -5939,6 +5939,11 @@ _GATE_PRIORITY = [
     "source_overlap_matrix",
     # Streaming exact grouped median (merge-invariant histogram state)
     "stream_grouped_median",
+    # Integer-exact BM25 ranking + BPE vocabulary induction (new this
+    # round, never gated; two twice-green zero-shuffle projections
+    # demote to make room: embed_quantize_int8, text_repetition_signals)
+    "rank_bm25_topk",
+    "vocab_bpe_pairs",
     # Mix planning + profiles new in r8
     "mix_epoch_plan",
     "grouped_percentiles_profile",
@@ -5977,7 +5982,6 @@ _GATE_PRIORITY = [
     # text tier + its TVF door twin
     "text_heavy_hitters",
     "heavy_hitters_text_door",
-    "text_repetition_signals",
     # blocklist / mix / decontamination
     "blocklist_filter_bloom",
     "mix_temperature_sample",
@@ -5989,7 +5993,6 @@ _GATE_PRIORITY = [
     "sql_q21_waiting_supplier",
     # sampling / packing / corpus ops (driver-green r7-r8; the
     # stratified oracle gained the NULL-id guard this round)
-    "embed_quantize_int8",
     "pack_sequences_budget",
     "sample_stratified_per_source",
     "corpus_shuffle_head",
