@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     # r9: integer-exact BM25 ranking and BPE merge-candidate statistics
     "rank_bm25_topk",
     "vocab_bpe_pairs",
+    # r9: winnowing containment pairs (MOSS sketch + capped fp join)
+    "dedup_winnowing_pairs",
 ]
 
 #: queries added after the prior round — excluded from regression flags
@@ -114,6 +116,7 @@ BENCH_QUERIES = [
 _NEW_IN_ROUND = {
     "rank_bm25_topk",
     "vocab_bpe_pairs",
+    "dedup_winnowing_pairs",
 }
 
 

@@ -1024,3 +1024,112 @@ def neardup_canonical(
         "component",
         (F.col(id_col) == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (containment detection)
+# ---------------------------------------------------------------------------
+
+
+def winnowing_fingerprint_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint sketch (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm) as an exploded (id, fp) table:
+    hash every k-token shingle (md5 hex — a total order BOTH engines
+    share byte-for-byte), slide a window of w consecutive gram hashes,
+    keep each window's MINIMUM, emit the per-doc DISTINCT selections.
+
+    Guarantee: two documents sharing >= w+k-1 consecutive tokens share
+    at least one fingerprint — CONTAINMENT detection (a paragraph
+    lifted into a much larger doc), the case resemblance sketches
+    (MinHash over whole-doc shingle sets) dilute as doc sizes diverge.
+    Sketch density is ~2/(w+1) of the gram stream, so the posting
+    table stays a bounded fraction of the corpus token count.
+
+    Plan shape: a zero-shuffle per-row projection. The gram-hash array
+    is STAGED as a concrete column before the window-min pass — each
+    ``slice`` then reads a computed array instead of re-evaluating the
+    md5 chain per window (the O(len²) lambda re-eval trap documented at
+    frequent.py's gram staging). Short docs: < k tokens hash the whole
+    token string; fewer than w grams select the single global min —
+    every doc fingerprints. Ties need no rightmost rule because the
+    sketch is the distinct SET of selections.
+
+    Reference analogue: the content-fingerprint building block of the
+    span-dedup family (dedup_common_spans); public-literature design,
+    no reference code followed."""
+    toks = tokens(F.col(text_col))
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(TOKEN_SEP, F.slice(toks, i, k))
+                ),
+            ),
+        )
+        .otherwise(F.array(F.md5(F.concat_ws(TOKEN_SEP, toks))))
+        .alias("__grams"),
+    )
+    g = F.col("__grams")
+    sels = F.when(
+        F.size(g) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(g) - (w - 1)),
+            lambda j: F.array_min(F.slice(g, j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(g)))
+    return staged.select(
+        F.col(id_col), F.explode(F.array_distinct(sels)).alias("fp")
+    )
+
+
+def winnowing_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints:
+    (id_a, id_b, shared) with id_a < id_b — the fuzzy-containment
+    screen (quotes, boilerplate reuse, partial copies) that complements
+    MinHash resemblance and exact-span dedup.
+
+    Scale shape: the fingerprint table materializes ONCE
+    (localCheckpoint) for its three consumers; the pair join keys on
+    the fingerprint hash and carries (fp, id) only — never text. The
+    ``max_df`` stop-fingerprint cap (drop fps present in more docs —
+    ubiquitous boilerplate carries no pair information) bounds every
+    join bucket at max_df ids, so a hot fingerprint contributes at most
+    max_df² candidate pairs instead of |corpus|² — the same pigeonhole
+    bound the Ed-Join prefix postings rely on. At 100 TB the cap is the
+    difference between a skew-killed self-join and a bounded one."""
+    fp = winnowing_fingerprint_table(
+        df, text_col, id_col, k, w
+    ).localCheckpoint(eager=False)
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("fp")
+    )
+    fpk = fp.join(keep, "fp")
+    a = fpk.select(F.col(id_col).alias("id_a"), "fp")
+    b = fpk.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

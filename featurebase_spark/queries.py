@@ -5008,6 +5008,54 @@ def dedup_common_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_winnowing_pairs",
+    # Winnowing (SIGMOD'03) containment pairs: the oracle replays the
+    # full fingerprint derivation — md5 hex of every 4-token shingle
+    # (a total order both engines share byte-for-byte), window-of-4
+    # minima, distinct per doc — then the capped self-join. Hash match
+    # proves gram extraction, window selection, the stop-fingerprint
+    # cap, and the shared counts all agree bit-for-bit.
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w "
+    "              FROM documents WHERE text IS NOT NULL), "
+    "g AS (SELECT doc_id, CASE WHEN len(w) >= 4 "
+    "  THEN list_transform(range(1, len(w) - 2), "
+    "                      i -> md5(array_to_string(w[i:i+3], ' '))) "
+    "  ELSE [md5(array_to_string(w, ' '))] END AS grams FROM toks), "
+    "sel AS (SELECT doc_id, CASE WHEN len(grams) >= 4 "
+    "  THEN list_transform(range(1, len(grams) - 2), "
+    "                      j -> list_aggregate(grams[j:j+3], 'min')) "
+    "  ELSE [list_aggregate(grams, 'min')] END AS sels FROM g), "
+    "fp AS (SELECT DISTINCT doc_id, unnest(sels) AS fp FROM sel), "
+    "keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 100), "
+    "fpk AS (SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp)), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "                 COUNT(*) AS shared "
+    "          FROM fpk a JOIN fpk b "
+    "            ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "          GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+    "SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared "
+    "FROM pairs ORDER BY id_a, id_b",
+)
+def dedup_winnowing_pairs(spark, sf_dir):
+    """Fuzzy CONTAINMENT pairs via winnowing fingerprints
+    (pipeline/dedup.winnowing_containment_pairs — Schleimer et al.
+    SIGMOD'03, the MOSS sketch): documents sharing >= 2 selected
+    window-min gram hashes, i.e. guaranteed detection of any verbatim
+    run of >= w+k-1 = 7 tokens, regardless of how different the two
+    document LENGTHS are — the asymmetric case MinHash resemblance
+    dilutes. Zero-shuffle sketch projection (staged gram arrays), one
+    materialized posting table for three consumers, and a max_df=100
+    stop-fingerprint cap bounding every join bucket (pigeonhole: a hot
+    fp contributes <= max_df² pairs, never |corpus|²)."""
+    from featurebase_spark.pipeline.dedup import winnowing_containment_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return winnowing_containment_pairs(docs, "text", "doc_id").orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
     "embed_quantize_int8",
     # per-vector symmetric int8 codes summarized scalar-wise (sums/
     # extremes pin every element without array-cell comparison); every
