@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     "vocab_bpe_pairs",
     # r9: winnowing containment pairs (MOSS sketch + capped fp join)
     "dedup_winnowing_pairs",
+    # r9: bucketed interval-overlap join + Count-Min point frequencies
+    "events_overlap_pairs",
+    "freq_cms_topk",
+    # r9: integer-PMI collocations
+    "text_collocations_pmi",
 ]
 
 #: queries added after the prior round — excluded from regression flags
@@ -117,6 +122,9 @@ _NEW_IN_ROUND = {
     "rank_bm25_topk",
     "vocab_bpe_pairs",
     "dedup_winnowing_pairs",
+    "events_overlap_pairs",
+    "freq_cms_topk",
+    "text_collocations_pmi",
 }
 
 

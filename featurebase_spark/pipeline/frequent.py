@@ -323,3 +323,76 @@ def novel_bigram_ratio(
             ).alias("novel_ppm"),
         )
     )
+
+
+def collocations_pmi_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k word collocations by pointwise mutual information — the
+    classic phrase-mining signal (Church & Hanks 1990), with the PMI
+    ratio carried as an EXACT scaled integer instead of a log:
+
+        pmi_ppm = count(w1 w2) · N · 10^6  div  (count(w1) · count(w2))
+
+    a strictly monotone transform of PMI for fixed N (log dropped, the
+    same rationale as the BM25 idf rational, pipeline/ranking.py), so
+    the ranking is identical and the DuckDB oracle replays it with
+    HUGEINT // — Spark ``DECIMAL(38,0) div`` == DuckDB ``//``, the
+    repo's proven integer-division pair. Magnitudes: at N = 10^13
+    corpus tokens the numerator peaks ~10^32, inside DECIMAL(38,0).
+
+    Scale shape: one shuffle for the bigram counts, one for the unigram
+    counts — both map-side combined and bounded by VOCABULARY (which
+    grows ~log with the corpus), never by the token stream; the
+    ``min_count`` filter lands before the two unigram joins, so the
+    join input is the rare-pair-pruned bigram table. Top-k is
+    TakeOrderedAndProject (per-partition heaps ship k rows each).
+    Ordering is total: (pmi_ppm DESC, w1, w2)."""
+    if min_count < 1 or k < 1:
+        raise ValueError(f"need min_count, k >= 1: {min_count}, {k}")
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.split(F.col(text_col), " ").alias("__w")
+    )
+    pairs = (
+        toks.where(F.size("__w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__w) - 1), "
+                    "i -> struct(__w[i-1] AS w1, __w[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    cb = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    cu = (
+        toks.select(F.explode("__w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    n_row = cu.agg(F.sum("c_t").alias("__n"))
+    scored = (
+        cb.join(cu.select(F.col("t").alias("w1"), F.col("c_t").alias("c_x")), "w1")
+        .join(cu.select(F.col("t").alias("w2"), F.col("c_t").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n_row))  # 1-row totals (established pattern)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.expr(
+                "CAST((CAST(c_xy AS DECIMAL(38,0)) * CAST(__n AS DECIMAL(38,0))"
+                " * 1000000) div (CAST(c_x AS DECIMAL(38,0)) *"
+                " CAST(c_y AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("pmi_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ppm"), "w1", "w2").limit(k)

@@ -35,13 +35,16 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "hll_registers",
     "hll_merge",
     "hll_summary",
     "hll_estimate",
+    "cms_sketch",
+    "cms_merge",
+    "cms_estimates",
 ]
 
 #: bits of tail hashed into rho (15 hex chars — fits BIGINT exactly)
@@ -147,3 +150,99 @@ def hll_estimate(
     if e <= 2.5 * m and zero_registers > 0:
         return m * math.log(m / zero_registers)
     return e
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (frequency estimation)
+# ---------------------------------------------------------------------------
+#
+# The mergeable FREQUENCY companion to HLL (Cormode & Muthukrishnan,
+# J. Algorithms 2005): d independent hash rows × w counters; an item's
+# estimate is the MIN of its d cells — always >= the true count, with
+# overestimate bounded by (e/w)·N at probability 1-e^-d. Counters merge
+# with elementwise SUM (associative/commutative), so per-shard sketches
+# of a 1000-executor scan union into one with a shuffle bounded by d·w
+# rows per shard — never the key cardinality. Where the exact
+# heavy-hitter operator (pipeline/frequent.py) must see every key, the
+# CMS answers "how often does THIS key appear" over unbounded keys in
+# O(d·w) state: the point-lookup tier of the frequency story.
+#
+# Determinism contract (DuckDB replays bit-for-bit): cell hash for row
+# i = md5("<i>:<key decimal string>"), first 15 hex chars as a 60-bit
+# integer, mod w — integers end-to-end, no float anywhere.
+
+
+def _cms_bucket(key: Column, row: Column, w: int) -> Column:
+    hx = F.md5(F.concat_ws(":", row.cast("string"), key.cast("string")))
+    return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(w)
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """The sketch table: (row_id INT, bucket INT, cnt LONG), at most d·w
+    rows from ANY input size. Each input row explodes into its d cells
+    (pure projection); Spark's partial aggregation folds every partition
+    to <= d·w cells map-side, so the one shuffle carries
+    partitions·d·w tiny rows. NULL keys are excluded."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2: d={d}, w={w}")
+    keyed = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_id"),
+    )
+    return (
+        keyed.select(
+            F.col("row_id").cast("int").alias("row_id"),
+            _cms_bucket(F.col("__k"), F.col("row_id"), w)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches of disjoint shards: counters SUM elementwise —
+    cms_merge(cms(A), cms(B)) is cell-identical to cms(A ∪ B), the
+    invariant that makes the sketch safe across executors/days/reruns."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_id", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimates(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys``: (key_col,
+    cms_est LONG) with cms_est = min over the key's d cells (missing
+    cell = 0). The sketch side is <= d·w rows BY CONSTRUCTION — a bound
+    the operator sets, not a data-dependent hope — so broadcasting it
+    is safe at any corpus size (contrast the trigram candidate set,
+    which needed a fallback); the probe side stays a projection."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_id"),
+    ).select(
+        key_col,
+        F.col("row_id").cast("int").alias("row_id"),
+        _cms_bucket(F.col(key_col), F.col("row_id"), w)
+        .cast("int")
+        .alias("bucket"),
+    )
+    joined = probes.join(
+        F.broadcast(sketch), ["row_id", "bucket"], "left"
+    ).select(key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("c"))
+    return joined.groupBy(key_col).agg(
+        F.min("c").cast("long").alias("cms_est")
+    )

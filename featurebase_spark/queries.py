@@ -4833,6 +4833,45 @@ def text_novel_bigrams(spark, sf_dir):
 
 
 @register(
+    "text_collocations_pmi",
+    # integer-PMI collocations: pmi_ppm = c(w1,w2)·N·10^6 //
+    # (c(w1)·c(w2)) — a strictly monotone transform of PMI, replayed
+    # with HUGEINT // against Spark's DECIMAL(38,0) div (the proven
+    # integer-division pair); total (pmi DESC, w1, w2) order makes the
+    # top-k boundary deterministic on both engines.
+    "WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents "
+    "              WHERE text IS NOT NULL), "
+    "pairs AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM "
+    "  (SELECT unnest(list_transform(range(1, len(w)), "
+    "     i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u "
+    "   FROM toks WHERE len(w) >= 2)), "
+    "cb AS (SELECT w1, w2, COUNT(*) AS c_xy FROM pairs "
+    "       GROUP BY 1, 2 HAVING COUNT(*) >= 5), "
+    "cuc AS (SELECT t, COUNT(*) AS c_t FROM "
+    "        (SELECT unnest(w) AS t FROM toks) GROUP BY 1), "
+    "n AS (SELECT SUM(c_t) AS n FROM cuc) "
+    "SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy, "
+    "CAST(CAST(c_xy AS HUGEINT) * CAST(n.n AS HUGEINT) * 1000000 "
+    "  // (CAST(x.c_t AS HUGEINT) * CAST(y.c_t AS HUGEINT)) AS BIGINT) "
+    "  AS pmi_ppm "
+    "FROM cb JOIN cuc x ON cb.w1 = x.t JOIN cuc y ON cb.w2 = y.t "
+    "CROSS JOIN n ORDER BY pmi_ppm DESC, w1, w2 LIMIT 20",
+)
+def text_collocations_pmi(spark, sf_dir):
+    """Top-20 word collocations by integer-scaled PMI
+    (pipeline/frequent.collocations_pmi_topk, Church & Hanks 1990):
+    the phrase-mining signal with the log dropped in favor of the
+    exact rational c_xy·N·10^6 // (c_x·c_y) — same ranking, zero
+    floats. Two vocabulary-bounded shuffles (bigram + unigram counts,
+    map-side combined), min_count prune BEFORE the unigram joins, one
+    1-row broadcast total, TakeOrderedAndProject top-k."""
+    from featurebase_spark.pipeline.frequent import collocations_pmi_topk
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return collocations_pmi_topk(docs, min_count=5, k=20)
+
+
+@register(
     "text_repetition_signals",
     # Gopher-style repetition quality signals replayed per doc: duplicate
     # 2-/5-gram fractions (1 - distinct/total) and the top-bigram share
@@ -5342,6 +5381,50 @@ def events_transitions(spark, sf_dir):
 
 
 @register(
+    "events_overlap_pairs",
+    # cross-user concurrent sessions: the oracle derives the same
+    # session intervals (30-min gap windows → per-session min/max
+    # epoch-micros) then states the overlap join the DIRECT way — a
+    # plain inequality join DuckDB runs as IEJoin. Hash match proves
+    # the bucketed equi-join + max-start dedup enumerate EXACTLY the
+    # closed-interval overlap set, with integer-micros durations.
+    "WITH s AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
+    "  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 "
+    "  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "  THEN 1 ELSE 0 END AS brk FROM events "
+    "  WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+    "t AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+    "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM s), "
+    "iv AS (SELECT user_id, sid, epoch_us(MIN(ts)) AS s_us, "
+    "       epoch_us(MAX(ts)) AS e_us FROM t GROUP BY user_id, sid) "
+    "SELECT a.user_id AS user_a, b.user_id AS user_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_overlaps, "
+    "CAST(SUM(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)) AS BIGINT) "
+    "  AS overlap_us "
+    "FROM iv a JOIN iv b ON a.user_id < b.user_id "
+    "  AND a.s_us <= b.e_us AND b.s_us <= a.e_us "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_overlap_pairs(spark, sf_dir):
+    """Cross-user concurrent-session pairs via the bucketed
+    interval-overlap join (operators/intervals.py): the range-predicate
+    join Spark would otherwise plan as BroadcastNestedLoopJoin —
+    intervals explode into hourly wall-clock buckets (pure projection),
+    hash-equi-join on bucket id, exact-overlap re-check, and the
+    max-start-bucket rule dedupes multi-bucket pairs WITHOUT a distinct
+    shuffle. Candidates per bucket are interval-density², never
+    |table|² — the knob a 100 TB deployment tunes with bucket width.
+    Declared extension (the reference has no range join; its only join
+    is nested-loop equality, sql3/planner/opnestedloops.go)."""
+    from featurebase_spark.operators.intervals import (
+        concurrent_session_pairs,
+    )
+
+    ev = _tables(spark, sf_dir)["events"]
+    return concurrent_session_pairs(ev).orderBy("user_a", "user_b")
+
+
+@register(
     "approx_distinct_hll",
     # the HLL register contract replayed bit-for-bit: md5 hashing,
     # 12-bit register, rho = 60-bit-tail leading zeros + 1, and the
@@ -5376,6 +5459,65 @@ def approx_distinct_hll(spark, sf_dir):
 
     ev = _tables(spark, sf_dir)["events"]
     return hll_summary(ev, "user_id", b=12)
+
+
+@register(
+    "freq_cms_topk",
+    # Count-Min sketch replayed bit-for-bit: per-row cell hash =
+    # md5("<i>:<key>") first 15 hex chars mod w (integers end-to-end),
+    # sketch = (row, bucket) counts, estimate = MIN over the key's d
+    # cells. The oracle derives the same sketch AND the same top-20
+    # probe set, so a hash match proves hashing, folding, and the min
+    # estimator all agree across engines.
+    "WITH cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt "
+    "  FROM events WHERE user_id IS NOT NULL GROUP BY 1), "
+    "top AS (SELECT * FROM cnt ORDER BY true_cnt DESC, user_id LIMIT 20), "
+    "cells AS (SELECT t.i, CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) "
+    "  || ':' || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 "
+    "  AS bucket FROM events e CROSS JOIN range(4) t(i) "
+    "  WHERE e.user_id IS NOT NULL), "
+    "sketch AS (SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt "
+    "  FROM cells GROUP BY 1, 2), "
+    "probe AS (SELECT top.user_id, t.i, "
+    "  CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' "
+    "  || CAST(top.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 "
+    "  AS bucket FROM top CROSS JOIN range(4) t(i)), "
+    "est AS (SELECT p.user_id, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) "
+    "  AS cms_est FROM probe p LEFT JOIN sketch s "
+    "  ON s.i = p.i AND s.bucket = p.bucket GROUP BY 1) "
+    "SELECT top.user_id, top.true_cnt, est.cms_est "
+    "FROM top JOIN est USING (user_id) ORDER BY true_cnt DESC, user_id",
+)
+def freq_cms_topk(spark, sf_dir):
+    """Count-Min sketch frequency estimates (pipeline/sketches.py,
+    Cormode & Muthukrishnan 2005) for the 20 most active users,
+    alongside exact counts: the mergeable FREQUENCY companion to HLL —
+    d·w bounded counters, elementwise-sum merge (shard-safe), estimate
+    = min over d cells, always >= truth. The sketch folds map-side to
+    <= d·w rows per partition, so the one shuffle never carries key
+    cardinality; the probe join broadcasts the sketch, safe at any
+    corpus size because the d·w bound is set by construction (the
+    scale path beyond the exact pigeonhole heavy-hitter operator when
+    the question is per-key lookup over unbounded keys)."""
+    from featurebase_spark.pipeline.sketches import (
+        cms_estimates,
+        cms_sketch,
+    )
+
+    ev = _tables(spark, sf_dir)["events"]
+    sk = cms_sketch(ev, "user_id", d=4, w=1024)
+    cnt = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    top = cnt.orderBy(F.desc("true_cnt"), "user_id").limit(20)
+    est = cms_estimates(sk, top.select("user_id"), "user_id", d=4, w=1024)
+    return (
+        top.join(est, "user_id")
+        .select("user_id", "true_cnt", "cms_est")
+        .orderBy(F.desc("true_cnt"), "user_id")
+    )
 
 
 @register(
@@ -5598,6 +5740,77 @@ def stream_hll_registers(spark, sf_dir):
     return spark.createDataFrame(
         rows, "g string, register long, max_rho long"
     ).orderBy("g", "register")
+
+
+@register(
+    "stream_cms_cells",
+    # streaming sketch == batch sketch: cell addition is associative/
+    # commutative, and each event is folded exactly once, so the
+    # stateful fold's final state must equal the batch cell table no
+    # matter the micro-batching (same md5-mod-w contract as
+    # freq_cms_topk, grouped by event_type at w=256)
+    "WITH cells AS (SELECT event_type AS g, t.i, "
+    "  CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' "
+    "  || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket "
+    "  FROM events CROSS JOIN range(4) t(i) "
+    "  WHERE user_id IS NOT NULL AND event_type IS NOT NULL) "
+    "SELECT g, CAST(i AS BIGINT) AS row_id, CAST(bucket AS BIGINT) "
+    "  AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt "
+    "FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+)
+def stream_cms_cells(spark, sf_dir):
+    """Streaming per-group Count-Min sketch END TO END, oracle-gated:
+    ``streaming.stateful_cms`` (applyInPandasWithState; state = the
+    group's sparse cell histogram) folds a real 2-micro-batch file
+    stream of (event_type, user_id) and the update-mode sink's final
+    state must equal DuckDB's batch cell derivation exactly — cell
+    addition is associative/commutative and every event folds exactly
+    once, so streaming == batch at any micro-batching (the fourth
+    streaming==batch-exact pair in the module: dedup set-union, HLL
+    max, median histogram-sum, CMS cell-sum). Cell hashing runs
+    JVM-side pre-fold (the md5-mod-w integer contract of
+    freq_cms_topk)."""
+    import tempfile
+
+    from featurebase_spark.streaming import stateful_cms, state_partitions
+
+    ev = (
+        _tables(spark, sf_dir)["events"]
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "user_id")
+    )
+    d = tempfile.mkdtemp(prefix="fb_stream_cms_")
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    state: dict = {}
+
+    def sink(batch, epoch_id):
+        # update-mode last-write-wins keyed by (g,row,bucket): cells
+        # re-emit their FULL current count, so overwrite is exact
+        for r in batch.collect():  # ≤ groups × d·w rows per batch
+            state[(r["g"], r["row_id"], r["bucket"])] = r["cnt"]
+
+    with state_partitions(spark, 4):  # state keys = |groups| (≤ handful)
+        q = (
+            stateful_cms(s, "event_type", "user_id", d=4, w=256)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = [
+        (g, int(i), int(b), int(c))
+        for (g, i, b), c in sorted(state.items())
+    ]
+    return spark.createDataFrame(
+        rows, "g string, row_id long, bucket long, cnt long"
+    ).orderBy("g", "row_id", "bucket")
 
 
 @register(
@@ -5992,6 +6205,20 @@ _GATE_PRIORITY = [
     # demote to make room: embed_quantize_int8, text_repetition_signals)
     "rank_bm25_topk",
     "vocab_bpe_pairs",
+    # Winnowing containment pairs (new this round, never gated; the
+    # twice-green docs_topk_per_source window projection demotes)
+    "dedup_winnowing_pairs",
+    # Bucketed interval-overlap join, Count-Min batch + streaming (new
+    # this round, never gated; three multi-round-green veterans demote:
+    # corpus_shuffle_head, pack_sequences_budget,
+    # decontaminate_ngram_overlap — all driver-green ≥2 rounds)
+    "events_overlap_pairs",
+    "freq_cms_topk",
+    "stream_cms_cells",
+    # Integer-PMI collocations (new this round; the heavy-hitters TVF
+    # door demotes — its base op text_heavy_hitters stays gated and the
+    # door shares that oracle)
+    "text_collocations_pmi",
     # Mix planning + profiles new in r8
     "mix_epoch_plan",
     "grouped_percentiles_profile",
@@ -6027,24 +6254,19 @@ _GATE_PRIORITY = [
     # statements / sources
     "statement_insert_touched_buckets",
     "source_spool_consume",
-    # text tier + its TVF door twin
+    # text tier
     "text_heavy_hitters",
-    "heavy_hitters_text_door",
-    # blocklist / mix / decontamination
+    # blocklist / mix
     "blocklist_filter_bloom",
     "mix_temperature_sample",
-    "decontaminate_ngram_overlap",
     # SQL subquery + join shapes (young: driver-green once or twice)
     "sql_q8_market_share",
     "sql_q12_priority_shipping",
     "sql_q2_min_cost_supplier",
     "sql_q21_waiting_supplier",
-    # sampling / packing / corpus ops (driver-green r7-r8; the
-    # stratified oracle gained the NULL-id guard this round)
-    "pack_sequences_budget",
+    # sampling (the stratified oracle gained the NULL-id guard this
+    # round, so it stays under the hard gate)
     "sample_stratified_per_source",
-    "corpus_shuffle_head",
-    "docs_topk_per_source",
 ]
 
 

@@ -55,6 +55,8 @@ SUBLINEAR_KEYS = [
     "like_trigram_search",
     "rank_bm25_topk",
     "vocab_bpe_pairs",
+    # r9: CMS sketch+probe — two bounded-state scans of the event log
+    "freq_cms_topk",
 ]
 
 #: max allowed t(sf0.1)/t(sf0.001) for the scan-class keys: 100× the

@@ -512,6 +512,77 @@ def stateful_hll(
     )
 
 
+def stateful_cms(
+    stream: DataFrame,
+    group_col: str,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """EXTENSION: streaming per-group Count-Min sketch — the frequency
+    fold (pipeline/sketches.cms_sketch) as a custom stateful operator.
+    Each group's state is its SPARSE cell histogram ((row·w + bucket) →
+    count); every micro-batch adds its cell increments and emits the
+    group's current non-zero cells (update semantics, ≤ d·w rows per
+    group per trigger).
+
+    Merge algebra honesty: cell addition is associative and commutative
+    — so the final state equals the batch sketch at ANY micro-batching
+    under the exactly-once processing Structured Streaming provides —
+    but unlike HLL's max it is NOT idempotent: an at-least-once sink
+    replaying a batch would double-count (use the idempotent upsert
+    sink in this module, or update-mode last-write-wins keyed by
+    (g, row, bucket), which this operator's full-cell emission makes
+    safe — re-emitted cells overwrite, not add, downstream).
+
+    The (row, bucket) cell derivation runs JVM-side pre-fold (the same
+    md5-mod-w integer contract as the batch sketch); Python only sums
+    per-cell counts. State per group is ≤ d·w ints, hash-partitioned by
+    group."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from featurebase_spark.pipeline.sketches import _cms_bucket
+
+    prepped = stream.where(F.col(key_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_id"),
+        F.col(key_col).alias("__k"),
+    )
+    prepped = prepped.select(
+        "g",
+        F.col("row_id").cast("int").alias("row_id"),
+        _cms_bucket(F.col("__k"), F.col("row_id"), w)
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    def fold(key, pdfs, state):
+        hist: dict[int, int] = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        for pdf in pdfs:
+            cells = pdf["row_id"].to_numpy() * w + pdf["bucket"].to_numpy()
+            for c, n in pd.Series(cells).value_counts().items():
+                hist[int(c)] = hist.get(int(c), 0) + int(n)
+        cells_sorted = sorted(hist)
+        state.update((cells_sorted, [hist[c] for c in cells_sorted]))
+        out = [
+            (key[0], c // w, c % w, hist[c]) for c in cells_sorted
+        ]
+        yield pd.DataFrame(out, columns=["g", "row_id", "bucket", "cnt"])
+
+    out_type = prepped.schema["g"].dataType.simpleString()
+    return prepped.groupBy("g").applyInPandasWithState(
+        fold,
+        outputStructType=f"g {out_type}, row_id INT, bucket INT, cnt LONG",
+        stateStructType="cells ARRAY<INT>, counts ARRAY<LONG>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_grouped_median(
     stream: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

@@ -127,3 +127,87 @@ def test_registers_match_python_md5_replay(spark):
         rho = 61 if v == 0 else 61 - v.bit_length()
         want[reg] = max(want.get(reg, 0), rho)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+from featurebase_spark.pipeline.sketches import (  # noqa: E402
+    cms_estimates,
+    cms_merge,
+    cms_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key k appears k+1 times, k in 0..99 — a known exact histogram
+    return spark.range(100).select(
+        F.explode(
+            F.sequence(F.lit(0), F.col("id"))
+        ).alias("_"),
+        F.col("id").alias("k"),
+    ).select("k")
+
+
+def test_cms_never_underestimates(skewed, spark):
+    sk = cms_sketch(skewed, "k", d=4, w=256)
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    est = {
+        r["k"]: r["cms_est"]
+        for r in cms_estimates(sk, keys, "k", d=4, w=256).collect()
+    }
+    for k in range(100):
+        assert est[k] >= k + 1, (k, est[k])
+
+
+def test_cms_exact_when_wide(skewed, spark):
+    """With w far above the key count, collisions are unlikely in every
+    one of the d rows simultaneously — the min recovers exact counts."""
+    sk = cms_sketch(skewed, "k", d=4, w=65536)
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    est = {
+        r["k"]: r["cms_est"]
+        for r in cms_estimates(sk, keys, "k", d=4, w=65536).collect()
+    }
+    assert est == {k: k + 1 for k in range(100)}
+
+
+def test_cms_merge_equals_whole(skewed):
+    """Sharded build + elementwise-sum merge is CELL-IDENTICAL to the
+    single build — the invariant that makes per-executor sketches safe."""
+    whole = {
+        (r["row_id"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(skewed, "k", d=3, w=64).collect()
+    }
+    a = cms_sketch(skewed.where(F.col("k") % 2 == 0), "k", d=3, w=64)
+    b = cms_sketch(skewed.where(F.col("k") % 2 == 1), "k", d=3, w=64)
+    merged = {
+        (r["row_id"], r["bucket"]): r["cnt"]
+        for r in cms_merge(a, b).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_bounds_nulls_and_unseen(spark):
+    sk_rows = cms_sketch(
+        spark.createDataFrame(
+            [(1,), (1,), (None,)], "k int"
+        ),
+        "k",
+        d=4,
+        w=32,
+    )
+    # NULL keys excluded: total count per row is 2, rows bounded by d*w
+    per_row = {
+        r["row_id"]: r["cnt"]
+        for r in sk_rows.groupBy("row_id")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert per_row == {0: 2, 1: 2, 2: 2, 3: 2}
+    # an unseen key estimates 0 unless it collides in ALL d rows
+    probe = spark.createDataFrame([(999999,)], "k int")
+    est = cms_estimates(sk_rows, probe, "k", d=4, w=32).collect()[0]
+    assert 0 <= est["cms_est"] <= 2

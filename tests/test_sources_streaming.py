@@ -933,3 +933,50 @@ def test_state_partitions_scopes_and_restores(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_stateful_cms_batching_invariant(spark, tmpdir):
+    """Streaming CMS fold == batch sketch regardless of micro-batching:
+    cell addition is associative/commutative and each row folds exactly
+    once, so 3 micro-batches must produce the batch cell table
+    cell-for-cell (the non-idempotent sum algebra is still
+    batch-split-invariant under exactly-once processing)."""
+    import os
+
+    from featurebase_spark.pipeline.sketches import cms_sketch
+
+    df = spark.createDataFrame(
+        [("g1", i % 7) for i in range(200)]
+        + [("g2", i % 3) for i in range(40)],
+        "g STRING, k LONG",
+    )
+    src_dir = os.path.join(tmpdir, "cms_src")
+    df.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state = {}
+
+    def sink(batch, _):
+        for r in batch.collect():
+            state[(r["g"], r["row_id"], r["bucket"])] = r["cnt"]
+
+    q = (
+        STR.stateful_cms(stream, "g", "k", d=3, w=32)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for g in ("g1", "g2"):
+        want = {
+            (r["row_id"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(df.where(df.g == g), "k", d=3, w=32).collect()
+        }
+        got = {
+            (i, b): c for (gg, i, b), c in state.items() if gg == g
+        }
+        assert got == want, g
