@@ -246,3 +246,29 @@ def cms_estimates(
     return joined.groupBy(key_col).agg(
         F.min("c").cast("long").alias("cms_est")
     )
+
+
+def cms_topk_with_truth(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """The verification shape shared by the ``freq_cms_topk`` key and
+    the FB_CMS TVF door: CMS estimates for the k most frequent keys
+    NEXT TO their exact counts — (key_col, true_cnt, cms_est), ordered
+    (true_cnt DESC, key) so the top-k boundary is a total order."""
+    sk = cms_sketch(df, key_col, d=d, w=w)
+    cnt = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    top = cnt.orderBy(F.desc("true_cnt"), key_col).limit(k)
+    est = cms_estimates(sk, top.select(key_col), key_col, d=d, w=w)
+    return (
+        top.join(est, key_col)
+        .select(key_col, "true_cnt", "cms_est")
+        .orderBy(F.desc("true_cnt"), key_col)
+    )

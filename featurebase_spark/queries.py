@@ -5499,25 +5499,10 @@ def freq_cms_topk(spark, sf_dir):
     corpus size because the d·w bound is set by construction (the
     scale path beyond the exact pigeonhole heavy-hitter operator when
     the question is per-key lookup over unbounded keys)."""
-    from featurebase_spark.pipeline.sketches import (
-        cms_estimates,
-        cms_sketch,
-    )
+    from featurebase_spark.pipeline.sketches import cms_topk_with_truth
 
     ev = _tables(spark, sf_dir)["events"]
-    sk = cms_sketch(ev, "user_id", d=4, w=1024)
-    cnt = (
-        ev.where(F.col("user_id").isNotNull())
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
-    )
-    top = cnt.orderBy(F.desc("true_cnt"), "user_id").limit(20)
-    est = cms_estimates(sk, top.select("user_id"), "user_id", d=4, w=1024)
-    return (
-        top.join(est, "user_id")
-        .select("user_id", "true_cnt", "cms_est")
-        .orderBy(F.desc("true_cnt"), "user_id")
-    )
+    return cms_topk_with_truth(ev, "user_id", d=4, w=1024, k=20)
 
 
 @register(
@@ -6147,10 +6132,73 @@ def _register_search_doors():
 
     ORACLE_SQL["bm25_text_door"] = ORACLE_SQL["rank_bm25_topk"]
 
+    def cms_door(spark, sf_dir):
+        """fb_cms TVF through the SQL text door (same oracle as
+        freq_cms_topk — the door must not move a single cell)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+        return fb_sql(
+            spark,
+            "SELECT user_id, true_cnt, cms_est FROM "
+            "fb_cms(events, user_id, 4, 1024, 20)",
+        )
+
+    def pmi_door(spark, sf_dir):
+        """fb_pmi TVF through the SQL text door (same oracle as
+        text_collocations_pmi)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+            "documents"
+        )
+        return fb_sql(
+            spark,
+            "SELECT w1, w2, c_xy, pmi_ppm FROM fb_pmi(documents, text, 5, 20)",
+        )
+
+    def session_overlap_door(spark, sf_dir):
+        """fb_session_overlap TVF through the SQL text door (same oracle
+        as events_overlap_pairs)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+        return fb_sql(
+            spark,
+            "SELECT user_a, user_b, n_overlaps, overlap_us FROM "
+            "fb_session_overlap(events, user_id, ts, 30) "
+            "ORDER BY user_a, user_b",
+        )
+
+    def winnow_door(spark, sf_dir):
+        """fb_winnow TVF through the SQL text door (same oracle as
+        dedup_winnowing_pairs)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+            "documents"
+        )
+        return fb_sql(
+            spark,
+            "SELECT id_a, id_b, shared FROM "
+            "fb_winnow(documents, text, doc_id, 2) ORDER BY id_a, id_b",
+        )
+
+    ORACLE_SQL["cms_text_door"] = ORACLE_SQL["freq_cms_topk"]
+    ORACLE_SQL["pmi_text_door"] = ORACLE_SQL["text_collocations_pmi"]
+    ORACLE_SQL["session_overlap_text_door"] = ORACLE_SQL[
+        "events_overlap_pairs"
+    ]
+    ORACLE_SQL["winnow_text_door"] = ORACLE_SQL["dedup_winnowing_pairs"]
+
     SPARK_QUERIES["keyword_search_text_door"] = keyword_door
     SPARK_QUERIES["like_pattern_text_door"] = like_pattern_door
     SPARK_QUERIES["source_overlap_text_door"] = overlap_door
     SPARK_QUERIES["bm25_text_door"] = bm25_door
+    SPARK_QUERIES["cms_text_door"] = cms_door
+    SPARK_QUERIES["pmi_text_door"] = pmi_door
+    SPARK_QUERIES["session_overlap_text_door"] = session_overlap_door
+    SPARK_QUERIES["winnow_text_door"] = winnow_door
 
 
 _register_search_doors()

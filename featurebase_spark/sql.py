@@ -662,6 +662,16 @@ _TVFS: dict[str, tuple[int, str]] = {
     "FB_BM25": (5, "(table, id_col, text_col, terms, k)"),
     # cross-source n-gram overlap matrix (pipeline/contamination)
     "FB_SOURCE_OVERLAP": (5, "(table, text_col, source_col, ngram, top)"),
+    # Count-Min frequency verification shape (pipeline/sketches.py):
+    # top-k keys by exact count with their min-cell CMS estimates
+    "FB_CMS": (5, "(table, key_col, d, w, k)"),
+    # integer-PMI collocations (pipeline/frequent.collocations_pmi_topk)
+    "FB_PMI": (4, "(table, text_col, min_count, k)"),
+    # cross-user concurrent-session pairs via the bucketed
+    # interval-overlap join (operators/intervals.py)
+    "FB_SESSION_OVERLAP": (4, "(table, user_col, ts_col, gap_minutes)"),
+    # winnowing containment pairs (pipeline/dedup, MOSS sketch)
+    "FB_WINNOW": (4, "(table, text_col, id_col, min_shared)"),
 }
 
 _TVF_GUARD = _re.compile(
@@ -670,7 +680,8 @@ _TVF_GUARD = _re.compile(
     r"|fb_topk_per_group|fb_blocklist_filter"
     r"|fb_funnel|fb_retention|fb_asof_join"
     r"|fb_like_search|fb_transitions|fb_fuzzy_join|fb_hll"
-    r"|fb_keyword_search|fb_source_overlap|fb_bm25)\b",
+    r"|fb_keyword_search|fb_source_overlap|fb_bm25"
+    r"|fb_cms|fb_pmi|fb_session_overlap|fb_winnow)\b",
     _re.IGNORECASE,
 )
 
@@ -973,6 +984,60 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
                     f"got {v!r}"
                 )
         out = source_overlap_jaccard(df, text_col, src_col, int(ng), int(top))
+    elif name == "FB_CMS":
+        from featurebase_spark.pipeline.sketches import cms_topk_with_truth
+
+        key_c, dd, ww, kk = args[1], args[2], args[3], args[4]
+        need_col(key_c, "key_col")
+        for v, role in ((dd, "d"), (ww, "w"), (kk, "k")):
+            if not _re.fullmatch(r"[1-9]\d*", v):
+                raise ValueError(
+                    f"{low}: positive integer literal expected for {role}, "
+                    f"got {v!r}"
+                )
+        out = cms_topk_with_truth(df, key_c, d=int(dd), w=int(ww), k=int(kk))
+    elif name == "FB_PMI":
+        from featurebase_spark.pipeline.frequent import collocations_pmi_topk
+
+        text_col, mc, kk = args[1], args[2], args[3]
+        need_col(text_col, "text_col")
+        for v, role in ((mc, "min_count"), (kk, "k")):
+            if not _re.fullmatch(r"[1-9]\d*", v):
+                raise ValueError(
+                    f"{low}: positive integer literal expected for {role}, "
+                    f"got {v!r}"
+                )
+        out = collocations_pmi_topk(df, text_col, min_count=int(mc), k=int(kk))
+    elif name == "FB_SESSION_OVERLAP":
+        from featurebase_spark.operators.intervals import (
+            concurrent_session_pairs,
+        )
+
+        user_c, ts_c, gap = args[1], args[2], args[3]
+        need_col(user_c, "user_col")
+        need_col(ts_c, "ts_col")
+        if not _re.fullmatch(r"[1-9]\d*", gap):
+            raise ValueError(
+                f"{low}: positive integer literal expected for "
+                f"gap_minutes, got {gap!r}"
+            )
+        out = concurrent_session_pairs(df, user_c, ts_c, int(gap))
+    elif name == "FB_WINNOW":
+        from featurebase_spark.pipeline.dedup import (
+            winnowing_containment_pairs,
+        )
+
+        text_col, id_col, ms = args[1], args[2], args[3]
+        need_col(text_col, "text_col")
+        need_col(id_col, "id_col")
+        if not _re.fullmatch(r"[1-9]\d*", ms):
+            raise ValueError(
+                f"{low}: positive integer literal expected for "
+                f"min_shared, got {ms!r}"
+            )
+        out = winnowing_containment_pairs(
+            df, text_col, id_col, min_shared=int(ms)
+        )
     else:
         from featurebase_spark.pipeline import dedup
 

@@ -547,3 +547,59 @@ class TestSearchTvfs:
                 "SELECT * FROM fb_keyword_search(tvf_docs2, doc_id, text, "
                 "'a,b', 0)",
             )
+
+
+class TestRound9Tvfs:
+    """fb_cms / fb_pmi / fb_session_overlap / fb_winnow doors:
+    compile-error surface (end-to-end results are oracle-gated via the
+    *_text_door keys)."""
+
+    def test_cms_door_errors_and_shape(self, spark, tables):
+        import pytest
+
+        from featurebase_spark.sql import fb_sql
+
+        tables["events"].limit(50).createOrReplaceTempView("tvf_ev9")
+        with pytest.raises(ValueError, match="positive integer literal"):
+            fb_sql(spark, "SELECT * FROM fb_cms(tvf_ev9, user_id, 0, 64, 5)")
+        with pytest.raises(ValueError, match="column 'nope' not found"):
+            fb_sql(spark, "SELECT * FROM fb_cms(tvf_ev9, nope, 4, 64, 5)")
+        rows = fb_sql(
+            spark, "SELECT * FROM fb_cms(tvf_ev9, user_id, 4, 4096, 5)"
+        ).collect()
+        assert 0 < len(rows) <= 5
+        # wide sketch on 50 rows: min-cell estimate == exact count
+        assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
+
+    def test_pmi_door_arity(self, spark, tables):
+        import pytest
+
+        from featurebase_spark.sql import fb_sql
+
+        tables["documents"].limit(5).createOrReplaceTempView("tvf_docs9")
+        with pytest.raises(ValueError, match=r"formal parameters \(4\)"):
+            fb_sql(spark, "SELECT * FROM fb_pmi(tvf_docs9, text, 5)")
+
+    def test_session_overlap_door_errors(self, spark, tables):
+        import pytest
+
+        from featurebase_spark.sql import fb_sql
+
+        tables["events"].limit(5).createOrReplaceTempView("tvf_ev10")
+        with pytest.raises(ValueError, match="positive integer literal"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_session_overlap(tvf_ev10, user_id, ts, x)",
+            )
+
+    def test_winnow_door_errors(self, spark, tables):
+        import pytest
+
+        from featurebase_spark.sql import fb_sql
+
+        tables["documents"].limit(5).createOrReplaceTempView("tvf_docs10")
+        with pytest.raises(ValueError, match="positive integer literal"):
+            fb_sql(
+                spark,
+                "SELECT * FROM fb_winnow(tvf_docs10, text, doc_id, 0)",
+            )
