@@ -35,7 +35,6 @@ BENCH_QUERIES = [
     # TPC-H-shaped scale set (scan-agg / join-topk / 6-way star join)
     "sql_q6_forecast_revenue",
     "sql_q3_shipping_priority",
-    "sql_q5_local_supplier_volume",
     # training-data pipeline headliners (documents/embeddings tables)
     "text_profile",
     "dedup_exact_fingerprints",
@@ -55,7 +54,6 @@ BENCH_QUERIES = [
     "dedup_survivors",
     # r4: the distributed (beyond-driver-cache-cap) fragment serving path
     # timed next to the driver-cache path (VERDICT r3 next-round #3)
-    "bitmap_index_count_distributed",
     # r4: PQL text parsed + routed + served from fragments end-to-end
     "pql_text_routed_serving",
     # r4: index WRITE path — CREATE INDEX + clear-then-set maintenance
@@ -65,7 +63,6 @@ BENCH_QUERIES = [
     # kill-and-resume), and the cross-index Distinct semi-join
     "multimodal_jpeg_decode",
     "source_spool_consume",
-    "pql_foreign_distinct",
     # r6: deterministic sampling/mixing, decontamination, exact-span
     # dedup, the streaming window oracle, and the widest TPC-H star (Q8)
     "sample_hash_split",
@@ -74,14 +71,12 @@ BENCH_QUERIES = [
     "dedup_common_spans",
     "stream_windowed_counts",
     "sql_q8_market_share",
-    "sql_q18_large_orders",
     "sim_ann_pq_adc_topk",
     # r7: exact heavy hitters (candidate/verify two-phase), the Q13
     # aggregate-of-aggregate shape, the stratified-sample prefilter path,
     # bloom-pruned blocklist filtering, and the hardest TPC-H
     # decorrelations (Q9 star profit, Q21 double EXISTS self-join)
     "text_heavy_hitters",
-    "sql_q13_customer_distribution",
     "sample_stratified_per_source",
     "blocklist_filter_bloom",
     "sql_q9_product_profit",
@@ -109,15 +104,19 @@ BENCH_QUERIES = [
     # r9: bucketed interval-overlap join + Count-Min point frequencies
     "events_overlap_pairs",
     "freq_cms_topk",
-    # r9: integer-PMI collocations
+    # r9: integer-PMI collocations + MAD outlier screen
     "text_collocations_pmi",
+    "docs_mad_outliers",
 ]
 
 #: queries added after the prior round — excluded from regression flags
-#: (r9 also DROPPED two multi-round-green sub-second projections,
-#: text_token_count_bpeish + bitmap_index_count, to keep the JSON line
-#: under the driver's 2000-char stdout tail with the new keys added;
-#: both remain under the local correctness gate)
+#: (r9 DROPPED seven multi-round-green sub-second keys to keep the
+#: worst-case JSON line under the driver's 2000-char stdout tail with
+#: 9 new keys added: text_token_count_bpeish, bitmap_index_count,
+#: sql_q5_local_supplier_volume, bitmap_index_count_distributed,
+#: pql_foreign_distinct, sql_q18_large_orders,
+#: sql_q13_customer_distribution — all remain under the local
+#: correctness gate and the interleaved control's common-key set)
 _NEW_IN_ROUND = {
     "rank_bm25_topk",
     "vocab_bpe_pairs",
@@ -125,6 +124,7 @@ _NEW_IN_ROUND = {
     "events_overlap_pairs",
     "freq_cms_topk",
     "text_collocations_pmi",
+    "docs_mad_outliers",
 }
 
 

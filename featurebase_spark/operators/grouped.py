@@ -32,7 +32,11 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["grouped_percentile", "grouped_percentiles"]
+__all__ = [
+    "grouped_percentile",
+    "grouped_percentiles",
+    "mad_outlier_stats",
+]
 
 
 def grouped_percentile(
@@ -126,3 +130,65 @@ def grouped_percentiles(
         for p in ps
     ]
     return t.groupBy(*groups).agg(*aggs)
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k_permille: int = 3000,
+) -> DataFrame:
+    """Robust per-group outlier statistics via MEDIAN ABSOLUTE DEVIATION
+    — the data-quality screen that, unlike mean/stddev z-scores, is not
+    itself dragged by the outliers it hunts (Hampel; 50% breakdown
+    point). Per group: med = nearest-rank median of the value, mad =
+    nearest-rank median of |value - med|, and a row is an outlier iff
+
+        |value - med| · 1000  >  k_permille · mad
+
+    cross-multiplied, so the whole contract stays in INTEGER arithmetic
+    for integral values — no division, no float, no engine quantile
+    built-in (k_permille=3000 is the conventional k=3). When mad = 0
+    (more than half the group identical) any deviation at all flags —
+    the standard degenerate behavior, documented not hidden.
+
+    Returns one row per group: (*group_cols, med, mad, n_outliers,
+    n_rows), all BIGINT.
+
+    Scale shape: both medians ride the grouped_percentile HISTOGRAM
+    contract (the shuffles and windows see one row per distinct value,
+    never corpus rows); the two stats frames are |groups| rows and
+    re-join the log by group key (AQE broadcasts them), so the log
+    itself is read twice and shuffled never. NULL groups/values are
+    excluded (SQL aggregate semantics)."""
+    if k_permille < 0:
+        raise ValueError(f"k_permille must be >= 0: {k_permille}")
+    groups = list(group_cols)
+    v = F.col(value_col)
+    base = df.where(
+        v.isNotNull()
+        & F.lit(True)
+        & F.expr(" AND ".join(f"`{g}` IS NOT NULL" for g in groups))
+    ).select(*groups, v.cast("long").alias("__v"))
+    med = grouped_percentile(base, groups, "__v", 500, "med")
+    dev = base.join(med, groups).select(
+        *groups, "med", F.abs(F.col("__v") - F.col("med")).alias("__d")
+    )
+    mad = grouped_percentile(dev, groups, "__d", 500, "mad")
+    flagged = dev.join(mad, groups)
+    return (
+        flagged.groupBy(*groups)
+        .agg(
+            F.min("med").cast("long").alias("med"),
+            F.min("mad").cast("long").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("__d") * 1000 > F.lit(int(k_permille)) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

@@ -5848,6 +5848,50 @@ def docs_winsorized_profile(spark, sf_dir):
 
 
 @register(
+    "docs_mad_outliers",
+    # MAD outlier screen replayed end-to-end: nearest-rank median over
+    # the value histogram, nearest-rank median of |v - med|, and the
+    # cross-multiplied flag d*1000 > k*mad — pure integer arithmetic on
+    # both engines, no quantile built-in, no division
+    "WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v "
+    "  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL), "
+    "mh AS (SELECT g, v, COUNT(*) AS cnt FROM v GROUP BY 1, 2), "
+    "mt AS (SELECT g, v, SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum, "
+    "       SUM(cnt) OVER (PARTITION BY g) AS n FROM mh), "
+    "med AS (SELECT g, MIN(CASE WHEN cum >= (500 * n + 999) // 1000 "
+    "        THEN v END) AS med FROM mt GROUP BY g), "
+    "dev AS (SELECT v.g, med.med, ABS(v.v - med.med) AS d "
+    "        FROM v JOIN med USING (g)), "
+    "dh AS (SELECT g, d, COUNT(*) AS cnt FROM dev GROUP BY 1, 2), "
+    "dt AS (SELECT g, d, SUM(cnt) OVER (PARTITION BY g ORDER BY d) AS cum, "
+    "       SUM(cnt) OVER (PARTITION BY g) AS n FROM dh), "
+    "mad AS (SELECT g, MIN(CASE WHEN cum >= (500 * n + 999) // 1000 "
+    "        THEN d END) AS mad FROM dt GROUP BY g) "
+    "SELECT dev.g AS source, CAST(MIN(dev.med) AS BIGINT) AS med, "
+    "CAST(MIN(mad.mad) AS BIGINT) AS mad, "
+    "CAST(SUM(CASE WHEN dev.d * 1000 > 3000 * mad.mad THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS n_outliers, "
+    "CAST(COUNT(*) AS BIGINT) AS n_rows "
+    "FROM dev JOIN mad USING (g) GROUP BY dev.g ORDER BY 1",
+)
+def docs_mad_outliers(spark, sf_dir):
+    """Robust per-source outlier screen via median absolute deviation
+    (operators/grouped.mad_outlier_stats): med and MAD are exact
+    nearest-rank order statistics over the value HISTOGRAM (the
+    grouped-percentile machinery — shuffles see one row per distinct
+    value), and the k=3 flag is cross-multiplied (d·1000 > 3000·mad) so
+    the whole contract is integer arithmetic. The data-quality
+    counterpart of the winsorized profile: that one clamps, this one
+    counts what a 50%-breakdown screen would reject."""
+    from featurebase_spark.operators.grouped import mad_outlier_stats
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return mad_outlier_stats(docs, ["source"], "n_chars", 3000).orderBy(
+        "source"
+    )
+
+
+@register(
     "like_pattern_scan",
     # the FULL wildcard surface (prefix anchor + % skip + _ single-char)
     # through the pattern planner; oracle = the naive LIKE
@@ -6267,6 +6311,9 @@ _GATE_PRIORITY = [
     # door demotes — its base op text_heavy_hitters stays gated and the
     # door shares that oracle)
     "text_collocations_pmi",
+    # MAD outlier statistics (new this round; dedup_common_spans —
+    # driver-green r6/r7/r8 — demotes)
+    "docs_mad_outliers",
     # Mix planning + profiles new in r8
     "mix_epoch_plan",
     "grouped_percentiles_profile",
@@ -6280,7 +6327,6 @@ _GATE_PRIORITY = [
     # ── hard-gate representatives retained per tier ──
     # dedup flagship (LSH machinery; fused-hash regression class)
     "dedup_minhash_lsh",
-    "dedup_common_spans",
     # ANN representative
     "sim_ann_pq_adc_topk",
     # exact grouped percentile machinery

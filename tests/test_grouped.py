@@ -108,3 +108,39 @@ def test_grouped_percentiles_validation(df):
         grouped_percentiles(df, ["g"], "v", (500, 500))
     with pytest.raises(ValueError):
         grouped_percentiles(df, ["g"], "v", (0,))
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier statistics
+# ---------------------------------------------------------------------------
+
+from featurebase_spark.operators.grouped import mad_outlier_stats  # noqa: E402
+
+
+def test_mad_hand_computed(spark):
+    """g: values 1..7 plus outlier 100 → med=4 (rank ceil(8/2)=4), devs
+    {3,2,1,0,1,2,3,96} sorted {0,1,1,2,2,3,3,96} → mad=2 (rank 4);
+    only 96 > 3·2=6 flags (cross-multiplied 96000 > 6000)."""
+    df = spark.createDataFrame(
+        [("g", v) for v in [1, 2, 3, 4, 5, 6, 7, 100]], "g string, v long"
+    )
+    r = mad_outlier_stats(df, ["g"], "v", 3000).collect()[0]
+    assert (r["med"], r["mad"], r["n_outliers"], r["n_rows"]) == (4, 2, 1, 8)
+
+
+def test_mad_zero_degenerate_flags_any_deviation(spark):
+    """More than half identical → mad=0: every non-median value flags
+    (documented degenerate behavior of the MAD screen)."""
+    df = spark.createDataFrame(
+        [("g", v) for v in [5, 5, 5, 5, 5, 9, 2]], "g string, v long"
+    )
+    r = mad_outlier_stats(df, ["g"], "v", 3000).collect()[0]
+    assert (r["med"], r["mad"], r["n_outliers"], r["n_rows"]) == (5, 0, 2, 7)
+
+
+def test_mad_null_groups_and_values_excluded(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), (None, 7), ("g", 3)], "g string, v long"
+    )
+    rows = mad_outlier_stats(df, ["g"], "v", 3000).collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] == 2
