@@ -1376,6 +1376,126 @@ def _route_simple_agg(
     return spark.sql(f"SELECT CAST({lit} AS BIGINT) AS `{name}`")
 
 
+#: reference binary-operator TYPE RULES (sql3/test/defs/defs_binops.go —
+#: the 64-matrix corpus; error texts asserted verbatim there). Spark
+#: would silently COERCE most of these (int < string compares by cast,
+#: bool < bool works), so without this guard the dialect's behavior
+#: drifts from the reference with no error at all. Conservative scope:
+#: the guard fires only on a COLUMN-op-COLUMN expression whose two bare
+#: identifiers both resolve in the single FROM table — literals keep
+#: Spark's coercion semantics (the corpus types those cases via field
+#: reads, which a text front door cannot see), and anything qualified,
+#: parenthesized, or multi-table is left to Catalyst.
+_BINOP_ALLOWED: dict[str, frozenset] = {
+    **{op: frozenset({"int", "id"}) for op in ("&", "|", "<<", ">>", "%")},
+    **{op: frozenset({"int", "id", "decimal"}) for op in ("+", "-", "*", "/")},
+    "||": frozenset({"string"}),
+    **{
+        op: frozenset({"int", "id", "decimal", "timestamp"})
+        for op in ("<", "<=", ">", ">=")
+    },
+    # AND/OR deliberately absent: the corpus asserts only their VALID
+    # bool cases, never an error text — and guarding them would false-
+    # positive on BETWEEN x AND y. Catalyst types them.
+}
+_EQ_OPS = {"=", "!=", "<>"}
+_ORDER_OPS = {"<", "<=", ">", ">="}
+
+
+def _fb_type_name(field) -> Optional[str]:
+    """Reference type-system name for a Spark schema field; None for
+    types outside the reference's system (guard then stays silent)."""
+    from pyspark.sql import types as T
+
+    dt = field.dataType
+    if field.name == "_id" and isinstance(
+        dt, (T.LongType, T.IntegerType)
+    ):
+        return "id"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.scale})"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "timestamp"
+    return None
+
+
+def _binop_class(tname: str) -> str:
+    return "decimal" if tname.startswith("decimal(") else tname
+
+
+def _binop_type_guard(spark: SparkSession, sql: str) -> None:
+    """Raise the reference's binop compile errors for column-op-column
+    expressions (defs_binops.go corpus): per-operand 'operator <op>
+    incompatible with type <t>' (checked left to right), then the
+    cross-class 'types X and Y are not equatable' rule for
+    equality/ordering over non-jointly-comparable classes (numeric
+    classes int/id/decimal ARE jointly comparable; timestamp only with
+    itself)."""
+    toks = _tokenize(sql)
+    sig = [t for t in toks if not _is_ws(t)]
+    # single-table scope only: exactly one FROM, a bare table name, no
+    # JOIN / comma-list / subquery
+    froms = [i for i, t in enumerate(sig) if t.upper() == "FROM"]
+    if len(froms) != 1 or any(t.upper() == "JOIN" for t in sig):
+        return
+    fi = froms[0]
+    if fi + 1 >= len(sig):
+        return
+    table = sig[fi + 1]
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        return
+    if fi + 2 < len(sig) and sig[fi + 2] in (",", "."):
+        return
+    try:
+        schema = spark.table(table).schema
+    except Exception:  # noqa: BLE001 — unknown table: Catalyst's error
+        return
+    types = {}
+    for f in schema.fields:
+        tn = _fb_type_name(f)
+        if tn:
+            types[f.name.lower()] = tn
+
+    def col_type(i: int) -> Optional[str]:
+        t = sig[i]
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t):
+            return None
+        # adjacent '.' means a qualified name or struct access — skip
+        if sig[i - 1 : i] == ["."] or sig[i + 1 : i + 2] == ["."]:
+            return None
+        return types.get(t.lower())
+
+    for i in range(1, len(sig) - 1):
+        tok = sig[i]
+        op = tok
+        if op not in _BINOP_ALLOWED and op not in _EQ_OPS:
+            continue
+        lt, rt = col_type(i - 1), col_type(i + 1)
+        if lt is None or rt is None:
+            continue
+        lc, rc = _binop_class(lt), _binop_class(rt)
+        if op in _BINOP_ALLOWED:
+            allowed = _BINOP_ALLOWED[op]
+            for t, c in ((lt, lc), (rt, rc)):
+                if c not in allowed:
+                    raise ValueError(
+                        f"operator '{tok}' incompatible with type '{t}'"
+                    )
+        if op in _EQ_OPS or op in _ORDER_OPS:
+            numeric = {"int", "id", "decimal"}
+            jointly = (lc == rc) or (lc in numeric and rc in numeric)
+            if not jointly:
+                raise ValueError(
+                    f"types '{lt}' and '{rt}' are not equatable"
+                )
+
+
 def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
     """Execute FeatureBase-dialect SQL against registered Spark views —
     the ``POST /sql`` front door (http_handler.go:1440-1530), with
@@ -1401,6 +1521,7 @@ def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
         if routed is not None:
             return routed
     sql = _expand_tvfs(spark, sql)  # declared extension (TVF front door)
+    _binop_type_guard(spark, sql)  # defs_binops.go type-rule parity
     if catalog is not None:
         # system tables are SELECT-able, not just SHOW-able
         # (opsystemtable.go registers them as ordinary planner tables)

@@ -1683,3 +1683,211 @@ def test_golden_timequantum_rangeq_errors(spark):
             fb_sql(spark, q, catalog=cat)
         assert msg in str(ei.value), q
     cat.drop_table("tq_rangeq")
+
+
+# --- defs_binops.go mixed-type matrices (r9): the 64-matrix type-rule
+# corpus — value cases that agree engine-to-engine, plus the reference's
+# exact compile errors now raised by sql.py's _binop_type_guard for
+# column-op-column expressions (Spark would otherwise silently coerce
+# int < string, bool < bool, int = timestamp ...).
+
+
+@pytest.fixture(scope="module")
+def binop_mixed_tables(spark):
+    import decimal as _dec
+
+    spark.createDataFrame(
+        [(1, 20, _dec.Decimal("12.34"))], "_id LONG, a LONG, d DECIMAL(4,2)"
+    ).createOrReplaceTempView("binoptesti_d")
+    spark.createDataFrame(
+        [(1, True, True, False)], "_id LONG, a BOOLEAN, b BOOLEAN, c BOOLEAN"
+    ).createOrReplaceTempView("binoptestb_b")
+    spark.createDataFrame(
+        [(1, 20, datetime.datetime(2012, 11, 1, 22, 8, 41))],
+        "_id LONG, a LONG, ts TIMESTAMP",
+    ).createOrReplaceTempView("binoptesti_ts")
+    spark.createDataFrame(
+        [(1, "foo", "101")], "_id LONG, a STRING, b STRING"
+    ).createOrReplaceTempView("binoptests_s")
+    spark.createDataFrame(
+        [(10, 20)], "_id LONG, b LONG"
+    ).createOrReplaceTempView("binoptestid_id")
+    spark.createDataFrame(
+        [(1, 10, "20")], "_id LONG, a LONG, b STRING"
+    ).createOrReplaceTempView("binoptesti_s")
+    return spark
+
+
+BINOP_MIXED_VALUES = [
+    # binoptesti_d: a=20, d=12.34 (defs_binops.go:589-760)
+    ("select a != d from binoptesti_d;", True),
+    ("select a = d from binoptesti_d;", False),
+    ("select a <= d from binoptesti_d;", False),
+    ("select a >= d from binoptesti_d;", True),
+    ("select a < d from binoptesti_d;", False),
+    ("select a > d from binoptesti_d;", True),
+    # binoptestb_b: a=true b=true c=false (defs_binops.go:1322-1494)
+    ("select a != b from binoptestb_b;", False),
+    ("select a = b from binoptestb_b;", True),
+    ("select a AND b from binoptestb_b;", True),
+    ("select a OR b from binoptestb_b;", True),
+    ("select a AND c from binoptestb_b;", False),
+    ("select a OR c from binoptestb_b;", True),
+    # binoptests_s: a='foo' b='101' (defs_binops.go:6916-7045)
+    ("select a != b from binoptests_s;", True),
+    ("select a = b from binoptests_s;", False),
+    # binoptestid_id: _id=10, b=20 (defs_binops.go:2479-2704)
+    ("select _id & b from binoptestid_id;", 0),
+    ("select _id | b from binoptestid_id;", 30),
+    ("select _id << b from binoptestid_id;", 10485760),
+    ("select _id >> b from binoptestid_id;", 0),
+    ("select _id + b from binoptestid_id;", 30),
+    ("select _id - b from binoptestid_id;", -10),
+    ("select _id * b from binoptestid_id;", 200),
+    ("select _id % b from binoptestid_id;", 10),
+]
+
+
+@pytest.mark.parametrize(
+    "sql,expected",
+    BINOP_MIXED_VALUES,
+    ids=[c[0][:50] for c in BINOP_MIXED_VALUES],
+)
+def test_golden_binop_mixed_values(binop_mixed_tables, sql, expected):
+    assert fb_sql(binop_mixed_tables, sql).first()[0] == expected
+
+
+def test_golden_binop_decimal_arithmetic(binop_mixed_tables):
+    import decimal as _dec
+
+    # 20 + 12.34 = 32.34 / 20 - 12.34 = 7.66 / 20 * 12.34 = 246.80
+    # (defs_binops.go pql.NewDecimal(3234,2)/(766,2)/(24680,2))
+    for sql, want in [
+        ("select a + d from binoptesti_d;", _dec.Decimal("32.34")),
+        ("select a - d from binoptesti_d;", _dec.Decimal("7.66")),
+        ("select a * d from binoptesti_d;", _dec.Decimal("246.80")),
+    ]:
+        assert fb_sql(binop_mixed_tables, sql).first()[0] == want
+
+
+def test_golden_string_concat_value(binop_mixed_tables):
+    # 'foo' || '101' = 'foo101' (defs_binops.go:7040, row("foo101"))
+    assert (
+        fb_sql(
+            binop_mixed_tables, "select a || b from binoptests_s;"
+        ).first()[0]
+        == "foo101"
+    )
+
+
+BINOP_MIXED_ERRORS = [
+    # binoptesti_d: bitwise/shift/mod refuse decimal; || refuses int
+    ("select a & d from binoptesti_d;",
+     "operator '&' incompatible with type 'decimal(2)'"),
+    ("select a | d from binoptesti_d;",
+     "operator '|' incompatible with type 'decimal(2)'"),
+    ("select a << d from binoptesti_d;",
+     "operator '<<' incompatible with type 'decimal(2)'"),
+    ("select a >> d from binoptesti_d;",
+     "operator '>>' incompatible with type 'decimal(2)'"),
+    ("select a % d from binoptesti_d;",
+     "operator '%' incompatible with type 'decimal(2)'"),
+    ("select a || d from binoptesti_d;",
+     "operator '||' incompatible with type 'int'"),
+    # binoptestb_b: bool has no ordering and no arithmetic
+    ("select a <= b from binoptestb_b;",
+     "operator '<=' incompatible with type 'bool'"),
+    ("select a >= b from binoptestb_b;",
+     "operator '>=' incompatible with type 'bool'"),
+    ("select a < b from binoptestb_b;",
+     "operator '<' incompatible with type 'bool'"),
+    ("select a > b from binoptestb_b;",
+     "operator '>' incompatible with type 'bool'"),
+    ("select a & b from binoptestb_b;",
+     "operator '&' incompatible with type 'bool'"),
+    ("select a + b from binoptestb_b;",
+     "operator '+' incompatible with type 'bool'"),
+    ("select a * b from binoptestb_b;",
+     "operator '*' incompatible with type 'bool'"),
+    # binoptesti_ts: int never equates/compares with timestamp; no
+    # timestamp arithmetic; || cites the int (left-first rule)
+    ("select a != ts from binoptesti_ts;",
+     "types 'int' and 'timestamp' are not equatable"),
+    ("select a = ts from binoptesti_ts;",
+     "types 'int' and 'timestamp' are not equatable"),
+    ("select a <= ts from binoptesti_ts;",
+     "types 'int' and 'timestamp' are not equatable"),
+    ("select a < ts from binoptesti_ts;",
+     "types 'int' and 'timestamp' are not equatable"),
+    ("select a & ts from binoptesti_ts;",
+     "operator '&' incompatible with type 'timestamp'"),
+    ("select a + ts from binoptesti_ts;",
+     "operator '+' incompatible with type 'timestamp'"),
+    ("select a - ts from binoptesti_ts;",
+     "operator '-' incompatible with type 'timestamp'"),
+    ("select a * ts from binoptesti_ts;",
+     "operator '*' incompatible with type 'timestamp'"),
+    ("select a / ts from binoptesti_ts;",
+     "operator '/' incompatible with type 'timestamp'"),
+    ("select a % ts from binoptesti_ts;",
+     "operator '%' incompatible with type 'timestamp'"),
+    ("select a || ts from binoptesti_ts;",
+     "operator '||' incompatible with type 'int'"),
+    # binoptests_s: strings equate and concat but never order or do math
+    ("select a <= b from binoptests_s;",
+     "operator '<=' incompatible with type 'string'"),
+    ("select a < b from binoptests_s;",
+     "operator '<' incompatible with type 'string'"),
+    ("select a + b from binoptests_s;",
+     "operator '+' incompatible with type 'string'"),
+    ("select a / b from binoptests_s;",
+     "operator '/' incompatible with type 'string'"),
+    ("select a % b from binoptests_s;",
+     "operator '%' incompatible with type 'string'"),
+    # binoptesti_s: int and string are not equatable at all
+    ("select a != b from binoptesti_s;",
+     "types 'int' and 'string' are not equatable"),
+    ("select a = b from binoptesti_s;",
+     "types 'int' and 'string' are not equatable"),
+    ("select a < b from binoptesti_s;",
+     "operator '<' incompatible with type 'string'"),
+    # binoptestid_id: id concatenation refused, cites 'id'
+    ("select _id || b from binoptestid_id;",
+     "operator '||' incompatible with type 'id'"),
+]
+
+
+@pytest.mark.parametrize(
+    "sql,err",
+    BINOP_MIXED_ERRORS,
+    ids=[c[0][:50] for c in BINOP_MIXED_ERRORS],
+)
+def test_golden_binop_type_errors(binop_mixed_tables, sql, err):
+    """The reference's exact binop compile-error texts (defs_binops.go
+    ExpErr), raised by the dialect's column-op-column type guard where
+    Spark would silently coerce."""
+    import re as _re2
+
+    with pytest.raises(ValueError, match=_re2.escape(err)):
+        fb_sql(binop_mixed_tables, sql)
+
+
+def test_binop_guard_leaves_literals_to_spark(binop_mixed_tables):
+    """Conservative scope: literal operands keep Spark's coercion
+    semantics (ts >= '1993-07-01' style predicates all over the TPC-H
+    keys must keep working) — only column-op-column fires the guard."""
+    assert (
+        fb_sql(
+            binop_mixed_tables,
+            "select ts >= '2012-01-01' from binoptesti_ts;",
+        ).first()[0]
+        is True
+    )
+    # BETWEEN's AND is never treated as a binop
+    assert (
+        fb_sql(
+            binop_mixed_tables,
+            "select a between 10 and 30 from binoptesti_d;",
+        ).first()[0]
+        is True
+    )
