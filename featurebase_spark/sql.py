@@ -1422,6 +1422,11 @@ def _fb_type_name(field) -> Optional[str]:
         return "string"
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        if isinstance(dt.elementType, (T.LongType, T.IntegerType)):
+            return "idset"
+        if isinstance(dt.elementType, T.StringType):
+            return "stringset"
     return None
 
 

@@ -1891,3 +1891,78 @@ def test_binop_guard_leaves_literals_to_spark(binop_mixed_tables):
         ).first()[0]
         is True
     )
+
+
+# --- defs_binops.go set-type matrices (idset / stringset) -------------------
+
+
+@pytest.fixture(scope="module")
+def binop_set_tables(spark):
+    spark.createDataFrame(
+        [(1, [101, 103], [101, 102])],
+        "_id LONG, a ARRAY<LONG>, b ARRAY<LONG>",
+    ).createOrReplaceTempView("binoptestids_ids")
+    spark.createDataFrame(
+        [(1, 10, [101, 102])], "_id LONG, a LONG, b ARRAY<LONG>"
+    ).createOrReplaceTempView("binoptesti_ids")
+    spark.createDataFrame(
+        [(1, 10, ["x", "y"])], "_id LONG, a LONG, b ARRAY<STRING>"
+    ).createOrReplaceTempView("binoptesti_ss")
+    return spark
+
+
+def test_golden_idset_equality_values(binop_set_tables):
+    # {101,103} vs {101,102} (defs_binops.go:5895): != true, = false
+    assert (
+        fb_sql(
+            binop_set_tables, "select a != b from binoptestids_ids;"
+        ).first()[0]
+        is True
+    )
+    assert (
+        fb_sql(
+            binop_set_tables, "select a = b from binoptestids_ids;"
+        ).first()[0]
+        is False
+    )
+
+
+BINOP_SET_ERRORS = [
+    # idset has no ordering, no arithmetic, no bitwise, no concat
+    ("select a <= b from binoptestids_ids;",
+     "operator '<=' incompatible with type 'idset'"),
+    ("select a < b from binoptestids_ids;",
+     "operator '<' incompatible with type 'idset'"),
+    ("select a & b from binoptestids_ids;",
+     "operator '&' incompatible with type 'idset'"),
+    ("select a + b from binoptestids_ids;",
+     "operator '+' incompatible with type 'idset'"),
+    ("select a / b from binoptestids_ids;",
+     "operator '/' incompatible with type 'idset'"),
+    # int never equates with a set (defs_binops.go:873-985)
+    ("select a != b from binoptesti_ids;",
+     "types 'int' and 'idset' are not equatable"),
+    ("select a = b from binoptesti_ids;",
+     "types 'int' and 'idset' are not equatable"),
+    ("select a & b from binoptesti_ids;",
+     "operator '&' incompatible with type 'idset'"),
+    # stringset behaves the same (defs_binops.go:1097-1210)
+    ("select a = b from binoptesti_ss;",
+     "types 'int' and 'stringset' are not equatable"),
+    ("select a < b from binoptesti_ss;",
+     "operator '<' incompatible with type 'stringset'"),
+    ("select a + b from binoptesti_ss;",
+     "operator '+' incompatible with type 'stringset'"),
+]
+
+
+@pytest.mark.parametrize(
+    "sql,err",
+    BINOP_SET_ERRORS,
+    ids=[c[0][:50] for c in BINOP_SET_ERRORS],
+)
+def test_golden_binop_set_type_errors(binop_set_tables, sql, err):
+    import re as _re3
+
+    with pytest.raises(ValueError, match=_re3.escape(err)):
+        fb_sql(binop_set_tables, sql)
