@@ -165,17 +165,27 @@ def mad_outlier_stats(
         raise ValueError(f"k_permille must be >= 0: {k_permille}")
     groups = list(group_cols)
     v = F.col(value_col)
-    base = df.where(
-        v.isNotNull()
-        & F.lit(True)
-        & F.expr(" AND ".join(f"`{g}` IS NOT NULL" for g in groups))
-    ).select(*groups, v.cast("long").alias("__v"))
+    # Column-object predicate, not string interpolation: empty groups
+    # must not crash (F.expr('') would) and backticked/odd column names
+    # must not break quoting.
+    pred = v.isNotNull()
+    for g in groups:
+        pred = pred & F.col(g).isNotNull()
+    base = df.where(pred).select(*groups, v.cast("long").alias("__v"))
     med = grouped_percentile(base, groups, "__v", 500, "med")
-    dev = base.join(med, groups).select(
+
+    def _attach(left: DataFrame, stats: DataFrame) -> DataFrame:
+        # empty group list → the stats frame is ONE global row; a keyed
+        # join has no keys, so attach it as a 1-row broadcast product
+        if groups:
+            return left.join(stats, groups)
+        return left.crossJoin(F.broadcast(stats))
+
+    dev = _attach(base, med).select(
         *groups, "med", F.abs(F.col("__v") - F.col("med")).alias("__d")
     )
     mad = grouped_percentile(dev, groups, "__d", 500, "mad")
-    flagged = dev.join(mad, groups)
+    flagged = _attach(dev, mad)
     return (
         flagged.groupBy(*groups)
         .agg(

@@ -80,8 +80,12 @@ def _merge_step_expr(a: str, b: str) -> str:
     """Catalyst fold replacing every adjacent (a, b) symbol pair in the
     ``seg`` array column with the merged symbol a||b (left-to-right,
     non-overlapping — the classic BPE application order)."""
-    qa = a.replace("'", "\\'")
-    qb = b.replace("'", "\\'")
+    # backslash first, THEN quote — symbols are raw corpus characters,
+    # so '\' must become '\\' before quote-escaping or the emitted
+    # Spark SQL string literal is malformed ('\' would escape the
+    # closing quote).
+    qa = a.replace("\\", "\\\\").replace("'", "\\'")
+    qb = b.replace("\\", "\\\\").replace("'", "\\'")
     return (
         "aggregate(seg, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
         f"IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}' "

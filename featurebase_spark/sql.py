@@ -391,7 +391,14 @@ class _Rewriter:
                 break
             if tok == "(":
                 self.i += 1
+                # save/restore the clause context: a projection-embedded
+                # subquery containing WHERE must not leave _clause stuck
+                # at 'where' for the rest of the OUTER scope (a RANGEQ in
+                # the outer projection would then escape the reference's
+                # "calling ranqeq() usage invalid" error)
+                saved_clause = self._clause
                 inner = self.scope(")")
+                self._clause = saved_clause
                 self.i += 1  # consume ')'
                 if not inner.strip():
                     # `where ()` is a compile error in the reference
@@ -1455,7 +1462,14 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
     table = sig[fi + 1]
     if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
         return
-    if fi + 2 < len(sig) and sig[fi + 2] in (",", "."):
+    # Bail unless the table name is followed by end-of-statement or a
+    # clause keyword: 'FROM t1 a, t2 b' (aliased comma list), 'FROM t.s'
+    # (qualified), or any alias would otherwise slip a second table's
+    # columns into the single-table type scope and raise a spurious
+    # binop error on a query Catalyst accepts.
+    if fi + 2 < len(sig) and sig[fi + 2].upper() not in (
+        "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", ";",
+    ):
         return
     try:
         schema = spark.table(table).schema
