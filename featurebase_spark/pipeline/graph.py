@@ -1,0 +1,121 @@
+"""Distributed connected components — dedup cluster resolution.
+
+Near-duplicate detection (MinHash LSH, winnowing containment, fuzzy
+joins) emits PAIRS; turning pairs into dedup decisions needs the
+transitive closure: if A~B and B~C, then {A,B,C} is ONE cluster and one
+canonical survivor should represent it. The reference reaches the same
+point through its groupBy/Distinct machinery only for single-hop
+relations (executor.go GroupBy/Distinct have no iterative closure); a
+component resolver is the standard missing piece every corpus-dedup
+pipeline bolts on (cf. the large-star/small-star MapReduce formulation,
+Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14).
+
+Algorithm: min-label propagation with POINTER JUMPING (path doubling).
+Each node carries a component label (the smallest node id it has seen);
+every round does
+
+1. neighbor relax: ``comp'(u) = min(comp(u), min over neighbors v of
+   comp(v))`` — one join of the symmetrized edge list against the label
+   frame plus one groupBy, both keyed on a single long id;
+2. pointer jump: ``comp''(u) = min(comp'(u), comp'(comp'(u)))`` — one
+   self-join of the label frame. Because labels are themselves node
+   ids, jumping halves the pointer-chain depth every round, so
+   convergence is O(log diameter) rounds instead of O(diameter) — the
+   difference between 20 and a million shuffles on a chain-shaped
+   100 TB graph.
+
+Every shuffle carries two longs per node; text/payloads never enter the
+loop. Labels are localCheckpoint-ed each round so round i+1's plan does
+not replay rounds 1..i (lineage would otherwise grow linearly and the
+py4j plan quadratically). The fixpoint test is exact: COUNT of labels
+that changed this round — when it reaches zero the labels ARE the
+component minima (monotone non-increasing, bounded below by the true
+minimum, and a fixpoint of the relax step satisfies the local minimum
+condition everywhere, which on a connected subgraph forces the global
+minimum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 64,
+) -> DataFrame:
+    """Component label (= MIN node id in the component) for every node.
+
+    ``nodes`` — one column ``node_col`` (isolated nodes allowed; they
+    become their own component). ``edges`` — undirected pairs in
+    ``src_col``/``dst_col``; duplicates and orientation don't matter
+    (the loop symmetrizes and min() absorbs repeats). Returns
+    ``(node_col, component)``, both the node id type.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds — with pointer jumping that bound allows
+    diameters up to ~2^max_iter, so hitting it means a bug, not a big
+    graph.
+    """
+    if int(max_iter) < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    n = F.col(node_col)
+    lab = nodes.where(n.isNotNull()).select(n.alias("node")).distinct()
+    lab = lab.select("node", F.col("node").alias("comp"))
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .where(F.col("s").isNotNull() & F.col("t").isNotNull())
+    )
+    sym = e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    sym = sym.where(F.col("s") != F.col("t")).distinct().localCheckpoint(
+        eager=False
+    )
+
+    lab = lab.localCheckpoint(eager=False)
+    for _ in range(int(max_iter)):
+        nbr = (
+            sym.join(lab.withColumnRenamed("node", "t"), "t")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        relaxed = (
+            lab.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "comp", F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+            )
+        )
+        jump_map = relaxed.select(
+            F.col("node").alias("comp"), F.col("comp").alias("jumped")
+        )
+        new_lab = (
+            relaxed.join(jump_map, "comp", "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("jumped", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_lab.withColumnRenamed("comp", "new_comp")
+            .join(lab, "node")
+            .where(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            return lab.select(
+                F.col("node").alias(node_col), F.col("comp").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

@@ -6025,6 +6025,65 @@ def stream_grouped_median(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_connected_components",
+    # transitive closure of the winnowing containment pairs: the CTE
+    # chain replays the exact pair derivation (same text as the
+    # dedup_winnowing_pairs oracle), then a recursive reachability CTE
+    # takes MIN reachable id per node — the ground-truth component label
+    # the Spark loop must converge to for every one of the |docs| rows
+    # (isolated docs label themselves).
+    "WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w "
+    "              FROM documents WHERE text IS NOT NULL), "
+    "g AS (SELECT doc_id, CASE WHEN len(w) >= 4 "
+    "  THEN list_transform(range(1, len(w) - 2), "
+    "                      i -> md5(array_to_string(w[i:i+3], ' '))) "
+    "  ELSE [md5(array_to_string(w, ' '))] END AS grams FROM toks), "
+    "sel AS (SELECT doc_id, CASE WHEN len(grams) >= 4 "
+    "  THEN list_transform(range(1, len(grams) - 2), "
+    "                      j -> list_aggregate(grams[j:j+3], 'min')) "
+    "  ELSE [list_aggregate(grams, 'min')] END AS sels FROM g), "
+    "fp AS (SELECT DISTINCT doc_id, unnest(sels) AS fp FROM sel), "
+    "keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 100), "
+    "fpk AS (SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp)), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "                 COUNT(*) AS shared "
+    "          FROM fpk a JOIN fpk b "
+    "            ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "          GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    "nodes AS (SELECT DISTINCT doc_id FROM documents), "
+    "e AS (SELECT id_a AS s, id_b AS t FROM pairs "
+    "      UNION SELECT id_b, id_a FROM pairs), "
+    "reach AS (SELECT doc_id AS s, doc_id AS t FROM nodes "
+    "          UNION "
+    "          SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s) "
+    "SELECT s AS doc_id, CAST(MIN(t) AS BIGINT) AS component "
+    "FROM reach GROUP BY s ORDER BY doc_id",
+)
+def dedup_connected_components(spark, sf_dir):
+    """Dedup CLUSTER resolution (pipeline/graph.connected_components):
+    near-dup pair lists (here the winnowing containment pairs) closed
+    into components via min-label propagation with pointer jumping —
+    the transitive-closure step that turns pairwise ~ into 'keep one
+    canonical doc per cluster'. The reference's executor has no
+    iterative closure (its GroupBy/Distinct are single-hop,
+    executor.go:723-835); this is the standard corpus-dedup extension
+    (large-star/small-star family, Kiveris et al. SoCC'14). Every round
+    shuffles two longs per node and pointer jumping makes rounds
+    O(log diameter); the oracle is a DuckDB recursive reachability CTE,
+    so the hash match proves the distributed fixpoint equals the exact
+    closure on every node, isolated ones included."""
+    from featurebase_spark.pipeline.dedup import winnowing_containment_pairs
+    from featurebase_spark.pipeline.graph import connected_components
+
+    docs = _tables(spark, sf_dir)["documents"]
+    pairs = winnowing_containment_pairs(docs, "text", "doc_id")
+    nodes = docs.select("doc_id")
+    return connected_components(
+        nodes, pairs, node_col="doc_id", src_col="id_a", dst_col="id_b"
+    ).orderBy("doc_id")
+
+
 def _register_search_doors():
     """SQL text-door twins of the search/behavioral additions
     (fb_like_search / fb_transitions TVFs) — same oracles as the

@@ -1,0 +1,54 @@
+"""connected_components (pipeline/graph) — fixpoint, shapes, bounds."""
+
+from __future__ import annotations
+
+import pytest
+
+from featurebase_spark.pipeline.graph import connected_components
+
+
+def _cc(spark, nodes, edges, **kw):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(
+        edges or [(None, None)], "src long, dst long"
+    )
+    if not edges:
+        edf = edf.where("src IS NOT NULL")
+    out = connected_components(ndf, edf, **kw).collect()
+    return {r["node"]: r["component"] for r in out}
+
+
+def test_chain_converges_to_min(spark):
+    """A 64-node chain needs ~6 pointer-jump rounds, not 64."""
+    n = 64
+    got = _cc(spark, range(n), [(i, i + 1) for i in range(n - 1)])
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_two_clusters_and_isolated(spark):
+    got = _cc(
+        spark,
+        range(7),
+        [(5, 3), (3, 4), (1, 2), (2, 1)],  # dup + reversed edges absorb
+    )
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 3, 5: 3, 6: 6}
+
+
+def test_no_edges_all_self(spark):
+    got = _cc(spark, [10, 20, 30], [])
+    assert got == {10: 10, 20: 20, 30: 30}
+
+
+def test_max_iter_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(
+            spark,
+            range(40),
+            [(i, i + 1) for i in range(39)],
+            max_iter=1,
+        )
+
+
+def test_max_iter_validation(spark):
+    with pytest.raises(ValueError, match="max_iter"):
+        _cc(spark, [1], [], max_iter=0)
