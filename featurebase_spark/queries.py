@@ -6084,6 +6084,194 @@ def dedup_connected_components(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "stream_stream_join",
+    # batch ground truth of the streaming attribution join: every
+    # (purchase, view) pair of the same user with the view inside the
+    # 30-minute lookback — ids only, so no timestamp surface crosses
+    # engines
+    "SELECT a.user_id, a.event_id AS purchase_id, b.event_id AS view_id "
+    "FROM events a JOIN events b ON a.user_id = b.user_id "
+    "AND b.ts > a.ts - INTERVAL 30 MINUTE AND b.ts <= a.ts "
+    "WHERE a.event_type = 'purchase' AND b.event_type = 'view' "
+    "AND a.ts IS NOT NULL AND b.ts IS NOT NULL "
+    "ORDER BY 1, 2, 3",
+)
+def stream_stream_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM inner join end to end, oracle-gated
+    (streaming.interval_stream_join): purchases and views replay
+    through two INDEPENDENT file-source streams (2 micro-batches each),
+    and Spark's stream-stream join buffers each side in the state store
+    until the other side's matching rows arrive — pairs split across
+    micro-batches MUST still be emitted, exactly once, by the engine
+    (no application-level dedup). The final appended pair set
+    hash-matches DuckDB's batch interval join, proving the streaming
+    buffering computes the batch answer regardless of how rows split
+    across triggers. Watermark exceeds the data span so nothing is
+    state-evicted mid-replay; at production scale the same watermark is
+    what BOUNDS the join state (rows older than watermark + lookback
+    are evicted)."""
+    import tempfile
+
+    from featurebase_spark.streaming import (
+        interval_stream_join,
+        state_partitions,
+    )
+
+    ev = (
+        _tables(spark, sf_dir)["events"]
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    dirs = []
+    streams = []
+    for side in (purchases, views):
+        d = tempfile.mkdtemp(prefix="fb_ssj_")
+        side.repartition(2).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        streams.append(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        dirs.append(d)
+    j = interval_stream_join(
+        streams[0],
+        streams[1],
+        key_col="user_id",
+        left_ts="p_ts",
+        right_ts="v_ts",
+        lookback="30 minutes",
+        watermark="3650 days",
+    ).select("user_id", "purchase_id", "view_id")
+    pairs: list = []
+
+    def sink(batch, epoch_id):
+        pairs.extend(
+            (r["user_id"], r["purchase_id"], r["view_id"])
+            for r in batch.collect()  # matched id pairs only
+        )
+
+    with state_partitions(spark, 4):
+        q = (
+            j.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(pairs), "user_id long, purchase_id long, view_id long"
+    ).orderBy("user_id", "purchase_id", "view_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    # the same statistics derived arithmetically: byte j of frame f of
+    # video i is (i*31 + f*17 + j*7) % 256; video i has 8 + i%5 frames
+    # of 256 bytes and every 2nd frame is sampled. DuckDB computes the
+    # stats from the formula while Spark parses the actual container
+    # bytes — integer equality end to end.
+    "WITH v AS (SELECT i, 8 + i % 5 AS n FROM range(12) t(i)), "
+    "f AS (SELECT i, fr FROM v, (SELECT j * 2 AS fr FROM range(6) r(j)) fs "
+    "      WHERE fr < n), "
+    "b AS (SELECT i, fr, (i*31 + fr*17 + j*7) % 256 AS val "
+    "      FROM f, range(256) js(j)) "
+    "SELECT i AS media_id, fr AS frame_idx, "
+    "CAST(256 AS BIGINT) AS n_bytes, "
+    "CAST(SUM(val) AS BIGINT) AS sum_b, "
+    "CAST(MIN(val) AS BIGINT) AS min_b, "
+    "CAST(MAX(val) AS BIGINT) AS max_b "
+    "FROM b GROUP BY i, fr ORDER BY media_id, frame_idx",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """REAL video-frame sampling plumbing, oracle-gated
+    (pipeline/multimodal.sample_frame_stats): 12 deterministic FBV1
+    containers (magic + n_frames/frame_size header + raw frames — the
+    stand-in for codec bytes this environment can't decode) are parsed
+    distributedly, every 2nd frame is addressed BY OFFSET (untouched
+    frames never materialize — the keyframe-index property), and each
+    sampled frame's integer byte statistics must equal DuckDB computing
+    them from the generating formula. The metadata-only lattice
+    (frame_sample_plan) got this far in r5; this closes the decode
+    half: binary payloads ride mapInPandas map-side and never enter a
+    shuffle."""
+    import numpy as np
+
+    from featurebase_spark.pipeline.multimodal import (
+        encode_fbv,
+        sample_frame_stats,
+    )
+
+    rows = []
+    for i in range(12):
+        n = 8 + i % 5
+        f = np.arange(n).reshape(n, 1)
+        j = np.arange(256).reshape(1, 256)
+        frames = (i * 31 + f * 17 + j * 7) % 256
+        rows.append((i, bytearray(encode_fbv(frames))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    return sample_frame_stats(media, stride=2).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+@register(
+    "sql_window_running_total",
+    # same text modulo DATEDIFF spelling; cents keep the money integral
+    "SELECT o_custkey, o_orderkey, "
+    "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_orderdate, o_orderkey) AS rk, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+    "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "  ROWS UNBOUNDED PRECEDING) * 100 AS BIGINT) AS run_cents, "
+    "CAST(date_diff('day', CAST(LAG(o_orderdate) OVER ("
+    "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE), "
+    "  CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev "
+    "FROM orders WHERE o_custkey % 100 = 7 "
+    "ORDER BY o_custkey, rk",
+)
+def sql_window_running_total(spark, sf_dir):
+    """SQL WINDOW FUNCTIONS through the dialect front door (declared
+    extension — the reference's sql3 planner has no OVER clause): per-
+    customer running revenue, order rank, and inter-order gap in one
+    pass. ROW_NUMBER/SUM-OVER/LAG share a single (partition, order)
+    spec, so Catalyst plans ONE sort within ONE hash exchange on
+    o_custkey — three analytics for the price of one shuffle, and the
+    customer filter pushes below the window into the parquet scan
+    (partition-key predicates prune BEFORE windowing). Money stays
+    integral: DECIMAL(18,2) running sums emitted as BIGINT cents; the
+    day gap is date arithmetic on both engines. Also exercises the r10
+    rewriter fix that distinguishes zero-arg window calls from the
+    reference's `where ()` compile error."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["orders"].createOrReplaceTempView("orders")
+    return fb_sql(
+        spark,
+        "SELECT o_custkey, o_orderkey, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_orderdate, o_orderkey) AS rk, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+        "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "  ROWS UNBOUNDED PRECEDING) * 100 AS BIGINT) AS run_cents, "
+        "CAST(DATEDIFF(CAST(o_orderdate AS DATE), CAST(LAG(o_orderdate) "
+        "  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+        "  AS DATE)) AS BIGINT) AS days_since_prev "
+        "FROM orders WHERE o_custkey % 100 = 7 "
+        "ORDER BY o_custkey, rk",
+    )
+
+
 def _register_search_doors():
     """SQL text-door twins of the search/behavioral additions
     (fb_like_search / fb_transitions TVFs) — same oracles as the

@@ -355,6 +355,16 @@ def _rewrite_cast(inner: str) -> str:
 # --------------------------------------------------------------------------
 
 
+#: words before '()' that mean "empty expression group", not a zero-arg
+#: function call — these keep the reference's `where ()` compile error
+_EMPTY_PAREN_RESERVED = {
+    "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN", "ELSE", "SELECT",
+    "HAVING", "BY", "IN", "EXISTS", "ALL", "ANY", "SOME", "CASE", "FROM",
+    "JOIN", "AS", "BETWEEN", "LIKE", "IS", "UNION", "EXCEPT", "INTERSECT",
+    "DISTINCT", "LIMIT", "OFFSET", "VALUES",
+}
+
+
 class _Rewriter:
     def __init__(self, toks: list[str]):
         self.toks = toks
@@ -390,6 +400,7 @@ class _Rewriter:
             if stop is not None and tok == stop:
                 break
             if tok == "(":
+                prevw = self._prev_word(self.i - 1)
                 self.i += 1
                 # save/restore the clause context: a projection-embedded
                 # subquery containing WHERE must not leave _clause stuck
@@ -402,8 +413,19 @@ class _Rewriter:
                 self.i += 1  # consume ')'
                 if not inner.strip():
                     # `where ()` is a compile error in the reference
-                    # (defs_sql1.go:434-437)
-                    raise ValueError("expected expression, found ')'")
+                    # (defs_sql1.go:434-437); a zero-arg FUNCTION call
+                    # (ROW_NUMBER() OVER ... — the window extension) is
+                    # not: allow empty parens iff glued to an identifier
+                    # that isn't a reserved word
+                    is_call = bool(
+                        prevw
+                        and _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", prevw)
+                        and prevw.upper() not in _EMPTY_PAREN_RESERVED
+                    )
+                    if not is_call:
+                        raise ValueError("expected expression, found ')'")
+                    out.append("()")
+                    continue
                 out.append(f"({inner})")
                 continue
             if tok == "[":

@@ -455,6 +455,51 @@ def session_window_counts(
     )
 
 
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """EXTENSION: watermarked STREAM-STREAM inner join — each left-side
+    event pairs with the right-side events of the same key whose
+    timestamp falls in ``(left_ts - lookback, left_ts]`` (the
+    'views that preceded this purchase' attribution shape). The
+    reference's engine joins only at SQL planning time over stored
+    tables (sql3/planner); correlating two LIVE streams is Spark
+    Structured Streaming territory, expressed with the built-in
+    stream-stream join so the state store handles cross-micro-batch
+    buffering, and exactly-once pair emission comes from the engine,
+    not application dedup.
+
+    ``left_ts``/``right_ts`` must be DISTINCT column names (rename
+    before calling — Spark's stream-stream join needs unambiguous
+    event-time columns for its two watermarks); ``key_col`` must exist
+    on both sides and is emitted once. The time-range predicate plus
+    both watermarks bound the join state: Spark evicts a buffered row
+    once the other side's watermark passes ``row_ts + lookback``, so
+    state is O(rows per watermark horizon per key), never the whole
+    stream — at 100 TB/day the watermark IS the memory bound. Append
+    output mode only (inner stream-stream joins emit pairs exactly
+    once, when the second side arrives)."""
+    lw = left.withColumn(
+        left_ts, F.col(left_ts).cast("timestamp_ltz")
+    ).withWatermark(left_ts, watermark)
+    rw = right.withColumn(
+        right_ts, F.col(right_ts).cast("timestamp_ltz")
+    ).withWatermark(right_ts, watermark)
+    rw = rw.withColumnRenamed(key_col, "__rkey")
+    cond = (
+        (F.col(key_col) == F.col("__rkey"))
+        & (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return lw.join(rw, cond, "inner").drop("__rkey")
+
+
 def stateful_hll(
     stream: DataFrame, group_col: str, key_col: str, b: int = 8
 ) -> DataFrame:

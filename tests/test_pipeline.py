@@ -967,3 +967,39 @@ def test_audio_exact_stats_16bit_exact_and_width_guard(spark):
     )
     with _pytest.raises(Exception, match="16-bit PCM"):
         audio_exact_stats(df8).collect()
+
+
+def test_fbv_frame_sample_exact_and_offsets(spark):
+    """sample_frame_stats parses real FBV1 bytes: stride addressing,
+    exact integer stats, typed refusal of foreign payloads."""
+    import numpy as np
+    import pytest
+
+    from featurebase_spark.pipeline.media_codecs import UnsupportedMediaError
+    from featurebase_spark.pipeline.multimodal import (
+        encode_fbv,
+        sample_frame_stats,
+    )
+
+    frames = np.arange(5 * 8, dtype=np.uint8).reshape(5, 8)
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_fbv(frames)))], "media_id long, payload binary"
+    )
+    got = {
+        r["frame_idx"]: (r["n_bytes"], r["sum_b"], r["min_b"], r["max_b"])
+        for r in sample_frame_stats(df, stride=2).collect()
+    }
+    want = {
+        f: (8, int(frames[f].sum()), int(frames[f].min()), int(frames[f].max()))
+        for f in (0, 2, 4)
+    }
+    assert got == want
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"RIFFxxxx"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not an FBV1"):
+        sample_frame_stats(bad, stride=1).collect()
+
+    with pytest.raises(ValueError, match="stride"):
+        sample_frame_stats(df, stride=0)

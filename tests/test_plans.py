@@ -335,3 +335,36 @@ def test_retention_single_user_exchange(spark, tables):
     out = retention_cohorts(tables["events"])
     p = out._jdf.queryExecution().executedPlan().toString()
     assert p.count("hashpartitioning(__u") <= 1, p
+
+
+def test_window_running_total_one_window_one_exchange(spark):
+    """sql_window_running_total: ROW_NUMBER/SUM-OVER/LAG share one
+    (partition, order) spec → ONE Window node over ONE hash exchange,
+    with the customer filter at the scan (below the window)."""
+    from featurebase_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["sql_window_running_total"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("+- Window ") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # predicate evaluated at the file scan, not above the window
+    scan = p[p.index("FileScan"):]
+    assert "o_custkey" in scan.split("DataFilters")[1][:120], p
+
+
+def test_connected_components_shuffles_longs_only(spark):
+    """CC loop frames: every exchange carries (node/comp/s/t) long ids —
+    no text/array column ever enters a loop shuffle."""
+    from pyspark.sql import functions as F
+
+    from featurebase_spark.pipeline.graph import connected_components
+
+    nodes = spark.range(200).select(F.col("id").alias("node"))
+    edges = spark.range(150).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = connected_components(nodes, edges)
+    assert {f.name for f in out.schema.fields} == {"node", "component"}
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert all(got[i] == 0 for i in range(151))
+    assert all(got[i] == i for i in range(151, 200))

@@ -980,3 +980,64 @@ def test_stateful_cms_batching_invariant(spark, tmpdir):
             (i, b): c for (gg, i, b), c in state.items() if gg == g
         }
         assert got == want, g
+
+
+def test_interval_stream_join_pairs_across_batches(spark, tmpdir):
+    """A (left, right) match whose sides arrive in DIFFERENT
+    micro-batches must still be emitted exactly once — the state-store
+    buffering contract of the stream-stream join."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    base = "2024-03-01 12:{:02d}:00"
+    left = spark.createDataFrame(
+        [(1, 101, base.format(30)), (2, 102, base.format(40))],
+        "user_id long, purchase_id long, p_ts string",
+    ).withColumn("p_ts", F.col("p_ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, 201, base.format(10)),  # within 30 min of 12:30 -> pair
+            (1, 202, base.format(31)),  # AFTER the purchase -> no pair
+            (2, 203, base.format(39)),  # within -> pair
+            (3, 204, base.format(30)),  # other user -> no pair
+        ],
+        "user_id long, view_id long, v_ts string",
+    ).withColumn("v_ts", F.col("v_ts").cast("timestamp"))
+    ldir = os.path.join(tmpdir, "ssj_l")
+    rdir = os.path.join(tmpdir, "ssj_r")
+    # ONE file per side: the two sides necessarily arrive in different
+    # micro-batches (maxFilesPerTrigger=1 across two sources)
+    left.coalesce(1).write.mode("overwrite").parquet(ldir)
+    right.coalesce(1).write.mode("overwrite").parquet(rdir)
+    ls = (
+        spark.readStream.schema(left.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ldir)
+    )
+    rs = (
+        spark.readStream.schema(right.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(rdir)
+    )
+    out = STR.interval_stream_join(
+        ls, rs, "user_id", "p_ts", "v_ts", lookback="30 minutes",
+        watermark="365 days",
+    ).select("user_id", "purchase_id", "view_id")
+    got = []
+
+    def sink(batch, _):
+        got.extend(
+            (r["user_id"], r["purchase_id"], r["view_id"])
+            for r in batch.collect()
+        )
+
+    with STR.state_partitions(spark, 2):
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert sorted(got) == [(1, 101, 201), (2, 102, 203)]

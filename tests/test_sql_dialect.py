@@ -603,3 +603,26 @@ class TestRound9Tvfs:
                 spark,
                 "SELECT * FROM fb_winnow(tvf_docs10, text, doc_id, 0)",
             )
+
+
+def test_empty_parens_function_call_vs_where(spark):
+    """Zero-arg window calls (ROW_NUMBER()) pass through the rewriter;
+    the reference's `where ()` compile error is preserved
+    (defs_sql1.go:434-437)."""
+    import pytest
+
+    from featurebase_spark.sql import fb_sql
+
+    spark.createDataFrame(
+        [(1, 5), (2, 3)], "_id LONG, v LONG"
+    ).createOrReplaceTempView("winext_t")
+    rows = fb_sql(
+        spark,
+        "select _id, ROW_NUMBER() OVER (ORDER BY v DESC, _id) as rk "
+        "from winext_t order by _id",
+    ).collect()
+    assert [(r["_id"], r["rk"]) for r in rows] == [(1, 1), (2, 2)]
+    with pytest.raises(ValueError, match="expected expression"):
+        fb_sql(spark, "select _id from winext_t where ();")
+    with pytest.raises(ValueError, match="expected expression"):
+        fb_sql(spark, "select _id from winext_t where v > 1 and ();")
