@@ -6475,6 +6475,26 @@ def _register_search_doors():
             "fb_winnow(documents, text, doc_id, 2) ORDER BY id_a, id_b",
         )
 
+    def components_door(spark, sf_dir):
+        """fb_dedup_components TVF through the SQL text door (same
+        oracle as dedup_connected_components)."""
+        from featurebase_spark.sql import fb_sql
+
+        _tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+            "documents"
+        )
+        return fb_sql(
+            spark,
+            "SELECT doc_id, component FROM "
+            "fb_dedup_components(documents, text, doc_id, 2) "
+            "ORDER BY doc_id",
+        )
+
+    ORACLE_SQL["components_text_door"] = ORACLE_SQL[
+        "dedup_connected_components"
+    ]
+    SPARK_QUERIES["components_text_door"] = components_door
+
     ORACLE_SQL["cms_text_door"] = ORACLE_SQL["freq_cms_topk"]
     ORACLE_SQL["pmi_text_door"] = ORACLE_SQL["text_collocations_pmi"]
     ORACLE_SQL["session_overlap_text_door"] = ORACLE_SQL[

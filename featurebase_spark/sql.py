@@ -701,6 +701,9 @@ _TVFS: dict[str, tuple[int, str]] = {
     "FB_SESSION_OVERLAP": (4, "(table, user_col, ts_col, gap_minutes)"),
     # winnowing containment pairs (pipeline/dedup, MOSS sketch)
     "FB_WINNOW": (4, "(table, text_col, id_col, min_shared)"),
+    # near-dup pairs closed into components (pipeline/graph): the
+    # transitive closure that turns pairwise ~ into dedup clusters
+    "FB_DEDUP_COMPONENTS": (4, "(table, text_col, id_col, min_shared)"),
 }
 
 _TVF_GUARD = _re.compile(
@@ -710,7 +713,8 @@ _TVF_GUARD = _re.compile(
     r"|fb_funnel|fb_retention|fb_asof_join"
     r"|fb_like_search|fb_transitions|fb_fuzzy_join|fb_hll"
     r"|fb_keyword_search|fb_source_overlap|fb_bm25"
-    r"|fb_cms|fb_pmi|fb_session_overlap|fb_winnow)\b",
+    r"|fb_cms|fb_pmi|fb_session_overlap|fb_winnow"
+    r"|fb_dedup_components)\b",
     _re.IGNORECASE,
 )
 
@@ -1066,6 +1070,27 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
             )
         out = winnowing_containment_pairs(
             df, text_col, id_col, min_shared=int(ms)
+        )
+    elif name == "FB_DEDUP_COMPONENTS":
+        from featurebase_spark.pipeline.dedup import (
+            winnowing_containment_pairs,
+        )
+        from featurebase_spark.pipeline.graph import connected_components
+
+        text_col, id_col, ms = args[1], args[2], args[3]
+        need_col(text_col, "text_col")
+        need_col(id_col, "id_col")
+        if not _re.fullmatch(r"[1-9]\d*", ms):
+            raise ValueError(
+                f"{low}: positive integer literal expected for "
+                f"min_shared, got {ms!r}"
+            )
+        pairs = winnowing_containment_pairs(
+            df, text_col, id_col, min_shared=int(ms)
+        )
+        out = connected_components(
+            df.select(id_col), pairs,
+            node_col=id_col, src_col="id_a", dst_col="id_b",
         )
     else:
         from featurebase_spark.pipeline import dedup
