@@ -17,17 +17,21 @@ import time
 
 
 BENCH_QUERIES = [
-    # reference nightly read set (bench_read.sh) → our PQL family
-    "pql_row_equals",
-    "pql_row_bsi_range",
-    "pql_row_time_range",
+    # reference nightly read set (bench_read.sh) → our PQL family.
+    # r10 ROTATION (per the r9 advisory): the seven r9-dropped keys
+    # return (text_token_count_bpeish, bitmap_index_count[_distributed],
+    # sql_q5/q13/q18, pql_foreign_distinct) and twelve multi-round-green
+    # sub-second keys rotate OUT for this round (pql_row_equals/
+    # bsi_range/time_range, pql_intersect/union/difference/xor,
+    # text_profile, pql_percentile_search, sql_join_bucketed,
+    # dedup_exact_fingerprints, sql_text_ddl_insert) — perf coverage now
+    # ROTATES instead of permanently dropping; rotated-out keys stay
+    # under both correctness gates and the interleaved control's
+    # common-key set, and return in a later round.
     "pql_count",
-    "pql_intersect",
-    "pql_union",
-    "pql_difference",
-    "pql_xor",
     "pql_groupby",
     "pql_topk",
+    "pql_foreign_distinct",
     # SQL headliners
     "sql_q1_pricing_summary",
     "sql_join_multi",
@@ -35,18 +39,18 @@ BENCH_QUERIES = [
     # TPC-H-shaped scale set (scan-agg / join-topk / 6-way star join)
     "sql_q6_forecast_revenue",
     "sql_q3_shipping_priority",
+    "sql_q5_local_supplier_volume",
+    "sql_q13_customer_distribution",
+    "sql_q18_large_orders",
     # training-data pipeline headliners (documents/embeddings tables)
-    "text_profile",
-    "dedup_exact_fingerprints",
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
-    # r2 breadth: LSH scale paths, bitmap-index path, write path,
-    # percentile search path (VERDICT r1 next-round #10)
+    "text_token_count_bpeish",
+    # r2 breadth: LSH scale paths, bitmap-index path
     "sim_embedding_neardup",
     "bitmap_bsi_aggregates",
-    "pql_percentile_search",
-    "sql_text_ddl_insert",
-    "sql_join_bucketed",
+    "bitmap_index_count",
+    "bitmap_index_count_distributed",
     # r3 breadth: the bucketed write path (VERDICT r2 next-round #7),
     # sessionization + survivor selection (window-based pipeline ops)
     "statement_insert_touched_buckets",
@@ -107,24 +111,30 @@ BENCH_QUERIES = [
     # r9: integer-PMI collocations + MAD outlier screen
     "text_collocations_pmi",
     "docs_mad_outliers",
+    # r10: iterative component closure (pointer-jumping loop), the
+    # stream-stream attribution join, frame-sampling decode, and the
+    # single-exchange window-function door
+    "dedup_connected_components",
+    "stream_stream_join",
+    "multimodal_frame_sample",
+    "sql_window_running_total",
 ]
 
-#: queries added after the prior round — excluded from regression flags
-#: (r9 DROPPED seven multi-round-green sub-second keys to keep the
-#: worst-case JSON line under the driver's 2000-char stdout tail with
-#: 9 new keys added: text_token_count_bpeish, bitmap_index_count,
-#: sql_q5_local_supplier_volume, bitmap_index_count_distributed,
-#: pql_foreign_distinct, sql_q18_large_orders,
-#: sql_q13_customer_distribution — all remain under the local
-#: correctness gate and the interleaved control's common-key set)
+#: queries added (or rotated back in) this round — excluded from
+#: regression flags: the four r10-new keys have no baseline and the
+#: seven rotated-back keys' last baseline is two rounds stale
 _NEW_IN_ROUND = {
-    "rank_bm25_topk",
-    "vocab_bpe_pairs",
-    "dedup_winnowing_pairs",
-    "events_overlap_pairs",
-    "freq_cms_topk",
-    "text_collocations_pmi",
-    "docs_mad_outliers",
+    "dedup_connected_components",
+    "stream_stream_join",
+    "multimodal_frame_sample",
+    "sql_window_running_total",
+    "text_token_count_bpeish",
+    "bitmap_index_count",
+    "bitmap_index_count_distributed",
+    "pql_foreign_distinct",
+    "sql_q5_local_supplier_volume",
+    "sql_q13_customer_distribution",
+    "sql_q18_large_orders",
 }
 
 
@@ -223,7 +233,7 @@ def main() -> None:
         df = Q.SPARK_QUERIES[name](spark, sf_dir)
         n = df.count() if name.startswith("pql_row") else len(df.collect())
         dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)  # ms precision keeps the JSON line inside the tail buffer
+        per_query[name] = round(dt, 2)  # 10ms precision keeps the JSON line inside the tail buffer (regressions are judged by the interleaved control, not by <10ms deltas)
         total += dt
         note = ""
         if name in baseline and baseline[name] > 0:

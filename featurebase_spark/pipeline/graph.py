@@ -50,6 +50,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 64,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Component label (= MIN node id in the component) for every node.
 
@@ -63,9 +64,27 @@ def connected_components(
     ``max_iter`` rounds — with pointer jumping that bound allows
     diameters up to ~2^max_iter, so hitting it means a bug, not a big
     graph.
+
+    ``shuffle_partitions`` scopes ``spark.sql.shuffle.partitions`` for
+    the loop's jobs (restored on exit) — the same sizing rule as
+    streaming.state_partitions: the loop frames hold two longs per
+    node/edge, so partition count should track |nodes|, not the
+    session's corpus-sized default (a 5k-node closure on 32-wide
+    shuffles spends most of its time scheduling empty tasks). Leave
+    None at production scale.
     """
     if int(max_iter) < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    spark = nodes.sparkSession
+    if shuffle_partitions is not None:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(shuffle_partitions)))
+        try:
+            return connected_components(
+                nodes, edges, node_col, src_col, dst_col, max_iter, None
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     n = F.col(node_col)
     lab = nodes.where(n.isNotNull()).select(n.alias("node")).distinct()
     lab = lab.select("node", F.col("node").alias("comp"))
@@ -89,6 +108,7 @@ def connected_components(
             lab.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("comp").alias("comp0"),
                 F.least(
                     "comp", F.coalesce("nbr_comp", "comp")
                 ).alias("comp"),
@@ -97,21 +117,21 @@ def connected_components(
         jump_map = relaxed.select(
             F.col("node").alias("comp"), F.col("comp").alias("jumped")
         )
+        new_comp = F.least("comp", F.coalesce("jumped", "comp"))
+        # the chg flag rides INSIDE the checkpointed frame, so the
+        # fixpoint test is a scan of already-materialized rows — no
+        # extra join job per round
         new_lab = (
             relaxed.join(jump_map, "comp", "left")
             .select(
                 "node",
-                F.least("comp", F.coalesce("jumped", "comp")).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp != F.col("comp0")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_lab.withColumnRenamed("comp", "new_comp")
-            .join(lab, "node")
-            .where(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
-        lab = new_lab
+        changed = new_lab.where("chg").count()
+        lab = new_lab.select("node", "comp")
         if changed == 0:
             return lab.select(
                 F.col("node").alias(node_col), F.col("comp").alias("component")

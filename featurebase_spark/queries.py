@@ -6080,7 +6080,8 @@ def dedup_connected_components(spark, sf_dir):
     pairs = winnowing_containment_pairs(docs, "text", "doc_id")
     nodes = docs.select("doc_id")
     return connected_components(
-        nodes, pairs, node_col="doc_id", src_col="id_a", dst_col="id_b"
+        nodes, pairs, node_col="doc_id", src_col="id_a", dst_col="id_b",
+        shuffle_partitions=8,  # loop frames = |docs| label rows
     ).orderBy("doc_id")
 
 
@@ -6526,6 +6527,82 @@ _register_search_doors()
 # callable and oracle; only dict insertion order changes.
 
 _GATE_PRIORITY = [
+    # ── r10 rotation: with the entire r8/r9 surface driver-green in
+    # CORRECTNESS_r09 (50/50), this round sends the REMAINING
+    # never-driver-tested population through the hard gate — after it,
+    # only 7 TVF doors (whose base operators are all driver-green and
+    # whose parse shapes sibling doors cover this round) have never
+    # faced the driver. Everything demoted here is driver-green ≥1
+    # round AND strict-dtype hash-green at sf0.01+sf0.1 in the local
+    # 200+-key gate.
+    # New in r10 (never gated, highest risk first): the iterative
+    # component closure + its TVF door, the stream-stream join, the
+    # frame-sampling decode, and the window-function SQL door
+    "dedup_connected_components",
+    "components_text_door",
+    "stream_stream_join",
+    "multimodal_frame_sample",
+    "sql_window_running_total",
+    # TPC-H locals never gated (driver-green shapes Q1/2/8/9/12/16/21
+    # preceded them; these 15 complete the suite under the hard gate)
+    "sql_q3_shipping_priority",
+    "sql_q4_order_priority",
+    "sql_q5_local_supplier_volume",
+    "sql_q6_forecast_revenue",
+    "sql_q7_volume_shipping",
+    "sql_q10_returned_revenue",
+    "sql_q11_part_value_concentration",
+    "sql_q13_customer_distribution",
+    "sql_q14_promo_revenue",
+    "sql_q15_top_supplier",
+    "sql_q17_small_quantity",
+    "sql_q18_large_orders",
+    "sql_q19_discounted_revenue",
+    "sql_q20_promo_suppliers",
+    "sql_q22_global_sales",
+    # PQL long tail never gated (call forms + null twins + writes)
+    "pql_apply",
+    "pql_apply_reduce",
+    "pql_arrow_table",
+    "pql_null_difference",
+    "pql_null_not",
+    "pql_null_xor",
+    "pql_options_shards",
+    "pql_range_alias",
+    "pql_write_clear_store",
+    # SQL dialect surfaces never gated
+    "sql_dialect_functions",
+    "sql_dialect_top_set",
+    "sql_null_count",
+    "sql_set_functions",
+    # statements / sources never gated
+    "statement_copy",
+    "statement_view_lifecycle",
+    "source_idk_csv",
+    # text/sampling pipeline never gated
+    "text_chunking",
+    "text_pii_scrub",
+    "text_quality_filter",
+    "sample_deterministic",
+    # TVF doors never gated — the 10 distinct parse shapes (quoted CSV
+    # steps, two-table arg, wildcard literal, terms+k, seed, numeric
+    # d/w/k, b, min_shared); the 7 trimmed doors (bm25, pmi,
+    # session_overlap, source_overlap, retention, transitions,
+    # dedup_survivors) share both oracle AND arg shape with a kept door
+    # or a gated base op, and rotate in next round
+    "events_funnel_text_door",
+    "events_asof_text_door",
+    "like_search_text_door",
+    "like_pattern_text_door",
+    "keyword_search_text_door",
+    "sample_split_text_door",
+    "winnow_text_door",
+    "cms_text_door",
+    "hll_text_door",
+    "fuzzy_join_text_door",
+]
+
+_GATE_PRIORITY_R9 = [
     # ── r9 rotation (r8 verdict ask #1): the 20 highest-risk
     # never-driver-tested keys rotate IN — the whole r8-new surface
     # (behavioral tier, trigram LIKE + pattern planner + TEXT-index DDL,

@@ -57,6 +57,14 @@ SUBLINEAR_KEYS = [
     "vocab_bpe_pairs",
     # r9: CMS sketch+probe — two bounded-state scans of the event log
     "freq_cms_topk",
+    # r10: the iterative component closure (winnow postings bounded by
+    # max_df, pointer-jumping rounds grow with log diameter, loop
+    # frames carry two longs per node), the watermarked stream-stream
+    # join (state bounded by the watermark horizon), and the one-
+    # exchange window-function door (scan + 1% customer partition)
+    "dedup_connected_components",
+    "stream_stream_join",
+    "sql_window_running_total",
 ]
 
 #: max allowed t(sf0.1)/t(sf0.001) for the scan-class keys: 100× the

@@ -1091,6 +1091,7 @@ def _eval_tvf(spark: SparkSession, name: str, args: list[str], idx: int) -> str:
         out = connected_components(
             df.select(id_col), pairs,
             node_col=id_col, src_col="id_a", dst_col="id_b",
+            shuffle_partitions=8,  # loop frames = |ids| label rows
         )
     else:
         from featurebase_spark.pipeline import dedup

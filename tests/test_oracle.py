@@ -39,7 +39,7 @@ def test_bench_json_line_fits_driver_tail_buffer():
             "metric": "headline_queries_total",
             "value": 9999.9999,
             "unit": "sec",
-            "queries": {k: 99.999 for k in BENCH_QUERIES},
+            "queries": {k: 99.99 for k in BENCH_QUERIES},
             "sf": 0.1,
         },
         separators=(",", ":"),
