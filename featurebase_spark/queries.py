@@ -6273,6 +6273,80 @@ def sql_window_running_total(spark, sf_dir):
     )
 
 
+@register(
+    "sql_rollup_revenue",
+    # identical text: ROLLUP + GROUPING() markers, integral measures
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, "
+    "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+    "ORDER BY g_flag, g_status, l_returnflag, l_linestatus",
+)
+def sql_rollup_revenue(spark, sf_dir):
+    """GROUP BY ROLLUP through the dialect front door (declared
+    extension — the reference's sql3 GROUP BY takes plain column lists
+    only): per-(returnflag, linestatus) quantity totals plus the
+    per-flag and grand-total rollup rows in ONE aggregation pass.
+    Spark plans a single Expand + hash aggregate (each input row fans
+    into its 3 grouping sets map-side, partial-aggregated before the
+    one exchange) — the same shape a naive engine needs 3 scans for.
+    GROUPING() markers disambiguate rolled-up NULLs from data NULLs on
+    both engines; measures stay integral (quantity BIGINT)."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["lineitem"].createOrReplaceTempView("lineitem")
+    return fb_sql(
+        spark,
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, "
+        "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+        "ORDER BY g_flag, g_status, l_returnflag, l_linestatus",
+    )
+
+
+@register(
+    "sql_window_moving_range",
+    # RANGE frame on event time: trailing-90-day revenue per customer;
+    # ties on o_orderdate share one frame, so the result is
+    # deterministic without a tiebreak INSIDE the frame spec
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+    "  PARTITION BY o_custkey ORDER BY o_orderdate "
+    "  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) "
+    "  * 100 AS BIGINT) AS trailing90_cents "
+    "FROM orders WHERE o_custkey % 100 = 7 "
+    "ORDER BY o_custkey, o_orderkey",
+)
+def sql_window_moving_range(spark, sf_dir):
+    """Event-time RANGE window frames (extension): each order's
+    trailing-90-day revenue for its customer — the moving-aggregate
+    shape ROWS frames can't express (peers with equal order dates must
+    share a frame; a days-based lookback must follow the calendar, not
+    the row count). One Window node over one o_custkey exchange, frame
+    bounds evaluated on the sort column — no self-join, no explode of
+    the date lattice (the naive spelling is a range self-join the
+    interval-overlap operator exists to avoid). DECIMAL(18,2) cents
+    keep the money integral across engines."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["orders"].createOrReplaceTempView("orders")
+    return fb_sql(
+        spark,
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+        "  PARTITION BY o_custkey ORDER BY o_orderdate "
+        "  RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) "
+        "  * 100 AS BIGINT) AS trailing90_cents "
+        "FROM orders WHERE o_custkey % 100 = 7 "
+        "ORDER BY o_custkey, o_orderkey",
+    )
+
+
 def _register_search_doors():
     """SQL text-door twins of the search/behavioral additions
     (fb_like_search / fb_transitions TVFs) — same oracles as the

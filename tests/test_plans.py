@@ -368,3 +368,15 @@ def test_connected_components_shuffles_longs_only(spark):
     got = {r["node"]: r["component"] for r in out.collect()}
     assert all(got[i] == 0 for i in range(151))
     assert all(got[i] == i for i in range(151, 200))
+
+
+def test_rollup_single_expand_single_exchange(spark):
+    """sql_rollup_revenue: ROLLUP plans ONE Expand + partial aggregate
+    before ONE exchange — not three scans."""
+    from featurebase_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["sql_rollup_revenue"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Expand") == 1, p
+    assert p.count("FileScan") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
