@@ -94,12 +94,33 @@ def LTRIM(col) -> Column:
     return F.ltrim(_c(col))
 
 
-def SUFFIX(col, suffix: str) -> Column:
-    return F.endswith(_c(col), _lit(suffix))
+def SUFFIX(col, n) -> Column:
+    """Last ``n`` characters (inbuiltfunctionsstring.go:592-630 — NOT
+    endswith; the pre-r10 boolean mapping was wrong). NULL-propagating;
+    n < 0 or n > len(s) raises the reference's out-of-range error at
+    evaluation time."""
+    return _prefix_suffix(_c(col), _c(n) if isinstance(n, Column) else _lit(n), last=True)
 
 
-def PREFIX(col, prefix: str) -> Column:
-    return F.startswith(_c(col), _lit(prefix))
+def PREFIX(col, n) -> Column:
+    """First ``n`` characters (inbuiltfunctionsstring.go:560-590)."""
+    return _prefix_suffix(_c(col), _c(n) if isinstance(n, Column) else _lit(n), last=False)
+
+
+def _prefix_suffix(s: Column, n: Column, last: bool) -> Column:
+    # raise_error carries the exact reference text with the offending
+    # value; NULL s or n falls through to the NULL-propagating picker
+    msg = F.concat(
+        F.lit("[0:0] value '"), n.cast("string"), F.lit("' out of range")
+    )
+    if last:
+        body = F.call_function("right", s, n)
+    else:
+        body = F.call_function("substring", s, F.lit(1), n)
+    return F.when(
+        s.isNotNull() & ((n < 0) | (n > F.length(s))),
+        F.raise_error(msg).cast("string"),
+    ).otherwise(body)
 
 
 def SPACE(n) -> Column:

@@ -2390,7 +2390,7 @@ def sql_dialect_functions(spark, sf_dir):
         "cast(charindex('-', o_orderpriority) as int) as dash, "
         "replaceall(o_orderstatus, 'O', 'X') as st, "
         "str(o_orderkey) as sid "
-        "from orders where prefix(o_orderpriority, '1') order by _id;",
+        "from orders where prefix(o_orderpriority, 1) = '1' order by _id;",
     )
 
 

@@ -286,8 +286,8 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     "TRIM": (1, 1, lambda a: f"trim({a[0]})"),
     "RTRIM": (1, 1, lambda a: f"rtrim({a[0]})"),
     "LTRIM": (1, 1, lambda a: f"ltrim({a[0]})"),
-    "SUFFIX": (2, 2, lambda a: f"endswith({a[0]}, {a[1]})"),
-    "PREFIX": (2, 2, lambda a: f"startswith({a[0]}, {a[1]})"),
+    "SUFFIX": (2, 2, lambda a: _f_prefix_suffix(a, last=True)),
+    "PREFIX": (2, 2, lambda a: _f_prefix_suffix(a, last=False)),
     "SPACE": (1, 1, lambda a: f"repeat(' ', {a[0]})"),
     "LEN": (1, 1, lambda a: f"length({a[0]})"),
     "REPLICATE": (2, 2, lambda a: f"repeat({a[0]}, {a[1]})"),
@@ -311,11 +311,114 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
 }
 
 
+def _f_prefix_suffix(a: list[str], last: bool) -> str:
+    """Reference PREFIX/SUFFIX semantics (inbuiltfunctionsstring.go:
+    560-630, corrected in r10 — the pre-r10 mapping to startswith/
+    endswith was WRONG): the first/last ``n`` characters of the string,
+    NULL-propagating, with the runtime '[0:0] value ... out of range'
+    error when n < 0 or n > len(s). The guard is a CASE over
+    raise_error so non-literal arguments error at evaluation time
+    exactly like the reference; literal arguments are caught at compile
+    time by _fn_literal_guard with the same text."""
+    s, n = a[0], a[1]
+    pick = f"substring({s}, 1, {n})" if not last else f"right({s}, {n})"
+    return (
+        f"CASE WHEN ({s}) IS NOT NULL AND "
+        f"(({n}) < 0 OR ({n}) > length({s})) THEN "
+        f"CAST(raise_error(concat('[0:0] value ''', "
+        f"CAST(({n}) AS STRING), ''' out of range')) AS STRING) "
+        f"ELSE {pick} END"
+    )
+
+
 def _f_rangeq(a: list[str]) -> str:
     return (
         f"exists({a[0]}, x -> (({a[1]}) IS NULL OR x.ts >= ({a[1]}))"
         f" AND (({a[2]}) IS NULL OR x.ts < ({a[2]})))"
     )
+
+
+#: per-argument expected type classes for the reference's string-family
+#: analyzer errors (defs_string_functions.go corpus). Checked for
+#: LITERAL arguments only — column-typed arguments are left to Catalyst
+#: (same conservatism as the binop type guard); NULL literals pass
+#: (typeIsVoid is accepted by every reference analyzer).
+_FN_SIG: dict[str, list[str]] = {
+    "REVERSE": ["str"],
+    "UPPER": ["str"],
+    "LOWER": ["str"],
+    "TRIM": ["str"],
+    "RTRIM": ["str"],
+    "LTRIM": ["str"],
+    "ASCII": ["str"],
+    "CHAR": ["int"],
+    "SPACE": ["int"],
+    "LEN": ["str"],
+    "REPLICATE": ["str", "int"],
+    "REPLACEALL": ["str", "str", "str"],
+    "PREFIX": ["str", "int"],
+    "SUFFIX": ["str", "int"],
+    "CHARINDEX": ["str", "str", "int"],
+    "SUBSTRING": ["str", "int", "int"],
+    "STRINGSPLIT": ["str", "str", "int"],
+}
+
+
+def _lit_kind(arg: str) -> tuple:
+    """(kind, value) for a literal argument text: int / str / null /
+    (None, None) for anything non-literal."""
+    t = arg.strip()
+    if re.fullmatch(r"-?\d+", t):
+        return ("int", int(t))
+    if (
+        len(t) >= 2
+        and t[0] == "'"
+        and t[-1] == "'"
+        and "'" not in t[1:-1].replace("''", "")
+    ):
+        return ("str", t[1:-1].replace("''", "'"))
+    if t.upper() == "NULL":
+        return ("null", None)
+    return (None, None)
+
+
+def _fn_check(name_tok: str, up: str, args: list[str]) -> None:
+    """Arity (reference phrasing, original-case name) + literal
+    type/range errors for one rewritten function call."""
+    lo, hi, _ = _FUNCS[up]
+    if not (lo <= len(args) <= hi):
+        raise ValueError(
+            f"'{name_tok}': count of formal parameters ({lo}) does not "
+            f"match count of actual parameters ({len(args)})"
+        )
+    sig = _FN_SIG.get(up)
+    if not sig:
+        return
+    lits = [_lit_kind(a) for a in args]
+    for (kind, _v), want in zip(lits, sig):
+        if kind == "int" and want == "str":
+            raise ValueError("string expression expected")
+        if kind == "str" and want == "int":
+            raise ValueError("integer expression expected")
+    # literal value-range errors (runtime errors in the reference —
+    # raised at compile time here when the values are already known;
+    # non-literal arguments get the same texts from the raise_error
+    # guards the emitters plant)
+    if up == "CHAR" and lits[0][0] == "int" and not (0 <= lits[0][1] <= 255):
+        raise ValueError(f"[0:0] value '{lits[0][1]}' out of range")
+    if up == "ASCII" and lits[0][0] == "str":
+        if len(lits[0][1].encode("utf-8")) != 1:
+            raise ValueError(
+                f"[0:0] value '{lits[0][1]}' should be of the length 1"
+            )
+    if up == "SUBSTRING" and lits[0][0] != "null":
+        if lits[1][0] == "int" and lits[1][1] < 0:
+            raise ValueError(f"[0:0] value '{lits[1][1]}' out of range")
+    if up in ("PREFIX", "SUFFIX") and lits[0][0] != "null":
+        k, v = lits[1]
+        if k == "int":
+            if v < 0 or (lits[0][0] == "str" and v > len(lits[0][1])):
+                raise ValueError(f"[0:0] value '{v}' out of range")
 
 #: FeatureBase CAST target types (astdatatype.go:10-26) → Spark SQL types.
 _CAST_TYPES = {
@@ -459,19 +562,11 @@ class _Rewriter:
                     self.i += 1  # consume '('
                     args = self.args_until(")")
                     lo, hi, emit = _FUNCS[up]
-                    if not (lo <= len(args) <= hi):
-                        if up == "RANGEQ":
-                            # exact analyzer text, typo included
-                            # (inbuiltfunctionsquantum.go via
-                            # defs_timequantum.go)
-                            raise ValueError(
-                                f"'rangeq': count of formal parameters "
-                                f"({lo}) does not match count of actual "
-                                f"parameters ({len(args)})"
-                            )
-                        raise ValueError(
-                            f"{up} takes {lo}..{hi} args, got {len(args)}"
-                        )
+                    # arity with the analyzer's phrasing (name as
+                    # written — 'PREFIX' vs 'upper' follow the query
+                    # text in the reference corpus) + literal
+                    # type/range errors
+                    _fn_check(tok, up, args)
                     if up == "RANGEQ":
                         if self._clause != "where":
                             # a WHERE-pushdown filter only — invalid in a
@@ -561,10 +656,7 @@ class _Rewriter:
                     self.i += 1
                     inner_args = self.args_until(")")
                     lo, hi, emit = _FUNCS[up]
-                    if not (lo <= len(inner_args) <= hi):
-                        raise ValueError(
-                            f"{up} takes {lo}..{hi} args, got {len(inner_args)}"
-                        )
+                    _fn_check(tok, up, inner_args)
                     cur.append(emit(inner_args))
                     continue
                 if up == "CAST" and self._peek_word(self.i + 1) == "(":

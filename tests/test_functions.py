@@ -49,8 +49,8 @@ def test_string_functions(df):
     assert one(df, fb.TRIM(F.lit("  x  "))) == "x"
     assert one(df, fb.RTRIM(F.lit("  x  "))) == "  x"
     assert one(df, fb.LTRIM(F.lit("  x  "))) == "x  "
-    assert one(df, fb.SUFFIX("s", "world")) is True
-    assert one(df, fb.PREFIX("s", "hello")) is True
+    assert one(df, fb.SUFFIX("s", 5)) == "world"
+    assert one(df, fb.PREFIX("s", 5)) == "hello"
     assert one(df, fb.SPACE(3)) == "   "
     assert one(df, fb.LEN("s")) == 11
     assert one(df, fb.REPLICATE(F.lit("ab"), 3)) == "ababab"

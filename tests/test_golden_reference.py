@@ -61,8 +61,19 @@ SCALAR_CASES = [
     ("select space(3)", "   "),
     ("select len('four')", 4),
     ("select replicate('ab', 2)", "abab"),
-    ("select prefix('testing', 'test')", True),
-    ("select suffix('testing', 'ing')", True),
+    # defs_string_functions.go:640-830 — PREFIX/SUFFIX are the
+    # first/last-n-chars pickers, NOT startswith/endswith (the r1-r9
+    # boolean mapping was a parity bug, fixed r10)
+    ("SELECT PREFIX('string', 3)", "str"),
+    ("SELECT PREFIX('string', 0)", ""),
+    ("SELECT PREFIX('string', 6)", "string"),
+    ("SELECT PREFIX(NULL, 34)", None),
+    ("SELECT PREFIX('string', null)", None),
+    ("SELECT SUFFIX('string', 3)", "ing"),
+    ("SELECT SUFFIX('string', 0)", ""),
+    ("SELECT SUFFIX('string', 6)", "string"),
+    ("SELECT SUFFIX(NULL, 23)", None),
+    ("select ascii(null)", None),
     ("select str(123)", "123"),
     ("select ascii('A')", 65),
     ("select char(65)", "A"),
@@ -1966,3 +1977,88 @@ def test_golden_binop_set_type_errors(binop_set_tables, sql, err):
 
     with pytest.raises(ValueError, match=_re3.escape(err)):
         fb_sql(binop_set_tables, sql)
+
+
+# --- defs_string_functions.go analyzer/runtime errors (r10): exact
+# arity phrasing (name as written in the query), literal type errors,
+# and literal value-range errors --------------------------------------------
+
+STRING_FN_ERROR_CASES = [
+    # arity — the analyzer echoes the call name AS WRITTEN
+    ("select upper('a', 'b')",
+     "'upper': count of formal parameters (1) does not match count of "
+     "actual parameters (2)"),
+    ("SELECT PREFIX('string')",
+     "'PREFIX': count of formal parameters (2) does not match count of "
+     "actual parameters (1)"),
+    ("SELECT SUFFIX('string')",
+     "'SUFFIX': count of formal parameters (2) does not match count of "
+     "actual parameters (1)"),
+    ("select space()",
+     "count of formal parameters (1) does not match count of actual "
+     "parameters (0)"),
+    ("select len()",
+     "count of formal parameters (1) does not match count of actual "
+     "parameters (0)"),
+    ("select ascii()",
+     "count of formal parameters (1) does not match count of actual "
+     "parameters (0)"),
+    # literal type errors
+    ("select reverse(22)", "string expression expected"),
+    ("select ascii(32)", "string expression expected"),
+    ("select upper(1)", "string expression expected"),
+    ("select lower(1234)", "string expression expected"),
+    ("select trim(1)", "string expression expected"),
+    ("select rtrim(1)", "string expression expected"),
+    ("select ltrim(1)", "string expression expected"),
+    ("select replaceall('test','e',1)", "string expression expected"),
+    ("select replicate(1,2)", "string expression expected"),
+    ("select replicate('this','this')", "integer expression expected"),
+    ("select charindex('is',23,3)", "string expression expected"),
+    ("select charindex(1,'this is great',3)", "string expression expected"),
+    ("select charindex('is','this is great','you')",
+     "integer expression expected"),
+    ("select char('R')", "integer expression expected"),
+    ("SELECT PREFIX(1,'string')", "string expression expected"),
+    ("SELECT SUFFIX(1,'string')", "string expression expected"),
+    # literal value-range errors
+    ("select char(-1)", "value '-1' out of range"),
+    ("select char(256)", "value '256' out of range"),
+    ("select ascii('longer')",
+     "[0:0] value 'longer' should be of the length 1"),
+    ("select substring('testing', -10, 14)",
+     "[0:0] value '-10' out of range"),
+    ("select substring('testing', -5)", "[0:0] value '-5' out of range"),
+    ("SELECT PREFIX('string', 7)", "[0:0] value '7' out of range"),
+    ("SELECT PREFIX('string', -1)", "[0:0] value '-1' out of range"),
+    ("SELECT SUFFIX('string', 7)", "[0:0] value '7' out of range"),
+    ("SELECT SUFFIX('string', -1)", "[0:0] value '-1' out of range"),
+]
+
+
+@pytest.mark.parametrize(
+    "sql,msg", STRING_FN_ERROR_CASES,
+    ids=[c[0][:50] for c in STRING_FN_ERROR_CASES],
+)
+def test_golden_string_fn_errors(golden_tables, sql, msg):
+    with pytest.raises(ValueError) as ei:
+        fb_sql(golden_tables, sql)
+    assert msg in str(ei.value), sql
+
+
+def test_prefix_suffix_runtime_range_nonliteral(golden_tables):
+    """Non-literal n routes through the raise_error guard with the
+    same text at evaluation time (EvaluatePrefix range check)."""
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="out of range"):
+        fb_sql(
+            golden_tables,
+            "select prefix(a_string, len(a_string) + 1) "
+            "from stringscalarfunctions",
+        ).collect()
+    got = fb_sql(
+        golden_tables,
+        "select prefix(a_string, len(a_string)) from stringscalarfunctions",
+    ).first()[0]
+    assert got == "hello"

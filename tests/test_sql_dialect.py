@@ -68,7 +68,7 @@ def test_translate(fb, spark_sql):
 
 
 def test_translate_rejects_bad_arity():
-    with pytest.raises(ValueError, match="SETCONTAINS"):
+    with pytest.raises(ValueError, match="setcontains"):
         translate("select setcontains(a) from t")
 
 
@@ -89,7 +89,7 @@ def test_fb_sql_end_to_end(spark, tables):
         "substring(o_orderpriority, 0, 1) as p0, "
         "charindex('-', o_orderpriority) as dash, "
         "str(o_orderkey) as sid "
-        "from orders_v where prefix(o_orderpriority, '1') "
+        "from orders_v where prefix(o_orderpriority, 1) = '1' "
         "order by _id;",
     )
     rows = df.collect()
@@ -125,9 +125,13 @@ def test_fb_sql_plan(spark, tables):
     from featurebase_spark.sql import fb_sql_plan
 
     tables["orders"].createOrReplaceTempView("orders_plan_v")
+    # the filter must be a PUSHABLE predicate: since r10, prefix()
+    # compiles to the reference's guarded first-n-chars picker (CASE +
+    # raise_error), which correctly cannot reach the scan
     plan = fb_sql_plan(
         spark,
-        "select top(5) o_orderkey from orders_plan_v where prefix(o_orderpriority, '1')",
+        "select top(5) o_orderkey, prefix(o_orderpriority, 1) as p1 "
+        "from orders_plan_v where o_orderkey > 0",
     )
     assert "Scan parquet" in plan and "PushedFilters" in plan
     assert "TakeOrderedAndProject" in plan or "CollectLimit" in plan
