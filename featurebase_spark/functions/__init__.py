@@ -49,12 +49,35 @@ def REVERSE(col) -> Column:
     return F.reverse(_c(col))
 
 
+def _range_err(n: Column, cast_to: str) -> Column:
+    return F.raise_error(
+        F.concat(
+            F.lit("[0:0] value '"), n.cast("string"), F.lit("' out of range")
+        )
+    ).cast(cast_to)
+
+
 def CHAR(col) -> Column:
-    return F.char(_c(col))
+    """Codepoint for n in [0, 255]; out of range raises
+    (EvaluateChar — Spark's char() would wrap mod 256)."""
+    n = _c(col)
+    return F.when(
+        n.isNotNull() & ((n < 0) | (n > 255)), _range_err(n, "string")
+    ).otherwise(F.char(n))
 
 
 def ASCII(col) -> Column:
-    return F.ascii(_c(col))
+    """First codepoint; the reference requires BYTE length exactly 1
+    (EvaluateAscii, Go len())."""
+    s = _c(col)
+    err = F.raise_error(
+        F.concat(
+            F.lit("[0:0] value '"), s, F.lit("' should be of the length 1")
+        )
+    ).cast("bigint")
+    return F.when(
+        s.isNotNull() & (F.octet_length(s) > 1), err
+    ).otherwise(F.ascii(s))
 
 
 def UPPER(col) -> Column:
@@ -66,16 +89,42 @@ def LOWER(col) -> Column:
 
 
 def STRINGSPLIT(col, sep: str, idx: int = 0) -> Column:
-    """STRINGSPLIT(s, sep, n) — n-th piece (0-based, like the reference)."""
-    return F.split(_c(col), sep).getItem(idx)
+    """STRINGSPLIT(s, sep, n) — n-th piece of a LITERAL-separator split
+    (Go strings.Split, not regex); n <= 0 picks the first piece, n past
+    the end returns '' (EvaluateStringSplit)."""
+    parts = F.split(
+        _c(col), F.concat(F.lit("\\Q"), _lit(sep), F.lit("\\E")), F.lit(-1)
+    )
+    i = _c(idx) if isinstance(idx, Column) else F.lit(idx)
+    return (
+        F.when(i.isNull(), F.lit(None).cast("string"))
+        .when(i <= 0, F.element_at(parts, 1))
+        .when(i < F.size(parts), F.element_at(parts, i.cast("int") + 1))
+        .otherwise(F.lit(""))
+    )
 
 
 def SUBSTRING(col, start: int, length: int | None = None) -> Column:
-    """SUBSTRING(s, start[, len]) — reference is 0-based
-    (inbuiltfunctionsstring.go), Spark 1-based: shift here."""
+    """SUBSTRING(s, start[, len]) — reference is 0-based with HARD range
+    checks (EvaluateSubstring): start in [0, len(s)), start + len <=
+    len(s); violations raise with the offending bound."""
+    s = _c(col)
+    i = _c(start) if isinstance(start, Column) else F.lit(start)
+    start_bad = s.isNotNull() & ((i < 0) | (i >= F.length(s)))
     if length is None:
-        return F.substring(_c(col), start + 1, 2**31 - 1)
-    return F.substring(_c(col), start + 1, length)
+        return F.when(start_bad, _range_err(i, "string")).otherwise(
+            F.call_function("substring", s, i + 1, F.lit(2**31 - 1))
+        )
+    ln = _c(length) if isinstance(length, Column) else F.lit(length)
+    end = i + ln
+    end_bad = (
+        s.isNotNull() & ln.isNotNull() & ((end < i) | (end > F.length(s)))
+    )
+    return (
+        F.when(start_bad, _range_err(i, "string"))
+        .when(end_bad, _range_err(end, "string"))
+        .otherwise(F.call_function("substring", s, i + 1, ln))
+    )
 
 
 def REPLACEALL(col, search: str, repl: str) -> Column:
@@ -132,21 +181,46 @@ def LEN(col) -> Column:
 
 
 def REPLICATE(col, n: int) -> Column:
-    return F.repeat(_c(col), n)
+    """Repeat; negative n raises (EvaluateReplicate — Spark repeat()
+    silently returns '')."""
+    nn = _c(n) if isinstance(n, Column) else F.lit(n)
+    return F.when(nn < 0, _range_err(nn, "string")).otherwise(
+        F.repeat(_c(col), nn.cast("int"))
+    )
 
 
 def FORMAT(fmt: str, *cols) -> Column:
-    return F.format_string(fmt, *[_c(c) for c in cols])
+    """Go-verb format: %t (Go boolean) maps to Java's %b."""
+    return F.format_string(fmt.replace("%t", "%b"), *[_c(c) for c in cols])
 
 
 def CHARINDEX(substr, col, start: int = 0) -> Column:
     """CHARINDEX(sub, s[, start]) — position of sub in s from `start`,
-    0-based like the reference (-1 if absent); Spark locate is 1-based."""
-    return F.locate(substr, _c(col), start + 1) - 1
+    0-based like the reference (-1 if absent); a start outside
+    [0, len(s)) raises (EvaluateCharIndex)."""
+    if isinstance(start, int) and start == 0:
+        return F.locate(substr, _c(col)) - 1
+    s = _c(col)
+    pos = _c(start) if isinstance(start, Column) else F.lit(start)
+    sub = _lit(substr) if isinstance(substr, str) else _c(substr)
+    found = F.call_function("locate", sub, s, (pos + 1).cast("int")) - 1
+    return F.when(
+        s.isNotNull() & ((pos < 0) | (pos >= F.length(s))),
+        _range_err(pos, "bigint"),
+    ).otherwise(found)
 
 
-def STR(col) -> Column:
-    return _c(col).cast("string")
+def STR(col, length: int = 10, decimals: int = 0) -> Column:
+    """SQL-Server-style STR(x, length=10, decimals=0): fixed-width
+    right-justified numeric text; overflow renders '*' * length
+    (EvaluateStr — the pre-r10 bare CAST lost the width contract)."""
+    x = _c(col)
+    fmt = F.format_string(f"%{int(length)}.{int(decimals)}f", x.cast("double"))
+    return (
+        F.when(x.isNull(), F.lit(None).cast("string"))
+        .when(F.length(fmt) > int(length), F.lit("*" * int(length)))
+        .otherwise(fmt)
+    )
 
 
 # --- Date/time functions (inbuiltfunctionsdate.go)

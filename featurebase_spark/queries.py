@@ -2371,7 +2371,7 @@ def pql_text_frontend(spark, sf_dir):
     "substring(o_orderpriority, 1, 3) AS pri3, "
     "CAST(instr(o_orderpriority, '-') - 1 AS BIGINT) AS dash, "
     "replace(o_orderstatus, 'O', 'X') AS st, "
-    "CAST(o_orderkey AS VARCHAR) AS sid "
+    "lpad(CAST(o_orderkey AS VARCHAR), 10, ' ') AS sid "
     "FROM orders WHERE o_orderpriority LIKE '1%' ORDER BY _id LIMIT 50",
 )
 def sql_dialect_functions(spark, sf_dir):

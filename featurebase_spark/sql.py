@@ -273,15 +273,12 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     "SETCONTAINSANY": (2, 2, lambda a: f"arrays_overlap({a[0]}, {a[1]})"),
     # string functions (inbuiltfunctionsstring.go:257-860)
     "REVERSE": (1, 1, lambda a: f"reverse({a[0]})"),
-    "CHAR": (1, 1, lambda a: f"char({a[0]})"),
-    "ASCII": (1, 1, lambda a: f"ascii({a[0]})"),
+    "CHAR": (1, 1, lambda a: _f_char(a)),
+    "ASCII": (1, 1, lambda a: _f_ascii(a)),
     "UPPER": (1, 1, lambda a: f"upper({a[0]})"),
     "LOWER": (1, 1, lambda a: f"lower({a[0]})"),
-    "STRINGSPLIT": (2, 3, lambda a: (
-        f"split({a[0]}, {a[1]})[{a[2] if len(a) > 2 else '0'}]")),
-    "SUBSTRING": (2, 3, lambda a: (
-        f"substring({a[0]}, ({a[1]}) + 1, {a[2]})" if len(a) > 2
-        else f"substring({a[0]}, ({a[1]}) + 1, 2147483647)")),
+    "STRINGSPLIT": (2, 3, lambda a: _f_stringsplit(a)),
+    "SUBSTRING": (2, 3, lambda a: _f_substring(a)),
     "REPLACEALL": (3, 3, lambda a: f"replace({a[0]}, {a[1]}, {a[2]})"),
     "TRIM": (1, 1, lambda a: f"trim({a[0]})"),
     "RTRIM": (1, 1, lambda a: f"rtrim({a[0]})"),
@@ -290,12 +287,10 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     "PREFIX": (2, 2, lambda a: _f_prefix_suffix(a, last=False)),
     "SPACE": (1, 1, lambda a: f"repeat(' ', {a[0]})"),
     "LEN": (1, 1, lambda a: f"length({a[0]})"),
-    "REPLICATE": (2, 2, lambda a: f"repeat({a[0]}, {a[1]})"),
-    "FORMAT": (1, 99, lambda a: f"format_string({', '.join(a)})"),
-    "CHARINDEX": (2, 3, lambda a: (
-        f"(locate({a[0]}, {a[1]}, ({a[2]}) + 1) - 1)" if len(a) > 2
-        else f"(locate({a[0]}, {a[1]}) - 1)")),
-    "STR": (1, 1, lambda a: f"CAST({a[0]} AS STRING)"),
+    "REPLICATE": (2, 2, lambda a: _f_replicate(a)),
+    "FORMAT": (1, 99, lambda a: _f_format(a)),
+    "CHARINDEX": (2, 3, lambda a: _f_charindex(a)),
+    "STR": (1, 3, lambda a: _f_str(a)),
     # date functions (inbuiltfunctionsdate.go)
     "DATETIMEPART": (2, 2, _f_datetimepart),
     "DATETIMENAME": (2, 2, _f_datetimename),
@@ -309,6 +304,143 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     # pushdown — true iff any entry of the quantum column falls in [from, to)
     "RANGEQ": (3, 3, lambda a: _f_rangeq(a)),
 }
+
+
+def _rt_range_err(val_expr: str, cast_to: str = "STRING") -> str:
+    """Runtime '[0:0] value '<v>' out of range' via raise_error — the
+    reference raises these at Evaluate time (inbuiltfunctionsstring.go),
+    so non-literal arguments must error at evaluation, not compile."""
+    return (
+        f"CAST(raise_error(concat('[0:0] value ''', "
+        f"CAST(({val_expr}) AS STRING), ''' out of range')) AS {cast_to})"
+    )
+
+
+def _f_char(a: list[str]) -> str:
+    """CHAR(n): codepoint for n in [0, 255]; out of range raises
+    (EvaluateChar:312-332 — Spark's char() would silently wrap mod 256)."""
+    n = a[0]
+    return (
+        f"CASE WHEN ({n}) IS NOT NULL AND (({n}) < 0 OR ({n}) > 255) "
+        f"THEN {_rt_range_err(n)} ELSE char({n}) END"
+    )
+
+
+def _f_ascii(a: list[str]) -> str:
+    """ASCII(s): first codepoint, but the reference requires the BYTE
+    length to be exactly 1 (EvaluateAscii:334-360, Go len()) — ascii of
+    'ÿ' (2 UTF-8 bytes) or 'longer' errors where Spark would silently
+    take the first char. Empty string: the reference returns Go ""
+    (untyped quirk); here it stays Spark's 0 — documented divergence,
+    not in the reference corpus."""
+    s = a[0]
+    return (
+        f"CASE WHEN ({s}) IS NOT NULL AND octet_length({s}) > 1 THEN "
+        f"CAST(raise_error(concat('[0:0] value ''', {s}, "
+        f"''' should be of the length 1')) AS BIGINT) "
+        f"ELSE ascii({s}) END"
+    )
+
+
+def _f_substring(a: list[str]) -> str:
+    """0-based SUBSTRING with the reference's range contract
+    (EvaluateSubstring:362-416): start must lie in [0, len); with a
+    length, end = start + length must lie in [start, len] — violations
+    raise with the OFFENDING BOUND in the message (start for the first
+    rule, end for the second), unlike Spark's silent clamping."""
+    s, i = a[0], a[1]
+    start_bad = f"(({i}) < 0 OR ({i}) >= length({s}))"
+    if len(a) > 2:
+        ln = a[2]
+        end = f"(({i}) + ({ln}))"
+        return (
+            f"CASE WHEN ({s}) IS NOT NULL AND {start_bad} "
+            f"THEN {_rt_range_err(i)} "
+            f"WHEN ({s}) IS NOT NULL AND ({ln}) IS NOT NULL AND "
+            f"({end} < ({i}) OR {end} > length({s})) "
+            f"THEN {_rt_range_err(end)} "
+            f"ELSE substring({s}, ({i}) + 1, {ln}) END"
+        )
+    return (
+        f"CASE WHEN ({s}) IS NOT NULL AND {start_bad} "
+        f"THEN {_rt_range_err(i)} "
+        f"ELSE substring({s}, ({i}) + 1, 2147483647) END"
+    )
+
+
+def _f_stringsplit(a: list[str]) -> str:
+    """STRINGSPLIT(s, sep, pos=0): LITERAL separator split (Go
+    strings.Split — the pre-r10 emit passed sep to Spark's regex
+    split), pos <= 0 picks the first part, pos past the end returns ''
+    (EvaluateStringSplit:456-505)."""
+    s, sep = a[0], a[1]
+    parts = f"split({s}, concat('\\\\Q', {sep}, '\\\\E'), -1)"
+    if len(a) == 2:
+        return f"element_at({parts}, 1)"
+    pos = a[2]
+    return (
+        f"CASE WHEN ({pos}) IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN ({pos}) <= 0 THEN element_at({parts}, 1) "
+        f"WHEN ({pos}) < size({parts}) THEN "
+        f"element_at({parts}, CAST(({pos}) AS INT) + 1) "
+        f"ELSE '' END"
+    )
+
+
+def _f_replicate(a: list[str]) -> str:
+    """REPLICATE(s, n): negative n raises (EvaluateReplicate:661-692 —
+    Spark repeat() silently returns '')."""
+    s, n = a[0], a[1]
+    return (
+        f"CASE WHEN ({n}) < 0 THEN {_rt_range_err(n)} "
+        f"ELSE repeat({s}, {n}) END"
+    )
+
+
+def _f_charindex(a: list[str]) -> str:
+    """0-based CHARINDEX; the 3-arg start position must lie in
+    [0, len(s)) — out of range raises (EvaluateCharIndex:726-810)."""
+    if len(a) == 2:
+        return f"(locate({a[0]}, {a[1]}) - 1)"
+    sub, s, pos = a[0], a[1], a[2]
+    return (
+        f"CASE WHEN ({s}) IS NOT NULL AND ({pos}) IS NOT NULL AND "
+        f"(({pos}) < 0 OR ({pos}) >= length({s})) "
+        f"THEN {_rt_range_err(pos, 'BIGINT')} "
+        f"ELSE (locate({sub}, {s}, ({pos}) + 1) - 1) END"
+    )
+
+
+def _f_format(a: list[str]) -> str:
+    """FORMAT with Go verbs (EvaluateFormat): %t (Go boolean) maps to
+    Java's %b when the format is a literal; %s/%d are shared."""
+    fmt = a[0]
+    k, v = _lit_kind(fmt)
+    if k == "str":
+        fmt = "'" + v.replace("%t", "%b").replace("'", "''") + "'"
+    return f"format_string({', '.join([fmt] + a[1:])})"
+
+
+def _f_str(a: list[str]) -> str:
+    """STR(x, length=10, decimals=0): SQL-Server-style fixed-width
+    right-justified numeric formatting; values wider than ``length``
+    render as '*' * length (EvaluateStr:812-868 — the pre-r10 emit was
+    a bare CAST, losing the width/decimals contract entirely). Go and
+    Java printf agree on %w.df for the corpus values; half-to-even vs
+    half-up rounding can differ on exact .5 midpoints (documented,
+    absent from the corpus)."""
+    x = a[0]
+    w = a[1] if len(a) > 1 else "10"
+    d = a[2] if len(a) > 2 else "0"
+    fmt = (
+        f"format_string(concat('%', CAST({w} AS STRING), '.', "
+        f"CAST({d} AS STRING), 'f'), CAST({x} AS DOUBLE))"
+    )
+    return (
+        f"CASE WHEN ({x}) IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN length({fmt}) > ({w}) THEN repeat('*', {w}) "
+        f"ELSE {fmt} END"
+    )
 
 
 def _f_prefix_suffix(a: list[str], last: bool) -> str:
@@ -391,10 +523,8 @@ def _fn_check(name_tok: str, up: str, args: list[str]) -> None:
             f"'{name_tok}': count of formal parameters ({lo}) does not "
             f"match count of actual parameters ({len(args)})"
         )
-    sig = _FN_SIG.get(up)
-    if not sig:
-        return
     lits = [_lit_kind(a) for a in args]
+    sig = _FN_SIG.get(up, [])
     for (kind, _v), want in zip(lits, sig):
         if kind == "int" and want == "str":
             raise ValueError("string expression expected")
@@ -419,6 +549,18 @@ def _fn_check(name_tok: str, up: str, args: list[str]) -> None:
         if k == "int":
             if v < 0 or (lits[0][0] == "str" and v > len(lits[0][1])):
                 raise ValueError(f"[0:0] value '{v}' out of range")
+    # STR(x, length?, decimals?) / FORMAT(fmt, args...): the analyzer
+    # rejects NULL literals in the optional/variadic positions
+    # (analyseFunctionStr / analyseFunctionFormat — 'null literal not
+    # allowed'); STR's width/decimals must be integers
+    if up in ("STR", "FORMAT"):
+        for kind, _v in lits[1:]:
+            if kind == "null":
+                raise ValueError("[0:0] null literal not allowed")
+        if up == "STR":
+            for kind, _v in lits[1:]:
+                if kind == "str":
+                    raise ValueError("integer expression expected")
 
 #: FeatureBase CAST target types (astdatatype.go:10-26) → Spark SQL types.
 _CAST_TYPES = {

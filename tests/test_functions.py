@@ -58,7 +58,9 @@ def test_string_functions(df):
     # reference CHARINDEX is 0-based, -1 when absent
     assert one(df, fb.CHARINDEX("world", "s")) == 6
     assert one(df, fb.CHARINDEX("zzz", "s")) == -1
-    assert one(df, fb.STR(F.lit(12))) == "12"
+    assert one(df, fb.STR(F.lit(12))) == "        12"  # width-10
+    assert one(df, fb.STR(F.lit(12345.789), 8, 2)) == "12345.79"
+    assert one(df, fb.STR(F.lit(12345), 5, 5)) == "*****"
 
 
 def test_date_functions(df):

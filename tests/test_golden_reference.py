@@ -74,7 +74,25 @@ SCALAR_CASES = [
     ("SELECT SUFFIX('string', 6)", "string"),
     ("SELECT SUFFIX(NULL, 23)", None),
     ("select ascii(null)", None),
-    ("select str(123)", "123"),
+    # STR is SQL-Server fixed-width (defs_string_functions.go:1287+)
+    ("select str(123)", "       123"),
+    ("select str(12345)", "     12345"),
+    ("select str(12345, 5)", "12345"),
+    ("select str(12345, 5, 5)", "*****"),
+    ("select str(12345.678)", "     12346"),
+    ("select str(12345.19, 5)", "12345"),
+    ("select str(12345.789, 8, 2)", "12345.79"),
+    ("select str(-2345.789, 8, 2)", "-2345.79"),
+    ("select str(1234.99, 10, 200)", "**********"),
+    # STRINGSPLIT: literal separator, pos<=0 -> first, past end -> ''
+    ("select stringsplit('a.b.c', '.', 1)", "b"),
+    ("select stringsplit('a,b,c', ',', -2)", "a"),
+    ("select stringsplit('a,b,c', ',', 9)", ""),
+    ("select stringsplit(null, ',')", None),
+    ("select stringsplit('hello', null)", None),
+    ("select stringsplit('test,hello', ',', null)", None),
+    ("select format('is this %t?', true)", "is this true?"),
+    ("select format('%d > %d', 11, 9)", "11 > 9"),
     ("select ascii('A')", 65),
     ("select char(65)", "A"),
     ("select stringsplit('a,b,c', ',', 1)", "b"),

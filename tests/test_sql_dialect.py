@@ -39,10 +39,6 @@ from featurebase_spark.sql import fb_sql, translate
         ),
         # 0-based string positions (inbuiltfunctionsstring.go)
         (
-            "select substring(s, 0, 3) from t",
-            "select substring(s, (0) + 1, 3) from t",
-        ),
-        (
             "select charindex('-', s) from t",
             "select (locate('-', s) - 1) from t",
         ),
@@ -65,6 +61,15 @@ from featurebase_spark.sql import fb_sql, translate
 )
 def test_translate(fb, spark_sql):
     assert translate(fb) == spark_sql
+
+
+def test_translate_substring_guarded():
+    """SUBSTRING emits the 0->1-based shift inside the reference's
+    range-guard CASE (r10 — EvaluateSubstring raises on out-of-range
+    rather than clamping)."""
+    out = translate("select substring(s, 0, 3) from t")
+    assert "substring(s, (0) + 1, 3)" in out
+    assert "out of range" in out and out.startswith("select CASE WHEN")
 
 
 def test_translate_rejects_bad_arity():
@@ -95,7 +100,7 @@ def test_fb_sql_end_to_end(spark, tables):
     rows = df.collect()
     assert len(rows) == 5
     for r in rows:
-        assert r.p0 == "1" and r.dash == 1 and r.sid == str(r._id)
+        assert r.p0 == "1" and r.dash == 1 and r.sid == str(r._id).rjust(10)
         assert 1992 <= r.yr <= 1999
 
 
