@@ -140,10 +140,20 @@ def _strip_str_literal(arg: str) -> Optional[str]:
 _PART_CODES = ("yy", "yd", "m", "d", "w", "wk", "hh", "mi", "s", "ms", "us", "ns")
 
 
-def _date_part(fn: str, arg: str) -> str:
+def _date_part(fn: str, arg: str, param: str = "interval") -> str:
     lit = _strip_str_literal(arg)
-    if lit is None or lit.lower() not in _PART_CODES:
-        raise ValueError(f"{fn} part must be a literal in {_PART_CODES}")
+    if lit is None:
+        # a non-literal part code can't drive the static SQL rewrite;
+        # int literals already raised the analyzer type error upstream
+        raise ValueError(
+            f"{fn} part must be a string literal, got {arg!r}"
+        )
+    if lit.lower() not in _PART_CODES:
+        # NewErrCallParameterValueInvalid (errors.go:752-756); the
+        # part-code parameter is named 'interval' for datetimepart/
+        # datetimename/date_trunc and 'timeunit' for datetimeadd/
+        # datetimediff/totimestamp (inbuiltfunctionsdate.go:271,392,533)
+        raise ValueError(f"invalid value '{lit}' for parameter '{param}'")
     return lit.lower()
 
 
@@ -211,11 +221,14 @@ _ADD_UNITS = {
 
 
 def _f_datetimeadd(a: list[str]) -> str:
-    p = _date_part("DATETIMEADD", a[0])
+    p = _date_part("DATETIMEADD", a[0], param="timeunit")
     if p == "ns":
         return f"timestampadd(MICROSECOND, CAST(({a[1]}) / 1000 AS BIGINT), {a[2]})"
     if p not in _ADD_UNITS:
-        raise ValueError(f"DATETIMEADD invalid interval {a[0]}")
+        raise ValueError(
+            f"invalid value '{_strip_str_literal(a[0])}' "
+            f"for parameter 'timeunit'"
+        )
     return f"timestampadd({_ADD_UNITS[p]}, {a[1]}, {a[2]})"
 
 
@@ -228,7 +241,7 @@ _DIFF_DIVISORS = {
 def _f_datetimediff(a: list[str]) -> str:
     # calendar diffs for yy/m, truncate-toward-zero elapsed otherwise
     # (EvaluateDatetimeDiff inbuiltfunctionsdate.go:643-715)
-    p = _date_part("DATETIMEDIFF", a[0])
+    p = _date_part("DATETIMEDIFF", a[0], param="timeunit")
     s, e = a[1], a[2]
     if p == "yy":
         return f"CAST(year({e}) - year({s}) AS BIGINT)"
@@ -243,7 +256,10 @@ def _f_datetimediff(a: list[str]) -> str:
     if p == "ns":
         return f"CAST({micros} * 1000 AS BIGINT)"
     if p not in _DIFF_DIVISORS:
-        raise ValueError(f"DATETIMEDIFF invalid interval {a[0]}")
+        raise ValueError(
+            f"invalid value '{_strip_str_literal(a[0])}' "
+            f"for parameter 'timeunit'"
+        )
     d = _DIFF_DIVISORS[p]
     return f"CAST(({micros} - {micros} % {d}) / {d} AS BIGINT)"
 
@@ -256,7 +272,7 @@ def _f_totimestamp(a: list[str]) -> str:
         return f"{fn}(CAST({a[0]} AS BIGINT))"
     if unit == "ns":
         return f"timestamp_micros(CAST(floor(CAST({a[0]} AS BIGINT) / 1000) AS BIGINT))"
-    raise ValueError(f"TOTIMESTAMP unit must be s/ms/us/ns, got {unit!r}")
+    raise ValueError(f"invalid value '{unit}' for parameter 'timeunit'")
 
 
 def _f_datetimefromparts(a: list[str]) -> str:
@@ -297,7 +313,10 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     "DATE_TRUNC": (2, 2, _f_date_trunc),
     "DATETIMEADD": (3, 3, _f_datetimeadd),
     "DATETIMEDIFF": (3, 3, _f_datetimediff),
-    "DATETIMEFROMPARTS": (3, 7, _f_datetimefromparts),
+    # exactly 7 parts — the reference analyzer rejects partial calls
+    # (inbuiltfunctionsdate.go:108-111; the pre-r10 3..7 optionality
+    # was a parity bug)
+    "DATETIMEFROMPARTS": (7, 7, _f_datetimefromparts),
     "TOTIMESTAMP": (1, 2, _f_totimestamp),
     # time-quantum range filter (inbuiltfunctionsquantum.go:8-60): BOOL,
     # exactly 3 args (from/to each nullable, not both), valid as a WHERE
@@ -514,14 +533,67 @@ def _lit_kind(arg: str) -> tuple:
     return (None, None)
 
 
+#: date-family per-argument type classes (NewErrParameterTypeMistmatch
+#: phrasing, distinct from the string family's short texts)
+_FN_SIG_DATE: dict[str, list] = {
+    "DATETIMEPART": ["str"],
+    "DATETIMENAME": ["str"],
+    "DATE_TRUNC": ["str"],
+    "DATETIMEADD": ["str", "int"],
+    "DATETIMEDIFF": ["str"],
+    "TOTIMESTAMP": ["int", "str"],
+    "DATETIMEFROMPARTS": ["int"] * 7,
+}
+
+#: functions whose arity error reports a formal count other than the
+#: minimum (the reference echoes the FULL signature width for the
+#: optional-arg calls: totimestamp() says 'formal parameters (2)')
+_ARITY_FORMAL = {"TOTIMESTAMP": 2}
+
+
+def _fromparts_literal_check(lits: list) -> None:
+    """isValidDateTimeParts (inbuiltfunctionsdate.go:308-352) replayed
+    over all-literal DATETIMEFROMPARTS calls: echoes the FIRST offending
+    part in '[0:0] not a valid datetimepart <v>' (year 0-9999, month
+    1-12, day per month with the leap-year rule, h/m/s/ms ranges)."""
+    if not all(k == "int" for k, _ in lits):
+        return
+    v = [x for _, x in lits]
+    y, mo, d, h, mi, s, ms = v
+
+    def bad(x):
+        raise ValueError(f"[0:0] not a valid datetimepart {x}")
+
+    if not 0 <= y <= 9999:
+        bad(y)
+    if not 1 <= mo <= 12:
+        bad(mo)
+    days = {1: 31, 3: 31, 5: 31, 7: 31, 8: 31, 10: 31, 12: 31,
+            4: 30, 6: 30, 9: 30, 11: 30, 2: 29}[mo]
+    if not 1 <= d <= days:
+        bad(d)
+    leap = y % 4 == 0 and y % 100 != 0 or y % 400 == 0
+    if mo == 2 and d == 29 and not leap:
+        bad(d)
+    if not 0 <= h <= 23:
+        bad(h)
+    if not 0 <= mi <= 59:
+        bad(mi)
+    if not 0 <= s <= 59:
+        bad(s)
+    if not 0 <= ms <= 999:
+        bad(ms)
+
+
 def _fn_check(name_tok: str, up: str, args: list[str]) -> None:
     """Arity (reference phrasing, original-case name) + literal
     type/range errors for one rewritten function call."""
     lo, hi, _ = _FUNCS[up]
     if not (lo <= len(args) <= hi):
+        formal = _ARITY_FORMAL.get(up, lo)
         raise ValueError(
-            f"'{name_tok}': count of formal parameters ({lo}) does not "
-            f"match count of actual parameters ({len(args)})"
+            f"'{name_tok}': count of formal parameters ({formal}) does "
+            f"not match count of actual parameters ({len(args)})"
         )
     lits = [_lit_kind(a) for a in args]
     sig = _FN_SIG.get(up, [])
@@ -549,6 +621,19 @@ def _fn_check(name_tok: str, up: str, args: list[str]) -> None:
         if k == "int":
             if v < 0 or (lits[0][0] == "str" and v > len(lits[0][1])):
                 raise ValueError(f"[0:0] value '{v}' out of range")
+    # date family: the analyzer's type errors name BOTH types
+    # (NewErrParameterTypeMistmatch — defs_date_functions.go corpus)
+    sig_date = _FN_SIG_DATE.get(up, [])
+    for (kind, _v), want in zip(lits, sig_date):
+        if kind in ("int", "str") and want in ("int", "str") and kind != want:
+            a_name = {"int": "int", "str": "string"}[kind]
+            w_name = {"int": "int", "str": "string"}[want]
+            raise ValueError(
+                f"an expression of type '{a_name}' cannot be passed to "
+                f"a parameter of type '{w_name}'"
+            )
+    if up == "DATETIMEFROMPARTS":
+        _fromparts_literal_check(lits)
     # STR(x, length?, decimals?) / FORMAT(fmt, args...): the analyzer
     # rejects NULL literals in the optional/variadic positions
     # (analyseFunctionStr / analyseFunctionFormat — 'null literal not

@@ -2080,3 +2080,63 @@ def test_prefix_suffix_runtime_range_nonliteral(golden_tables):
         "select prefix(a_string, len(a_string)) from stringscalarfunctions",
     ).first()[0]
     assert got == "hello"
+
+
+# --- defs_date_functions.go analyzer errors (r10) ---------------------------
+
+DATE_FN_ERROR_CASES = [
+    ("select datetimepart()",
+     "count of formal parameters (2) does not match count of actual "
+     "parameters (0)"),
+    ("select datetimepart(1, 2)",
+     "an expression of type 'int' cannot be passed to a parameter of "
+     "type 'string'"),
+    ("select datetimepart('1', current_timestamp)",
+     "invalid value '1' for parameter 'interval'"),
+    ("select totimestamp()",
+     "'totimestamp': count of formal parameters (2) does not match "
+     "count of actual parameters (0)"),
+    ("select totimestamp('a')",
+     "an expression of type 'string' cannot be passed to a parameter "
+     "of type 'int'"),
+    ("select totimestamp(1, 2)",
+     "an expression of type 'int' cannot be passed to a parameter of "
+     "type 'string'"),
+    ("select totimestamp(1, 'x')",
+     "invalid value 'x' for parameter 'timeunit'"),
+    ("select datetimeadd('x',1,current_timestamp)",
+     "invalid value 'x' for parameter 'timeunit'"),
+    ("select date_trunc('1', current_timestamp)",
+     "invalid value '1' for parameter 'interval'"),
+    ("select datetimefromparts(12,32,43,34,34,34)",
+     "count of formal parameters (7) does not match count of actual "
+     "parameters (6)"),
+    ("select datetimefromparts(12,32,43,34,34,34,'foo')",
+     "an expression of type 'string' cannot be passed to a parameter "
+     "of type 'int'"),
+    ("select datetimefromparts(10000,1,1,1,1,1,1)",
+     "[0:0] not a valid datetimepart 10000"),
+    ("select datetimefromparts(2023,2,29,1,1,1,1)",
+     "[0:0] not a valid datetimepart 29"),
+    ("select datetimefromparts(2023,13,1,1,1,1,1)",
+     "[0:0] not a valid datetimepart 13"),
+]
+
+
+@pytest.mark.parametrize(
+    "sql,msg", DATE_FN_ERROR_CASES,
+    ids=[c[0][:50] for c in DATE_FN_ERROR_CASES],
+)
+def test_golden_date_fn_errors(golden_tables, sql, msg):
+    with pytest.raises(ValueError) as ei:
+        fb_sql(golden_tables, sql)
+    assert msg in str(ei.value), sql
+
+
+def test_golden_fromparts_leap_year_ok(golden_tables):
+    import datetime as _dt
+
+    got = fb_sql(
+        golden_tables, "select datetimefromparts(2024,2,29,1,2,3,4)"
+    ).first()[0]
+    assert got == _dt.datetime(2024, 2, 29, 1, 2, 3, 4000)

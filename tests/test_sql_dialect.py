@@ -78,7 +78,10 @@ def test_translate_rejects_bad_arity():
 
 
 def test_translate_rejects_bad_date_part():
-    with pytest.raises(ValueError, match="DATETIMEPART"):
+    # NewErrCallParameterValueInvalid text (r10)
+    with pytest.raises(
+        ValueError, match="invalid value 'century' for parameter 'interval'"
+    ):
         translate("select datetimepart('century', ts) from t")
 
 
