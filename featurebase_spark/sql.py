@@ -318,6 +318,15 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     # was a parity bug)
     "DATETIMEFROMPARTS": (7, 7, _f_datetimefromparts),
     "TOTIMESTAMP": (1, 2, _f_totimestamp),
+    # PQL-semantics percentile aggregate (executor.go:3146-3240 /
+    # defs_aggregate.go:467-553): nth is 0-100; nearest-rank pick ==
+    # Spark's percentile_disc at nth/100 (smallest value whose
+    # cume_dist reaches the fraction). SUPERSET: the reference rejects
+    # non-pushable filters ('Percentile call that can't be pushed down
+    # to PQL is not supported'); here any WHERE composes.
+    "PERCENTILE": (2, 2, lambda a: (
+        f"percentile_disc(CAST({a[1]} AS DOUBLE) / 100) "
+        f"WITHIN GROUP (ORDER BY {a[0]})")),
     # time-quantum range filter (inbuiltfunctionsquantum.go:8-60): BOOL,
     # exactly 3 args (from/to each nullable, not both), valid as a WHERE
     # pushdown — true iff any entry of the quantum column falls in [from, to)
@@ -908,17 +917,26 @@ class _Rewriter:
 import re as _re
 
 
+#: aggregate calls whose argument analysis the reference runs at compile
+#: time (defs_aggregate.go) — token-level rules only; type-dependent
+#: rules (avg over a string column) stay with Catalyst
+_AGG_CHECKED = ("COUNT", "SUM", "AVG", "MIN", "MAX", "PERCENTILE")
+
+
 def _check_count_args(toks: list[str]) -> None:
-    """Mirror the reference's COUNT argument analysis (defs_aggregate.go:
-    29-40): COUNT takes exactly one argument and it must be ``*`` or a
-    column reference — ``COUNT(1)`` and ``COUNT(a, b)`` are compile
-    errors with these exact messages. Runs on the TOKEN stream, so a
-    COUNT(1)-shaped substring inside a string literal (one ``str`` token)
-    can never trip it."""
+    """Mirror the reference's aggregate argument analysis
+    (defs_aggregate.go): COUNT/SUM/AVG/MIN/MAX take exactly one
+    argument; ``*`` is valid only for COUNT; ``_id`` is rejected for
+    every aggregate but COUNT; COUNT's argument must be ``*`` or a
+    column reference (COUNT(1) errors — SUM(1)/MIN(1) are legal value
+    cases); PERCENTILE takes (column, literal). Exact reference error
+    texts. Runs on the TOKEN stream, so a COUNT(1)-shaped substring
+    inside a string literal (one ``str`` token) can never trip it."""
     i, n = 0, len(toks)
     while i < n:
         tok = toks[i]
-        if (tok[:1].isalpha() or tok[:1] == "_") and tok.upper() == "COUNT":
+        up = tok.upper() if (tok[:1].isalpha() or tok[:1] == "_") else ""
+        if up in _AGG_CHECKED:
             j = i + 1
             while j < n and _is_ws(toks[j]):
                 j += 1
@@ -939,16 +957,54 @@ def _check_count_args(toks: list[str]) -> None:
                         continue
                     args[-1].append(t)
                     j += 1
-                if len(args) > 1:
-                    raise ValueError(
-                        f"count of formal parameters (1) does not match "
-                        f"count of actual parameters ({len(args)})"
-                    )
-                arg = "".join(t for t in args[0] if not _is_ws(t)).strip()
-                if _re.fullmatch(r"\d+(\.\d+)?", arg):
-                    raise ValueError("column reference expected")
+                flat = [
+                    "".join(t for t in a if not _is_ws(t)).strip()
+                    for a in args
+                ]
+                if up == "PERCENTILE":
+                    _check_percentile_args(tok, flat)
+                else:
+                    if len(flat) > 1:
+                        raise ValueError(
+                            f"count of formal parameters (1) does not "
+                            f"match count of actual parameters "
+                            f"({len(flat)})"
+                        )
+                    arg = flat[0]
+                    if up == "COUNT":
+                        if _re.fullmatch(r"\d+(\.\d+)?", arg):
+                            raise ValueError("column reference expected")
+                    else:
+                        if arg == "*":
+                            raise ValueError("column reference expected")
+                        if arg.lower() == "_id":
+                            raise ValueError(
+                                f"_id column cannot be used in aggregate "
+                                f"function '{tok.lower()}'"
+                            )
                 i = j
         i += 1
+
+
+def _check_percentile_args(name_tok: str, flat: list[str]) -> None:
+    """PERCENTILE(column, nth-literal) analysis (defs_aggregate.go:
+    467-501): ``*`` / numeric first arg → 'column reference expected';
+    ``_id`` rejected; the nth argument must be a LITERAL."""
+    if flat and (flat[0] == "*" or _re.fullmatch(r"-?\d+(\.\d+)?", flat[0])):
+        raise ValueError("column reference expected")
+    if flat and flat[0].lower() == "_id":
+        raise ValueError(
+            f"_id column cannot be used in aggregate function "
+            f"'{name_tok.lower()}'"
+        )
+    if len(flat) == 2:
+        nth = flat[1]
+        is_lit = bool(
+            _re.fullmatch(r"-?\d+(\.\d+)?", nth)
+            or (nth[:1] == "'" and nth[-1:] == "'")
+        )
+        if not is_lit:
+            raise ValueError("literal expression expected")
 
 
 def translate(sql: str) -> str:

@@ -2140,3 +2140,88 @@ def test_golden_fromparts_leap_year_ok(golden_tables):
         golden_tables, "select datetimefromparts(2024,2,29,1,2,3,4)"
     ).first()[0]
     assert got == _dt.datetime(2024, 2, 29, 1, 2, 3, 4000)
+
+
+# --- defs_aggregate.go argument analysis + SQL PERCENTILE (r10) -------------
+
+
+@pytest.fixture(scope="module")
+def percentile_tables(spark):
+    spark.createDataFrame(
+        [(1, 10, 10.0, "foo"), (2, 10, 10.0, "foo"), (3, 11, 11.0, "foo"),
+         (4, 12, 12.0, "foo"), (5, 12, 12.0, "foo"), (6, 13, 13.0, "foo")],
+        "_id long, i1 long, d1 double, s1 string",
+    ).createOrReplaceTempView("percentile_test_g")
+    return spark
+
+
+AGG_ERROR_CASES = [
+    # defs_aggregate.go:467-501 (percentile analysis)
+    ("SELECT percentile(*) AS x FROM percentile_test_g",
+     "column reference expected"),
+    ("SELECT percentile(10, i1) AS x FROM percentile_test_g",
+     "column reference expected"),
+    ("SELECT percentile(_id, 50) AS x FROM percentile_test_g",
+     "_id column cannot be used in aggregate function 'percentile'"),
+    ("SELECT percentile(i1, d1) AS x FROM percentile_test_g",
+     "literal expression expected"),
+    # defs_aggregate.go:236-350 (sum/avg), :576-605 (min/max)
+    ("SELECT sum(*) AS x FROM percentile_test_g",
+     "column reference expected"),
+    ("SELECT sum(_id) AS x FROM percentile_test_g",
+     "_id column cannot be used in aggregate function 'sum'"),
+    ("SELECT sum(i1, d1) AS x FROM percentile_test_g",
+     "count of formal parameters (1) does not match count of actual "
+     "parameters (2)"),
+    ("SELECT avg(*) AS x FROM percentile_test_g",
+     "column reference expected"),
+    ("SELECT avg(_id) AS x FROM percentile_test_g",
+     "_id column cannot be used in aggregate function 'avg'"),
+    ("SELECT avg(i1, d1) AS x FROM percentile_test_g",
+     "count of formal parameters (1) does not match count of actual "
+     "parameters (2)"),
+    ("SELECT min(*) AS x FROM percentile_test_g",
+     "column reference expected"),
+    ("SELECT max(*) AS x FROM percentile_test_g",
+     "column reference expected"),
+    ("SELECT min(i1, d1) AS x FROM percentile_test_g",
+     "count of formal parameters (1) does not match count of actual "
+     "parameters (2)"),
+    ("SELECT min(_id) AS x FROM percentile_test_g",
+     "_id column cannot be used in aggregate function"),
+    ("SELECT max(_id) AS x FROM percentile_test_g",
+     "_id column cannot be used in aggregate function"),
+]
+
+
+@pytest.mark.parametrize(
+    "sql,msg", AGG_ERROR_CASES, ids=[c[0][:48] for c in AGG_ERROR_CASES]
+)
+def test_golden_agg_arg_errors(percentile_tables, sql, msg):
+    with pytest.raises(ValueError) as ei:
+        fb_sql(percentile_tables, sql)
+    assert msg in str(ei.value), sql
+
+
+def test_golden_sql_percentile_values(percentile_tables):
+    """defs_aggregate.go:505-553 — PQL-semantics percentile through
+    the SQL door (nearest rank == percentile_disc at nth/100).
+    SUPERSET note: the reference rejects percentile with non-pushable
+    filters; here any WHERE composes."""
+    spark = percentile_tables
+    cases = [
+        ("SELECT percentile(i1, 50) AS p FROM percentile_test_g", 11),
+        ("SELECT percentile(d1, 50) AS p FROM percentile_test_g", 11.0),
+        ("SELECT percentile(i1, 50) AS p FROM percentile_test_g "
+         "WHERE i1 < 13", 11),
+        ("SELECT percentile(d1, 50) AS p FROM percentile_test_g "
+         "WHERE d1 < 13", 11.0),
+        # value cases that must NOT be rejected by the arg analysis
+        ("SELECT sum(1) AS p FROM percentile_test_g", 6),
+        ("SELECT min(1) AS p FROM percentile_test_g", 1),
+        ("SELECT sum(i1) AS p FROM percentile_test_g", 68),
+        ("SELECT sum(d1 + 5) AS p FROM percentile_test_g", 98.0),
+    ]
+    for q, want in cases:
+        got = fb_sql(spark, q).first()[0]
+        assert got == want, (q, got)
