@@ -318,6 +318,15 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     # was a parity bug)
     "DATETIMEFROMPARTS": (7, 7, _f_datetimefromparts),
     "TOTIMESTAMP": (1, 2, _f_totimestamp),
+    # POPULATION variance at the reference's scale-6 decimal
+    # (defs_aggregate.go:820-920: var(i1)=1.222222 over
+    # [10,10,11,12,12,13] — Σ(x-μ)²/n, not the sample /(n-1))
+    # (floor = the reference's truncate-toward-zero, valid since
+    # variance is non-negative; a bare CAST would round HALF_UP —
+    # 17.5/6 must be 2.916666, not 2.916667)
+    "VAR": (1, 1, lambda a: (
+        f"CAST(floor(var_pop({a[0]}) * 1000000) / 1000000 "
+        f"AS DECIMAL(38, 6))")),
     # PQL-semantics percentile aggregate (executor.go:3146-3240 /
     # defs_aggregate.go:467-553): nth is 0-100; nearest-rank pick ==
     # Spark's percentile_disc at nth/100 (smallest value whose
@@ -920,7 +929,9 @@ import re as _re
 #: aggregate calls whose argument analysis the reference runs at compile
 #: time (defs_aggregate.go) — token-level rules only; type-dependent
 #: rules (avg over a string column) stay with Catalyst
-_AGG_CHECKED = ("COUNT", "SUM", "AVG", "MIN", "MAX", "PERCENTILE")
+_AGG_CHECKED = (
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "PERCENTILE", "VAR", "CORR",
+)
 
 
 def _check_count_args(toks: list[str]) -> None:
@@ -963,6 +974,23 @@ def _check_count_args(toks: list[str]) -> None:
                 ]
                 if up == "PERCENTILE":
                     _check_percentile_args(tok, flat)
+                elif up == "CORR":
+                    # corr takes TWO columns (defs_aggregate.go:760-800):
+                    # '*' stops the reference's parser at the comma
+                    if flat and flat[0] == "*":
+                        raise ValueError("expected right paren, found ','")
+                    if len(flat) != 2:
+                        raise ValueError(
+                            f"count of formal parameters (2) does not "
+                            f"match count of actual parameters "
+                            f"({len(flat)})"
+                        )
+                    for arg in flat:
+                        if arg.lower() == "_id":
+                            raise ValueError(
+                                f"_id column cannot be used in aggregate "
+                                f"function '{tok.lower()}'"
+                            )
                 else:
                     if len(flat) > 1:
                         raise ValueError(

@@ -2225,3 +2225,52 @@ def test_golden_sql_percentile_values(percentile_tables):
     for q, want in cases:
         got = fb_sql(spark, q).first()[0]
         assert got == want, (q, got)
+
+
+@pytest.fixture(scope="module")
+def var_tables(spark):
+    spark.createDataFrame(
+        [(1, 10, 10.0, "foo", 10), (2, 10, 10.0, "foo", 11),
+         (3, 11, 11.0, "foo", 12), (4, 12, 12.0, "foo", 13),
+         (5, 12, 12.0, "foo", 14), (6, 13, 13.0, "foo", 15)],
+        "_id long, i1 long, d1 double, s1 string, id1 long",
+    ).createOrReplaceTempView("var_test_g")
+    return spark
+
+
+def test_golden_var_corr(var_tables):
+    """defs_aggregate.go:760-920 — VAR is POPULATION variance at the
+    reference's scale-6 decimal; CORR/VAR argument analysis errors."""
+    import decimal as _dec
+
+    spark = var_tables
+    for q, want in [
+        ("SELECT var(i1) AS v FROM var_test_g", _dec.Decimal("1.222222")),
+        ("SELECT var(id1) AS v FROM var_test_g", _dec.Decimal("2.916666")),
+        ("SELECT var(d1) AS v FROM var_test_g", _dec.Decimal("1.222222")),
+        ("SELECT var(len(s1)) AS v FROM var_test_g", _dec.Decimal("0")),
+    ]:
+        got = fb_sql(spark, q).first()[0]
+        assert got == want, (q, got)
+    assert abs(
+        fb_sql(spark, "SELECT corr(i1, d1) AS c FROM var_test_g").first()[0]
+        - 1.0
+    ) < 1e-12
+    for q, msg in [
+        ("SELECT var(*) AS v FROM var_test_g", "column reference expected"),
+        ("SELECT var(_id) AS v FROM var_test_g",
+         "_id column cannot be used in aggregate function 'var'"),
+        ("SELECT var(i1, d1) AS v FROM var_test_g",
+         "count of formal parameters (1) does not match count of actual "
+         "parameters (2)"),
+        ("SELECT corr(*, i1) AS c FROM var_test_g",
+         "expected right paren, found ','"),
+        ("SELECT corr(i1) AS c FROM var_test_g",
+         "count of formal parameters (2) does not match count of actual "
+         "parameters (1)"),
+        ("SELECT corr(_id, i1) AS c FROM var_test_g",
+         "_id column cannot be used in aggregate function 'corr'"),
+    ]:
+        with pytest.raises(ValueError) as ei:
+            fb_sql(spark, q)
+        assert msg in str(ei.value), q
