@@ -1944,6 +1944,20 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
     for i in range(1, len(sig) - 1):
         tok = sig[i]
         op = tok
+        if op.upper() == "LIKE":
+            # LIKE/NOT LIKE take a STRING left operand; the right side
+            # is the pattern literal, so only the left is typed here
+            # (defs_like.go:24-140 — 'NOTLIKE' when negated)
+            j = i - 1
+            opname = "LIKE"
+            if j >= 1 and sig[j].upper() == "NOT":
+                opname, j = "NOTLIKE", j - 1
+            lt = col_type(j)
+            if lt is not None and lt != "string":
+                raise ValueError(
+                    f"operator '{opname}' incompatible with type '{lt}'"
+                )
+            continue
         if op not in _BINOP_ALLOWED and op not in _EQ_OPS:
             continue
         lt, rt = col_type(i - 1), col_type(i + 1)

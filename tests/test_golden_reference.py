@@ -2274,3 +2274,49 @@ def test_golden_var_corr(var_tables):
         with pytest.raises(ValueError) as ei:
             fb_sql(spark, q)
         assert msg in str(ei.value), q
+
+
+def test_golden_like_type_guard(spark):
+    """defs_like.go:24-140 — LIKE/NOT LIKE require a STRING left
+    operand; every other reference type raises the exact binop text
+    ('NOTLIKE' when negated). Arrays/sets and decimals included."""
+    import datetime as _dt
+    import decimal as _dec
+
+    spark.createDataFrame(
+        [(1, 5, True, _dec.Decimal("1.23"), [1, 2], "foo", ["a"],
+          _dt.datetime(2012, 11, 1))],
+        "_id LONG, i1 LONG, b1 BOOLEAN, d1 DECIMAL(4,2), "
+        "ids1 ARRAY<BIGINT>, s1 STRING, ss1 ARRAY<STRING>, t1 TIMESTAMP",
+    ).createOrReplaceTempView("like_all_types_g")
+    cases = [
+        ("select _id like '%f_' from like_all_types_g",
+         "operator 'LIKE' incompatible with type 'id'"),
+        ("select i1 like '%f_' from like_all_types_g",
+         "operator 'LIKE' incompatible with type 'int'"),
+        ("select b1 like '%f_' from like_all_types_g",
+         "operator 'LIKE' incompatible with type 'bool'"),
+        ("select d1 like '%f_' from like_all_types_g",
+         "operator 'LIKE' incompatible with type 'decimal(2)'"),
+        ("select ids1 like '%f_' from like_all_types_g",
+         "operator 'LIKE' incompatible with type 'idset'"),
+        ("select ss1 like '%f_' from like_all_types_g",
+         "operator 'LIKE' incompatible with type 'stringset'"),
+        ("select t1 like '%f_' from like_all_types_g",
+         "operator 'LIKE' incompatible with type 'timestamp'"),
+        ("select i1 not like '%f_' from like_all_types_g",
+         "operator 'NOTLIKE' incompatible with type 'int'"),
+        ("select d1 not like '%f_' from like_all_types_g",
+         "operator 'NOTLIKE' incompatible with type 'decimal(2)'"),
+    ]
+    for q, msg in cases:
+        with pytest.raises(ValueError) as ei:
+            fb_sql(spark, q)
+        assert msg in str(ei.value), q
+    # the valid string cases still compile and evaluate
+    assert fb_sql(
+        spark, "select s1 like 'f%' as m from like_all_types_g"
+    ).first()["m"] is True
+    assert fb_sql(
+        spark, "select s1 not like 'f%' as m from like_all_types_g"
+    ).first()["m"] is False
