@@ -327,6 +327,13 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     "VAR": (1, 1, lambda a: (
         f"CAST(floor(var_pop({a[0]}) * 1000000) / 1000000 "
         f"AS DECIMAL(38, 6))")),
+    # Pearson correlation at the reference's scale-6 decimal
+    # (defs_aggregate.go:768-800: corr(i1,d1)=1.000000); the inner
+    # BIGINT cast truncates TOWARD ZERO, matching pql.Decimal for the
+    # negative-correlation side where floor would not
+    "CORR": (2, 2, lambda a: (
+        f"CAST(CAST(corr({a[0]}, {a[1]}) * 1000000 AS BIGINT) / 1000000 "
+        f"AS DECIMAL(38, 6))")),
     # PQL-semantics percentile aggregate (executor.go:3146-3240 /
     # defs_aggregate.go:467-553): nth is 0-100; nearest-rank pick ==
     # Spark's percentile_disc at nth/100 (smallest value whose

@@ -2252,10 +2252,9 @@ def test_golden_var_corr(var_tables):
     ]:
         got = fb_sql(spark, q).first()[0]
         assert got == want, (q, got)
-    assert abs(
-        fb_sql(spark, "SELECT corr(i1, d1) AS c FROM var_test_g").first()[0]
-        - 1.0
-    ) < 1e-12
+    assert fb_sql(
+        spark, "SELECT corr(i1, d1) AS c FROM var_test_g"
+    ).first()[0] == _dec.Decimal("1.000000")
     for q, msg in [
         ("SELECT var(*) AS v FROM var_test_g", "column reference expected"),
         ("SELECT var(_id) AS v FROM var_test_g",
