@@ -1951,6 +1951,21 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
     for i in range(1, len(sig) - 1):
         tok = sig[i]
         op = tok
+        if op.upper() == "BETWEEN":
+            # BETWEEN subscripts are numeric/timestamp only
+            # (defs_between.go:63-224 — bool/string/sets rejected even
+            # though they order; Spark would happily range-compare them)
+            j = i - 1
+            if j >= 1 and sig[j].upper() == "NOT":
+                j -= 1
+            lt = col_type(j)
+            if lt is not None and _binop_class(lt) not in (
+                "int", "id", "decimal", "timestamp",
+            ):
+                raise ValueError(
+                    f"type '{lt}' cannot be used as a range subscript"
+                )
+            continue
         if op.upper() == "LIKE":
             # LIKE/NOT LIKE take a STRING left operand; the right side
             # is the pattern literal, so only the left is typed here

@@ -2319,3 +2319,43 @@ def test_golden_like_type_guard(spark):
     assert fb_sql(
         spark, "select s1 not like 'f%' as m from like_all_types_g"
     ).first()["m"] is False
+
+
+def test_golden_between_range_subscript(spark):
+    """defs_between.go:63-224 — BETWEEN subscripts are numeric/
+    timestamp only; bool/string/sets raise at compile time (Spark would
+    range-compare them). NOT BETWEEN shares the rule; the valid
+    decimal/id/timestamp forms still evaluate."""
+    import datetime as _dt
+    import decimal as _dec
+
+    spark.createDataFrame(
+        [(1, True, _dec.Decimal("2.00"), 5, [1, 2], "foo", ["a"],
+          _dt.datetime(2012, 11, 1))],
+        "_id LONG, b1 BOOLEAN, d1 DECIMAL(4,2), i1 LONG, "
+        "ids1 ARRAY<BIGINT>, s1 STRING, ss1 ARRAY<STRING>, t1 TIMESTAMP",
+    ).createOrReplaceTempView("between_all_types_g")
+    for q, msg in [
+        ("select b1 between true and false from between_all_types_g",
+         "type 'bool' cannot be used as a range subscript"),
+        ("select ids1 between [100] and [456] from between_all_types_g",
+         "type 'idset' cannot be used as a range subscript"),
+        ("select s1 between 'foo' and 'bar' from between_all_types_g",
+         "type 'string' cannot be used as a range subscript"),
+        ("select ss1 between ['a'] and ['c'] from between_all_types_g",
+         "type 'stringset' cannot be used as a range subscript"),
+        ("select b1 not between true and false from between_all_types_g",
+         "type 'bool' cannot be used as a range subscript"),
+        ("select s1 not between 'foo' and 'bar' from between_all_types_g",
+         "type 'string' cannot be used as a range subscript"),
+    ]:
+        with pytest.raises(ValueError) as ei:
+            fb_sql(spark, q)
+        assert msg in str(ei.value), q
+    ok = fb_sql(
+        spark,
+        "select d1 between 1.23 and 4.56 as a, "
+        "i1 between 3 and 7 as b, "
+        "i1 not between 8 and 9 as c from between_all_types_g",
+    ).first()
+    assert (ok["a"], ok["b"], ok["c"]) == (True, True, True)
