@@ -1866,6 +1866,13 @@ _BINOP_ALLOWED: dict[str, frozenset] = {
 _EQ_OPS = {"=", "!=", "<>"}
 _ORDER_OPS = {"<", "<=", ">", ">="}
 
+#: tokens that put the NEXT -/+/! in unary position (expression start)
+_UNARY_STARTERS = {
+    "SELECT", ",", "(", "WHERE", "AND", "OR", "NOT", "BY", "HAVING",
+    "THEN", "ELSE", "WHEN", "=", "!=", "<>", "<", "<=", ">", ">=",
+    "+", "-", "*", "/", "%",
+}
+
 
 def _fb_type_name(field) -> Optional[str]:
     """Reference type-system name for a Spark schema field; None for
@@ -1951,6 +1958,26 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
     for i in range(1, len(sig) - 1):
         tok = sig[i]
         op = tok
+        if op in ("-", "+", "!") and i >= 1:
+            # UNARY position: the token before is an expression starter,
+            # not an operand (defs_unops.go:60-260 — unary -/+ take
+            # int/id/decimal, bitwise '!' takes int/id only; bool/
+            # timestamp/sets/strings raise; Spark would coerce or negate)
+            prev = sig[i - 1].upper()
+            if prev in _UNARY_STARTERS:
+                ut = col_type(i + 1)
+                if ut is not None:
+                    uc = _binop_class(ut)
+                    allowed = (
+                        {"int", "id"} if op == "!"
+                        else {"int", "id", "decimal"}
+                    )
+                    if uc not in allowed:
+                        raise ValueError(
+                            f"operator '{op}' incompatible with "
+                            f"type '{ut}'"
+                        )
+                continue
         if op.upper() == "BETWEEN":
             # BETWEEN subscripts are numeric/timestamp only
             # (defs_between.go:63-224 — bool/string/sets rejected even

@@ -2359,3 +2359,51 @@ def test_golden_between_range_subscript(spark):
         "i1 not between 8 and 9 as c from between_all_types_g",
     ).first()
     assert (ok["a"], ok["b"], ok["c"]) == (True, True, True)
+
+
+def test_golden_unop_type_guard(spark):
+    """defs_unops.go:60-260 — unary -/+ take int/id/decimal, bitwise
+    '!' takes int/id only; bool/timestamp/sets raise with the exact
+    binop texts. Valid unary forms (incl. '!' bitwise complement on
+    int) still evaluate."""
+    import datetime as _dt
+    import decimal as _dec
+
+    spark.createDataFrame(
+        [(1, True, _dec.Decimal("2.00"), 10, [1], ["a"],
+          _dt.datetime(2012, 11, 1))],
+        "_id LONG, b1 BOOLEAN, d1 DECIMAL(4,2), i1 LONG, "
+        "ids1 ARRAY<BIGINT>, ss1 ARRAY<STRING>, t1 TIMESTAMP",
+    ).createOrReplaceTempView("unoptest_g")
+    for q, msg in [
+        ("select -b1 from unoptest_g",
+         "operator '-' incompatible with type 'bool'"),
+        ("select !b1 from unoptest_g",
+         "operator '!' incompatible with type 'bool'"),
+        ("select +b1 from unoptest_g",
+         "operator '+' incompatible with type 'bool'"),
+        ("select !d1 from unoptest_g",
+         "operator '!' incompatible with type 'decimal(2)'"),
+        ("select -t1 from unoptest_g",
+         "operator '-' incompatible with type 'timestamp'"),
+        ("select !t1 from unoptest_g",
+         "operator '!' incompatible with type 'timestamp'"),
+        ("select +t1 from unoptest_g",
+         "operator '+' incompatible with type 'timestamp'"),
+        ("select -ids1 from unoptest_g",
+         "operator '-' incompatible with type 'idset'"),
+        ("select !ss1 from unoptest_g",
+         "operator '!' incompatible with type 'stringset'"),
+        ("select i1 + -b1 from unoptest_g",
+         "operator '-' incompatible with type 'bool'"),
+    ]:
+        with pytest.raises(ValueError) as ei:
+            fb_sql(spark, q)
+        assert msg in str(ei.value), q
+    ok = fb_sql(
+        spark,
+        "select -i1 as a, +i1 as b, !i1 as c, -d1 as d, "
+        "i1 - i1 as e from unoptest_g",
+    ).first()
+    assert (ok["a"], ok["b"], ok["c"]) == (-10, 10, -11)
+    assert ok["d"] == _dec.Decimal("-2.00") and ok["e"] == 0
