@@ -2029,6 +2029,51 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
                 )
 
 
+_HINT_RE = _re.compile(
+    r"(?is)\bfrom\s+([A-Za-z_][\w]*)\s+with\s*\(\s*"
+    r"([A-Za-z_]\w*)\s*\(([^()]*)\)\s*\)"
+)
+
+
+def _apply_query_hints(spark: SparkSession, sql: str) -> str:
+    """Reference QUERY HINTS: ``FROM t WITH (flatten(setcol))`` makes
+    DISTINCT / GROUP BY over a set column operate per ELEMENT — each
+    element becomes its own single-element set (planoptimizer.go:
+    819-930, defs_groupby.go:282-460). Compiled as a derived table that
+    explodes the set and re-wraps each element (``array(e) AS setcol``),
+    so the downstream distinct/groupBy/aggregate sees per-element
+    groups through the ordinary Catalyst path — no special grouping
+    operator needed. Hint errors use the reference's exact texts."""
+    m = _HINT_RE.search(sql)
+    if m is None:
+        return sql
+    table, hint, raw_args = m.group(1), m.group(2), m.group(3)
+    if hint.lower() != "flatten":
+        raise ValueError(f"unknown query hint '{hint}'")
+    args = [a.strip() for a in raw_args.split(",") if a.strip()]
+    if len(args) != 1:
+        raise ValueError(
+            f"query hint 'flatten' expected 1 parameter(s) "
+            f"(column name), got {len(args)} parameters"
+        )
+    col = args[0]
+    try:
+        cols = spark.table(table).columns
+    except Exception:  # noqa: BLE001 — unknown table: Catalyst's error
+        return sql
+    if col not in cols:
+        raise ValueError(f"column '{col}' not found")
+    others = ", ".join(f"`{c}`" for c in cols if c != col)
+    derived = (
+        f"(SELECT {others + ', ' if others else ''}array(__fb_flat) "
+        f"AS `{col}` FROM (SELECT *, explode(`{col}`) AS __fb_flat "
+        f"FROM {table})) AS {table}"
+    )
+    out = sql[: m.start()] + f"FROM {derived}" + sql[m.end():]
+    # one hint clause per table reference; apply any further hints too
+    return _apply_query_hints(spark, out)
+
+
 def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
     """Execute FeatureBase-dialect SQL against registered Spark views —
     the ``POST /sql`` front door (http_handler.go:1440-1530), with
@@ -2054,6 +2099,7 @@ def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
         if routed is not None:
             return routed
     sql = _expand_tvfs(spark, sql)  # declared extension (TVF front door)
+    sql = _apply_query_hints(spark, sql)  # WITH (flatten(col)) hints
     _binop_type_guard(spark, sql)  # defs_binops.go type-rule parity
     if catalog is not None:
         # system tables are SELECT-able, not just SHOW-able

@@ -2407,3 +2407,49 @@ def test_golden_unop_type_guard(spark):
     ).first()
     assert (ok["a"], ok["b"], ok["c"]) == (-10, 10, -11)
     assert ok["d"] == _dec.Decimal("-2.00") and ok["e"] == 0
+
+
+def test_golden_flatten_query_hint(spark):
+    """defs_groupby.go:282-460 — the WITH (flatten(setcol)) query hint:
+    DISTINCT / GROUP BY over a set column operate per ELEMENT, each
+    returned as a single-element set; hint errors use the exact texts.
+    SUPERSET note: the reference also errors on MIN/MAX/PERCENTILE in
+    grouped queries ('aggregate ... not allowed in GROUP BY' — a PQL
+    pushdown limitation); here they compute (TPC-H relies on it)."""
+    spark.createDataFrame(
+        [(1, [1, 2], ["a", "b"]), (2, [3, 4], ["d", "e"]),
+         (3, [1, 4], ["a", "d"]), (4, [2, 3], ["b", "c"])],
+        "_id long, ids1 array<bigint>, ss1 array<string>",
+    ).createOrReplaceTempView("groupby_set_test_g")
+    got = fb_sql(
+        spark,
+        "select distinct ids1 from groupby_set_test_g "
+        "with (flatten(ids1))",
+    ).collect()
+    assert sorted(tuple(r["ids1"]) for r in got) == [(1,), (2,), (3,), (4,)]
+    got2 = fb_sql(
+        spark,
+        "select count(*) as n, ss1 from groupby_set_test_g "
+        "with (flatten(ss1)) group by ss1 order by ss1",
+    ).collect()
+    assert [(r["n"], list(r["ss1"])) for r in got2] == [
+        (2, ["a"]), (2, ["b"]), (1, ["c"]), (2, ["d"]), (1, ["e"]),
+    ]
+    # un-hinted distinct keeps whole-set groups
+    plain = fb_sql(
+        spark, "select distinct ids1 from groupby_set_test_g"
+    ).collect()
+    assert len(plain) == 4 and all(len(r["ids1"]) == 2 for r in plain)
+    for q, msg in [
+        ("select distinct ids1 from groupby_set_test_g "
+         "with (flatter(foo))", "unknown query hint 'flatter'"),
+        ("select distinct ids1 from groupby_set_test_g "
+         "with (flatten(foo))", "column 'foo' not found"),
+        ("select distinct ids1 from groupby_set_test_g "
+         "with (flatten(foo, bar))",
+         "query hint 'flatten' expected 1 parameter(s) (column name), "
+         "got 2 parameters"),
+    ]:
+        with pytest.raises(ValueError) as ei:
+            fb_sql(spark, q)
+        assert msg in str(ei.value), q
