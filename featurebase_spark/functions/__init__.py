@@ -91,39 +91,55 @@ def LOWER(col) -> Column:
 def STRINGSPLIT(col, sep: str, idx: int = 0) -> Column:
     """STRINGSPLIT(s, sep, n) — n-th piece of a LITERAL-separator split
     (Go strings.Split, not regex); n <= 0 picks the first piece, n past
-    the end returns '' (EvaluateStringSplit)."""
-    parts = F.split(
-        _c(col), F.concat(F.lit("\\Q"), _lit(sep), F.lit("\\E")), F.lit(-1)
-    )
+    the end returns ''. NULL in ANY argument returns NULL
+    (EvaluateStringSplit:440-512 evaluates each arg and returns nil on
+    nil — without the leading guard, split(NULL) would fall through the
+    size() comparison to the '' branch)."""
+    s = _c(col)
+    sp = _lit(sep)
+    parts = F.split(s, F.concat(F.lit("\\Q"), sp, F.lit("\\E")), F.lit(-1))
     i = _c(idx) if isinstance(idx, Column) else F.lit(idx)
     return (
-        F.when(i.isNull(), F.lit(None).cast("string"))
+        F.when(s.isNull() | sp.isNull() | i.isNull(), F.lit(None).cast("string"))
         .when(i <= 0, F.element_at(parts, 1))
         .when(i < F.size(parts), F.element_at(parts, i.cast("int") + 1))
         .otherwise(F.lit(""))
     )
 
 
+def _byte_slice(s: Column, pos1: Column, ln: Column) -> Column:
+    """Slice UTF-8 BYTES (1-based pos) and decode back — the reference
+    slices Go byte strings (``stringArg[a:b]``), so multi-byte inputs
+    slice at byte boundaries, not characters. Divergence: a slice that
+    splits a multi-byte sequence decodes to U+FFFD here where Go keeps
+    the raw invalid bytes; identical for any ASCII input (the entire
+    reference corpus)."""
+    return F.decode(
+        F.call_function("substring", F.encode(s, "UTF-8"), pos1, ln),
+        "UTF-8",
+    )
+
+
 def SUBSTRING(col, start: int, length: int | None = None) -> Column:
     """SUBSTRING(s, start[, len]) — reference is 0-based with HARD range
-    checks (EvaluateSubstring): start in [0, len(s)), start + len <=
-    len(s); violations raise with the offending bound."""
+    checks on the Go BYTE length (EvaluateSubstring:362-416): start in
+    [0, len(s)), start + len <= len(s); violations raise with the
+    offending bound. Slices bytes, like the reference."""
     s = _c(col)
     i = _c(start) if isinstance(start, Column) else F.lit(start)
-    start_bad = s.isNotNull() & ((i < 0) | (i >= F.length(s)))
+    blen = F.octet_length(s)
+    start_bad = s.isNotNull() & ((i < 0) | (i >= blen))
     if length is None:
         return F.when(start_bad, _range_err(i, "string")).otherwise(
-            F.call_function("substring", s, i + 1, F.lit(2**31 - 1))
+            _byte_slice(s, i + 1, F.lit(2**31 - 1))
         )
     ln = _c(length) if isinstance(length, Column) else F.lit(length)
     end = i + ln
-    end_bad = (
-        s.isNotNull() & ln.isNotNull() & ((end < i) | (end > F.length(s)))
-    )
+    end_bad = s.isNotNull() & ln.isNotNull() & ((end < i) | (end > blen))
     return (
         F.when(start_bad, _range_err(i, "string"))
         .when(end_bad, _range_err(end, "string"))
-        .otherwise(F.call_function("substring", s, i + 1, ln))
+        .otherwise(_byte_slice(s, i + 1, ln))
     )
 
 
@@ -158,16 +174,20 @@ def PREFIX(col, n) -> Column:
 
 def _prefix_suffix(s: Column, n: Column, last: bool) -> Column:
     # raise_error carries the exact reference text with the offending
-    # value; NULL s or n falls through to the NULL-propagating picker
+    # value; NULL s or n falls through to the NULL-propagating picker.
+    # Range check and slice are on Go BYTE length
+    # (inbuiltfunctionsstring.go:585-589,617-621 — len()/[:n] on a Go
+    # string are bytes), so 'ÿber' has length 5 here, not 4.
     msg = F.concat(
         F.lit("[0:0] value '"), n.cast("string"), F.lit("' out of range")
     )
+    blen = F.octet_length(s)
     if last:
-        body = F.call_function("right", s, n)
+        body = _byte_slice(s, blen - n + 1, n)
     else:
-        body = F.call_function("substring", s, F.lit(1), n)
+        body = _byte_slice(s, F.lit(1), n)
     return F.when(
-        s.isNotNull() & ((n < 0) | (n > F.length(s))),
+        s.isNotNull() & ((n < 0) | (n > blen)),
         F.raise_error(msg).cast("string"),
     ).otherwise(body)
 
@@ -194,18 +214,21 @@ def FORMAT(fmt: str, *cols) -> Column:
     return F.format_string(fmt.replace("%t", "%b"), *[_c(c) for c in cols])
 
 
-def CHARINDEX(substr, col, start: int = 0) -> Column:
+def CHARINDEX(substr, col, start: int | None = None) -> Column:
     """CHARINDEX(sub, s[, start]) — position of sub in s from `start`,
-    0-based like the reference (-1 if absent); a start outside
-    [0, len(s)) raises (EvaluateCharIndex)."""
-    if isinstance(start, int) and start == 0:
+    0-based like the reference (-1 if absent). The 3-arg form range
+    checks start against the BYTE length, [0, len(s)) — even start=0
+    errors on an empty string (EvaluateCharIndex:777, pos >= len(s)),
+    so an explicit start must NOT take the unguarded 2-arg fast path;
+    only an omitted start (sentinel None) does."""
+    if start is None:
         return F.locate(substr, _c(col)) - 1
     s = _c(col)
     pos = _c(start) if isinstance(start, Column) else F.lit(start)
     sub = _lit(substr) if isinstance(substr, str) else _c(substr)
     found = F.call_function("locate", sub, s, (pos + 1).cast("int")) - 1
     return F.when(
-        s.isNotNull() & ((pos < 0) | (pos >= F.length(s))),
+        s.isNotNull() & ((pos < 0) | (pos >= F.octet_length(s))),
         _range_err(pos, "bigint"),
     ).otherwise(found)
 

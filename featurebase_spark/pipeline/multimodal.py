@@ -56,6 +56,51 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def _pin_arrow_batch(spark, batch_rows: int) -> None:
+    """Pin ``spark.sql.execution.arrow.maxRecordsPerBatch`` SESSION-WIDE.
+
+    Deliberate, documented side effect: mapInPandas reads this conf when
+    the query EXECUTES, not when the plan is built, and these readers
+    return lazy DataFrames whose action runs later under the caller's
+    control — so a build-time save/restore scope would silently undo
+    the throttle before it ever applied. Payload batches must stay
+    small (64 × ~1 MiB blobs ≈ 64 MiB per Arrow transfer; the 10 000-row
+    default would be ~10 GiB), so the conf stays set until someone
+    changes it. Callers that DO own the action (tests, bench harnesses)
+    should wrap it in :func:`scoped_arrow_batch` to restore the session
+    default afterwards and un-throttle later pandas/Arrow operators.
+    """
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+    )
+
+
+class scoped_arrow_batch:
+    """Context manager: pin the Arrow batch size for the duration of an
+    ACTION (collect/write) on a multimodal DataFrame, then restore the
+    previous session value — the save/restore discipline `_pin_arrow_batch`
+    cannot provide because the readers never see the action."""
+
+    def __init__(self, spark, batch_rows: int):
+        self._spark, self._rows = spark, batch_rows
+        self._saved = None
+
+    def __enter__(self):
+        self._saved = self._spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", None
+        )
+        _pin_arrow_batch(self._spark, self._rows)
+        return self
+
+    def __exit__(self, *exc):
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        if self._saved is None:
+            self._spark.conf.unset(key)
+        else:
+            self._spark.conf.set(key, self._saved)
+        return False
+
+
 def _fake_decode(payload: bytes, feat_dim: int) -> list[float]:
     """Deterministic fake 'decode+embed': bytes → sha256 → feat_dim floats
     in [0,1). Stands in for a real image/audio model so the distributed
@@ -140,8 +185,7 @@ def extract_image_features(
                 }
             )
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    _pin_arrow_batch(df.sparkSession, batch_rows)
     return df.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
@@ -178,8 +222,7 @@ def decode_image_stats(df: DataFrame, thumb: int = 4, batch_rows: int = 64) -> D
                 out["thumb"].append((t / 255.0).ravel().tolist())
             yield pd.DataFrame(out)
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    _pin_arrow_batch(df.sparkSession, batch_rows)
     return df.select("media_id", "payload").mapInPandas(run, IMAGE_DECODE_SCHEMA)
 
 
@@ -205,8 +248,7 @@ def extract_audio_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     out[k].append(f[k])
             yield pd.DataFrame(out)
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    _pin_arrow_batch(df.sparkSession, batch_rows)
     return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
@@ -265,10 +307,7 @@ def audio_exact_stats(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-    )
+    _pin_arrow_batch(df.sparkSession, batch_rows)
     return df.select("media_id", "payload").mapInPandas(
         run, AUDIO_EXACT_SCHEMA
     )
@@ -377,10 +416,7 @@ def sample_frame_stats(
                     out["max_b"].append(int(frame.max()))
             yield pd.DataFrame(out)
 
-    spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-    )
+    _pin_arrow_batch(df.sparkSession, batch_rows)
     return df.select("media_id", "payload").mapInPandas(
         run, FRAME_STATS_SCHEMA
     )

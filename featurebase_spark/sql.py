@@ -391,9 +391,20 @@ def _f_substring(a: list[str]) -> str:
     (EvaluateSubstring:362-416): start must lie in [0, len); with a
     length, end = start + length must lie in [start, len] — violations
     raise with the OFFENDING BOUND in the message (start for the first
-    rule, end for the second), unlike Spark's silent clamping."""
+    rule, end for the second), unlike Spark's silent clamping. Checks
+    and slicing are on Go BYTE length (``stringArgOne[a:b]`` — bytes),
+    hence octet_length + encode/substring/decode; a slice splitting a
+    multi-byte sequence decodes to U+FFFD where Go keeps raw bytes
+    (ASCII — the whole corpus — is identical)."""
     s, i = a[0], a[1]
-    start_bad = f"(({i}) < 0 OR ({i}) >= length({s}))"
+    start_bad = f"(({i}) < 0 OR ({i}) >= octet_length({s}))"
+
+    def _slice(ln: str) -> str:
+        return (
+            f"decode(substring(encode({s}, 'UTF-8'), ({i}) + 1, {ln}), "
+            f"'UTF-8')"
+        )
+
     if len(a) > 2:
         ln = a[2]
         end = f"(({i}) + ({ln}))"
@@ -401,14 +412,14 @@ def _f_substring(a: list[str]) -> str:
             f"CASE WHEN ({s}) IS NOT NULL AND {start_bad} "
             f"THEN {_rt_range_err(i)} "
             f"WHEN ({s}) IS NOT NULL AND ({ln}) IS NOT NULL AND "
-            f"({end} < ({i}) OR {end} > length({s})) "
+            f"({end} < ({i}) OR {end} > octet_length({s})) "
             f"THEN {_rt_range_err(end)} "
-            f"ELSE substring({s}, ({i}) + 1, {ln}) END"
+            f"ELSE {_slice(ln)} END"
         )
     return (
         f"CASE WHEN ({s}) IS NOT NULL AND {start_bad} "
         f"THEN {_rt_range_err(i)} "
-        f"ELSE substring({s}, ({i}) + 1, 2147483647) END"
+        f"ELSE {_slice('2147483647')} END"
     )
 
 
@@ -422,8 +433,12 @@ def _f_stringsplit(a: list[str]) -> str:
     if len(a) == 2:
         return f"element_at({parts}, 1)"
     pos = a[2]
+    # NULL in ANY argument is NULL (EvaluateStringSplit:440-512) — the
+    # leading guard matters because size(split(NULL)) is NULL, which
+    # would otherwise fall through the position cases to the '' branch
     return (
-        f"CASE WHEN ({pos}) IS NULL THEN CAST(NULL AS STRING) "
+        f"CASE WHEN ({s}) IS NULL OR ({sep}) IS NULL OR ({pos}) IS NULL "
+        f"THEN CAST(NULL AS STRING) "
         f"WHEN ({pos}) <= 0 THEN element_at({parts}, 1) "
         f"WHEN ({pos}) < size({parts}) THEN "
         f"element_at({parts}, CAST(({pos}) AS INT) + 1) "
@@ -443,13 +458,15 @@ def _f_replicate(a: list[str]) -> str:
 
 def _f_charindex(a: list[str]) -> str:
     """0-based CHARINDEX; the 3-arg start position must lie in
-    [0, len(s)) — out of range raises (EvaluateCharIndex:726-810)."""
+    [0, len(s)) where len is the Go BYTE length — out of range raises,
+    even start=0 on '' (EvaluateCharIndex:726-810; only the 2-arg form
+    skips the check, because it never evaluates a pos argument)."""
     if len(a) == 2:
         return f"(locate({a[0]}, {a[1]}) - 1)"
     sub, s, pos = a[0], a[1], a[2]
     return (
         f"CASE WHEN ({s}) IS NOT NULL AND ({pos}) IS NOT NULL AND "
-        f"(({pos}) < 0 OR ({pos}) >= length({s})) "
+        f"(({pos}) < 0 OR ({pos}) >= octet_length({s})) "
         f"THEN {_rt_range_err(pos, 'BIGINT')} "
         f"ELSE (locate({sub}, {s}, ({pos}) + 1) - 1) END"
     )
@@ -495,12 +512,22 @@ def _f_prefix_suffix(a: list[str], last: bool) -> str:
     error when n < 0 or n > len(s). The guard is a CASE over
     raise_error so non-literal arguments error at evaluation time
     exactly like the reference; literal arguments are caught at compile
-    time by _fn_literal_guard with the same text."""
+    time by _fn_literal_guard with the same text. Range check and slice
+    are on Go BYTE length (:585-589,617-621 — len()/[:n] are bytes), so
+    octet_length guards and encode/substring/decode slices (ASCII
+    identical; a multi-byte split decodes to U+FFFD vs Go's raw bytes)."""
     s, n = a[0], a[1]
-    pick = f"substring({s}, 1, {n})" if not last else f"right({s}, {n})"
+    b = f"encode({s}, 'UTF-8')"
+    if last:
+        pick = (
+            f"decode(substring({b}, octet_length({s}) - ({n}) + 1, {n}), "
+            f"'UTF-8')"
+        )
+    else:
+        pick = f"decode(substring({b}, 1, {n}), 'UTF-8')"
     return (
         f"CASE WHEN ({s}) IS NOT NULL AND "
-        f"(({n}) < 0 OR ({n}) > length({s})) THEN "
+        f"(({n}) < 0 OR ({n}) > octet_length({s})) THEN "
         f"CAST(raise_error(concat('[0:0] value ''', "
         f"CAST(({n}) AS STRING), ''' out of range')) AS STRING) "
         f"ELSE {pick} END"
@@ -634,7 +661,11 @@ def _fn_check(name_tok: str, up: str, args: list[str]) -> None:
     if up == "CHAR" and lits[0][0] == "int" and not (0 <= lits[0][1] <= 255):
         raise ValueError(f"[0:0] value '{lits[0][1]}' out of range")
     if up == "ASCII" and lits[0][0] == "str":
-        if len(lits[0][1].encode("utf-8")) != 1:
+        # > 1, not != 1: EvaluateAscii returns "" for the EMPTY string
+        # (inbuiltfunctionsstring.go:350-352 — the empty-string early
+        # return precedes the len != 1 error), so only multi-byte
+        # literals are compile errors, matching the runtime guard
+        if len(lits[0][1].encode("utf-8")) > 1:
             raise ValueError(
                 f"[0:0] value '{lits[0][1]}' should be of the length 1"
             )
