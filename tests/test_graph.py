@@ -52,3 +52,27 @@ def test_max_iter_raises(spark):
 def test_max_iter_validation(spark):
     with pytest.raises(ValueError, match="max_iter"):
         _cc(spark, [1], [], max_iter=0)
+
+
+def test_reliable_checkpoint_identical_labels(spark, tmp_path):
+    """The reliable-checkpoint path (df.checkpoint to a fault-tolerant
+    dir — survives executor loss where localCheckpoint blocks do not)
+    runs the identical algebra: labels match the default path exactly,
+    and checkpoint data actually lands in the directory."""
+    import os
+
+    nodes = list(range(40))
+    edges = [(i, i + 1) for i in range(19)] + [(25, 30), (30, 39)]
+    base = _cc(spark, nodes, edges)
+    ckdir = str(tmp_path / "cc_ck")
+    rel = _cc(
+        spark, nodes, edges, checkpoint_dir=ckdir, checkpoint_every=2
+    )
+    assert rel == base
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "reliable checkpoint wrote nothing to checkpoint_dir"
+
+
+def test_reliable_checkpoint_every_validation(spark):
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        _cc(spark, [1, 2], [(1, 2)], checkpoint_dir="/tmp/x", checkpoint_every=0)
