@@ -6086,6 +6086,80 @@ def dedup_connected_components(spark, sf_dir):
 
 
 @register(
+    "dedup_pipeline_end2end",
+    # the FULL dedup derivation replayed in DuckDB: winnowing pairs
+    # (same CTE text as the dedup_winnowing_pairs oracle) → recursive
+    # transitive closure → survivor election (component label = MIN id
+    # = the surviving doc) + cluster sizes → join back to the corpus
+    # for the surviving rows only. Hash match proves the TIERS COMPOSE:
+    # any drift in gram extraction, the closure fixpoint, or the
+    # election surfaces here even if each stage's own key stays green.
+    "WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w "
+    "              FROM documents WHERE text IS NOT NULL), "
+    "g AS (SELECT doc_id, CASE WHEN len(w) >= 4 "
+    "  THEN list_transform(range(1, len(w) - 2), "
+    "                      i -> md5(array_to_string(w[i:i+3], ' '))) "
+    "  ELSE [md5(array_to_string(w, ' '))] END AS grams FROM toks), "
+    "sel AS (SELECT doc_id, CASE WHEN len(grams) >= 4 "
+    "  THEN list_transform(range(1, len(grams) - 2), "
+    "                      j -> list_aggregate(grams[j:j+3], 'min')) "
+    "  ELSE [list_aggregate(grams, 'min')] END AS sels FROM g), "
+    "fp AS (SELECT DISTINCT doc_id, unnest(sels) AS fp FROM sel), "
+    "keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 100), "
+    "fpk AS (SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp)), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "                 COUNT(*) AS shared "
+    "          FROM fpk a JOIN fpk b "
+    "            ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "          GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    "nodes AS (SELECT DISTINCT doc_id FROM documents), "
+    "e AS (SELECT id_a AS s, id_b AS t FROM pairs "
+    "      UNION SELECT id_b, id_a FROM pairs), "
+    "reach AS (SELECT doc_id AS s, doc_id AS t FROM nodes "
+    "          UNION "
+    "          SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s), "
+    "comps AS (SELECT s AS doc_id, MIN(t) AS component "
+    "          FROM reach GROUP BY s), "
+    "sz AS (SELECT component, COUNT(*) AS cluster_size "
+    "       FROM comps GROUP BY component) "
+    "SELECT sz.component AS doc_id, "
+    "CAST(sz.cluster_size AS BIGINT) AS cluster_size, "
+    "CAST(length(d.text) AS BIGINT) AS n_chars "
+    "FROM sz JOIN documents d ON d.doc_id = sz.component "
+    "ORDER BY doc_id",
+)
+def dedup_pipeline_end2end(spark, sf_dir):
+    """The COMPLETE fuzzy-dedup pipeline as one SQL text — what a real
+    corpus run executes: winnowing containment pairs → connected-
+    component closure (both inside the fb_dedup_components TVF,
+    pipeline/dedup.winnowing_containment_pairs + graph.
+    connected_components) → survivor election per cluster (the
+    component label IS the min doc id, so GROUP BY component elects
+    survivors and sizes clusters in one exchange) → filtered corpus
+    (join back to documents on the surviving ids only — losers never
+    rejoin, so the corpus-side scan prunes to the survivor set).
+    Proves the tiers COMPOSE end-to-end, not just pass individually.
+    Scale: the TVF stages are the bucketed/banded + O(log d) paths
+    audited in their own keys; the election adds one component-keyed
+    exchange of two longs per doc; the final join broadcasts the
+    survivor frame when small or hash-joins on doc_id otherwise."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["documents"].createOrReplaceTempView("documents")
+    return fb_sql(
+        spark,
+        "SELECT s.doc_id, s.cluster_size, "
+        "CAST(length(d.text) AS bigint) AS n_chars "
+        "FROM (SELECT component AS doc_id, "
+        "      CAST(COUNT(*) AS bigint) AS cluster_size "
+        "      FROM fb_dedup_components(documents, text, doc_id, 2) "
+        "      GROUP BY component) s "
+        "JOIN documents d ON d.doc_id = s.doc_id "
+        "ORDER BY s.doc_id",
+    )
+
+
+@register(
     "stream_stream_join",
     # batch ground truth of the streaming attribution join: every
     # (purchase, view) pair of the same user with the view inside the
