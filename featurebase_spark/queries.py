@@ -6421,6 +6421,103 @@ def sql_window_moving_range(spark, sf_dir):
     )
 
 
+@register(
+    "sql_window_rank_family",
+    # identical text: rank family over a tie-rich order column.
+    # o_orderpriority has 5 distinct values, so RANK and DENSE_RANK
+    # genuinely diverge; NTILE gets the o_orderkey tiebreak because its
+    # value depends on ROW position within ties (without a total order
+    # the two engines could legally disagree)
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(RANK() OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_orderpriority) AS BIGINT) AS rnk, "
+    "CAST(DENSE_RANK() OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_orderpriority) AS BIGINT) AS drnk, "
+    "CAST(NTILE(4) OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_orderpriority, o_orderkey) AS BIGINT) AS quartile "
+    "FROM orders WHERE o_custkey % 100 = 7 "
+    "ORDER BY o_custkey, o_orderkey",
+)
+def sql_window_rank_family(spark, sf_dir):
+    """RANK / DENSE_RANK / NTILE through the dialect front door
+    (extension tier — the reference parses no OVER,
+    parser.go:2456-2489 commented out; these are the de-facto consumers
+    in LLM-pipeline ranking/bucketing). All three share the o_custkey
+    partition, so Catalyst plans ONE hash exchange; RANK and DENSE_RANK
+    share a single sort, NTILE adds only an in-partition re-sort for
+    its tiebreak (plan-asserted in tests/test_plans.py — exchanges are
+    the scale cost, sorts within a partition are not). Tie semantics
+    are the exercise: o_orderpriority's 5 values force real tie groups,
+    where RANK skips and DENSE_RANK doesn't, and NTILE takes an
+    explicit total order because its value depends on row position
+    within ties."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["orders"].createOrReplaceTempView("orders")
+    return fb_sql(
+        spark,
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(RANK() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_orderpriority) AS bigint) AS rnk, "
+        "CAST(DENSE_RANK() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_orderpriority) AS bigint) AS drnk, "
+        "CAST(NTILE(4) OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_orderpriority, o_orderkey) AS bigint) AS quartile "
+        "FROM orders WHERE o_custkey % 100 = 7 "
+        "ORDER BY o_custkey, o_orderkey",
+    )
+
+
+@register(
+    "sql_window_value_picks",
+    # identical text: navigation/value window functions, one shared
+    # (partition, order) spec; money in integral cents
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+    "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+    "  * 100 AS BIGINT) AS first_cents, "
+    "CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+    "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+    "  * 100 AS BIGINT) AS final_cents, "
+    "CAST(LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS next_orderkey "
+    "FROM orders WHERE o_custkey % 100 = 7 "
+    "ORDER BY o_custkey, o_orderkey",
+)
+def sql_window_value_picks(spark, sf_dir):
+    """FIRST_VALUE / LAST_VALUE / LEAD through the dialect front door
+    (extension tier): each order alongside its customer's first-ever
+    and final order value and the next order's key — the
+    point-in-time navigation shape sequence models train on. All three
+    share ONE (partition, order) spec, so Catalyst plans one exchange
+    and one sort (plan-asserted). LAST_VALUE is the trap this key
+    pins: its DEFAULT frame ends at CURRENT ROW (making it the current
+    row's value — useless), so the full-partition frame is explicit;
+    FIRST_VALUE's default frame starts unbounded, so its result is
+    frame-independent, and LEAD is frame-less by definition. The
+    (o_orderdate, o_orderkey) order is total, so every pick is
+    deterministic across engines."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["orders"].createOrReplaceTempView("orders")
+    return fb_sql(
+        spark,
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+        "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+        "  * 100 AS bigint) AS first_cents, "
+        "CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+        "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "  * 100 AS bigint) AS final_cents, "
+        "CAST(LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_orderdate, o_orderkey) AS bigint) AS next_orderkey "
+        "FROM orders WHERE o_custkey % 100 = 7 "
+        "ORDER BY o_custkey, o_orderkey",
+    )
+
+
 def _register_search_doors():
     """SQL text-door twins of the search/behavioral additions
     (fb_like_search / fb_transitions TVFs) — same oracles as the

@@ -352,6 +352,34 @@ def test_window_running_total_one_window_one_exchange(spark):
     assert "o_custkey" in scan.split("DataFilters")[1][:120], p
 
 
+def test_window_rank_family_one_exchange(spark):
+    """sql_window_rank_family: RANK/DENSE_RANK/NTILE share the
+    o_custkey partition → ONE hash exchange. NTILE's tiebreak order
+    costs only an in-partition re-sort (second Window node), never a
+    second shuffle — exchanges are the scale cost, local sorts aren't."""
+    from featurebase_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["sql_window_rank_family"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("+- Window ") == 2, p  # shared-spec pair + ntile
+
+
+def test_window_value_picks_one_window_one_exchange(spark):
+    """sql_window_value_picks: FIRST_VALUE/LAST_VALUE/LEAD share one
+    (partition, order) spec → ONE Window node over ONE hash exchange
+    (the explicit full-partition frame on LAST_VALUE must not split
+    the spec), filter at the scan."""
+    from featurebase_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["sql_window_value_picks"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("+- Window ") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    scan = p[p.index("FileScan"):]
+    assert "o_custkey" in scan.split("DataFilters")[1][:120], p
+
+
 def test_connected_components_shuffles_longs_only(spark):
     """CC loop frames: every exchange carries (node/comp/s/t) long ids —
     no text/array column ever enters a loop shuffle."""
