@@ -679,7 +679,29 @@ class Rows(ReaderCall):
     from_: object = None
     to: object = None
 
+    def validate(self) -> None:
+        """'in' is exclusive of every other restriction — the reference
+        refuses the combination outright rather than guessing an
+        intersection order (executor.go:4006-4016, exact text with the
+        offending argument name)."""
+        if self.in_ is None:
+            return
+        for arg, v in (
+            ("like", self.like),
+            ("previous", self.previous),
+            ("limit", self.limit),
+            ("column", self.column),
+            ("from", self.from_),
+            ("to", self.to),
+        ):
+            if v is not None:
+                raise ValueError(
+                    f"Rows call with 'in' does not support other "
+                    f"arguments, but found '{arg}'"
+                )
+
     def to_df(self, idx: Index) -> DataFrame:
+        self.validate()
         df = idx.df
         if self.column is not None:
             df = df.where(F.col(idx.id_col) == F.lit(self.column))
@@ -710,14 +732,35 @@ class GroupBy(ReaderCall):
 
     ``rows``: Rows-call fields to group on (set fields explode — the
     reference cross-products row bitmaps, so records lacking a value in any
-    grouped field are excluded → ``dropna`` on group keys).
-    ``aggregate``: None → count; ("sum", f) / ("count_distinct", f); or a
-    LIST of ("sum"|"min"|"max"|"avg"|"count_distinct", f) tuples — the
-    reference runs one PQL GroupBy per aggregate and merges
-    (PlanOpPQLMultiGroupBy oppqlmultigroupby.go); Spark computes them all
-    in the SAME single-shuffle pass (aliases ``{kind}_{field}``).
-    ``having``: (aggname, op, value) post-agg filter (Condition in reference).
-    ``sort``: e.g. "count desc" | "sum asc".
+    grouped field are excluded → ``dropna`` on group keys). Each child's
+    ``like``/``in_`` restricts that field's grouped values, and
+    ``previous`` pages: the cursor is the full GROUP TUPLE (fields
+    without previous contribute their first row id), results resume
+    STRICTLY AFTER it in lexicographic (odometer) order — the wrapping
+    semantics of the reference's groupByIterator
+    (executor_test.go "test wrapping with previous": previous=1 on the
+    last of three fields yields (0,0,2) then WRAPS to (0,1,0)).
+    ``aggregate``: None → count; ("sum", f) — Count counts only records
+    WITH a value in f and all-null groups drop (executeSumCountShard via
+    groupByIterator.Next, executor.go:8901-8911; executor_test.go
+    "Aggregate" expects Count=2 of a 3-column group);
+    ("count_distinct", f) — plain Count plus the distinct count in an
+    ``aggregate`` column, zero-aggregate groups kept (coordinator
+    post-pass executor.go:3340-3386; GroupCounts.AggregateColumn names
+    it "aggregate"); or a LIST of ("sum"|"min"|"max"|"avg"|
+    "count_distinct", f) tuples — the reference runs one PQL GroupBy per
+    aggregate and merges (PlanOpPQLMultiGroupBy oppqlmultigroupby.go);
+    Spark computes them all in the SAME single-shuffle pass (aliases
+    ``{kind}_{field}``, plain count semantics — documented superset).
+    ``having``: (aggname, op, value) post-agg filter; only count/sum
+    subjects, like the reference's Condition (executor.go:3398-3404).
+    ``sort``: comma-separated "<subject> [asc|desc]" entries over
+    count/aggregate/sum (getSorter executor.go:3117-3156 — direction
+    DEFAULTS TO DESC, "aggregate" and "sum" both name the aggregate
+    column); a plain column name of the aggregated frame also works
+    (extension for the multi-aggregate form); anything else raises the
+    reference's exact error. The sort is stable w.r.t. group order
+    (sort.Stable), so group keys ascending break ties.
 
     Plan at scale: single shuffle on the group keys with map-side partial
     aggregation; having/sort/limit run on the (small) aggregated result —
@@ -732,12 +775,33 @@ class GroupBy(ReaderCall):
     offset: int = 0
 
     def to_df(self, idx: Index) -> DataFrame:
+        if not self.rows:
+            # executor.go:3181 — GroupBy() with no Rows children
+            raise ValueError("need at least one child call")
+        for name, v in (("limit", self.limit), ("offset", self.offset)):
+            if v is not None and int(v) < 0:
+                # pql/ast.go:810 (UintArg on a negative literal)
+                raise ValueError(
+                    f"value for '{name}' must be positive, but got {v}"
+                )
         df = _filtered(idx, self.filter)
         keys = []
         for r in self.rows:
+            r.validate()
             f = r.field
             if idx.is_array_field(f):
                 df = df.withColumn(f, F.explode(f))
+            # per-child value restrictions cross-product into the group
+            # lattice exactly like the reference's row-filtered iterators
+            # (roaring.NewBitmapRowsFilter, executor.go:8740-8742)
+            if r.like is not None:
+                df = df.where(F.col(f).like(r.like))
+            if r.in_ is not None:
+                df = df.where(F.col(f).isin(list(r.in_)))
+            if r.from_ is not None:
+                df = df.where(F.col(idx.time_col) >= F.lit(r.from_))
+            if r.to is not None:
+                df = df.where(F.col(idx.time_col) < F.lit(r.to))
             keys.append(f)
         # chained isNotNull instead of na.drop: na.drop compiles to
         # atleastnnonnulls(k, ...), which Spark does NOT push to the
@@ -745,6 +809,7 @@ class GroupBy(ReaderCall):
         # lets row-group stats skip all-null stripes at scale
         for k in keys:
             df = df.where(F.col(k).isNotNull())
+        self._page_df = df  # first-row minima source for previous paging
         if self.aggregate is None:
             agged = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
         elif isinstance(self.aggregate, list):
@@ -762,14 +827,35 @@ class GroupBy(ReaderCall):
                 aggs.append(fns[kind](fld).alias(f"{kind}_{fld}"))
             agged = df.groupBy(*keys).agg(*aggs)
         else:
-            kind, fld = self.aggregate
+            kind, fld, *agg_rest = self.aggregate
             if kind == "sum":
-                agged = df.groupBy(*keys).agg(
-                    F.count(F.lit(1)).alias("count"), F.sum(fld).alias("sum")
+                # reference Sum: the group's bitmap intersects the BSI
+                # existence bitmap BEFORE counting, so Count counts only
+                # records with a value in fld and groups whose members
+                # are all-null vanish (ret.Count==0 → skipped,
+                # executor.go:8913-8919) — not Count-with-null-sum
+                agged = (
+                    df.where(F.col(fld).isNotNull())
+                    .groupBy(*keys)
+                    .agg(
+                        F.count(F.lit(1)).alias("count"),
+                        F.sum(fld).alias("sum"),
+                    )
                 )
             elif kind == "count_distinct":
+                # coordinator post-pass (executor.go:3340-3386): the
+                # group list and Count come from the PLAIN GroupBy; the
+                # distinct count rides in the 'aggregate' column and MAY
+                # be 0 without dropping the group. An optional RowCall
+                # third element mirrors Count(Distinct(Row(...), field))
+                # — the inner filter restricts the DISTINCT side only
+                # (executor_test.go "AggregateCountDistinctFilterDistinct")
+                dcol = F.col(fld)
+                if agg_rest:
+                    dcol = F.when(agg_rest[0].predicate(idx), dcol)
                 agged = df.groupBy(*keys).agg(
-                    F.countDistinct(fld).alias("count")
+                    F.count(F.lit(1)).alias("count"),
+                    F.countDistinct(dcol).alias("aggregate"),
                 )
             else:
                 raise ValueError(f"unknown aggregate {kind}")
@@ -779,9 +865,40 @@ class GroupBy(ReaderCall):
         """having/sort/limit/offset post-step over the aggregated frame —
         the coordinator-side tail of executeGroupBy (executor.go:
         3389-3438), shared by the scan plan and the fragment-routed plan
-        (pql/parser._route_reader)."""
+        (pql/parser._route_reader). Also applies the previous-cursor
+        paging filter (group tuple strictly after the cursor in
+        lexicographic order — groupByIterator's odometer wrap)."""
+        prevs = [getattr(r, "previous", None) for r in self.rows]
+        if any(p is not None for p in prevs):
+            cursor: list = list(prevs)
+            missing = [
+                keys[i] for i, p in enumerate(prevs) if p is None
+            ]
+            if missing:
+                # fields without previous contribute their FIRST row id
+                # to the cursor (the iterator starts at the beginning
+                # and the whole odometer advances once). Bounded driver
+                # collect: exactly ONE row of per-field minima.
+                base = getattr(self, "_page_df", agged)
+                first = base.agg(
+                    *[F.min(k).alias(k) for k in missing]
+                ).collect()[0]
+                for i, p in enumerate(prevs):
+                    if p is None:
+                        cursor[i] = first[keys[i]]
+            strictly_after = F.lit(False)
+            ties = F.lit(True)
+            for k, cv in zip(keys, cursor):
+                strictly_after = strictly_after | (
+                    ties & (F.col(k) > F.lit(cv))
+                )
+                ties = ties & (F.col(k) == F.lit(cv))
+            agged = agged.where(strictly_after)
         if self.having is not None:
             name, op, val = self.having
+            if name not in ("count", "sum"):
+                # executor.go:3398-3404
+                raise ValueError("Condition() only supports count or sum")
             c = F.col(name)
             if op == "><":  # range Condition (pql/ast.go:145 — [low, high])
                 lo, hi = val
@@ -793,8 +910,35 @@ class GroupBy(ReaderCall):
                 )
         order = [F.asc(k) for k in keys]
         if self.sort is not None:
-            sname, _, sdir = self.sort.partition(" ")
-            order = [F.desc(sname) if sdir.strip() == "desc" else F.asc(sname)] + order
+            sort_cols = []
+            for directive in str(self.sort).split(","):
+                parts = directive.strip().split()
+                if not parts:
+                    # getSorter executor.go:3121-3124
+                    raise ValueError(
+                        f"invalid sorting directive: '{directive.strip()}'"
+                    )
+                subj = parts[0]
+                if subj == "count":
+                    col = "count"
+                elif subj in ("aggregate", "sum"):
+                    # both name the aggregate column (getSorter:3143)
+                    col = (
+                        "aggregate" if "aggregate" in agged.columns
+                        else "sum"
+                    )
+                elif subj in agged.columns:
+                    col = subj  # extension: multi-agg column names
+                else:
+                    raise ValueError(
+                        "sorting is only supported on count, aggregate, "
+                        f"or sum, not '{subj}'"
+                    )
+                # direction DEFAULTS TO DESC (getSorter:3148-3156)
+                asc = len(parts) > 1 and parts[1].lower() == "asc"
+                sort_cols.append(F.asc(col) if asc else F.desc(col))
+            # sort.Stable over group order → group keys break ties
+            order = sort_cols + order
         agged = agged.orderBy(*order)
         if self.offset:
             agged = agged.offset(self.offset)

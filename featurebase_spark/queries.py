@@ -401,29 +401,44 @@ def pql_groupby(spark, sf_dir):
 
 @register(
     "pql_groupby_sum",
+    # Sum-aggregate Count counts only records WITH a value in the
+    # aggregated field, and all-null groups drop (the group bitmap
+    # intersects the BSI existence bitmap, executor.go:8901-8919;
+    # executor_test.go "Aggregate" expects Count=2 of a 3-record group)
     "SELECT event_type, COUNT(*) AS count, "
     f"{SQL_DSUM('value', 'sum')} FROM events "
-    "WHERE event_type IS NOT NULL GROUP BY event_type",
+    "WHERE event_type IS NOT NULL AND value IS NOT NULL "
+    "GROUP BY event_type",
 )
 def pql_groupby_sum(spark, sf_dir):
     """PQL GroupBy(aggregate=Sum(field)) — executor.go:3176-3438."""
     idx = _events(spark, sf_dir)
-    df = idx.df.na.drop(subset=["event_type"])
-    return df.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("count"), dsum("value", "sum")
+    base = Index(
+        idx.df.withColumn("value", dec("value")),
+        id_col=idx.id_col,
+        time_col=idx.time_col,
+    )
+    gb = GroupBy([Rows("event_type")], aggregate=("sum", "value"))
+    return gb.to_df(base).select(
+        "event_type", "count", F.col("sum").cast("double").alias("sum")
     )
 
 
 @register(
     "pql_groupby_count_distinct",
-    "SELECT event_type, COUNT(DISTINCT user_id) AS count FROM events "
+    # reference result shape (GroupCounts.AggregateColumn,
+    # executor.go:3563-3566): plain Count PLUS the distinct count in
+    # 'aggregate' — executor_test.go "AggregateCountDistinct" expects
+    # Count=3, Agg=2, with zero-aggregate groups KEPT
+    "SELECT event_type, COUNT(*) AS count, "
+    "COUNT(DISTINCT user_id) AS aggregate FROM events "
     "WHERE event_type IS NOT NULL GROUP BY event_type",
 )
 def pql_groupby_count_distinct(spark, sf_dir):
     """PQL GroupBy(aggregate=Count(Distinct(...))) — executor.go:3370-3386."""
     return GroupBy(
         [Rows("event_type")], aggregate=("count_distinct", "user_id")
-    ).to_df(_events(spark, sf_dir)).select("event_type", "count")
+    ).to_df(_events(spark, sf_dir)).select("event_type", "count", "aggregate")
 
 
 @register(
@@ -6772,17 +6787,35 @@ _register_search_doors()
 # callable and oracle; only dict insertion order changes.
 
 _GATE_PRIORITY = [
-    # ── r10 rotation: with the entire r8/r9 surface driver-green in
-    # CORRECTNESS_r09 (50/50), this round sends the REMAINING
-    # never-driver-tested population through the hard gate — after it,
-    # only 7 TVF doors (whose base operators are all driver-green and
-    # whose parse shapes sibling doors cover this round) have never
-    # faced the driver. Everything demoted here is driver-green ≥1
-    # round AND strict-dtype hash-green at sf0.01+sf0.1 in the local
-    # 200+-key gate.
-    # New in r10 (never gated, highest risk first): the iterative
-    # component closure + its TVF door, the stream-stream join, the
-    # frame-sampling decode, and the window-function SQL door
+    # ── r11 rotation — closes the trust gap to ZERO: the last 9 keys
+    # that have never faced the driver's strict hash (the two r10 SQL
+    # analytics keys + 7 TVF text doors) rotate IN, alongside the 3
+    # keys BORN this round. STANDING POLICY (r10 verdict ask #1): every
+    # new key enters the hard gate within one round of its birth — no
+    # key ships on local-gate evidence alone for more than one round.
+    # Demoted to backfill: 12 r10-gate veterans (all driver-green in
+    # CORRECTNESS_r10 AND strict-dtype hash-green at sf0.01+sf0.1 in
+    # the 200+-key local gate) from the lowest-risk surfaces — PQL null
+    # twins/aliases whose base ops have multi-round history, dialect
+    # text shapes, and statement/source lifecycles that are
+    # pytest-covered.
+    # Born in r11 (never gated, highest risk first): the end-to-end
+    # dedup pipeline composition and the two window-function families
+    "dedup_pipeline_end2end",
+    "sql_window_rank_family",
+    "sql_window_value_picks",
+    # The last never-driver-tested population (r10 verdict ask #1)
+    "sql_rollup_revenue",
+    "sql_window_moving_range",
+    "bm25_text_door",
+    "pmi_text_door",
+    "session_overlap_text_door",
+    "source_overlap_text_door",
+    "dedup_survivors_text_door",
+    "events_retention_text_door",
+    "events_transitions_text_door",
+    # r10-born keys retained for a second driver round (the iterative
+    # closure + its door, stream-stream join, frame decode, window door)
     "dedup_connected_components",
     "components_text_door",
     "stream_stream_join",
@@ -6805,36 +6838,22 @@ _GATE_PRIORITY = [
     "sql_q19_discounted_revenue",
     "sql_q20_promo_suppliers",
     "sql_q22_global_sales",
-    # PQL long tail never gated (call forms + null twins + writes)
+    # PQL long tail (call forms + writes; the null twins, option
+    # aliases, and dialect-text shapes demoted this round — r10
+    # driver-green, base ops multi-round green)
     "pql_apply",
     "pql_apply_reduce",
     "pql_arrow_table",
-    "pql_null_difference",
-    "pql_null_not",
-    "pql_null_xor",
-    "pql_options_shards",
-    "pql_range_alias",
     "pql_write_clear_store",
-    # SQL dialect surfaces never gated
-    "sql_dialect_functions",
-    "sql_dialect_top_set",
-    "sql_null_count",
-    "sql_set_functions",
-    # statements / sources never gated
-    "statement_copy",
-    "statement_view_lifecycle",
-    "source_idk_csv",
-    # text/sampling pipeline never gated
+    # text/sampling pipeline
     "text_chunking",
     "text_pii_scrub",
     "text_quality_filter",
     "sample_deterministic",
-    # TVF doors never gated — the 10 distinct parse shapes (quoted CSV
-    # steps, two-table arg, wildcard literal, terms+k, seed, numeric
-    # d/w/k, b, min_shared); the 7 trimmed doors (bm25, pmi,
-    # session_overlap, source_overlap, retention, transitions,
-    # dedup_survivors) share both oracle AND arg shape with a kept door
-    # or a gated base op, and rotate in next round
+    # TVF doors retained from r10 — the 10 distinct parse shapes
+    # (quoted CSV steps, two-table arg, wildcard literal, terms+k,
+    # seed, numeric d/w/k, b, min_shared); with the 7 doors promoted
+    # above, EVERY door has now faced the driver
     "events_funnel_text_door",
     "events_asof_text_door",
     "like_search_text_door",

@@ -1,0 +1,334 @@
+"""Mirrors of the reference's executor_test.go GroupBy / Rows edge cases
+(round-11 verdict ask #7) — the per-call semantics the defs_* corpus
+never exercises.
+
+Fixture = the exact ImportBits data of TestExecutor_Execute_GroupBy
+(executor_test.go:6033-6260): set fields `general`/`sub` (array columns
+here — a record can hold SEVERAL rows of a set field), BSI int `v`, and
+record ids straddling a shard boundary (SW) to keep the multi-shard
+shape of the original. The pinned semantics:
+
+- Sum aggregate: Count counts only records WITH a value in the
+  aggregated field; all-null groups drop (groupByIterator.Next,
+  executor.go:8901-8919).
+- Count(Distinct): plain Count plus an `aggregate` column; zero-
+  aggregate groups are KEPT (coordinator pass, executor.go:3340-3386).
+- previous paging: lexicographic group-tuple cursor with odometer
+  wrapping across fields (executor_test.go "test wrapping with
+  previous" / "previous is last result" / "wrapping multiple").
+- sort: comma-separated count/aggregate/sum directives, direction
+  defaults to DESC, stable w.r.t. group order (getSorter,
+  executor.go:3117-3156).
+- error texts: executor.go:3181 (no child), pql/ast.go:810 (negative
+  limit), executor.go:4012 ('in' exclusivity), executor.go:3398-3404
+  (Condition subjects), executor.go:3146 (sort subjects).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from featurebase_spark.pql import GroupBy, Index, Row, Rows
+
+SW = 1 << 20  # pilosa ShardWidth — only the straddle matters, not the value
+
+
+@pytest.fixture(scope="module")
+def gidx(spark):
+    rows = [
+        (0, [10], [100, 110], 10),
+        (1, [10], [100], 100),
+        (2, [11, 12], [110], None),
+        (3, None, [100], None),
+        (SW + 1, [10], [100], None),
+        (SW + 2, [11, 12], None, None),
+        (SW + 10, None, None, 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "_id long, general array<bigint>, sub array<bigint>, v long"
+    )
+    return Index(df)
+
+
+def groups(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+# ---- basic / filter (executor_test.go "Basic", "Filter") -----------------
+
+
+def test_basic_two_field(gidx):
+    got = groups(
+        GroupBy([Rows("general"), Rows("sub")]).to_df(gidx),
+        "general", "sub", "count",
+    )
+    assert got == {(10, 100, 3), (10, 110, 1), (11, 110, 1), (12, 110, 1)}
+
+
+def test_filter_row(gidx):
+    got = groups(
+        GroupBy([Rows("general"), Rows("sub")], filter=Row("general", "==", 10))
+        .to_df(gidx),
+        "general", "sub", "count",
+    )
+    assert got == {(10, 100, 3), (10, 110, 1)}
+
+
+# ---- aggregate semantics ("Aggregate", "AggregateCountDistinct*") --------
+
+
+def test_sum_counts_only_valued_records_and_drops_empty(gidx):
+    """Count=2 for (10,100) although the group holds 3 records — SW+1
+    has no v; (11,110)/(12,110) vanish entirely (all-null v)."""
+    got = groups(
+        GroupBy(
+            [Rows("general"), Rows("sub")], aggregate=("sum", "v")
+        ).to_df(gidx),
+        "general", "sub", "count", "sum",
+    )
+    assert got == {(10, 100, 2, 110), (10, 110, 1, 10)}
+
+
+def test_count_distinct_keeps_zero_agg_groups(gidx):
+    got = groups(
+        GroupBy(
+            [Rows("general"), Rows("sub")],
+            aggregate=("count_distinct", "v"),
+        ).to_df(gidx),
+        "general", "sub", "count", "aggregate",
+    )
+    assert got == {
+        (10, 100, 3, 2),
+        (10, 110, 1, 1),
+        (11, 110, 1, 0),
+        (12, 110, 1, 0),
+    }
+
+
+def test_count_distinct_with_outer_filter(gidx):
+    got = groups(
+        GroupBy(
+            [Rows("general"), Rows("sub")],
+            filter=Row("v", ">", 10),
+            aggregate=("count_distinct", "v"),
+        ).to_df(gidx),
+        "general", "sub", "count", "aggregate",
+    )
+    assert got == {(10, 100, 1, 1)}
+
+
+def test_count_distinct_with_inner_distinct_filter(gidx):
+    """Count(Distinct(Row(v > 10), field=v)): the inner filter restricts
+    only the DISTINCT side; plain counts stay the Basic ones."""
+    got = groups(
+        GroupBy(
+            [Rows("general"), Rows("sub")],
+            aggregate=("count_distinct", "v", Row("v", ">", 10)),
+        ).to_df(gidx),
+        "general", "sub", "count", "aggregate",
+    )
+    assert got == {
+        (10, 100, 3, 1),
+        (10, 110, 1, 0),
+        (11, 110, 1, 0),
+        (12, 110, 1, 0),
+    }
+
+
+# ---- previous paging ("check field offset no limit"/"limit") -------------
+
+
+def test_previous_single_field(gidx):
+    got = groups(
+        GroupBy([Rows("general", previous=10)]).to_df(gidx),
+        "general", "count",
+    )
+    assert got == {(11, 2), (12, 2)}
+
+
+def test_previous_single_field_with_limit(gidx):
+    rows = GroupBy([Rows("general", previous=10)], limit=1).to_df(
+        gidx
+    ).collect()
+    assert [(r["general"], r["count"]) for r in rows] == [(11, 2)]
+
+
+# ---- odometer wrapping (wa/wb/wc fixture, executor_test.go:6204-6250) ----
+
+
+@pytest.fixture(scope="module")
+def widx(spark):
+    # wa/wb/wc identical: 0→{0,1,2}, 1→{1}, 2→{0,2}, 3→{3}
+    member = {0: [0, 2], 1: [0, 1], 2: [0, 2], 3: [3]}
+    rows = [(c, member[c], member[c], member[c]) for c in range(4)]
+    df = spark.createDataFrame(
+        rows,
+        "_id long, wa array<bigint>, wb array<bigint>, wc array<bigint>",
+    )
+    return Index(df)
+
+
+def test_wrapping_with_previous(widx):
+    """previous=1 on the LAST field only: resume strictly after group
+    (0,0,1) in odometer order — (0,0,2) first, then WRAP to (0,1,0)."""
+    rows = GroupBy(
+        [Rows("wa"), Rows("wb"), Rows("wc", previous=1)], limit=3
+    ).to_df(widx).collect()
+    got = [(r["wa"], r["wb"], r["wc"], r["count"]) for r in rows]
+    assert got == [(0, 0, 2, 2), (0, 1, 0, 1), (0, 1, 1, 1)]
+
+
+def test_previous_is_last_result_returns_empty(widx):
+    rows = GroupBy(
+        [
+            Rows("wa", previous=3),
+            Rows("wb", previous=3),
+            Rows("wc", previous=3),
+        ],
+        limit=3,
+    ).to_df(widx).collect()
+    assert rows == []
+
+
+def test_wrapping_multiple_previous(widx):
+    """previous on the two trailing fields, none on the first: cursor =
+    (first(wa)=0, 2, 2); every (0,2,>2)/(0,3,*) group is empty, so the
+    first result wraps all the way to (1,0,0)."""
+    rows = GroupBy(
+        [Rows("wa"), Rows("wb", previous=2), Rows("wc", previous=2)],
+        limit=1,
+    ).to_df(widx).collect()
+    got = [(r["wa"], r["wb"], r["wc"], r["count"]) for r in rows]
+    assert got == [(1, 0, 0, 1)]
+
+
+def test_tricky_data_limit_skips_empty_first_group(spark):
+    """limit=1 must deliver the first NON-EMPTY group in group order —
+    (a0,b0) is empty, the answer is (a0,b1)."""
+    df = spark.createDataFrame(
+        [(1, [0], [1]), (SW + 1, [1], [0])],
+        "_id long, a array<bigint>, b array<bigint>",
+    )
+    rows = GroupBy([Rows("a"), Rows("b")], limit=1).to_df(Index(df)).collect()
+    assert [(r["a"], r["b"], r["count"]) for r in rows] == [(0, 1, 1)]
+
+
+# ---- sort directives (executor_test.go:8947-8983) -------------------------
+
+
+@pytest.fixture(scope="module")
+def likes_idx(spark):
+    # 6 people: each likes icecream + one unique thing; worth 10^i
+    uniq = [1, 2, 3, 4, 5, 6]  # molecula..dog as numeric rows
+    rows = [
+        (i, [0, uniq[i]], 10**i) for i in range(6)
+    ]  # likes row 0 = icecream
+    df = spark.createDataFrame(rows, "_id long, likes array<bigint>, nw long")
+    return Index(df)
+
+
+def test_sort_aggregate_desc_count_asc(likes_idx):
+    rows = GroupBy(
+        [Rows("likes")],
+        aggregate=("sum", "nw"),
+        sort="aggregate desc, count asc",
+    ).to_df(likes_idx).collect()
+    got = [(r["likes"], r["count"], r["sum"]) for r in rows]
+    assert got == [
+        (0, 6, 111111),
+        (6, 1, 100000),
+        (5, 1, 10000),
+        (4, 1, 1000),
+        (3, 1, 100),
+        (2, 1, 10),
+        (1, 1, 1),
+    ]
+
+
+def test_sort_limit_offset(likes_idx):
+    rows = GroupBy(
+        [Rows("likes")],
+        aggregate=("sum", "nw"),
+        sort="aggregate desc, count asc",
+        limit=3,
+        offset=2,
+    ).to_df(likes_idx).collect()
+    assert [(r["likes"], r["sum"]) for r in rows] == [
+        (5, 10000), (4, 1000), (3, 100),
+    ]
+
+
+def test_sort_direction_defaults_to_desc(likes_idx):
+    """getSorter: a directive without asc/desc sorts DESC."""
+    a = GroupBy([Rows("likes")], sort="count").to_df(likes_idx).collect()
+    b = GroupBy([Rows("likes")], sort="count desc").to_df(
+        likes_idx
+    ).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert a[0]["count"] == 6
+
+
+def test_sort_sum_names_aggregate_column(likes_idx):
+    rows = GroupBy(
+        [Rows("likes")], aggregate=("sum", "nw"), sort="sum asc", limit=1
+    ).to_df(likes_idx).collect()
+    assert (rows[0]["likes"], rows[0]["sum"]) == (1, 1)
+
+
+# ---- error surfaces --------------------------------------------------------
+
+
+def test_no_child_call_error(gidx):
+    with pytest.raises(ValueError, match="need at least one child call"):
+        GroupBy([]).to_df(gidx)
+
+
+def test_negative_limit_error(gidx):
+    with pytest.raises(
+        ValueError, match="value for 'limit' must be positive, but got -1"
+    ):
+        GroupBy([Rows("general")], limit=-1).to_df(gidx)
+
+
+def test_rows_in_exclusive_of_column(gidx):
+    with pytest.raises(
+        ValueError,
+        match="Rows call with 'in' does not support other arguments, "
+        "but found 'column'",
+    ):
+        Rows("general", in_=[10, 11], column=3).to_df(gidx)
+
+
+def test_groupby_rows_in_exclusive_of_like(gidx):
+    with pytest.raises(
+        ValueError, match="but found 'like'"
+    ):
+        GroupBy([Rows("general", in_=[10], like="%1")]).to_df(gidx)
+
+
+def test_having_subject_guard(gidx):
+    with pytest.raises(
+        ValueError, match="Condition\\(\\) only supports count or sum"
+    ):
+        GroupBy(
+            [Rows("general")],
+            aggregate=("count_distinct", "v"),
+            having=("aggregate", ">", 0),
+        ).to_df(gidx).collect()
+
+
+def test_sort_subject_guard(gidx):
+    with pytest.raises(
+        ValueError,
+        match="sorting is only supported on count, aggregate, or sum, "
+        "not 'banana'",
+    ):
+        GroupBy([Rows("general")], sort="banana desc").to_df(gidx)
+
+
+def test_rows_in_restricts_groups(gidx):
+    got = groups(
+        GroupBy([Rows("general", in_=[10, 12])]).to_df(gidx),
+        "general", "count",
+    )
+    assert got == {(10, 3), (12, 2)}
