@@ -41,6 +41,9 @@ SCALING_KEYS = [
     # committed artifact instead of prose
     "source_spool_consume",
     "stream_windowed_counts",
+    # r11 (VERDICT r10 ask #3): frame sampling decodes a FIXED 12-video
+    # batch — cost is per-payload, independent of the sf tables
+    "multimodal_frame_sample",
 ]
 
 #: r9 (VERDICT r8 ask #7): corpus-scan keys whose SCALE claim is not
@@ -65,7 +68,63 @@ SUBLINEAR_KEYS = [
     "dedup_connected_components",
     "stream_stream_join",
     "sql_window_running_total",
+    # r11 (VERDICT r10 ask #3 + new keys): the bucketed interval join
+    # (explode-to-buckets + equi-join, per-bucket work bounded by the
+    # bucket width), the composed dedup pipeline (same bounded stages
+    # as its parts + one component-keyed exchange of two longs), and
+    # the two window families (scan + one exchange over the 1%
+    # customer slice)
+    "events_overlap_pairs",
+    "dedup_pipeline_end2end",
+    "sql_window_rank_family",
+    "sql_window_value_picks",
 ]
+
+#: per-key scale reasoning, embedded in the artifact so the growth
+#: class carries its WHY (r10 verdict ask #3)
+NOTES = {
+    "bitmap_index_count": "routed fragment serving; never rescans base",
+    "bitmap_index_maintenance": "O(touched buckets) write + incremental index",
+    "statement_insert_touched_buckets": "INSERT rewrites only touched buckets",
+    "pql_text_routed_serving": "text->route->serve from driver fragment tier",
+    "source_spool_consume": "fixed per-commit consumer-loop cost",
+    "stream_windowed_counts": "state-store + trigger constants dominate",
+    "multimodal_frame_sample": (
+        "fixed 12-container batch; decode cost is per-payload (offset "
+        "seek touches only sampled frames), independent of sf tables"
+    ),
+    "text_novel_bigrams": "one corpus scan; bigram table bounded by vocab",
+    "fuzzy_name_pairs": "q-gram rarity-prefix pruning bounds candidates",
+    "like_trigram_search": "postings probe; candidates bounded by trigram df",
+    "rank_bm25_topk": "one postings scan; accumulators bounded by |terms|",
+    "vocab_bpe_pairs": "one shuffle to word table; merges are folds",
+    "freq_cms_topk": "two bounded-state scans (d*w cells + exact top-k)",
+    "dedup_connected_components": (
+        "winnow postings capped by max_df=100 per fingerprint; closure "
+        "rounds grow O(log diameter) via pointer jumping, each round "
+        "shuffles two longs per node"
+    ),
+    "stream_stream_join": (
+        "state bounded by the 30-min watermark horizon per user; "
+        "micro-batch replay cost fixed per trigger"
+    ),
+    "sql_window_running_total": "scan + ONE exchange over 1% of customers",
+    "events_overlap_pairs": (
+        "explode-to-buckets + hash equi-join: per-bucket pair work is "
+        "bounded by concurrent sessions per bucket, never |events|^2; "
+        "exact recheck only on bucket-colocated candidates"
+    ),
+    "dedup_pipeline_end2end": (
+        "composes the bounded winnow/closure stages with a survivor "
+        "election (one component-keyed exchange of two longs per doc) "
+        "and a survivor-pruned corpus join"
+    ),
+    "sql_window_rank_family": (
+        "scan + ONE hash exchange over the 1% customer slice; NTILE "
+        "tiebreak re-sort is in-partition"
+    ),
+    "sql_window_value_picks": "scan + one exchange, one Window node",
+}
 
 #: max allowed t(sf0.1)/t(sf0.001) for the scan-class keys: 100× the
 #: data may cost at most this much more end-to-end (single-node wall
@@ -124,6 +183,7 @@ def measure(spark, keys=None, sf_dirs=None, repeats: int = 3) -> dict:
             "ratio_flat": ratio_flat,
             "slack_flat": slack_flat,
             "flat": ratio_flat or slack_flat,
+            "note": NOTES.get(key, ""),
         }
     out["all_flat"] = all(v["flat"] for v in out["keys"].values())
 
@@ -142,6 +202,7 @@ def measure(spark, keys=None, sf_dirs=None, repeats: int = 3) -> dict:
             "seconds": per_sf,
             "growth_100x": round(growth, 3),
             "sublinear": growth <= SUBLINEAR_BOUND,
+            "note": NOTES.get(key, ""),
         }
     out["all_sublinear"] = all(
         v["sublinear"] for v in out["sublinear_keys"].values()
