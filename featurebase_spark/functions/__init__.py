@@ -25,21 +25,54 @@ def _lit(x) -> Column:
 
 
 # --- Set functions (inbuiltfunctionsset.go; PQL pushdown expressionpql.go:28-97)
+#
+# The reference's EVALUATOR compares string-set members with
+# strings.EqualFold — membership is CASE-INSENSITIVE for stringsets
+# (stringSetContains, inbuiltfunctionsset.go:170-177) and exact for id
+# sets — and returns NULL when EITHER argument is NULL (every Evaluate*
+# returns nil on a nil arg). Note the reference's own split brain: the
+# PQL pushdown path (field vs literal in WHERE → Row(), expressionpql.go
+# :28-97) matches keys EXACTLY; the row-wise evaluator folds case. We
+# follow the evaluator, which defines the scalar function. One folded
+# comparison serves both element types because int64→string is
+# injective; lower() approximates Go's Unicode simple fold (divergent
+# only on exotic folds like the Kelvin sign — documented, absent from
+# the corpus).
+
+
+def _fold(c: Column) -> Column:
+    return F.lower(c.cast("string"))
 
 
 def SETCONTAINS(col, value) -> Column:
-    """SETCONTAINS(set, v) — membership (one-bitmap-per-value Row in PQL)."""
-    return F.array_contains(_c(col), value)
+    """SETCONTAINS(set, v) — case-folded membership; NULL on NULL args
+    (EvaluateSetContains — Spark's array_contains(set, NULL) would
+    instead fail analysis)."""
+    s, v = _c(col), _lit(value)
+    hit = F.exists(s, lambda x: _fold(x) == _fold(v))
+    return F.when(
+        s.isNull() | v.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(hit)
 
 
 def SETCONTAINSALL(col, values) -> Column:
-    """SETCONTAINSALL(set, set) — superset test (PQL Intersect of rows)."""
-    return F.size(F.array_except(_lit(values), _c(col))) == 0
+    """SETCONTAINSALL(set, set) — case-folded superset test; vacuously
+    true on an empty test set (EvaluateSetContainsAll loop)."""
+    s, vs = _c(col), _lit(values)
+    hit = F.forall(vs, lambda y: F.exists(s, lambda x: _fold(x) == _fold(y)))
+    return F.when(
+        s.isNull() | vs.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(hit)
 
 
 def SETCONTAINSANY(col, values) -> Column:
-    """SETCONTAINSANY(set, set) — overlap test (PQL Union of rows)."""
-    return F.arrays_overlap(_c(col), _lit(values))
+    """SETCONTAINSANY(set, set) — case-folded overlap test; false on an
+    empty test set (EvaluateSetContainsAny loop)."""
+    s, vs = _c(col), _lit(values)
+    hit = F.exists(vs, lambda y: F.exists(s, lambda x: _fold(x) == _fold(y)))
+    return F.when(
+        s.isNull() | vs.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(hit)
 
 
 # --- String functions (inbuiltfunctionsstring.go:257-860)

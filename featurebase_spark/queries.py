@@ -1453,17 +1453,25 @@ def multimodal_features(spark, sf_dir):
 
 @register(
     "sql_set_functions",
+    # the oracle folds the set side because the reference's evaluator
+    # compares stringset members with strings.EqualFold — membership is
+    # CASE-INSENSITIVE (stringSetContains, inbuiltfunctionsset.go:170)
+    "WITH w AS (SELECT doc_id, "
+    "  list_transform(string_split(text, ' '), x -> lower(x)) AS ws "
+    "  FROM documents) "
     "SELECT doc_id, "
-    "list_contains(string_split(text, ' '), 'the') AS has_the, "
-    "list_has_all(string_split(text, ' '), ['data', 'spark']) AS has_all, "
-    "list_has_any(string_split(text, ' '), ['window', 'stream']) AS has_any, "
-    "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS set_size "
-    "FROM documents",
+    "list_contains(ws, 'the') AS has_the, "
+    "list_has_all(ws, ['data', 'spark']) AS has_all, "
+    "list_has_any(ws, ['window', 'stream']) AS has_any, "
+    "CAST(len(list_distinct(ws)) AS BIGINT) AS set_size "
+    "FROM w",
 )
 def sql_set_functions(spark, sf_dir):
     """SETCONTAINS / SETCONTAINSALL / SETCONTAINSANY over a stringset column
     (inbuiltfunctionsset.go; PQL pushdown expressionpql.go:28-97) — the set
-    column is derived by tokenizing documents.text."""
+    column is derived by tokenizing documents.text. r11: case-folded
+    membership per the reference evaluator's EqualFold; set_size counts
+    folded-distinct tokens so both engines distinct the same set."""
     import featurebase_spark.functions as fb
 
     docs = _tables(spark, sf_dir)["documents"]
@@ -1473,7 +1481,9 @@ def sql_set_functions(spark, sf_dir):
         fb.SETCONTAINS(w, "the").alias("has_the"),
         fb.SETCONTAINSALL(w, ["data", "spark"]).alias("has_all"),
         fb.SETCONTAINSANY(w, ["window", "stream"]).alias("has_any"),
-        F.size(F.array_distinct(w)).cast("long").alias("set_size"),
+        F.size(F.array_distinct(F.transform(w, F.lower)))
+        .cast("long")
+        .alias("set_size"),
     )
 
 

@@ -284,9 +284,15 @@ def _f_datetimefromparts(a: list[str]) -> str:
 #: FeatureBase function name → (min_args, max_args, emitter(args) -> sql)
 _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     # set functions (inbuiltfunctionsset.go)
-    "SETCONTAINS": (2, 2, lambda a: f"array_contains({a[0]}, {a[1]})"),
-    "SETCONTAINSALL": (2, 2, lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)"),
-    "SETCONTAINSANY": (2, 2, lambda a: f"arrays_overlap({a[0]}, {a[1]})"),
+    # evaluator semantics (inbuiltfunctionsset.go): string-set members
+    # compare with strings.EqualFold → case-folded match (exact for id
+    # sets — int→string is injective so one folded comparison serves
+    # both); NULL if either argument is NULL. The reference's PQL
+    # pushdown path matches keys exactly — documented split, we follow
+    # the evaluator that defines the scalar function.
+    "SETCONTAINS": (2, 2, lambda a: _f_setcontains(a)),
+    "SETCONTAINSALL": (2, 2, lambda a: _f_setcontains_all(a)),
+    "SETCONTAINSANY": (2, 2, lambda a: _f_setcontains_any(a)),
     # string functions (inbuiltfunctionsstring.go:257-860)
     "REVERSE": (1, 1, lambda a: f"reverse({a[0]})"),
     "CHAR": (1, 1, lambda a: _f_char(a)),
@@ -357,6 +363,45 @@ def _rt_range_err(val_expr: str, cast_to: str = "STRING") -> str:
     return (
         f"CAST(raise_error(concat('[0:0] value ''', "
         f"CAST(({val_expr}) AS STRING), ''' out of range')) AS {cast_to})"
+    )
+
+
+def _fold_sql(x: str) -> str:
+    return f"lower(CAST({x} AS STRING))"
+
+
+def _f_setcontains(a: list[str]) -> str:
+    """Case-folded membership, NULL on NULL args (EvaluateSetContains,
+    inbuiltfunctionsset.go:10-58 + stringSetContains:170-177 EqualFold)."""
+    s, v = a[0], a[1]
+    return (
+        f"CASE WHEN ({s}) IS NULL OR ({v}) IS NULL THEN "
+        f"CAST(NULL AS BOOLEAN) ELSE "
+        f"exists({s}, x -> {_fold_sql('x')} = {_fold_sql(f'({v})')}) END"
+    )
+
+
+def _f_setcontains_all(a: list[str]) -> str:
+    """Case-folded superset test (EvaluateSetContainsAll:113-165);
+    vacuously true on an empty test set."""
+    s, vs = a[0], a[1]
+    return (
+        f"CASE WHEN ({s}) IS NULL OR ({vs}) IS NULL THEN "
+        f"CAST(NULL AS BOOLEAN) ELSE "
+        f"forall({vs}, y -> exists({s}, x -> "
+        f"{_fold_sql('x')} = {_fold_sql('y')})) END"
+    )
+
+
+def _f_setcontains_any(a: list[str]) -> str:
+    """Case-folded overlap test (EvaluateSetContainsAny:60-111); false
+    on an empty test set."""
+    s, vs = a[0], a[1]
+    return (
+        f"CASE WHEN ({s}) IS NULL OR ({vs}) IS NULL THEN "
+        f"CAST(NULL AS BOOLEAN) ELSE "
+        f"exists({vs}, y -> exists({s}, x -> "
+        f"{_fold_sql('x')} = {_fold_sql('y')})) END"
     )
 
 

@@ -35,6 +35,42 @@ def test_set_functions(df):
     assert one(df, fb.SETCONTAINSANY("ss", ["z"])) is False
 
 
+def test_set_functions_equalfold_and_null(df):
+    """The reference evaluator compares stringset members with
+    strings.EqualFold — CASE-INSENSITIVE (stringSetContains,
+    inbuiltfunctionsset.go:170-177) — and returns NULL on a NULL arg
+    (every Evaluate* returns nil on nil). Pre-r11 array_contains was
+    case-sensitive and couldn't take NULL."""
+    from pyspark.sql import functions as F
+
+    assert one(df, fb.SETCONTAINS("ss", "B")) is True  # fold hit
+    assert one(df, fb.SETCONTAINSALL("ss", ["A", "b"])) is True
+    assert one(df, fb.SETCONTAINSANY("ss", ["Z", "B"])) is True
+    assert one(df, fb.SETCONTAINS("ss", F.lit(None).cast("string"))) is None
+    assert (
+        one(df, fb.SETCONTAINS(F.lit(None).cast("array<string>"), "a"))
+        is None
+    )
+    # loop edge cases: ALL over empty test set is vacuously true,
+    # ANY over empty is false
+    assert one(df, fb.SETCONTAINSALL("ss", F.array())) is True
+    assert one(df, fb.SETCONTAINSANY("ss", F.array())) is False
+
+
+def test_set_functions_sql_emitters(spark):
+    import featurebase_spark.sql as S
+
+    def run(expr):
+        return spark.sql(f"SELECT {expr} AS x").collect()[0]["x"]
+
+    f = S._FUNCS
+    assert run(f["SETCONTAINS"][2](["array('A','b')", "'a'"])) is True
+    assert run(f["SETCONTAINS"][2](["array('A','b')", "CAST(NULL AS STRING)"])) is None
+    assert run(f["SETCONTAINSALL"][2](["array('A','b')", "array('a','B')"])) is True
+    assert run(f["SETCONTAINSANY"][2](["array(1,2)", "array(2,9)"])) is True
+    assert run(f["SETCONTAINSANY"][2](["array(1,2)", "array(9)"])) is False
+
+
 def test_string_functions(df):
     assert one(df, fb.REVERSE("s")) == "dlrow olleh"
     assert one(df, fb.UPPER("s")) == "HELLO WORLD"
