@@ -2105,6 +2105,94 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
                 )
 
 
+def _int_binop_rewrite(spark: SparkSession, sql: str) -> str:
+    """Reference INT arithmetic semantics for ``/`` and ``%``
+    (expression.go:414-428): int/int division TRUNCATES (Go ``nl/nr`` —
+    10/20 is 0, not Spark's fractional 0.5) and a zero divisor raises
+    '[0:0] divisor is equal to zero' (NewErrDivideByZero, errors.go:908;
+    defs_binops.go:24-49) where Spark returns NULL.
+
+    Same conservative scope as the binop type guard: operands must be
+    bare single tokens — an integer literal, or a column of the single
+    FROM table whose reference class is int/id (the reference's ID path
+    skips the zero check and would panic, expression.go:484-488; we
+    raise the same error — documented superset). A NONZERO literal
+    divisor needs no guard, so it emits a bare ``DIV``/``%`` and keeps
+    predicate pushdown intact (a CASE-wrapped ``%`` in WHERE would
+    block the parquet filter). Truncating division commutes with
+    negation (trunc(-x) = -trunc(x); Go ``%`` follows the dividend like
+    Spark's), so a preceding unary minus stays correct."""
+    toks = _tokenize(sql)
+    if not any(t in ("/", "%") for t in toks):
+        return sql
+    sig_idx = [i for i, t in enumerate(toks) if not _is_ws(t)]
+    pos_in_sig = {i: n for n, i in enumerate(sig_idx)}
+    sig = [toks[i] for i in sig_idx]
+    # column types from the single bare FROM table, if one exists
+    types: dict[str, str] = {}
+    froms = [n for n, t in enumerate(sig) if t.upper() == "FROM"]
+    if len(froms) == 1 and not any(t.upper() == "JOIN" for t in sig):
+        fi = froms[0]
+        if fi + 1 < len(sig) and _re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*", sig[fi + 1]
+        ) and (
+            fi + 2 >= len(sig)
+            or sig[fi + 2].upper()
+            in ("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", ";")
+        ):
+            try:
+                for f in spark.table(sig[fi + 1]).schema.fields:
+                    tn = _fb_type_name(f)
+                    if tn:
+                        types[f.name.lower()] = tn
+            except Exception:  # noqa: BLE001 — unknown table
+                pass
+
+    def int_operand(n: int) -> bool:
+        """sig[n] is an int-class operand: integer literal or int/id
+        column (not part of a qualified name)."""
+        if not 0 <= n < len(sig):
+            return False
+        t = sig[n]
+        if sig[n - 1 : n] == ["."] or sig[n + 1 : n + 2] == ["."]:
+            return False
+        if _lit_kind(t)[0] == "int":
+            return True
+        return (
+            bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t))
+            and _binop_class(types.get(t.lower(), "")) in ("int", "id")
+        )
+
+    out = list(toks)
+    for n in range(1, len(sig) - 1):
+        op = sig[n]
+        if op not in ("/", "%"):
+            continue
+        if not (int_operand(n - 1) and int_operand(n + 1)):
+            continue
+        lhs, rhs = sig[n - 1], sig[n + 1]
+        sp = "DIV" if op == "/" else "%"
+        k, v = _lit_kind(rhs)
+        if k == "int" and v != 0:
+            expr = f"(({lhs}) {sp} ({rhs}))"
+        else:
+            expr = (
+                f"(CASE WHEN ({rhs}) = 0 THEN CAST(raise_error("
+                f"'[0:0] divisor is equal to zero') AS BIGINT) "
+                f"ELSE ({lhs}) {sp} ({rhs}) END)"
+            )
+        li, oi, ri = sig_idx[n - 1], sig_idx[n], sig_idx[n + 1]
+        out[li] = expr
+        for j in range(li + 1, ri + 1):
+            out[j] = ""
+        # keep sig consistent for chained scans: the rewritten span is
+        # no longer a bare operand, so later ops see a non-identifier
+        sig[n - 1] = expr
+        sig[n] = ""
+        sig[n + 1] = ""
+    return "".join(out)
+
+
 _HINT_RE = _re.compile(
     r"(?is)\bfrom\s+([A-Za-z_][\w]*)\s+with\s*\(\s*"
     r"([A-Za-z_]\w*)\s*\(([^()]*)\)\s*\)"
@@ -2177,6 +2265,7 @@ def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
     sql = _expand_tvfs(spark, sql)  # declared extension (TVF front door)
     sql = _apply_query_hints(spark, sql)  # WITH (flatten(col)) hints
     _binop_type_guard(spark, sql)  # defs_binops.go type-rule parity
+    sql = _int_binop_rewrite(spark, sql)  # int '/'+'%' truncation + /0
     if catalog is not None:
         # system tables are SELECT-able, not just SHOW-able
         # (opsystemtable.go registers them as ordinary planner tables)

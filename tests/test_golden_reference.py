@@ -213,12 +213,39 @@ def test_golden_cast_decimal_scale_only(binop_tables):
     assert got == decimal.Decimal("1.00")
 
 
-def test_int_division_divergence_documented(binop_tables):
-    """KNOWN DIVERGENCE: reference int/int is integer division (10/20 = 0,
-    defs_binops.go:223); Spark's / is fractional (0.5). Spark's `div`
-    operator provides the reference behavior explicitly."""
-    assert fb_sql(binop_tables, "select a / b from binoptesti_i").first()[0] == 0.5
+def test_int_division_truncates(binop_tables):
+    """FIXED in r11 (was a documented divergence r1-r10): reference
+    int/int DIVISION TRUNCATES (10/20 = 0, Go nl/nr — defs_binops.go:
+    207-218 expects int64(0)); the dialect now rewrites int '/' to DIV
+    (expression.go:414-423). Spark's bare `div` keyword still works."""
+    assert fb_sql(binop_tables, "select a / b from binoptesti_i").first()[0] == 0
+    assert fb_sql(binop_tables, "select b / a from binoptesti_i").first()[0] == 2
     assert fb_sql(binop_tables, "select a div b from binoptesti_i").first()[0] == 0
+    # Go % follows the dividend; 10 % 20 = 10 (defs_binops.go:220-229)
+    assert fb_sql(binop_tables, "select a % b from binoptesti_i").first()[0] == 10
+
+
+def test_divide_by_zero_raises(binop_tables):
+    """defs_binops.go:24-49: '/0' and '%0' raise 'divisor is equal to
+    zero' (NewErrDivideByZero) on literals AND column rows — Spark
+    would return NULL."""
+    for q in (
+        "select 1/0",
+        "select a/0 from binoptesti_i",
+        "select 1%0",
+        "select a%0 from binoptesti_i",
+    ):
+        with pytest.raises(Exception, match="divisor is equal to zero"):
+            fb_sql(binop_tables, q).collect()
+
+
+def test_int_division_nonzero_literal_stays_bare(binop_tables):
+    """A nonzero literal divisor needs no zero guard — WHERE-clause
+    modulo keeps its shape (pushdown-friendly), values truncate."""
+    got = fb_sql(
+        binop_tables, "select a / 4 from binoptesti_i"
+    ).first()[0]
+    assert got == 2  # 10 DIV 4
 
 
 # --- defs_join.go: users/orders relational core -----------------------------

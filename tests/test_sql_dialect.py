@@ -21,21 +21,32 @@ from featurebase_spark.sql import fb_sql, translate
         # TOP(n) → LIMIT (defs_top.go:23)
         (
             "select top(1) * from t where setcontains(s, 'x');",
-            "select * from t where array_contains(s, 'x') LIMIT 1",
+            "select * from t where CASE WHEN (s) IS NULL OR ('x') IS NULL "
+            "THEN CAST(NULL AS BOOLEAN) ELSE exists(s, x -> "
+            "lower(CAST(x AS STRING)) = lower(CAST(('x') AS STRING))) END "
+            "LIMIT 1",
         ),
         # TOP inside a subquery binds to that scope only
         (
             "select * from (select top(3) a from u) q limit 9",
             "select * from (select a from u LIMIT 3) q limit 9",
         ),
-        # set literal (defs_set_functions.go:43)
+        # set literal (defs_set_functions.go:43); r11: case-folded
+        # EqualFold membership + NULL propagation per the evaluator
         (
             "select setcontainsall(ev, ['POST']) from t",
-            "select (size(array_except(array('POST'), ev)) = 0) from t",
+            "select CASE WHEN (ev) IS NULL OR (array('POST')) IS NULL THEN "
+            "CAST(NULL AS BOOLEAN) ELSE forall(array('POST'), y -> "
+            "exists(ev, x -> lower(CAST(x AS STRING)) = "
+            "lower(CAST(y AS STRING)))) END from t",
         ),
         (
             "select setcontainsany(ev, ['POST', 'GET']) from t",
-            "select arrays_overlap(ev, array('POST', 'GET')) from t",
+            "select CASE WHEN (ev) IS NULL OR (array('POST', 'GET')) IS "
+            "NULL THEN CAST(NULL AS BOOLEAN) ELSE "
+            "exists(array('POST', 'GET'), y -> exists(ev, x -> "
+            "lower(CAST(x AS STRING)) = lower(CAST(y AS STRING)))) END "
+            "from t",
         ),
         # 0-based string positions (inbuiltfunctionsstring.go)
         (
@@ -68,7 +79,9 @@ def test_translate_substring_guarded():
     range-guard CASE (r10 — EvaluateSubstring raises on out-of-range
     rather than clamping)."""
     out = translate("select substring(s, 0, 3) from t")
-    assert "substring(s, (0) + 1, 3)" in out
+    # r11: byte-exact slicing (Go string slices are bytes)
+    assert "decode(substring(encode(s, 'UTF-8'), (0) + 1, 3), 'UTF-8')" in out
+    assert "octet_length(s)" in out
     assert "out of range" in out and out.startswith("select CASE WHEN")
 
 
