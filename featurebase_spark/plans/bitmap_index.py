@@ -1776,15 +1776,16 @@ class BitmapCatalog:
             )
         return cat
 
-    def topk_values(self, field: str, k: int) -> DataFrame:
+    def topk_values(self, field: str, k=None) -> DataFrame:
         """TopK straight off the index: sum fragment cardinalities per value
         (the reference's TopK merges per-shard count-BSI, executor.go:2357;
         here it's a partial-agg over precomputed cardinalities — no base
-        scan, no row shuffle)."""
+        scan, no row shuffle). ``k=None`` ranks ALL values (the no-k call
+        form, executor.go:2381-2390)."""
         idx = self._indexes[field]
-        return (
+        out = (
             idx.groupBy("value")
             .agg(F.sum("cardinality").alias("count"))
             .orderBy(F.desc("count"), F.asc("value"))
-            .limit(k)
         )
+        return out.limit(k) if k is not None else out

@@ -109,33 +109,46 @@ def route_call(cat: B.BitmapCatalog, call, idx: Optional[C.Index] = None):
 
 
 def _index_percentile(cat: B.BitmapCatalog, field: str, nth: float, filt):
-    """Exact nearest-rank percentile answered ENTIRELY from BSI planes —
-    the reference's own executePercentile (executor.go:1310-1603): binary
-    search over the value domain where every probe is a bitmap Count.
-    Zero base-table access."""
-    import math
+    """Percentile answered ENTIRELY from BSI planes with the reference's
+    EXACT bisection semantics — a LITERAL replay of executePercentile
+    (executor.go:1310-1603): every probe is a bitmap Count (near-free
+    here, exactly the cost model that motivated the reference's design),
+    the midpoint uses the Go truncating average, and the rejected-
+    midpoint fall-out is preserved (median of {0,1,1,1} is 0). The
+    result can be a value ABSENT from the data — that is the contract
+    (defs_aggregate.go pins percentile(d1,50) = 11.50); the scan path
+    (pql.calls.reference_percentile) returns identical answers via
+    order-statistic replay. Zero base-table access."""
+    from featurebase_spark.pql.calls import _go_trunc_mid
 
     _, minv, nbits = cat._bsi[field]
 
-    def count_le(v: int) -> int:
-        node = B.Cmp(field, "<=", v)
+    def count_cmp(op: str, v: int) -> int:
+        node = B.Cmp(field, op, v)
         return cat.count(B.And(node, filt) if filt is not None else node)
 
     exists = B.Cmp(field, ">=", minv)
     n = cat.count(B.And(exists, filt) if filt is not None else exists)
     if n == 0:
         return None
-    rank = max(1, math.ceil(nth / 100.0 * n))
-    lo, hi = minv, minv + (1 << nbits) - 1
-    if count_le(lo) >= rank:
+    desired_less = int((float(n) * nth) / 100.0)
+    desired_greater = int((float(n) * (100.0 - nth)) / 100.0)
+    lo, hi = cat.bsi_min(field, filt), cat.bsi_max(field, filt)
+    if desired_greater != 0 and desired_less == 0:
         return lo
-    while hi - lo > 1:
-        mid = (lo + hi) // 2
-        if count_le(mid) >= rank:
-            hi = mid
-        else:
-            lo = mid
-    return hi
+    if desired_greater == 0:
+        return hi
+    val = lo
+    while lo < hi:
+        val = _go_trunc_mid(lo, hi)
+        if count_cmp("<", val) > desired_less:
+            hi = val - 1
+            continue
+        if count_cmp(">", val) > desired_greater:
+            lo = val + 1
+            continue
+        break
+    return val
 
 
 def _scan_fallback(call, idx: Optional[C.Index]):

@@ -51,13 +51,59 @@ class Index:
     df: DataFrame
     id_col: str = "_id"
     time_col: Optional[str] = None
+    #: field name → time quantum string ("YMDH", "YM", …) for QUANTUM SET
+    #: FIELDS — columns typed array<struct<value, ts>> where every bit
+    #: carries its own timestamp (OptFieldTypeTime, field.go:176-189; the
+    #: reference stores one view per enabled unit). from_/to ranges on
+    #: these fields compile to the view-cover predicate of
+    #: pql/timeviews.py instead of the per-record Index.time_col.
+    quantums: dict = dc_field(default_factory=dict)
 
     def is_array_field(self, name: str) -> bool:
         dt = dict(self.df.dtypes).get(name, "")
         return dt.startswith("array")
 
+    def is_quantum_field(self, name: str) -> bool:
+        dt = dict(self.df.dtypes).get(name, "")
+        return dt.startswith("array<struct<")
+
+    def quantum_of(self, name: str) -> str:
+        return self.quantums.get(name, "YMDH")
+
     def id_frame(self, df: DataFrame) -> DataFrame:
         return df.select(F.col(self.id_col).alias("_id"))
+
+
+def _quantum_view_pred(idx: Index, field: str, from_, to):
+    """ts-membership lambda for a quantum field's view cover — None when
+    the call has no time range (standard view: every bit matches).
+    Returns a function ts_col → BooleanColumn usable inside
+    ``F.exists``/``F.filter`` lambdas and on exploded structs."""
+    if from_ is None and to is None:
+        return None
+    from featurebase_spark.pql import timeviews as TV
+    from datetime import datetime
+
+    start = TV.parse_pql_time(from_) if from_ is not None else datetime(1, 1, 1)
+    end = (
+        TV.parse_pql_time(to) if to is not None else datetime(9999, 12, 31)
+    )
+    views = TV.views_by_time_range(start, end, idx.quantum_of(field))
+    units = {"Y": "year", "M": "month", "D": "day", "H": "hour"}
+
+    def pred(ts):
+        if not views:
+            return F.lit(False)
+        terms = [
+            F.date_trunc(units[u], ts).isin([F.lit(v) for v in vs])
+            for u, vs in views.items()
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out | t
+        return out
+
+    return pred
 
 
 def _truthy(col: Column) -> Column:
@@ -123,6 +169,25 @@ class Row(RowCall):
 
     def predicate(self, idx: Index) -> Column:
         c = F.col(self.field)
+        if idx.is_quantum_field(self.field):
+            # quantum set field: the bit must exist in a covered view
+            # (executor_test.go:7849-7860 Row(f2='R', from=, to=) —
+            # from/to apply PER BIT, not per record)
+            if self.op not in ("==", "!="):
+                raise ValueError(
+                    f"op {self.op} invalid on set field {self.field}"
+                )
+            tp = _quantum_view_pred(idx, self.field, self.from_, self.to)
+            v = F.lit(self.value)
+            if tp is None:
+                pred = F.exists(c, lambda x: x["value"] == v)
+            else:
+                pred = F.exists(
+                    c, lambda x: (x["value"] == v) & tp(x["ts"])
+                )
+            if self.op == "!=":
+                pred = ~_truthy(pred)
+            return pred
         if self.between is not None:
             lo, hi = self.between
             pred = c.between(F.lit(lo), F.lit(hi))
@@ -472,7 +537,13 @@ class Distinct(_FieldAgg):
 
     def to_df(self, idx: Index) -> DataFrame:
         df = _filtered(idx, self.filter)
-        if idx.is_array_field(self.field):
+        if idx.is_quantum_field(self.field):
+            df = df.select(
+                F.explode(
+                    F.transform(F.col(self.field), lambda x: x["value"])
+                ).alias(self.field)
+            )
+        elif idx.is_array_field(self.field):
             df = df.select(F.explode(self.field).alias(self.field))
         return df.select(self.field).where(F.col(self.field).isNotNull()).distinct()
 
@@ -499,14 +570,29 @@ def foreign_distinct_rows(
 
 @dataclass
 class Percentile(ReaderCall):
-    """Exact nearest-rank percentile (executePercentile executor.go:1310-1603
-    — the reference binary-searches the BSI value space with O(log range)
-    Count queries).
+    """PQL Percentile with the reference's EXACT bisection semantics
+    (executePercentile executor.go:1310-1603).
 
-    The search strategy IS the default here, exactly as in the reference:
-    every probe is a pushed-down count scan, no global sort, no rank-sized
-    limit funneling O(n) rows through one task — the plan that survives
-    10⁹-row fields. The result is a 1-row literal frame."""
+    The reference does NOT return a nearest-rank order statistic: it
+    bisects the value domain and returns the first midpoint ``v`` with
+    ``count(<v) <= desiredLess`` and ``count(>v) <= desiredGreater`` —
+    a value that may be ABSENT from the data (defs_aggregate.go pins
+    ``percentile(d1, 50)`` over {10,10,11,12,12,13} = 11.50, the
+    min/max midpoint). When the loop's bracket collapses before a
+    midpoint qualifies, the LAST midpoint computed is returned even
+    though it was rejected (executor.go:1546-1576 falls out of the
+    ``for minLessthanMax()`` loop with ``possibleNthVal`` still set) —
+    median of {0,1,1,1} is 0. Both behaviors are replayed here; see
+    :func:`reference_percentile` for the scale strategy.
+
+    Column dtypes: int columns replay the Go int path (truncating
+    average, executor.go:1484-1490); decimal(p,s) columns replay the
+    pql.Decimal path (scaled ints, floor average — big.Int Div in
+    DivideDecimal, pql/decimal.go:150-161). Float/double columns keep
+    exact NEAREST-RANK as a documented EXTENSION — the reference has
+    no float BSI fields, so there is no reference behavior to match.
+
+    The result is a 1-row literal frame."""
 
     field: str
     nth: float
@@ -515,35 +601,203 @@ class Percentile(ReaderCall):
     def to_df(self, idx: Index) -> DataFrame:
         from pyspark.sql.types import StructField, StructType
 
+        if self.nth is None:
+            raise ValueError("Percentile(): nth required")
+        nthf = float(self.nth)
+        if nthf < 0 or nthf > 100.0:
+            raise ValueError(
+                f"Percentile(): invalid nth value ({nthf:f}), should be "
+                f"a number between 0 and 100 inclusive"
+            )
         df = _filtered(idx, self.filter).select(self.field).where(
             F.col(self.field).isNotNull()
         )
-        val = percentile_search(df, self.field, self.nth)
+        dt = dict(df.dtypes)[self.field]
+        if dt in ("int", "bigint", "smallint", "tinyint") or dt.startswith(
+            "decimal"
+        ):
+            val = reference_percentile(df, self.field, nthf)
+        else:
+            # float/double: nearest-rank EXTENSION (no reference dtype)
+            val = percentile_search(df, self.field, nthf)
         schema = StructType(
             [StructField("percentile", df.schema[self.field].dataType, True)]
         )
         return idx.df.sparkSession.createDataFrame([(val,)], schema)
 
 
+def _go_trunc_mid(lo: int, hi: int) -> int:
+    """The reference's overflow-safe int midpoint with Go division
+    semantics — truncation toward zero for both / and % (executor.go:
+    1484-1490: ``(min/2)+(max/2)+(((min%2)+(max%2))/2)``)."""
+
+    def d2(x: int) -> int:
+        return x // 2 if x >= 0 else -((-x) // 2)
+
+    def m2(x: int) -> int:
+        return x - d2(x) * 2
+
+    return d2(lo) + d2(hi) + d2(m2(lo) + m2(hi))
+
+
+def _floor_mid(lo: int, hi: int) -> int:
+    """Decimal-path midpoint: DivideDecimal(Add(min,max), 2) reduces to
+    big.Int Div = FLOOR division on the scaled values (pql/decimal.go:
+    150-161) — differs from the int path's truncation for negatives."""
+    return (lo + hi) // 2
+
+
+def _bisect_replay(lo: int, hi: int, a: int, b: int, mid_fn) -> int:
+    """Arithmetic replay of the executePercentile loop given the two
+    order statistics that drive its branches: ``leftCount(mid) >
+    desiredLess  ⟺  mid > b`` (b = 0-indexed sorted[desiredLess]) and
+    ``rightCount(mid) > desiredGreater  ⟺  mid < a`` (a =
+    sorted[n-1-desiredGreater]). With those equivalences the loop needs
+    NO further data access — including the fall-out behavior where a
+    rejected midpoint is returned once the bracket collapses."""
+    val = lo
+    while lo < hi:
+        val = mid_fn(lo, hi)
+        if val > b:  # leftCount > desiredLess
+            hi = val - 1
+        elif val < a:  # rightCount > desiredGreater
+            lo = val + 1
+        else:
+            break
+    return val
+
+
+def _rank_value(vals: DataFrame, field: str, rank: int, lo_v: int, hi_v: int):
+    """Value at 1-indexed ``rank`` of the non-null int column ``field``
+    within [lo_v, hi_v] — the scale machinery shared by nearest-rank and
+    the bisection's order statistics: 2^16-bucket range histograms narrow
+    the span 65536× per level (≤4 levels for a 64-bit domain), then one
+    in-bucket value histogram resolves the rank. Driver memory ≤ 2^16
+    pairs per level; every scan past the first carries a pushed-down
+    range filter."""
+    below = 0
+    while hi_v - lo_v > (1 << 20):
+        nb = 1 << 16
+        width = ((hi_v - lo_v) // nb) + 1
+        buckets = (
+            vals.where((F.col(field) >= lo_v) & (F.col(field) <= hi_v))
+            .groupBy(
+                F.floor((F.col(field) - F.lit(lo_v)) / F.lit(width)).alias("b")
+            )
+            .count()
+            .orderBy("b")
+            .collect()
+        )
+        running, bi = below, 0
+        for r in buckets:
+            if running + r["count"] >= rank:
+                bi = int(r["b"])
+                break
+            running += r["count"]
+        below = running
+        new_lo = lo_v + bi * width
+        lo_v, hi_v = new_lo, min(hi_v, new_lo + width - 1)
+    hist = (
+        vals.where((F.col(field) >= lo_v) & (F.col(field) <= hi_v))
+        .groupBy(field)
+        .count()
+        .orderBy(field)
+        .collect()
+    )
+    running = below
+    for r in hist:
+        running += r["count"]
+        if running >= rank:
+            return r[field]
+    return hist[-1][field] if hist else hi_v  # defensive
+
+
+def reference_percentile(df: DataFrame, field: str, nth: float):
+    """Distributed replay of executePercentile (executor.go:1310-1603)
+    with the reference's exact outputs, including midpoints absent from
+    the data and the rejected-midpoint fall-out (see Percentile).
+
+    Strategy: the bisection's branch at each probe depends only on two
+    order statistics (b = sorted[desiredLess], a =
+    sorted[n-1-desiredGreater]), so instead of the reference's 2 Count
+    queries per iteration (over every shard, up to ~64 iterations) this
+    runs ONE stats aggregate + at most two rank searches — each ≤ 5
+    pushed-down scans via 2^16-bucket histogram narrowing — then replays
+    the loop as driver-side arithmetic. Same answers, O(1) jobs instead
+    of O(log range) jobs. Small spans (≤ 2^20) resolve both ranks from a
+    single value histogram.
+
+    Decimal(p, s) columns run the same replay on 10^s-scaled longs with
+    the floor-average midpoint (DivideDecimal semantics) and unscale the
+    result to decimal.Decimal at the column's scale."""
+    import decimal as _dec
+
+    dt = dict(df.dtypes)[field]
+    scale = 0
+    vals = df.select(field).where(F.col(field).isNotNull())
+    if dt.startswith("decimal"):
+        scale = int(dt.rstrip(")").split(",")[1]) if "," in dt else 0
+        vals = vals.select(
+            (F.col(field) * F.lit(10**scale)).cast("long").alias(field)
+        )
+        mid_fn = _floor_mid
+    else:
+        mid_fn = _go_trunc_mid
+
+    row = vals.agg(
+        F.min(field).alias("lo"),
+        F.max(field).alias("hi"),
+        F.count(field).alias("n"),
+    ).first()
+    minv, maxv, n = row["lo"], row["hi"], row["n"]
+
+    def unscale(v):
+        if v is None or scale == 0:
+            return v if not dt.startswith("decimal") else _dec.Decimal(v)
+        return _dec.Decimal(v).scaleb(-scale)
+
+    if n == 0:
+        return None  # the median of nothing is NULL (executor.go:1404)
+    # float math ordered exactly as Go: (float64(n) * nth) / 100.0
+    desired_less = int((float(n) * nth) / 100.0)
+    desired_greater = int((float(n) * (100.0 - nth)) / 100.0)
+    if desired_greater != 0 and desired_less == 0:
+        return unscale(int(minv))
+    if desired_greater == 0:
+        return unscale(int(maxv))
+    lo_v, hi_v = int(minv), int(maxv)
+    if hi_v - lo_v <= (1 << 20):
+        hist = (
+            vals.groupBy(field).count().orderBy(field).collect()
+        )
+        cum, b_val, a_val = 0, None, None
+        for r in hist:
+            cum += r["count"]
+            # b = value at rank desired_less+1; a = at rank n-desired_greater
+            if b_val is None and cum >= desired_less + 1:
+                b_val = r[field]
+            if a_val is None and cum >= n - desired_greater:
+                a_val = r[field]
+        a, b = int(a_val), int(b_val)
+    else:
+        b = int(_rank_value(vals, field, desired_less + 1, lo_v, hi_v))
+        a = int(_rank_value(vals, field, n - desired_greater, lo_v, hi_v))
+    return unscale(_bisect_replay(lo_v, hi_v, a, b, mid_fn))
+
+
 def percentile_search(df: DataFrame, field: str, nth: float, max_iters: int = 80):
-    """Exact nearest-rank percentile with the minimum number of scans.
+    """Exact NEAREST-RANK percentile with the minimum number of scans —
+    the float/double EXTENSION path and the generic rank→value machinery.
+    Reference-parity Percentile semantics (bisection midpoints that may
+    be absent from the data) live in :func:`reference_percentile`; this
+    function keeps the order-statistic definition for dtypes the
+    reference cannot hold (float BSI does not exist).
 
-    The reference's executePercentile (executor.go:1310-1603) binary-
-    searches the value domain because each probe is a near-free BITMAP
-    count. On a row store every probe is a column scan, so the faithful
-    translation of "cheap probes" is a HISTOGRAM: integer fields resolve
-    in ≤2 extra scans — one groupBy(value) histogram when the span is
-    small, else 2^16-bucket range histograms narrowing the span 65536×
-    per level (≤4 levels even for a 64-bit domain), then the in-bucket
-    histogram. Every scan after the first carries a pushed-down range
-    filter, so at 100 TB each level touches only the surviving rows'
-    pages. No sort, no rank-sized shuffle; the driver holds ≤2^16
-    (bucket, count) pairs per level.
-
-    Floats/decimals (beyond reference parity — BSI is int-only) keep the
-    bracket search: count(<=lo) < rank <= count(<=hi) until the bracket
-    is ~1e-12 relative, then the few candidate values resolve the rank
-    exactly."""
+    Int columns resolve via :func:`_rank_value` (2^16-bucket histogram
+    narrowing, ≤4 levels for a 64-bit domain, every scan pushed down,
+    driver holds ≤2^16 pairs per level). Floats keep the bracket search:
+    count(<=lo) < rank <= count(<=hi) until the bracket is ~1e-12
+    relative, then the few candidate values resolve the rank exactly."""
     vals = df.where(F.col(field).isNotNull())
     row = vals.agg(
         F.min(field).alias("lo"), F.max(field).alias("hi"), F.count(field).alias("n")
@@ -554,41 +808,7 @@ def percentile_search(df: DataFrame, field: str, nth: float, max_iters: int = 80
     rank = max(1, math.ceil(nth / 100.0 * n))
     is_int = dict(df.dtypes)[field] in ("int", "bigint", "smallint", "tinyint")
     if is_int:
-        lo_v, hi_v, below = int(minv), int(maxv), 0
-        while hi_v - lo_v > (1 << 20):
-            nb = 1 << 16
-            width = ((hi_v - lo_v) // nb) + 1
-            buckets = (
-                vals.where((F.col(field) >= lo_v) & (F.col(field) <= hi_v))
-                .groupBy(
-                    F.floor((F.col(field) - F.lit(lo_v)) / F.lit(width)).alias("b")
-                )
-                .count()
-                .orderBy("b")
-                .collect()
-            )
-            running, bi = below, 0
-            for r in buckets:
-                if running + r["count"] >= rank:
-                    bi = int(r["b"])
-                    break
-                running += r["count"]
-            below = running
-            new_lo = lo_v + bi * width
-            lo_v, hi_v = new_lo, min(hi_v, new_lo + width - 1)
-        hist = (
-            vals.where((F.col(field) >= lo_v) & (F.col(field) <= hi_v))
-            .groupBy(field)
-            .count()
-            .orderBy(field)
-            .collect()
-        )
-        running = below
-        for r in hist:
-            running += r["count"]
-            if running >= rank:
-                return r[field]
-        return hist[-1][field] if hist else hi_v  # defensive
+        return _rank_value(vals, field, rank, int(minv), int(maxv))
     lo_cnt = vals.where(F.col(field) <= F.lit(minv)).count()
     if lo_cnt >= rank:
         return minv
@@ -631,32 +851,45 @@ class TopN(ReaderCall):
     partial count per partition, merge, global top-k (an exact superset of
     TopN; divergence recorded per SURVEY §7 risk register).
 
-    Ties broken by value ascending for determinism. Plan shape at scale:
-    map-side partial aggregation shrinks the shuffle to |distinct values|;
-    the final sort+limit is a cheap TakeOrdered over the merged counts."""
+    Ties broken by value ascending for determinism. ``n=None`` ranks ALL
+    values descending — the reference's no-k form (``TopK(dinner)``,
+    executor_test.go:9003-9016; executor.go:2381-2390 only limits when
+    hasK). Plan shape at scale: map-side partial aggregation shrinks the
+    shuffle to |distinct values|; the final sort+limit is a cheap
+    TakeOrdered over the merged counts."""
 
     field: str
-    n: int
+    n: Optional[int] = None
     filter: Optional[RowCall] = None
 
     def to_df(self, idx: Index) -> DataFrame:
         df = _filtered(idx, self.filter)
-        if idx.is_array_field(self.field):
+        if idx.is_quantum_field(self.field):
+            df = df.select(
+                F.explode(
+                    F.transform(F.col(self.field), lambda x: x["value"])
+                ).alias(self.field)
+            )
+        elif idx.is_array_field(self.field):
             df = df.select(F.explode(self.field).alias(self.field))
-        return (
+        out = (
             df.where(F.col(self.field).isNotNull())
             .groupBy(self.field)
             .agg(F.count(F.lit(1)).alias("count"))
             .orderBy(F.desc("count"), F.asc(self.field))
-            .limit(self.n)
         )
+        return out.limit(self.n) if self.n is not None else out
 
 
 class TopK(TopN):
     """Exact top-k (executeTopK executor.go:2357-2487; per-shard count-BSI +
-    PivotDescending bsi.go:18-64). Identical exact plan as TopN here."""
+    PivotDescending bsi.go:18-64). Identical exact plan as TopN here;
+    k omitted → all values ranked (executor.go:2381-2390)."""
 
-    def __init__(self, field: str, k: int, filter: Optional[RowCall] = None):
+    def __init__(
+        self, field: str, k: Optional[int] = None,
+        filter: Optional[RowCall] = None,
+    ):
         super().__init__(field=field, n=k, filter=filter)
 
 
@@ -705,12 +938,26 @@ class Rows(ReaderCall):
         df = idx.df
         if self.column is not None:
             df = df.where(F.col(idx.id_col) == F.lit(self.column))
-        if self.from_ is not None:
-            df = df.where(F.col(idx.time_col) >= F.lit(self.from_))
-        if self.to is not None:
-            df = df.where(F.col(idx.time_col) < F.lit(self.to))
-        if idx.is_array_field(self.field):
-            df = df.select(F.explode(self.field).alias(self.field))
+        if idx.is_quantum_field(self.field):
+            # quantum set field: from/to filter BITS through the view
+            # cover (Rows-with-time, executor.go:4077-4170 walks only
+            # the covered views), then values distinct as usual
+            tp = _quantum_view_pred(idx, self.field, self.from_, self.to)
+            ent = F.col(self.field)
+            if tp is not None:
+                ent = F.filter(ent, lambda x: tp(x["ts"]))
+            df = df.select(
+                F.explode(F.transform(ent, lambda x: x["value"])).alias(
+                    self.field
+                )
+            )
+        else:
+            if self.from_ is not None:
+                df = df.where(F.col(idx.time_col) >= F.lit(self.from_))
+            if self.to is not None:
+                df = df.where(F.col(idx.time_col) < F.lit(self.to))
+            if idx.is_array_field(self.field):
+                df = df.select(F.explode(self.field).alias(self.field))
         vals = df.select(self.field).where(F.col(self.field).isNotNull()).distinct()
         if self.like is not None:
             vals = vals.where(F.col(self.field).like(self.like))
@@ -785,11 +1032,24 @@ class GroupBy(ReaderCall):
                     f"value for '{name}' must be positive, but got {v}"
                 )
         df = _filtered(idx, self.filter)
-        keys = []
+        keys, quantum_grouped = [], False
         for r in self.rows:
             r.validate()
             f = r.field
-            if idx.is_array_field(f):
+            if idx.is_quantum_field(f):
+                # quantum set field: per-bit view-cover filter, then the
+                # value becomes the group key. A record may hold the
+                # SAME value in several covered views (toronto in 2019-08
+                # AND 2020-01) but the reference groups the UNION of the
+                # value's view bitmaps — one membership per record —
+                # so duplicates are dropped after the explode.
+                tp = _quantum_view_pred(idx, f, r.from_, r.to)
+                ent = F.col(f)
+                if tp is not None:
+                    ent = F.filter(ent, lambda x: tp(x["ts"]))
+                df = df.withColumn(f, F.explode(F.transform(ent, lambda x: x["value"])))
+                quantum_grouped = True
+            elif idx.is_array_field(f):
                 df = df.withColumn(f, F.explode(f))
             # per-child value restrictions cross-product into the group
             # lattice exactly like the reference's row-filtered iterators
@@ -798,11 +1058,14 @@ class GroupBy(ReaderCall):
                 df = df.where(F.col(f).like(r.like))
             if r.in_ is not None:
                 df = df.where(F.col(f).isin(list(r.in_)))
-            if r.from_ is not None:
-                df = df.where(F.col(idx.time_col) >= F.lit(r.from_))
-            if r.to is not None:
-                df = df.where(F.col(idx.time_col) < F.lit(r.to))
+            if not idx.is_quantum_field(f):
+                if r.from_ is not None:
+                    df = df.where(F.col(idx.time_col) >= F.lit(r.from_))
+                if r.to is not None:
+                    df = df.where(F.col(idx.time_col) < F.lit(r.to))
             keys.append(f)
+        if quantum_grouped:
+            df = df.dropDuplicates([idx.id_col, *keys])
         # chained isNotNull instead of na.drop: na.drop compiles to
         # atleastnnonnulls(k, ...), which Spark does NOT push to the
         # parquet scan; per-column IsNotNull reaches PushedFilters and
@@ -899,6 +1162,14 @@ class GroupBy(ReaderCall):
             if name not in ("count", "sum"):
                 # executor.go:3398-3404
                 raise ValueError("Condition() only supports count or sum")
+            if name == "sum" and "sum" not in agged.columns:
+                # 'sum' reads the group's Agg value whatever the
+                # aggregate is — Condition(sum>2) filters a
+                # Count(Distinct(…)) aggregate's column
+                # (applyConditionToGroupCounts executor.go:3447-3462;
+                # executor_test.go pins having=Condition(sum>2) over
+                # aggregate=Count(Distinct(field=zip_code)))
+                name = "aggregate"
             c = F.col(name)
             if op == "><":  # range Condition (pql/ast.go:145 — [low, high])
                 lo, hi = val

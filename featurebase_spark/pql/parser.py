@@ -230,7 +230,26 @@ def _row_from_kw(kw: dict) -> C.Row:
     return C.Row(field, "==", value, from_=meta.get("from"), to=meta.get("to"))
 
 
+#: call names are CASE-INSENSITIVE — the reference canonicalizes via a
+#: ToLower map onto the friendly capitalization (canonicalCaps,
+#: pql/ast.go:648-661; executor_test.go freely writes `extract(All(), …)`
+#: and `count(All())`)
+_CANONICAL_CALLS = {
+    n.lower(): n
+    for n in (
+        "Row", "Range", "Not", "All", "ConstRow", "UnionRows", "Shift",
+        "Limit", "Count", "Distinct", "Percentile", "TopN", "TopK",
+        "Rows", "GroupBy", "Extract", "Sort", "IncludesColumn",
+        "FieldValue", "Condition", "Apply", "Options", "Arrow", "Set",
+        "Clear", "ClearRow", "Store", "Delete", "Intersect", "Union",
+        "Difference", "Xor", "Min", "Max", "Sum", "MinRow", "MaxRow",
+        "InnerUnionRows", "Precomputed", "ExternalLookup",
+    )
+}
+
+
 def _build(name: str, pos: list, kw: dict):
+    name = _CANONICAL_CALLS.get(name.lower(), name)
     if name == "Row" or name == "Range":
         if name == "Row" and any(isinstance(p, str) for p in pos):
             # bare positional timestamps belong to the legacy Range form
@@ -287,13 +306,18 @@ def _build(name: str, pos: list, kw: dict):
     if name == "Distinct":
         return C.Distinct(field=kw["field"], filter=pos[0] if pos else None)
     if name == "Percentile":
-        return C.Percentile(field=kw["field"], nth=kw["nth"], filter=pos[0] if pos else None)
+        if "field" not in kw:
+            raise ValueError("Percentile(): field required")
+        return C.Percentile(field=kw["field"], nth=kw.get("nth"),
+                            filter=pos[0] if pos else None)
     if name == "TopN":
-        return C.TopN(pos[0] if pos else kw.pop("_field", None), n=kw.get("n", 10),
-                      filter=kw.get("filter"))
+        # n omitted → ALL values ranked (executor.go:2779-2804 UintArg
+        # hasN; same contract as TopK's k, executor.go:2381-2390)
+        return C.TopN(pos[0] if pos else kw.pop("_field", kw.pop("field", None)),
+                      n=kw.get("n"), filter=kw.get("filter"))
     if name == "TopK":
-        return C.TopK(pos[0] if pos else kw.pop("_field", None), k=kw.get("k", 10),
-                      filter=kw.get("filter"))
+        return C.TopK(pos[0] if pos else kw.pop("_field", kw.pop("field", None)),
+                      k=kw.get("k"), filter=kw.get("filter"))
     if name == "Rows":
         field = pos[0] if pos else kw.pop("field")
         if isinstance(field, C.Row):  # Rows(field) parsed as bare name only

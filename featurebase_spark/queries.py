@@ -335,7 +335,10 @@ def pql_distinct_filtered(spark, sf_dir):
     ") WHERE rn = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT))",
 )
 def pql_percentile(spark, sf_dir):
-    """PQL Percentile — exact nearest-rank, executor.go:1310-1603."""
+    """PQL Percentile on a DOUBLE column — the float nearest-rank
+    EXTENSION path (the reference has no float BSI dtype; its int/decimal
+    bisection semantics are pinned by pql_percentile_search and
+    tests/test_percentile_parity.py)."""
     return Percentile("value", 90).to_df(_events(spark, sf_dir))
 
 
@@ -831,8 +834,10 @@ def sql_agg_stats(spark, sf_dir):
     ") WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))",
 )
 def sql_percentile_agg(spark, sf_dir):
-    """SQL PERCENTILE(col, n) — exact nearest-rank like PQL Percentile
-    (expressionagg.go:883 → executor.go:1310)."""
+    """SQL PERCENTILE(col, n) on a DOUBLE column — float nearest-rank
+    EXTENSION (expressionagg.go:883 → executor.go:1310; the reference's
+    int/decimal bisection semantics — r11 parity fix — are pinned by
+    pql_percentile_search and the golden defs mirror, 11.50 case)."""
     t = _tables(spark, sf_dir)
     idx = Index(t["lineitem"], id_col="l_orderkey")
     return (
@@ -2312,18 +2317,45 @@ def sql_routed_agg(spark, sf_dir):
 
 @register(
     "pql_text_routed_serving",
-    "SELECT "
+    # p95 replays the reference's bisection loop (executePercentile,
+    # executor.go:1404-1576) as a recursive CTE — same derivation as the
+    # pql_percentile_search oracle (r11 parity fix: the routed Percentile
+    # now returns bisection midpoints, not the nearest-rank statistic)
+    "WITH RECURSIVE base AS ("
+    "  SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events"
+    "  WHERE value IS NOT NULL"
+    "), p AS ("
+    "  SELECT COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx,"
+    "    CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) * 95.0) / 100.0) AS BIGINT)"
+    "      AS dl,"
+    "    CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) * (100.0 - 95.0)) / 100.0)"
+    "      AS BIGINT) AS dg"
+    "  FROM base"
+    "), ranked AS ("
+    "  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM base"
+    "), ab AS ("
+    "  SELECT (SELECT v FROM ranked, p WHERE rn = p.dl + 1) AS b,"
+    "         (SELECT v FROM ranked, p WHERE rn = p.n - p.dg) AS a"
+    "), sim(lo, hi, val, done, it) AS ("
+    "  SELECT mn, mx,"
+    "    CASE WHEN dg = 0 THEN mx WHEN dl = 0 THEN mn ELSE mn END,"
+    "    (dg = 0 OR dl = 0 OR mn >= mx), 0"
+    "  FROM p"
+    "  UNION ALL"
+    "  SELECT CASE WHEN s.m < ab.a THEN s.m + 1 ELSE s.lo END,"
+    "         CASE WHEN s.m > ab.b THEN s.m - 1 ELSE s.hi END,"
+    "         s.m, (s.m <= ab.b AND s.m >= ab.a), s.it + 1"
+    "  FROM (SELECT lo, hi, val, done, it,"
+    "          (lo // 2 + hi // 2 + ((lo % 2 + hi % 2) // 2)) AS m"
+    "        FROM sim WHERE NOT done AND lo < hi) s, ab"
+    ") SELECT "
     "(SELECT COUNT(*) FROM events WHERE event_type = 'click' "
     " AND CAST(FLOOR(value) AS BIGINT) > 150) AS n_count, "
     "(SELECT CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) FROM events "
     " WHERE user_id = 12 AND value IS NOT NULL) AS sum_v, "
     "(SELECT CAST(MIN(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) FROM events) AS min_v, "
     "(SELECT CAST(MAX(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) FROM events) AS max_v, "
-    "(SELECT CAST(v AS BIGINT) FROM ("
-    "   SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n "
-    "   FROM (SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events "
-    "         WHERE value IS NOT NULL)"
-    ") WHERE rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT))) AS p95_v",
+    "(SELECT val FROM sim ORDER BY it DESC LIMIT 1) AS p95_v",
 )
 def pql_text_routed_serving(spark, sf_dir):
     """PQL TEXT served from the bitmap-index tier: parse → route → answer
@@ -3562,23 +3594,58 @@ def pql_groupby_multi_agg(spark, sf_dir):
 
 @register(
     "pql_percentile_search",
-    "SELECT CAST(v AS BIGINT) AS p95 FROM ("
-    "  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n FROM ("
-    "    SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events WHERE value IS NOT NULL)"
-    ") WHERE rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT))",
+    # the oracle REPLAYS the reference's bisection loop (executePercentile,
+    # executor.go:1404-1576) as a recursive CTE over pure scalars: the two
+    # order statistics b = sorted[desiredLess] / a = sorted[n-1-dG] decide
+    # every branch, so the recursion needs no further data access. '//' is
+    # safe for Go truncating division here because every value (and hence
+    # every midpoint) is non-negative.
+    "WITH RECURSIVE base AS ("
+    "  SELECT CAST(FLOOR(value) AS BIGINT) AS v FROM events"
+    "  WHERE value IS NOT NULL"
+    "), p AS ("
+    "  SELECT COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx,"
+    "    CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) * 95.0) / 100.0) AS BIGINT)"
+    "      AS dl,"
+    "    CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) * (100.0 - 95.0)) / 100.0)"
+    "      AS BIGINT) AS dg"
+    "  FROM base"
+    "), ranked AS ("
+    "  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM base"
+    "), ab AS ("
+    "  SELECT (SELECT v FROM ranked, p WHERE rn = p.dl + 1) AS b,"
+    "         (SELECT v FROM ranked, p WHERE rn = p.n - p.dg) AS a"
+    "), sim(lo, hi, val, done, it) AS ("
+    "  SELECT mn, mx,"
+    "    CASE WHEN dg = 0 THEN mx WHEN dl = 0 THEN mn ELSE mn END,"
+    "    (dg = 0 OR dl = 0 OR mn >= mx), 0"
+    "  FROM p"
+    "  UNION ALL"
+    "  SELECT CASE WHEN s.m < ab.a THEN s.m + 1 ELSE s.lo END,"
+    "         CASE WHEN s.m > ab.b THEN s.m - 1 ELSE s.hi END,"
+    "         s.m, (s.m <= ab.b AND s.m >= ab.a), s.it + 1"
+    "  FROM (SELECT lo, hi, val, done, it,"
+    "          (lo // 2 + hi // 2 + ((lo % 2 + hi % 2) // 2)) AS m"
+    "        FROM sim WHERE NOT done AND lo < hi) s, ab"
+    ") SELECT val AS p95 FROM sim ORDER BY it DESC LIMIT 1",
 )
 def pql_percentile_search(spark, sf_dir):
-    """The SCALE path for exact nearest-rank percentile: binary search over
-    the value domain with one pushed-down Count per probe — a direct
-    re-expression of executePercentile (executor.go:1310-1603). O(log
-    range) cheap scans; no sort, no rank materialization, driver holds
-    two scalars. (The rank-k form pql_percentile covers small/medium.)"""
-    from featurebase_spark.pql.calls import percentile_search
+    """The INT-field scale path with the reference's EXACT bisection
+    semantics (r11 parity fix): executePercentile (executor.go:1310-1603)
+    returns bisection midpoints that may be ABSENT from the data and even
+    a rejected midpoint when the bracket collapses — NOT a nearest-rank
+    order statistic. reference_percentile replays that loop from one
+    stats aggregate + two histogram-narrowed rank searches (every scan
+    pushed down, driver holds ≤2^16 pairs per level), then pure driver
+    arithmetic. The oracle replays the same loop as a DuckDB recursive
+    CTE. (The double-column form pql_percentile pins the float
+    nearest-rank EXTENSION, which has no reference dtype.)"""
+    from featurebase_spark.pql.calls import reference_percentile
 
     ev = _tables(spark, sf_dir)["events"].select(
         F.floor(F.col("value")).cast("long").alias("v")
     )
-    p95 = percentile_search(ev, "v", 95)
+    p95 = reference_percentile(ev, "v", 95.0)
     return spark.createDataFrame([(int(p95),)], "p95 LONG")
 
 

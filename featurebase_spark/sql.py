@@ -340,12 +340,17 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     "CORR": (2, 2, lambda a: (
         f"CAST(CAST(corr({a[0]}, {a[1]}) * 1000000 AS BIGINT) / 1000000 "
         f"AS DECIMAL(38, 6))")),
-    # PQL-semantics percentile aggregate (executor.go:3146-3240 /
-    # defs_aggregate.go:467-553): nth is 0-100; nearest-rank pick ==
-    # Spark's percentile_disc at nth/100 (smallest value whose
-    # cume_dist reaches the fraction). SUPERSET: the reference rejects
-    # non-pushable filters ('Percentile call that can't be pushed down
-    # to PQL is not supported'); here any WHERE composes.
+    # FALLBACK percentile emitter — only reached when the dtype-aware
+    # _percentile_rewrite pass could not resolve the column (complex
+    # scope the reference rejects outright, or a float/double column the
+    # reference cannot hold): nearest-rank percentile_disc as a
+    # documented EXTENSION. Reference-exact bisection semantics
+    # (executor.go:1310-1603, incl. midpoints absent from the data —
+    # defs_aggregate.go pins percentile(d1,50)=11.50) are emitted by
+    # _percentile_fold_sql for int/decimal/timestamp columns. SUPERSET:
+    # the reference rejects non-pushable filters and GROUP BY
+    # ('Percentile call that can't be pushed down to PQL'); here both
+    # compose.
     "PERCENTILE": (2, 2, lambda a: (
         f"percentile_disc(CAST({a[1]} AS DOUBLE) / 100) "
         f"WITHIN GROUP (ORDER BY {a[0]})")),
@@ -2193,6 +2198,183 @@ def _int_binop_rewrite(spark: SparkSession, sql: str) -> str:
     return "".join(out)
 
 
+def _percentile_fold_sql(col: str, nth: str, kind: str, prec: int, scale: int) -> str:
+    """One SQL aggregate expression replaying executePercentile
+    (executor.go:1310-1603) — the reference's bisection whose result may
+    be a midpoint ABSENT from the data (defs_aggregate.go pins
+    percentile(d1,50) over {10,10,11,12,12,13} = 11.50, not 11.00).
+
+    Shape: the bisection's branches depend only on two order statistics
+    (b = sorted[desiredLess], a = sorted[n-1-desiredGreater]), so the
+    loop becomes a PURE-ARITHMETIC fold over ``sequence(1, 70)`` (≥ the
+    64 halvings a 64-bit span can need) with the group's sorted values
+    supplying a and b. int columns use the Go truncating average
+    (executor.go:1484-1490 — DIV/% match Go exactly); decimal columns
+    run on 10^scale-scaled BIGINTs with the floor average (DivideDecimal
+    = big.Int Div, pql/decimal.go:150-161) and unscale at the end;
+    timestamp columns (reference: int BSI of epoch units) bisect on
+    epoch MICROS — the engine's timestamp resolution — as a documented
+    granularity choice. desiredLess/Greater replicate Go's
+    ``uint64(float64(n)*nth/100.0)`` with double math and
+    truncate-toward-zero casts.
+
+    Memory note: ``collect_list`` buffers each group's values exactly
+    like Spark's own percentile_disc buffer — same memory class as the
+    previous emitter. The 100-TB path for global percentiles is the PQL
+    door (pql.calls.reference_percentile: histogram narrowing, no
+    value materialization), mirroring the reference where SQL PERCENTILE
+    exists only as a PQL pushdown (expressionagg.go:909-911)."""
+    if kind == "decimal" and scale > 0:
+        c = f"CAST(({col}) * {10 ** scale} AS BIGINT)"
+    elif kind == "timestamp":
+        c = f"unix_micros({col})"
+    else:
+        c = f"CAST({col} AS BIGINT)"
+    nthd = f"CAST(({nth}) AS DOUBLE)"
+    cnt = f"count({col})"
+    dl = f"CAST((CAST({cnt} AS DOUBLE) * {nthd}) / 100.0D AS BIGINT)"
+    dg = f"CAST((CAST({cnt} AS DOUBLE) * (100.0D - {nthd})) / 100.0D AS BIGINT)"
+    vs = f"array_sort(collect_list({c}))"
+    # INTEGER (not INT) — the dialect CAST map rewrites INT to the
+    # reference's 64-bit INT; element_at requires a 32-bit index
+    b = f"element_at({vs}, CAST({dl} AS INTEGER) + 1)"
+    a = f"element_at({vs}, CAST({cnt} - {dg} AS INTEGER))"
+    if kind == "decimal":
+        # floor average on scaled values (big.Int Div semantics),
+        # overflow-safe via arithmetic shifts
+        mid = (
+            "(shiftright(s.lo, 1) + shiftright(s.hi, 1) "
+            "+ shiftright((s.lo & 1) + (s.hi & 1), 1))"
+        )
+    else:
+        mid = (
+            "((s.lo DIV 2) + (s.hi DIV 2) "
+            "+ (((s.lo % 2) + (s.hi % 2)) DIV 2))"
+        )
+    fold = (
+        f"aggregate(sequence(1, 70), "
+        f"named_struct('lo', min({c}), 'hi', max({c}), "
+        f"'val', min({c}), 'done', false), "
+        f"(s, i) -> IF(s.done OR s.lo >= s.hi, s, "
+        f"IF({mid} > {b}, "
+        f"named_struct('lo', s.lo, 'hi', {mid} - 1L, 'val', {mid}, "
+        f"'done', false), "
+        f"IF({mid} < {a}, "
+        f"named_struct('lo', {mid} + 1L, 'hi', s.hi, 'val', {mid}, "
+        f"'done', false), "
+        f"named_struct('lo', s.lo, 'hi', s.hi, 'val', {mid}, "
+        f"'done', true)))), "
+        f"s -> s.val)"
+    )
+    if kind == "decimal":
+        t = f"DECIMAL({prec},{scale})"
+        unscaled = (
+            f"CAST(CAST({fold} AS DECIMAL(38,0)) / {10 ** scale} AS {t})"
+            if scale > 0
+            else f"CAST({fold} AS {t})"
+        )
+    elif kind == "timestamp":
+        t, unscaled = "TIMESTAMP", f"timestamp_micros({fold})"
+    else:
+        t, unscaled = "BIGINT", fold
+    # branch order mirrors the reference: desiredGreater == 0 → max
+    # (also covers the both-zero case, executor.go:1443-1467);
+    # desiredLess == 0 (with dG != 0) → min; else bisect
+    return (
+        f"(CASE WHEN {cnt} = 0 THEN CAST(NULL AS {t}) "
+        f"WHEN {dg} = 0 THEN CAST(max({col}) AS {t}) "
+        f"WHEN {dl} = 0 THEN CAST(min({col}) AS {t}) "
+        f"ELSE {unscaled} END)"
+    )
+
+
+def _percentile_rewrite(spark: SparkSession, sql: str) -> str:
+    """Rewrite PERCENTILE(col, nth) to the reference-exact bisection fold
+    (:func:`_percentile_fold_sql`) when the column's dtype is knowable —
+    same conservative scope rule as :func:`_int_binop_rewrite`: one bare
+    FROM table, no JOIN (every reference-LEGAL percentile query has this
+    shape — sql3 rejects anything it cannot push down to one PQL call,
+    expressionagg.go:909-911). int / decimal / timestamp columns rewrite;
+    float/double columns (no reference BSI dtype exists) and unresolvable
+    scopes keep the nearest-rank percentile_disc EXTENSION emitter in
+    translate()."""
+    if "percentile" not in sql.lower():
+        return sql
+    toks = _tokenize(sql)
+    _check_count_args(toks)  # arg analysis must fire BEFORE the rewrite
+    # (else percentile(_id, 50) would silently rewrite — _id is a column)
+    sig_idx = [i for i, t in enumerate(toks) if not _is_ws(t)]
+    sig = [toks[i] for i in sig_idx]
+    types: dict[str, tuple[str, int, int]] = {}
+    froms = [n for n, t in enumerate(sig) if t.upper() == "FROM"]
+    if len(froms) == 1 and not any(t.upper() == "JOIN" for t in sig):
+        fi = froms[0]
+        if fi + 1 < len(sig) and _re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*", sig[fi + 1]
+        ) and (
+            fi + 2 >= len(sig)
+            or sig[fi + 2].upper()
+            in ("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", ";")
+        ):
+            try:
+                for f in spark.table(sig[fi + 1]).schema.fields:
+                    ss = f.dataType.simpleString()
+                    if ss in ("tinyint", "smallint", "int", "bigint"):
+                        types[f.name.lower()] = ("int", 0, 0)
+                    elif ss.startswith("decimal("):
+                        p, s = ss[8:-1].split(",")
+                        types[f.name.lower()] = ("decimal", int(p), int(s))
+                    elif ss == "timestamp":
+                        types[f.name.lower()] = ("timestamp", 0, 0)
+            except Exception:  # noqa: BLE001 — unknown table
+                pass
+    if not types:
+        return sql
+    out = list(toks)
+    n = len(sig)
+    for k in range(n - 1):
+        if sig[k].upper() != "PERCENTILE" or sig[k + 1] != "(":
+            continue
+        # walk the argument span in RAW token space
+        start = sig_idx[k]
+        j = sig_idx[k + 1] + 1
+        depth, args = 1, [[]]
+        while j < len(toks) and depth:
+            t = toks[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif t == "," and depth == 1:
+                args.append([])
+                j += 1
+                continue
+            args[-1].append(t)
+            j += 1
+        if depth or len(args) != 2:
+            continue
+        col = "".join(args[0]).strip()
+        nth = "".join(args[1]).strip()
+        info = types.get(col.lower())
+        if info is None or not _re.fullmatch(r"-?\d+(\.\d+)?", nth):
+            continue
+        if not 0 <= float(nth) <= 100.0:
+            # the executor's runtime range check (executor.go:1332-1335),
+            # raised at compile time since nth is a literal
+            raise ValueError(
+                f"Percentile(): invalid nth value ({float(nth):f}), "
+                f"should be a number between 0 and 100 inclusive"
+            )
+        kind, prec, scale = info
+        expr = _percentile_fold_sql(col, nth, kind, prec, scale)
+        out[start] = expr
+        for m in range(start + 1, j + 1):
+            out[m] = ""
+    return "".join(out)
+
+
 _HINT_RE = _re.compile(
     r"(?is)\bfrom\s+([A-Za-z_][\w]*)\s+with\s*\(\s*"
     r"([A-Za-z_]\w*)\s*\(([^()]*)\)\s*\)"
@@ -2266,6 +2448,7 @@ def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
     sql = _apply_query_hints(spark, sql)  # WITH (flatten(col)) hints
     _binop_type_guard(spark, sql)  # defs_binops.go type-rule parity
     sql = _int_binop_rewrite(spark, sql)  # int '/'+'%' truncation + /0
+    sql = _percentile_rewrite(spark, sql)  # executePercentile bisection
     if catalog is not None:
         # system tables are SELECT-able, not just SHOW-able
         # (opsystemtable.go registers them as ordinary planner tables)

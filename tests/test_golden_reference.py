@@ -2174,10 +2174,19 @@ def test_golden_fromparts_leap_year_ok(golden_tables):
 
 @pytest.fixture(scope="module")
 def percentile_tables(spark):
-    spark.createDataFrame(
-        [(1, 10, 10.0, "foo"), (2, 10, 10.0, "foo"), (3, 11, 11.0, "foo"),
-         (4, 12, 12.0, "foo"), (5, 12, 12.0, "foo"), (6, 13, 13.0, "foo")],
-        "_id long, i1 long, d1 double, s1 string",
+    # d1 is fldTypeDecimal2 in the reference fixture (defs_aggregate.go:
+    # 448-466) — modeling it as DECIMAL(10,2) is what exposes the
+    # bisection-midpoint semantics (11.50); f1 keeps a double column to
+    # pin the float EXTENSION path (no reference dtype)
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "(1L, 10L, CAST(10 AS DECIMAL(10,2)), 'foo', 10.0D), "
+        "(2L, 10L, CAST(10 AS DECIMAL(10,2)), 'foo', 10.0D), "
+        "(3L, 11L, CAST(11 AS DECIMAL(10,2)), 'foo', 11.0D), "
+        "(4L, 12L, CAST(12 AS DECIMAL(10,2)), 'foo', 12.0D), "
+        "(5L, 12L, CAST(12 AS DECIMAL(10,2)), 'foo', 12.0D), "
+        "(6L, 13L, CAST(13 AS DECIMAL(10,2)), 'foo', 13.0D) "
+        "AS t(_id, i1, d1, s1, f1)"
     ).createOrReplaceTempView("percentile_test_g")
     return spark
 
@@ -2231,23 +2240,35 @@ def test_golden_agg_arg_errors(percentile_tables, sql, msg):
 
 
 def test_golden_sql_percentile_values(percentile_tables):
-    """defs_aggregate.go:505-553 — PQL-semantics percentile through
-    the SQL door (nearest rank == percentile_disc at nth/100).
-    SUPERSET note: the reference rejects percentile with non-pushable
-    filters; here any WHERE composes."""
+    """defs_aggregate.go:505-553 — the reference's EXACT bisection
+    percentile through the SQL door. The decimal case is the r11 parity
+    fix: percentile(d1, 50) over {10,10,11,12,12,13} is pinned to
+    pql.NewDecimal(1150, 2) = 11.50 — the min/max bisection MIDPOINT, a
+    value absent from the data (executePercentile, executor.go:
+    1310-1603); percentile_disc would wrongly give 11.00. SUPERSET note:
+    the reference rejects percentile with non-pushable filters; here any
+    WHERE composes."""
+    import decimal
+
     spark = percentile_tables
     cases = [
         ("SELECT percentile(i1, 50) AS p FROM percentile_test_g", 11),
-        ("SELECT percentile(d1, 50) AS p FROM percentile_test_g", 11.0),
+        ("SELECT percentile(d1, 50) AS p FROM percentile_test_g",
+         decimal.Decimal("11.50")),
         ("SELECT percentile(i1, 50) AS p FROM percentile_test_g "
          "WHERE i1 < 13", 11),
+        # filtered decimal: {10,10,11,12,12}, n=5, dL=dG=2 → a=b=11 →
+        # bisection from [10,12]: mid=11 feasible → 11.00
         ("SELECT percentile(d1, 50) AS p FROM percentile_test_g "
-         "WHERE d1 < 13", 11.0),
+         "WHERE d1 < 13", decimal.Decimal("11.00")),
+        # float EXTENSION column keeps nearest-rank percentile_disc
+        ("SELECT percentile(f1, 50) AS p FROM percentile_test_g", 11.0),
         # value cases that must NOT be rejected by the arg analysis
         ("SELECT sum(1) AS p FROM percentile_test_g", 6),
         ("SELECT min(1) AS p FROM percentile_test_g", 1),
         ("SELECT sum(i1) AS p FROM percentile_test_g", 68),
-        ("SELECT sum(d1 + 5) AS p FROM percentile_test_g", 98.0),
+        ("SELECT sum(d1 + 5) AS p FROM percentile_test_g",
+         decimal.Decimal("98.00")),
     ]
     for q, want in cases:
         got = fb_sql(spark, q).first()[0]
