@@ -455,6 +455,16 @@ class Count(ReaderCall):
     child: RowCall
 
     def to_df(self, idx: Index) -> DataFrame:
+        if isinstance(self.child, Distinct):
+            # Count(Distinct(…)) counts the DISTINCT VALUES — the child
+            # is precomputed into a value row and Count takes its
+            # cardinality (handlePreCalls, executor.go:544-641;
+            # executor_test.go:8745-8755 pins Count(Distinct(
+            # field=likenums)) = 7 and = 5 over a signed BSI field,
+            # negatives included)
+            return self.child.to_df(idx).agg(
+                F.count(F.lit(1)).alias("count")
+            )
         if not isinstance(self.child, RowCall):
             # e.g. Count(Arrow(...)): reader calls are not row filters —
             # the reference's analyzer rejects non-bitmap children too

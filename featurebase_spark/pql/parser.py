@@ -298,8 +298,21 @@ def _build(name: str, pos: list, kw: dict):
     if name == "Count":
         return C.Count(pos[0])
     if name in ("Sum", "Min", "Max"):
+        # positional forms: Min(field) / Min(filter, field=f) — the
+        # reference resolves "_field" from a bare positional name
+        # (c.FirstStringArg("_field", "field"); corpus writes
+        # Min(unix_sec) bare, executor_test.go:8080-8110)
         cls = {"Sum": C.Sum, "Min": C.Min, "Max": C.Max}[name]
-        return cls(field=kw["field"], filter=pos[0] if pos else None)
+        field = kw.get("field")
+        filt = None
+        for p in pos:
+            if isinstance(p, str) and field is None:
+                field = p
+            elif isinstance(p, C.RowCall):
+                filt = p
+        if field is None:
+            raise ValueError(f"{name}(): field required")
+        return cls(field=field, filter=filt)
     if name in ("MinRow", "MaxRow"):
         cls = {"MinRow": C.MinRow, "MaxRow": C.MaxRow}[name]
         return cls(field=kw["field"], filter=pos[0] if pos else None)
@@ -427,6 +440,12 @@ def _normalize_groupby_aggregate(obj):
         return ("sum", obj.field)
     if isinstance(obj, C.Count):
         if isinstance(obj.child, C.Distinct):
+            if obj.child.filter is not None:
+                # Count(Distinct(Row(…), field=f)) — the inner filter
+                # restricts the DISTINCT side only (executor.go:
+                # 3370-3386; executor_test.go pins pilosa,1,0 under
+                # aggregate=Count(Distinct(Row(affinity>-7), zip_code)))
+                return ("count_distinct", obj.child.field, obj.child.filter)
             return ("count_distinct", obj.child.field)
         return None  # plain count is the default
     return obj
