@@ -74,33 +74,70 @@ class Index:
         return df.select(F.col(self.id_col).alias("_id"))
 
 
+_TRUNC_UNITS = {"Y": "year", "M": "month", "D": "day", "H": "hour"}
+
+
 def _quantum_view_pred(idx: Index, field: str, from_, to):
     """ts-membership lambda for a quantum field's view cover — None when
-    the call has no time range (standard view: every bit matches).
-    Returns a function ts_col → BooleanColumn usable inside
-    ``F.exists``/``F.filter`` lambdas and on exploded structs."""
+    the call has no time range (standard view / union of all views:
+    every bit matches, TestExecutorTimeRange both subtests). Returns a
+    function ts_col → BooleanColumn usable inside ``F.exists``/
+    ``F.filter`` lambdas and on exploded structs.
+
+    Bounded ranges compile to the exact view-name cover (the literal
+    viewsByTimeRange walk, pql/timeviews.py) as date_trunc-IN-set
+    terms. OPEN-ENDED ranges (from-only / to-only, executor_test.go:
+    9886-9899) must not walk to the time horizon; for them the walk
+    from an aligned start is provably equivalent to a range predicate
+    on the finest-unit truncation — trunc(ts) >= trunc(from) for
+    from-only (the walk's steps from `from` truncate onto every
+    contiguous unit upward), trunc(ts) < to for to-only (the zero-time
+    start is unit-aligned, so the emitted views are exactly the units
+    below `to`). The same range form backstops a bounded range whose
+    cover would exceed 4096 views (a multi-millennium literal span) —
+    exact whenever `from` is aligned to the finest unit."""
     if from_ is None and to is None:
         return None
     from featurebase_spark.pql import timeviews as TV
-    from datetime import datetime
 
-    start = TV.parse_pql_time(from_) if from_ is not None else datetime(1, 1, 1)
-    end = (
-        TV.parse_pql_time(to) if to is not None else datetime(9999, 12, 31)
-    )
-    views = TV.views_by_time_range(start, end, idx.quantum_of(field))
-    units = {"Y": "year", "M": "month", "D": "day", "H": "hour"}
+    q = idx.quantum_of(field)
+    fin = _TRUNC_UNITS[TV.finest_unit(q)]
+    start = TV.parse_pql_time(from_) if from_ is not None else None
+    end = TV.parse_pql_time(to) if to is not None else None
+
+    views = None
+    if start is not None and end is not None:
+        views = TV.views_by_time_range(start, end, q)
+        if sum(len(v) for v in views.values()) > 4096:
+            views = None  # range-predicate backstop below
+
+    if views is not None:
+
+        def pred(ts):
+            if not views:
+                return F.lit(False)
+            terms = [
+                F.date_trunc(_TRUNC_UNITS[u], ts).isin(
+                    [F.lit(v) for v in vs]
+                )
+                for u, vs in views.items()
+            ]
+            out = terms[0]
+            for t in terms[1:]:
+                out = out | t
+            return out
+
+        return pred
 
     def pred(ts):
-        if not views:
-            return F.lit(False)
-        terms = [
-            F.date_trunc(units[u], ts).isin([F.lit(v) for v in vs])
-            for u, vs in views.items()
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out | t
+        out = F.lit(True)
+        if start is not None:
+            out = out & (
+                F.date_trunc(fin, ts)
+                >= F.lit(TV._view(TV.finest_unit(q), start))
+            )
+        if end is not None:
+            out = out & (F.date_trunc(fin, ts) < F.lit(end))
         return out
 
     return pred
@@ -214,7 +251,14 @@ class Row(RowCall):
             }[self.op]
         if self.from_ is not None or self.to is not None:
             if idx.time_col is None:
-                raise ValueError("from_/to require Index.time_col")
+                # executor.go / field.go: time options on a plain field
+                # (TestExecutorTimeRange "Field not a time field" —
+                # exact substring). The flat-table Index.time_col form
+                # is our EXTENSION for per-record event time.
+                raise ValueError(
+                    f"field {self.field} is not a time-field, 'from' "
+                    f"and 'to' are not valid options for this field type"
+                )
             t = F.col(idx.time_col)
             if self.from_ is not None:
                 pred = pred & (t >= F.lit(self.from_))
@@ -1234,17 +1278,44 @@ class Extract(ReaderCall):
     of the listed fields (executeExtract executor.go:4711-5119 — THE
     table-scan primitive; SQL SELECT compiles to Extract in the reference,
     oppqltablescan.go:235-280). Here: a projection over a pushed-down filter —
-    Catalyst prunes the scan to exactly ``ReadSchema: _id + fields``."""
+    Catalyst prunes the scan to exactly ``ReadSchema: _id + fields``.
+
+    A field may be given as a ``Rows`` call instead of a bare name; on a
+    time-quantum field its from=/to= restricts the extracted VALUE LIST
+    through the view cover — records stay in the output with an empty
+    list when none of their bits fall in the range (ExtractWithTime,
+    executor_test.go:9708-9820)."""
 
     filter: RowCall
-    fields: Sequence[str]
+    fields: Sequence
 
-    def __init__(self, filter: RowCall, *fields: str):
+    def __init__(self, filter: RowCall, *fields):
         self.filter = filter
         self.fields = fields
 
     def to_df(self, idx: Index) -> DataFrame:
-        return self.filter.filter_df(idx).select(idx.id_col, *self.fields)
+        cols = []
+        for f in self.fields:
+            rows_call = f if isinstance(f, Rows) else None
+            name = rows_call.field if rows_call is not None else f
+            if idx.is_quantum_field(name):
+                ent = F.col(name)
+                if rows_call is not None:
+                    tp = _quantum_view_pred(
+                        idx, name, rows_call.from_, rows_call.to
+                    )
+                    if tp is not None:
+                        ent = F.filter(ent, lambda x: tp(x["ts"]))
+                # the reference presents quantum values as a []string
+                # set — distinct values, not one entry per view bit
+                cols.append(
+                    F.array_distinct(
+                        F.transform(ent, lambda x: x["value"])
+                    ).alias(name)
+                )
+            else:
+                cols.append(F.col(name))
+        return self.filter.filter_df(idx).select(idx.id_col, *cols)
 
 
 @dataclass

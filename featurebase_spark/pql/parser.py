@@ -361,7 +361,11 @@ def _build(name: str, pos: list, kw: dict):
         )
     if name == "Extract":
         flt = pos[0]
-        fields = [p.field for p in pos[1:] if isinstance(p, C.Rows)]
+        # pass the Rows CALLS through, not just their field names — a
+        # Rows child may carry from=/to= which restricts the extracted
+        # value list of a time-quantum field (ExtractWithTime,
+        # executor_test.go:9708-9820)
+        fields = [p for p in pos[1:] if isinstance(p, C.Rows)]
         return C.Extract(flt, *fields)
     if name == "Sort":
         return C.Sort(

@@ -343,6 +343,49 @@ def pql_percentile(spark, sf_dir):
 
 
 @register(
+    "pql_quantum_groupby",
+    # the YMD view cover of [2024-01-08T15:30, 2024-01-12) is days
+    # Jan 8..11 — the sub-day 'from' truncates INTO the Jan 8 day view
+    # (viewsByTimeRange, time.go:158-228), so the oracle's range starts
+    # at midnight Jan 8, NOT 15:30 (pinned by tests/test_various_queries
+    # and the cover-drift guard in tests/test_timeviews_cover.py)
+    "SELECT event_type AS etypes, COUNT(DISTINCT user_id) AS count "
+    "FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-12 00:00:00' "
+    "AND event_type IS NOT NULL AND user_id IS NOT NULL "
+    "GROUP BY event_type",
+)
+def pql_quantum_groupby(spark, sf_dir):
+    """GroupBy over a TIME-QUANTUM set field (r11): every bit carries
+    its own timestamp (OptFieldTypeTime; array<struct<value,ts>> here),
+    and from=/to= compile through the literal viewsByTimeRange
+    transcription (pql/timeviews.py) into date_trunc IN (view set)
+    predicates — the reference's own answering architecture. A record
+    holding the same value in several covered views counts ONCE (union
+    of the value's view bitmaps). The quantum column is built from
+    events at query time (the reference populates it at ingest); that
+    construction is one groupBy exchange, and the operator itself adds
+    only the dedup+count aggregation — no per-row Python."""
+    from featurebase_spark.pql.parser import execute
+
+    ev = _tables(spark, sf_dir)["events"].where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    q = ev.groupBy(F.col("user_id").alias("_id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("event_type").alias("value"), F.col("ts").alias("ts")
+            )
+        ).alias("etypes")
+    )
+    idx = Index(q, quantums={"etypes": "YMD"})
+    return execute(
+        idx, "GroupBy(Rows(etypes, from='2024-01-08T15:30', to='2024-01-12'))"
+    )
+
+
+@register(
     "pql_topk",
     "SELECT event_type, COUNT(*) AS count FROM events WHERE event_type IS NOT NULL "
     "GROUP BY event_type ORDER BY count DESC, event_type ASC LIMIT 3",
@@ -6877,8 +6920,16 @@ _GATE_PRIORITY = [
     # text shapes, and statement/source lifecycles that are
     # pytest-covered.
     # Born in r11 (never gated, highest risk first): the end-to-end
-    # dedup pipeline composition and the two window-function families
+    # dedup pipeline composition, the two window-function families,
+    # the quantum time-field GroupBy, and the percentile whose
+    # SEMANTICS changed this round (bisection parity fix — a key whose
+    # meaning changed re-enters the gate like a newborn). Demoted to
+    # make room: sample_split_text_door and hll_text_door (r10
+    # driver-green; their base operators sample_hash_split and the HLL
+    # family have multi-round driver history).
     "dedup_pipeline_end2end",
+    "pql_quantum_groupby",
+    "pql_percentile_search",
     "sql_window_rank_family",
     "sql_window_value_picks",
     # The last never-driver-tested population (r10 verdict ask #1)
@@ -6936,10 +6987,8 @@ _GATE_PRIORITY = [
     "like_search_text_door",
     "like_pattern_text_door",
     "keyword_search_text_door",
-    "sample_split_text_door",
     "winnow_text_door",
     "cms_text_door",
-    "hll_text_door",
     "fuzzy_join_text_door",
 ]
 

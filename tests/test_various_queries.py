@@ -547,6 +547,130 @@ def test_extract_and_count_all_extremes(ts_extremes):
     }
 
 
+# ---- TestExecutorTimeRange (executor_test.go:9823-9940) ------------------
+
+
+@pytest.fixture(scope="module")
+def trange(spark):
+    # Set(2, f=1, 1999-12-31T00:00) … Set(7, f=1, 2010-01-01T00:00):
+    # an INT-valued YMDH quantum field
+    rows = [
+        (2, [(1, datetime(1999, 12, 31))]),
+        (3, [(2, datetime(2000, 1, 1))]),
+        (4, [(3, datetime(2000, 1, 2))]),
+        (5, [(1, datetime(2001, 1, 1))]),
+        (6, [(1, datetime(2006, 1, 1))]),
+        (7, [(1, datetime(2010, 1, 1))]),
+    ]
+    df = spark.createDataFrame(
+        rows, "_id long, f array<struct<value:bigint,ts:timestamp>>"
+    )
+    return Index(df, quantums={"f": "YMDH"})
+
+
+def test_time_range_on_non_time_field_errors(spark):
+    idx = Index(spark.createDataFrame([(1, 1), (2, 1)], "_id long, f long"))
+    for q in (
+        "Row(f=1, from=1999-12-31T00:00, to=2002-01-01T03:00)",
+        "Row(f=1, from=1999-12-31T00:00)",
+        "Row(f=1, to=2002-01-01T02:00)",
+    ):
+        with pytest.raises(
+            ValueError,
+            match=r"not a time-field, 'from' and 'to' are not valid "
+            r"options for this field type",
+        ):
+            execute(idx, q).collect()
+
+
+@pytest.mark.parametrize("q,expect", [
+    ("Row(f=1, from=1999-12-31T00:00, to=2002-01-01T03:00)", {2, 5}),
+    # from-only: union of views from `from` onward (open-ended ranges
+    # compile to a trunc >= predicate, not a walk to the horizon)
+    ("Row(f=1, from=1999-12-31T00:00)", {2, 5, 6, 7}),
+    ("Row(f=1, to=2002-01-01T02:00)", {2, 5}),
+    # no range: union of ALL views (same answer whether the standard
+    # view exists or not — both subtests pin it)
+    ("Row(f=1)", {2, 5, 6, 7}),
+])
+def test_time_range_view_unions(trange, q, expect):
+    assert col_set(execute(trange, q)) == expect
+
+
+# ---- single-shard GroupBy(BSI, count-distinct) (executor_test.go:9081) ----
+
+
+def test_single_shard_groupby_bsi_count_distinct(spark):
+    lost = [0, 1, 0, 2, 2, 0, 3, 3, 3, 0]
+    jitter = [17, 3, 42, 9, 17, 3, 42, 9, 17, 3]
+    idx = Index(spark.createDataFrame(
+        [(i + 1, lc, jm) for i, (lc, jm) in enumerate(zip(lost, jitter))],
+        "_id long, lostcount long, jittermax long",
+    ))
+    got = execute(
+        idx,
+        "GroupBy(Rows(lostcount),"
+        " aggregate=Count(Distinct(field=jittermax)))",
+    )
+    assert rows_set(got, "lostcount", "count", "aggregate") == {
+        (0, 4, 3), (1, 1, 1), (2, 2, 2), (3, 3, 3)
+    }
+
+
+# ---- Min/Max over a timestamp BSI field (executor_test.go:9607) -----------
+
+
+def test_min_max_timestamp_single_value(spark):
+    idx = Index(spark.createDataFrame(
+        [(10, datetime(2010, 1, 2, 12, 32))], "_id long, ts timestamp"
+    ))
+    assert execute(idx, "Min(ts)").first()["min"] == datetime(
+        2010, 1, 2, 12, 32
+    )
+    assert execute(idx, "Max(ts)").first()["max"] == datetime(
+        2010, 1, 2, 12, 32
+    )
+
+
+# ---- Extract over a quantum field with time (executor_test.go:9708) -------
+
+
+@pytest.fixture(scope="module")
+def segment_idx(spark):
+    rows = [
+        ("C1", [("R1", datetime(2022, 7, 1))]),
+        ("C2", [("R1", datetime(2022, 7, 3))]),
+    ]
+    df = spark.createDataFrame(
+        rows, "_id string, segment array<struct<value:string,ts:timestamp>>"
+    )
+    return Index(df, quantums={"segment": "D"})
+
+
+def extract_map(df, field):
+    return {r["_id"]: sorted(r[field]) for r in df.collect()}
+
+
+def test_extract_with_from_time(segment_idx):
+    got = execute(
+        segment_idx, "Extract(All(), Rows(segment,from=2022-07-03T00:00))"
+    )
+    # C1's only bit (Jul 1) is outside the range → EMPTY list, record kept
+    assert extract_map(got, "segment") == {"C1": [], "C2": ["R1"]}
+
+
+def test_extract_with_to_time(segment_idx):
+    got = execute(
+        segment_idx, "Extract(All(), Rows(segment,to=2022-07-02T00:00))"
+    )
+    assert extract_map(got, "segment") == {"C1": ["R1"], "C2": []}
+
+
+def test_extract_quantum_no_time_opt(segment_idx):
+    got = execute(segment_idx, "Extract(All(), Rows(segment))")
+    assert extract_map(got, "segment") == {"C1": ["R1"], "C2": ["R1"]}
+
+
 # ---- int-field extract (variousQueriesOnIntFields) ------------------------
 
 
