@@ -118,23 +118,28 @@ BENCH_QUERIES = [
     "stream_stream_join",
     "multimodal_frame_sample",
     "sql_window_running_total",
+    # r11: the composed dedup pipeline (winnow → closure → election →
+    # filter in one SQL text), the quantum time-field GroupBy, the
+    # RANK-family window door, and the bisection percentile (rotated
+    # back in with CHANGED semantics — executePercentile parity)
+    "dedup_pipeline_end2end",
+    "pql_quantum_groupby",
+    "sql_window_rank_family",
+    "pql_percentile_search",
 ]
 
 #: queries added (or rotated back in) this round — excluded from
-#: regression flags: the four r10-new keys have no baseline and the
-#: seven rotated-back keys' last baseline is two rounds stale
+#: regression flags: new keys have no baseline; rotated-back keys'
+#: last baseline is rounds stale (pql_percentile_search additionally
+#: changed SEMANTICS in r11 — bisection parity — so its r9 baseline
+#: measures a different computation)
 _NEW_IN_ROUND = {
-    "dedup_connected_components",
-    "stream_stream_join",
-    "multimodal_frame_sample",
-    "sql_window_running_total",
-    "text_token_count_bpeish",
-    "bitmap_index_count",
-    "bitmap_index_count_distributed",
-    "pql_foreign_distinct",
-    "sql_q5_local_supplier_volume",
-    "sql_q13_customer_distribution",
-    "sql_q18_large_orders",
+    "dedup_pipeline_end2end",
+    "pql_quantum_groupby",
+    "sql_window_rank_family",
+    "pql_percentile_search",
+    # (the r10-born and r10-rotated-back keys now carry BENCH_r10
+    # baselines and re-enter the regression-flag population)
 }
 
 

@@ -93,9 +93,9 @@ def route_call(cat: B.BitmapCatalog, call, idx: Optional[C.Index] = None):
                 return _scan_fallback(call, idx)
         if isinstance(call, C.Sum):
             return cat.bsi_sum(call.field, filt)
-        if isinstance(call, C.Min):
-            return cat.bsi_min(call.field, filt)
-        return cat.bsi_max(call.field, filt)
+        if isinstance(call, C.Max):  # BEFORE Min — Max subclasses Min
+            return cat.bsi_max(call.field, filt)
+        return cat.bsi_min(call.field, filt)
     if isinstance(call, C.TopN) and call.filter is None and call.field in cat._indexes:
         return cat.topk_values(call.field, call.n)  # TopK stores k as n
     if isinstance(call, C.Percentile) and call.field in cat._bsi:

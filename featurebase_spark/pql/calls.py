@@ -542,17 +542,50 @@ class Sum(_FieldAgg):
 
 
 class Min(_FieldAgg):
-    """executeMin executor.go:1225-1260."""
+    """executeMin executor.go:1225-1260 — ValCount result: the extreme
+    value AND the number of records holding it (TestExecutor_Execute_
+    MinMaxCountEqual pins Min(field=f)={Val:3, Count:4}; the timestamp
+    corpus renders 'value,count' rows). One aggregation pass: the count
+    conditions on equality with the running extreme."""
+
+    _AGG = "min"
 
     def to_df(self, idx: Index) -> DataFrame:
-        return _filtered(idx, self.filter).agg(F.min(self.field).alias("min"))
+        # same plan class as MinRow: partial (value, count) aggregation
+        # per partition, shuffle |distinct values|, TakeOrdered 1 — the
+        # reference's per-shard min + count merge (executor.go:6560-
+        # 6650). Empty/all-null input → a single NULL,0 row (the
+        # reference's zero ValCount renders as null).
+        df = _filtered(idx, self.filter)
+        vals = df.select(F.col(self.field).alias("__v__")).where(
+            F.col("__v__").isNotNull()
+        )
+        agged = vals.groupBy("__v__").agg(F.count(F.lit(1)).alias("count"))
+        order = (
+            F.col("__v__").asc() if self._AGG == "min"
+            else F.col("__v__").desc()
+        )
+        one = agged.orderBy(order).limit(1).select(
+            F.col("__v__").alias(self._AGG), "count"
+        )
+        spark = df.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        nullable = StructType(
+            [StructField(f.name, f.dataType, True) for f in one.schema.fields]
+        )
+        empty = spark.createDataFrame([(None, 0)], nullable)
+        # union-limit keeps the 1-row contract on empty input without a
+        # driver-side count: the real row (if any) sorts first
+        return one.unionByName(empty).orderBy(
+            F.col(self._AGG).isNull().asc()
+        ).limit(1)
 
 
-class Max(_FieldAgg):
-    """executeMax executor.go:1261-1309."""
+class Max(Min):
+    """executeMax executor.go:1261-1309 — ValCount like Min."""
 
-    def to_df(self, idx: Index) -> DataFrame:
-        return _filtered(idx, self.filter).agg(F.max(self.field).alias("max"))
+    _AGG = "max"
 
 
 class MinRow(_FieldAgg):
@@ -915,17 +948,37 @@ class TopN(ReaderCall):
     field: str
     n: Optional[int] = None
     filter: Optional[RowCall] = None
+    from_: object = None
+    to: object = None
 
     def to_df(self, idx: Index) -> DataFrame:
         df = _filtered(idx, self.filter)
         if idx.is_quantum_field(self.field):
-            df = df.select(
-                F.explode(
-                    F.transform(F.col(self.field), lambda x: x["value"])
-                ).alias(self.field)
+            # time-quantum field: from=/to= restrict bits through the
+            # view cover, and counts are per-RECORD (the reference
+            # unions the value's view bitmaps before counting —
+            # TopK_Time pins record 0 holding f=0 in TWO covered views
+            # as Count 1 contribution, executor_test.go:1811-1844)
+            tp = _quantum_view_pred(idx, self.field, self.from_, self.to)
+            ent = F.col(self.field)
+            if tp is not None:
+                ent = F.filter(ent, lambda x: tp(x["ts"]))
+            df = (
+                df.select(
+                    F.col(idx.id_col).alias("__rec"),
+                    F.explode(
+                        F.transform(ent, lambda x: x["value"])
+                    ).alias(self.field),
+                )
+                .dropDuplicates(["__rec", self.field])
             )
         elif idx.is_array_field(self.field):
             df = df.select(F.explode(self.field).alias(self.field))
+        elif self.from_ is not None or self.to is not None:
+            raise ValueError(
+                f"field {self.field} is not a time-field, 'from' "
+                f"and 'to' are not valid options for this field type"
+            )
         out = (
             df.where(F.col(self.field).isNotNull())
             .groupBy(self.field)
@@ -938,13 +991,15 @@ class TopN(ReaderCall):
 class TopK(TopN):
     """Exact top-k (executeTopK executor.go:2357-2487; per-shard count-BSI +
     PivotDescending bsi.go:18-64). Identical exact plan as TopN here;
-    k omitted → all values ranked (executor.go:2381-2390)."""
+    k omitted → all values ranked (executor.go:2381-2390); from=/to= on
+    a time-quantum field count within the view cover (executeTopK
+    filters views via field.viewsByTimeRange, executor.go:2403-2437)."""
 
     def __init__(
         self, field: str, k: Optional[int] = None,
-        filter: Optional[RowCall] = None,
+        filter: Optional[RowCall] = None, from_=None, to=None,
     ):
-        super().__init__(field=field, n=k, filter=filter)
+        super().__init__(field=field, n=k, filter=filter, from_=from_, to=to)
 
 
 @dataclass

@@ -327,10 +327,12 @@ def _build(name: str, pos: list, kw: dict):
         # n omitted → ALL values ranked (executor.go:2779-2804 UintArg
         # hasN; same contract as TopK's k, executor.go:2381-2390)
         return C.TopN(pos[0] if pos else kw.pop("_field", kw.pop("field", None)),
-                      n=kw.get("n"), filter=kw.get("filter"))
+                      n=kw.get("n"), filter=kw.get("filter"),
+                      from_=kw.get("from"), to=kw.get("to"))
     if name == "TopK":
         return C.TopK(pos[0] if pos else kw.pop("_field", kw.pop("field", None)),
-                      k=kw.get("k"), filter=kw.get("filter"))
+                      k=kw.get("k"), filter=kw.get("filter"),
+                      from_=kw.get("from"), to=kw.get("to"))
     if name == "Rows":
         field = pos[0] if pos else kw.pop("field")
         if isinstance(field, C.Row):  # Rows(field) parsed as bare name only
@@ -561,10 +563,24 @@ def _route_reader(cat, node, idx: C.Index) -> Optional[DataFrame]:
                     ("count", n, "BIGINT"),
                 ]
             )
-        if isinstance(node, C.Min):
-            return lit_frame([("min", cat.bsi_min(node.field, filt), "BIGINT")])
-        if isinstance(node, C.Max):
-            return lit_frame([("max", cat.bsi_max(node.field, filt), "BIGINT")])
+        if isinstance(node, (C.Min, C.Max)):
+            # ValCount shape: the extreme AND how many records hold it
+            # (executeMin/Max merge per-shard val+count) — count served
+            # from the same planes via an equality Cmp
+            is_max = isinstance(node, C.Max)  # Max subclasses Min
+            name = "max" if is_max else "min"
+            fn = cat.bsi_max if is_max else cat.bsi_min
+            val = fn(node.field, filt)
+            if val is None:
+                cnt = 0
+            else:
+                eq = Cmp(node.field, "==", int(val))
+                from featurebase_spark.plans.bitmap_index import And as BAnd2
+
+                cnt = cat.count(BAnd2(eq, filt) if filt is not None else eq)
+            return lit_frame(
+                [(name, val, "BIGINT"), ("count", cnt, "BIGINT")]
+            )
         return lit_frame(
             [
                 (

@@ -6366,6 +6366,11 @@ def stream_stream_join(spark, sf_dir):
     pairs: list = []
 
     def sink(batch, epoch_id):
+        # GATE-HARNESS collect, bounded: matched (user, purchase, view)
+        # id triples only — ≤ |purchases|·max-views-per-user-in-window
+        # (hundreds at sf0.1), never raw events; exists solely to hash
+        # against DuckDB's batch interval join. A production consumer
+        # writes the joined stream to a sink instead (r10 advisory #3).
         pairs.extend(
             (r["user_id"], r["purchase_id"], r["view_id"])
             for r in batch.collect()  # matched id pairs only

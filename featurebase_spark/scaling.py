@@ -78,6 +78,14 @@ SUBLINEAR_KEYS = [
     "dedup_pipeline_end2end",
     "sql_window_rank_family",
     "sql_window_value_picks",
+    # r11 part 2: the quantum-field GroupBy (one scan + one shuffle of
+    # (user, value-set) pairs; the view-cover predicate is a bounded
+    # IN-list, intermediates bounded by distinct (record, value)
+    # pairs) and the bisection percentile (one stats aggregate + ≤2
+    # histogram scans whose driver state is ≤2^16 pairs per level —
+    # job COUNT is O(1), each job a pushed-down column scan)
+    "pql_quantum_groupby",
+    "pql_percentile_search",
 ]
 
 #: per-key scale reasoning, embedded in the artifact so the growth

@@ -671,6 +671,105 @@ def test_extract_quantum_no_time_opt(segment_idx):
     assert extract_map(got, "segment") == {"C1": ["R1"], "C2": ["R1"]}
 
 
+# ---- TopK set/mutex/time (executor_test.go:1758-1844) ---------------------
+
+SW = 1 << 20  # shard straddle only; the value is irrelevant here
+
+
+def test_topk_set_field(spark):
+    # baseBits + (0,1): f=0 on {0, SW+2, 1}, f=10 on {2, SW, 2SW, SW+1},
+    # f=20 on {SW}
+    bits = {0: [0], 1: [0], 2: [10], SW: [10, 20], SW + 1: [10],
+            SW + 2: [0], 2 * SW: [10]}
+    idx = Index(spark.createDataFrame(
+        [(k, v) for k, v in bits.items()], "_id long, f array<bigint>"
+    ))
+    got = execute(idx, "TopK(f, k=2)").collect()
+    assert [(r["f"], r["count"]) for r in got] == [(10, 4), (0, 3)]
+
+
+def test_topk_mutex_field(spark):
+    # mutex = single-valued: record SW's later f=20 displaces its f=10
+    vals = {0: 0, SW + 2: 0, 2: 10, 2 * SW: 10, SW + 1: 10, SW: 20}
+    idx = Index(spark.createDataFrame(
+        [(k, v) for k, v in vals.items()], "_id long, fmutex long"
+    ))
+    got = execute(idx, "TopK(fmutex, k=2)").collect()
+    assert [(r["fmutex"], r["count"]) for r in got] == [(10, 3), (0, 2)]
+
+
+def test_topk_time_range_counts_records_not_bits(spark):
+    # record 0 holds f=0 in TWO covered day views (Jan 2 + Jan 3) but
+    # contributes ONE to the count — union of the value's view bitmaps
+    rows = [
+        (0, [(0, datetime(2016, 1, 2)), (1, datetime(2016, 1, 2)),
+             (0, datetime(2016, 1, 3))]),
+        (1, [(0, datetime(2016, 1, 10))]),
+        (100000000, [(2, datetime(2016, 2, 2))]),
+        (200000000, [(3, datetime(2015, 1, 2))]),
+    ]
+    idx = Index(
+        spark.createDataFrame(
+            rows, "_id long, f array<struct<value:bigint,ts:timestamp>>"
+        ),
+        quantums={"f": "YMD"},
+    )
+    got = execute(
+        idx, "TopK(f, k=3, from=2016-01-01T00:00, to=2016-01-11T00:00)"
+    ).collect()
+    assert [(r["f"], r["count"]) for r in got] == [(0, 2), (1, 1)]
+
+
+# ---- Min/Max ValCount shape (TestExecutor_Execute_MinMaxCountEqual) -------
+
+
+@pytest.fixture(scope="module")
+def minmax_idx(spark):
+    f = {0: 3, 1: 3, 2: 4, 3: 5, 4: 5, SW + 1: 3, SW + 2: 5, SW + 3: 5,
+         SW + 4: 5, SW + 5: 4, 2 * SW + 1: 3}
+    x = {0: 3, 1: 3}
+    dec = {0: "5.122", 1: "12.985", 2: "4.234", 3: "12.985"}
+    ids = sorted(set(f) | set(x) | set(dec))
+    import decimal as _d
+
+    rows = [
+        (i, f.get(i), x.get(i),
+         _d.Decimal(dec[i]) if i in dec else None)
+        for i in ids
+    ]
+    return Index(spark.createDataFrame(
+        rows, "_id long, f long, x long, dec decimal(20,3)"
+    ))
+
+
+def test_min_max_carry_the_equal_count(minmax_idx):
+    # ValCount: the extreme AND how many records hold it
+    r = execute(minmax_idx, "Min(field=f)").first()
+    assert (r["min"], r["count"]) == (3, 4)
+    r = execute(minmax_idx, "Min(Row(x=3), field=f)").first()
+    assert (r["min"], r["count"]) == (3, 2)
+    r = execute(minmax_idx, "Max(field=f)").first()
+    assert (r["max"], r["count"]) == (5, 5)
+
+
+def test_min_max_decimal_valcount(minmax_idx):
+    import decimal as _d
+
+    r = execute(minmax_idx, "Min(field=dec)").first()
+    assert (r["min"], r["count"]) == (_d.Decimal("4.234"), 1)
+    r = execute(minmax_idx, "Min(Row(x=3), field=dec)").first()
+    assert (r["min"], r["count"]) == (_d.Decimal("5.122"), 1)
+    r = execute(minmax_idx, "Max(field=dec)").first()
+    assert (r["max"], r["count"]) == (_d.Decimal("12.985"), 2)
+    r = execute(minmax_idx, "Max(Row(x=3), field=dec)").first()
+    assert (r["max"], r["count"]) == (_d.Decimal("12.985"), 1)
+
+
+def test_min_on_empty_filter_is_null_zero(minmax_idx):
+    r = execute(minmax_idx, "Min(Row(x=99), field=f)").first()
+    assert (r["min"], r["count"]) == (None, 0)
+
+
 # ---- int-field extract (variousQueriesOnIntFields) ------------------------
 
 
