@@ -1370,6 +1370,21 @@ class Extract(ReaderCall):
                 )
             else:
                 cols.append(F.col(name))
+        if isinstance(self.filter, Sort):
+            # Extract over Sort keeps the SORTED record order with
+            # limit/offset already applied (TestExecutor_Sort drives
+            # Extract(Sort(...), Rows(f)) and pins the ordered ids,
+            # executor_test.go:4333-4400). Join the page of ids back to
+            # the base table and re-impose the sort key — the page is
+            # small (it went through limit), so this is a broadcast.
+            s = self.filter
+            page = s.to_df(idx).select(idx.id_col)
+            key = F.desc(s.field) if s.desc else F.asc(s.field)
+            return (
+                idx.df.join(F.broadcast(page), on=idx.id_col, how="inner")
+                .orderBy(key, F.asc(idx.id_col))
+                .select(idx.id_col, *cols)
+            )
         return self.filter.filter_df(idx).select(idx.id_col, *cols)
 
 

@@ -770,6 +770,81 @@ def test_min_on_empty_filter_is_null_zero(minmax_idx):
     assert (r["min"], r["count"]) == (None, 0)
 
 
+# ---- Extract over Sort (TestExecutor_Sort, executor_test.go:4298) ---------
+
+
+@pytest.fixture(scope="module")
+def sort_idx(spark):
+    rows = [
+        (0, 1, True, "h"), (1, -1, False, "xyzzy"), (2, 2, False, "ra"),
+        (3, -2, True, "plugh"), (4, 3, False, "wl"), (5, 4, True, "ig"),
+    ]
+    return Index(spark.createDataFrame(
+        rows, "_id long, bsint long, bool boolean, keymutex string"
+    ))
+
+
+def test_extract_sort_limit_offset_preserves_order(sort_idx):
+    got = execute(
+        sort_idx,
+        "Extract(Sort(Row(bsint > 1), field = bsint, limit = 2,"
+        " offset = 1), Rows(bsint))",
+    ).collect()
+    assert [(r["_id"], r["bsint"]) for r in got] == [(4, 3), (5, 4)]
+
+
+def test_extract_sort_desc_bool(sort_idx):
+    got = execute(
+        sort_idx,
+        "Extract(Sort(Row(bsint < -1), field = bool, limit = 1,"
+        " sort-desc = true), Rows(bool))",
+    ).collect()
+    assert [(r["_id"], r["bool"]) for r in got] == [(3, True)]
+
+
+def test_extract_sort_string_key(sort_idx):
+    got = execute(
+        sort_idx,
+        "Extract(Sort(All(), field = keymutex, limit = 1), Rows(keymutex))",
+    ).collect()
+    assert [(r["_id"], r["keymutex"]) for r in got] == [(0, "h")]
+
+
+# ---- Limit composition (TestExecutor_Execute_Limit) -----------------------
+
+
+def test_limit_offset_matrix_and_nesting(spark):
+    cols = [0, 1, SW + 1]
+    idx = Index(spark.createDataFrame(
+        [(c, 1) for c in cols] + [(7, None)], "_id long, f long"
+    ).where("f IS NOT NULL"))
+    for limit in range(5):
+        for offset in range(5):
+            expect = cols[offset:][:limit]
+            got = [
+                r["_id"] for r in execute(
+                    idx, f"Limit(All(), limit={limit}, offset={offset})"
+                ).collect()
+            ]
+            assert sorted(got) == expect, (limit, offset)
+            # nested composition: outer limit over inner offset
+            got = [
+                r["_id"] for r in execute(
+                    idx,
+                    f"Limit(Limit(All(), offset={offset}), limit={limit})",
+                ).collect()
+            ]
+            assert sorted(got) == expect, ("nested", limit, offset)
+
+
+def test_extract_of_limit_without_fields(spark):
+    idx = Index(spark.createDataFrame(
+        [(0, 1), (1, 1), (SW + 1, 1)], "_id long, f long"
+    ))
+    got = execute(idx, "Extract(Limit(All(), limit=1))").collect()
+    assert [r["_id"] for r in got] == [0]
+
+
 # ---- int-field extract (variousQueriesOnIntFields) ------------------------
 
 
