@@ -69,7 +69,9 @@ BENCH_QUERIES = [
     "source_spool_consume",
     # r6: deterministic sampling/mixing, decontamination, exact-span
     # dedup, the streaming window oracle, and the widest TPC-H star (Q8)
-    "sample_hash_split",
+    # (r11 rotation: sample_hash_split OUT — multi-round-stable 0.2s,
+    # base op continuously gate-covered; the JSON line must stay under
+    # the driver's 2000-char tail with the four r11 keys in)
     "mix_temperature_sample",
     "decontaminate_ngram_overlap",
     "dedup_common_spans",
@@ -82,13 +84,16 @@ BENCH_QUERIES = [
     # decorrelations (Q9 star profit, Q21 double EXISTS self-join)
     "text_heavy_hitters",
     "sample_stratified_per_source",
-    "blocklist_filter_bloom",
+    # (r11 rotation: blocklist_filter_bloom OUT — stable 0.9x ratios
+    # since r7, controlled win in r10)
+
     "sql_q9_product_profit",
     "sql_q21_waiting_supplier",
-    # r8: mixing/overlap corpus planning, the as-of/funnel/retention
-    # behavioral tier (windowed point-in-time join, ordered funnel,
-    # cohort triangle), and the zero-shuffle LM-novelty quality signal
-    "mix_epoch_plan",
+    # r8: the as-of/funnel/retention behavioral tier (windowed
+    # point-in-time join, ordered funnel, cohort triangle), and the
+    # zero-shuffle LM-novelty quality signal
+    # (r11 rotation: mix_epoch_plan OUT — integer-exact plan assembly,
+    # stable since r8)
     "source_overlap_matrix",
     "events_asof_join",
     "events_funnel",
@@ -108,8 +113,8 @@ BENCH_QUERIES = [
     # r9: bucketed interval-overlap join + Count-Min point frequencies
     "events_overlap_pairs",
     "freq_cms_topk",
-    # r9: integer-PMI collocations + MAD outlier screen
-    "text_collocations_pmi",
+    # r9: MAD outlier screen (r11 rotation: text_collocations_pmi OUT —
+    # stable since r9, its PMI family still timed via text_novel_bigrams)
     "docs_mad_outliers",
     # r10: iterative component closure (pointer-jumping loop), the
     # stream-stream attribution join, frame-sampling decode, and the

@@ -683,7 +683,19 @@ def store_row(
     """PQL ``Store(child, field=value)`` (executeSetRow executor.go:
     6077-6193): overwrite the value's row-bitmap with ``bitmap_ids`` —
     records in the bitmap get the value, all others lose it.
-    ``bitmap_ids``: DataFrame with column ``_id``."""
+    ``bitmap_ids``: DataFrame with column ``_id``. Storing into a field
+    that does not exist CREATES it (executeSetRow resolves the
+    destination with CreateFieldIfNotExists, executor.go:6088-6100;
+    TestExecutor_Execute_SetRow 'Store(Row(f=10), nonexistent=20)'
+    succeeds and the new row reads back) — here a fresh set-typed
+    (array) column."""
+    if field not in table.columns:
+        vt = (
+            "boolean" if isinstance(value, bool)
+            else "bigint" if isinstance(value, int)
+            else "string"
+        )
+        table = table.withColumn(field, F.lit(None).cast(f"array<{vt}>"))
     is_array = dict(table.dtypes)[field].startswith("array")
     marked = table.join(
         F.broadcast(bitmap_ids.withColumnRenamed("_id", id_col).withColumn("__in__", F.lit(True))),

@@ -323,15 +323,22 @@ def _build(name: str, pos: list, kw: dict):
             raise ValueError("Percentile(): field required")
         return C.Percentile(field=kw["field"], nth=kw.get("nth"),
                             filter=pos[0] if pos else None)
-    if name == "TopN":
-        # n omitted → ALL values ranked (executor.go:2779-2804 UintArg
-        # hasN; same contract as TopK's k, executor.go:2381-2390)
-        return C.TopN(pos[0] if pos else kw.pop("_field", kw.pop("field", None)),
-                      n=kw.get("n"), filter=kw.get("filter"),
-                      from_=kw.get("from"), to=kw.get("to"))
-    if name == "TopK":
-        return C.TopK(pos[0] if pos else kw.pop("_field", kw.pop("field", None)),
-                      k=kw.get("k"), filter=kw.get("filter"),
+    if name in ("TopN", "TopK"):
+        # n/k omitted → ALL values ranked (executor.go:2779-2804 UintArg
+        # hasN; executor.go:2381-2390). The field may be positional or
+        # named; a positional RowCall is the src filter
+        # (TopN(f, Row(other=100), n=3) — TestExecutor_Execute_TopN_Src)
+        field = kw.pop("_field", kw.pop("field", None))
+        filt = kw.get("filter")
+        for p in pos:
+            if isinstance(p, C.RowCall) and filt is None:
+                filt = p
+            elif isinstance(p, str) and field is None:
+                field = p
+        if name == "TopN":
+            return C.TopN(field, n=kw.get("n"), filter=filt,
+                          from_=kw.get("from"), to=kw.get("to"))
+        return C.TopK(field, k=kw.get("k"), filter=filt,
                       from_=kw.get("from"), to=kw.get("to"))
     if name == "Rows":
         field = pos[0] if pos else kw.pop("field")

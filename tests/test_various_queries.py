@@ -770,6 +770,113 @@ def test_min_on_empty_filter_is_null_zero(minmax_idx):
     assert (r["min"], r["count"]) == (None, 0)
 
 
+# ---- TopN fill / src (executor_test.go:2087-2192) -------------------------
+
+
+def test_topn_fill_counts_across_shards(spark):
+    bits = {0: [0], 1: [0], 2: [0], SW: [0, 1], SW + 2: [1]}
+    idx = Index(spark.createDataFrame(
+        [(k, v) for k, v in bits.items()], "_id long, f array<bigint>"
+    ))
+    got = execute(idx, "TopN(f, n=1)").collect()
+    assert [(r["f"], r["count"]) for r in got] == [(0, 4)]
+
+
+def test_topn_fill_small(spark):
+    bits = {0: [0, 1], 1: [1], SW: [0, 2], SW + 1: [2],
+            2 * SW: [0, 3], 2 * SW + 1: [3], 3 * SW: [0, 4],
+            3 * SW + 1: [4], 4 * SW: [0]}
+    idx = Index(spark.createDataFrame(
+        [(k, v) for k, v in bits.items()], "_id long, f array<bigint>"
+    ))
+    got = execute(idx, "TopN(f, n=1)").collect()
+    assert [(r["f"], r["count"]) for r in got] == [(0, 5)]
+
+
+def test_topn_positional_src_row_filter(spark):
+    # TopN(f, Row(other=100), n=3): the positional Row is the source
+    # filter — counts are |Row(f=v) ∩ src|
+    rows = {
+        0: ([0], None), 1: ([0], None), SW: ([0, 10, 20], 100),
+        SW + 1: ([10, 20], 100), SW + 2: ([20], 100),
+    }
+    idx = Index(spark.createDataFrame(
+        [(k, f, o) for k, (f, o) in rows.items()],
+        "_id long, f array<bigint>, other long",
+    ))
+    got = execute(idx, "TopN(f, Row(other=100), n=3)").collect()
+    assert [(r["f"], r["count"]) for r in got] == [
+        (20, 3), (10, 2), (0, 1)
+    ]
+
+
+# ---- missing-key write/read sequence (TestMissingKeyRegression) -----------
+
+
+def test_missing_key_write_read_sequence(spark):
+    """Mirrors the keyed-field sequence at table level: reads of
+    never-written values are empty (not errors), a write in a multi-call
+    request is visible to later calls of the SAME request, Difference/
+    Not against a missing value behave as complement over existence, and
+    Store(Not(Row(f=v)), f=v) inverts a row in place. (The reference's
+    per-call true/false wire booleans are presentation; our write calls
+    return the transformed table — the observable table states below pin
+    the same semantics, including Clear of an unset bit changing
+    nothing.)"""
+    from featurebase_spark.pql.parser import execute as ex, execute_all
+
+    idx = Index(spark.createDataFrame(
+        [("a", ["example"])], "_id string, f array<string>"
+    ))
+    assert ex(idx, 'Row(f="garbage")').count() == 0
+    assert ex(idx, 'Count(Row(f="example"))').first()[0] == 1
+    assert col_set(ex(idx, 'Not(Row(f="garbage"))')) == {"a"}
+    assert col_set(ex(idx, 'Difference(All(), Row(f="garbage"))')) == {"a"}
+    # multi-call: the Set is visible to the Count in the same request
+    res = execute_all(idx, 'Set("b", f="boo")\nCount(Row(f="boo"))')
+    assert res[-1].first()[0] == 1
+    # Store(Not(Row(f="xyzzy")), f="xyzzy") inverts: nobody has xyzzy,
+    # so everybody gets it
+    t = ex(idx, 'Store(Not(Row(f="xyzzy")), f="xyzzy")')
+    assert col_set(ex(Index(t), 'Row(f="xyzzy")')) == {"a"}
+    # Clear of an unset bit changes nothing; of a set bit removes it
+    seq = execute_all(
+        idx, 'Clear("a", f="garbage")\nClear("a", f="example")'
+    )
+    final = Index(seq[-1])
+    assert ex(final, 'Row(f="example")').count() == 0
+
+
+# ---- Store edges (TestExecutor_Execute_SetRow) ----------------------------
+
+
+def test_store_into_nonexistent_field_creates_it(spark):
+    rows = {3: [10], SW - 1: [10], SW + 1: [10], 5: []}
+    idx = Index(spark.createDataFrame(
+        [(k, v) for k, v in rows.items()], "_id long, f array<bigint>"
+    ))
+    from featurebase_spark.pql.parser import execute as ex
+
+    t = ex(idx, "Store(Row(f=10), nonexistent=20)")
+    idx2 = Index(t)
+    got = sorted(
+        r["_id"] for r in ex(idx2, "Row(nonexistent=20)").collect()
+    )
+    assert got == [3, SW - 1, SW + 1]
+
+
+def test_store_empty_source_empties_destination(spark):
+    rows = {3: [10], SW - 1: [10], SW + 1: [10]}
+    idx = Index(spark.createDataFrame(
+        [(k, v) for k, v in rows.items()], "_id long, f array<bigint>"
+    ))
+    from featurebase_spark.pql.parser import execute as ex
+
+    # Row(f=9) matches nothing; storing it REPLACES row 10 with empty
+    t = ex(idx, "Store(Row(f=9), f=10)")
+    assert ex(Index(t), "Row(f=10)").count() == 0
+
+
 # ---- Extract over Sort (TestExecutor_Sort, executor_test.go:4298) ---------
 
 
