@@ -176,6 +176,14 @@ class _Parser:
                 self._mark(seen, field)
             lo_v = lo if op1 == "<=" else lo + _one(lo)
             hi_v = hi if op2 == "<=" else hi - _one(hi)
+            # an exclusive bound AT the int64 edge cannot be adjusted —
+            # the range is unsatisfiable and the reference returns an
+            # EMPTY row, not an error (Row_BSIGroupEdge BTWN_LT_LT:
+            # Row(INT_MAX < f < INT_MIN) and friends → {})
+            if isinstance(lo_v, int) and lo_v > (1 << 63) - 1:
+                lo_v, hi_v = 1, 0
+            if isinstance(hi_v, int) and hi_v < -(1 << 63):
+                lo_v, hi_v = 1, 0
             pos.append(C.Row(field, between=(lo_v, hi_v)))
             return
         # name-led: could be key=value, condition, or bare field

@@ -810,6 +810,21 @@ def test_topn_positional_src_row_filter(spark):
     ]
 
 
+# ---- BSI range edges (TestExecutor_Execute_Row_BSIGroupEdge) --------------
+
+
+def test_invalid_int64_edge_ranges_are_empty(spark):
+    idx = Index(spark.createDataFrame([(300, 10)], "_id long, f3 long"))
+    for q in (
+        "Row(9223372036854775807 < f3 < -9223372036854775808)",
+        "Row(9223372036854775807 < f3 < 1000)",
+        "Row(-1000 < f3 < -9223372036854775808)",
+    ):
+        assert execute(idx, q).count() == 0, q
+    # sane ranges still work around the same value
+    assert execute(idx, "Row(5 < f3 < 15)").count() == 1
+
+
 # ---- missing-key write/read sequence (TestMissingKeyRegression) -----------
 
 
