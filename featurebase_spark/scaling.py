@@ -33,7 +33,6 @@ SCALING_KEYS = [
     "bitmap_index_count",
     "bitmap_index_maintenance",
     "statement_insert_touched_buckets",
-    "pql_text_routed_serving",
     # r7 (VERDICT r6 ask #6): the spool consumer loop and the
     # Structured-Streaming windowed-count key both claim FIXED cost
     # (per-statement commit overhead / state-store + trigger constants,
@@ -53,6 +52,14 @@ SCALING_KEYS = [
 #: (the candidate-generation stages must not add a superlinear term).
 #: Honest class separation: claiming "flat" for a scan would be false.
 SUBLINEAR_KEYS = [
+    # r11 RECLASSIFICATION: routed serving moved from the flat class —
+    # its p95 now replays the reference's percentile BISECTION, whose
+    # ~2·log2(span) count probes each do popcount work proportional to
+    # the fragment/container count (the reference's executeCount has
+    # the same per-shard shape). Growth across 100× data is ~1.4×
+    # (decisively sublinear, no longer strictly flat); the other four
+    # routed calls in the key remain container-cached
+    "pql_text_routed_serving",
     "text_novel_bigrams",
     "fuzzy_name_pairs",
     "like_trigram_search",
@@ -94,7 +101,10 @@ NOTES = {
     "bitmap_index_count": "routed fragment serving; never rescans base",
     "bitmap_index_maintenance": "O(touched buckets) write + incremental index",
     "statement_insert_touched_buckets": "INSERT rewrites only touched buckets",
-    "pql_text_routed_serving": "text->route->serve from driver fragment tier",
+    "pql_text_routed_serving": (
+        "text->route->serve from fragments; bisection p95 popcounts "
+        "grow with container count (reference-identical cost shape)"
+    ),
     "source_spool_consume": "fixed per-commit consumer-loop cost",
     "stream_windowed_counts": "state-store + trigger constants dominate",
     "multimodal_frame_sample": (
