@@ -6658,6 +6658,50 @@ def sql_window_value_picks(spark, sf_dir):
     )
 
 
+@register(
+    "sql_window_dist_family",
+    # identical text: distribution window functions over a tie-rich
+    # order. Values are scaled to MICRO-UNITS and truncated: both
+    # engines compute the same IEEE double for (rank-1)/(n-1) and
+    # cume_dist's rows_le/n from the same integers, so the ×1e6 + trunc
+    # is deterministic on both sides (the same integer-exactness
+    # discipline as the cents casts above)
+    # FLOOR before the cast: DuckDB's double->BIGINT cast ROUNDS where
+    # Spark truncates; floor of a non-negative double equals Spark's
+    # truncating cast exactly
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_orderpriority) * 1000000) AS BIGINT) AS pr_micro, "
+    "CAST(FLOOR(CUME_DIST() OVER (PARTITION BY o_custkey "
+    "  ORDER BY o_orderpriority) * 1000000) AS BIGINT) AS cd_micro "
+    "FROM orders WHERE o_custkey % 100 = 7 "
+    "ORDER BY o_custkey, o_orderkey",
+)
+def sql_window_dist_family(spark, sf_dir):
+    """PERCENT_RANK / CUME_DIST through the dialect front door
+    (extension tier — the reference parses no OVER; these are the
+    quantile-bucketing consumers in pipeline sampling). Both share the
+    rank family's (o_custkey, o_orderpriority) spec, so Catalyst plans
+    ONE hash exchange and one sort; tie groups are real (5 priority
+    values), which is exactly where PERCENT_RANK (ties share the
+    (rank-1)/(n-1) of their first row) and CUME_DIST (ties share the
+    count of rows ≤ them) differ. Scaled-micro casts keep the oracle
+    hash integer-exact."""
+    from featurebase_spark.sql import fb_sql
+
+    _tables(spark, sf_dir)["orders"].createOrReplaceTempView("orders")
+    return fb_sql(
+        spark,
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(PERCENT_RANK() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_orderpriority) * 1000000 AS bigint) AS pr_micro, "
+        "CAST(CUME_DIST() OVER (PARTITION BY o_custkey "
+        "  ORDER BY o_orderpriority) * 1000000 AS bigint) AS cd_micro "
+        "FROM orders WHERE o_custkey % 100 = 7 "
+        "ORDER BY o_custkey, o_orderkey",
+    )
+
+
 def _register_search_doors():
     """SQL text-door twins of the search/behavioral additions
     (fb_like_search / fb_transitions TVFs) — same oracles as the

@@ -408,3 +408,15 @@ def test_rollup_single_expand_single_exchange(spark):
     assert p.count("Expand") == 1, p
     assert p.count("FileScan") == 1, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_window_dist_family_one_window_one_exchange(spark):
+    """sql_window_dist_family: PERCENT_RANK/CUME_DIST share one
+    (partition, order) spec → ONE Window node over ONE hash exchange;
+    the custkey filter evaluates at the scan."""
+    from featurebase_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["sql_window_dist_family"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("+- Window ") == 1, p
