@@ -6956,6 +6956,15 @@ _register_search_doors()
 # callable and oracle; only dict insertion order changes.
 
 _GATE_PRIORITY = [
+    # ── r12 rotation (r11 verdict ask #1): `sql_window_dist_family`
+    # (PERCENT_RANK/CUME_DIST, born after the r11 rotation) was the
+    # ONLY key of 209 with no driver-gate history — it rotates IN per
+    # the standing one-round policy. Demoted to backfill:
+    # `winnow_text_door` (driver-green r10 AND r11; its base operator
+    # dedup_winnowing_pairs has driver history since r9 and the door
+    # shares that oracle). Any key born in r12 is appended below in
+    # the same rotation.
+    "sql_window_dist_family",
     # ── r11 rotation — closes the trust gap to ZERO: the last 9 keys
     # that have never faced the driver's strict hash (the two r10 SQL
     # analytics keys + 7 TVF text doors) rotate IN, alongside the 3
@@ -7036,7 +7045,6 @@ _GATE_PRIORITY = [
     "like_search_text_door",
     "like_pattern_text_door",
     "keyword_search_text_door",
-    "winnow_text_door",
     "cms_text_door",
     "fuzzy_join_text_door",
 ]
