@@ -70,6 +70,9 @@ class Catalog:
         self._text_indexes: dict[str, dict[str, object]] = {}
         #: table -> KeyTranslator for string-keyed tables (translate.go)
         self._translators: dict[str, object] = {}
+        #: table -> creation time, served by SHOW TABLES/COLUMNS
+        #: (fb_tables wire schema, sql_complex_test.go:242-268)
+        self._created_at: dict[str, object] = {}
 
     @staticmethod
     def _view(name: str) -> str:
@@ -106,6 +109,11 @@ class Catalog:
                 )
         self._empty_frame(td).createOrReplaceTempView(self._view(td.name))
         self._defs[td.name] = td
+        from datetime import datetime, timezone
+
+        self._created_at[td.name] = datetime.now(timezone.utc).replace(
+            tzinfo=None
+        )
 
     def _empty_frame(self, td: TableDef) -> DataFrame:
         """0-row frame as a LocalRelation (WHERE FALSE folds to empty) —
@@ -738,10 +746,17 @@ class Catalog:
                     parts.append(f"ttl '{f.ttl}'")
             if f.cache_type:
                 parts.append(f"cachetype {f.cache_type}")
+                # SIZE is echoed when it was declared
+                # (sql_complex_test.go:327-363 ShowCreateTableCacheTypes:
+                # "speciesid id cachetype ranked size 1000")
+                if f.cache_size:
+                    parts.append(f"size {f.cache_size}")
             if f.foreign_index:
                 parts.append(f"references {f.foreign_index} (_id)")
             cols.append(" ".join(parts))
-        return f"create table {name} ({', '.join(cols)})"
+        # the reference terminates the reconstructed DDL with ';'
+        # (sql_complex_test.go:305-326)
+        return f"create table {name} ({', '.join(cols)});"
 
     # -- CREATE VIEW (compilecreateview.go:14-60 — stores SQL text,
     #    re-compiled on use; Spark temp views do exactly this)
@@ -782,6 +797,89 @@ class Catalog:
             for f in td.fields
         ]
         return self.spark.createDataFrame(rows)
+
+    # -- SHOW wire shapes (the reference's WireQueryField schemas,
+    #    sql_complex_test.go:242-431; the raw fb_* system tables above
+    #    keep their richer planner-facing shapes)
+
+    _SHOW_TABLES_SCHEMA = (
+        "_id STRING, name STRING, owner STRING, updated_by STRING, "
+        "created_at TIMESTAMP, updated_at TIMESTAMP, keys BOOLEAN, "
+        "space_used BIGINT, description STRING"
+    )
+    _SHOW_COLUMNS_SCHEMA = (
+        "_id STRING, name STRING, type STRING, created_at TIMESTAMP, "
+        "keys BOOLEAN, cache_type STRING, cache_size BIGINT, "
+        "scale BIGINT, min BIGINT, max BIGINT, timeunit STRING, "
+        "epoch BIGINT, timequantum STRING, ttl STRING"
+    )
+    _SHOW_DATABASES_SCHEMA = (
+        "_id STRING, name STRING, owner STRING, updated_by STRING, "
+        "created_at TIMESTAMP, updated_at TIMESTAMP, units BIGINT, "
+        "description STRING"
+    )
+
+    #: names served under SHOW TABLES WITH SYSTEM (opsystemtable.go
+    #: registers these as ordinary tables; the SELECT door shares them)
+    _SYSTEM_TABLE_NAMES = (
+        "fb_tables", "fb_views", "fb_databases", "fb_exec_requests",
+        "fb_performance_counters", "fb_database_info", "fb_cluster_info",
+        "fb_database_nodes", "fb_cluster_nodes",
+    )
+
+    def show_tables_wire(self, with_system: bool = False) -> DataFrame:
+        from datetime import datetime
+
+        epoch = datetime(1970, 1, 1)
+        rows = [
+            (n, n, "", "", self._created_at.get(n, epoch),
+             self._created_at.get(n, epoch), td.keys, 0, "")
+            for n, td in sorted(self._defs.items())
+        ]
+        if with_system:
+            rows += [
+                (n, n, "", "", epoch, epoch, False, 0, "")
+                for n in self._SYSTEM_TABLE_NAMES
+            ]
+        return self.spark.createDataFrame(rows, self._SHOW_TABLES_SCHEMA)
+
+    def show_columns_wire(self, table: str) -> DataFrame:
+        from datetime import datetime
+
+        td = self._defs[table]
+        created = self._created_at.get(table, datetime(1970, 1, 1))
+        rows = [
+            ("_id", "_id", "string" if td.keys else "id", created,
+             td.keys, "", 0, 0, 0, 0, "", 0, "", "")
+        ]
+        for f in td.fields:
+            tname = f.fb_type
+            if tname == "decimal":
+                tname = f"decimal({f.scale})"
+            rows.append((
+                f.name, f.name, tname, created, f.keys,
+                f.cache_type or "", f.cache_size or 0, f.scale,
+                int(f.min) if f.min is not None else 0,
+                int(f.max) if f.max is not None else 0,
+                f.time_unit or "", 0, f.time_quantum or "", f.ttl or "",
+            ))
+        return self.spark.createDataFrame(rows, self._SHOW_COLUMNS_SCHEMA)
+
+    def show_databases_wire(self) -> DataFrame:
+        """SHOW DATABASES in the reference wire shape. A fresh deployment
+        lists nothing (sql_complex_test.go:216-241 expects 0 rows on
+        on-prem); databases created through CREATE DATABASE appear."""
+        from datetime import datetime
+
+        epoch = datetime(1970, 1, 1)
+        rows = [
+            (db.name, db.name, "", "", epoch, epoch, 0, "")
+            for db in self.spark.catalog.listDatabases()
+            if db.name != "default"
+        ]
+        return self.spark.createDataFrame(
+            rows, self._SHOW_DATABASES_SCHEMA
+        )
 
     def fb_database_info(self) -> DataFrame:
         """``fb_database_info`` (alias ``fb_cluster_info`` —

@@ -34,10 +34,11 @@ class FieldDef:
     min: Optional[int] = None  # BSI declared range (field.go:173-191)
     max: Optional[int] = None
     time_quantum: Optional[str] = None  # Y|YM|YMD|YMDH (field.go:325-351)
-    ttl: Optional[str] = None  # e.g. '30d' — view expiry (field.go:329)
+    ttl: Optional[str] = None  # Go duration, e.g. '720h' (field.go:339)
     foreign_index: Optional[str] = None  # cross-table ref (field.go:133-141)
     time_unit: Optional[str] = None  # timestamp s/ms/us/ns (field.go:192-251)
     cache_type: Optional[str] = None  # ranked|lru TopN cache (field.go:31)
+    cache_size: Optional[int] = None  # cache SIZE n (field.go:96-101)
 
 
 def spark_type(f: FieldDef) -> DataType:

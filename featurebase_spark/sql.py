@@ -829,6 +829,7 @@ class _Rewriter:
         """
         out: list[str] = []
         top_limit: Optional[str] = None
+        saw_top_expr = False  # TOP or TOPN present (stmt.TopExpr)
         saw_explicit_limit = False
         in_from_list = False  # inside FROM's table list (through JOIN/ON)
         while self.i < len(self.toks):
@@ -880,7 +881,19 @@ class _Rewriter:
                     n_args = self.args_until(")")
                     if len(n_args) != 1:
                         raise ValueError("TOP(n) takes one argument")
-                    top_limit = n_args[0]
+                    # analyzer parity (compileselect.go:672-681): the
+                    # top expression must be an INTEGER literal
+                    if not _re.fullmatch(r"\s*\d+\s*", n_args[0]):
+                        raise ValueError("integer literal expected")
+                    saw_top_expr = True
+                    # TOPN parses into stmt.TopN (parser.go:2389-2400)
+                    # but the planner only inserts PlanOpTop for
+                    # stmt.Top (compileselect.go:309-315) — TOPN is a
+                    # validated NO-OP: all rows come back
+                    # (sql_complex_test.go:2755 SelectTopNStar expects
+                    # 3 rows from `select topn(1) *`)
+                    if up == "TOP":
+                        top_limit = n_args[0]
                     # swallow one trailing space so SELECT TOP(5) x
                     # doesn't become SELECT  x
                     if self.i < len(self.toks) and _is_ws(self.toks[self.i]):
@@ -951,7 +964,15 @@ class _Rewriter:
             out.append(_emit_plain(tok))
             self.i += 1
         text = "".join(out)
-        if top_limit is not None and not saw_explicit_limit:
+        # analyzer parity (compileselect.go:668-670): TOP/TOPN and
+        # LIMIT in the same SELECT scope is a compile error — message
+        # reproduced verbatim, doubled "cannot" included
+        if saw_top_expr and saw_explicit_limit:
+            raise ValueError(
+                "TOP and LIMIT cannot cannot be used at the same time "
+                "(TOP will be deprecated in a future release)"
+            )
+        if top_limit is not None:
             text = text.rstrip()
             text += f" LIMIT {top_limit}"
         return text

@@ -209,8 +209,22 @@ _CONSTRAINT_KWS = {"MIN", "MAX", "TIMEUNIT", "TIMEQUANTUM", "CACHETYPE",
 def _parse_column_def(p: _P) -> dict:
     col = {"name": p.ident("column name")}
     col["type"], col["scale"] = _parse_type(p)
+    _parse_constraints(p, col)
+    return col
+
+
+def _parse_constraints(p: _P, col: dict) -> None:
+    """Parse the constraint tail of a column definition into ``col``.
+
+    Records the keyword ORDER in ``col['order']`` so the analyzer can
+    replay the reference's order-sensitive conflict checks
+    (compilecreatetable.go:316-460 tracks handledConstraints as it
+    walks the constraint list).
+    """
+    col.setdefault("order", [])
     while p.peek_up() in _CONSTRAINT_KWS:
         kw = p.take().upper()
+        col["order"].append(kw)
         if kw in ("MIN", "MAX"):
             kind, tok = p.literal()
             if kind != "num":
@@ -253,7 +267,67 @@ def _parse_column_def(p: _P) -> dict:
                     )
                 if not p.accept(")"):
                     raise StatementError("expected right paren")
-    return col
+
+
+#: valid time quantums (time.go:44-55) and timestamp units
+#: (field.go:2551-2558)
+_TQ_VALID = {"Y", "YM", "YMD", "YMDH", "M", "MD", "MDH", "D", "DH", "H"}
+_TU_VALID = {"s", "ms", "us", "µs", "ns"}
+#: Go time.ParseDuration shape: one or more <number><unit> groups
+_GO_DURATION = re.compile(r"[-+]?([0-9]+(\.[0-9]*)?(ns|us|µs|μs|ms|s|m|h))+")
+
+
+def _analyze_column(col: dict) -> None:
+    """Constraint applicability for one column definition, mirroring the
+    reference's analyzeColumn (compilecreatetable.go:316-460): each
+    constraint is checked against the column TYPE, CACHETYPE and
+    TIMEQUANTUM are mutually exclusive (order-sensitive — the one seen
+    SECOND raises), and time unit / quantum / ttl values are validated.
+    """
+    t = col["type"]
+    seen: set[str] = set()
+    for kw in col.get("order", ()):
+        if kw == "CACHETYPE":
+            if t not in ("string", "stringset", "id", "idset"):
+                raise StatementError(
+                    "'CACHETYPE' constraint cannot be applied to a "
+                    f"column of type '{t}'"
+                )
+            if "TIMEQUANTUM" in seen:
+                raise StatementError(
+                    "'CACHETYPE' constraint conflicts with 'TIMEQUANTUM'"
+                )
+        elif kw == "TIMEUNIT":
+            if t != "timestamp":
+                raise StatementError(
+                    "'TIMEUNIT' constraint cannot be applied to a "
+                    f"column of type '{t}'"
+                )
+            if col.get("timeunit") not in _TU_VALID:
+                raise StatementError(
+                    f"'{col.get('timeunit')}' is not a valid time unit"
+                )
+        elif kw == "TIMEQUANTUM":
+            if t not in ("stringsetq", "idsetq"):
+                raise StatementError(
+                    "'TIMEQUANTUM' constraint cannot be applied to a "
+                    f"column of type '{t}'"
+                )
+            if col.get("timequantum", "").upper() not in _TQ_VALID:
+                raise StatementError(
+                    f"'{col.get('timequantum')}' is not a valid time "
+                    "quantum"
+                )
+            ttl = col.get("ttl")
+            if ttl is not None and not _GO_DURATION.fullmatch(ttl):
+                raise StatementError(
+                    f"'{ttl}' is not a valid time duration"
+                )
+            if "CACHETYPE" in seen:
+                raise StatementError(
+                    "'CACHETYPE' constraint conflicts with 'TIMEQUANTUM'"
+                )
+        seen.add(kw)
 
 
 def _create_table(p: _P, spark: SparkSession, catalog) -> None:
@@ -292,6 +366,28 @@ def _create_table(p: _P, spark: SparkSession, catalog) -> None:
             if kind != "str":
                 raise StatementError("string literal expected")
 
+    # analyzeCreateTableStatement parity (compilecreatetable.go:243-313):
+    # case-insensitive duplicate detection, _id type/constraint rules,
+    # _id presence, per-column constraint applicability
+    seen_names: set[str] = set()
+    for col in cols:
+        lname = col["name"].lower()
+        if lname in seen_names:
+            raise StatementError(f"duplicate column '{lname}'")
+        seen_names.add(lname)
+        if lname == "_id":
+            if col["type"] not in ("id", "string"):
+                raise StatementError(
+                    "_id column must be specified with type ID or STRING"
+                )
+            if col.get("order"):
+                raise StatementError(
+                    "_id column must be specified with no constraints"
+                )
+        _analyze_column(col)
+    if "_id" not in seen_names:
+        raise StatementError("_id column must be specified")
+
     keyed = False
     fields = []
     for col in cols:
@@ -315,13 +411,16 @@ def _create_table(p: _P, spark: SparkSession, catalog) -> None:
                 ttl=col.get("ttl"),
                 time_unit=col.get("timeunit"),
                 cache_type=col.get("cachetype"),
+                cache_size=col.get("cachesize"),
                 foreign_index=col.get("references"),
             )
         )
-    if name in catalog._defs:
+    # tables and views share a namespace (sql_complex_test.go:758:
+    # "[0:0] table or view 'allcoltypes' already exists")
+    if name in catalog._defs or name in getattr(catalog, "_views", {}):
         if if_not_exists:
             return
-        raise StatementError(f"table '{name}' already exists")
+        raise StatementError(f"table or view '{name}' already exists")
     # foreign index must exist at field-create time (field.go:607-611,
     # applyForeignIndex field.go:715-722; ErrForeignIndexNotFound)
     for f in fields:
@@ -356,13 +455,37 @@ def _alter_table(p: _P, spark: SparkSession, catalog) -> None:
     col = p.ident("column name")
     existing = {f.name for f in catalog._defs[name].fields} | {"_id"}
     if action == "ADD":
+        # _id gets its own error BEFORE the duplicate check
+        # (sql_complex_test.go:934, NewErrTableIDColumnAlter)
+        if col == "_id":
+            raise StatementError(
+                "_id column cannot be added to an existing table"
+            )
         if col in existing:
             raise StatementError(f"duplicate column '{col}'")
-        t, scale = _parse_type(p)
+        # full column definition — constraints included — goes through
+        # the same analyzer as CREATE TABLE (the reference reuses
+        # analyzeColumn from compilealtertable)
+        cdef = {"name": col}
+        cdef["type"], cdef["scale"] = _parse_type(p)
+        _parse_constraints(p, cdef)
+        _analyze_column(cdef)
+        t = cdef["type"]
         catalog.alter_table_add_column(
             name,
-            FieldDef(col, t, keys=t in ("string", "stringset", "stringsetq"),
-                     scale=scale if scale is not None else 0),
+            FieldDef(
+                col, t,
+                keys=t in ("string", "stringset", "stringsetq"),
+                scale=cdef["scale"] if cdef["scale"] is not None else 0,
+                min=cdef.get("min"),
+                max=cdef.get("max"),
+                time_quantum=cdef.get("timequantum"),
+                ttl=cdef.get("ttl"),
+                time_unit=cdef.get("timeunit"),
+                cache_type=cdef.get("cachetype"),
+                cache_size=cdef.get("cachesize"),
+                foreign_index=cdef.get("references"),
+            ),
         )
     elif action == "DROP":
         if col not in existing or col == "_id":
@@ -1048,17 +1171,25 @@ def _copy(p: _P, spark: SparkSession, catalog) -> None:
 def _show(p: _P, spark: SparkSession, catalog) -> DataFrame:
     what = p.take().upper()
     if what == "TABLES":
-        return catalog.fb_tables()
+        # WITH SYSTEM is the only show option (parser parity:
+        # sql_complex_test.go:269-277 — "unknown show option 'SCOTCH'")
+        with_system = False
+        if p.accept("WITH"):
+            opt = p.take()
+            if opt.upper() != "SYSTEM":
+                raise StatementError(f"unknown show option '{opt}'")
+            with_system = True
+        return catalog.show_tables_wire(with_system)
     if what == "VIEWS":
         return catalog.fb_views()
     if what == "DATABASES":
-        return catalog.fb_databases()
+        return catalog.show_databases_wire()
     if what == "COLUMNS":
         p.expect("FROM")
         name = p.ident("table name")
         if name not in catalog._defs:
             raise StatementError(f"table '{name}' not found")
-        return catalog.fb_columns(name)
+        return catalog.show_columns_wire(name)
     if what == "INDEXES":
         table = None
         if p.accept("FROM"):

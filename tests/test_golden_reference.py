@@ -1434,7 +1434,9 @@ def test_golden_sql1_show(spark, sql1_cat):
     names = {r["name"] for r in
              fb_sql(spark, "show tables;", catalog=cat).collect()}
     assert {"grouper", "joiner", "delete_me"} <= names  # ComparePartial
-    cols = [(r["name"], r["fb_type"]) for r in
+    # r12: the SHOW COLUMNS door serves the reference wire shape
+    # (sql_complex_test.go:364-392) — the type column is 'type'
+    cols = [(r["name"], r["type"]) for r in
             fb_sql(spark, "show columns from grouper;", catalog=cat).collect()]
     assert [c for c in cols if c[0] != "_id"] == [
         ("age", "int"), ("color", "string"), ("height", "int"),

@@ -1,0 +1,569 @@
+"""Mirrors of the reference's sql3 planner battery
+(sql3/sql_complex_test.go, 3352 LoC) — the last reference test corpus
+that had not been walked subtest-by-subtest (r11 verdict ask #2).
+
+Fixture = the corpus' two-index cluster (sql_complex_test.go:1311-1348):
+index j with BSI ints a/b (rows 1-2: a=10/20, b=100/200) plus the
+literals fixture's decimal/timestamp/string columns (d=10.3 on row 1
+only, ts, str='foo' on row 1 only — sql_complex_test.go:1082-1118); and
+index k with parentid/x (rows 1-3 — :2451-2501).
+
+Divergences found by this walk and fixed in the same round:
+- TOPN(n) is parsed (parser.go:2389-2400) but the planner only plans
+  stmt.Top (compileselect.go:309-315) — TOPN is a validated NO-OP, all
+  rows return (SelectTopNStar :2755). We previously applied the limit.
+- TOP/TOPN + LIMIT in one scope is a compile error with the doubled
+  "cannot cannot" text (compileselect.go:668-670); we previously let
+  LIMIT silently win.
+- CREATE TABLE accepted duplicate columns, missing _id, _id with
+  constraints or a non-ID/STRING type, and constraints on inapplicable
+  column types (analyzeCreateTableStatement/analyzeColumn,
+  compilecreatetable.go:243-460). All now raise the reference texts.
+- ttl '30d' was accepted; Go time.ParseDuration has no 'd' unit so the
+  reference rejects it (compilecreatetable.go:398-407).
+- SHOW TABLES accepted any WITH option; the reference rejects all but
+  SYSTEM (:269-277). SHOW TABLES/COLUMNS/DATABASES now serve the wire
+  schemas (:242-431); SHOW CREATE TABLE echoes cachetype SIZE and the
+  trailing ';' (:305-363).
+- ALTER TABLE ADD _id said "duplicate column"; the reference has the
+  dedicated NewErrTableIDColumnAlter text (:918-937).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from featurebase_spark.sql import fb_sql
+from featurebase_spark.statements import (
+    StatementError,
+    default_catalog,
+    execute_statement,
+)
+
+
+@pytest.fixture(scope="module")
+def jk(spark):
+    """The corpus' j/k indexes as temp views."""
+    spark.createDataFrame(
+        [
+            (1, 10, 100, Decimal("10.30"), "foo"),
+            (2, 20, 200, None, None),
+        ],
+        "_id bigint, a bigint, b bigint, d decimal(20,2), str string",
+    ).createOrReplaceTempView("cj")
+    spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 200), (3, 2, 300)],
+        "_id bigint, parentid bigint, x bigint",
+    ).createOrReplaceTempView("ck")
+    spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, 30, 300)],
+        "_id bigint, a bigint, b bigint",
+    ).createOrReplaceTempView("ctop")
+    yield
+
+
+@pytest.fixture()
+def cat(spark):
+    c = default_catalog(spark)
+    yield c
+    for t in list(c._defs):
+        c.drop_table(t)
+    for v in list(c._views):
+        c.drop_view(v)
+
+
+def rows(spark, q):
+    return [tuple(r) for r in fb_sql(spark, q).collect()]
+
+
+# --- TestPlanner_ExpressionsInSelectListParen (:1000-1081) ----------------
+
+
+def test_paren_one(spark, jk):
+    assert rows(spark, "SELECT (a != b) = false, _id FROM cj") == [
+        (False, 1), (False, 2)]
+
+
+def test_paren_two(spark, jk):
+    assert rows(spark, "SELECT (a != b) = (false), _id FROM cj") == [
+        (False, 1), (False, 2)]
+
+
+# --- TestPlanner_ExpressionsInSelectListLiterals (:1082-1228) -------------
+
+
+def test_literals_bool(spark, jk):
+    assert rows(spark, "SELECT false = true, _id FROM cj") == [
+        (False, 1), (False, 2)]
+
+
+def test_literals_int(spark, jk):
+    assert rows(spark, "SELECT 1 + 2, _id FROM cj") == [(3, 1), (3, 2)]
+
+
+def test_literals_id(spark, jk):
+    assert rows(spark, "SELECT _id + 2, _id FROM cj") == [(3, 1), (4, 2)]
+
+
+def test_literals_decimal(spark, jk):
+    # 10.30 + 2.0 = 12.30 at scale 2; the un-set row propagates NULL
+    # (:1182-1206 expects pql.NewDecimal(1230, 2) then nil)
+    got = rows(spark, "SELECT d + 2.0 AS s, _id FROM cj")
+    assert got == [(Decimal("12.30"), 1), (None, 2)]
+
+
+def test_literals_string_concat(spark, jk):
+    # || concatenation with NULL propagation (:1207-1227)
+    assert rows(spark, "SELECT str || ' bar', _id FROM cj") == [
+        ("foo bar", 1), (None, 2)]
+
+
+# --- TestPlanner_ExpressionsInSelectListCase (:1229-1310) -----------------
+
+
+def test_case_with_base(spark, jk):
+    q = ("SELECT b, case b when 100 then 10 when 201 then 20 else 5 end, "
+         "_id FROM cj")
+    assert rows(spark, q) == [(100, 10, 1), (200, 5, 2)]
+
+
+def test_case_with_no_base(spark, jk):
+    q = ("SELECT b, case when b = 100 then 10 when b = 201 then 20 else 5 "
+         "end, _id FROM cj")
+    assert rows(spark, q) == [(100, 10, 1), (200, 5, 2)]
+
+
+# --- TestPlanner_Select (:1311-1510) --------------------------------------
+
+
+def test_unqualified_columns(spark, jk):
+    assert rows(spark, "SELECT a, b, _id FROM cj") == [
+        (10, 100, 1), (20, 200, 2)]
+
+
+def test_qualified_table_ref(spark, jk):
+    assert rows(spark, "SELECT bar.a, bar.b, bar._id FROM cj as bar") == [
+        (10, 100, 1), (20, 200, 2)]
+
+
+def test_aliased_unqualified_columns(spark, jk):
+    df = fb_sql(spark, "SELECT a as foo, b as bar, _id as baz FROM cj")
+    assert df.columns == ["foo", "bar", "baz"]
+    assert [tuple(r) for r in df.collect()] == [(10, 100, 1), (20, 200, 2)]
+
+
+def test_qualified_columns(spark, jk):
+    assert rows(spark, "SELECT cj._id, cj.a, cj.b FROM cj") == [
+        (1, 10, 100), (2, 20, 200)]
+
+
+def test_unqualified_star(spark, jk):
+    df = fb_sql(spark, "SELECT * FROM cj")
+    assert df.columns[:3] == ["_id", "a", "b"]
+
+
+def test_qualified_star(spark, jk):
+    df = fb_sql(spark, "SELECT cj.* FROM cj")
+    assert df.columns[:3] == ["_id", "a", "b"]
+    assert df.count() == 2
+
+
+def test_no_identifier(spark, jk):
+    assert rows(spark, "SELECT a, b FROM cj") == [(10, 100), (20, 200)]
+
+
+def test_err_field_not_found(spark, jk):
+    # :1503-1509 — `column 'xyz' not found`
+    with pytest.raises(Exception, match="xyz"):
+        fb_sql(spark, "SELECT xyz FROM cj").collect()
+
+
+def test_order_by_desc(spark, jk):
+    assert rows(spark, "SELECT a, b, _id FROM cj order by a desc") == [
+        (20, 200, 2), (10, 100, 1)]
+
+
+# --- TestPlanner_SelectSelectSource (:2378-2450) --------------------------
+
+
+def test_paren_source(spark, jk):
+    assert rows(spark, "SELECT a, b, _id FROM (select * from cj)") == [
+        (10, 100, 1), (20, 200, 2)]
+
+
+def test_paren_source_with_alias(spark, jk):
+    q = "SELECT foo.a, b, _id FROM (select * from cj) as foo"
+    assert rows(spark, q) == [(10, 100, 1), (20, 200, 2)]
+
+
+# --- TestPlanner_In (:2451-2583) — the live (non-skipped) semantics -------
+
+
+def test_in_subquery_count(spark, jk):
+    q = ("SELECT COUNT(*) AS count FROM cj where cj._id in "
+         "(select distinct parentid from ck)")
+    assert rows(spark, q) == [(2,)]
+
+
+def test_in_subquery_with_parent_condition(spark, jk):
+    q = ("SELECT COUNT(*) AS count FROM cj where cj._id in "
+         "(select distinct parentid from ck) and cj.a = 10")
+    assert rows(spark, q) == [(1,)]
+
+
+def test_in_subquery_with_child_condition(spark, jk):
+    q = ("SELECT COUNT(*) AS count FROM cj where cj._id in "
+         "(select distinct parentid from ck where x = 200) and cj.a = 10")
+    assert rows(spark, q) == [(1,)]
+
+
+# --- TestPlanner_Distinct (:2584-2701) ------------------------------------
+
+
+def test_select_distinct_id(spark, jk):
+    assert sorted(rows(spark, "SELECT distinct _id from ck")) == [
+        (1,), (2,), (3,)]
+
+
+def test_select_distinct_multiple(spark, jk):
+    assert sorted(rows(spark, "select distinct _id, parentid from ck")) == [
+        (1, 1), (2, 1), (3, 2)]
+
+
+# --- TestPlanner_SelectTop (:2702-2832) -----------------------------------
+
+
+def test_select_top_star(spark, jk):
+    got = rows(spark, "select top(1) * from ctop")
+    assert len(got) == 1
+
+
+def test_select_topn_star_is_noop(spark, jk):
+    # TOPN parses into stmt.TopN but the planner only plans stmt.Top
+    # (compileselect.go:309-315): ALL rows return (:2755-2782)
+    got = rows(spark, "select topn(1) * from ctop")
+    assert sorted(got) == [(1, 10, 100), (2, 20, 200), (3, 30, 300)]
+
+
+def test_top_limit_cannot_coexist(spark, jk):
+    # compileselect.go:668-670 — doubled "cannot" reproduced
+    with pytest.raises(ValueError, match="cannot cannot"):
+        fb_sql(spark, "select top(1) a from ctop limit 2")
+    with pytest.raises(ValueError, match="cannot cannot"):
+        fb_sql(spark, "select topn(1) a from ctop limit 2")
+
+
+def test_top_integer_literal_required(spark, jk):
+    # compileselect.go:672-681
+    with pytest.raises(ValueError, match="integer literal expected"):
+        fb_sql(spark, "select top('x') a from ctop")
+
+
+# --- TestPlanner_Show (:149-431) ------------------------------------------
+
+
+def test_show_tables_wire_schema(spark, cat):
+    execute_statement(spark, "create table show_m (_id id, v int)", cat)
+    df = execute_statement(spark, "SHOW TABLES", cat)
+    assert df.columns == [
+        "_id", "name", "owner", "updated_by", "created_at", "updated_at",
+        "keys", "space_used", "description"]
+    assert [r["name"] for r in df.collect()] == ["show_m"]
+
+
+def test_show_tables_with_bad_option(spark, cat):
+    with pytest.raises(StatementError,
+                       match="unknown show option 'SCOTCH'"):
+        execute_statement(spark, "SHOW TABLES WITH SCOTCH", cat)
+
+
+def test_show_tables_with_system(spark, cat):
+    execute_statement(spark, "create table show_s (_id id, v int)", cat)
+    names = {r["name"] for r in
+             execute_statement(spark, "SHOW TABLES WITH SYSTEM", cat)
+             .collect()}
+    assert "show_s" in names and "fb_tables" in names
+
+
+def test_show_create_table(spark, cat):
+    execute_statement(
+        spark,
+        "create table showddl (_id id, f int min 0 max 1000, "
+        "x int min 0 max 1000)",
+        cat,
+    )
+    got = execute_statement(spark, "SHOW CREATE TABLE showddl", cat)
+    assert got.columns == ["ddl"]
+    assert got.collect()[0][0] == (
+        "create table showddl (_id id, f int min 0 max 1000, "
+        "x int min 0 max 1000);"
+    )
+
+
+def test_show_create_table_cache_types(spark, cat):
+    # :327-363 — SIZE and quantum constraints echoed verbatim
+    execute_statement(
+        spark,
+        "create table iris1 (_id id, speciesid id cachetype ranked size "
+        "1000, species string cachetype ranked size 1000, speciesids "
+        "idset cachetype ranked size 1000, speciess stringset cachetype "
+        "ranked size 1000, speciesidsq idsetq timequantum 'YMD', "
+        "speciessq stringsetq timequantum 'YMD', specieslen decimal(4) "
+        "min 0 max 270) keypartitions 12",
+        cat,
+    )
+    got = execute_statement(spark, "SHOW CREATE TABLE iris1", cat)
+    assert got.collect()[0][0] == (
+        "create table iris1 (_id id, speciesid id cachetype ranked size "
+        "1000, species string cachetype ranked size 1000, speciesids "
+        "idset cachetype ranked size 1000, speciess stringset cachetype "
+        "ranked size 1000, speciesidsq idsetq timequantum 'YMD', "
+        "speciessq stringsetq timequantum 'YMD', specieslen decimal(4) "
+        "min 0 max 270);"
+    )
+
+
+def test_show_columns_wire_schema(spark, cat):
+    execute_statement(
+        spark, "create table showcols (_id id, f int min 0 max 1000, "
+        "x int min 0 max 1000)", cat)
+    df = execute_statement(spark, "SHOW COLUMNS FROM showcols", cat)
+    assert df.columns == [
+        "_id", "name", "type", "created_at", "keys", "cache_type",
+        "cache_size", "scale", "min", "max", "timeunit", "epoch",
+        "timequantum", "ttl"]
+    assert df.count() == 3  # _id + f + x (:364-392)
+
+
+def test_show_columns_not_a_table(spark, cat):
+    with pytest.raises(StatementError, match="table 'foo' not found"):
+        execute_statement(spark, "SHOW COLUMNS FROM foo", cat)
+
+
+def test_show_databases_wire(spark, cat):
+    df = execute_statement(spark, "SHOW DATABASES", cat)
+    assert df.columns == [
+        "_id", "name", "owner", "updated_by", "created_at", "updated_at",
+        "units", "description"]
+    # on-prem lists no databases (:216-241)
+    assert not any(r["name"] == "default" for r in df.collect())
+
+
+def test_system_tables_info(spark, cat):
+    df = fb_sql(
+        spark,
+        "select name, platform, platform_version, db_version, state, "
+        "node_count, replica_count from fb_database_info",
+        catalog=cat,
+    )
+    assert df.count() == 1  # :175-196
+
+
+# --- TestPlanner_CoverCreateTable / CreateTable (:432-861) ----------------
+
+
+def test_create_table_all_data_types(spark, cat):
+    execute_statement(
+        spark,
+        "create table allcoltypes (_id id, intcol int, boolcol bool, "
+        "timestampcol timestamp, decimalcol decimal(2), stringcol string, "
+        "stringsetcol stringset, idcol id, idsetcol idset) "
+        "keypartitions 12",
+        cat,
+    )
+    assert "allcoltypes" in cat._defs
+
+
+def test_create_table_again_errors(spark, cat):
+    execute_statement(spark, "create table dupe_t (_id id, v int)", cat)
+    with pytest.raises(StatementError,
+                       match="table or view 'dupe_t' already exists"):
+        execute_statement(spark, "create table dupe_t (_id id, v int)", cat)
+
+
+def test_create_table_all_constraints(spark, cat):
+    execute_statement(
+        spark,
+        "create table allcons (_id id, intcol int min 0 max 10000, "
+        "boolcol bool, timestampcol timestamp timeunit 'ms', "
+        "decimalcol decimal(2), stringcol string cachetype ranked size "
+        "1000, stringsetcol stringset cachetype lru size 1000, "
+        "stringsetcolq stringsetq timequantum 'YMD' ttl '24h', "
+        "idcol id cachetype ranked size 1000, idsetcol idset cachetype "
+        "lru, idsetcolsz idset cachetype lru size 1000, "
+        "idsetcolq idsetq timequantum 'YMD' ttl '24h') keypartitions 12",
+        cat,
+    )
+    fd = {f.name: f for f in cat._defs["allcons"].fields}
+    assert fd["stringcol"].cache_type == "ranked"
+    assert fd["stringcol"].cache_size == 1000
+    assert fd["idsetcolq"].time_quantum == "YMD"
+    assert fd["idsetcolq"].ttl == "24h"
+
+
+def test_create_table_timequantum_on_stringset(spark, cat):
+    # Invalid battery (:438-488) — both constraint orders raise the
+    # TIMEQUANTUM applicability error
+    for cons in (
+        "cachetype lru size 1000 timequantum 'YMD' ttl '24h'",
+        "timequantum 'YMD' ttl '24h' cachetype ranked",
+    ):
+        with pytest.raises(
+            StatementError,
+            match="'TIMEQUANTUM' constraint cannot be applied to a "
+                  "column of type 'stringset'",
+        ):
+            execute_statement(
+                spark,
+                f"create table tq_bad (_id id, s stringset {cons})",
+                cat,
+            )
+
+
+def test_create_table_epoch_not_supported(spark, cat):
+    # :459-464 — EPOCH is a parse error in the reference grammar
+    with pytest.raises(StatementError):
+        execute_statement(
+            spark,
+            "create table ep_bad (_id id, t timestamp timeunit 's' "
+            "epoch '2023-03-17T00:00:00Z')",
+            cat,
+        )
+
+
+def test_create_table_dupe_columns(spark, cat):
+    with pytest.raises(StatementError, match="duplicate column '_id'"):
+        execute_statement(
+            spark, "create table dupecols (_id id, _id int)", cat)
+
+
+def test_create_table_missing_id(spark, cat):
+    with pytest.raises(StatementError,
+                       match="_id column must be specified"):
+        execute_statement(spark, "create table missingid (foo int)", cat)
+
+
+def test_create_table_id_type_rule(spark, cat):
+    with pytest.raises(
+        StatementError,
+        match="_id column must be specified with type ID or STRING",
+    ):
+        execute_statement(
+            spark, "create table badid (_id int, foo int)", cat)
+
+
+def test_create_table_id_no_constraints(spark, cat):
+    with pytest.raises(
+        StatementError,
+        match="_id column must be specified with no constraints",
+    ):
+        execute_statement(
+            spark, "create table badidc (_id id min 0, foo int)", cat)
+
+
+def test_create_table_mixed_case_column(spark, cat):
+    execute_statement(
+        spark,
+        "create table lowercase (_id id, name string, SomeColumn string, "
+        "legalname string);",
+        cat,
+    )
+    assert "lowercase" in cat._defs
+
+
+def test_create_table_invalid_ttl(spark, cat):
+    # Go time.ParseDuration has no 'd' unit (compilecreatetable.go:398)
+    with pytest.raises(StatementError,
+                       match="'30d' is not a valid time duration"):
+        execute_statement(
+            spark,
+            "create table ttl_bad (_id id, s stringsetq timequantum "
+            "'YMD' ttl '30d')",
+            cat,
+        )
+
+
+def test_create_table_invalid_time_unit(spark, cat):
+    with pytest.raises(StatementError,
+                       match="'parsec' is not a valid time unit"):
+        execute_statement(
+            spark,
+            "create table tu_bad (_id id, t timestamp timeunit 'parsec')",
+            cat,
+        )
+
+
+def test_create_table_invalid_time_quantum(spark, cat):
+    with pytest.raises(StatementError,
+                       match="'XQ' is not a valid time quantum"):
+        execute_statement(
+            spark,
+            "create table q_bad (_id id, s stringsetq timequantum 'XQ')",
+            cat,
+        )
+
+
+# --- TestPlanner_AlterTable (:862-954) ------------------------------------
+
+
+def test_alter_table_cycle(spark, cat):
+    execute_statement(
+        spark, "create table alt_i (_id id, f int min 0 max 1000, "
+        "x int min 0 max 1000)", cat)
+    execute_statement(spark, "alter table alt_i drop column f", cat)
+    assert "f" not in {f.name for f in cat._defs["alt_i"].fields}
+    execute_statement(spark, "alter table alt_i add column f int", cat)
+    assert "f" in {f.name for f in cat._defs["alt_i"].fields}
+    with pytest.raises(StatementError, match="duplicate column 'f'"):
+        execute_statement(spark, "alter table alt_i add column f int", cat)
+    with pytest.raises(StatementError, match="unknown type 'date'"):
+        execute_statement(
+            spark, "alter table alt_i add column dt date", cat)
+    with pytest.raises(
+        StatementError,
+        match="_id column cannot be added to an existing table",
+    ):
+        execute_statement(
+            spark, "alter table alt_i add column _id int", cat)
+
+
+def test_alter_table_add_with_constraints(spark, cat):
+    # the reference reuses analyzeColumn for ALTER ADD — constraints are
+    # parsed and validated (compilealtertable)
+    execute_statement(spark, "create table alt_c (_id id, v int)", cat)
+    execute_statement(
+        spark,
+        "alter table alt_c add column s string cachetype ranked size 500",
+        cat,
+    )
+    fd = {f.name: f for f in cat._defs["alt_c"].fields}
+    assert fd["s"].cache_type == "ranked" and fd["s"].cache_size == 500
+    with pytest.raises(
+        StatementError,
+        match="'TIMEQUANTUM' constraint cannot be applied",
+    ):
+        execute_statement(
+            spark,
+            "alter table alt_c add column s2 stringset timequantum 'YMD'",
+            cat,
+        )
+
+
+# --- TestPlanner_DropThings (:955-999) ------------------------------------
+
+
+def test_drop_table_then_missing(spark, cat):
+    execute_statement(spark, "create table dropme (_id id, f int)", cat)
+    execute_statement(spark, "DROP TABLE dropme", cat)
+    with pytest.raises(StatementError, match="not found"):
+        execute_statement(spark, "DROP TABLE dropme", cat)
+
+
+def test_drop_view_cycle(spark, cat):
+    execute_statement(spark, "CREATE VIEW vw AS SELECT true", cat)
+    execute_statement(spark, "DROP VIEW vw", cat)
+    with pytest.raises(StatementError, match="not found"):
+        execute_statement(spark, "DROP VIEW vw", cat)
+    execute_statement(spark, "DROP VIEW IF EXISTS vw", cat)

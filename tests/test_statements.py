@@ -152,17 +152,29 @@ def test_create_table_comment_and_constraints_ok(spark, cat):
     fb_sql(
         spark,
         "create table bar (_id id, i1 int min 0 max 100, t timestamp timeunit 'ms', "
-        "tq stringsetq timequantum 'YMD' ttl '30d', s string cachetype ranked size 50000) "
+        "tq stringsetq timequantum 'YMD' ttl '720h', s string cachetype ranked size 50000) "
         "comment 'this should work'",
         catalog=cat,
     )
     fd = {f.name: f for f in cat._defs["bar"].fields}
     assert fd["t"].time_unit == "ms"
-    assert fd["tq"].time_quantum == "YMD" and fd["tq"].ttl == "30d"
-    assert fd["s"].cache_type == "ranked"
+    assert fd["tq"].time_quantum == "YMD" and fd["tq"].ttl == "720h"
+    assert fd["s"].cache_type == "ranked" and fd["s"].cache_size == 50000
     ddl = fb_sql(spark, "show create table bar", catalog=cat).first()["ddl"]
-    assert "timequantum 'YMD' ttl '30d'" in ddl and "_id id" in ddl
+    assert "timequantum 'YMD' ttl '720h'" in ddl and "_id id" in ddl
+    assert "cachetype ranked size 50000" in ddl
     cat.drop_table("bar")
+    # '30d' is NOT a valid Go duration — the reference's analyzer runs
+    # time.ParseDuration on the TTL (compilecreatetable.go:398-407), and
+    # Go has no 'd' unit; this earlier passed here, a divergence caught
+    # by the r12 sql_complex_test.go walk
+    with pytest.raises(StatementError, match="not a valid time duration"):
+        fb_sql(
+            spark,
+            "create table bar30 (_id id, tq stringsetq timequantum 'YMD' "
+            "ttl '30d')",
+            catalog=cat,
+        )
 
 
 def test_alter_table_error_surface(spark, cat):
@@ -258,8 +270,15 @@ def test_show_statements(spark, cat):
     assert [r["name"] for r in tables] == ["show_t"]
     cols = fb_sql(spark, "show columns from show_t", catalog=cat).collect()
     assert [r["name"] for r in cols] == ["_id", "v"]
-    dbs = fb_sql(spark, "show databases", catalog=cat).collect()
-    assert any(r["name"] == "default" for r in dbs)
+    # SHOW DATABASES serves the wire shape and lists only databases
+    # created through CREATE DATABASE — a fresh deployment shows none
+    # (sql_complex_test.go:216-241 expects 0 rows + the 8-col schema)
+    dbs_df = fb_sql(spark, "show databases", catalog=cat)
+    assert dbs_df.columns == [
+        "_id", "name", "owner", "updated_by", "created_at",
+        "updated_at", "units", "description",
+    ]
+    assert not any(r["name"] == "default" for r in dbs_df.collect())
     fb_sql(spark, "create view show_v as select _id from show_t", catalog=cat)
     views = fb_sql(spark, "show views", catalog=cat).collect()
     assert [r["name"] for r in views] == ["show_v"]
