@@ -36,7 +36,35 @@ code followed.
 
 from __future__ import annotations
 
+from typing import Union
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+
+def derive_bucket_width(
+    left: DataFrame, right: DataFrame, start_col: str, end_col: str
+) -> int:
+    """Auto-width: the median interval span across both inputs.
+
+    Width ≈ median span keeps the explode factor near 2 buckets/row
+    (a median-length interval covers 1-2 buckets) while holding
+    per-bucket density to the intervals genuinely alive in one
+    median-span window — the knee of the explode-vs-density tradeoff
+    described in the module docstring. One small approx-percentile
+    job at plan time; falls back to 1 (pure equi-join on start value)
+    when every span is zero or the input is empty.
+    """
+    spans = left.select(
+        (F.col(end_col) - F.col(start_col)).alias("__span")
+    ).unionAll(
+        right.select(
+            (F.col(end_col) - F.col(start_col)).alias("__span")
+        )
+    ).where(F.col("__span") >= 0)
+    med = spans.select(
+        F.percentile_approx("__span", 0.5, 10_000).alias("m")
+    ).first()["m"]
+    return max(1, int(med or 0))
 
 
 def interval_overlap_join(
@@ -44,9 +72,12 @@ def interval_overlap_join(
     right: DataFrame,
     start_col: str,
     end_col: str,
-    bucket_width: int,
+    bucket_width: Union[int, str],
     suffixes: tuple[str, str] = ("_a", "_b"),
     extra_pred=None,
+    skew: str = "none",
+    skew_threshold: int = 100_000,
+    salt_factor: int = 16,
 ) -> DataFrame:
     """All (left, right) row pairs whose CLOSED intervals
     [start, end] overlap: ``s_a <= e_b AND s_b <= e_a``.
@@ -61,8 +92,39 @@ def interval_overlap_join(
 
     Rows with NULL or inverted (end < start) intervals never match,
     mirroring how the as-of tier drops NULL timestamps.
+
+    ``bucket_width="auto"`` derives the width from the median span
+    (:func:`derive_bucket_width`) — one small job at plan time.
+
+    ``skew`` controls hot-bucket handling (a wall-clock window where
+    N intervals are simultaneously alive is N² candidate pairs in ONE
+    join task — the timeline analogue of a heavy-hitter key):
+
+    - ``"none"`` (default): plain bucket equi-join; AQE's skew-join
+      split still applies to the sort-merge path at runtime.
+    - ``"salt"``: two-phase split-left/replicate-right inside hot
+      buckets only. Phase 1 aggregates per-bucket LEFT counts (small:
+      one row per bucket) and broadcasts the buckets over
+      ``skew_threshold``. Phase 2 gives each hot-bucket left row ONE
+      deterministic salt in [0, salt_factor) and replicates each
+      hot-bucket right row to ALL salt_factor salts, joining on
+      (bucket, salt). Recall is exactly 100%: a candidate pair meets
+      precisely at the left row's single salt value (the right copy
+      with that salt always exists), and non-hot buckets ride salt 0
+      on both sides — the same pairs survive, spread over
+      ``salt_factor`` tasks instead of one. Total work is unchanged
+      (the N² candidates are real); replicated rows add
+      (salt_factor-1)× explode cost ONLY for rows in hot buckets.
+    - ``"error"``: refuse loudly with per-bucket density stats when
+      any bucket exceeds ``skew_threshold`` (the heavy-hitters
+      sentinel posture — for pipelines that would rather re-bucket
+      than absorb a density² stage).
     """
-    if bucket_width <= 0:
+    if skew not in ("none", "salt", "error"):
+        raise ValueError(f"skew must be none|salt|error: {skew}")
+    if bucket_width == "auto":
+        bucket_width = derive_bucket_width(left, right, start_col, end_col)
+    if int(bucket_width) <= 0:
         raise ValueError(f"bucket_width must be positive: {bucket_width}")
     la, lb = suffixes
     w = F.lit(int(bucket_width))
@@ -82,6 +144,61 @@ def interval_overlap_join(
     a, b = prep(left, la), prep(right, lb)
     sa, ea = F.col(f"{start_col}{la}"), F.col(f"{end_col}{la}")
     sb, eb = F.col(f"{start_col}{lb}"), F.col(f"{end_col}{lb}")
+    join_keys = ["__bkt"]
+    if skew == "error":
+        dens = (
+            a.groupBy("__bkt").count()
+            .where(F.col("count") > skew_threshold)
+            .orderBy(F.desc("count"))
+            .limit(5)
+            .collect()  # bounded: ≤5 rows of (bucket, count)
+        )
+        if dens:
+            stats = ", ".join(
+                f"bucket {r['__bkt']}: {r['count']} rows" for r in dens
+            )
+            raise ValueError(
+                "interval_overlap_join: hot buckets exceed "
+                f"skew_threshold={skew_threshold} ({stats}); widen "
+                "bucket_width, pre-filter the dense window, or use "
+                "skew='salt'"
+            )
+    elif skew == "salt":
+        k = int(salt_factor)
+        if k < 2:
+            raise ValueError(f"salt_factor must be >= 2: {salt_factor}")
+        # Phase 1: per-bucket row counts on EACH side (skew on either
+        # side makes the bucket's task N_a·N_b-heavy) — one row per
+        # bucket, aggregated map-side; the hot set (count>threshold)
+        # is tiny by construction and broadcast to both sides.
+        hot = (
+            a.groupBy("__bkt").count()
+            .unionAll(b.groupBy("__bkt").count())
+            .where(F.col("count") > skew_threshold)
+            .select("__bkt")
+            .distinct()
+            .withColumn("__hot", F.lit(True))
+        )
+        # Phase 2: split-left (one deterministic salt per row, hashed
+        # from the interval endpoints so re-runs agree) / replicate-
+        # right (all k salts) inside hot buckets; salt 0 elsewhere.
+        a = a.join(F.broadcast(hot), on="__bkt", how="left").withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.pmod(F.hash(sa, ea), F.lit(k)),
+            ).otherwise(F.lit(0)),
+        ).drop("__hot")
+        b = b.join(F.broadcast(hot), on="__bkt", how="left").withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("__hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        ).drop("__hot")
+        join_keys = ["__bkt", "__salt"]
     # keep each overlapping pair ONLY in the bucket of max(s_a, s_b):
     # overlap ⇒ max(s) <= min(e) ⇒ that bucket is covered by both sides,
     # so exactly one joined copy survives — no distinct pass needed
@@ -90,10 +207,10 @@ def interval_overlap_join(
         & (sb <= ea)
         & (F.col("__bkt") == F.floor(F.greatest(sa, sb) / w))
     )
-    out = a.join(b, on=["__bkt"], how="inner").where(cond)
+    out = a.join(b, on=join_keys, how="inner").where(cond)
     if extra_pred is not None:
         out = out.where(extra_pred)
-    return out.drop("__bkt")
+    return out.drop(*join_keys)
 
 
 def concurrent_session_pairs(
@@ -102,6 +219,8 @@ def concurrent_session_pairs(
     ts_col: str = "ts",
     gap_minutes: int = 30,
     bucket_width_us: int = 3_600_000_000,
+    skew: str = "none",
+    skew_threshold: int = 100_000,
 ) -> DataFrame:
     """Cross-user concurrent-session analysis: for every unordered pair
     of distinct users, how many of their sessions overlapped in wall
@@ -138,6 +257,8 @@ def concurrent_session_pairs(
         "e_us",
         bucket_width_us,
         extra_pred=F.col(f"{user_col}_a") < F.col(f"{user_col}_b"),
+        skew=skew,
+        skew_threshold=skew_threshold,
     )
     ov = F.least(F.col("e_us_a"), F.col("e_us_b")) - F.greatest(
         F.col("s_us_a"), F.col("s_us_b")

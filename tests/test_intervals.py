@@ -95,3 +95,82 @@ def test_plan_no_nested_loop(spark, tables):
     )
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+# --- r12 skew hardening (VERDICT r11 ask #3) -------------------------------
+
+
+def _skewed(spark):
+    """60 intervals alive in ONE bucket (density² hot spot) plus a
+    sparse tail — the timeline shape where a production burst bites."""
+    rows = [(i, 2, 8) for i in range(60)]          # all in bucket 0
+    rows += [(100 + i, 100 + 20 * i, 105 + 20 * i) for i in range(10)]
+    return _iv(spark, rows)
+
+
+def test_salt_mode_exact_same_pairs(spark):
+    """skew='salt' returns EXACTLY the unsalted pair set — 100% recall,
+    no duplicates — on a fixture whose hot bucket trips the threshold."""
+    df = _skewed(spark)
+    base = _pairs(df)
+    salted = interval_overlap_join(
+        df, df, "s_us", "e_us", W,
+        skew="salt", skew_threshold=50, salt_factor=4,
+    )
+    got = [
+        (r["id_a"], r["id_b"])
+        for r in salted.select("id_a", "id_b").collect()
+    ]
+    assert len(got) == len(set(got))  # no duplicate pair rows
+    assert set(got) == base
+    # the hot bucket really is hot: 60 > threshold=50
+    assert sum(1 for (a, b) in base if a < 60 and b < 60) == 60 * 60
+
+
+def test_salt_mode_cold_input_unchanged(spark):
+    """Below the threshold nothing is replicated and the pair set is
+    identical to the plain join."""
+    df = _iv(spark, [(1, 0, 5), (2, 3, 9), (3, 20, 25)])
+    plain = _pairs(df)
+    salted = interval_overlap_join(
+        df, df, "s_us", "e_us", W,
+        skew="salt", skew_threshold=50, salt_factor=4,
+    )
+    assert {
+        (r["id_a"], r["id_b"])
+        for r in salted.select("id_a", "id_b").collect()
+    } == plain
+
+
+def test_error_mode_sentinel(spark):
+    """skew='error' refuses with per-bucket density stats (the
+    heavy-hitters sentinel posture), and passes when under threshold."""
+    import pytest
+
+    df = _skewed(spark)
+    with pytest.raises(ValueError, match="hot buckets exceed"):
+        interval_overlap_join(
+            df, df, "s_us", "e_us", W, skew="error", skew_threshold=50
+        )
+    ok = interval_overlap_join(
+        df, df, "s_us", "e_us", W, skew="error", skew_threshold=10_000
+    )
+    assert {
+        (r["id_a"], r["id_b"])
+        for r in ok.select("id_a", "id_b").collect()
+    } == _pairs(df)
+
+
+def test_auto_bucket_width(spark):
+    """bucket_width='auto' derives the median span and produces the
+    same exact pair set."""
+    from featurebase_spark.operators.intervals import derive_bucket_width
+
+    df = _iv(spark, [(i, 10 * i, 10 * i + 6) for i in range(30)])
+    assert derive_bucket_width(df, df, "s_us", "e_us") == 6
+    auto = interval_overlap_join(df, df, "s_us", "e_us", "auto")
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in auto.select("id_a", "id_b").collect()
+    }
+    assert naive == _pairs(df)
