@@ -94,34 +94,75 @@ def bulk_insert(
     return df
 
 
-#: idk typed-header suffix → Spark cast (idk/interfaces.go field kinds)
+#: idk typed-header suffix → Spark cast, keyed LOWERCASE — the reference
+#: folds the type token before matching (idk/header.go:71). Two
+#: non-cast kinds carry sentinels: ``signedintboolkey`` expands to the
+#: (set, exists) column pair and ``ignore`` drops the column.
 IDK_HEADER_TYPES = {
-    "ID": "bigint",
-    "Int": "bigint",
-    "Decimal": "decimal(38,2)",
-    "String": "string",
-    "Bool": "boolean",
-    "Timestamp": "timestamp",
-    "RecordTime": "timestamp",
-    "IDArray": "array<bigint>",
-    "StringArray": "array<string>",
-    "Ignore": None,
+    "id": "bigint",
+    "int": "bigint",
+    "decimal": "decimal(38,2)",
+    "string": "string",
+    # external lookup-DB payload: NOT indexed, carried through verbatim
+    # (idk/interfaces.go:538-558; ingest.go:1979 routes it to the
+    # lookupWriter instead of the pilosa batch)
+    "lookuptext": "string",
+    "bool": "boolean",
+    "timestamp": "timestamp",
+    "recordtime": "timestamp",
+    "idarray": "array<bigint>",
+    "stringarray": "array<string>",
+    "ignore": None,
+    "signedintboolkey": "signedintboolkey",
 }
+
+
+def _split_idk_header(c: str) -> tuple[str, str]:
+    """``SourceName[___DestName]__FieldType[_Arg...]`` → (dest, type).
+
+    Mirrors idk's splitHeader (idk/header.go:404-453): the LAST triple
+    underscore separates source from dest, the LAST double underscore
+    separates name from fieldspec, and the type token is the fieldspec
+    up to its first ``_`` (args are accepted and ignored, as the
+    reference logs-and-ignores extras). An untyped header falls back to
+    a lowercased string column — the csv source's JustDoIt posture
+    (idk/csv/source.go:84-89)."""
+    rest = c
+    if "___" in c:
+        _, _, rest = c.rpartition("___")
+    dest, sep, spec = rest.rpartition("__")
+    if not sep:
+        return c.lower(), "string"
+    kind = spec.split("_")[0].lower()
+    return dest, kind
 
 
 def read_idk_csv(spark: SparkSession, path: str) -> DataFrame:
     """idk CSV consumer: headers like ``asset_tag__String``,
     ``fan_time__Timestamp`` declare types (idk/csv/, header parsing in
-    idk/interfaces.go:258-770). Array fields are comma-joined strings."""
+    idk/header.go:404-453, field kinds idk/interfaces.go:258-770).
+    Array fields are comma-joined strings.
+
+    ``signedintboolkey`` (interfaces.go:685-711) renders as the same
+    TWO fields the reference ingester materializes (ingest.go:2084-2114
+    with ``Exists = "-exists"``): for signed value v, column ``name``
+    holds |v| when v > 0 (the set bit — a clear contributes no set
+    bit) and ``name-exists`` holds |v| whenever a value was present,
+    so a cleared bit is exactly "exists non-null, set null". NULL and
+    empty-string inputs leave both NULL (PilosafyVal's nil rules).
+    """
     raw = spark.read.csv(path, header=True, inferSchema=False)
     cols = []
     for c in raw.columns:
-        name, _, kind = c.partition("__")
-        kind = kind or "String"
+        name, kind = _split_idk_header(c)
         t = IDK_HEADER_TYPES.get(kind, "string")
         if t is None:
             continue
-        if t.startswith("array"):
+        if t == "signedintboolkey":
+            v = F.col(c).cast("bigint")
+            cols.append(F.when(v > 0, v).alias(name))
+            cols.append(F.abs(v).alias(f"{name}-exists"))
+        elif t.startswith("array"):
             inner = t[t.index("<") + 1 : -1]
             cols.append(
                 F.transform(

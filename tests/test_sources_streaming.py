@@ -1041,3 +1041,41 @@ def test_interval_stream_join_pairs_across_batches(spark, tmpdir):
         )
         q.awaitTermination()
     assert sorted(got) == [(1, 101, 201), (2, 102, 203)]
+
+
+def test_idk_signed_int_bool_key(spark, tmpdir):
+    """signedintboolkey (idk/interfaces.go:685-711, ingest.go:2084-2114):
+    signed value v → set bit |v| when v>0, clear when v<=0, with the
+    companion '-exists' field always carrying |v|; NULL/empty → both
+    NULL."""
+    import os
+
+    p = os.path.join(tmpdir, "sibk.csv")
+    with open(p, "w") as f:
+        f.write("id__ID,flag__SignedIntBoolKey\n")
+        f.write("1,5\n")     # set bit 5
+        f.write("2,-7\n")    # clear bit 7
+        f.write("3,0\n")     # clear bit 0
+        f.write("4,\n")      # absent → both NULL
+    df = SRC.read_idk_csv(spark, p)
+    assert df.columns == ["id", "flag", "flag-exists"]
+    got = {r["id"]: (r["flag"], r["flag-exists"]) for r in df.collect()}
+    assert got == {1: (5, 5), 2: (None, 7), 3: (None, 0), 4: (None, None)}
+
+
+def test_idk_lookup_text_and_destname(spark, tmpdir):
+    """lookuptext passes the payload through as a string (it targets the
+    external lookup DB, ingest.go:1979); the triple-underscore DestName
+    form renames (idk/header.go:404-453); type tokens are
+    case-insensitive (header.go:71); extra args are ignored."""
+    import os
+
+    p = os.path.join(tmpdir, "lkt.csv")
+    with open(p, "w") as f:
+        f.write("id__ID,blob__LookupText,raw_src___clean__STRING,n__int_99\n")
+        f.write("1,some long text,hello,4\n")
+    df = SRC.read_idk_csv(spark, p)
+    assert df.columns == ["id", "blob", "clean", "n"]
+    r = df.first()
+    assert r["blob"] == "some long text"
+    assert r["clean"] == "hello" and r["n"] == 4
