@@ -86,6 +86,7 @@ def like_contains(
     literal: str,
     postings: DataFrame | None = None,
     broadcast: bool | None = None,
+    max_probe_trigrams: int | None = None,
 ) -> DataFrame:
     """EXACTLY ``df.where(text_col CONTAINS literal)`` — the
     ``LIKE '%literal%'`` skip-through step — executed as trigram prune +
@@ -117,10 +118,31 @@ def like_contains(
     if postings is None:
         postings = build_trigram_postings(df, id_col, text_col)
     hits = postings.where(F.col("trigram").isin(req))
+    n_req = len(req)
+    if max_probe_trigrams is not None and n_req > max_probe_trigrams:
+        # Probe fan-out cap (r12, VERDICT r11 ask #5): requiring ANY
+        # subset of the literal's trigrams is still a necessary
+        # condition, so intersecting only the k RAREST posting lists
+        # keeps zero false negatives while the probe shuffles Σdf of
+        # the k rarest lists instead of all of them — the pigeonhole
+        # posture of winnow's max_df, chosen data-driven per literal.
+        # The ranking aggregate is ≤ |req| rows; verify is unchanged
+        # and absorbs the (slightly larger) candidate superset. Use
+        # with a PREBUILT postings frame — with inline build the
+        # second restricted scan re-derives postings and the build,
+        # not the probe, dominates (PERF_NOTES "Round 12").
+        rarest = (
+            hits.groupBy("trigram").count()
+            .orderBy(F.asc("count"), F.asc("trigram"))
+            .limit(int(max_probe_trigrams))
+            .select("trigram")
+        )
+        hits = hits.join(F.broadcast(rarest), "trigram")
+        n_req = int(max_probe_trigrams)
     cand = (
         hits.groupBy(id_col)
         .agg(F.count_distinct("trigram").alias("__hits"))
-        .where(F.col("__hits") == len(req))
+        .where(F.col("__hits") == n_req)
         .select(id_col)
     )
     if broadcast is True:

@@ -192,3 +192,32 @@ def test_like_match_corpus(tables):
         got = like_match(docs, "doc_id", "text", pat).count()
         want = docs.where(F.col("text").like(pat)).count()
         assert got == want, pat
+
+
+def test_probe_fanout_cap_exact(spark):
+    """max_probe_trigrams intersects only the k rarest posting lists —
+    a weaker necessary condition, identical final rows (verify is
+    exact). r12 probe cap, PERF_NOTES 'Round 12'."""
+    from featurebase_spark.pipeline.trigram import (
+        build_trigram_postings,
+        like_contains,
+        required_trigrams,
+    )
+
+    rows = [
+        (i, f"the quick brown fox jumps over lazy dog {i}")
+        for i in range(50)
+    ] + [(100 + i, "the slow brown cat sits") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lit = "brown fox jumps"
+    assert len(required_trigrams(lit)) > 4
+    post = build_trigram_postings(df, "doc_id", "text")
+    base = {r["doc_id"] for r in
+            df.where(F.col("text").contains(lit)).collect()}
+    capped = like_contains(
+        df, "doc_id", "text", lit, postings=post, max_probe_trigrams=4
+    )
+    assert {r["doc_id"] for r in capped.collect()} == base
+    # uncapped twin agrees too
+    full = like_contains(df, "doc_id", "text", lit, postings=post)
+    assert {r["doc_id"] for r in full.collect()} == base
