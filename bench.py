@@ -74,7 +74,6 @@ BENCH_QUERIES = [
     # the driver's 2000-char tail with the four r11 keys in)
     "mix_temperature_sample",
     "decontaminate_ngram_overlap",
-    "dedup_common_spans",
     "stream_windowed_counts",
     "sql_q8_market_share",
     "sim_ann_pq_adc_topk",
@@ -113,9 +112,8 @@ BENCH_QUERIES = [
     # r9: bucketed interval-overlap join + Count-Min point frequencies
     "events_overlap_pairs",
     "freq_cms_topk",
-    # r9: MAD outlier screen (r11 rotation: text_collocations_pmi OUT —
-    # stable since r9, its PMI family still timed via text_novel_bigrams)
-    "docs_mad_outliers",
+    # (r12 rotation: docs_mad_outliers OUT — stable zero-shuffle screen
+    # since r9; dedup_common_spans OUT — stable since r6)
     # r10: iterative component closure (pointer-jumping loop), the
     # stream-stream attribution join, frame-sampling decode, and the
     # single-exchange window-function door
@@ -131,6 +129,14 @@ BENCH_QUERIES = [
     "pql_quantum_groupby",
     "sql_window_rank_family",
     "pql_percentile_search",
+    # r12: the salted interval join (hot-bucket split engaged at the
+    # bench SF — times the skew path next to events_overlap_pairs'
+    # unsalted plan) and the r11-born distribution-window door.
+    # Rotated OUT: dedup_common_spans (stable since r6, controlled win
+    # r11) and docs_mad_outliers (stable zero-shuffle screen since r9)
+    # — both stay under the correctness gates and the control set.
+    "events_overlap_pairs_salted",
+    "sql_window_dist_family",
 ]
 
 #: queries added (or rotated back in) this round — excluded from
@@ -139,12 +145,10 @@ BENCH_QUERIES = [
 #: changed SEMANTICS in r11 — bisection parity — so its r9 baseline
 #: measures a different computation)
 _NEW_IN_ROUND = {
-    "dedup_pipeline_end2end",
-    "pql_quantum_groupby",
-    "sql_window_rank_family",
-    "pql_percentile_search",
-    # (the r10-born and r10-rotated-back keys now carry BENCH_r10
-    # baselines and re-enter the regression-flag population)
+    "events_overlap_pairs_salted",
+    "sql_window_dist_family",
+    # (the r11-born keys now carry BENCH_r11 baselines and re-enter
+    # the regression-flag population)
 }
 
 

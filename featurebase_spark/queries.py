@@ -5560,6 +5560,48 @@ def events_overlap_pairs(spark, sf_dir):
 
 
 @register(
+    "events_overlap_pairs_salted",
+    # IDENTICAL oracle to events_overlap_pairs: skew='salt' must
+    # enumerate exactly the same pair set (100% recall is the salt
+    # mode's contract — split-left/replicate-right inside hot buckets
+    # only). The low threshold forces the hot path to actually engage
+    # at the gate SFs, so the driver hash proves salted == unsalted ==
+    # the direct inequality join.
+    "WITH s AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - "
+    "  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 "
+    "  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "  THEN 1 ELSE 0 END AS brk FROM events "
+    "  WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+    "t AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+    "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM s), "
+    "iv AS (SELECT user_id, sid, epoch_us(MIN(ts)) AS s_us, "
+    "       epoch_us(MAX(ts)) AS e_us FROM t GROUP BY user_id, sid) "
+    "SELECT a.user_id AS user_a, b.user_id AS user_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_overlaps, "
+    "CAST(SUM(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)) AS BIGINT) "
+    "  AS overlap_us "
+    "FROM iv a JOIN iv b ON a.user_id < b.user_id "
+    "  AND a.s_us <= b.e_us AND b.s_us <= a.e_us "
+    "GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def events_overlap_pairs_salted(spark, sf_dir):
+    """The skew-hardened twin of events_overlap_pairs (r12, VERDICT r11
+    ask #3): skew='salt' with a deliberately LOW threshold so hot
+    wall-clock buckets really take the split-left/replicate-right path
+    at the gate SFs. Hash-matching the same DuckDB inequality-join
+    oracle as the unsalted key is the committed 100%-recall proof for
+    the salt mode (operators/intervals.py)."""
+    from featurebase_spark.operators.intervals import (
+        concurrent_session_pairs,
+    )
+
+    ev = _tables(spark, sf_dir)["events"]
+    return concurrent_session_pairs(
+        ev, skew="salt", skew_threshold=20
+    ).orderBy("user_a", "user_b")
+
+
+@register(
     "approx_distinct_hll",
     # the HLL register contract replayed bit-for-bit: md5 hashing,
     # 12-bit register, rho = 60-bit-tail leading zeros + 1, and the
@@ -6965,6 +7007,11 @@ _GATE_PRIORITY = [
     # shares that oracle). Any key born in r12 is appended below in
     # the same rotation.
     "sql_window_dist_family",
+    # Born r12: the salted interval join (skew='salt' twin sharing
+    # events_overlap_pairs' oracle — the driver hash IS the 100%-recall
+    # proof for salt mode). Demoted: fuzzy_join_text_door (driver-green
+    # r10 AND r11; base op fuzzy_name_pairs gated since r9).
+    "events_overlap_pairs_salted",
     # ── r11 rotation — closes the trust gap to ZERO: the last 9 keys
     # that have never faced the driver's strict hash (the two r10 SQL
     # analytics keys + 7 TVF text doors) rotate IN, alongside the 3
@@ -7046,7 +7093,6 @@ _GATE_PRIORITY = [
     "like_pattern_text_door",
     "keyword_search_text_door",
     "cms_text_door",
-    "fuzzy_join_text_door",
 ]
 
 _GATE_PRIORITY_R9 = [

@@ -102,7 +102,16 @@ def load_tables(
         # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert to
         # TimestampType truncated to micros — the same truncation DuckDB
         # applies, so oracle comparisons line up exactly.
-        arrow_schema = pq.read_schema(path)
+        schema_path = path
+        if os.path.isdir(path):
+            # Spark-written parquet is a DIRECTORY of part files (the
+            # synthetic scaling slices are); any part carries the schema
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if parts:
+                schema_path = os.path.join(path, parts[0])
+        arrow_schema = pq.read_schema(schema_path)
         for fld in arrow_schema:
             if str(fld.type) == "timestamp[ns]":
                 df = df.withColumn(

@@ -41,6 +41,8 @@ def bulk_insert(
     batching needed — the reference's 1M-row client batches
     (idk/ingest.go:59-95) correspond to Spark task partitions.
     """
+    import re as _re
+
     fmt = format.upper()
     _SQL_TYPES = {
         "ID": "bigint",
@@ -55,7 +57,32 @@ def bulk_insert(
 
     def parse_spec(spec: str) -> tuple[str, str]:
         locator, _, t = spec.rpartition(" ")
-        return locator.strip(), _SQL_TYPES.get(t.strip().upper(), t.strip())
+        t = t.strip().upper()
+        # FB DECIMAL(n) declares the SCALE (astdatatype.go) — not the
+        # precision Spark's bare decimal(n) would read it as
+        m = _re.fullmatch(r"DECIMAL\((\d+)\)", t)
+        if m:
+            return locator.strip(), f"decimal(38,{m.group(1)})"
+        return locator.strip(), _SQL_TYPES.get(t, t.lower())
+
+    def _csv_cast(src, t: str):
+        # set-typed CSV fields hold delimiter-joined members
+        if t.startswith("array"):
+            inner = t[t.index("<") + 1 : -1]
+            return F.transform(F.split(src, ","), lambda x: x.cast(inner))
+        return src.cast(t)
+
+    def _json_cast(j, t: str):
+        # NDJSON set fields may be a scalar OR a JSON array per row
+        # (opbulkinsert.go path extraction accepts both shapes)
+        if t.startswith("array"):
+            inner = t[t.index("<") + 1 : -1]
+            return F.when(
+                F.trim(j).startswith("["), F.from_json(j, t)
+            ).otherwise(
+                F.when(j.isNotNull(), F.array(j.cast(inner)))
+            )
+        return j.cast(t)
 
     if fmt == "CSV":
         raw = spark.read.csv(path, header=header, inferSchema=False)
@@ -63,16 +90,15 @@ def bulk_insert(
         for out, spec in map_spec.items():
             locator, t = parse_spec(spec)
             src = F.col(raw.columns[int(locator)]) if locator.isdigit() else F.col(locator)
-            cols.append(src.cast(t).alias(out))
+            cols.append(_csv_cast(src, t).alias(out))
         df = raw.select(*cols)
     elif fmt == "NDJSON":
         raw = spark.read.text(path)
         cols = []
         for out, spec in map_spec.items():
             locator, t = parse_spec(spec)
-            cols.append(
-                F.get_json_object(F.col("value"), locator).cast(t).alias(out)
-            )
+            j = F.get_json_object(F.col("value"), locator)
+            cols.append(_json_cast(j, t).alias(out))
         df = raw.select(*cols)
     elif fmt == "PARQUET":
         raw = spark.read.parquet(path)

@@ -34,6 +34,7 @@ over the PQL executor in the reference.
 
 from __future__ import annotations
 
+import os
 import re
 from decimal import Decimal
 from typing import Optional
@@ -923,19 +924,51 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
     else:
         cols = ["_id"] + [f.name for f in td.fields]
 
+    # analyzer parity (compilebulkinsert.go + sql_complex_test.go
+    # BulkNoID/BulkNoNonID/BulkBadColumn): the column list must carry
+    # _id, at least one non-_id column, only known columns, no dupes
+    # (BulkInsertDupeColumnPlusNullsInJson :2087)
+    seen_cols: set[str] = set()
+    for c in cols:
+        if c in seen_cols:
+            raise StatementError(f"duplicate column '{c}'")
+        seen_cols.add(c)
+    if "_id" not in cols:
+        raise StatementError(
+            "insert column list must have '_id' column specified"
+        )
+    if not any(c != "_id" for c in cols):
+        raise StatementError(
+            "insert column list must have at least one non '_id' "
+            "column specified"
+        )
+    for c in cols:
+        if c != "_id" and c not in by_name:
+            raise StatementError(f"column '{c}' not found")
+
     p.expect("MAP")
     p.expect("(")
     map_entries: list[tuple[str, str]] = []  # (locator, DDL type)
     while True:
         raw = p.expr_until((",", ")"))
-        # the locator expression ends with its declared type name
-        parts = raw.rsplit(" ", 1)
-        if len(parts) != 2 or parts[1].lower() not in _VALID_TYPES:
-            raise StatementError(f"type expected in MAP entry {raw!r}")
-        locator = parts[0].strip()
+        # the locator expression ends with its declared type name,
+        # optionally scaled: DECIMAL ( 2 )
+        m = re.fullmatch(
+            r"(.+?)\s+([A-Za-z]+)(?:\s*\(\s*(\d+)\s*\))?", raw.strip()
+        )
+        if not m or m.group(2).lower() not in _VALID_TYPES:
+            raise StatementError(
+                f"expected type name, found '{p.peek()}'"
+            )
+        locator, tname, scale = m.group(1).strip(), m.group(2), m.group(3)
+        # bulk MAP requires the scale on DECIMAL
+        # (sql_complex_test.go:2063 "decimal scale expected")
+        if tname.lower() == "decimal" and scale is None:
+            raise StatementError("decimal scale expected")
         if locator.startswith("'"):
             locator = _unquote(locator)
-        map_entries.append((locator, parts[1].upper()))
+        typ = f"{tname.upper()}({scale})" if scale else tname.upper()
+        map_entries.append((locator, typ))
         if p.peek() == ")":
             p.take()
             break
@@ -946,27 +979,64 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
         p.expect("(")
         transforms = []
         while True:
-            transforms.append(translate(p.expr_until((",", ")"))))
+            expr = translate(p.expr_until((",", ")")))
+            # @n refs must be numeric positions — checked at parse
+            # time, before the datasource is even looked at
+            # (sql_complex_test.go:1843: transform (@0, @1, @z) over
+            # a nonexistent file still says "unknown identifier 'z'")
+            bad = re.search(r"@\s*([A-Za-z_][A-Za-z0-9_]*)", expr)
+            if bad:
+                raise StatementError(
+                    f"unknown identifier '{bad.group(1)}'"
+                )
+            transforms.append(expr)
             if p.peek() == ")":
                 p.take()
                 break
             p.expect(",")
 
+    # expression/column count parity is checked BEFORE the datasource
+    # is touched (BulkMapCountMismatch at :1673 uses a nonexistent
+    # path and still gets the mismatch error)
+    exprs = transforms if transforms is not None else map_entries
+    if len(exprs) != len(cols):
+        raise StatementError(
+            "mismatch in the count of expressions and target columns"
+        )
+
     p.expect("FROM")
-    kind, tok = p.literal()
-    if kind != "str":
-        raise StatementError("expected literal")
-    path = _unquote(tok)
+    blob: Optional[str] = None
+    if p.peek_up() == "X" and (p.peek(1) or "").startswith("'"):
+        # inline data blob: FROM x'…' (parser.go blob literal; paired
+        # with INPUT 'STREAM' throughout the corpus)
+        p.take()
+        kind, tok = p.literal()
+        blob = _unquote(tok)
+        path = "<stream>"
+    else:
+        kind, tok = p.literal()
+        if kind != "str":
+            raise StatementError("expected literal")
+        path = _unquote(tok)
 
     p.expect("WITH")
-    fmt, header, rows_limit = None, False, None
+    fmt, inp, header, rows_limit = None, None, False, None
+    allow_missing = False
     while True:
         opt = p.peek_up()
         if opt in ("FORMAT", "INPUT", "BATCHSIZE", "ROWSLIMIT"):
             p.take()
             k, tok = p.literal()
+            if opt in ("BATCHSIZE", "ROWSLIMIT") and k != "num":
+                raise StatementError("integer literal expected")
             if opt == "FORMAT":
                 fmt = _unquote(tok)
+            elif opt == "INPUT":
+                inp = _unquote(tok)
+            elif opt == "BATCHSIZE":
+                # batch size must be positive (sql_complex_test.go:1815)
+                if int(tok) <= 0:
+                    raise StatementError(f"invalid batch size '{tok}'")
             elif opt == "ROWSLIMIT":
                 rows_limit = int(tok)
         elif opt == "HEADER_ROW":
@@ -974,13 +1044,47 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
             header = True
         elif opt == "ALLOW_MISSING_VALUES":
             p.take()
-        else:
+            allow_missing = True
+        elif opt in (None, ";"):
             break
+        else:
+            # unknown WITH option (sql_complex_test.go:1610-1616)
+            raise StatementError(
+                "expected BATCHSIZE, ROWSLIMIT, FORMAT, INPUT, "
+                f"ALLOW_MISSING_VALUES or HEADER_ROW, found {p.peek()}"
+            )
+    # option validation order mirrors analyzeBulkInsertStatement
+    # (compilebulkinsert.go:178-230 + :60-74)
     if fmt is None:
+        raise StatementError("format specifier expected")
+    if fmt.upper() not in ("CSV", "NDJSON", "PARQUET"):
+        raise StatementError(f"invalid format specifier '{fmt}'")
+    if inp is None:
+        raise StatementError("input specifier expected")
+    if inp.upper() not in ("FILE", "URL", "STREAM"):
+        raise StatementError(f"invalid input specifier '{inp}'")
+    if inp.upper() == "FILE" and not os.path.exists(path):
         raise StatementError(
-            "expected BATCHSIZE, ROWSLIMIT, FORMAT, INPUT, "
-            "ALLOW_MISSING_VALUES or HEADER_ROW"
+            f"unable to read datasource '{path}': file '{path}' "
+            "does not exist"
         )
+    if inp.upper() == "STREAM":
+        # spool the inline blob so the same reader serves it; the
+        # reference's STREAM input is exactly "the statement carries
+        # the bytes" (opbulkinsert.go data source handling)
+        if blob is None:
+            raise StatementError(
+                f"unable to read datasource '{path}': stream input "
+                "requires an inline data blob"
+            )
+        import tempfile
+
+        tf_ = tempfile.NamedTemporaryFile(
+            "w", suffix=".blob", delete=False
+        )
+        tf_.write(blob)
+        tf_.close()
+        path = tf_.name
 
     # assignment-compatibility analysis (defs_bulkinsert.go:46-80): a MAP
     # source type must be assignable to its target column — string and
@@ -1017,18 +1121,9 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
             )
 
     if transforms is None:
-        if len(map_entries) != len(cols):
-            raise StatementError(
-                "mismatch in the count of map expressions and target columns"
-            )
         map_spec = {c: f"{loc} {t}" for c, (loc, t) in zip(cols, map_entries)}
         df = bulk_read(spark, path, fmt, map_spec, header=header)
     else:
-        if len(transforms) != len(cols):
-            raise StatementError(
-                "mismatch in the count of transform expressions and "
-                "target columns"
-            )
         map_spec = {
             f"__m{i}": f"{loc} {t}" for i, (loc, t) in enumerate(map_entries)
         }
@@ -1040,8 +1135,29 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
     if rows_limit is not None:
         df = df.limit(rows_limit)
 
-    # align to the full table schema (unlisted columns → typed NULLs)
+    # NDJSON is STRICT about mapped keys unless ALLOW_MISSING_VALUES:
+    # a row lacking a mapped key is an error, not a NULL
+    # (opbulkinsert.go:520-530 surfaces the path library's "unknown
+    # key"; sql_complex_test.go:1913 BulkNDJsonBlobBadPath)
     from pyspark.sql import functions as F
+
+    if fmt.upper() == "NDJSON" and not allow_missing:
+        raw_txt = spark.read.text(path)
+        for loc, _t in map_entries:
+            if not loc.startswith("$."):
+                continue
+            key = loc[2:].split(".")[0].split("[")[0]
+            missing = (
+                raw_txt.where(~F.col("value").contains(f'"{key}"'))
+                .limit(1)  # bounded probe: 1 row proves the violation
+                .count()
+            )
+            if missing:
+                raise StatementError(
+                    f"unknown key {key} applying path '{loc}'"
+                )
+
+    # align to the full table schema (unlisted columns → typed NULLs)
 
     all_cols = ["_id"] + [f.name for f in td.fields]
     out = []

@@ -567,3 +567,219 @@ def test_drop_view_cycle(spark, cat):
     with pytest.raises(StatementError, match="not found"):
         execute_statement(spark, "DROP VIEW vw", cat)
     execute_statement(spark, "DROP VIEW IF EXISTS vw", cat)
+
+
+# --- TestPlanner_BulkInsert (:1562-2376) ------------------------------------
+
+
+@pytest.fixture()
+def bulk_cat(spark, cat):
+    execute_statement(
+        spark, "create table bj (_id id, a int, b int)", cat)
+    execute_statement(
+        spark, "create table bj2 (_id id, a int, b int)", cat)
+    yield cat
+
+
+BULK_ERR_CASES = [
+    # (suffix after "bulk insert into ", expected substring)
+    ("bj (_id, a, b) map (0, 1 int, 2 int) from '/nope/foo.csv' "
+     "WITH FORMAT 'CSV' INPUT 'FILE'",
+     "expected type name, found ','"),                      # :1596
+    ("bj (_id, a, b) map (0 id, 1 int, 2 int) from '/nope/foo.csv' "
+     "WITH UNICORNS AND RAINBOWS",
+     "expected BATCHSIZE, ROWSLIMIT, FORMAT, INPUT, "
+     "ALLOW_MISSING_VALUES or HEADER_ROW, found UNICORNS"),  # :1610
+    ("bj (_id, a, b) map (0 id, 1 int, 2 int) from '/nope/foo.csv' "
+     "with batchsize 2",
+     "format specifier expected"),                           # :1617
+    ("bj (_id, a, b) map (0 id, 1 int, 2 int) from '/nope/foo.csv' "
+     "WITH FORMAT 'BLAH'",
+     "invalid format specifier 'BLAH'"),                     # :1624
+    ("bj (_id, a, b) map (0 id, 1 int, 2 int) from '/nope/foo.csv' "
+     "WITH FORMAT 'CSV'",
+     "input specifier expected"),                            # :1631
+    ("bj (_id, a, b) map (0 id, 1 int, 2 int) from '/nope/foo.csv' "
+     "WITH FORMAT 'CSV' INPUT 'WOOPWOOP'",
+     "invalid input specifier 'WOOPWOOP'"),                  # :1638
+    ("foo (_id, a, b) map (0 id, 1 int, 2 int) from '/nope/foo.csv' "
+     "WITH FORMAT 'CSV' INPUT 'FILE'",
+     "table 'foo' not found"),                               # :1645
+    ("bj (a, b) map (0 int, 1 int) from '/nope/foo.csv' "
+     "WITH FORMAT 'CSV' INPUT 'FILE'",
+     "insert column list must have '_id' column specified"),  # :1652
+    ("bj (_id) map (0 id) from '/nope/foo.csv' "
+     "WITH FORMAT 'CSV' INPUT 'FILE'",
+     "insert column list must have at least one non '_id' column "
+     "specified"),                                           # :1659
+    ("bj (_id, k, l) map (0 id, 1 int, 2 int) from '/nope/foo.csv' "
+     "WITH FORMAT 'CSV' INPUT 'FILE'",
+     "column 'k' not found"),                                # :1666
+    ("bj (_id, a, b) map (0 id, 1 int) from '/nope/foo.csv' "
+     "WITH FORMAT 'CSV' INPUT 'FILE'",
+     "mismatch in the count of expressions and target columns"),  # :1673
+    ("bj (_id, a, b) map (0 id, 1 int, 2 int, 3 int) from "
+     "'/nope/foo.csv' WITH FORMAT 'CSV' INPUT 'FILE'",
+     "mismatch in the count of expressions and target columns"),  # :1679
+    ("bj (_id, a, b) map (0 id, 1 int, 2 int) from '/nope/foo.csv' "
+     "WITH FORMAT 'CSV' INPUT 'FILE'",
+     "unable to read datasource '/nope/foo.csv': file "
+     "'/nope/foo.csv' does not exist"),                      # :1685
+    ("bj (_id, a, b) map (0 id, 1 int, 2 int) from '/foo/bar' "
+     "WITH FORMAT 'CSV' INPUT 'FILE' BATCHSIZE 0",
+     "invalid batch size '0'"),                              # :1815
+    ("bj (_id, a, b) map (0 id, 1 int, 2 int) from '/foo/bar' "
+     "WITH FORMAT 'CSV' INPUT 'FILE' BATCHSIZE 'foo'",
+     "integer literal expected"),                            # :1821
+    ("bj (_id, a, b) map (0 id, 1 int, 2 int) from '/foo/bar' "
+     "WITH FORMAT 'CSV' INPUT 'FILE' ROWSLIMIT 'foo'",
+     "integer literal expected"),                            # :1836
+    ("bj (_id, a, b) map ('$._id' id, '$.a' int, '$.b' int) "
+     "transform (@0, @1, @z) from 'foo' WITH FORMAT 'NDJSON' "
+     "INPUT 'FILE'",
+     "unknown identifier 'z'"),                              # :1843
+]
+
+
+@pytest.mark.parametrize("suffix, msg", BULK_ERR_CASES)
+def test_bulk_insert_error_battery(spark, bulk_cat, suffix, msg):
+    import re as _re
+
+    with pytest.raises(StatementError, match=_re.escape(msg)):
+        execute_statement(spark, "bulk insert into " + suffix, bulk_cat)
+
+
+def test_bulk_csv_rows_limit(spark, bulk_cat, tmp_path):
+    # :1850-1888 — ROWSLIMIT 2 over a 10-row headerless CSV
+    f = tmp_path / "rows.csv"
+    f.write_text(
+        "1,10,20\n2,11,21\n3,12,22\n4,13,23\n5,13,23\n"
+        "6,13,23\n7,13,23\n8,13,23\n9,13,23\n10,13,23"
+    )
+    execute_statement(
+        spark,
+        f"bulk insert into bj2 (_id, a, b) map (0 id, 1 int, 2 int) "
+        f"from '{f}' WITH FORMAT 'CSV' INPUT 'FILE' ROWSLIMIT 2",
+        bulk_cat,
+    )
+    assert spark.table("bj2").count() == 2
+
+
+def test_bulk_csv_header_default(spark, bulk_cat, tmp_path):
+    # :1692-1718 — HEADER_ROW consumes the quoted header line
+    f = tmp_path / "hdr.csv"
+    f.write_text('"_id","a","b"\n1,10,20\n2,11,21\n3,12,22\n')
+    execute_statement(
+        spark,
+        f"bulk insert into bj (_id, a, b) map (0 id, 1 int, 2 int) "
+        f"from '{f}' WITH FORMAT 'CSV' INPUT 'FILE' HEADER_ROW",
+        bulk_cat,
+    )
+    got = {(r["_id"], r["a"], r["b"]) for r in spark.table("bj").collect()}
+    assert got == {(1, 10, 20), (2, 11, 21), (3, 12, 22)}
+
+
+def test_bulk_decimal_scale_required(spark, bulk_cat):
+    # :2035-2085 — MAP 'x' DECIMAL without a scale is a compile error;
+    # with DECIMAL(2) the NDJSON STREAM blob loads
+    execute_statement(
+        spark,
+        "create table iris (_id id, sepallength decimal(2), "
+        "species string)",
+        bulk_cat,
+    )
+    with pytest.raises(StatementError, match="decimal scale expected"):
+        execute_statement(
+            spark,
+            "bulk insert into iris (_id, sepallength, species) "
+            "map('$.id' id, '$.sepalLength' DECIMAL, '$.species' STRING) "
+            "from x'{}' with format 'NDJSON' input 'STREAM'",
+            bulk_cat,
+        )
+    execute_statement(
+        spark,
+        "bulk insert into iris (_id, sepallength, species) "
+        "map('$.id' id, '$.sepalLength' DECIMAL(2), '$.species' STRING) "
+        "from x'"
+        '{"id": 1, "sepalLength": "5.1", "species": "setosa"}\n'
+        '{"id": 2, "sepalLength": "4.9", "species": "setosa"}'
+        "' with format 'NDJSON' input 'STREAM'",
+        bulk_cat,
+    )
+    got = {r["_id"]: float(r["sepallength"])
+           for r in spark.table("iris").collect()}
+    assert got == {1: 5.1, 2: 4.9}
+
+
+def test_bulk_dupe_target_column(spark, bulk_cat):
+    # :2087-2110 — the same target column twice → duplicate column
+    with pytest.raises(StatementError, match="duplicate column '_id'"):
+        execute_statement(
+            spark,
+            "bulk insert into bj (_id, a, _id) "
+            "map('$.a' id, '$.b' int, '$.c' id) "
+            "from x'{}' with format 'NDJSON' input 'STREAM'",
+            bulk_cat,
+        )
+
+
+def test_bulk_csv_stream_blob(spark, bulk_cat):
+    # :1889-1895 BulkCSVBlobDefault — inline x'…' blob with STREAM
+    execute_statement(
+        spark,
+        "bulk insert into bj (_id, a, b) map (0 id, 1 int, 2 int) "
+        "from x'1,10,20\n2,11,21\n3,12,22' "
+        "WITH FORMAT 'CSV' INPUT 'STREAM'",
+        bulk_cat,
+    )
+    got = {(r["_id"], r["a"], r["b"]) for r in spark.table("bj").collect()}
+    assert got == {(1, 10, 20), (2, 11, 21), (3, 12, 22)}
+
+
+def test_bulk_ndjson_unknown_key_strict(spark, bulk_cat):
+    # :1913-1929 BulkNDJsonBlobBadPath — a mapped key absent from a row
+    # errors WITHOUT allow_missing_values, loads WITH it
+    stmt = (
+        "bulk insert into {t} (_id, a, b) "
+        "map ('$._id' id, '$.a' int, '$.frobny' int) "
+        "from x'"
+        '{{"_id": 1, "a": 10, "b": 20}}\n'
+        '{{"_id": 2, "a": 11, "b": 21}}'
+        "' WITH FORMAT 'NDJSON' INPUT 'STREAM'{tail}"
+    )
+    with pytest.raises(StatementError, match="unknown key frobny"):
+        execute_statement(
+            spark, stmt.format(t="bj", tail=""), bulk_cat)
+    # allow_missing_values turns the hole into NULL (:2227-2283)
+    execute_statement(
+        spark,
+        stmt.format(t="bj2", tail=" ALLOW_MISSING_VALUES"),
+        bulk_cat,
+    )
+    got = {(r["_id"], r["a"], r["b"]) for r in spark.table("bj2").collect()}
+    assert got == {(1, 10, None), (2, 11, None)}
+
+
+def test_bulk_ndjson_set_shapes(spark, bulk_cat):
+    # :2227-2283 BulkInsertAllowMissingValues — a set-typed NDJSON field
+    # may be a scalar OR a JSON array per row
+    execute_statement(
+        spark,
+        "create table amv (_id id, ss stringset, ids idset)",
+        bulk_cat,
+    )
+    execute_statement(
+        spark,
+        "bulk insert into amv (_id, ss, ids) "
+        "map ('$.id' id, '$.ss' STRINGSET, '$.ids' IDSET) "
+        "from x'"
+        '{"id": 1, "ss": "only", "ids": 7}\n'
+        '{"id": 2, "ss": ["x", "y"], "ids": [1, 2]}'
+        "' WITH FORMAT 'NDJSON' INPUT 'STREAM'",
+        bulk_cat,
+    )
+    got = {
+        r["_id"]: (sorted(r["ss"]), sorted(r["ids"]))
+        for r in spark.table("amv").collect()
+    }
+    assert got == {1: (["only"], [7]), 2: (["x", "y"], [1, 2])}

@@ -235,7 +235,10 @@ def test_bulk_insert_csv_ndjson_text(spark, cat, tmp_path):
     fb_sql(
         spark,
         "bulk insert into bulk_t2 (_id, nm, v) map (0 id, 1 string, 2 int) "
-        f"transform (@0, upper(@1), @2 * 2) from '{csv}' with format 'CSV'",
+        # INPUT is required (sql_complex_test.go:1631 "input specifier
+        # expected" — caught by the r12 corpus walk)
+        f"transform (@0, upper(@1), @2 * 2) from '{csv}' "
+        "with format 'CSV' input 'FILE'",
         catalog=cat,
     )
     got = {r["_id"]: (r["nm"], r["v"]) for r in spark.table("bulk_t2").collect()}

@@ -1,0 +1,130 @@
+"""Synthesize the sf0.5 documents/embeddings slice for the dedup-tier
+scaling measurement (VERDICT r11 ask #6).
+
+The driver's generator is not available in-container and
+/root/testdata is read-only, so the larger slice is derived
+DETERMINISTICALLY from the committed sf0.1 tables: 5 copies, each a
+content-level bijection of the original —
+
+- ``documents``: copy k keeps ids offset by k*10^7 and rewrites text
+  through a per-copy Caesar rotation of the letter alphabet
+  (``F.translate``). A bijective char map preserves lengths, word
+  boundaries, and EVERY within-copy shingle relation (duplicate pairs,
+  winnow fingerprints, minhash resemblance are isomorphic to the
+  original), while cross-copy shingles share essentially nothing — so
+  the 5× corpus carries 5× the duplicate pairs at the ORIGINAL duplicate
+  density, which is the honest scale-up for a dedup growth curve (naive
+  copying would instead quintuple every near-dup component and inflate
+  pair counts quadratically).
+- ``embeddings``: copy k offsets ids and applies a SEEDED random
+  orthogonal rotation Q_k (QR of a seeded Gaussian, numpy driver-side
+  — the table is 2k rows × 64 floats at sf0.1). Orthogonality
+  preserves within-copy norms and cosines EXACTLY; a uniformly random
+  rotation sends the 10 cluster centroids to independent directions,
+  so cross-copy cosines concentrate near 0 (σ≈1/√64) and the
+  near-dup pair count scales with data. Cheaper bijections fail
+  here: a bare roll left whole transformed clusters near other
+  clusters at the key's τ=0.45 (measured 28.5× pairs instead of 5×),
+  and roll+sign-flip still collided at cluster granularity.
+
+Output: .scaling_sf05/{documents,embeddings}.parquet (gitignored —
+regenerate with this script; load_tables skips the absent TPC-H
+tables, and the measured dedup/sim keys read only these two).
+
+Run: python tools/gen_scaling_sf.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+
+K_COPIES = 5
+SRC = "/root/testdata/sf0.1"
+DEFAULT_OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scaling_sf05",
+)
+
+
+def rotated_alphabet(k: int) -> tuple[str, str]:
+    lo, up = string.ascii_lowercase, string.ascii_uppercase
+    return (
+        lo + up,
+        lo[k:] + lo[:k] + up[k:] + up[:k],
+    )
+
+
+def main(out_dir: str = DEFAULT_OUT) -> int:
+    from pyspark.sql import functions as F
+
+    from featurebase_spark.session import get_spark, load_tables
+
+    spark = get_spark("gen_scaling_sf", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, SRC, register_views=False)
+
+    doc_parts = []
+    for k in range(K_COPIES):
+        d = t["documents"]
+        if k:
+            src_a, dst_a = rotated_alphabet(k)
+            d = d.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                F.translate(F.col("text"), src_a, dst_a).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        doc_parts.append(d)
+    docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        docs = docs.unionAll(p)
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    base = np.asarray(src["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(src["vec_id"].to_pylist(), dtype=np.int64)
+    labels = np.asarray(src["label"].to_pylist(), dtype=np.int32)
+    dim = base.shape[1]
+    rng = np.random.default_rng(4242)
+    all_vecs, all_ids, all_labels = [base], [ids], [labels]
+    for k in range(1, K_COPIES):
+        q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+        all_vecs.append(base @ q.T)
+        all_ids.append(ids + k * 10_000_000)
+        all_labels.append(labels)
+    vecs = np.concatenate(all_vecs).astype(np.float32)
+    emb_table = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(all_ids)),
+            "embedding": pa.array(
+                vecs.tolist(), type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.concatenate(all_labels)),
+        }
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    pq.write_table(
+        emb_table, os.path.join(out_dir, "embeddings.parquet")
+    )
+    n_d = spark.read.parquet(
+        os.path.join(out_dir, "documents.parquet")
+    ).count()
+    n_e = spark.read.parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    ).count()
+    print(f"wrote {out_dir}: documents={n_d} embeddings={n_e}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
