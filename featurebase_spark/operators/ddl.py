@@ -948,48 +948,70 @@ class Catalog:
         ]
         return self.spark.createDataFrame(rows)
 
+    _EXEC_REQUESTS_SCHEMA = (
+        "nodeid STRING, request_id STRING, user STRING, "
+        "start_time TIMESTAMP, end_time TIMESTAMP, status STRING, "
+        "wait_type STRING, wait_time BIGINT, wait_resource STRING, "
+        "cpu_time BIGINT, elapsed_time BIGINT, reads BIGINT, "
+        "writes BIGINT, logical_reads BIGINT, row_count BIGINT, "
+        "sql STRING, plan STRING"
+    )
+
     def fb_exec_requests(self) -> DataFrame:
-        """``fb_exec_requests`` (opsystemtable.go:1-673 serves in-flight /
-        recent SQL requests per node). Spark analogue: the job status
-        tracker — one row per active job with its stage count. (The
-        reference's per-request SQL text / elapsed / node fields are
-        coordinator-specific; Spark's public tracker exposes job/stage
-        granularity, so that is the contract here.)"""
-        st = self.spark.sparkContext.statusTracker()
+        """``fb_exec_requests`` in the reference's 17-column wire shape
+        (opsystemtable.go:1-673; schema pinned by
+        sql_complex_test.go:74-106). Rows come from Spark's public job
+        status tracker — one per active job (idle session → empty
+        frame). Wait/IO accounting is coordinator-internal in the
+        reference; Spark's public tracker does not expose it, so those
+        columns carry zero/empty with the wire types intact."""
+        from datetime import datetime
+
+        sc = self.spark.sparkContext
+        st = sc.statusTracker()
+        node = sc.applicationId
+        epoch = datetime(1970, 1, 1)
         rows = []
         for jid in sorted(st.getActiveJobsIds()):
             info = st.getJobInfo(jid)
             if info is not None:
-                rows.append(
-                    SparkRow(
-                        request_id=int(jid),
-                        status=str(info.status),
-                        n_stages=len(info.stageIds),
-                    )
-                )
-        if not rows:
-            return self.spark.createDataFrame(
-                [], "request_id LONG, status STRING, n_stages INT"
-            )
-        return self.spark.createDataFrame(rows)
+                rows.append((
+                    node, str(jid), "", epoch, None,
+                    str(info.status).lower(), "", 0, "", 0, 0, 0, 0, 0,
+                    0, "", f"stages={len(info.stageIds)}",
+                ))
+        return self.spark.createDataFrame(
+            rows, self._EXEC_REQUESTS_SCHEMA
+        )
+
+    _PERF_COUNTERS_SCHEMA = (
+        "nodeid STRING, namespace STRING, subsystem STRING, "
+        "counter_name STRING, value BIGINT, counter_type BIGINT"
+    )
 
     def fb_performance_counters(self) -> DataFrame:
-        """``fb_performance_counters`` (opsystemtable.go — per-node
-        counters). Spark analogue: scheduler counters from the public
-        status tracker + context. Node-memory/goroutine counters are
-        reference-runtime-specific and documented n/a (COVERAGE.md)."""
+        """``fb_performance_counters`` in the reference's 6-column wire
+        shape (opsystemtable.go; schema pinned by
+        sql_complex_test.go:53-72). Counter values come from Spark's
+        public status tracker + context — the reference's
+        goroutine/memstats counters are runtime-specific and documented
+        n/a (COVERAGE.md); counter_type 0 = gauge."""
         import time as _time
 
         sc = self.spark.sparkContext
         st = sc.statusTracker()
+        node = sc.applicationId
         counters = [
-            ("active_jobs", len(st.getActiveJobsIds())),
-            ("active_stages", len(st.getActiveStageIds())),
-            ("default_parallelism", sc.defaultParallelism),
-            ("uptime_ms", int(_time.time() * 1000) - sc.startTime),
+            ("scheduler", "active_jobs", len(st.getActiveJobsIds())),
+            ("scheduler", "active_stages", len(st.getActiveStageIds())),
+            ("scheduler", "default_parallelism", sc.defaultParallelism),
+            ("runtime", "uptime_ms",
+             int(_time.time() * 1000) - sc.startTime),
         ]
         return self.spark.createDataFrame(
-            [SparkRow(counter=c, value=int(v)) for c, v in counters]
+            [(node, "spark", sub, name, int(v), 0)
+             for sub, name, v in counters],
+            self._PERF_COUNTERS_SCHEMA,
         )
 
     def fb_views(self) -> DataFrame:

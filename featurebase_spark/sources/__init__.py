@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import ArrayType
 
 
 def bulk_insert(
@@ -97,6 +98,10 @@ def bulk_insert(
         cols = []
         for out, spec in map_spec.items():
             locator, t = parse_spec(spec)
+            # the reference accepts bare key names as NDJSON paths
+            # (sql_complex_test.go:2833 maps 'id', not '$.id')
+            if not locator.startswith("$"):
+                locator = "$." + locator
             j = F.get_json_object(F.col("value"), locator)
             cols.append(_json_cast(j, t).alias(out))
         df = raw.select(*cols)
@@ -105,7 +110,20 @@ def bulk_insert(
         cols = []
         for out, spec in map_spec.items():
             locator, t = parse_spec(spec)
-            cols.append(F.col(locator).cast(t).alias(out))
+            src = F.col(locator)
+            # a scalar parquet column mapped to a SET type becomes a
+            # one-member set (sql_complex_test.go:2984 maps a string
+            # column to STRINGSET)
+            if t.startswith("array") and not isinstance(
+                raw.schema[locator].dataType, ArrayType
+            ):
+                inner = t[t.index("<") + 1 : -1]
+                cols.append(
+                    F.when(src.isNotNull(), F.array(src.cast(inner)))
+                    .alias(out)
+                )
+            else:
+                cols.append(src.cast(t).alias(out))
         df = raw.select(*cols)
     else:
         raise ValueError(

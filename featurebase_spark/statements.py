@@ -1144,9 +1144,11 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
     if fmt.upper() == "NDJSON" and not allow_missing:
         raw_txt = spark.read.text(path)
         for loc, _t in map_entries:
-            if not loc.startswith("$."):
+            # bare key names are valid NDJSON paths too ('id' ≡ '$.id')
+            key = (loc[2:] if loc.startswith("$.") else loc)
+            key = key.split(".")[0].split("[")[0]
+            if not key or key.startswith("$"):
                 continue
-            key = loc[2:].split(".")[0].split("[")[0]
             missing = (
                 raw_txt.where(~F.col("value").contains(f'"{key}"'))
                 .limit(1)  # bounded probe: 1 row proves the violation

@@ -783,3 +783,107 @@ def test_bulk_ndjson_set_shapes(spark, bulk_cat):
         for r in spark.table("amv").collect()
     }
     assert got == {1: (["only"], [7]), 2: (["x", "y"], [1, 2])}
+
+
+# --- TestPlanner_SystemTableFanout (:47-132) — wire schemas ---------------
+
+
+def test_perf_counters_wire_schema(spark, cat):
+    df = fb_sql(spark, "select * from fb_performance_counters",
+                catalog=cat)
+    assert df.columns == [
+        "nodeid", "namespace", "subsystem", "counter_name", "value",
+        "counter_type"]
+
+
+def test_exec_requests_wire_schema_and_agg(spark, cat):
+    df = fb_sql(spark, "select * from fb_exec_requests", catalog=cat)
+    assert df.columns == [
+        "nodeid", "request_id", "user", "start_time", "end_time",
+        "status", "wait_type", "wait_time", "wait_resource", "cpu_time",
+        "elapsed_time", "reads", "writes", "logical_reads", "row_count",
+        "sql", "plan"]
+    # the aggregate shape over it compiles and runs (:107-132)
+    agg = fb_sql(
+        spark,
+        "select count(request_id) as request_count, "
+        "min(elapsed_time) as min_duration, "
+        "max(elapsed_time) as max_duration "
+        "from fb_exec_requests where status = 'complete'",
+        catalog=cat,
+    )
+    assert agg.columns == ["request_count", "min_duration", "max_duration"]
+    assert agg.count() == 1
+
+
+def test_bulk_insert_fb1831_shard_boundaries(spark, bulk_cat):
+    # TestPlanner_BulkInsert_FB1831 (:2833-2979): sequential STREAM
+    # batches, including ids at 2^20 shard boundaries (1048577,
+    # 2097153, 3145729), all visible in one SELECT afterwards
+    execute_statement(
+        spark,
+        "create table iris31 (_id id, sepallength decimal(2), "
+        "species string)",
+        bulk_cat,
+    )
+    batches = [(1, 2, 3), (4, 5, 6), (7, 8, 9),
+               (1048577, 2097153, 3145729)]
+    for ids in batches:
+        rows = "\n".join(
+            '{"id": %d, "sepalLength": "5.1", "species": "setosa"}' % i
+            for i in ids
+        )
+        execute_statement(
+            spark,
+            "bulk insert into iris31 (_id, sepallength, species) "
+            "map('id' id, 'sepalLength' DECIMAL(2), 'species' STRING) "
+            f"from x'{rows}' with format 'NDJSON' input 'STREAM'",
+            bulk_cat,
+        )
+    got = sorted(r["_id"] for r in spark.table("iris31").collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8, 9, 1048577, 2097153, 3145729]
+
+
+def test_bulk_insert_parquet_local_file(spark, bulk_cat, tmp_path):
+    # TestPlanner_BulkInsertParquet BulkFromLocalFile (:2984-3070)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    execute_statement(
+        spark,
+        "create table jp (_id ID, a INT, b DECIMAL(2), c STRING, "
+        "d STRINGSET, f BOOL, t TIMESTAMP)",
+        bulk_cat,
+    )
+    f = tmp_path / "bulk.parquet"
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "int64V": pa.array([42, 7, 6], pa.int64()),
+            "float64V": pa.array([3.14159, 1.61803, 1.41426]),
+            "stringV": pa.array(["pi", "goldenratio", "sqr2"]),
+            "stringsetV": pa.array(["a1", "a2", "a3"]),
+            "boolV": pa.array([True, False, True]),
+            "tsV": pa.array(["2022-01-28T12:14:04Z", "1970-01-28",
+                             "1988-05-30T12:02:00Z"]),
+        }),
+        str(f),
+    )
+    execute_statement(
+        spark,
+        "bulk insert into jp (_id, a, b, c, d, f, t) "
+        "map('id' id, 'int64V' INT, 'float64V' DECIMAL(2), "
+        "'stringV' STRING, 'stringsetV' STRINGSET, 'boolV' BOOL, "
+        f"'tsV' TIMESTAMP) from '{f}' WITH FORMAT 'PARQUET' "
+        "INPUT 'FILE'",
+        bulk_cat,
+    )
+    got = {(r["_id"], r["a"], r["c"]) for r in
+           fb_sql(spark, "select _id, a, c from jp").collect()}
+    assert got == {(1, 42, "pi"), (2, 7, "goldenratio"), (3, 6, "sqr2")}
+    # decimal(2) truncation of 3.14159 → 3.14 (pql.FromFloat64WithScale)
+    b = {float(r["b"]) for r in fb_sql(spark, "select b from jp").collect()}
+    assert 3.14 in b
+    ordered = [r["c"] for r in
+               fb_sql(spark, "select _id, c from jp order by c").collect()]
+    assert ordered == ["goldenratio", "pi", "sqr2"]

@@ -231,9 +231,21 @@ def test_cluster_introspection_system_tables(spark):
 
     cat = Catalog(spark)
     reqs = cat.fb_exec_requests()
-    assert reqs.columns == ["request_id", "status", "n_stages"]
+    # the 17-column wire shape (sql_complex_test.go:74-106)
+    assert reqs.columns == [
+        "nodeid", "request_id", "user", "start_time", "end_time",
+        "status", "wait_type", "wait_time", "wait_resource", "cpu_time",
+        "elapsed_time", "reads", "writes", "logical_reads", "row_count",
+        "sql", "plan",
+    ]
     assert reqs.count() >= 0  # idle driver: no active jobs
-    counters = {r["counter"]: r["value"] for r in cat.fb_performance_counters().collect()}
+    # the 6-column wire shape (sql_complex_test.go:53-72)
+    pc = cat.fb_performance_counters()
+    assert pc.columns == [
+        "nodeid", "namespace", "subsystem", "counter_name", "value",
+        "counter_type",
+    ]
+    counters = {r["counter_name"]: r["value"] for r in pc.collect()}
     assert set(counters) == {
         "active_jobs", "active_stages", "default_parallelism", "uptime_ms"
     }
@@ -259,7 +271,7 @@ def test_system_tables_selectable(spark):
     n = fb_sql(
         spark,
         "select count(*) as n from fb_performance_counters "
-        "where counter = 'uptime_ms'",
+        "where counter_name = 'uptime_ms'",
         catalog=cat,
     ).first()["n"]
     assert n == 1
