@@ -217,7 +217,12 @@ ABS_SLACK_SEC = 0.1
 ABS_SLACK_MAX_T_SEC = 0.2
 
 
-def measure(spark, keys=None, sf_dirs=None, repeats: int = 3) -> dict:
+def measure(
+    spark, keys=None, sf_dirs=None, repeats: int = 3, extra: bool = False
+) -> dict:
+    """``extra=True`` additionally measures the dedup tier against the
+    synthetic 5× slice (artifact runs); the pytest flatness gate keeps
+    it off — it is a long timing section and the slice may be absent."""
     from featurebase_spark.queries import SPARK_QUERIES
 
     keys = keys or SCALING_KEYS
@@ -276,7 +281,7 @@ def measure(spark, keys=None, sf_dirs=None, repeats: int = 3) -> dict:
     # new columns pin the TAIL decade — tail_5x = t(sf0.5)/t(sf0.1)
     # against 5× data, and exponent_tail = log5(tail_5x), the measured
     # power of the last decade (1.0 = linear, <1 sublinear).
-    if os.path.isdir(EXTRA_SF05_DIR):
+    if extra and os.path.isdir(EXTRA_SF05_DIR):
         # drop cached plans/broadcasts accumulated over the 22-key run
         # before the 5× slice section — the long single-session
         # measurement otherwise runs the driver heap into the
@@ -324,7 +329,7 @@ def main(out_path: str = "SCALING_r07.json") -> int:
     # launch; the 22-key + extra-slice run needs more than the 1g
     # default for its broadcast builds
     spark = get_spark(extra_conf={"spark.driver.memory": "8g"})
-    result = measure(spark)
+    result = measure(spark, extra=True)
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=2)
     for k, v in result["keys"].items():

@@ -887,3 +887,58 @@ def test_bulk_insert_parquet_local_file(spark, bulk_cat, tmp_path):
     ordered = [r["c"] for r in
                fb_sql(spark, "select _id, c from jp order by c").collect()]
     assert ordered == ["goldenratio", "pi", "sqr2"]
+
+
+def test_bulk_insert_int64_beyond_2pow53(spark, bulk_cat):
+    # FP1916 + FP1915 (:3237-3330): 8924809397503602651 > 2^53 must
+    # survive CSV and NDJSON ingest EXACTLY (the float64 round-trip
+    # pitfall), whether the NDJSON number is bare or string-quoted
+    execute_statement(
+        spark, "create table bigints (_id id, a int, b int)", bulk_cat)
+    execute_statement(
+        spark,
+        "BULK INSERT INTO bigints (_id, a, b) "
+        "map ('$._id' id, '$.a' int, '$.b' int) "
+        "from x'"
+        '{ "_id":8924809397503602651 , "a": 10, "b": 20 }\n'
+        '{ "_id":"8924809397503602652" , "a": 10, "b": 20 }'
+        "' WITH FORMAT 'NDJSON' INPUT 'STREAM'",
+        bulk_cat,
+    )
+    got = sorted(r["_id"] for r in spark.table("bigints").collect())
+    assert got == [8924809397503602651, 8924809397503602652]
+    # CSV twin (FP1916 int_col)
+    execute_statement(
+        spark, "create table bigcsv (_id id, v int)", bulk_cat)
+    execute_statement(
+        spark,
+        "BULK INSERT INTO bigcsv (_id, v) map (0 ID, 1 INT) "
+        "from x'1,8924809397503602651' "
+        "WITH FORMAT 'CSV' INPUT 'STREAM'",
+        bulk_cat,
+    )
+    assert spark.table("bigcsv").first()["v"] == 8924809397503602651
+
+
+def test_fb2062_group_having_order(spark, bulk_cat):
+    # FB_2062 (:3331-3351): GROUP BY + HAVING count(*)>1 + ORDER BY cnt
+    execute_statement(
+        spark,
+        "create table sup305 (_id id, bucket string, value int)",
+        bulk_cat,
+    )
+    vals = []
+    for base in (0, 7, 14):
+        for i, b in enumerate(("a", "b", "c", "c", "c", "c", "c")):
+            vals.append(f"({base + i + 1}, '{b}', 1000)")
+    execute_statement(
+        spark,
+        "insert into sup305 values " + ", ".join(vals),
+        bulk_cat,
+    )
+    got = [r["cnt"] for r in fb_sql(
+        spark,
+        "select bucket, count(*) as cnt from sup305 "
+        "group by bucket having count(*) > 1 order by cnt",
+    ).collect()]
+    assert got == [3, 3, 15]
