@@ -90,6 +90,34 @@ def is_statement(sql: str) -> bool:
 # --------------------------------------------------------------------------
 
 
+#: grammar keywords the reference's errorExpected renders QUOTED
+#: (parser.go:3831-3839 quotes non-literal tokens: keywords, EOF,
+#: punctuation; identifiers/numbers/strings print bare)
+_GRAMMAR_KWS = {
+    "TABLE", "TABLES", "COLUMN", "COLUMNS", "VIEW", "DATABASE",
+    "DATABASES", "ADD", "DROP", "RENAME", "TO", "AS", "SELECT", "WITH",
+    "UNITS", "MIN", "MAX", "TIMEUNIT", "TIMEQUANTUM", "CACHETYPE",
+    "RANKED", "LRU", "SIZE", "TTL", "EPOCH", "COMMENT", "KEYPARTITIONS",
+    "FROM", "MAP", "TRANSFORM", "FORMAT", "INPUT", "BATCHSIZE",
+    "ROWSLIMIT", "HEADER_ROW", "ALLOW_MISSING_VALUES", "INSERT",
+    "REPLACE", "INTO", "VALUES", "EXISTS", "IF", "NOT", "CREATE",
+    "SHOW", "WHERE", "DELETE", "TRUNCATE",
+}
+
+
+def _found(tok: Optional[str]) -> str:
+    """Render a token in the reference errorExpected style
+    (parser.go:3831-3839): EOF / punctuation / keywords quoted,
+    identifiers and literals bare."""
+    if tok is None or tok == ";":
+        return "'EOF'" if tok is None else "';'"
+    if tok.upper() in _GRAMMAR_KWS:
+        return f"'{tok.upper()}'"
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_-]*|[0-9.]+|'[^']*'", tok):
+        return tok
+    return f"'{tok}'"
+
+
 class _P:
     def __init__(self, sql: str):
         self.toks = [t for t in _tokenize(sql) if not _is_ws(t)]
@@ -119,25 +147,25 @@ class _P:
     def expect(self, kw: str) -> str:
         t = self.peek()
         if t is None or t.upper() != kw:
-            raise StatementError(f"expected {kw}, found {t}")
+            raise StatementError(f"expected {kw}, found {_found(t)}")
         return self.take()
 
     def ident(self, what: str = "identifier") -> str:
         t = self.peek()
         if t is None:
-            raise StatementError(f"expected {what}")
+            raise StatementError(f"expected {what}, found 'EOF'")
         if t.startswith('"') and t.endswith('"'):
             self.take()
             return t[1:-1].replace('""', '"').lower()
         if not _IDENT_RE.match(t):
-            raise StatementError(f"expected {what}, found {t}")
+            raise StatementError(f"expected {what}, found {_found(t)}")
         return self.take().lower()
 
     def literal(self) -> tuple[str, str]:
         """Return (kind, token): kind ∈ str|num|bool|null."""
         t = self.peek()
         if t is None:
-            raise StatementError("expected literal")
+            raise StatementError("expected literal, found 'EOF'")
         if t.startswith("'"):
             return "str", self.take()
         if t[:1].isdigit() or t[:1] == ".":
@@ -149,7 +177,7 @@ class _P:
             return "bool", self.take()
         if t.upper() == "NULL":
             return "null", self.take()
-        raise StatementError(f"expected literal, found {t}")
+        raise StatementError(f"expected literal, found {_found(t)}")
 
     def expr_until(self, stops: tuple[str, ...]) -> str:
         """Collect a raw expression (paren/bracket balanced) up to a
@@ -189,18 +217,34 @@ def _fmt_number(d: Decimal) -> str:
 
 
 def _parse_type(p: _P) -> tuple[str, Optional[int]]:
+    """Parse ``typename[(scale)]``. Type-name VALIDITY is an analyzer
+    concern, not a parse error (analyzeCreateTableStatement raises
+    NewErrUnknownType; the parser accepts any identifier — that is why
+    ``CREATE TABLE tbl (col1 TEXT`` reports the TRUNCATION, not the
+    unknown type, parser_test.go:1013). Callers run
+    :func:`_check_type_known` at analysis time."""
     name = p.ident("type name")
     scale = None
     if p.peek() == "(":
         p.take()
-        kind, tok = p.literal()
-        if kind != "num":
-            raise StatementError("integer literal expected")
-        scale = int(tok)
-        p.expect(")")
+        t = p.peek()
+        if t is None or not t.isdigit():
+            # parser_test.go:1045 — "expected scale, found 'EOF'"
+            raise StatementError(f"expected scale, found {_found(t)}")
+        scale = int(p.take())
+        t = p.peek()
+        if t != ")":
+            # :1046-1048 — two-arg DECIMAL is a parse error
+            raise StatementError(
+                f"expected right paren, found {_found(t)}"
+            )
+        p.take()
+    return name, scale
+
+
+def _check_type_known(name: str) -> None:
     if name not in _VALID_TYPES:
         raise StatementError(f"unknown type '{name}'")
-    return name, scale
 
 
 _CONSTRAINT_KWS = {"MIN", "MAX", "TIMEUNIT", "TIMEQUANTUM", "CACHETYPE",
@@ -227,6 +271,9 @@ def _parse_constraints(p: _P, col: dict) -> None:
         kw = p.take().upper()
         col["order"].append(kw)
         if kw in ("MIN", "MAX"):
+            if p.peek() is None:
+                # parser_test.go:41 — the parser wants an expression
+                raise StatementError("expected expression, found 'EOF'")
             kind, tok = p.literal()
             if kind != "num":
                 raise StatementError(f"literal expected after {kw}")
@@ -249,7 +296,9 @@ def _parse_constraints(p: _P, col: dict) -> None:
         elif kw == "CACHETYPE":
             v = p.peek_up()
             if v not in ("RANKED", "LRU"):
-                raise StatementError(f"expected RANKED or LRU, found {p.peek()}")
+                raise StatementError(
+                    f"expected RANKED or LRU, found {_found(p.peek())}"
+                )
             col["cachetype"] = p.take().lower()
             if p.accept("SIZE"):
                 kind, tok = p.literal()
@@ -285,6 +334,7 @@ def _analyze_column(col: dict) -> None:
     TIMEQUANTUM are mutually exclusive (order-sensitive — the one seen
     SECOND raises), and time unit / quantum / ttl values are validated.
     """
+    _check_type_known(col["type"])
     t = col["type"]
     seen: set[str] = set()
     for kw in col.get("order", ()):
@@ -341,13 +391,35 @@ def _create_table(p: _P, spark: SparkSession, catalog) -> None:
         p.expect("EXISTS")
         if_not_exists = True
     name = p.ident("table name")
-    p.expect("(")
+    t = p.peek()
+    if t != "(":
+        raise StatementError(f"expected left paren, found {_found(t)}")
+    p.take()
     cols = []
-    while p.peek() != ")":
-        cols.append(_parse_column_def(p))
-        if p.peek() == ",":
+    while True:
+        t = p.peek()
+        if t == ")":
             p.take()
-    p.expect(")")
+            break
+        if t is None or not (t.startswith('"') or _IDENT_RE.match(t)):
+            raise StatementError(
+                "expected column name, or right paren, found "
+                f"{_found(t)}"
+            )
+        cols.append(_parse_column_def(p))
+        t = p.peek()
+        if t == ",":
+            p.take()
+            continue
+        if t == ")":
+            p.take()
+            break
+        # anything after a complete column definition other than ','
+        # or ')' — parser_test.go:1012-1013, sql_complex_test.go:459
+        # ("expected column name, or right paren, found 'EPOCH'")
+        raise StatementError(
+            f"expected column name, or right paren, found {_found(t)}"
+        )
 
     # table options (parser.go:548-607)
     while p.peek_up() in ("KEYPARTITIONS", "COMMENT"):
@@ -376,6 +448,9 @@ def _create_table(p: _P, spark: SparkSession, catalog) -> None:
         if lname in seen_names:
             raise StatementError(f"duplicate column '{lname}'")
         seen_names.add(lname)
+        # unknown type precedes the _id rules
+        # (analyzeCreateTableStatement order)
+        _check_type_known(col["type"])
         if lname == "_id":
             if col["type"] not in ("id", "string"):
                 raise StatementError(
@@ -438,22 +513,66 @@ def _create_table(p: _P, spark: SparkSession, catalog) -> None:
 def _alter_table(p: _P, spark: SparkSession, catalog) -> None:
     from featurebase_spark.schema import FieldDef
 
+    head = p.peek_up()
+    if head not in ("DATABASE", "TABLE", "VIEW"):
+        # parser_test.go:371 — bare ALTER
+        raise StatementError("expected DATABASE, TABLE or VIEW")
     if p.accept("VIEW"):
         # ALTER VIEW name AS select (compilecreateview.go:31-64 — replaces
         # the stored view text, recompiled on use)
         vname = p.ident("view name")
+        p.expect("AS")
+        # the view body must be a SELECT (parser_test.go:469)
+        if p.peek_up() != "SELECT":
+            raise StatementError(
+                f"expected SELECT, found {_found(p.peek())}"
+            )
         if vname not in catalog._views:
             raise StatementError(f"view '{vname}' not found")
-        p.expect("AS")
         catalog.create_view(vname, translate(p.expr_until(())), replace=True)
+        return
+    if p.accept("DATABASE"):
+        # ALTER DATABASE name WITH UNITS n (parser_test.go:372-375;
+        # compilealterdatabase — DAX sizing; stored per-database)
+        dbname = p.ident("database name")
+        p.expect("WITH")
+        p.expect("UNITS")
+        kind, tok = p.literal()
+        if kind != "num":
+            raise StatementError("integer literal expected")
+        dbs = {d.name for d in spark.catalog.listDatabases()}
+        if dbname not in dbs:
+            raise StatementError(f"database '{dbname}' not found")
+        if not hasattr(catalog, "_db_units"):
+            catalog._db_units = {}
+        catalog._db_units[dbname] = int(tok)
         return
     p.expect("TABLE")
     name = p.ident("table name")
     if name not in catalog._defs:
         raise StatementError(f"table '{name}' not found")
+    t = p.peek_up()
+    if t not in ("ADD", "DROP", "RENAME"):
+        # parser_test.go:457
+        raise StatementError(
+            f"expected ADD, DROP or RENAME, found {_found(p.peek())}"
+        )
     action = p.take().upper()
-    p.expect("COLUMN")
+    # the COLUMN keyword is optional (parser_test.go:458-464:
+    # "expected COLUMN keyword or column name" before it, plain
+    # "expected column name" after it)
+    had_kw = p.accept("COLUMN")
+    if p.peek() is None and not had_kw:
+        raise StatementError(
+            "expected COLUMN keyword or column name, found 'EOF'"
+        )
     col = p.ident("column name")
+    if action == "RENAME":
+        # parses and compiles in the reference; execution refuses
+        # (opaltertable.go:113-114)
+        p.expect("TO")
+        p.ident("new column name")
+        raise StatementError("column rename is unimplemented")
     existing = {f.name for f in catalog._defs[name].fields} | {"_id"}
     if action == "ADD":
         # _id gets its own error BEFORE the duplicate check
@@ -1287,13 +1406,28 @@ def _copy(p: _P, spark: SparkSession, catalog) -> None:
 
 
 def _show(p: _P, spark: SparkSession, catalog) -> DataFrame:
+    t = p.peek()
+    if t is None or t.upper() not in (
+        "TABLES", "VIEWS", "DATABASES", "COLUMNS", "INDEXES", "CREATE",
+    ):
+        # parser_test.go:670-671
+        raise StatementError(
+            "expected DATABASES, TABLES, COLUMNS or CREATE, found "
+            f"{_found(t)}"
+        )
     what = p.take().upper()
     if what == "TABLES":
         # WITH SYSTEM is the only show option (parser parity:
-        # sql_complex_test.go:269-277 — "unknown show option 'SCOTCH'")
+        # sql_complex_test.go:269-277 — "unknown show option 'SCOTCH'";
+        # bare WITH: parser_test.go:672)
         with_system = False
         if p.accept("WITH"):
-            opt = p.take()
+            opt = p.peek()
+            if opt is None:
+                raise StatementError(
+                    "expected show tables option, found 'EOF'"
+                )
+            p.take()
             if opt.upper() != "SYSTEM":
                 raise StatementError(f"unknown show option '{opt}'")
             with_system = True
@@ -1316,7 +1450,12 @@ def _show(p: _P, spark: SparkSession, catalog) -> DataFrame:
                 raise StatementError(f"table '{table}' not found")
         return catalog.fb_indexes(table)
     if what == "CREATE":
-        p.expect("TABLE")
+        # the reference's message says TABLES here, quirk reproduced
+        # verbatim (parser_test.go:703: "expected TABLES, found 'EOF'")
+        t = p.peek()
+        if t is None or t.upper() != "TABLE":
+            raise StatementError(f"expected TABLES, found {_found(t)}")
+        p.take()
         name = p.ident("table name")
         if name not in catalog._defs:
             raise StatementError(f"table '{name}' not found")
@@ -1341,11 +1480,18 @@ def execute_statement(
     p = _P(sql)
     head = p.take().upper()
     if head == "CREATE":
+        if p.peek_up() not in (
+            "DATABASE", "TABLE", "VIEW", "OR", "INDEX", "TEXT", "MODEL",
+        ):
+            # parser_test.go:965
+            raise StatementError(
+                "expected DATABASE, TABLE, VIEW, FUNCTION or MODEL"
+            )
         if p.peek_up() == "DATABASE":
             # DAX-mode database (compilecreatedatabase; UNITS etc. are
-            # cloud sizing options — accepted and ignored with the same
-            # "currently ignored" stance the reference takes for
-            # KEYPARTITIONS)
+            # cloud sizing options — accepted and recorded with the
+            # same "currently ignored" stance the reference takes for
+            # KEYPARTITIONS). Option grammar: parser_test.go:966-973.
             p.take()
             if_not = False
             if p.accept("IF"):
@@ -1353,10 +1499,21 @@ def execute_statement(
                 p.expect("EXISTS")
                 if_not = True
             name = p.ident("database name")
-            while p.peek_up() in ("WITH", "UNITS", "COMMENT"):
-                opt = p.take().upper()
-                if opt in ("UNITS", "COMMENT"):
+            if p.accept("WITH"):
+                n_opts = 0
+                while p.peek_up() in ("UNITS", "COMMENT"):
+                    p.take()
                     p.literal()
+                    n_opts += 1
+                if n_opts == 0:
+                    raise StatementError(
+                        "expected at least one option after WITH"
+                    )
+            t = p.peek()
+            if t is not None and t != ";":
+                raise StatementError(
+                    f"expected semicolon or EOF, found {_found(t)}"
+                )
             spark.sql(
                 f"CREATE DATABASE {'IF NOT EXISTS ' if if_not else ''}{name}"
             )
@@ -1374,6 +1531,12 @@ def execute_statement(
                 if_not_exists = True
             name = p.ident("view name")
             p.expect("AS")
+            # the body must be a SELECT (parser_test.go:469 via the
+            # shared view grammar)
+            if p.peek_up() != "SELECT":
+                raise StatementError(
+                    f"expected SELECT, found {_found(p.peek())}"
+                )
             body = translate(p.expr_until(()))
             # name-collision analysis mirrors compilecreateview.go /
             # defs_views.go: a TABLE with the name is "table or view ...

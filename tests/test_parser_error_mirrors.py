@@ -1,0 +1,148 @@
+"""Mirrors of the reference's parser error battery
+(sql3/parser/parser_test.go, 4,940 LoC) for the statement grammars the
+engine's text door implements — the [L:C] position prefix is stripped
+per the repo's standing error-parity convention; the message TEXT
+matches verbatim, including the reference errorExpected formatting
+(parser.go:3831-3839: keywords/EOF/punctuation quoted, identifiers and
+numeric literals bare).
+
+Statement families the reference parses but never executes (CREATE
+FUNCTION/TRIGGER — their error cases are commented out in the corpus
+itself; BEGIN/SAVEPOINT transactions) are not mirrored: no execution
+semantics exist to be faithful to.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from featurebase_spark.statements import (
+    StatementError,
+    default_catalog,
+    execute_statement,
+)
+
+
+@pytest.fixture()
+def cat(spark):
+    c = default_catalog(spark)
+    execute_statement(spark, "create table ptbl (_id id, f int)", c)
+    yield c
+    for t in list(c._defs):
+        c.drop_table(t)
+    for v in list(c._views):
+        c.drop_view(v)
+
+
+CASES = [
+    # --- CREATE TABLE truncations (parser_test.go:1010-1048, 16, 41,
+    #     226, 260, 294) --------------------------------------------------
+    ("CREATE TABLE", "expected table name, found 'EOF'"),
+    ("CREATE TABLE tbl", "expected left paren, found 'EOF'"),
+    ("CREATE TABLE tbl (",
+     "expected column name, or right paren, found 'EOF'"),
+    ("CREATE TABLE tbl (col1 STRING",
+     "expected column name, or right paren, found 'EOF'"),
+    # TEXT parses as a type NAME; truncation wins over unknown-type
+    # because type validity is the ANALYZER's job (:1013)
+    ("CREATE TABLE tbl (col1 TEXT",
+     "expected column name, or right paren, found 'EOF'"),
+    ("CREATE TABLE tbl (col1", "expected type name, found 'EOF'"),
+    ("CREATE TABLE tbl (col1 DECIMAL(", "expected scale, found 'EOF'"),
+    ("CREATE TABLE tbl (col1 DECIMAL(12,",
+     "expected right paren, found ','"),
+    ("CREATE TABLE tbl (col1 DECIMAL(1",
+     "expected right paren, found 'EOF'"),
+    ("CREATE TABLE tbl (col1 INT MIN",
+     "expected expression, found 'EOF'"),
+    ("CREATE TABLE tbl (col1 STRING TIMEUNIT",
+     "expected literal, found 'EOF'"),
+    ("CREATE TABLE tbl (col1 STRING TIMEQUANTUM",
+     "expected literal, found 'EOF'"),
+    ("CREATE TABLE tbl (col1 INT CACHETYPE",
+     "expected RANKED or LRU, found 'EOF'"),
+    ("CREATE TABLE IF", "expected NOT, found 'EOF'"),
+    ("CREATE TABLE IF NOT", "expected EXISTS, found 'EOF'"),
+    # the unknown-type analyzer error still fires on a COMPLETE parse
+    ("CREATE TABLE tbl (_id id, col1 TEXT)", "unknown type 'text'"),
+    # --- CREATE dispatch / CREATE DATABASE (:965-973) --------------------
+    ("CREATE", "expected DATABASE, TABLE, VIEW, FUNCTION or MODEL"),
+    ("CREATE DATABASE", "expected database name, found 'EOF'"),
+    ("CREATE DATABASE IF", "expected NOT, found 'EOF'"),
+    ("CREATE DATABASE IF NOT", "expected EXISTS, found 'EOF'"),
+    ("CREATE DATABASE db extra",
+     "expected semicolon or EOF, found extra"),
+    ("CREATE DATABASE db WITH",
+     "expected at least one option after WITH"),
+    ("CREATE DATABASE db WITH UNITS", "expected literal, found 'EOF'"),
+    ("CREATE DATABASE db WITH COMMENT",
+     "expected literal, found 'EOF'"),
+    # --- ALTER (:371-375, 455-469) ----------------------------------------
+    ("ALTER", "expected DATABASE, TABLE or VIEW"),
+    ("ALTER DATABASE", "expected database name, found 'EOF'"),
+    ("ALTER DATABASE db1", "expected WITH, found 'EOF'"),
+    ("ALTER DATABASE db1 WITH", "expected UNITS, found 'EOF'"),
+    ("ALTER DATABASE db1 WITH UNITS", "expected literal, found 'EOF'"),
+    ("ALTER TABLE", "expected table name, found 'EOF'"),
+    ("ALTER TABLE ptbl", "expected ADD, DROP or RENAME, found 'EOF'"),
+    ("ALTER TABLE ptbl RENAME",
+     "expected COLUMN keyword or column name, found 'EOF'"),
+    ("ALTER TABLE ptbl RENAME COLUMN",
+     "expected column name, found 'EOF'"),
+    ("ALTER TABLE ptbl RENAME COLUMN col", "expected TO, found 'EOF'"),
+    ("ALTER TABLE ptbl RENAME COLUMN col TO",
+     "expected new column name, found 'EOF'"),
+    # RENAME parses + compiles; EXECUTION refuses (opaltertable.go:114)
+    ("ALTER TABLE ptbl RENAME COLUMN f TO g",
+     "column rename is unimplemented"),
+    ("ALTER TABLE ptbl ADD",
+     "expected COLUMN keyword or column name, found 'EOF'"),
+    ("ALTER TABLE ptbl ADD COLUMN",
+     "expected column name, found 'EOF'"),
+    ("ALTER VIEW", "expected view name, found 'EOF'"),
+    ("ALTER VIEW vw 23", "expected AS, found 23"),
+    ("ALTER VIEW vw AS 23", "expected SELECT, found 23"),
+    # --- SHOW (:670-705) ---------------------------------------------------
+    ("SHOW", "expected DATABASES, TABLES, COLUMNS or CREATE, found 'EOF'"),
+    ("SHOW BLAH", "expected DATABASES, TABLES, COLUMNS or CREATE, found BLAH"),
+    ("SHOW TABLES WITH", "expected show tables option, found 'EOF'"),
+    ("SHOW COLUMNS", "expected FROM, found 'EOF'"),
+    ("SHOW COLUMNS FOO", "expected FROM, found FOO"),
+    ("SHOW COLUMNS FROM", "expected table name, found 'EOF'"),
+    ("SHOW COLUMNS FROM 12", "expected table name, found 12"),
+    # the reference's message says TABLES here — quirk verbatim (:703)
+    ("SHOW CREATE", "expected TABLES, found 'EOF'"),
+    ("SHOW CREATE TABLE", "expected table name, found 'EOF'"),
+    ("SHOW CREATE TABLE 12", "expected table name, found 12"),
+]
+
+
+@pytest.mark.parametrize("sql, msg", CASES)
+def test_parser_error_battery(spark, cat, sql, msg):
+    with pytest.raises(StatementError, match=re.escape(msg)):
+        execute_statement(spark, sql, cat)
+
+
+def test_alter_add_without_column_keyword(spark, cat):
+    """COLUMN is optional in ALTER ADD/DROP (parser grammar:
+    'COLUMN keyword or column name')."""
+    execute_statement(spark, "ALTER TABLE ptbl ADD g int", cat)
+    assert "g" in {f.name for f in cat._defs["ptbl"].fields}
+    execute_statement(spark, "ALTER TABLE ptbl DROP g", cat)
+    assert "g" not in {f.name for f in cat._defs["ptbl"].fields}
+
+
+def test_alter_database_units_roundtrip(spark, cat):
+    execute_statement(spark, "CREATE DATABASE unitsdb", cat)
+    try:
+        execute_statement(
+            spark, "ALTER DATABASE unitsdb WITH UNITS 4", cat)
+        assert cat._db_units["unitsdb"] == 4
+        with pytest.raises(StatementError,
+                           match="database 'absent' not found"):
+            execute_statement(
+                spark, "ALTER DATABASE absent WITH UNITS 2", cat)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS unitsdb")
