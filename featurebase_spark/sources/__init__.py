@@ -202,19 +202,52 @@ def read_idk_csv(spark: SparkSession, path: str) -> DataFrame:
         t = IDK_HEADER_TYPES.get(kind, "string")
         if t is None:
             continue
+        src = F.col(c)
         if t == "signedintboolkey":
-            v = F.col(c).cast("bigint")
+            v = src.cast("bigint")
             cols.append(F.when(v > 0, v).alias(name))
             cols.append(F.abs(v).alias(f"{name}-exists"))
         elif t.startswith("array"):
+            # toStringArray/toUint64Array (interfaces.go:1227-1260):
+            # '' → nil (NOT an empty array), the bracketed '[a,b,c]'
+            # form strips its brackets, members split on ',' UNtrimmed
             inner = t[t.index("<") + 1 : -1]
+            body = F.when(
+                src.startswith("[") & src.endswith("]"),
+                F.expr(f"substring(`{c}`, 2, length(`{c}`) - 2)"),
+            ).otherwise(src)
             cols.append(
-                F.transform(
-                    F.split(F.col(c), ","), lambda x: x.cast(inner)
-                ).alias(name)
+                F.when(src.isNull() | (src == ""), F.lit(None))
+                .otherwise(
+                    F.transform(
+                        F.split(body, ","), lambda x: x.cast(inner)
+                    )
+                )
+                .alias(name)
+            )
+        elif t == "boolean":
+            # toBool string coercion (interfaces.go:1146-1171 via
+            # BoolField.PilosafyVal: nil/'' → nil first): 1/t/true →
+            # true, 0/f/false → false, case-folded + trimmed; anything
+            # else is an INGEST ERROR, not a silent NULL
+            v = F.lower(F.trim(src))
+            cols.append(
+                F.when(src.isNull() | (v == ""), F.lit(None).cast(t))
+                .when(v.isin("1", "t", "true"), F.lit(True))
+                .when(v.isin("0", "f", "false"), F.lit(False))
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("couldn't convert "),
+                            src,
+                            F.lit(" of string to bool"),
+                        )
+                    )
+                )
+                .alias(name)
             )
         else:
-            cols.append(F.col(c).cast(t).alias(name))
+            cols.append(src.cast(t).alias(name))
     return raw.select(*cols)
 
 

@@ -1079,3 +1079,33 @@ def test_idk_lookup_text_and_destname(spark, tmpdir):
     r = df.first()
     assert r["blob"] == "some long text"
     assert r["clean"] == "hello" and r["n"] == 4
+
+
+def test_idk_bool_coercion_and_arrays(spark, tmpdir):
+    """toBool / toStringArray parity (idk/interfaces_test.go:18-75):
+    1/t/true → true, 0/f/false → false (case-folded, trimmed); a
+    non-bool string is an INGEST ERROR; '' array → NULL (not empty);
+    '[a,b,c]' bracket form strips; members split untrimmed."""
+    import os
+
+    import pytest
+
+    p = os.path.join(tmpdir, "coerce.csv")
+    with open(p, "w") as f:
+        f.write("id__ID,b__Bool,tags__StringArray,nums__IDArray\n")
+        f.write('1, T ,"a,b,c","1,2,3"\n')
+        f.write('2,false,"[a,b,c]","[1,2,3]"\n')
+        f.write("3,0,,\n")
+    df = SRC.read_idk_csv(spark, p)
+    got = {r["id"]: (r["b"], r["tags"], r["nums"]) for r in df.collect()}
+    assert got == {
+        1: (True, ["a", "b", "c"], [1, 2, 3]),
+        2: (False, ["a", "b", "c"], [1, 2, 3]),
+        3: (False, None, None),
+    }
+
+    bad = os.path.join(tmpdir, "badbool.csv")
+    with open(bad, "w") as f:
+        f.write("id__ID,b__Bool\n1,boat\n")
+    with pytest.raises(Exception, match="couldn't convert"):
+        SRC.read_idk_csv(spark, bad).collect()
