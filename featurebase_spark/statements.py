@@ -1187,6 +1187,26 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
             f"unable to read datasource '{path}': file '{path}' "
             "does not exist"
         )
+    if inp.upper() == "URL":
+        # fetch-then-read, the reference's URL input
+        # (opbulkinsert.go:233-244 http.Get → stream the body into the
+        # reader). Spooled to a temp file so the same Spark reader
+        # serves all three inputs; file:// URLs exercise the path in
+        # the sandbox, http(s) works where the deployment has egress.
+        import tempfile
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(path) as resp:
+                body = resp.read()
+        except Exception as e:  # noqa: BLE001 — reported verbatim
+            raise StatementError(
+                f"unable to read datasource '{path}': {e}"
+            )
+        tf_ = tempfile.NamedTemporaryFile("wb", suffix=".url", delete=False)
+        tf_.write(body)
+        tf_.close()
+        path = tf_.name
     if inp.upper() == "STREAM":
         # spool the inline blob so the same reader serves it; the
         # reference's STREAM input is exactly "the statement carries

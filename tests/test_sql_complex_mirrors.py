@@ -942,3 +942,37 @@ def test_fb2062_group_having_order(spark, bulk_cat):
         "group by bucket having count(*) > 1 order by cnt",
     ).collect()]
     assert got == [3, 3, 15]
+
+
+def test_bulk_insert_from_url(spark, bulk_cat, tmp_path):
+    # BulkCSVFromUrl / BulkNDJSONFromUrl (:3148-3236) — INPUT 'URL'
+    # fetches then reads (opbulkinsert.go:233-244); file:// exercises
+    # the fetch-then-spool path where the sandbox has no egress
+    f = tmp_path / "url.csv"
+    f.write_text("1,10,20\n2,11,21\n")
+    execute_statement(
+        spark,
+        "bulk insert into bj (_id, a, b) map (0 id, 1 int, 2 int) "
+        f"from 'file://{f}' WITH FORMAT 'CSV' INPUT 'URL'",
+        bulk_cat,
+    )
+    got = {(r["_id"], r["a"], r["b"]) for r in spark.table("bj").collect()}
+    assert got == {(1, 10, 20), (2, 11, 21)}
+    nd = tmp_path / "url.ndjson"
+    nd.write_text('{"id": 7, "a": 70, "b": 71}\n')
+    execute_statement(
+        spark,
+        "bulk insert into bj2 (_id, a, b) "
+        "map ('id' id, 'a' int, 'b' int) "
+        f"from 'file://{nd}' WITH FORMAT 'NDJSON' INPUT 'URL'",
+        bulk_cat,
+    )
+    assert spark.table("bj2").first()["_id"] == 7
+    with pytest.raises(StatementError, match="unable to read datasource"):
+        execute_statement(
+            spark,
+            "bulk insert into bj (_id, a, b) map (0 id, 1 int, 2 int) "
+            "from 'file:///nope/missing.csv' WITH FORMAT 'CSV' "
+            "INPUT 'URL'",
+            bulk_cat,
+        )
