@@ -689,12 +689,19 @@ def _drop(p: _P, spark: SparkSession, catalog) -> None:
         p.take()
         _drop_index(p, spark, catalog)
         return
+    if p.peek_up() not in ("DATABASE", "TABLE", "VIEW"):
+        # parser_test.go:1780
+        raise StatementError("expected DATABASE, TABLE, VIEW or FUNCTION")
     kind = p.take().upper()
     if_exists = False
     if p.accept("IF"):
         p.expect("EXISTS")
         if_exists = True
-    name = p.ident("name")
+    what = {
+        "TABLE": "table name", "VIEW": "view name",
+        "DATABASE": "database name",
+    }.get(kind, "name")
+    name = p.ident(what)
     if kind == "TABLE":
         if name not in catalog._defs and not if_exists:
             raise StatementError(f"table '{name}' not found")

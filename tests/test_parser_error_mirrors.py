@@ -116,6 +116,23 @@ CASES = [
     ("SHOW CREATE", "expected TABLES, found 'EOF'"),
     ("SHOW CREATE TABLE", "expected table name, found 'EOF'"),
     ("SHOW CREATE TABLE 12", "expected table name, found 12"),
+    # --- DROP (:1686-1783, 1780) -------------------------------------------
+    ("DROP", "expected DATABASE, TABLE, VIEW or FUNCTION"),
+    ("DROP DATABASE", "expected database name, found 'EOF'"),
+    ("DROP DATABASE IF", "expected EXISTS, found 'EOF'"),
+    ("DROP DATABASE IF EXISTS", "expected database name, found 'EOF'"),
+    ("DROP TABLE", "expected table name, found 'EOF'"),
+    ("DROP TABLE IF", "expected EXISTS, found 'EOF'"),
+    ("DROP TABLE IF EXISTS", "expected table name, found 'EOF'"),
+    ("DROP VIEW", "expected view name, found 'EOF'"),
+    ("DROP VIEW IF", "expected EXISTS, found 'EOF'"),
+    ("DROP VIEW IF EXISTS", "expected view name, found 'EOF'"),
+    # --- CREATE VIEW truncations (:1757-1763) -------------------------------
+    ("CREATE VIEW", "expected view name, found 'EOF'"),
+    ("CREATE VIEW IF", "expected NOT, found 'EOF'"),
+    ("CREATE VIEW IF NOT", "expected EXISTS, found 'EOF'"),
+    ("CREATE VIEW vw", "expected AS, found 'EOF'"),
+    ("CREATE VIEW vw AS", "expected SELECT, found 'EOF'"),
 ]
 
 
