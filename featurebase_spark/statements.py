@@ -894,6 +894,10 @@ def _insert(p: _P, spark: SparkSession, catalog, replace: bool) -> None:
     by_name = {f.name: f for f in td.fields}
     all_cols = ["_id"] + [f.name for f in td.fields]
 
+    # optional table alias (parser_test.go:3883)
+    if p.accept("AS"):
+        p.ident("alias")
+
     cols: list[str] = []
     if p.peek() == "(":
         p.take()
@@ -907,7 +911,13 @@ def _insert(p: _P, spark: SparkSession, catalog, replace: bool) -> None:
             if p.peek() == ")":
                 p.take()
                 break
-            p.expect(",")
+            if p.peek() != ",":
+                # parser_test.go:3886
+                raise StatementError(
+                    "expected comma or right paren, found "
+                    f"{_found(p.peek())}"
+                )
+            p.take()
         if "_id" not in cols:
             raise StatementError(
                 "insert column list must have '_id' column specified"
@@ -923,14 +933,28 @@ def _insert(p: _P, spark: SparkSession, catalog, replace: bool) -> None:
     p.expect("VALUES")
     tuples: list[list[str]] = []
     while True:
-        p.expect("(")
+        t = p.peek()
+        if t != "(":
+            raise StatementError(
+                f"expected left paren, found {_found(t)}"
+            )
+        p.take()
         exprs: list[str] = []
         while True:
             raw = p.expr_until((",", ")"))
+            if not raw.strip():
+                raise StatementError(
+                    f"expected expression, found {_found(p.peek())}"
+                )
             exprs.append(translate(raw))
             if p.peek() == ")":
                 p.take()
                 break
+            if p.peek() != ",":
+                raise StatementError(
+                    "expected comma or right paren, found "
+                    f"{_found(p.peek())}"
+                )
             p.expect(",")
         if len(exprs) != len(cols):
             raise StatementError(
@@ -1332,6 +1356,9 @@ def _delete(p: _P, spark: SparkSession, catalog) -> None:
     if p.accept("WHERE"):
         # keyed delete: only the buckets holding matching _ids rewrite
         # (PlanOpPQLFilteredDelete → per-shard delete)
+        if p.peek() is None:
+            # parser_test.go:4178
+            raise StatementError("expected expression, found 'EOF'")
         pred = translate(p.expr_until(()))
         # _id-literal predicates (= or IN of literals) build the id set as
         # a LocalRelation — no table scan to discover the keys, so the

@@ -133,6 +133,24 @@ CASES = [
     ("CREATE VIEW IF NOT", "expected EXISTS, found 'EOF'"),
     ("CREATE VIEW vw", "expected AS, found 'EOF'"),
     ("CREATE VIEW vw AS", "expected SELECT, found 'EOF'"),
+    # --- INSERT truncations (:3880-3890) -------------------------------------
+    ("INSERT", "expected INTO, found 'EOF'"),
+    ("INSERT INTO", "expected table name, found 'EOF'"),
+    ("INSERT INTO ptbl AS", "expected alias, found 'EOF'"),
+    ("INSERT INTO ptbl", "expected VALUES, found 'EOF'"),
+    ("INSERT INTO ptbl (", "expected column name, found 'EOF'"),
+    ("INSERT INTO ptbl (f", "expected comma or right paren, found 'EOF'"),
+    ("INSERT INTO ptbl (_id, f)", "expected VALUES, found 'EOF'"),
+    ("INSERT INTO ptbl (_id, f) VALUES",
+     "expected left paren, found 'EOF'"),
+    ("INSERT INTO ptbl (_id, f) VALUES (",
+     "expected expression, found 'EOF'"),
+    ("INSERT INTO ptbl (_id, f) VALUES (1",
+     "expected comma or right paren, found 'EOF'"),
+    # --- DELETE truncations (:4176-4178) ---------------------------------------
+    ("DELETE", "expected FROM, found 'EOF'"),
+    ("DELETE FROM", "expected table name, found 'EOF'"),
+    ("DELETE FROM ptbl WHERE", "expected expression, found 'EOF'"),
 ]
 
 
