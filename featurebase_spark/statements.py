@@ -199,6 +199,18 @@ class _P:
         return " ".join(parts)
 
 
+
+def _expect_end(p: _P) -> None:
+    """Grammar-complete check BEFORE a handler mutates state — the
+    reference parses the whole statement first (parser.go:59-61), so
+    'DROP TABLE t garbage' must fail without dropping t."""
+    t = p.peek()
+    if t is not None and t != ";":
+        raise StatementError(
+            f"expected semicolon or EOF, found {_found(t)}"
+        )
+
+
 def _unquote(tok: str) -> str:
     return tok[1:-1].replace("''", "'")
 
@@ -497,6 +509,7 @@ def _create_table(p: _P, spark: SparkSession, catalog) -> None:
         if if_not_exists:
             return
         raise StatementError(f"table or view '{name}' already exists")
+    _expect_end(p)
     # foreign index must exist at field-create time (field.go:607-611,
     # applyForeignIndex field.go:715-722; ErrForeignIndexNotFound)
     for f in fields:
@@ -590,6 +603,7 @@ def _alter_table(p: _P, spark: SparkSession, catalog) -> None:
         cdef["type"], cdef["scale"] = _parse_type(p)
         _parse_constraints(p, cdef)
         _analyze_column(cdef)
+        _expect_end(p)
         t = cdef["type"]
         catalog.alter_table_add_column(
             name,
@@ -702,6 +716,7 @@ def _drop(p: _P, spark: SparkSession, catalog) -> None:
         "DATABASE": "database name",
     }.get(kind, "name")
     name = p.ident(what)
+    _expect_end(p)
     if kind == "TABLE":
         if name not in catalog._defs and not if_exists:
             raise StatementError(f"table '{name}' not found")
@@ -1312,22 +1327,32 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
     from pyspark.sql import functions as F
 
     if fmt.upper() == "NDJSON" and not allow_missing:
-        raw_txt = spark.read.text(path)
+        keys = []
         for loc, _t in map_entries:
             # bare key names are valid NDJSON paths too ('id' ≡ '$.id')
             key = (loc[2:] if loc.startswith("$.") else loc)
             key = key.split(".")[0].split("[")[0]
-            if not key or key.startswith("$"):
-                continue
-            missing = (
-                raw_txt.where(~F.col("value").contains(f'"{key}"'))
-                .limit(1)  # bounded probe: 1 row proves the violation
-                .count()
-            )
-            if missing:
-                raise StatementError(
-                    f"unknown key {key} applying path '{loc}'"
-                )
+            if key and not key.startswith("$"):
+                keys.append((key, loc))
+        if keys:
+            # ONE aggregation pass over the raw lines for ALL mapped
+            # keys (a per-key probe would rescan the source k times —
+            # the violation must be proven absent, so each probe is a
+            # full scan at scale); result is k booleans on the driver
+            raw_txt = spark.read.text(path)
+            flags = raw_txt.select(
+                *[
+                    F.max(
+                        (~F.col("value").contains(f'"{k}"')).cast("int")
+                    ).alias(f"m{i}")
+                    for i, (k, _loc) in enumerate(keys)
+                ]
+            ).first()
+            for i, (k, loc) in enumerate(keys):
+                if flags[f"m{i}"]:
+                    raise StatementError(
+                        f"unknown key {k} applying path '{loc}'"
+                    )
 
     # align to the full table schema (unlisted columns → typed NULLs)
 
@@ -1607,33 +1632,49 @@ def execute_statement(
             return None
         if p.peek_up() == "INDEX":
             _create_index(p, spark, catalog)
-            return None
+            return _finish(p)
         if p.peek_up() == "TEXT":
             _create_text_index(p, spark, catalog)
-            return None
+            return _finish(p)
         _create_table(p, spark, catalog)
-        return None
+        return _finish(p)
     if head == "ALTER":
         _alter_table(p, spark, catalog)
-        return None
+        return _finish(p)
     if head == "DROP":
         _drop(p, spark, catalog)
-        return None
+        return _finish(p)
     if head == "INSERT":
         _insert(p, spark, catalog, replace=False)
-        return None
+        return _finish(p)
     if head == "REPLACE":
         _insert(p, spark, catalog, replace=True)
-        return None
+        return _finish(p)
     if head == "BULK":
         _bulk_insert(p, spark, catalog)
-        return None
+        return _finish(p)
     if head == "DELETE":
         _delete(p, spark, catalog)
-        return None
+        return _finish(p)
     if head == "COPY":
         _copy(p, spark, catalog)
-        return None
+        return _finish(p)
     if head == "SHOW":
-        return _show(p, spark, catalog)
+        out = _show(p, spark, catalog)
+        _finish(p)
+        return out
     raise StatementError(f"unsupported statement {head}")
+
+
+def _finish(p: _P) -> None:
+    """Trailing-token check after a complete statement (parser.go:59-61:
+    'expected semicolon or EOF')."""
+    t = p.peek()
+    if t == ";":
+        p.take()
+        t = p.peek()
+    if t is not None:
+        raise StatementError(
+            f"expected semicolon or EOF, found {_found(t)}"
+        )
+    return None

@@ -181,3 +181,18 @@ def test_alter_database_units_roundtrip(spark, cat):
                 spark, "ALTER DATABASE absent WITH UNITS 2", cat)
     finally:
         spark.sql("DROP DATABASE IF EXISTS unitsdb")
+
+
+def test_trailing_tokens_rejected(spark, cat):
+    """Every statement ends at ';' or EOF (parser.go:59-61)."""
+    for sql in (
+        "DROP TABLE ptbl bar",
+        "ALTER TABLE ptbl ADD g int extra",
+        "SHOW TABLES garbage",
+    ):
+        with pytest.raises(
+            StatementError, match="expected semicolon or EOF"
+        ):
+            execute_statement(spark, sql, cat)
+    # a single trailing semicolon is fine
+    execute_statement(spark, "SHOW TABLES;", cat)
