@@ -95,6 +95,12 @@ SUBLINEAR_KEYS = [
     # job COUNT is O(1), each job a pushed-down column scan)
     "pql_quantum_groupby",
     "pql_percentile_search",
+    # r12: the newborn keys carry scale evidence from birth — the
+    # salted interval join (same bucketed shape as its unsalted twin
+    # plus two per-bucket count aggregations and a broadcast hot set)
+    # and the PERCENT_RANK/CUME_DIST window door (scan + one exchange)
+    "events_overlap_pairs_salted",
+    "sql_window_dist_family",
 ]
 
 #: per-key scale reasoning, embedded in the artifact so the growth
@@ -144,6 +150,21 @@ NOTES = {
         "tiebreak re-sort is in-partition"
     ),
     "sql_window_value_picks": "scan + one exchange, one Window node",
+    "events_overlap_pairs_salted": (
+        "bucketed interval join + hot-bucket salt: two per-bucket "
+        "count aggregations (one row per bucket, map-side partials), "
+        "a broadcast hot set, and the density² work of hot buckets "
+        "split over salt_factor tasks. NOTE the gate key runs with a "
+        "deliberately LOW threshold=20 (the 100%-recall proof config) "
+        "so at the larger SFs nearly EVERY bucket takes the 16× "
+        "replicate-right path — the measured growth therefore bounds "
+        "the WORST case (all-hot); production thresholds salt only "
+        "genuine heavy hitters and ride the unsalted twin's curve"
+    ),
+    "sql_window_dist_family": (
+        "scan + ONE hash exchange over the 1% customer slice; "
+        "PERCENT_RANK/CUME_DIST share the rank family's Window node"
+    ),
     "dedup_winnowing_pairs": (
         "winnow fingerprints with max_df=100 posting caps; pair "
         "output linear in duplicate density (slice check: 5x data -> "
