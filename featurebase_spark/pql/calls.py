@@ -58,10 +58,45 @@ class Index:
     #: these fields compile to the view-cover predicate of
     #: pql/timeviews.py instead of the per-record Index.time_col.
     quantums: dict = dc_field(default_factory=dict)
+    #: optional field name → reference field-type declaration ("int",
+    #: "decimal", "bool", "timestamp", "mutex", "set", "time"). A Spark
+    #: schema cannot distinguish a BSI int field from a mutex field of
+    #: row IDs (both are scalar longs), so type-dependent validation
+    #: (Rows() refusing value fields, executor.go:4128) consults this
+    #: map first and falls back to unambiguous dtype signals.
+    field_types: dict = dc_field(default_factory=dict)
 
     def is_array_field(self, name: str) -> bool:
         dt = dict(self.df.dtypes).get(name, "")
         return dt.startswith("array")
+
+    def field_type(self, name: str) -> str:
+        """The reference field type of a column: declared type if given,
+        else inferred from dtype (array<struct> → time-quantum "time",
+        array → "set", boolean → "bool", decimal → "decimal",
+        timestamp → "timestamp", scalar long/string → "mutex" — the
+        row-ID-per-record shape, which is what undeclared scalar
+        columns are used as by Rows/GroupBy)."""
+        if name in self.field_types:
+            return self.field_types[name]
+        dt = dict(self.df.dtypes).get(name, "")
+        if dt.startswith("array<struct<"):
+            return "time"
+        if dt.startswith("array"):
+            return "set"
+        if dt == "boolean":
+            return "bool"
+        if dt.startswith("decimal"):
+            return "decimal"
+        if dt.startswith("timestamp"):
+            return "timestamp"
+        return "mutex"
+
+    def is_keyed_field(self, name: str) -> bool:
+        """String-valued fields are keyed (OptFieldKeys): row keys, not
+        integer row IDs."""
+        dt = dict(self.df.dtypes).get(name, "")
+        return dt == "string" or dt == "array<string>"
 
     def is_quantum_field(self, name: str) -> bool:
         dt = dict(self.df.dtypes).get(name, "")
@@ -204,7 +239,50 @@ class Row(RowCall):
     from_: object = None
     to: object = None
 
+    def _validate_value(self, idx: Index) -> None:
+        """``fieldValidateValue`` mirror (executor.go:7150-7200) for the
+        cases a Spark schema can adjudicate: integer row IDs against
+        keyed fields, negative IDs against set fields, non-bool values
+        against bool fields. Undeclared scalar longs are left alone —
+        they are equally a BSI int field (where any signed value is
+        legal) and a mutex field, and the reference's check is
+        type-table-driven; declare ``Index.field_types`` to get the
+        full surface."""
+        if self.value is None or self.between is not None:
+            return
+        if self.op not in ("==", "!="):
+            return
+        f, v = self.field, self.value
+        ft = idx.field_type(f)
+        dt = dict(idx.df.dtypes).get(f, "")
+        declared = f in idx.field_types
+        if ft == "bool":
+            if not isinstance(v, bool):
+                raise ValueError(f'invalid value {v} for bool field "{f}"')
+            return
+        if ft in ("set", "mutex", "time"):
+            # only validate when the schema pins the field's nature:
+            # arrays and strings are unambiguous; a bare long column
+            # may be BSI-int-used and stays permissive unless declared
+            if not (declared or dt.startswith("array") or dt == "string"):
+                return
+            if isinstance(v, bool):
+                raise ValueError(
+                    f'invalid value {str(v).lower()} for field "{f}" '
+                    f"of type {ft}"
+                )
+            if isinstance(v, int):
+                if v < 0:
+                    raise ValueError(f'negative ID {v} for set field "{f}"')
+                if idx.is_keyed_field(f):
+                    raise ValueError(
+                        f'found integer ID {v} on keyed field "{f}"'
+                    )
+        elif declared and ft == "int" and isinstance(v, bool):
+            raise ValueError(f'invalid value {v} for int field "{f}"')
+
     def predicate(self, idx: Index) -> Column:
+        self._validate_value(idx)
         c = F.col(self.field)
         if idx.is_quantum_field(self.field):
             # quantum set field: the bit must exist in a covered view
@@ -1026,6 +1104,13 @@ class Rows(ReaderCall):
         refuses the combination outright rather than guessing an
         intersection order (executor.go:4006-4016, exact text with the
         offending argument name)."""
+        if self.limit is not None and int(self.limit) < 0:
+            # pql/ast.go:810 UintArg — Rows(f, limit=-1) and the same
+            # call nested under GroupBy both surface this
+            # (TestExecutor_Execute_Query_Error cases 3-4)
+            raise ValueError(
+                f"value for 'limit' must be positive, but got {self.limit}"
+            )
         if self.in_ is None:
             return
         for arg, v in (
@@ -1044,6 +1129,13 @@ class Rows(ReaderCall):
 
     def to_df(self, idx: Index) -> DataFrame:
         self.validate()
+        ft = idx.field_type(self.field)
+        if ft not in ("set", "mutex", "time"):
+            # executeRows accepts set/mutex/time fields only
+            # (executor.go:4124-4129, exact text with f.Type()); note
+            # GroupBy children are NOT guarded — the reference's
+            # groupByIterator handles int/timestamp fields there
+            raise ValueError(f"{ft} fields not supported by Rows() query")
         df = idx.df
         if self.column is not None:
             df = df.where(F.col(idx.id_col) == F.lit(self.column))

@@ -47,6 +47,18 @@ _INT_RANGE_ERR = "integer is not in signed 64-bit range"
 _BAD_TS_ERR = "string is not a valid timestamp"
 
 
+class _Quoted(str):
+    """A string literal that was QUOTED in the source text.
+
+    The reference PEG distinguishes bare identifiers from quoted
+    strings in positional field slots: ``Rows(general)`` parses (the
+    identifier becomes the ``_field`` arg) while ``Rows("true")`` is a
+    parse error (TestExecutor_Execute_Query_Error, executor_test.go:
+    5352-5371 — the surfaced text is the doubled wrap
+    ``parsing: parsing:``). Subclassing str keeps every downstream
+    consumer (F.lit, dict keys, == comparisons) unchanged."""
+
+
 @dataclass
 class _Tok:
     kind: str
@@ -103,7 +115,9 @@ class _Parser:
     def literal(self) -> Any:
         t = self.next()
         if t.kind == "string":
-            return t.text[1:-1].replace('\\"', '"').replace("\\'", "'")
+            return _Quoted(
+                t.text[1:-1].replace('\\"', '"').replace("\\'", "'")
+            )
         if t.kind == "number":
             if "." in t.text:
                 return float(t.text)
@@ -147,6 +161,9 @@ class _Parser:
             if self.peek() and self.peek().text == ",":
                 self.next()
         self.expect(")")
+        _check_call_info(
+            _CANONICAL_CALLS.get(name.text.lower(), name.text), kw
+        )
         return _build(name.text, pos, kw)
 
     @staticmethod
@@ -203,7 +220,17 @@ class _Parser:
                     and nxt2 is not None
                     and nxt2.text == "("
                 ):
-                    kw[name] = self.call()
+                    val = self.call()
+                    if isinstance(val, C.Rows):
+                        # the reference grammar has no production that
+                        # places a Rows call in an argument-VALUE slot
+                        # (filter=Rows(f) is a parse error surfacing as
+                        # the doubled wrap, executor_test.go:5386-5389)
+                        raise SyntaxError(
+                            "parsing: parsing: Rows() is not a valid "
+                            f"value for argument '{name}'"
+                        )
+                    kw[name] = val
                     return
                 val = self.literal()
                 if op == "=":
@@ -242,6 +269,168 @@ def _row_from_kw(kw: dict) -> C.Row:
 #: ToLower map onto the friendly capitalization (canonicalCaps,
 #: pql/ast.go:648-661; executor_test.go freely writes `extract(All(), …)`
 #: and `count(All())`)
+#: arg-prototype table mirroring the reference's ``callInfoByFunc``
+#: (pql/ast.go:450-645). Each entry: (allow_unknown, {arg: spec}) with
+#: spec ∈ {"int64", "string", "bool", "any", "s_or_i", "s_or_var",
+#: "iface_or_var"} — the Go prototype values int64(0)/""/true/nil/
+#: stringOrInt64/stringOrVariable/interfaceOrVariable respectively.
+#: Calls present in the Go table but not executable here (pre-1.0
+#: legacy Bitmap/SetBit) still get entries so their arg surface is
+#: validated the same way before our "unknown call" refusal fires.
+_ALLOW_FIELD = (False, {"_field": "s_or_var", "field": "s_or_var"})
+_CALL_INFO: dict[str, tuple[bool, dict]] = {
+    "Bitmap": (True, {}),
+    "Count": (True, {}),
+    "Delete": (True, {}),
+    "Row": (True, {}),
+    "Range": (True, {}),
+    "Distinct": (True, {}),
+    "Condition": (True, {}),
+    "Max": _ALLOW_FIELD,
+    "Min": _ALLOW_FIELD,
+    "Sum": _ALLOW_FIELD,
+    "Difference": (False, {}),
+    "Intersect": (False, {}),
+    "Not": (False, {}),
+    "FieldValue": (False, {"field": "string", "column": "s_or_i"}),
+    "All": (False, {"limit": "int64", "offset": "int64"}),
+    "ClearRow": (True, {}),
+    "Store": (True, {}),
+    "MinRow": _ALLOW_FIELD,
+    "MaxRow": _ALLOW_FIELD,
+    "Rows": (False, {
+        "_field": "s_or_var", "field": "s_or_var", "limit": "int64",
+        "column": "any", "previous": "any", "from": "any", "to": "any",
+        "like": "string", "valueidx": "int64", "in": "any",
+    }),
+    "InnerUnionRows": (False, {
+        "_field": "s_or_var", "field": "s_or_var", "from": "any",
+        "to": "any", "rows": "any",
+    }),
+    "Shift": (False, {"n": "int64"}),
+    "Union": (False, {}),
+    "UnionRows": (False, {}),
+    "Extract": (False, {}),
+    "ExternalLookup": (False, {"query": "string", "write": "bool"}),
+    "Limit": (False, {"limit": "int64", "offset": "int64"}),
+    "Xor": (False, {}),
+    "ConstRow": (False, {"columns": "iface_or_var"}),
+    "TopK": (False, {
+        "_field": "s_or_var", "field": "s_or_var", "k": "int64",
+        "filter": "any", "from": "any", "to": "any",
+    }),
+    "TopN": (True, {"_field": "s_or_var", "field": "s_or_var"}),
+    "Percentile": (False, {
+        "field": "s_or_var", "_field": "s_or_var", "filter": "any",
+        "nth": "any",
+    }),
+    "Clear": (True, {"_col": "s_or_i"}),
+    "GroupBy": (False, {
+        "filter": "any", "limit": "int64", "offset": "int64",
+        "previous": "any", "aggregate": "any", "having": "any",
+        "sort": "string",
+    }),
+    "Options": (False, {"shards": "any"}),
+    "Set": (True, {"_col": "s_or_i", "_timestamp": "string"}),
+    "Precomputed": (True, {}),
+    "SetBit": (True, {"_col": "s_or_i"}),
+    "IncludesColumn": (False, {"column": "s_or_i"}),
+    "Sort": (True, {
+        "_field": "s_or_var", "field": "s_or_var", "limit": "int64",
+        "offset": "int64", "sort-desc": "bool",
+    }),
+    "Apply": (True, {"_ivy": "s_or_var", "_ivyReduce": "s_or_var"}),
+    "Arrow": (False, {"header": "iface_or_var"}),
+}
+
+
+def _go_type(v: Any) -> str:
+    """Go's %T spelling of a parsed arg value, for error-text parity."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int64"
+    if isinstance(v, float):
+        return "float64"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "[]interface {}"
+    if v is None:
+        return "<nil>"
+    if isinstance(v, tuple):
+        return "*pql.Condition"
+    return "*pql.Call"
+
+
+def _check_call_info(name: str, kw: dict) -> None:
+    """``Call.CheckCallInfo`` mirror (pql/ast.go:668-732): unknown-arg
+    and arg-type validation against the prototype table, with the
+    reference's exact error texts. Conditions and child calls live in
+    positional slots on this parser (Go keeps conditions in Args), so
+    only genuine ``key=value`` args are checked — the same surface the
+    reference's error corpus exercises."""
+    info = _CALL_INFO.get(name)
+    if info is None:
+        # unknown call name: the PEG parses it, CheckCallInfo refuses
+        raise ValueError(f"no arg validation for '{name}'")
+    allow_unknown, protos = info
+    for k, v in kw.items():
+        spec = protos.get(k)
+        if spec is None and k not in protos:
+            if not allow_unknown:
+                raise ValueError(f"'{name}': unknown arg '{k}'")
+            if k.startswith("_"):
+                raise ValueError(f"'{name}': unknown reserved arg '{k}'")
+            continue
+        if spec == "any":
+            continue
+        if spec == "int64":
+            if isinstance(v, int) and not isinstance(v, bool):
+                continue
+            raise ValueError(
+                f"'{name}': arg '{k}' wrong type "
+                f"(got {_go_type(v)}, expected int64)"
+            )
+        if spec == "string":
+            if isinstance(v, str):
+                continue
+            raise ValueError(
+                f"'{name}': arg '{k}' wrong type "
+                f"(got {_go_type(v)}, expected string)"
+            )
+        if spec == "bool":
+            if isinstance(v, bool):
+                continue
+            raise ValueError(
+                f"'{name}': arg '{k}' wrong type "
+                f"(got {_go_type(v)}, expected bool)"
+            )
+        if spec == "s_or_i":
+            if isinstance(v, str) or (
+                isinstance(v, int) and not isinstance(v, bool)
+            ):
+                continue
+            raise ValueError(
+                f"'{name}': arg '{k}' needed a string or integer "
+                f"value, got {_go_type(v)}"
+            )
+        if spec == "s_or_var":
+            if isinstance(v, str):
+                continue
+            raise ValueError(
+                f"'{name}': arg '{k}' needed a string or variable "
+                f"value, got {_go_type(v)}"
+            )
+        if spec == "iface_or_var":
+            if isinstance(v, list):
+                continue
+            raise ValueError(
+                f"'{name}': arg '{k}' needed a []interface{{}} or "
+                f"variable value, got {_go_type(v)}"
+            )
+
+
 _CANONICAL_CALLS = {
     n.lower(): n
     for n in (
@@ -349,9 +538,20 @@ def _build(name: str, pos: list, kw: dict):
         return C.TopK(field, k=kw.get("k"), filter=filt,
                       from_=kw.get("from"), to=kw.get("to"))
     if name == "Rows":
-        field = pos[0] if pos else kw.pop("field")
-        if isinstance(field, C.Row):  # Rows(field) parsed as bare name only
-            raise SyntaxError("PQL Rows: first arg must be a field name")
+        if not pos and "field" not in kw and "_field" not in kw:
+            # executor.go:7041/7411 — the call parses, field resolution
+            # fails (GroupBy(Rows()) and bare Rows() both surface this)
+            raise ValueError("missing field in Rows call")
+        field = pos[0] if pos else kw.pop("field", kw.pop("_field", None))
+        if isinstance(field, (_Quoted, int)) or isinstance(field, C.Row):
+            # positional field slot takes a BARE IDENTIFIER only:
+            # Rows("true") / Rows(1) are PEG parse errors in the
+            # reference (executor_test.go:5369-5375, surfaced as the
+            # doubled "parsing:" wrap of api.Query)
+            raise SyntaxError(
+                "parsing: parsing: Rows() field must be a bare "
+                f"identifier, got {field!r}"
+            )
         return C.Rows(
             field,
             like=kw.get("like"),

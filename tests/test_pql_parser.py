@@ -32,7 +32,9 @@ def test_parse_row_forms():
 
 
 def test_parse_errors():
-    with pytest.raises(SyntaxError, match="unknown call"):
+    # the PEG parses any call name; the CheckCallInfo mirror refuses
+    # with the reference's text (pql/ast.go:669-671)
+    with pytest.raises(ValueError, match="no arg validation for 'Bogus'"):
         parse("Bogus(x=1)")
     with pytest.raises(SyntaxError, match="unexpected character"):
         parse("Row(a=@)")

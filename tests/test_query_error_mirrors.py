@@ -1,0 +1,163 @@
+"""Mirror of the reference's TestExecutor_Execute_Query_Error battery
+(executor_test.go:5352-5440) — the PQL-door validation surface: arg
+prototypes (pql/ast.go:450-732 callInfoByFunc/CheckCallInfo), Rows
+field-type refusals (executor.go:4124-4129), field-value validation
+(fieldValidateValue executor.go:7150-7200), and the PEG's
+bare-identifier field slots.
+
+Every case asserts the reference's exact error substring (the Go test
+uses strings.Contains with the same strings). The fixture mirrors the
+reference's field set: a plain set field, a BSI int field (declared —
+a Spark long column alone cannot be told apart from a mutex field), a
+decimal(2) field, a bool field, and a keyed set field.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from featurebase_spark.pql import parser as P
+from featurebase_spark.pql.calls import Index, Row, Rows
+
+
+@pytest.fixture(scope="module")
+def qidx(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1], 5, True, ["a"], Decimal("1.25")),
+            (1, [2], -3, False, ["b"], Decimal("-0.50")),
+        ],
+        "_id long, general array<bigint>, integer long, bool boolean, "
+        "keys array<string>, decimal decimal(10,2)",
+    )
+    return Index(df, field_types={"integer": "int"})
+
+
+# the (query, expected-substring) table verbatim from
+# executor_test.go:5361-5424
+CASES = [
+    ("GroupBy(Rows())", "missing field in Rows call"),
+    ('GroupBy(Rows("true"))', "parsing: parsing:"),
+    ("GroupBy(Rows(1))", "parsing: parsing:"),
+    ("GroupBy(Rows(general, limit=-1))", "must be positive, but got"),
+    ("GroupBy(Rows(general), limit=-1)", "must be positive, but got"),
+    ("GroupBy(Rows(general), filter=Rows(general))", "parsing: parsing:"),
+    ("GroupBy(Rows(integer), prev=-1)", "unknown arg 'prev'"),
+    ("Rows(integer)", "int fields not supported by Rows() query"),
+    ("Rows(decimal)", "decimal fields not supported by Rows() query"),
+    ("Rows(bool)", "bool fields not supported by Rows() query"),
+    ("Row(keys=1)", 'found integer ID 1 on keyed field "keys"'),
+    (
+        'Rows(keys, in=["a", "b"], column=3)',
+        "Rows call with 'in' does not support other arguments",
+    ),
+    (
+        'GroupBy(Rows(keys, in=["a", "b"], column=3))',
+        "Rows call with 'in' does not support other arguments",
+    ),
+    (
+        'Rows(keys, in=["a", "b"], like="%sd")',
+        "Rows call with 'in' does not support other arguments",
+    ),
+    (
+        'GroupBy(Rows(keys, in=["a", "b"], like="%sd"))',
+        "Rows call with 'in' does not support other arguments",
+    ),
+]
+
+
+@pytest.mark.parametrize("query,want", CASES, ids=[c[0] for c in CASES])
+def test_query_error(qidx, query, want):
+    with pytest.raises(Exception) as ei:
+        P.execute(qidx, query).collect()
+    assert want in str(ei.value), f"{query}: {ei.value}"
+
+
+# ---- CheckCallInfo arg-prototype mirrors beyond the battery --------------
+# (pql/ast.go:668-732 — unknown args, wrong-type args, unknown calls)
+
+
+def test_unknown_call_no_arg_validation(qidx):
+    # PEG parses any call name; CheckCallInfo refuses (ast.go:669-671)
+    with pytest.raises(Exception, match="no arg validation for 'Frobnicate'"):
+        P.execute(qidx, "Frobnicate(general)")
+
+
+def test_setop_rejects_any_kwarg(qidx):
+    # Intersect/Union/... take only children ("should never have args")
+    with pytest.raises(Exception, match="'Intersect': unknown arg 'bogus'"):
+        P.execute(qidx, "Intersect(Row(general=1), bogus=2)")
+
+
+def test_wrong_type_int64_arg(qidx):
+    # 'limit' prototype is int64(0) → "wrong type (got string, expected
+    # int64)" (ast.go:690-692 reflect.TypeOf equality path)
+    with pytest.raises(
+        Exception, match=r"arg 'limit' wrong type \(got string, expected int64\)"
+    ):
+        P.execute(qidx, 'GroupBy(Rows(general), limit="ten")')
+
+
+def test_wrong_type_string_or_integer_arg(qidx):
+    # IncludesColumn 'column' is stringOrInt64 (ast.go:694-701)
+    with pytest.raises(
+        Exception, match="needed a string or integer value, got bool"
+    ):
+        P.execute(qidx, "IncludesColumn(Row(general=1), column=true)")
+
+
+def test_case_insensitive_name_still_validated(qidx):
+    # canonicalCaps folds call names before validation (ast.go:651-661)
+    with pytest.raises(Exception, match="'GroupBy': unknown arg 'prev'"):
+        P.execute(qidx, "groupby(Rows(general), prev=1)")
+
+
+# ---- API-door twins: the same refusals without the text parser ----------
+
+
+def test_api_rows_negative_limit(qidx):
+    with pytest.raises(ValueError, match="must be positive, but got -2"):
+        Rows("general", limit=-2).to_df(qidx)
+
+
+def test_api_rows_int_field(qidx):
+    with pytest.raises(
+        ValueError, match=r"int fields not supported by Rows\(\) query"
+    ):
+        Rows("integer").to_df(qidx)
+
+
+def test_api_row_keyed_integer_id(qidx):
+    with pytest.raises(
+        ValueError, match='found integer ID 7 on keyed field "keys"'
+    ):
+        Row("keys", "==", 7).predicate(qidx)
+
+
+def test_api_row_negative_set_id(qidx):
+    # negative check precedes the keyed check (executor.go:7166-7175)
+    with pytest.raises(ValueError, match='negative ID -1 for set field "general"'):
+        Row("general", "==", -1).predicate(qidx)
+
+
+def test_api_row_bool_field_value(qidx):
+    with pytest.raises(ValueError, match='invalid value 5 for bool field "bool"'):
+        Row("bool", "==", 5).predicate(qidx)
+
+
+def test_int_field_negative_equality_ok(qidx):
+    # a BSI int field accepts any signed value — negative equality
+    # must keep working (Row(v == -3) over BSI is legal, defs corpus)
+    got = {r["_id"] for r in Row("integer", "==", -3).ids(qidx).collect()}
+    assert got == {1}
+
+
+def test_groupby_int_field_not_refused(qidx):
+    # the Rows type guard is executeRows-only: GroupBy(Rows(int-field))
+    # works in the reference (groupByIterator handles int fields)
+    from featurebase_spark.pql.calls import GroupBy
+
+    out = GroupBy([Rows("integer")]).to_df(qidx).collect()
+    assert {r["integer"] for r in out} == {5, -3}
