@@ -385,6 +385,11 @@ class Intersect(_Composite):
         self.children = children
 
     def predicate(self, idx: Index) -> Optional[Column]:
+        if not self.children:
+            # executor.go:5363 (TestExecutor_Execute_Empty_Intersect)
+            raise ValueError(
+                "empty Intersect query is currently not supported"
+            )
         preds = self._child_preds(idx)
         if preds is None:
             return None
@@ -409,6 +414,11 @@ class Union(_Composite):
         self.children = children
 
     def predicate(self, idx: Index) -> Optional[Column]:
+        if not self.children:
+            # Union() of nothing is the EMPTY row, not an error
+            # (executeUnionShard starts from NewRow(),
+            # TestExecutor_Execute_Empty_Union)
+            return F.lit(False)
         preds = self._child_preds(idx)
         if preds is None:
             return None
@@ -433,6 +443,11 @@ class Difference(_Composite):
         self.children = children
 
     def predicate(self, idx: Index) -> Optional[Column]:
+        if not self.children:
+            # executor.go:2956 (TestExecutor_Execute_Empty_Difference)
+            raise ValueError(
+                "empty Difference query is currently not supported"
+            )
         preds = self._child_preds(idx)
         if preds is None:
             return None
@@ -460,6 +475,10 @@ class Xor(_Composite):
         self.children = children
 
     def predicate(self, idx: Index) -> Optional[Column]:
+        if not self.children:
+            # like Union: executeXorShard folds from NewRow() — the
+            # empty Xor is the empty row, not an error
+            return F.lit(False)
         preds = self._child_preds(idx)
         if preds is None:
             return None

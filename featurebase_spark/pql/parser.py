@@ -630,8 +630,18 @@ def _build(name: str, pos: list, kw: dict):
         ts = None
         if name == "Set" and len(pos) == 2 and isinstance(pos[1], str):
             ts = pos.pop(1)
-        if len(pos) != 1 or not kw:
-            raise SyntaxError(f"PQL {name}: expected (col, field=value)")
+        if len(pos) != 1:
+            # exact texts: executor.go:6203 (Set UintArg _col) /
+            # executor.go:5904 (Clear)
+            if name == "Set":
+                raise ValueError("Set() column argument 'col' required")
+            raise ValueError(
+                "column argument to Clear(<COLUMN>, <FIELD>=<ROW>) "
+                "required"
+            )
+        if not kw:
+            # FieldArg() failure (executor.go:6214 / :5909)
+            raise ValueError(f"{name}() argument required: field")
         items = list(kw.items())
         field, value = items[0]
         more = dict(items[1:]) or None
@@ -639,11 +649,17 @@ def _build(name: str, pos: list, kw: dict):
             return C.Set(pos[0], field, value, more=more, ts=ts)
         return C.Clear(pos[0], field, value, more=more)
     if name == "ClearRow":
+        if not kw:
+            # FieldArg() failure (executor.go:6033)
+            raise ValueError("ClearRow() argument required: field")
         if len(kw) != 1:
             raise SyntaxError("PQL ClearRow: expected (field=value)")
         (field, value), = kw.items()
         return C.ClearRow(field, value)
     if name == "Store":
+        if pos and not kw:
+            # FieldArg() failure (executor.go:6131)
+            raise ValueError("Store() argument required: field")
         if len(pos) != 1 or len(kw) != 1:
             raise SyntaxError("PQL Store: expected (child, field=value)")
         (field, value), = kw.items()
@@ -651,7 +667,10 @@ def _build(name: str, pos: list, kw: dict):
     if name == "Delete":
         return C.Delete(pos[0])
     # aggregate=Count(...) / aggregate=Sum(field=x) inside GroupBy kwargs
-    raise SyntaxError(f"PQL: unknown call {name!r}")
+    # executor.go:1814 — calls the PEG + CheckCallInfo accept but the
+    # executor has no handler for (the pre-1.0 SetBit/Bitmap/Range-era
+    # names land here with the reference's exact text)
+    raise ValueError(f"unknown call: {name}")
 
 
 def _normalize_groupby_aggregate(obj):
@@ -882,14 +901,42 @@ def _route_reader(cat, node, idx: C.Index) -> Optional[DataFrame]:
     return None
 
 
-def execute_all(idx: C.Index, text: str, bitmap=None) -> list[DataFrame]:
+#: call names counted by the reference's Query.WriteCallN()
+_WRITE_CALL_NAMES = {"set", "clear", "clearrow", "store", "delete"}
+
+
+def execute_all(
+    idx: C.Index, text: str, bitmap=None, max_writes: int = 0
+) -> list[DataFrame]:
     """Execute a multi-call query string; returns one result per call,
     in order — the reference's one-request-many-results contract
     (wire_response.go carries a result list). Write calls thread their
     transformed table into the Index seen by SUBSEQUENT calls (the
     reference's writes are visible to later calls in the same request) —
     and stop index routing for the rest of the request (the routed
-    fragments describe the pre-write table)."""
+    fragments describe the pre-write table).
+
+    ``max_writes`` mirrors ``Executor.MaxWritesPerRequest``: when
+    positive, a request containing more write calls refuses BEFORE
+    executing (or even arg-validating) anything — the reference counts
+    write calls right after parse (executor.go:208-216,
+    TestExecutor_Execute_ErrMaxWritesPerRequest: ``Set() Clear() Set()
+    Set()`` with limit 3 is ErrTooManyWrites, not a missing-arg
+    error). The count here is token-level for the same reason: the
+    per-call arg checks must not run first."""
+    if max_writes > 0:
+        toks = _tokenize(text)
+        nw = sum(
+            1
+            for i, t in enumerate(toks)
+            if t.kind == "name"
+            and t.text.lower() in _WRITE_CALL_NAMES
+            and i + 1 < len(toks)
+            and toks[i + 1].text == "("
+        )
+        if nw > max_writes:
+            # pilosa.go:57 ErrTooManyWrites
+            raise ValueError("too many write commands")
     results = []
     cur = idx
     for node in parse_all(text):

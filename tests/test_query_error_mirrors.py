@@ -161,3 +161,95 @@ def test_groupby_int_field_not_refused(qidx):
 
     out = GroupBy([Rows("integer")]).to_df(qidx).collect()
     assert {r["integer"] for r in out} == {5, -3}
+
+
+# ---- empty set-op semantics (executor_test.go:1257-1350) -----------------
+# Difference()/Intersect() error; Union()/Xor() are the EMPTY row.
+
+
+def test_empty_difference_errors(qidx):
+    with pytest.raises(
+        ValueError, match="empty Difference query is currently not supported"
+    ):
+        P.execute(qidx, "Difference()").collect()
+
+
+def test_empty_intersect_errors(qidx):
+    with pytest.raises(
+        ValueError, match="empty Intersect query is currently not supported"
+    ):
+        P.execute(qidx, "Intersect()").collect()
+
+
+def test_empty_union_is_empty_row(qidx):
+    assert P.execute(qidx, "Union()").collect() == []
+
+
+def test_empty_xor_is_empty_row(qidx):
+    assert P.execute(qidx, "Xor()").collect() == []
+
+
+# ---- pre-1.0 call names (TestExecutor_Execute_OldPQL, :1629) -------------
+
+
+def test_old_pql_setbit_unknown_call(qidx):
+    # the PEG + CheckCallInfo accept SetBit; the executor's dispatch
+    # refuses with the exact text (executor.go:1814)
+    with pytest.raises(ValueError, match="unknown call: SetBit"):
+        P.execute(qidx, "SetBit(frame=f, row=11, col=1)")
+
+
+# ---- write-call argument surface (executor.go:5904-6260) -----------------
+
+WRITE_ARG_CASES = [
+    ("Set(general=1)", "Set\\(\\) column argument 'col' required"),
+    ("Set(5)", "Set\\(\\) argument required: field"),
+    (
+        "Clear(general=1)",
+        r"column argument to Clear\(<COLUMN>, <FIELD>=<ROW>\) required",
+    ),
+    ("Clear(5)", r"Clear\(\) argument required: field"),
+    ("ClearRow()", r"ClearRow\(\) argument required: field"),
+    ("Store(Row(general=1))", r"Store\(\) argument required: field"),
+]
+
+
+@pytest.mark.parametrize(
+    "query,want", WRITE_ARG_CASES, ids=[c[0] for c in WRITE_ARG_CASES]
+)
+def test_write_call_arg_errors(qidx, query, want):
+    with pytest.raises(ValueError, match=want):
+        P.execute(qidx, query)
+
+
+# ---- MaxWritesPerRequest (TestExecutor_Execute_ErrMaxWritesPerRequest) ---
+
+
+def test_max_writes_per_request(qidx):
+    # the write count refuses BEFORE per-call validation: Set() alone
+    # would be a missing-col error, but the reference returns
+    # ErrTooManyWrites for the 4-write batch against limit 3
+    with pytest.raises(ValueError, match="too many write commands"):
+        P.execute_all(qidx, "Set() Clear() Set() Set()", max_writes=3)
+
+
+def test_max_writes_under_limit_proceeds_to_validation(qidx):
+    # 2 writes against limit 3 → the per-call check is next in line
+    with pytest.raises(ValueError, match="column argument"):
+        P.execute_all(qidx, "Set() Set()", max_writes=3)
+
+
+# ---- bare Distinct with quoted field (TestExecutor_BareDistinct) ---------
+
+
+def test_bare_distinct_quoted_field(qidx):
+    # Distinct(field="ints") — QUOTED field names are legal in the
+    # field= kwarg slot (only the bare positional slot is
+    # identifier-only); values sorted ascending
+    got = [
+        r["general"]
+        for r in P.execute(qidx, 'Distinct(field="general")')
+        .orderBy("general")
+        .collect()
+    ]
+    assert got == [1, 2]
