@@ -282,6 +282,10 @@ class Row(RowCall):
             raise ValueError(f'invalid value {v} for int field "{f}"')
 
     def predicate(self, idx: Index) -> Column:
+        if self.field is None:
+            # Row() parses (pqlpeg_test UnionNested); the executor's
+            # FieldArg lookup refuses at run time (executor.go:5133)
+            raise ValueError("Row() argument required: field")
         self._validate_value(idx)
         c = F.col(self.field)
         if idx.is_quantum_field(self.field):

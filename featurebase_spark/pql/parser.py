@@ -259,9 +259,19 @@ _SETOPS = {
 
 def _row_from_kw(kw: dict) -> C.Row:
     meta = {k: kw.pop(k) for k in ("from", "to") if k in kw}
-    if len(kw) != 1:
-        raise SyntaxError(f"PQL Row: expected one field=value, got {sorted(kw)}")
-    (field, value), = kw.items()
+    if not kw:
+        # Row() PARSES in the reference (pqlpeg_test UnionNested counts
+        # it as a call); the refusal is the executor's FieldArg failure
+        # at run time — C.Row carries field=None and raises there
+        # (executor.go:5133)
+        return C.Row(None, "==", None, from_=meta.get("from"),
+                     to=meta.get("to"))
+    # several field=value pairs also parse (pqlpeg_test ArbSetArb
+    # `Row(q=1, a=4)`): the reference's executor picks whichever arg
+    # Go's map iteration yields first (Call.FieldArg) — any single
+    # choice is consistent, so take the FIRST IN SOURCE ORDER, the
+    # only deterministic refinement
+    field, value = next(iter(kw.items()))
     return C.Row(field, "==", value, from_=meta.get("from"), to=meta.get("to"))
 
 
@@ -716,8 +726,9 @@ def parse_all(text: str) -> list:
     nodes = []
     while p.peek() is not None:
         nodes.append(_postprocess(p.call()))
-    if not nodes:
-        raise SyntaxError("PQL: empty query")
+    # an EMPTY request parses to zero calls, not an error (pqlpeg_test
+    # TestPEGWorking "Empty": ParseString("") → 0 calls); execute_all
+    # then returns an empty result list, like the reference's response
     return nodes
 
 

@@ -404,3 +404,101 @@ def test_parser_fuzz_never_crashes_unstructured():
         except Exception as e:  # noqa: BLE001
             crashes.append((s, type(e).__name__, str(e)[:80]))
     assert not crashes, crashes[:5]
+
+
+# --- pql/pqlpeg_test.go TestPEGWorking / TestPEGErrors (full tables) -------
+# Parse-level corpus: every input either parses to the expected call
+# count or must refuse — the grammar surface, independent of execution.
+
+PEG_WORKING = [
+    ("", 0),
+    ("Set(2, f=10)", 1),
+    ("Set('foo', f=10)", 1),
+    ('Set("foo", f=10)', 1),
+    ("Set(2, f=1, 1999-12-31T00:00)", 1),
+    ("Set(1, a=4)Set(2, a=4)", 2),
+    ("Set(1, a=4) Set(2, a=4)", 2),
+    ("Set(1, a=4) \n Set(2, a=4)", 2),
+    ("Set(1, a=4)Row(z=ha)", 2),
+    ("Set(1, a=4)Row(z=ha)Set(2, z=99)", 3),
+    ("Row(q=1, a=4)Set(1, z=9)Row(z=99)", 3),
+    ("Set(1, a=zoom)", 1),
+    ("Set(1, a=4, b=5)", 1),
+    ("Set(1, a=4, bsd=haha)", 1),
+    ("Set(1, a=4, 2017-04-03T19:34)", 1),
+    ("Set(1, a='2017-04-03T19:34:00Z')", 1),
+    ("Set(1, a='2017-04-03T19:34:00-07:00')", 1),
+    ("Set(1, a='2017-04-03T19:34:00+07:00')", 1),
+    ("Set(1, a='2017-04-03T19:34:00.000000Z')", 1),
+    ("Union()", 1),
+    ("Union(Row(a=1))", 1),
+    ("Union(Row(a=1), Row(z=44))", 1),
+    ("Union(Intersect(Row(), Union(Row(), Row())), Row())", 1),
+    ("TopN(boondoggle)", 1),
+    ("TopN(boon, doggle=9)", 1),
+    ("Row(a=\"zm''e\")", 1),
+    ("Row(a='zm\"\"e')", 1),
+    ("Clear(1, a=53)", 1),
+    ("Clear(1, a=53, b=33)", 1),
+    ("TopN(myfield, n=44)", 1),
+    ("TopN(myfield, Row(a=47), n=10)", 1),
+    ("Row(a < 4)", 1),
+    ("Row(a > 4)", 1),
+    ("Row(a <= 4)", 1),
+    ("Row(a >= 4)", 1),
+    ("Row(a == 4)", 1),
+    ("Row(a == null)", 1),
+    ("Row(a != 4)", 1),
+    ("Row(a != null)", 1),
+    ("Row(4 < a < 9)", 1),
+    ("Row(4 < a <= 9)", 1),
+    ("Row(4 <= a < 9)", 1),
+    ("Row(4 <= a <= 9)", 1),
+    ("Row(a=4, from=2010-07-04T00:00, to=2010-08-04T00:00)", 1),
+    ("Row(a=4, from='2010-07-04T00:00', to=\"2010-08-04T00:00\")", 1),
+    ("Row(a=4, from='2010-07-04T00:00')", 1),
+    ("Row(a=4, to=\"2010-08-04T00:00\")", 1),
+    ("Set(1, my-frame=9)", 1),
+    ("Set(\n1,\nmy-frame\n=9)", 1),
+    ("Range(blah=1, 2019-04-07T00:00, 2019-08-07T00:00)", 1),
+]
+
+
+@pytest.mark.parametrize(
+    "text,ncalls", PEG_WORKING, ids=[repr(t[0])[:40] for t in PEG_WORKING]
+)
+def test_peg_working(text, ncalls):
+    # pqlpeg_test.go:57-279 — parse succeeds with this call count.
+    # Row() / Row(q=1, a=4) parse fine; their refusals (FieldArg) are
+    # execution-time, like the reference.
+    assert len(parse_all(text)) == ncalls
+
+
+PEG_ERRORS = [
+    "Set",
+    "Set(1, a=4, 2017-94-03T19:34)",
+    "Set(1, 2017-04-03T19:34)",
+    "Set(, 1, a=4)",
+    "Row(, a=4)",
+    "Clear(9)",
+    "Row(a>4, 2010-07-04T00:00, 2010-08-04T00:00)",
+    "Row(a=4, 2010-07-04T00:00)",
+    "Row(a=9223372036854775808)",
+    "Row(a=-9223372036854775809)",
+]
+
+
+@pytest.mark.parametrize("text", PEG_ERRORS, ids=[t[:40] for t in PEG_ERRORS])
+def test_peg_errors(text):
+    # pqlpeg_test.go:281-327 — every input must refuse
+    with pytest.raises(Exception):
+        parse_all(text)
+
+
+def test_row_no_field_executes_to_fieldarg_error():
+    # the deferred half of UnionNested: Row() refuses at predicate
+    # time with the executor's text (executor.go:5133)
+    from featurebase_spark.pql.calls import Row
+
+    with pytest.raises(ValueError, match=r"Row\(\) argument required: field"):
+        Row(None).predicate(None)
