@@ -35,7 +35,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>-?\d+\.\d+|-?\d+)
   | (?P<op><=|>=|==|!=|><|<|>|=)
   | (?P<punct>[(),\[\]])
-  | (?P<name>[A-Za-z_][A-Za-z0-9_.-]*)
+  | (?P<name>[^\W\d][\w.-]*)
 """,
     re.VERBOSE,
 )

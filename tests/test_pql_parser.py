@@ -502,3 +502,25 @@ def test_row_no_field_executes_to_fieldarg_error():
 
     with pytest.raises(ValueError, match=r"Row\(\) argument required: field"):
         Row(None).predicate(None)
+
+
+# --- pql/pqlpeg_test.go TestPQLDeepEquality structural mirrors -------------
+
+
+def test_deep_equality_unicode_and_structure():
+    """Parsed-structure pins from TestPQLDeepEquality
+    (pqlpeg_test.go:328-540): unicode field names AND values are legal
+    identifiers/strings, positional fields land in the field slot with
+    either spelling, Set's trailing bare timestamp binds to ts."""
+    r = parse('Row(uniΘcode="Æ漢д ☮♬ ♞🜻💣")')
+    assert r.field == "uniΘcode" and r.value == "Æ漢д ☮♬ ♞🜻💣"
+    r = parse('Rows(job, previous="💣")')
+    assert r.field == "job" and r.previous == "💣"
+    t = parse('TopN(stargazer, Row(unicode="Æ漢д ☮♬ ♞🜻💣"), a="∑")')
+    assert t.field == "stargazer" and isinstance(t.filter, C.Row)
+    k = parse("TopK(myfield, Row(), k=7)")
+    assert k.field == "myfield" and k.n == 7 and isinstance(k.filter, C.Row)
+    assert parse("TopK(field=myfield, Row(), k=7)").field == "myfield"
+    s = parse("Set(1, a=7, 2010-07-08T14:44)")
+    assert s.ts == "2010-07-08T14:44"
+    assert parse("Rows(field=myfield)").field == "myfield"
