@@ -181,7 +181,21 @@ def _split_idk_header(c: str) -> tuple[str, str]:
     return dest, kind
 
 
-def read_idk_csv(spark: SparkSession, path: str) -> DataFrame:
+#: coercion-failure target type per header kind, for the reference's
+#: "couldn't convert %v of %T to <type>" texts (interfaces.go:1142,
+#: 1223, 1164, 1322; decimal wraps via :679)
+_IDK_CONVERT_TARGET = {
+    "id": "uint64",
+    "int": "int64",
+    "timestamp": "time.Time",
+    "recordtime": "time.Time",
+    "idarray": "[]uint64",
+}
+
+
+def read_idk_csv(
+    spark: SparkSession, path: str, skip_bad_rows: int = 0
+) -> DataFrame:
     """idk CSV consumer: headers like ``asset_tag__String``,
     ``fan_time__Timestamp`` declare types (idk/csv/, header parsing in
     idk/header.go:404-453, field kinds idk/interfaces.go:258-770).
@@ -194,19 +208,54 @@ def read_idk_csv(spark: SparkSession, path: str) -> DataFrame:
     bit) and ``name-exists`` holds |v| whenever a value was present,
     so a cleared bit is exactly "exists non-null, set null". NULL and
     empty-string inputs leave both NULL (PilosafyVal's nil rules).
+
+    ``skip_bad_rows`` mirrors idk's SkipBadRows flag (ingest.go:97,
+    522-553, TestSkipBadRowsFunctionality*): 0 (the default) errors on
+    the first unconvertible record — the raise happens INSIDE the scan
+    expressions, so the strict path stays one pass with no extra job.
+    With n > 0, records that fail coercion are dropped, UNLESS the
+    first n+1 records of the file are ALL bad before any success —
+    then the consumer refuses with the reference's 'consecutive bad
+    records exceeded limit' text (the reference counts consecutive
+    failures only until the first good record; a head-of-file probe of
+    n+1 rows decides exactly that, bounded driver state).
     """
     raw = spark.read.csv(path, header=True, inferSchema=False)
     cols = []
+    bad_preds = []
+
+    def _strict(expr, bad, src, kind):
+        """In strict mode a bad cell errors on contact with the
+        reference's coercion text; in skip mode the caller filters."""
+        if skip_bad_rows > 0 or bad is None:
+            return expr
+        target = _IDK_CONVERT_TARGET.get(kind, kind)
+        return F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("couldn't convert "),
+                    src,
+                    F.lit(f" of string to {target}"),
+                )
+            ),
+        ).otherwise(expr)
+
     for c in raw.columns:
         name, kind = _split_idk_header(c)
         t = IDK_HEADER_TYPES.get(kind, "string")
         if t is None:
             continue
         src = F.col(c)
+        present = src.isNotNull() & (F.trim(src) != "")
         if t == "signedintboolkey":
-            v = src.cast("bigint")
-            cols.append(F.when(v > 0, v).alias(name))
+            # try_cast: ANSI-mode cast would THROW on garbage before
+            # the bad-predicate machinery can classify it
+            v = src.try_cast("bigint")
+            bad = present & v.isNull()
+            cols.append(_strict(F.when(v > 0, v), bad, src, "int").alias(name))
             cols.append(F.abs(v).alias(f"{name}-exists"))
+            bad_preds.append(bad)
         elif t.startswith("array"):
             # toStringArray/toUint64Array (interfaces.go:1227-1260):
             # '' → nil (NOT an empty array), the bracketed '[a,b,c]'
@@ -216,14 +265,19 @@ def read_idk_csv(spark: SparkSession, path: str) -> DataFrame:
                 src.startswith("[") & src.endswith("]"),
                 F.expr(f"substring(`{c}`, 2, length(`{c}`) - 2)"),
             ).otherwise(src)
+            arr = F.transform(
+                F.split(body, ","), lambda x: x.try_cast(inner)
+            )
+            bad = None
+            if inner != "string":
+                bad = present & F.exists(arr, lambda y: y.isNull())
+                bad_preds.append(bad)
             cols.append(
-                F.when(src.isNull() | (src == ""), F.lit(None))
-                .otherwise(
-                    F.transform(
-                        F.split(body, ","), lambda x: x.cast(inner)
-                    )
-                )
-                .alias(name)
+                _strict(
+                    F.when(src.isNull() | (src == ""), F.lit(None))
+                    .otherwise(arr),
+                    bad, src, kind,
+                ).alias(name)
             )
         elif t == "boolean":
             # toBool string coercion (interfaces.go:1146-1171 via
@@ -231,24 +285,55 @@ def read_idk_csv(spark: SparkSession, path: str) -> DataFrame:
             # true, 0/f/false → false, case-folded + trimmed; anything
             # else is an INGEST ERROR, not a silent NULL
             v = F.lower(F.trim(src))
+            bad = present & ~v.isin("1", "t", "true", "0", "f", "false")
+            bad_preds.append(bad)
             cols.append(
-                F.when(src.isNull() | (v == ""), F.lit(None).cast(t))
-                .when(v.isin("1", "t", "true"), F.lit(True))
-                .when(v.isin("0", "f", "false"), F.lit(False))
-                .otherwise(
+                _strict(
+                    F.when(src.isNull() | (v == ""), F.lit(None).cast(t))
+                    .when(v.isin("1", "t", "true"), F.lit(True))
+                    .when(v.isin("0", "f", "false"), F.lit(False)),
+                    bad, src, "bool",
+                ).alias(name)
+            )
+        elif t == "string":
+            cols.append(src.cast(t).alias(name))
+        else:
+            casted = src.try_cast(t)
+            bad = present & casted.isNull()
+            bad_preds.append(bad)
+            if kind == "decimal":
+                # interfaces.go:679 wraps differently for decimals
+                expr = F.when(
+                    bad,
                     F.raise_error(
                         F.concat(
                             F.lit("couldn't convert "),
                             src,
-                            F.lit(" of string to bool"),
+                            F.lit(" to int64 for decimal field"),
                         )
-                    )
-                )
-                .alias(name)
+                    ),
+                ).otherwise(casted) if skip_bad_rows == 0 else casted
+                cols.append(expr.alias(name))
+            else:
+                cols.append(_strict(casted, bad, src, kind).alias(name))
+    out = raw.select(*cols)
+    if skip_bad_rows > 0 and bad_preds:
+        from functools import reduce as _reduce
+
+        any_bad = _reduce(lambda a, b: a | b, bad_preds)
+        # head-of-file probe: the reference fails only when the FIRST
+        # skip_bad_rows+1 records are all bad (errorCounter only grows
+        # before anyRecordSuccessful, ingest.go:543-553)
+        head = raw.select(any_bad.alias("__bad")).limit(
+            skip_bad_rows + 1
+        ).collect()  # bounded: ≤ skip_bad_rows+1 booleans
+        if len(head) == skip_bad_rows + 1 and all(r["__bad"] for r in head):
+            raise ValueError(
+                "consecutive bad records exceeded limit, errorCounter: "
+                f"{skip_bad_rows + 1}"
             )
-        else:
-            cols.append(src.cast(t).alias(name))
-    return raw.select(*cols)
+        out = raw.where(~any_bad).select(*cols)
+    return out
 
 
 def read_jdbc(

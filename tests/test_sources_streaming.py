@@ -1109,3 +1109,63 @@ def test_idk_bool_coercion_and_arrays(spark, tmpdir):
         f.write("id__ID,b__Bool\n1,boat\n")
     with pytest.raises(Exception, match="couldn't convert"):
         SRC.read_idk_csv(spark, bad).collect()
+
+
+def test_idk_skip_bad_rows(spark, tmpdir):
+    """SkipBadRows parity (idk/ingest.go:97,522-553;
+    TestSkipBadRowsFunctionality / ...WhenErrorCountIsMore):
+
+    - default (0): the first unconvertible record errors on contact
+      with the reference's coercion text — ints too, not just bools.
+    - n > 0: bad records drop; but when the FIRST n+1 records are all
+      bad before any success, the consumer refuses with
+      'consecutive bad records exceeded limit'.
+    """
+    import os
+
+    import pytest
+
+    # strict default: a bad int errors (was a silent NULL pre-r12)
+    bad = os.path.join(tmpdir, "badint.csv")
+    with open(bad, "w") as f:
+        f.write("id__ID,n__Int\n1,boat\n")
+    with pytest.raises(Exception, match="couldn't convert boat of string to int64"):
+        SRC.read_idk_csv(spark, bad).collect()
+
+    # skip mode: leading bad rows under the limit drop, rest survive
+    mixed = os.path.join(tmpdir, "mixed.csv")
+    with open(mixed, "w") as f:
+        f.write("id__ID,n__Int\n")
+        f.write("1,oops\n")      # bad (1 consecutive at start, <= 2)
+        f.write("2,20\n")        # good — counter freezes forever after
+        f.write("3,nope\n")      # bad later: skipped
+        f.write("4,40\n")
+    df = SRC.read_idk_csv(spark, mixed, skip_bad_rows=2)
+    got = {r["id"]: r["n"] for r in df.collect()}
+    assert got == {2: 20, 4: 40}
+
+    # first n+1 rows ALL bad -> the exact refusal
+    allbad = os.path.join(tmpdir, "allbad.csv")
+    with open(allbad, "w") as f:
+        f.write("id__ID,n__Int\n")
+        f.write("1,a\n2,b\n3,c\n4,40\n")
+    with pytest.raises(
+        ValueError, match="consecutive bad records exceeded limit"
+    ):
+        SRC.read_idk_csv(spark, allbad, skip_bad_rows=2)
+
+    # fewer rows than the limit never exceed the counter (the
+    # reference only fails when errorCounter > SkipBadRows)
+    tiny = os.path.join(tmpdir, "tiny.csv")
+    with open(tiny, "w") as f:
+        f.write("id__ID,n__Int\n1,x\n")
+    assert SRC.read_idk_csv(spark, tiny, skip_bad_rows=5).collect() == []
+
+    # decimal wrap text (interfaces.go:679)
+    badd = os.path.join(tmpdir, "baddec.csv")
+    with open(badd, "w") as f:
+        f.write("id__ID,d__Decimal\n1,xyz\n")
+    with pytest.raises(
+        Exception, match="couldn't convert xyz to int64 for decimal field"
+    ):
+        SRC.read_idk_csv(spark, badd).collect()
