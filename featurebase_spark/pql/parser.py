@@ -553,7 +553,12 @@ def _build(name: str, pos: list, kw: dict):
             # fails (GroupBy(Rows()) and bare Rows() both surface this)
             raise ValueError("missing field in Rows call")
         field = pos[0] if pos else kw.pop("field", kw.pop("_field", None))
-        if isinstance(field, (_Quoted, int)) or isinstance(field, C.Row):
+        if isinstance(field, C.Row):
+            # a condition arg (Rows(a > 4)) lands in Go's Call.Args
+            # keyed by the field name; Rows' prototype table doesn't
+            # list it → CheckCallInfo's unknown-arg text
+            raise ValueError(f"'Rows': unknown arg '{field.field}'")
+        if isinstance(field, (_Quoted, int, float)):
             # positional field slot takes a BARE IDENTIFIER only:
             # Rows("true") / Rows(1) are PEG parse errors in the
             # reference (executor_test.go:5369-5375, surfaced as the
