@@ -221,6 +221,22 @@ DEDUP_EXTRA_KEYS = [
     "sim_ann_pq_adc_topk",
 ]
 
+#: interval-overlap keys measured against the 5× events slice (r12
+#: session 2): the slice multiplies USERS in the SAME wall-clock
+#: period, so per-bucket session density — and therefore the REAL
+#: overlap-pair output — grows ~25×. The claim under test is that
+#: engine cost tracks the OUTPUT (per-bucket density² is genuine
+#: work), never |events|²: cost per output pair must not grow.
+INTERVAL_EXTRA_KEYS = [
+    "events_overlap_pairs",
+]
+
+#: max allowed cost-per-output-pair ratio t5/pairs5 ÷ t1/pairs1 — at
+#: 25× the pairs, fixed per-job overheads amortize, so the honest
+#: bound is "does not grow materially"; 1.5 leaves room for jitter on
+#: the smaller side of the division
+INTERVAL_COST_PER_PAIR_BOUND = 1.5
+
 #: max allowed t(largest)/t(smallest) across the 100× data range
 GROWTH_BOUND = 1.3
 
@@ -334,6 +350,50 @@ def measure(
         out["all_dedup_tail_sublinear"] = all(
             v["sublinear_tail"] for v in out["dedup_extra_sf"].values()
         )
+
+    # interval tier vs the 5× users-in-same-timeline events slice
+    # (r12 session 2): pair OUTPUT grows ~25× by construction, so the
+    # growth statistic is COST PER OUTPUT PAIR, not wall time
+    if extra and os.path.isdir(EXTRA_SF05_DIR) and os.path.isdir(
+        os.path.join(EXTRA_SF05_DIR, "events.parquet")
+    ):
+        spark.catalog.clearCache()
+        out["interval_extra_sf"] = {}
+        base_sf = sf_dirs[-1]
+        for key in INTERVAL_EXTRA_KEYS:
+            fn = SPARK_QUERIES[key]
+            stats = {}
+            for sf in (base_sf, EXTRA_SF05_DIR):
+                pairs = fn(spark, sf).count()  # warm + output size
+                best = min(_timed(fn, spark, sf) for _ in range(repeats))
+                stats[sf] = {"seconds": round(best, 4), "pairs": pairs}
+            t1, p1 = stats[base_sf]["seconds"], stats[base_sf]["pairs"]
+            t5, p5 = (
+                stats[EXTRA_SF05_DIR]["seconds"],
+                stats[EXTRA_SF05_DIR]["pairs"],
+            )
+            cpp = (t5 / p5) / (t1 / p1) if p1 and p5 and t1 else None
+            out["interval_extra_sf"][key] = {
+                "per_sf": stats,
+                "pairs_ratio_5x_users": round(p5 / p1, 3) if p1 else None,
+                "time_ratio_5x_users": round(t5 / t1, 3) if t1 else None,
+                "cost_per_pair_ratio": round(cpp, 3)
+                if cpp is not None
+                else None,
+                "flat_cost_per_pair": (
+                    cpp is not None
+                    and cpp <= INTERVAL_COST_PER_PAIR_BOUND
+                ),
+                "note": (
+                    "5× users, same timeline → density ×5 per bucket, "
+                    "~25× real pairs; engine cost must track the "
+                    "output, never |events|²"
+                ),
+            }
+        out["all_interval_cost_per_pair_flat"] = all(
+            v["flat_cost_per_pair"]
+            for v in out["interval_extra_sf"].values()
+        )
     return out
 
 
@@ -360,10 +420,18 @@ def main(out_path: str = "SCALING_r07.json") -> int:
               f"growth={v['growth_100x']}x sublinear={v['sublinear']}")
     for k, v in result.get("dedup_extra_sf", {}).items():
         print(k, f"tail_5x={v['tail_5x']} exponent={v['exponent_tail']}")
+    for k, v in result.get("interval_extra_sf", {}).items():
+        print(
+            k,
+            f"pairs×{v['pairs_ratio_5x_users']} time×"
+            f"{v['time_ratio_5x_users']} cost/pair×"
+            f"{v['cost_per_pair_ratio']}",
+        )
     return 0 if (
         result["all_flat"]
         and result["all_sublinear"]
         and result.get("all_dedup_tail_sublinear", True)
+        and result.get("all_interval_cost_per_pair_flat", True)
     ) else 1
 
 

@@ -82,6 +82,30 @@ def main(out_dir: str = DEFAULT_OUT) -> int:
     for p in doc_parts[1:]:
         docs = docs.unionAll(p)
 
+    # events: 5 copies with user_id/event_id offset and the SAME
+    # wall-clock timeline — the honest scale-up for interval analytics
+    # is MORE USERS IN THE SAME PERIOD (a production 100 TB event log
+    # grows users, not calendar). Per-bucket session density grows 5×,
+    # so the REAL overlap-pair output grows ~25× — the scaling claim
+    # under test is that engine cost tracks that output (density² is
+    # genuine work), not the |table|² a naive join would pay.
+    ev_parts = []
+    for k in range(K_COPIES):
+        e = t["events"]
+        if k:
+            e = e.select(
+                (F.col("event_id") + k * 10_000_000).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * 10_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        ev_parts.append(e)
+    evs = ev_parts[0]
+    for p in ev_parts[1:]:
+        evs = evs.unionAll(p)
+
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -113,6 +137,9 @@ def main(out_dir: str = DEFAULT_OUT) -> int:
     docs.repartition(8).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
+    evs.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
     pq.write_table(
         emb_table, os.path.join(out_dir, "embeddings.parquet")
     )
@@ -122,7 +149,12 @@ def main(out_dir: str = DEFAULT_OUT) -> int:
     n_e = spark.read.parquet(
         os.path.join(out_dir, "embeddings.parquet")
     ).count()
-    print(f"wrote {out_dir}: documents={n_d} embeddings={n_e}")
+    n_v = spark.read.parquet(
+        os.path.join(out_dir, "events.parquet")
+    ).count()
+    print(
+        f"wrote {out_dir}: documents={n_d} embeddings={n_e} events={n_v}"
+    )
     return 0
 
 
