@@ -607,35 +607,72 @@ def merge_upsert(
     return kept.unionByName(updates, allowMissingColumns=False)
 
 
+def _is_quantum(table: DataFrame, field: str) -> bool:
+    return dict(table.dtypes)[field].startswith("array<struct<")
+
+
 def set_bit(
     table: DataFrame,
     record_id,
     field: str,
     value,
     id_col: str = "_id",
+    ts=None,
 ) -> DataFrame:
     """PQL ``Set(col, field=value)`` (executeSet executor.go:6194-6353).
     Scalar (mutex/int/bool/timestamp) fields: last-write-wins replace.
     Array (set) fields: add to the set. Creates the record if absent.
 
+    TIME-QUANTUM fields (array<struct<value,ts>>): the bit carries its
+    own timestamp — ``Set(2, f=1, 2001-01-01T00:00)`` appends the
+    (value, ts) entry (the reference writes the bit into that time's
+    quantum views, executeSetBitField executor.go:6263-6330). A Set
+    WITHOUT a timestamp appends (value, NULL): the standard-view-only
+    bit — Row(f=v) matches it, any from/to-ranged Row does not, the
+    same visibility the reference gives a time field written with no
+    timestamp.
+
     One lazy plan, no driver existence probe (VERDICT r1 minor #5): the
     in-place update is a conditional projection, and the create-if-absent
     row is the 1-row literal anti-joined against the table — both sides
     compose without an eager .count() job, so chains of Sets stay lazy."""
+    import datetime as _dt
+
+    quantum = _is_quantum(table, field)
     is_array = dict(table.dtypes)[field].startswith("array")
     target = F.col(id_col) == F.lit(record_id)
-    if is_array:
+    ts_dt = None
+    if ts is not None:
+        ts_dt = _dt.datetime.fromisoformat(str(ts).replace("Z", "+00:00"))
+    if quantum:
+        elem = table.schema[field].dataType.elementType
+        vtype = elem["value"].dataType.simpleString()
+        entry = F.struct(
+            F.lit(value).cast(vtype).alias("value"),
+            F.lit(ts_dt).cast("timestamp").alias("ts"),
+        )
+        updated = F.when(
+            target,
+            F.array_union(
+                F.coalesce(F.col(field), F.array().cast(f"array<{elem.simpleString()}>")),
+                F.array(entry),
+            ),
+        ).otherwise(F.col(field))
+        new_val = [(value, ts_dt)]
+    elif is_array:
         updated = F.when(
             target,
             F.array_union(F.coalesce(F.col(field), F.array()), F.array(F.lit(value))),
         ).otherwise(F.col(field))
+        new_val = [value]
     else:
         updated = F.when(target, F.lit(value)).otherwise(F.col(field))
+        new_val = value
     existing_updated = table.withColumn(field, updated)
     new_row = table.sparkSession.createDataFrame(
         [tuple(
             record_id if c == id_col
-            else ([value] if is_array else value) if c == field
+            else new_val if c == field
             else None
             for c, _ in table.dtypes
         )],
@@ -649,10 +686,19 @@ def clear_bit(
 ) -> DataFrame:
     """PQL ``Clear(col, field=value)`` (executeClearBit executor.go:
     5895-5975): remove one (record, value) bit. Scalar fields null out iff
-    they currently hold ``value``; set fields drop the element."""
-    is_array = dict(table.dtypes)[field].startswith("array")
+    they currently hold ``value``; set fields drop the element.
+
+    TIME-QUANTUM fields: the clear removes the value from EVERY view —
+    all timestamps of that value drop for the record
+    (TestExecutor_Time_Clear_Quantums: after ``Clear(2, f=1)`` record 2
+    stops matching ranged Rows under every quantum)."""
     target = F.col(id_col) == F.lit(record_id)
-    if is_array:
+    if _is_quantum(table, field):
+        updated = F.when(
+            target,
+            F.filter(F.col(field), lambda x: x["value"] != F.lit(value)),
+        ).otherwise(F.col(field))
+    elif dict(table.dtypes)[field].startswith("array"):
         updated = F.when(
             target, F.array_remove(F.col(field), value)
         ).otherwise(F.col(field))
@@ -666,9 +712,11 @@ def clear_bit(
 def clear_row(table: DataFrame, field: str, value) -> DataFrame:
     """PQL ``ClearRow(field=value)`` (executeClearRow executor.go:5976-6076):
     clear the value's bit across ALL records — a single whole-column
-    conditional rewrite (one scan, no shuffle)."""
-    is_array = dict(table.dtypes)[field].startswith("array")
-    if is_array:
+    conditional rewrite (one scan, no shuffle). Time-quantum fields
+    drop the value from every view of every record."""
+    if _is_quantum(table, field):
+        updated = F.filter(F.col(field), lambda x: x["value"] != F.lit(value))
+    elif dict(table.dtypes)[field].startswith("array"):
         updated = F.array_remove(F.col(field), value)
     else:
         updated = F.when(F.col(field) == F.lit(value), F.lit(None)).otherwise(

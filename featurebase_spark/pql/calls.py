@@ -1682,10 +1682,21 @@ class Set(WriteCall):
     def to_table(self, idx: Index) -> DataFrame:
         from featurebase_spark.operators.writes import set_bit
 
-        out = set_bit(idx.df, self.col, self.field, self.value, idx.id_col)
+        def one(df, f, v):
+            # a quantum field takes the timestamp INSIDE the bit (the
+            # reference writes into that time's views,
+            # executor.go:6263-6330); flat fields take it in time_col
+            ts = self.ts if idx.is_quantum_field(f) else None
+            return set_bit(df, self.col, f, v, idx.id_col, ts=ts)
+
+        out = one(idx.df, self.field, self.value)
         for f, v in (self.more or {}).items():
-            out = set_bit(out, self.col, f, v, idx.id_col)
-        if self.ts is not None and idx.time_col in out.columns:
+            out = one(out, f, v)
+        if (
+            self.ts is not None
+            and not idx.is_quantum_field(self.field)
+            and idx.time_col in out.columns
+        ):
             out = out.withColumn(
                 idx.time_col,
                 F.when(

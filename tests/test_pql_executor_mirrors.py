@@ -332,3 +332,75 @@ def test_rows_in_restricts_groups(gidx):
         "general", "count",
     )
     assert got == {(10, 3), (12, 2)}
+
+
+# ---- TestExecutor_Time_Clear_Quantums (executor_test.go:3890-3948) --------
+# Clear on a time-quantum field removes the value from EVERY view; the
+# ranged re-read under each quantum then sees exactly the reference's
+# surviving records (7 only when the quantum carries hours — its
+# 2002-01-01T02:00 bit is inside [from, to) only at H granularity).
+
+_TCQ_POPULATE = (
+    "Set(2, f=1, 1999-12-31T00:00) "
+    "Set(3, f=1, 2000-01-01T00:00) "
+    "Set(4, f=1, 2000-01-02T00:00) "
+    "Set(5, f=1, 2000-02-01T00:00) "
+    "Set(6, f=1, 2001-01-01T00:00) "
+    "Set(7, f=1, 2002-01-01T02:00) "
+    "Set(2, f=1, 1999-12-30T00:00) "
+    "Set(2, f=1, 2002-02-01T00:00) "
+    "Set(2, f=10, 2001-01-01T00:00)"
+)
+_TCQ_RANGE = "Row(f=1, from=1999-12-31T00:00, to=2002-01-01T03:00)"
+
+_TCQ_CASES = [
+    ("Y", {3, 4, 5, 6}),
+    ("M", {3, 4, 5, 6}),
+    ("D", {3, 4, 5, 6}),
+    ("H", {3, 4, 5, 6, 7}),
+    ("YM", {3, 4, 5, 6}),
+    ("YMD", {3, 4, 5, 6}),
+    ("YMDH", {3, 4, 5, 6, 7}),
+    ("MD", {3, 4, 5, 6}),
+    ("MDH", {3, 4, 5, 6, 7}),
+    ("DH", {3, 4, 5, 6, 7}),
+]
+
+
+@pytest.mark.parametrize("quantum,expected", _TCQ_CASES,
+                         ids=[c[0] for c in _TCQ_CASES])
+def test_time_clear_quantums(spark, quantum, expected):
+    from featurebase_spark.pql import parser as P
+    from featurebase_spark.pql.calls import Index
+
+    empty = spark.createDataFrame(
+        [], "_id long, f array<struct<value:bigint,ts:timestamp>>"
+    )
+    idx = Index(empty, quantums={"f": quantum})
+    # populate: each write threads its table into the next call
+    results = P.execute_all(idx, _TCQ_POPULATE)
+    populated = Index(results[-1], quantums={"f": quantum})
+    cleared = Index(
+        P.execute(populated, "Clear(2, f=1)"), quantums={"f": quantum}
+    )
+    got = {r["_id"] for r in P.execute(cleared, _TCQ_RANGE).collect()}
+    assert got == expected, f"quantum {quantum}: {got}"
+
+
+def test_time_clear_keeps_other_values(spark):
+    # Clear(2, f=1) must leave record 2's f=10 bit intact
+    from featurebase_spark.pql import parser as P
+    from featurebase_spark.pql.calls import Index
+
+    empty = spark.createDataFrame(
+        [], "_id long, f array<struct<value:bigint,ts:timestamp>>"
+    )
+    idx = Index(empty, quantums={"f": "YMDH"})
+    populated = Index(
+        P.execute_all(idx, _TCQ_POPULATE)[-1], quantums={"f": "YMDH"}
+    )
+    cleared = Index(
+        P.execute(populated, "Clear(2, f=1)"), quantums={"f": "YMDH"}
+    )
+    got = {r["_id"] for r in P.execute(cleared, "Row(f=10)").collect()}
+    assert got == {2}
