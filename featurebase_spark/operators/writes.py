@@ -682,11 +682,22 @@ def set_bit(
 
 
 def clear_bit(
-    table: DataFrame, record_id, field: str, value, id_col: str = "_id"
+    table: DataFrame,
+    record_id,
+    field: str,
+    value,
+    id_col: str = "_id",
+    bsi: bool = False,
 ) -> DataFrame:
     """PQL ``Clear(col, field=value)`` (executeClearBit executor.go:
-    5895-5975): remove one (record, value) bit. Scalar fields null out iff
-    they currently hold ``value``; set fields drop the element.
+    5895-5975): remove one (record, value) bit. Mutex (scalar row-ID)
+    fields null out iff they currently hold ``value``; set fields drop
+    the element.
+
+    ``bsi=True`` (int/decimal/timestamp fields): the reference's
+    ``f.ClearValue(colID)`` clears the column's stored value
+    UNCONDITIONALLY — the value argument is not compared
+    (executeClearValueField executor.go:6354-6390).
 
     TIME-QUANTUM fields: the clear removes the value from EVERY view —
     all timestamps of that value drop for the record
@@ -702,6 +713,8 @@ def clear_bit(
         updated = F.when(
             target, F.array_remove(F.col(field), value)
         ).otherwise(F.col(field))
+    elif bsi:
+        updated = F.when(target, F.lit(None)).otherwise(F.col(field))
     else:
         updated = F.when(
             target & (F.col(field) == F.lit(value)), F.lit(None)

@@ -1720,9 +1720,15 @@ class Clear(WriteCall):
     def to_table(self, idx: Index) -> DataFrame:
         from featurebase_spark.operators.writes import clear_bit
 
-        out = clear_bit(idx.df, self.col, self.field, self.value, idx.id_col)
+        def one(df, f, v):
+            # BSI fields (int/decimal/timestamp) clear UNCONDITIONALLY
+            # (f.ClearValue ignores the value arg, executor.go:6354)
+            bsi = idx.field_type(f) in ("int", "decimal", "timestamp")
+            return clear_bit(df, self.col, f, v, idx.id_col, bsi=bsi)
+
+        out = one(idx.df, self.field, self.value)
         for f, v in (self.more or {}).items():
-            out = clear_bit(out, self.col, f, v, idx.id_col)
+            out = one(out, f, v)
         return out
 
 
@@ -1736,6 +1742,12 @@ class ClearRow(WriteCall):
     def to_table(self, idx: Index) -> DataFrame:
         from featurebase_spark.operators.writes import clear_row
 
+        ft = idx.field_type(self.field)
+        if ft in ("int", "decimal", "timestamp"):
+            # executor.go:5991-5996 — only set/time/mutex/bool support it
+            raise ValueError(
+                f"ClearRow() is not supported on {ft} field types"
+            )
         return clear_row(idx.df, self.field, self.value)
 
 

@@ -404,3 +404,39 @@ def test_time_clear_keeps_other_values(spark):
     )
     got = {r["_id"] for r in P.execute(cleared, "Row(f=10)").collect()}
     assert got == {2}
+
+
+def test_clear_bsi_is_unconditional(spark):
+    """Clear on an int/decimal/timestamp (BSI) field ignores the value
+    argument — f.ClearValue clears the stored value outright
+    (executeClearValueField executor.go:6354-6390). Mutex scalars keep
+    the iff-equal rule."""
+    from featurebase_spark.pql import parser as P
+    from featurebase_spark.pql.calls import Index
+
+    df = spark.createDataFrame(
+        [(1, 25, "x"), (2, 10, "y")], "_id long, v long, m string"
+    )
+    idx = Index(df, field_types={"v": "int"})
+    # Clear with a NON-matching value still clears the BSI field
+    out = P.execute(idx, "Clear(1, v=999)")
+    got = {r["_id"]: r["v"] for r in out.collect()}
+    assert got == {1: None, 2: 10}
+    # mutex scalar: non-matching value is a no-op
+    out = P.execute(idx, "Clear(2, m='nope')")
+    got = {r["_id"]: r["m"] for r in out.collect()}
+    assert got == {1: "x", 2: "y"}
+
+
+def test_clear_row_refuses_bsi_fields(spark):
+    """ClearRow() supports set/time/mutex/bool only
+    (executor.go:5991-5996, exact text)."""
+    from featurebase_spark.pql import parser as P
+    from featurebase_spark.pql.calls import Index
+
+    df = spark.createDataFrame([(1, 25)], "_id long, v long")
+    idx = Index(df, field_types={"v": "int"})
+    with pytest.raises(
+        ValueError, match=r"ClearRow\(\) is not supported on int field types"
+    ):
+        P.execute(idx, "ClearRow(v=25)")
