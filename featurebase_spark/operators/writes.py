@@ -666,6 +666,14 @@ def set_bit(
         ).otherwise(F.col(field))
         new_val = [value]
     else:
+        if isinstance(value, str) and dict(table.dtypes)[field].startswith(
+            "timestamp"
+        ):
+            # timestamp BSI fields accept string literals
+            # (executor_test.go:1729 Set(10, f='2000-01-01T00:00:00Z'))
+            value = _dt.datetime.fromisoformat(
+                value.replace("Z", "+00:00")
+            ).replace(tzinfo=None)
         updated = F.when(target, F.lit(value)).otherwise(F.col(field))
         new_val = value
     existing_updated = table.withColumn(field, updated)

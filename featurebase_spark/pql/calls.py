@@ -1682,6 +1682,24 @@ class Set(WriteCall):
     def to_table(self, idx: Index) -> DataFrame:
         from featurebase_spark.operators.writes import set_bit
 
+        # key-translation refusals (cluster.go:366/575, executor_test
+        # SetValue/Err subtests): a string column key needs a keyed
+        # index; a string row value needs a keyed field
+        id_dt = dict(idx.df.dtypes).get(idx.id_col, "")
+        if isinstance(self.col, str) and id_dt != "string":
+            raise ValueError(
+                f'cannot find keys on unkeyed index "{idx.id_col}"'
+            )
+        for f, v in [(self.field, self.value), *(self.more or {}).items()]:
+            dt = dict(idx.df.dtypes).get(f, "")
+            unkeyed_rows = dt in (
+                "bigint", "int", "long", "array<bigint>", "array<int>",
+            ) or dt.startswith("decimal")
+            if isinstance(v, str) and unkeyed_rows:
+                raise ValueError(
+                    f'cannot create keys on unkeyed field "{f}"'
+                )
+
         def one(df, f, v):
             # a quantum field takes the timestamp INSIDE the bit (the
             # reference writes into that time's views,

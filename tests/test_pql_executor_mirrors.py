@@ -440,3 +440,28 @@ def test_clear_row_refuses_bsi_fields(spark):
         ValueError, match=r"ClearRow\(\) is not supported on int field types"
     ):
         P.execute(idx, "ClearRow(v=25)")
+
+
+def test_set_key_translation_refusals(spark):
+    """Set's key-translation refusals (executor_test.go SetValue/Err
+    :1702-1713, texts cluster.go:366/575): a string column key on an
+    unkeyed (integer-id) index, and a string row value on an unkeyed
+    numeric field, both refuse. A string value on a TIMESTAMP BSI
+    field is fine (the :1716-1756 Timestamp subtest sets
+    f='2000-01-01T00:00:00Z')."""
+    from featurebase_spark.pql import parser as P
+    from featurebase_spark.pql.calls import Index
+
+    df = spark.createDataFrame(
+        [(1, 5, None)], "_id long, f long, t timestamp"
+    )
+    idx = Index(df, field_types={"f": "int"})
+    with pytest.raises(ValueError, match="unkeyed index"):
+        P.execute(idx, 'Set("bad_column", f=100)')
+    with pytest.raises(
+        ValueError, match="cannot create keys on unkeyed field"
+    ):
+        P.execute(idx, 'Set(10, f="hello")')
+    out = P.execute(idx, "Set(10, t='2000-01-02T00:00:00Z')")
+    got = {r["_id"]: r["t"] for r in out.collect()}
+    assert got[10] is not None
