@@ -296,6 +296,20 @@ class Row(RowCall):
                 raise ValueError(
                     f"op {self.op} invalid on set field {self.field}"
                 )
+            if self.value is None:
+                # null checks walk the per-field EXISTENCE row, which
+                # has no views — a time range is refused outright
+                # (executor.go:5173-5186, Row_BSIGroup "time quantum EQ
+                # null"). Clear does NOT reset field existence in the
+                # reference, so a cleared-empty record stays non-null —
+                # which is exactly Spark's NULL (never set) vs []
+                # (existed, cleared) distinction: plain isNull matches.
+                if self.from_ is not None or self.to is not None:
+                    raise ValueError(
+                        "can't use a time range with a check "
+                        "for/against null"
+                    )
+                return c.isNull() if self.op == "==" else c.isNotNull()
             tp = _quantum_view_pred(idx, self.field, self.from_, self.to)
             v = F.lit(self.value)
             if tp is None:
@@ -307,18 +321,32 @@ class Row(RowCall):
             if self.op == "!=":
                 pred = ~_truthy(pred)
             return pred
+        is_set_like = idx.is_array_field(self.field) or dict(
+            idx.df.dtypes
+        ).get(self.field, "") == "string"
         if self.between is not None:
             lo, hi = self.between
             pred = c.between(F.lit(lo), F.lit(hi))
         elif self.value is None and self.op == "==":
+            # null = NEVER set. The reference's null-row walk is
+            # index-existence minus FIELD-existence, and ClearBit does
+            # not reset field existence (Row_BSIGroup: after
+            # Clear(0, idset=3), Row(idset != null) still returns 0) —
+            # Spark's NULL (never set) vs [] (cleared) maps 1:1.
             pred = c.isNull()
         elif self.value is None and self.op == "!=":
             pred = c.isNotNull()
+        elif self.op == "!=" and is_set_like:
+            # executor.go:5189 — set/mutex fields take != ONLY against
+            # null (BSI int ranges keep their full op set); scalar
+            # longs stay permissive — they are equally BSI fields
+            raise ValueError(
+                "only support != for null, not for other values, on "
+                "set/mutex fields"
+            )
         elif idx.is_array_field(self.field):
             if self.op == "==":
                 pred = F.array_contains(c, F.lit(self.value))
-            elif self.op == "!=":
-                pred = ~_truthy(F.array_contains(c, F.lit(self.value)))
             else:
                 raise ValueError(f"op {self.op} invalid on set field {self.field}")
         else:

@@ -465,3 +465,52 @@ def test_set_key_translation_refusals(spark):
     out = P.execute(idx, "Set(10, t='2000-01-02T00:00:00Z')")
     got = {r["_id"]: r["t"] for r in out.collect()}
     assert got[10] is not None
+
+
+def test_row_null_checks_and_set_neq_refusal(spark):
+    """Row_BSIGroup null battery (executor_test.go:3044-3172):
+
+    - Row(idset != null) INCLUDES a record whose only bit was cleared —
+      the reference's null walk is index-existence minus FIELD
+      existence, and ClearBit never resets field existence; our
+      NULL-vs-[] distinction models that exactly.
+    - Row(idset != 3): set/mutex fields take != only against null
+      (executor.go:5189, exact text).
+    - Row(tq == null, from=...): a time range with a null check refuses
+      (executor.go:5175, exact text).
+    """
+    from featurebase_spark.pql import parser as P
+    from featurebase_spark.pql.calls import Index
+
+    empty = spark.createDataFrame(
+        [], "_id long, idset array<bigint>, "
+        "tq array<struct<value:bigint,ts:timestamp>>"
+    )
+    idx = Index(empty, quantums={"tq": "YM"})
+    populated = P.execute_all(
+        idx,
+        "Set(0, idset=3) Set(1, idset=3) Clear(0, idset=3) "
+        "Set(50, tq=5, 2017-01-02T12:34)",
+    )[-1]
+    cur = Index(populated, quantums={"tq": "YM"})
+
+    nn = {r["_id"] for r in P.execute(cur, "Row(idset != null)").collect()}
+    assert nn == {0, 1}, nn  # 0 cleared-but-existing counts as non-null
+    null_ids = {r["_id"] for r in P.execute(cur, "Row(idset == null)").collect()}
+    assert null_ids == {50}
+    tq_nn = {r["_id"] for r in P.execute(cur, "Row(tq != null)").collect()}
+    assert tq_nn == {50}
+    tq_null = {r["_id"] for r in P.execute(cur, "Row(tq == null)").collect()}
+    assert tq_null == {0, 1}
+
+    with pytest.raises(
+        ValueError,
+        match="only support != for null, not for other values, on "
+        "set/mutex fields",
+    ):
+        P.execute(cur, "Row(idset != 3)").collect()
+    with pytest.raises(
+        ValueError,
+        match="can't use a time range with a check for/against null",
+    ):
+        P.execute(cur, "Row(tq == null, from=2010-01-01T00:00)").collect()
