@@ -286,6 +286,10 @@ class Row(RowCall):
             # Row() parses (pqlpeg_test UnionNested); the executor's
             # FieldArg lookup refuses at run time (executor.go:5133)
             raise ValueError("Row() argument required: field")
+        if self.field not in idx.df.columns:
+            # ErrFieldNotFound (Row_BSIGroup ErrFieldNotFound subtest:
+            # Row(bad_field >= 20))
+            raise ValueError("field not found")
         self._validate_value(idx)
         c = F.col(self.field)
         if idx.is_quantum_field(self.field):
@@ -1180,6 +1184,8 @@ class Rows(ReaderCall):
 
     def to_df(self, idx: Index) -> DataFrame:
         self.validate()
+        if self.field not in idx.df.columns:
+            raise ValueError("field not found")  # ErrFieldNotFound
         ft = idx.field_type(self.field)
         if ft not in ("set", "mutex", "time"):
             # executeRows accepts set/mutex/time fields only

@@ -957,8 +957,22 @@ def execute_all(
     cur = idx
     for node in parse_all(text):
         out = _execute_node(cur, node, bitmap)
-        results.append(out)
         if isinstance(node, C.WriteCall):
-            cur = C.Index(out, id_col=cur.id_col, time_col=cur.time_col)
+            # TRUNCATE LINEAGE per write: set_bit's plan references its
+            # input twice (conditional update + create-if-absent
+            # anti-join), so a k-write batch otherwise builds a
+            # 2^k-node plan tree — a 15-write request OOMs the driver
+            # at ANALYSIS time. localCheckpoint materializes each
+            # write's result (the reference applies writes eagerly
+            # too, one mutation per call) and keeps batches linear.
+            out = out.localCheckpoint(eager=True)
+            cur = C.Index(
+                out,
+                id_col=cur.id_col,
+                time_col=cur.time_col,
+                quantums=cur.quantums,
+                field_types=cur.field_types,
+            )
             bitmap = None
+        results.append(out)
     return results

@@ -514,3 +514,77 @@ def test_row_null_checks_and_set_neq_refusal(spark):
         match="can't use a time range with a check for/against null",
     ):
         P.execute(cur, "Row(tq == null, from=2010-01-01T00:00)").collect()
+
+
+# ---- Row_BSIGroup range battery (executor_test.go:3007-3300) -------------
+# The reference fixture rebuilt at shard scale through the text door:
+# foo/bar/other/edge are BSI ints, idset a set, tq a YM time field.
+
+SW_B = 1 << 20
+
+
+@pytest.fixture(scope="module")
+def bsi_idx(spark):
+    from featurebase_spark.pql import parser as P
+    from featurebase_spark.pql.calls import Index
+
+    empty = spark.createDataFrame(
+        [], "_id long, f array<bigint>, foo long, bar long, other long, "
+        "edge long, idset array<bigint>, "
+        "tq array<struct<value:bigint,ts:timestamp>>"
+    )
+    idx = Index(empty, quantums={"tq": "YM"},
+                field_types={"foo": "int", "bar": "int",
+                             "other": "int", "edge": "int"})
+    populated = P.execute_all(
+        idx,
+        f"Set(0, f=0) Set({SW_B + 1}, f=0) "
+        f"Set(50, foo=20) Set(50, bar=2000) Set({SW_B}, foo=30) "
+        f"Set({SW_B + 2}, foo=10) Set({5 * SW_B + 100}, foo=20) "
+        f"Set({SW_B + 1}, foo=60) Set(0, other=1000) "
+        "Set(0, edge=100) Set(1, edge=-100) "
+        "Set(0, idset=3) Set(1, idset=3) Clear(0, idset=3) "
+        "Set(50, tq=5, 2017-01-02T12:34)",
+    )[-1]
+    # materialize: the 15-deep lazy write chain (each Set stacks a
+    # union + anti-join) would otherwise re-execute per parametrized
+    # case — collect once, rebuild as a literal frame
+    flat = spark.createDataFrame(populated.collect(), populated.schema)
+    return Index(flat, quantums={"tq": "YM"},
+                 field_types={"foo": "int", "bar": "int",
+                              "other": "int", "edge": "int"})
+
+
+_BSI_CASES = [
+    ("Row(foo == 20)", {50, 5 * SW_B + 100}),
+    ("Row(foo = 20)", {50, 5 * SW_B + 100}),       # single-= spelling
+    ("Row(idset == 3)", {1}),
+    ("Row(other != null)", {0}),
+    ("Row(foo != 20)", {SW_B, SW_B + 1, SW_B + 2}),  # nulls excluded
+    ("Row(other != -20)", {0}),
+    ("Row(foo < 20)", {SW_B + 2}),
+    ("Row(foo <= 20)", {50, SW_B + 2, 5 * SW_B + 100}),
+    ("Row(foo > 20)", {SW_B, SW_B + 1}),
+    ("Row(foo >= 20)", {50, SW_B, SW_B + 1, 5 * SW_B + 100}),
+    ("Row(0 <= other <= 1000)", {0}),
+    ("Row(foo == 0)", set()),
+    ("Row(foo == 200)", set()),
+    ("Row(edge < 200)", {0, 1}),
+    ("Row(edge > -1000)", {0, 1}),
+]
+
+
+@pytest.mark.parametrize("query,expected", _BSI_CASES,
+                         ids=[c[0] for c in _BSI_CASES])
+def test_row_bsigroup_battery(bsi_idx, query, expected):
+    from featurebase_spark.pql import parser as P
+
+    got = {r["_id"] for r in P.execute(bsi_idx, query).collect()}
+    assert got == expected, f"{query}: {got}"
+
+
+def test_row_bsigroup_field_not_found(bsi_idx):
+    from featurebase_spark.pql import parser as P
+
+    with pytest.raises(ValueError, match="field not found"):
+        P.execute(bsi_idx, "Row(bad_field >= 20)").collect()
