@@ -1143,7 +1143,17 @@ class Rows(ReaderCall):
 
     Args mirror the reference: ``like`` (key glob), ``in_`` (explicit list),
     ``previous`` (exclusive paging cursor), ``limit``, ``column`` (restrict to
-    one record's values), ``from_``/``to`` (time range on Index.time_col)."""
+    one record's values), ``from_``/``to`` (time range on Index.time_col).
+
+    DOCUMENTED DIVERGENCE (TestExecutor_Execute_Rows_Keys): on keyed
+    fields the reference pages in ROW-ID order — i.e. key CREATION
+    order, an artifact of its translation store. A relational table
+    has no creation order, so ``previous`` here pages in VALUE order
+    (lexicographic for keys) — deterministic and total, but a cursor
+    taken from the reference will not resume at the same position
+    when keys were created out of sorted order. ``like`` requires a
+    keyed (string) field, as in the reference (unkeyed fields have no
+    keys to match — the 'translating call' refusal)."""
 
     field: str
     like: Optional[str] = None
@@ -1186,6 +1196,14 @@ class Rows(ReaderCall):
         self.validate()
         if self.field not in idx.df.columns:
             raise ValueError("field not found")  # ErrFieldNotFound
+        if self.like is not None and not idx.is_keyed_field(self.field):
+            # like matches KEYS; an unkeyed field has none —
+            # Rows(f_id, like="__") is the reference's 'executing:
+            # translating call:' refusal (TestExecutor_Execute_Rows_Keys)
+            raise ValueError(
+                f'translating call: cannot match like pattern on '
+                f'unkeyed field "{self.field}"'
+            )
         ft = idx.field_type(self.field)
         if ft not in ("set", "mutex", "time"):
             # executeRows accepts set/mutex/time fields only

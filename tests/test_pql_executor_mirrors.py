@@ -588,3 +588,27 @@ def test_row_bsigroup_field_not_found(bsi_idx):
 
     with pytest.raises(ValueError, match="field not found"):
         P.execute(bsi_idx, "Row(bad_field >= 20)").collect()
+
+
+def test_rows_keys_like_semantics(spark):
+    """TestExecutor_Execute_Rows_Keys tail cases: like='__' filters
+    keys by glob length; like on an UNKEYED field refuses with the
+    translating-call surface (there are no keys to match). The paging
+    cursor itself is a documented divergence: the reference pages in
+    row-id (key-creation) order, this engine in value order."""
+    from featurebase_spark.pql import parser as P
+    from featurebase_spark.pql.calls import Index
+
+    df = spark.createDataFrame(
+        [(1, ["0", "5", "10", "15"], 7)],
+        "_id long, f array<string>, f_id long",
+    )
+    idx = Index(df)
+    got = {r["f"] for r in P.execute(idx, 'Rows(f, like="__")').collect()}
+    assert got == {"10", "15"}
+    with pytest.raises(ValueError, match="translating call:"):
+        P.execute(idx, 'Rows(f_id, like="__")').collect()
+    # like=<int> refuses at arg validation (the reference surfaces it
+    # under its 'parsing:' wrap since CheckCallInfo runs inside parse)
+    with pytest.raises(ValueError, match="arg 'like' wrong type"):
+        P.execute(idx, "Rows(f_id, like=7)")
