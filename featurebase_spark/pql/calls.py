@@ -66,9 +66,19 @@ class Index:
     #: map first and falls back to unambiguous dtype signals.
     field_types: dict = dc_field(default_factory=dict)
 
+    def dtype_of(self, name: str) -> str:
+        """Cached column-dtype lookup: ``df.dtypes`` is a JVM schema
+        round trip, and a single compile touches it once per Row/Rows
+        node (an Intersect of k Rows = k lookups). The cache lives on
+        the Index instance, whose df never changes."""
+        m = getattr(self, "_dtypes_cache", None)
+        if m is None:
+            m = dict(self.df.dtypes)
+            self._dtypes_cache = m
+        return m.get(name, "")
+
     def is_array_field(self, name: str) -> bool:
-        dt = dict(self.df.dtypes).get(name, "")
-        return dt.startswith("array")
+        return self.dtype_of(name).startswith("array")
 
     def field_type(self, name: str) -> str:
         """The reference field type of a column: declared type if given,
@@ -79,7 +89,7 @@ class Index:
         columns are used as by Rows/GroupBy)."""
         if name in self.field_types:
             return self.field_types[name]
-        dt = dict(self.df.dtypes).get(name, "")
+        dt = self.dtype_of(name)
         if dt.startswith("array<struct<"):
             return "time"
         if dt.startswith("array"):
@@ -95,12 +105,11 @@ class Index:
     def is_keyed_field(self, name: str) -> bool:
         """String-valued fields are keyed (OptFieldKeys): row keys, not
         integer row IDs."""
-        dt = dict(self.df.dtypes).get(name, "")
+        dt = self.dtype_of(name)
         return dt == "string" or dt == "array<string>"
 
     def is_quantum_field(self, name: str) -> bool:
-        dt = dict(self.df.dtypes).get(name, "")
-        return dt.startswith("array<struct<")
+        return self.dtype_of(name).startswith("array<struct<")
 
     def quantum_of(self, name: str) -> str:
         return self.quantums.get(name, "YMDH")
@@ -254,7 +263,7 @@ class Row(RowCall):
             return
         f, v = self.field, self.value
         ft = idx.field_type(f)
-        dt = dict(idx.df.dtypes).get(f, "")
+        dt = idx.dtype_of(f)
         declared = f in idx.field_types
         if ft == "bool":
             if not isinstance(v, bool):
@@ -325,9 +334,10 @@ class Row(RowCall):
             if self.op == "!=":
                 pred = ~_truthy(pred)
             return pred
-        is_set_like = idx.is_array_field(self.field) or dict(
-            idx.df.dtypes
-        ).get(self.field, "") == "string"
+        is_set_like = (
+            idx.is_array_field(self.field)
+            or idx.dtype_of(self.field) == "string"
+        )
         if self.between is not None:
             lo, hi = self.between
             pred = c.between(F.lit(lo), F.lit(hi))
@@ -1737,13 +1747,13 @@ class Set(WriteCall):
         # key-translation refusals (cluster.go:366/575, executor_test
         # SetValue/Err subtests): a string column key needs a keyed
         # index; a string row value needs a keyed field
-        id_dt = dict(idx.df.dtypes).get(idx.id_col, "")
+        id_dt = idx.dtype_of(idx.id_col)
         if isinstance(self.col, str) and id_dt != "string":
             raise ValueError(
                 f'cannot find keys on unkeyed index "{idx.id_col}"'
             )
         for f, v in [(self.field, self.value), *(self.more or {}).items()]:
-            dt = dict(idx.df.dtypes).get(f, "")
+            dt = idx.dtype_of(f)
             unkeyed_rows = dt in (
                 "bigint", "int", "long", "array<bigint>", "array<int>",
             ) or dt.startswith("decimal")
