@@ -638,12 +638,19 @@ def set_bit(
     compose without an eager .count() job, so chains of Sets stay lazy."""
     import datetime as _dt
 
-    quantum = _is_quantum(table, field)
-    is_array = dict(table.dtypes)[field].startswith("array")
+    dtypes = dict(table.dtypes)  # one JVM schema round trip per call
+    quantum = dtypes[field].startswith("array<struct<")
+    is_array = dtypes[field].startswith("array")
     target = F.col(id_col) == F.lit(record_id)
     ts_dt = None
     if ts is not None:
-        ts_dt = _dt.datetime.fromisoformat(str(ts).replace("Z", "+00:00"))
+        # naive wall-clock, like the scalar branch: an aware datetime
+        # would shift through the session timezone while the view
+        # literals stay naive (ranged Rows would miss the bit under a
+        # non-UTC session tz)
+        ts_dt = _dt.datetime.fromisoformat(
+            str(ts).replace("Z", "+00:00")
+        ).replace(tzinfo=None)
     if quantum:
         elem = table.schema[field].dataType.elementType
         vtype = elem["value"].dataType.simpleString()
@@ -666,7 +673,7 @@ def set_bit(
         ).otherwise(F.col(field))
         new_val = [value]
     else:
-        if isinstance(value, str) and dict(table.dtypes)[field].startswith(
+        if isinstance(value, str) and dtypes[field].startswith(
             "timestamp"
         ):
             # timestamp BSI fields accept string literals

@@ -288,7 +288,9 @@ class Row(RowCall):
                         f'found integer ID {v} on keyed field "{f}"'
                     )
         elif declared and ft == "int" and isinstance(v, bool):
-            raise ValueError(f'invalid value {v} for int field "{f}"')
+            raise ValueError(
+                f'invalid value {str(v).lower()} for int field "{f}"'
+            )
 
     def predicate(self, idx: Index) -> Column:
         if self.field is None:
@@ -308,6 +310,13 @@ class Row(RowCall):
             if self.op not in ("==", "!="):
                 raise ValueError(
                     f"op {self.op} invalid on set field {self.field}"
+                )
+            if self.op == "!=" and self.value is not None:
+                # the executor.go:5189 refusal covers the whole
+                # set/mutex/TIME class
+                raise ValueError(
+                    "only support != for null, not for other values, "
+                    "on set/mutex fields"
                 )
             if self.value is None:
                 # null checks walk the per-field EXISTENCE row, which
@@ -1202,7 +1211,11 @@ class Rows(ReaderCall):
                     f"arguments, but found '{arg}'"
                 )
 
-    def to_df(self, idx: Index) -> DataFrame:
+    def guard(self, idx: Index) -> None:
+        """The executeRows entry checks, shared by the scan path and
+        the bitmap-routed path (pql/parser._route_reader) so both doors
+        refuse identically: arg exclusivity/limit (validate), field
+        existence, like-needs-keys, and the field-type whitelist."""
         self.validate()
         if self.field not in idx.df.columns:
             raise ValueError("field not found")  # ErrFieldNotFound
@@ -1221,6 +1234,9 @@ class Rows(ReaderCall):
             # GroupBy children are NOT guarded — the reference's
             # groupByIterator handles int/timestamp fields there
             raise ValueError(f"{ft} fields not supported by Rows() query")
+
+    def to_df(self, idx: Index) -> DataFrame:
+        self.guard(idx)
         df = idx.df
         if self.column is not None:
             df = df.where(F.col(idx.id_col) == F.lit(self.column))
@@ -1754,9 +1770,17 @@ class Set(WriteCall):
             )
         for f, v in [(self.field, self.value), *(self.more or {}).items()]:
             dt = idx.dtype_of(f)
-            unkeyed_rows = dt in (
-                "bigint", "int", "long", "array<bigint>", "array<int>",
-            ) or dt.startswith("decimal")
+            unkeyed_rows = (
+                dt in (
+                    "bigint", "int", "long", "array<bigint>",
+                    "array<int>",
+                )
+                or dt.startswith("decimal")
+                # quantum set fields with integer row IDs: a string
+                # value would silently cast to a (NULL, ts) entry
+                or dt.startswith("array<struct<value:bigint")
+                or dt.startswith("array<struct<value:int")
+            )
             if isinstance(v, str) and unkeyed_rows:
                 raise ValueError(
                     f'cannot create keys on unkeyed field "{f}"'
@@ -1772,9 +1796,13 @@ class Set(WriteCall):
         out = one(idx.df, self.field, self.value)
         for f, v in (self.more or {}).items():
             out = one(out, f, v)
+        any_flat = any(
+            not idx.is_quantum_field(f)
+            for f, _ in [(self.field, self.value), *(self.more or {}).items()]
+        )
         if (
             self.ts is not None
-            and not idx.is_quantum_field(self.field)
+            and any_flat
             and idx.time_col in out.columns
         ):
             out = out.withColumn(

@@ -552,13 +552,14 @@ def _build(name: str, pos: list, kw: dict):
             # executor.go:7041/7411 — the call parses, field resolution
             # fails (GroupBy(Rows()) and bare Rows() both surface this)
             raise ValueError("missing field in Rows call")
+        positional = bool(pos)
         field = pos[0] if pos else kw.pop("field", kw.pop("_field", None))
         if isinstance(field, C.Row):
             # a condition arg (Rows(a > 4)) lands in Go's Call.Args
             # keyed by the field name; Rows' prototype table doesn't
             # list it → CheckCallInfo's unknown-arg text
             raise ValueError(f"'Rows': unknown arg '{field.field}'")
-        if isinstance(field, (_Quoted, int, float)):
+        if positional and isinstance(field, (_Quoted, int, float)):
             # positional field slot takes a BARE IDENTIFIER only:
             # Rows("true") / Rows(1) are PEG parse errors in the
             # reference (executor_test.go:5369-5375, surfaced as the
@@ -566,6 +567,11 @@ def _build(name: str, pos: list, kw: dict):
             raise SyntaxError(
                 "parsing: parsing: Rows() field must be a bare "
                 f"identifier, got {field!r}"
+            )
+        if not positional and not isinstance(field, str):
+            raise ValueError(
+                "'Rows': arg 'field' needed a string or variable "
+                f"value, got {_go_type(field)}"
             )
         return C.Rows(
             field,
@@ -849,7 +855,11 @@ def _route_reader(cat, node, idx: C.Index) -> Optional[DataFrame]:
     ):
         # distinct values straight off the fragment value column
         # (executeRows executor.go:3987-4076 iterates fragment rows) —
-        # like/in/previous/limit re-applied on the cast values
+        # like/in/previous/limit re-applied on the cast values. The
+        # entry guards run FIRST so the routed door refuses exactly
+        # like the scan door (arg exclusivity, like-needs-keys, field
+        # type whitelist)
+        node.guard(idx)
         from pyspark.sql import functions as F
 
         ftype = dict(idx.df.dtypes).get(node.field, "string")

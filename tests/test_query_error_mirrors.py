@@ -253,3 +253,80 @@ def test_bare_distinct_quoted_field(qidx):
         .collect()
     ]
     assert got == [1, 2]
+
+
+# ---- review-pass regression pins (r12 session-2 code review) -------------
+
+
+def test_rows_quoted_field_kwarg_is_legal(qidx):
+    # only the POSITIONAL slot is identifier-only; field= takes strings
+    # (prototype s_or_var — TestExecutor_BareDistinct spells
+    # Distinct(field="ints"))
+    got = {
+        r["general"]
+        for r in P.execute(qidx, 'Rows(field="general")').collect()
+    }
+    assert got == {1, 2}
+
+
+def test_set_string_on_quantum_int_field_refuses(spark):
+    from featurebase_spark.pql import parser as PP
+    from featurebase_spark.pql.calls import Index
+
+    df = spark.createDataFrame(
+        [], "_id long, tq array<struct<value:bigint,ts:timestamp>>"
+    )
+    idx = Index(df, quantums={"tq": "YMD"})
+    with pytest.raises(
+        ValueError, match="cannot create keys on unkeyed field"
+    ):
+        PP.execute(idx, 'Set(1, tq="toronto")')
+
+
+def test_multi_field_set_timestamp_not_order_dependent(spark):
+    # Set(1, qf=1, flat=2, ts): the quantum field takes ts in-bit AND
+    # the flat field's event time still lands in time_col
+    from featurebase_spark.pql import parser as PP
+    from featurebase_spark.pql.calls import Index
+
+    df = spark.createDataFrame(
+        [], "_id long, qf array<struct<value:bigint,ts:timestamp>>, "
+        "flat bigint, ts timestamp"
+    )
+    idx = Index(df, time_col="ts", quantums={"qf": "YMD"})
+    out = PP.execute(idx, "Set(1, qf=1, flat=2, 2001-01-01T00:00)")
+    r = out.collect()[0]
+    assert r["flat"] == 2 and r["ts"] is not None
+    assert r["qf"][0]["ts"] is not None
+
+
+def test_quantum_neq_value_refuses(spark):
+    from featurebase_spark.pql import parser as PP
+    from featurebase_spark.pql.calls import Index
+
+    df = spark.createDataFrame(
+        [], "_id long, tq array<struct<value:bigint,ts:timestamp>>"
+    )
+    idx = Index(df, quantums={"tq": "YMD"})
+    with pytest.raises(ValueError, match="only support != for null"):
+        PP.execute(idx, "Row(tq != 5)").collect()
+
+
+def test_idarray_empty_brackets_is_bad_record(spark, tmpdir):
+    # reference toUint64Array: '[]' strips to '' and ParseUint('')
+    # errors (idk/interfaces.go:1304-1315) — a bad record, while
+    # STRINGARRAY '[]' is a legal one-empty-member array
+    import os
+
+    from featurebase_spark import sources as SRC
+
+    p = os.path.join(tmpdir, "empty_arr.csv")
+    with open(p, "w") as f:
+        f.write('id__ID,nums__IDArray\n1,"[]"\n')
+    with pytest.raises(Exception, match="couldn't convert"):
+        SRC.read_idk_csv(spark, p).collect()
+    p2 = os.path.join(tmpdir, "empty_sarr.csv")
+    with open(p2, "w") as f:
+        f.write('id__ID,tags__StringArray\n1,"[]"\n')
+    got = SRC.read_idk_csv(spark, p2).collect()[0]["tags"]
+    assert got == [""]
