@@ -146,8 +146,13 @@ def interval_overlap_join(
     sb, eb = F.col(f"{start_col}{lb}"), F.col(f"{end_col}{lb}")
     join_keys = ["__bkt"]
     if skew == "error":
+        # two-sided, like the salt path: a bucket hot on EITHER side
+        # makes that bucket's join task N_a·N_b-heavy, so a right-only
+        # hot bucket must trip the sentinel too
         dens = (
             a.groupBy("__bkt").count()
+            .unionAll(b.groupBy("__bkt").count())
+            .groupBy("__bkt").agg(F.max("count").alias("count"))
             .where(F.col("count") > skew_threshold)
             .orderBy(F.desc("count"))
             .limit(5)

@@ -720,9 +720,13 @@ def clear_bit(
     stops matching ranged Rows under every quantum)."""
     target = F.col(id_col) == F.lit(record_id)
     if _is_quantum(table, field):
+        # null-safe: a stored NULL value must SURVIVE a Clear of some
+        # other value (plain != yields NULL → filter drops the entry)
         updated = F.when(
             target,
-            F.filter(F.col(field), lambda x: x["value"] != F.lit(value)),
+            F.filter(
+                F.col(field), lambda x: ~x["value"].eqNullSafe(F.lit(value))
+            ),
         ).otherwise(F.col(field))
     elif dict(table.dtypes)[field].startswith("array"):
         updated = F.when(
@@ -743,7 +747,10 @@ def clear_row(table: DataFrame, field: str, value) -> DataFrame:
     conditional rewrite (one scan, no shuffle). Time-quantum fields
     drop the value from every view of every record."""
     if _is_quantum(table, field):
-        updated = F.filter(F.col(field), lambda x: x["value"] != F.lit(value))
+        # null-safe for the same reason as clear_bit's quantum branch
+        updated = F.filter(
+            F.col(field), lambda x: ~x["value"].eqNullSafe(F.lit(value))
+        )
     elif dict(table.dtypes)[field].startswith("array"):
         updated = F.array_remove(F.col(field), value)
     else:

@@ -106,7 +106,14 @@ class Index:
         """String-valued fields are keyed (OptFieldKeys): row keys, not
         integer row IDs."""
         dt = self.dtype_of(name)
-        return dt == "string" or dt == "array<string>"
+        # string-valued time-quantum fields (array<struct<value:string,
+        # ts:…>>) are keyed too — Rows(like=) on them must not be
+        # refused with the unkeyed-translation error
+        return (
+            dt == "string"
+            or dt == "array<string>"
+            or dt.startswith("array<struct<value:string")
+        )
 
     def is_quantum_field(self, name: str) -> bool:
         return self.dtype_of(name).startswith("array<struct<")

@@ -3261,6 +3261,81 @@ def statement_insert_touched_buckets(spark, sf_dir):
 
 
 @register(
+    "statement_keyed_end2end",
+    # literal expected end state of the keyed write sequence below
+    "WITH rows_ AS ("
+    "  SELECT 'k' || lpad(CAST(i AS VARCHAR), 2, '0') AS _id, "
+    "         CAST(CASE WHEN i = 3 THEN 999 ELSE i END AS BIGINT) AS an_int, "
+    "         'str' || CAST(i % 5 AS VARCHAR) AS a_string, "
+    "         (i % 3 = 1) AS has_a1 "
+    "  FROM range(40) t(i) WHERE i NOT IN (5, 7) "
+    "  UNION ALL SELECT 'k99', 77, 'strX', FALSE), "
+    "g AS (SELECT a_string, COUNT(*) AS group_n, "
+    "      CAST(SUM(an_int) AS BIGINT) AS group_sum "
+    "      FROM rows_ GROUP BY a_string) "
+    "SELECT r._id, r.an_int, r.a_string, r.has_a1, g.group_n, g.group_sum "
+    "FROM rows_ r JOIN g USING (a_string) ORDER BY r._id",
+)
+def statement_keyed_end2end(spark, sf_dir):
+    """A STRING-KEYED table end-to-end through the statement door
+    (defs_keyed.go / defs_keyed_insert.go, mirrored in
+    tests/test_golden_reference.py): keyed CREATE (_id string →
+    OptIndexKeys), 40-key seed INSERT, a partial-column UPSERT by string
+    key (unlisted a_string survives — opinsert.go targetColumns), a
+    new-key insert, and a keyed DELETE ('k05','k07' — per-shard delete
+    over translated keys, executor.go:9050-9320). The answer shape is
+    Extract-over-string-_id + SETCONTAINS on a keyed stringset +
+    GroupBy re-joined per row, so the driver hash locks keyed
+    translation, keyed upsert identity, and keyed set membership in one
+    key. Oracle = the literal expected end state."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    fb_sql(
+        spark,
+        "create table t_keyed_e2e (_id string, an_int int min 0 max 1000, "
+        "a_string string, a_string_set stringset)",
+        catalog=cat,
+    )
+    seed = ", ".join(
+        f"('k{i:02d}', {i}, 'str{i % 5}', ['a{i % 3}', 'b{i % 4}'])"
+        for i in range(40)
+    )
+    fb_sql(spark, f"insert into t_keyed_e2e values {seed}", catalog=cat)
+    # partial-column upsert by string key: only an_int listed — the
+    # unlisted a_string of 'k03' must survive
+    fb_sql(spark, "insert into t_keyed_e2e (_id, an_int) values ('k03', 999)",
+           catalog=cat)
+    fb_sql(spark, "insert into t_keyed_e2e values ('k99', 77, 'strX', "
+           "['a0', 'zz'])", catalog=cat)
+    fb_sql(spark, "delete from t_keyed_e2e where _id in ('k05', 'k07')",
+           catalog=cat)
+    per_row = fb_sql(
+        spark,
+        "select _id, an_int, a_string, "
+        "setcontains(a_string_set, 'a1') as has_a1 from t_keyed_e2e",
+        catalog=cat,
+    ).select(
+        "_id", F.col("an_int").cast("long").alias("an_int"),
+        "a_string", "has_a1",
+    )
+    grouped = fb_sql(
+        spark,
+        "select a_string, count(*) as group_n, sum(an_int) as group_sum "
+        "from t_keyed_e2e group by a_string",
+        catalog=cat,
+    ).select(
+        "a_string", F.col("group_n").cast("long").alias("group_n"),
+        F.col("group_sum").cast("long").alias("group_sum"),
+    )
+    # 5-group side → broadcast; per-row side stays unshuffled
+    return per_row.join(F.broadcast(grouped), "a_string").select(
+        "_id", "an_int", "a_string", "has_a1", "group_n", "group_sum"
+    ).orderBy("_id")
+
+
+@register(
     "bitmap_index_maintenance",
     "WITH t(i, e, v) AS (SELECT i, CASE CAST(i % 3 AS INT) WHEN 0 THEN 'click' "
     "WHEN 1 THEN 'view' ELSE 'buy' END, i * 7 % 100 FROM range(80) s(i)), "
@@ -7012,6 +7087,13 @@ _GATE_PRIORITY = [
     # proof for salt mode). Demoted: fuzzy_join_text_door (driver-green
     # r10 AND r11; base op fuzzy_name_pairs gated since r9).
     "events_overlap_pairs_salted",
+    # ── r13 rotation (r12 verdict ask #2): the string-keyed table
+    # end-to-end (keyed CREATE/INSERT-upsert/DELETE → Extract +
+    # SETCONTAINS + GroupBy over string _id) — born r13, enters per the
+    # standing newborn policy. Demoted: events_retention_text_door
+    # (driver-green r11 AND r12; base op events_retention has
+    # multi-round driver history).
+    "statement_keyed_end2end",
     # ── r11 rotation — closes the trust gap to ZERO: the last 9 keys
     # that have never faced the driver's strict hash (the two r10 SQL
     # analytics keys + 7 TVF text doors) rotate IN, alongside the 3
@@ -7045,7 +7127,6 @@ _GATE_PRIORITY = [
     "session_overlap_text_door",
     "source_overlap_text_door",
     "dedup_survivors_text_door",
-    "events_retention_text_door",
     "events_transitions_text_door",
     # r10-born keys retained for a second driver round (the iterative
     # closure + its door, stream-stream join, frame decode, window door)

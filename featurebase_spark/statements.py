@@ -203,9 +203,13 @@ class _P:
 def _expect_end(p: _P) -> None:
     """Grammar-complete check BEFORE a handler mutates state — the
     reference parses the whole statement first (parser.go:59-61), so
-    'DROP TABLE t garbage' must fail without dropping t."""
+    'DROP TABLE t garbage' must fail without dropping t. A trailing
+    semicolon is fine, but tokens AFTER it ('DROP TABLE t; garbage')
+    are the same parse error and must also fail pre-mutation."""
     t = p.peek()
-    if t is not None and t != ";":
+    if t == ";":
+        t = p.peek(1)
+    if t is not None:
         raise StatementError(
             f"expected semicolon or EOF, found {_found(t)}"
         )
@@ -556,6 +560,7 @@ def _alter_table(p: _P, spark: SparkSession, catalog) -> None:
         dbs = {d.name for d in spark.catalog.listDatabases()}
         if dbname not in dbs:
             raise StatementError(f"database '{dbname}' not found")
+        _expect_end(p)
         if not hasattr(catalog, "_db_units"):
             catalog._db_units = {}
         catalog._db_units[dbname] = int(tok)
@@ -624,6 +629,7 @@ def _alter_table(p: _P, spark: SparkSession, catalog) -> None:
     elif action == "DROP":
         if col not in existing or col == "_id":
             raise StatementError(f"column '{col}' not found")
+        _expect_end(p)  # 'ALTER TABLE t DROP c garbage' must not drop c
         catalog.alter_table_drop_column(name, col)
     else:
         raise StatementError(f"expected ADD or DROP, found {action}")
@@ -980,6 +986,9 @@ def _insert(p: _P, spark: SparkSession, catalog, replace: bool) -> None:
             p.take()
             continue
         break
+    # parse is complete; trailing garbage must refuse BEFORE any row
+    # lands (parse-whole-statement-first, parser.go:59-61)
+    _expect_end(p)
 
     # literal-level analysis: set-literal type check + min/max range check
     # (compileinsert.go type assignment; opinsert.go range enforcement)
@@ -1218,6 +1227,9 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
                 "expected BATCHSIZE, ROWSLIMIT, FORMAT, INPUT, "
                 f"ALLOW_MISSING_VALUES or HEADER_ROW, found {p.peek()}"
             )
+    # the option loop refuses unknown trailing tokens itself; this
+    # catches '…; garbage' before the source is fetched or rows land
+    _expect_end(p)
     # option validation order mirrors analyzeBulkInsertStatement
     # (compilebulkinsert.go:178-230 + :60-74)
     if fmt is None:
@@ -1239,18 +1251,25 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
         # reader). Spooled to a temp file so the same Spark reader
         # serves all three inputs; file:// URLs exercise the path in
         # the sandbox, http(s) works where the deployment has egress.
+        # The body is STREAMED to disk in 1 MiB chunks (no whole-body
+        # driver buffer), but the spool still lands on the driver —
+        # faithful to the reference's coordinator-side http.Get and
+        # fine for statement-scale loads; the distributed path for
+        # big data is INPUT 'FILE' with FORMAT 'PARQUET'.
+        import shutil
         import tempfile
         import urllib.request
 
+        tf_ = tempfile.NamedTemporaryFile("wb", suffix=".url", delete=False)
         try:
             with urllib.request.urlopen(path) as resp:
-                body = resp.read()
+                shutil.copyfileobj(resp, tf_, length=1 << 20)
         except Exception as e:  # noqa: BLE001 — reported verbatim
+            tf_.close()
+            os.unlink(tf_.name)
             raise StatementError(
                 f"unable to read datasource '{path}': {e}"
             )
-        tf_ = tempfile.NamedTemporaryFile("wb", suffix=".url", delete=False)
-        tf_.write(body)
         tf_.close()
         path = tf_.name
     if inp.upper() == "STREAM":
@@ -1340,10 +1359,20 @@ def _bulk_insert(p: _P, spark: SparkSession, catalog) -> None:
             # the violation must be proven absent, so each probe is a
             # full scan at scale); result is k booleans on the driver
             raw_txt = spark.read.text(path)
+            # real JSON key semantics, not a substring probe: the key
+            # must be a TOP-LEVEL object key ('{"outer":{"id":1}}'
+            # mapped via '$.id' is missing even though "id" appears
+            # nested; '{"id": null}' is present). json_object_keys is
+            # NULL for invalid JSON / non-objects — those rows are the
+            # coercion path's problem, not this probe's.
+            keys_arr = F.expr("json_object_keys(value)")
             flags = raw_txt.select(
                 *[
                     F.max(
-                        (~F.col("value").contains(f'"{k}"')).cast("int")
+                        (
+                            keys_arr.isNotNull()
+                            & ~F.array_contains(keys_arr, F.lit(k))
+                        ).cast("int")
                     ).alias(f"m{i}")
                     for i, (k, _loc) in enumerate(keys)
                 ]
@@ -1415,6 +1444,7 @@ def _delete(p: _P, spark: SparkSession, catalog) -> None:
             )
         catalog.delete_ids(name, ids)
     else:  # whole-table truncate (oppqltruncate.go) — metadata-only drop
+        _expect_end(p)  # 'DELETE FROM t garbage' must not truncate
         catalog.truncate(name)
 
 
@@ -1453,6 +1483,8 @@ def _copy(p: _P, spark: SparkSession, catalog) -> None:
                     api_key = _unquote(tok)
             else:
                 break
+    # parse complete — refuse trailing tokens before the copy runs
+    _expect_end(p)
     from featurebase_spark.schema import spark_view_name
 
     src_view = spark_view_name(src)
