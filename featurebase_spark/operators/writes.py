@@ -611,6 +611,55 @@ def _is_quantum(table: DataFrame, field: str) -> bool:
     return dict(table.dtypes)[field].startswith("array<struct<")
 
 
+def _coerce_record_id(table: DataFrame, id_col: str, record_id):
+    """A keyed (string-id) index accepts INTEGER column keys — the
+    reference translates them to their decimal-string key
+    (executor_test.go:1446-1459 'column changed with integer column
+    key'). Without this, string-vs-int comparison trips ANSI
+    CAST_INVALID_INPUT on any non-numeric key in the table."""
+    if not isinstance(record_id, str) and dict(table.dtypes)[id_col] == "string":
+        return str(record_id)
+    return record_id
+
+
+def set_changed(
+    table: DataFrame, record_id, field: str, value, id_col: str = "_id"
+) -> bool:
+    """The reference's coordinator-visible ``Set()`` result — the bool
+    'changed' flag (executeSet returns whether any bit flipped:
+    executor_test.go Set/SetBool/SetDecimal assert first-Set→true,
+    same-Set→false). The PQL door here returns the TRANSFORMED TABLE
+    (a pure plan, composable); this helper answers the flag question
+    the reference's wire response carries. Bounded: ONE record read via
+    a pushed id filter — never a table scan's worth of driver data.
+
+    Rules (executeSet executor.go:6194-6353): set fields — changed iff
+    the member is absent; scalar (mutex/bool/int/decimal/timestamp)
+    fields — changed iff the stored value differs; absent record —
+    always changed."""
+    record_id = _coerce_record_id(table, id_col, record_id)
+    rows = (
+        table.where(F.col(id_col) == F.lit(record_id))
+        .select(field)
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return True
+    stored = rows[0][field]
+    if _is_quantum(table, field):
+        members = {e["value"] for e in (stored or [])}
+        return value not in members
+    if dict(table.dtypes)[field].startswith("array"):
+        return value not in set(stored or [])
+    if stored is None:
+        return True
+    try:  # decimal/float forms of the same number compare equal
+        return float(stored) != float(value)
+    except (TypeError, ValueError):
+        return stored != value
+
+
 def set_bit(
     table: DataFrame,
     record_id,
@@ -639,6 +688,7 @@ def set_bit(
     import datetime as _dt
 
     dtypes = dict(table.dtypes)  # one JVM schema round trip per call
+    record_id = _coerce_record_id(table, id_col, record_id)
     quantum = dtypes[field].startswith("array<struct<")
     is_array = dtypes[field].startswith("array")
     target = F.col(id_col) == F.lit(record_id)
@@ -681,6 +731,15 @@ def set_bit(
             value = _dt.datetime.fromisoformat(
                 value.replace("Z", "+00:00")
             ).replace(tzinfo=None)
+        if isinstance(value, (int, float)) and not isinstance(
+            value, bool
+        ) and dtypes[field].startswith("decimal"):
+            # exact decimal literal: a raw float is refused by the
+            # DataFrame row verifier AND would round-trip through
+            # binary fp (the reference stores scaled ints)
+            from decimal import Decimal
+
+            value = Decimal(str(value))
         updated = F.when(target, F.lit(value)).otherwise(F.col(field))
         new_val = value
     existing_updated = table.withColumn(field, updated)
@@ -718,6 +777,7 @@ def clear_bit(
     all timestamps of that value drop for the record
     (TestExecutor_Time_Clear_Quantums: after ``Clear(2, f=1)`` record 2
     stops matching ranged Rows under every quantum)."""
+    record_id = _coerce_record_id(table, id_col, record_id)
     target = F.col(id_col) == F.lit(record_id)
     if _is_quantum(table, field):
         # null-safe: a stored NULL value must SURVIVE a Clear of some

@@ -65,6 +65,12 @@ class Index:
     #: (Rows() refusing value fields, executor.go:4128) consults this
     #: map first and falls back to unambiguous dtype signals.
     field_types: dict = dc_field(default_factory=dict)
+    #: fields created with CacheTypeNone (OptFieldTypeSet(CacheTypeNone,
+    #: 0)): the reference cannot serve TopN from them — no ranked cache
+    #: (executor_test.go TopN/ErrCacheNone). Spark needs no cache, but
+    #: the refusal is part of the declared surface, so a field listed
+    #: here refuses TopN with the reference's text.
+    no_cache: set = dc_field(default_factory=set)
 
     def dtype_of(self, name: str) -> str:
         """Cached column-dtype lookup: ``df.dtypes`` is a JVM schema
@@ -353,6 +359,12 @@ class Row(RowCall):
         is_set_like = (
             idx.is_array_field(self.field)
             or idx.dtype_of(self.field) == "string"
+        ) and idx.field_types.get(self.field) not in (
+            # a string column DECLARED as a BSI type is a foreign-index
+            # field (FieldTypeInt + OptFieldForeignIndex holds the
+            # parent's keys, executor_test.go:5885-5888) — it keeps the
+            # full BSI op set, != against a value included
+            "int", "decimal", "timestamp",
         )
         if self.between is not None:
             lo, hi = self.between
@@ -569,23 +581,85 @@ class Not(RowCall):
 
 @dataclass
 class UnionRows(RowCall):
-    """OR of all row-bitmaps of the given fields — i.e. "record has ANY value
-    of field" (executeUnionRows executor.go:5696-5780)."""
+    """OR of the row-bitmaps of the rows its CHILD CALLS produce
+    (executeUnionRows executor.go:5696-5780). A child may be a bare
+    field name / argless ``Rows(f)`` — "record has ANY value of f",
+    a single whole-column predicate — or a rows-producing call whose
+    arguments restrict WHICH rows union: ``Rows(f, limit/previous/…)``
+    or ``TopN``/``TopK`` (``Count(UnionRows(TopN(s, n=1)))`` = only the
+    top row's bitmap, Test_Executor_Execute_UnionRows). The restricted
+    form computes the child's row VALUES (a tiny frame) and semi-joins
+    membership — broadcast, no extra shuffle."""
 
-    fields: Sequence[str]
+    calls: Sequence
 
-    def __init__(self, *fields: str):
-        self.fields = fields
+    def __init__(self, *calls):
+        self.calls = calls
 
-    def predicate(self, idx: Index) -> Column:
+    @staticmethod
+    def _trivial_field(c) -> Optional[str]:
+        """Field name when the child is 'every row of f', else None."""
+        if isinstance(c, str):
+            return c
+        if isinstance(c, Rows) and all(
+            v is None for v in (c.like, c.in_, c.previous, c.limit,
+                                c.column, c.from_, c.to)
+        ):
+            return c.field
+        return None
+
+    def predicate(self, idx: Index) -> Optional[Column]:
         preds = []
-        for f in self.fields:
+        for call in self.calls:
+            f = self._trivial_field(call)
+            if f is None:
+                return None  # restricted child → join form via ids()
             c = F.col(f)
             if idx.is_array_field(f):
                 preds.append(c.isNotNull() & (F.size(c) > 0))
             else:
                 preds.append(c.isNotNull())
         return reduce(lambda a, b: a | b, preds)
+
+    def ids(self, idx: Index) -> DataFrame:
+        pred = self.predicate(idx)
+        if pred is not None:
+            return super().ids(idx)
+        frames = []
+        for call in self.calls:
+            f = self._trivial_field(call)
+            if f is not None:
+                frames.append(
+                    idx.id_frame(idx.df.where(
+                        (F.col(f).isNotNull() & (F.size(F.col(f)) > 0))
+                        if idx.is_array_field(f) else F.col(f).isNotNull()
+                    ))
+                )
+                continue
+            fld = call.field
+            vals = call.to_df(idx).select(F.col(fld).alias("__v"))
+            if idx.is_quantum_field(fld):
+                memb = idx.df.select(
+                    F.col(idx.id_col).alias("_id"),
+                    F.explode(
+                        F.transform(F.col(fld), lambda x: x["value"])
+                    ).alias("__v"),
+                )
+            elif idx.is_array_field(fld):
+                memb = idx.df.select(
+                    F.col(idx.id_col).alias("_id"),
+                    F.explode(fld).alias("__v"),
+                )
+            else:
+                memb = idx.df.select(
+                    F.col(idx.id_col).alias("_id"),
+                    F.col(fld).alias("__v"),
+                )
+            frames.append(
+                memb.join(F.broadcast(vals), "__v", "left_semi")
+                .select("_id")
+            )
+        return reduce(lambda a, b: a.unionByName(b), frames).distinct()
 
 
 @dataclass
@@ -639,6 +713,11 @@ class ReaderCall:
 
 
 def _filtered(idx: Index, flt: Optional[RowCall]) -> DataFrame:
+    if isinstance(flt, Distinct):
+        # a Distinct in a filter position is its value set consumed as
+        # a column bitmap (GroupBy(Rows(type), filter=Distinct(…)) —
+        # executor_test.go:7072-7095)
+        flt = DistinctAsRow(flt)
     if flt is not None and not isinstance(flt, RowCall):
         # e.g. Count(Arrow(...)): reader calls are not row filters — the
         # reference's analyzer rejects non-bitmap children the same way
@@ -686,6 +765,16 @@ class _FieldAgg(ReaderCall):
     field: str
     filter: Optional[RowCall] = None
 
+    def _check_field(self, idx: Index) -> None:
+        """The reference's per-shard mapper refuses an unknown field
+        ('executing: executeSum/executeMinRow/…: mapping on primary
+        node: field not found' — TestExecutor_Execute_Sum/
+        SumNonExistent, MinMaxRow/Min+MaxRowNonExistent); without this
+        the Spark plan would surface an UNRESOLVED_COLUMN analysis
+        error instead."""
+        if self.field not in idx.df.columns:
+            raise ValueError("field not found")
+
 
 class Sum(_FieldAgg):
     """Sum of a BSI (int/decimal) field over the filtered bitmap, plus the
@@ -693,6 +782,7 @@ class Sum(_FieldAgg):
     (executeSum executor.go:1119-1172, shard 2155-2217)."""
 
     def to_df(self, idx: Index) -> DataFrame:
+        self._check_field(idx)
         df = _filtered(idx, self.filter)
         return df.agg(
             F.sum(self.field).alias("sum"),
@@ -710,6 +800,7 @@ class Min(_FieldAgg):
     _AGG = "min"
 
     def to_df(self, idx: Index) -> DataFrame:
+        self._check_field(idx)
         # same plan class as MinRow: partial (value, count) aggregation
         # per partition, shuffle |distinct values|, TakeOrdered 1 — the
         # reference's per-shard min + count merge (executor.go:6560-
@@ -754,6 +845,7 @@ class MinRow(_FieldAgg):
     _AGG = "min"
 
     def to_df(self, idx: Index) -> DataFrame:
+        self._check_field(idx)
         df = _filtered(idx, self.filter)
         if idx.is_array_field(self.field):
             vals = df.select(F.explode(self.field).alias("__v__"))
@@ -792,6 +884,42 @@ class Distinct(_FieldAgg):
         elif idx.is_array_field(self.field):
             df = df.select(F.explode(self.field).alias(self.field))
         return df.select(self.field).where(F.col(self.field).isNotNull()).distinct()
+
+
+@dataclass
+class DistinctAsRow(RowCall):
+    """A ``Distinct`` consumed in a BITMAP position — TopN src, Store
+    child, GroupBy/Count filter, set-op operand. The reference
+    precomputes the Distinct and hands its result row to the outer call
+    (handlePreCalls executor.go:544-641; executor_test.go
+    TestExecutor_Execute_CountDistinct wraps the same Distinct in
+    Count/GroupBy/Store, TestExecutor_Execute_TopNDistinct in TopN).
+    The distinct VALUES become record ids of the consuming index; the
+    consumer's semi-join broadcasts when the value set is small.
+
+    ``source`` carries the ``index=other`` cross-index form — the
+    Distinct runs on the SOURCE index and the ids land on the consuming
+    one (the ForeignIndex battery's join shape)."""
+
+    distinct: "Distinct"
+    source: Optional[Index] = None
+
+    def predicate(self, idx: Index) -> Optional[Column]:
+        return None  # join form — see RowCall.filter_df fallback
+
+    def ids(self, idx: Index) -> DataFrame:
+        src = self.source if self.source is not None else idx
+        return self.distinct.to_df(src).select(
+            F.col(self.distinct.field).alias("_id")
+        )
+
+
+def as_row_call(obj):
+    """Wrap a Distinct appearing in a bitmap position; pass row calls
+    through unchanged."""
+    if isinstance(obj, Distinct):
+        return DistinctAsRow(obj)
+    return obj
 
 
 def foreign_distinct_rows(
@@ -1111,6 +1239,26 @@ class TopN(ReaderCall):
     to: object = None
 
     def to_df(self, idx: Index) -> DataFrame:
+        if self.field not in idx.df.columns:
+            # executor_test.go TopN/ErrFieldNotFound exact text
+            raise ValueError(f'field "{self.field}" not found')
+        if not isinstance(self, TopK):
+            # the ranked-cache surface is TopN-only; the exact texts
+            # are the reference's (executor_test.go TopN/ErrBSIField,
+            # /ErrCacheNone). Spark needs neither cache nor row-bitmap
+            # storage, but the refusals are part of the declared API.
+            if idx.field_types.get(self.field) in (
+                "int", "decimal", "timestamp"
+            ):
+                raise ValueError(
+                    "cannot compute TopN() on integer, decimal, or "
+                    f'timestamp field: "{self.field}"'
+                )
+            if self.field in idx.no_cache:
+                raise ValueError(
+                    f'cannot compute TopN(), field has no cache: '
+                    f'"{self.field}"'
+                )
         df = _filtered(idx, self.filter)
         if idx.is_quantum_field(self.field):
             # time-quantum field: from=/to= restrict bits through the
@@ -1777,6 +1925,36 @@ class Set(WriteCall):
             )
         for f, v in [(self.field, self.value), *(self.more or {}).items()]:
             dt = idx.dtype_of(f)
+            # write-side fieldValidateValue (executor.go:7150-7200 via
+            # executeSet): a bool field takes ONLY true/false —
+            # Set(c, f=1) and Set(c, f="true") both refuse
+            # (TestExecutor_Execute_SetBool/Error)
+            if dt == "boolean" and not isinstance(v, bool):
+                vtxt = f'"{v}"' if isinstance(v, str) else str(v)
+                raise ValueError(
+                    f'invalid value {vtxt} for bool field "{f}"'
+                )
+            # a float row value is not an ID (executor.go:7162-7171:
+            # only uint64/int64 pass for set/mutex/time — float64 hits
+            # the default branch; Set(2, f=1.2) on a keyed field must
+            # refuse, executor_test.go:1487-1494). int fields refuse
+            # too (:7189); decimal fields accept floats (:7196).
+            if isinstance(v, float) and not isinstance(v, bool):
+                ft = idx.field_type(f)
+                keyed_rows = (
+                    dt in ("string", "array<string>")
+                    or dt.startswith("array<struct<value:string")
+                )
+                if keyed_rows or (
+                    f in idx.field_types and ft in ("set", "mutex", "time")
+                ):
+                    raise ValueError(
+                        f'invalid value {v} for field "{f}" of type {ft}'
+                    )
+                if f in idx.field_types and ft == "int":
+                    raise ValueError(
+                        f'invalid value {v} for int field "{f}"'
+                    )
             unkeyed_rows = (
                 dt in (
                     "bigint", "int", "long", "array<bigint>",

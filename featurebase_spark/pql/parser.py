@@ -489,7 +489,7 @@ def _build(name: str, pos: list, kw: dict):
             )
         return _row_from_kw(kw)
     if name in _SETOPS:
-        return _SETOPS[name](*pos)
+        return _SETOPS[name](*[C.as_row_call(p) for p in pos])
     if name == "Not":
         return C.Not(pos[0])
     if name == "All":
@@ -497,7 +497,11 @@ def _build(name: str, pos: list, kw: dict):
     if name == "ConstRow":
         return C.ConstRow(kw.get("columns", pos[0] if pos else []))
     if name == "UnionRows":
-        return C.UnionRows(*[r.field for r in pos])
+        # pass the CHILD CALLS through — their args (Rows limit/
+        # previous/…, TopN n=) restrict which rows union
+        # (Test_Executor_Execute_UnionRows: Count(UnionRows(
+        # TopN(s, n=1))) = 2, not the whole field's 4)
+        return C.UnionRows(*pos)
     if name == "Shift":
         return C.Shift(pos[0], kw.get("n", 1))
     if name == "Limit":
@@ -538,7 +542,11 @@ def _build(name: str, pos: list, kw: dict):
         field = kw.pop("_field", kw.pop("field", None))
         filt = kw.get("filter")
         for p in pos:
-            if isinstance(p, C.RowCall) and filt is None:
+            if isinstance(p, C.Distinct) and filt is None:
+                # TopN(f, Distinct(…)) — the distinct values are the
+                # src bitmap (TestExecutor_Execute_TopNDistinct)
+                filt = C.DistinctAsRow(p)
+            elif isinstance(p, C.RowCall) and filt is None:
                 filt = p
             elif isinstance(p, str) and field is None:
                 field = p
@@ -660,6 +668,14 @@ def _build(name: str, pos: list, kw: dict):
                 "column argument to Clear(<COLUMN>, <FIELD>=<ROW>) "
                 "required"
             )
+        if isinstance(pos[0], float):
+            # the reference grammar's col arg is uint-or-key — a float
+            # column fails at PARSE time (executor_test.go:1473
+            # Set(2.1, f=1) → 'parse error')
+            raise ValueError(
+                f"parse error: {name}() column must be an integer or "
+                f"key, got {pos[0]}"
+            )
         if not kw:
             # FieldArg() failure (executor.go:6214 / :5909)
             raise ValueError(f"{name}() argument required: field")
@@ -684,7 +700,9 @@ def _build(name: str, pos: list, kw: dict):
         if len(pos) != 1 or len(kw) != 1:
             raise SyntaxError("PQL Store: expected (child, field=value)")
         (field, value), = kw.items()
-        return C.Store(pos[0], field, value)
+        # Store(Distinct(…), f=v): the distinct values are the stored
+        # bitmap (executor_test.go:7097-7141 Store(Distinct))
+        return C.Store(C.as_row_call(pos[0]), field, value)
     if name == "Delete":
         return C.Delete(pos[0])
     # aggregate=Count(...) / aggregate=Sum(field=x) inside GroupBy kwargs
