@@ -137,6 +137,11 @@ BENCH_QUERIES = [
     # — both stay under the correctness gates and the control set.
     "events_overlap_pairs_salted",
     "sql_window_dist_family",
+    # r13: the prebuilt-trigram-index probe twin (r12 verdict ask #4) —
+    # the index builds in the untimed warm section (the CREATE TEXT
+    # INDEX lifecycle), so this number is the steady-state probe+verify
+    # cost next to like_trigram_search's build-dominated inline cost
+    "like_trigram_search_prebuilt",
 ]
 
 #: queries added (or rotated back in) this round — excluded from
@@ -145,8 +150,7 @@ BENCH_QUERIES = [
 #: changed SEMANTICS in r11 — bisection parity — so its r9 baseline
 #: measures a different computation)
 _NEW_IN_ROUND = {
-    "events_overlap_pairs_salted",
-    "sql_window_dist_family",
+    "like_trigram_search_prebuilt",
     # (the r11-born keys now carry BENCH_r11 baselines and re-enter
     # the regression-flag population)
 }
@@ -247,6 +251,9 @@ def main() -> None:
     # bitmap serving keys get above
     Q.SPARK_QUERIES["text_profile"](spark, sf_dir).collect()
     Q.SPARK_QUERIES["multimodal_jpeg_decode"](spark, sf_dir).collect()
+    # trigram postings build + materialize here (CREATE TEXT INDEX is an
+    # ingest-time cost); the timed prebuilt key measures probe+verify
+    Q._trigram_postings(spark, sf_dir)
 
     baseline = _load_baseline()
     per_query: dict[str, float] = {}

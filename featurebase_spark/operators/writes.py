@@ -611,6 +611,54 @@ def _is_quantum(table: DataFrame, field: str) -> bool:
     return dict(table.dtypes)[field].startswith("array<struct<")
 
 
+def clear_changed(
+    table: DataFrame, record_id, field: str, value, id_col: str = "_id",
+    bsi: bool = False,
+) -> bool:
+    """The reference's coordinator-visible ``Clear()`` result — True
+    iff the bit was present (TestMissingKeyRegression/ClearMix:
+    Clear("a", f="garbage") → false, Clear("a", f="example") → true;
+    TestTimelessClearRegression asserts true). Bounded single-record
+    read, like :func:`set_changed`. ``bsi=True`` mirrors clear_bit's
+    unconditional BSI clear: changed iff any value is stored."""
+    record_id = _coerce_record_id(table, id_col, record_id)
+    rows = (
+        table.where(F.col(id_col) == F.lit(record_id))
+        .select(field)
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return False
+    stored = rows[0][field]
+    if _is_quantum(table, field):
+        return value in {e["value"] for e in (stored or [])}
+    if dict(table.dtypes)[field].startswith("array"):
+        return value in set(stored or [])
+    if bsi:
+        return stored is not None
+    if stored is None:
+        return False
+    try:
+        return float(stored) == float(value)
+    except (TypeError, ValueError):
+        return stored == value
+
+
+def clear_row_changed(table: DataFrame, field: str, value) -> bool:
+    """``ClearRow()``'s coordinator-visible changed bool — True iff ANY
+    record held the bit (TestExecutor/ClearRow: first clear → true,
+    repeat → false; /WithKeys: a key with no translation → false).
+    One aggregation job over a pushed filter; no row collect."""
+    if _is_quantum(table, field):
+        pred = F.exists(F.col(field), lambda x: x["value"] == F.lit(value))
+    elif dict(table.dtypes)[field].startswith("array"):
+        pred = F.array_contains(F.col(field), value)
+    else:
+        pred = F.col(field) == F.lit(value)
+    return bool(table.where(F.coalesce(pred, F.lit(False))).limit(1).count())
+
+
 def _coerce_record_id(table: DataFrame, id_col: str, record_id):
     """A keyed (string-id) index accepts INTEGER column keys — the
     reference translates them to their decimal-string key

@@ -493,6 +493,13 @@ def _build(name: str, pos: list, kw: dict):
     if name == "Not":
         return C.Not(pos[0])
     if name == "All":
+        # All(limit=, offset=) pages the existence row in id order
+        # (executeAllCall wraps the same limit/offset walk as Limit —
+        # TestExecutor_Execute_All pins the page boundaries)
+        if "limit" in kw or "offset" in kw:
+            return C.Limit(
+                C.All(), limit=kw.get("limit"), offset=kw.get("offset", 0)
+            )
         return C.All()
     if name == "ConstRow":
         return C.ConstRow(kw.get("columns", pos[0] if pos else []))
@@ -503,7 +510,10 @@ def _build(name: str, pos: list, kw: dict):
         # TopN(s, n=1))) = 2, not the whole field's 4)
         return C.UnionRows(*pos)
     if name == "Shift":
-        return C.Shift(pos[0], kw.get("n", 1))
+        # n defaults to ZERO — IntArg("n") (executeShiftShard
+        # executor.go:5819); Shift(Shift(Row(…))) is the identity
+        # (TestExecutor_Execute_Shift "shard boundary")
+        return C.Shift(pos[0], kw.get("n", 0))
     if name == "Limit":
         return C.Limit(pos[0], limit=kw.get("limit"), offset=kw.get("offset", 0))
     if name == "Count":
@@ -622,8 +632,21 @@ def _build(name: str, pos: list, kw: dict):
             offset=kw.get("offset", 0),
         )
     if name == "IncludesColumn":
+        # exact texts: executor.go:915 (column), :1115 (row query)
+        if not pos:
+            raise ValueError(
+                "IncludesColumn call must specify a row query"
+            )
+        if "column" not in kw:
+            raise ValueError("IncludesColumn call must specify a column")
         return C.IncludesColumn(pos[0], column=kw["column"])
     if name == "FieldValue":
+        # ErrFieldRequired / ErrColumnRequired (pilosa.go:28-29 via
+        # executeFieldValueCall executor.go:946-951)
+        if "field" not in kw:
+            raise ValueError("field required")
+        if "column" not in kw:
+            raise ValueError("column required")
         return C.FieldValue(field=kw["field"], column=kw["column"])
     if name == "Condition":
         # having=Condition(count > 5) — the condition Row was built by arg()

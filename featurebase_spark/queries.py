@@ -5530,6 +5530,61 @@ def like_trigram_search(spark, sf_dir):
     )
 
 
+#: per-(session, sf_dir) prebuilt trigram postings — the CREATE TEXT
+#: INDEX lifecycle's steady state (build once at ingest, probe many)
+_TRIGRAM_POSTINGS: dict = {}
+
+
+def _trigram_postings(spark, sf_dir):
+    """Shared prebuilt trigram-postings frame over documents.text —
+    built ONCE per session and MATERIALIZED (cache + count), the
+    deployment shape of ``CREATE TEXT INDEX`` (operators/ddl.py:447):
+    a user's steady-state LIKE cost is probe+verify against an index
+    that already exists. bench.py builds this in its untimed warm
+    section (the same treatment the bitmap catalog gets), so the timed
+    prebuilt key measures exactly the probe path PERF_NOTES r12
+    identified as ~0.7s behind the 97%-of-total inline build."""
+    from featurebase_spark.pipeline.trigram import build_trigram_postings
+
+    key = (id(spark), sf_dir)
+    if key not in _TRIGRAM_POSTINGS:
+        docs = _tables(spark, sf_dir)["documents"]
+        p = build_trigram_postings(docs, "doc_id", "text").cache()
+        p.count()  # materialize outside any timed probe
+        _TRIGRAM_POSTINGS[key] = p
+    return _TRIGRAM_POSTINGS[key]
+
+
+@register(
+    "like_trigram_search_prebuilt",
+    # same oracle as like_trigram_search: the naive full-scan LIKE —
+    # prebuilt probe + verify must reproduce it exactly
+    "SELECT doc_id, source, n_chars FROM documents "
+    "WHERE text LIKE '%big vector%' ORDER BY doc_id",
+)
+def like_trigram_search_prebuilt(spark, sf_dir):
+    """The PREBUILT-index twin of like_trigram_search (r12 verdict ask
+    #4): postings come from the shared per-session index, so this key's
+    cost is the steady-state probe (8 posting lists) + candidate-
+    restricted verify — what a user pays per query after CREATE TEXT
+    INDEX, not the one-time build the inline twin re-derives. The
+    candidate set for this selective literal is tiny, so the semi-join
+    broadcasts (broadcast=True — the caller KNOWS the selectivity
+    here). Hash-identical to the inline twin and the full-scan oracle
+    by construction."""
+    from featurebase_spark.pipeline.trigram import like_contains
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return (
+        like_contains(
+            docs, "doc_id", "text", "big vector",
+            postings=_trigram_postings(spark, sf_dir), broadcast=True,
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "grouped_percentiles_profile",
     # p25/p50/p75/p99 document length per (source, lang) in ONE pass;
@@ -7094,6 +7149,12 @@ _GATE_PRIORITY = [
     # (driver-green r11 AND r12; base op events_retention has
     # multi-round driver history).
     "statement_keyed_end2end",
+    # Born r13 (r12 verdict ask #4): the prebuilt-trigram-index probe
+    # twin — shares like_trigram_search's full-scan oracle, so the hash
+    # match proves the steady-state probe path lossless. Demoted:
+    # events_transitions_text_door (driver-green r11 AND r12; base op
+    # events_transitions gated since r8).
+    "like_trigram_search_prebuilt",
     # ── r11 rotation — closes the trust gap to ZERO: the last 9 keys
     # that have never faced the driver's strict hash (the two r10 SQL
     # analytics keys + 7 TVF text doors) rotate IN, alongside the 3
@@ -7127,7 +7188,6 @@ _GATE_PRIORITY = [
     "session_overlap_text_door",
     "source_overlap_text_door",
     "dedup_survivors_text_door",
-    "events_transitions_text_door",
     # r10-born keys retained for a second driver round (the iterative
     # closure + its door, stream-stream join, frame decode, window door)
     "dedup_connected_components",

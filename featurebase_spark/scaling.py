@@ -221,6 +221,21 @@ DEDUP_EXTRA_KEYS = [
     "sim_ann_pq_adc_topk",
 ]
 
+#: r13 (VERDICT r12 ask #5): the embedding near-dup tail gets ONE MORE
+#: decade — a 10× (sf≈1) embeddings-only slice (same seeded orthogonal
+#: rotations, tools/gen_scaling_sf.py), so the exponent closest to
+#: linear in r12 (sim_embedding_neardup, 0.809) is pinned over a FULL
+#: extra decade sf0.1 → sf1 instead of the 5× step alone.
+EXTRA_SF1E_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scaling_sf1e",
+)
+
+EMBED_EXTRA_KEYS = [
+    "sim_embedding_neardup",
+    "sim_ann_pq_adc_topk",
+]
+
 #: interval-overlap keys measured against the 5× events slice (r12
 #: session 2): the slice multiplies USERS in the SAME wall-clock
 #: period, so per-bucket session density — and therefore the REAL
@@ -351,6 +366,42 @@ def measure(
             v["sublinear_tail"] for v in out["dedup_extra_sf"].values()
         )
 
+    # embedding tier over the FULL extra decade (r13, VERDICT r12 ask
+    # #5): exponent_decade = log10(t(sf1)/t(sf0.1)) — the measured
+    # power of the sf0.1→sf1 decade (1.0 = linear). The near-dup pair
+    # OUTPUT is intrinsically ~quadratic at fixed τ (documented in
+    # NOTES), so the claim under test is ENGINE time staying sublinear
+    # because banding prunes before the n² term.
+    if extra and os.path.isdir(EXTRA_SF1E_DIR):
+        spark.catalog.clearCache()
+        out["embed_extra_sf"] = {}
+        dirs = [sf_dirs[-1]]
+        if os.path.isdir(EXTRA_SF05_DIR):
+            dirs.append(EXTRA_SF05_DIR)
+        dirs.append(EXTRA_SF1E_DIR)
+        for key in EMBED_EXTRA_KEYS:
+            fn = SPARK_QUERIES[key]
+            per_sf = {}
+            for sf in dirs:
+                fn(spark, sf).collect()  # warm
+                best = min(_timed(fn, spark, sf) for _ in range(repeats))
+                per_sf[sf] = round(best, 4)
+            t01 = per_sf[dirs[0]]
+            t1 = per_sf[EXTRA_SF1E_DIR]
+            decade = t1 / t01 if t01 > 0 else float("inf")
+            out["embed_extra_sf"][key] = {
+                "seconds": per_sf,
+                "tail_10x": round(decade, 3),
+                "exponent_decade": round(
+                    math.log(decade) / math.log(10), 3
+                ) if decade > 0 else None,
+                "sublinear_decade": decade <= 10.0,
+                "note": NOTES.get(key, ""),
+            }
+        out["all_embed_decade_sublinear"] = all(
+            v["sublinear_decade"] for v in out["embed_extra_sf"].values()
+        )
+
     # interval tier vs the 5× users-in-same-timeline events slice
     # (r12 session 2): pair OUTPUT grows ~25× by construction, so the
     # growth statistic is COST PER OUTPUT PAIR, not wall time
@@ -420,6 +471,12 @@ def main(out_path: str = "SCALING_r07.json") -> int:
               f"growth={v['growth_100x']}x sublinear={v['sublinear']}")
     for k, v in result.get("dedup_extra_sf", {}).items():
         print(k, f"tail_5x={v['tail_5x']} exponent={v['exponent_tail']}")
+    for k, v in result.get("embed_extra_sf", {}).items():
+        print(
+            k,
+            f"tail_10x={v['tail_10x']} "
+            f"exponent_decade={v['exponent_decade']}",
+        )
     for k, v in result.get("interval_extra_sf", {}).items():
         print(
             k,
@@ -431,6 +488,7 @@ def main(out_path: str = "SCALING_r07.json") -> int:
         result["all_flat"]
         and result["all_sublinear"]
         and result.get("all_dedup_tail_sublinear", True)
+        and result.get("all_embed_decade_sublinear", True)
         and result.get("all_interval_cost_per_pair_flat", True)
     ) else 1
 

@@ -1067,12 +1067,16 @@ def test_idk_lookup_text_and_destname(spark, tmpdir):
     """lookuptext passes the payload through as a string (it targets the
     external lookup DB, ingest.go:1979); the triple-underscore DestName
     form renames (idk/header.go:404-453); type tokens are
-    case-insensitive (header.go:71); extra args are ignored."""
+    case-insensitive (header.go:71). Int min/max args are REAL since the
+    r13 csv walk: a value below the declared min is out of range
+    (csv_test.go TestIntOpts), so this fixture declares a range that
+    admits its value."""
     import os
 
     p = os.path.join(tmpdir, "lkt.csv")
     with open(p, "w") as f:
-        f.write("id__ID,blob__LookupText,raw_src___clean__STRING,n__int_99\n")
+        f.write("id__ID,blob__LookupText,raw_src___clean__STRING,"
+                "n__int_2_99\n")
         f.write("1,some long text,hello,4\n")
     df = SRC.read_idk_csv(spark, p)
     assert df.columns == ["id", "blob", "clean", "n"]

@@ -155,6 +155,38 @@ def main(out_dir: str = DEFAULT_OUT) -> int:
     print(
         f"wrote {out_dir}: documents={n_d} embeddings={n_e} events={n_v}"
     )
+
+    # r13 (VERDICT r12 ask #5): ONE MORE DECADE for the embedding
+    # near-dup tail — a 10× (sf≈1) embeddings-only slice via the same
+    # seeded-orthogonal-rotation recipe, so the near-dup exponent gets
+    # measured over a full extra decade (sf0.1 → sf1) instead of the
+    # 5× step alone. Embeddings only: the two measured keys
+    # (sim_embedding_neardup, sim_ann_pq_adc_topk) read nothing else.
+    sf1e_dir = os.path.join(os.path.dirname(out_dir), ".scaling_sf1e")
+    K10 = 10
+    rng10 = np.random.default_rng(90210)
+    all_vecs, all_ids, all_labels = [base], [ids], [labels]
+    for k in range(1, K10):
+        q, _ = np.linalg.qr(rng10.normal(size=(dim, dim)))
+        all_vecs.append(base @ q.T)
+        all_ids.append(ids + k * 10_000_000)
+        all_labels.append(labels)
+    vecs10 = np.concatenate(all_vecs).astype(np.float32)
+    emb10 = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(all_ids)),
+            "embedding": pa.array(
+                vecs10.tolist(), type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.concatenate(all_labels)),
+        }
+    )
+    os.makedirs(sf1e_dir, exist_ok=True)
+    pq.write_table(emb10, os.path.join(sf1e_dir, "embeddings.parquet"))
+    n10 = spark.read.parquet(
+        os.path.join(sf1e_dir, "embeddings.parquet")
+    ).count()
+    print(f"wrote {sf1e_dir}: embeddings={n10}")
     return 0
 
 
