@@ -378,10 +378,14 @@ class Row(RowCall):
             pred = c.isNull()
         elif self.value is None and self.op == "!=":
             pred = c.isNotNull()
-        elif self.op == "!=" and is_set_like:
-            # executor.go:5189 — set/mutex fields take != ONLY against
-            # null (BSI int ranges keep their full op set); scalar
-            # longs stay permissive — they are equally BSI fields
+        elif self.op != "==" and is_set_like:
+            # executor.go:5187-5189 — set/mutex fields take ONLY == (or
+            # a null check): every other op, != against a value AND the
+            # range ops (< <= > >=), hits the same refusal (the
+            # DeleteWithBitmapError case drives Row(setfield > 1) into
+            # it, delete_test.go:238); BSI int ranges keep their full
+            # op set, scalar longs stay permissive — they are equally
+            # BSI fields
             raise ValueError(
                 "only support != for null, not for other values, on "
                 "set/mutex fields"
@@ -2060,11 +2064,18 @@ class Store(WriteCall):
 
 @dataclass
 class Delete(WriteCall):
-    """``Delete(child)`` (executeDeleteRecords executor.go:9050-9320)."""
+    """``Delete(child)`` (executeDeleteRecords executor.go:9050-9320).
+    An invalid bitmap child surfaces with the delete path's
+    'row call: ' wrap instead of panicking (FB-1281,
+    delete_test.go:233-240)."""
 
     child: RowCall
 
     def to_table(self, idx: Index) -> DataFrame:
         from featurebase_spark.operators.writes import delete_records
 
-        return delete_records(idx.df, self.child.ids(idx), idx.id_col)
+        try:
+            ids = self.child.ids(idx)
+        except ValueError as e:
+            raise ValueError(f"row call: {e}") from e
+        return delete_records(idx.df, ids, idx.id_col)

@@ -420,3 +420,35 @@ def test_window_dist_family_one_window_one_exchange(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning") == 1, p
     assert p.count("+- Window ") == 1, p
+
+
+def test_trigram_prebuilt_probe_reads_cached_postings(spark):
+    """like_trigram_search_prebuilt: the probe consumes the MATERIALIZED
+    postings (InMemoryTableScan — no re-derivation of trigram arrays
+    from the corpus text), and the candidate set broadcasts back into
+    the corpus scan as a LeftSemi (broadcast=True is the caller's
+    selectivity knowledge)."""
+    from featurebase_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["like_trigram_search_prebuilt"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in p, p
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    # the probe's trigram IN-list filters AT the cache scan (only the
+    # literal's posting rows leave the cache); the parquet FileScan
+    # printed beneath InMemoryTableScan is the cache's provenance, not
+    # an executed read
+    cache_line = next(
+        ln for ln in p.splitlines() if "InMemoryTableScan" in ln
+    )
+    assert "trigram" in cache_line and " IN " in cache_line, cache_line
+
+
+def test_keyed_end2end_broadcasts_group_side(spark):
+    """statement_keyed_end2end: the 5-row grouped side broadcasts into
+    the per-row extract — no shuffled join of the keyed table."""
+    from featurebase_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["statement_keyed_end2end"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
