@@ -95,13 +95,30 @@ SUBLINEAR_KEYS = [
     # job COUNT is O(1), each job a pushed-down column scan)
     "pql_quantum_groupby",
     "pql_percentile_search",
-    # r12: the newborn keys carry scale evidence from birth — the
-    # salted interval join (same bucketed shape as its unsalted twin
-    # plus two per-bucket count aggregations and a broadcast hot set)
-    # and the PERCENT_RANK/CUME_DIST window door (scan + one exchange)
-    "events_overlap_pairs_salted",
+    # r12: the newborn PERCENT_RANK/CUME_DIST window door (scan + one
+    # exchange). The salted interval join moved to
+    # FORCED_WORST_CASE_KEYS in r13 — see below.
     "sql_window_dist_family",
 ]
+
+#: r13: keys whose gate config DELIBERATELY forces the worst case so
+#: the correctness hash can prove recall — their OUTPUT explodes by
+#: design, so a wall-clock growth ratio is the wrong scale claim (r12's
+#: 8.76× vs r13's 17.0× for the same key was entirely the sf0.001
+#: denominator's host jitter; the sf0.1 numerator was identical).
+#: The honest bound is COST PER OUTPUT PAIR across the output-exploding
+#: decade (sf0.01 → sf0.1), same posture as interval_extra_sf:
+#: events_overlap_pairs_salted runs threshold=20 so at sf0.1 nearly
+#: every bucket takes the 16× replicate-right salt path — time must
+#: track the pairs it actually emits, never |events|².
+FORCED_WORST_CASE_KEYS = [
+    "events_overlap_pairs_salted",
+]
+
+#: max allowed cost-per-pair ratio across the last decade (matches
+#: INTERVAL_COST_PER_PAIR_BOUND's rationale: fixed overheads amortize
+#: at 25×+ the pairs, so "does not grow materially")
+WORST_CASE_COST_PER_PAIR_BOUND = 1.5
 
 #: per-key scale reasoning, embedded in the artifact so the growth
 #: class carries its WHY (r10 verdict ask #3)
@@ -328,6 +345,37 @@ def measure(
         v["sublinear"] for v in out["sublinear_keys"].values()
     )
 
+    # forced-worst-case keys (r13): time vs OUTPUT pairs across the
+    # output-exploding decade — cost-per-pair must stay flat
+    out["worst_case_cost_per_pair_bound"] = WORST_CASE_COST_PER_PAIR_BOUND
+    out["forced_worst_case_keys"] = {}
+    for key in FORCED_WORST_CASE_KEYS:
+        fn = SPARK_QUERIES[key]
+        per_sf = {}
+        pairs = {}
+        for sf in sf_dirs:
+            fn(spark, sf).collect()  # warm
+            best = min(_timed(fn, spark, sf) for _ in range(repeats))
+            per_sf[sf] = round(best, 4)
+            pairs[sf] = fn(spark, sf).count()
+        lo, hi = sf_dirs[-2], sf_dirs[-1]
+        cpp_lo = per_sf[lo] / max(pairs[lo], 1)
+        cpp_hi = per_sf[hi] / max(pairs[hi], 1)
+        ratio = cpp_hi / cpp_lo if cpp_lo > 0 else float("inf")
+        out["forced_worst_case_keys"][key] = {
+            "seconds": per_sf,
+            "pairs": pairs,
+            "pairs_ratio_decade": round(pairs[hi] / max(pairs[lo], 1), 3),
+            "time_ratio_decade": round(per_sf[hi] / per_sf[lo], 3),
+            "cost_per_pair_ratio": round(ratio, 3),
+            "flat_cost_per_pair": ratio <= WORST_CASE_COST_PER_PAIR_BOUND,
+            "note": NOTES.get(key, ""),
+        }
+    out["all_worst_case_cost_per_pair_flat"] = all(
+        v["flat_cost_per_pair"]
+        for v in out["forced_worst_case_keys"].values()
+    )
+
     # dedup tier with the extra 5× slice (r12, VERDICT r11 ask #6):
     # growth_100x keeps the old definition (t(sf0.1)/t(sf0.001)); the
     # new columns pin the TAIL decade — tail_5x = t(sf0.5)/t(sf0.1)
@@ -484,9 +532,17 @@ def main(out_path: str = "SCALING_r07.json") -> int:
             f"{v['time_ratio_5x_users']} cost/pair×"
             f"{v['cost_per_pair_ratio']}",
         )
+    for k, v in result.get("forced_worst_case_keys", {}).items():
+        print(
+            k,
+            f"pairs×{v['pairs_ratio_decade']} time×"
+            f"{v['time_ratio_decade']} cost/pair×"
+            f"{v['cost_per_pair_ratio']}",
+        )
     return 0 if (
         result["all_flat"]
         and result["all_sublinear"]
+        and result.get("all_worst_case_cost_per_pair_flat", True)
         and result.get("all_dedup_tail_sublinear", True)
         and result.get("all_embed_decade_sublinear", True)
         and result.get("all_interval_cost_per_pair_flat", True)
