@@ -175,9 +175,42 @@ _PART_SQL = {
 }
 
 
+def _ts_arg(x: str) -> str:
+    """Coerce a literal timestamp argument the way the reference's
+    analyzer does (coerceValue int->time.Unix; string literals parse
+    RFC3339Nano / RFC3339 / '2006-01-02' and REFUSE otherwise with
+    'unable to convert ... to type timestamp',
+    planner/expression.go timestampFromString;
+    defs_date_functions.go 'DateTimePartImplicitIntConversion',
+    defs_datetime 'datetimeadd bad literal')."""
+    if x.strip().lower() in ("true", "false"):
+        raise ValueError(
+            "an expression of type 'bool' cannot be passed to a "
+            "parameter of type 'timestamp'"
+        )
+    k, v = _lit_kind(x)
+    if k == "int":
+        return f"timestamp_seconds({x})"
+    if k == "str":
+        import datetime as _dtmod
+        ok = False
+        for probe in (v, v.replace("Z", "+00:00")):
+            try:
+                _dtmod.datetime.fromisoformat(probe)
+                ok = True
+                break
+            except ValueError:
+                pass
+        if not ok:
+            raise ValueError(
+                f"[0:0] unable to convert '{v}' to type 'timestamp'"
+            )
+    return x
+
+
 def _f_datetimepart(a: list[str]) -> str:
     p = _date_part("DATETIMEPART", a[0])
-    return f"CAST({_PART_SQL[p].format(t=a[1])} AS BIGINT)"
+    return f"CAST({_PART_SQL[p].format(t=_ts_arg(a[1]))} AS BIGINT)"
 
 
 def _f_datetimename(a: list[str]) -> str:
@@ -222,6 +255,7 @@ _ADD_UNITS = {
 
 def _f_datetimeadd(a: list[str]) -> str:
     p = _date_part("DATETIMEADD", a[0], param="timeunit")
+    a = [a[0], a[1], _ts_arg(a[2])]
     if p == "ns":
         return f"timestampadd(MICROSECOND, CAST(({a[1]}) / 1000 AS BIGINT), {a[2]})"
     if p not in _ADD_UNITS:
@@ -240,9 +274,12 @@ _DIFF_DIVISORS = {
 
 def _f_datetimediff(a: list[str]) -> str:
     # calendar diffs for yy/m, truncate-toward-zero elapsed otherwise
-    # (EvaluateDatetimeDiff inbuiltfunctionsdate.go:643-715)
+    # (EvaluateDatetimeDiff inbuiltfunctionsdate.go:643-715); a NULL
+    # part evaluates to NULL (defs_date_functions.go DatetimeDiffNull)
+    if _lit_kind(a[0])[0] == "null":
+        return "CAST(NULL AS BIGINT)"
     p = _date_part("DATETIMEDIFF", a[0], param="timeunit")
-    s, e = a[1], a[2]
+    s, e = _ts_arg(a[1]), _ts_arg(a[2])
     if p == "yy":
         return f"CAST(year({e}) - year({s}) AS BIGINT)"
     if p == "m":
@@ -333,6 +370,15 @@ _FUNCS: dict[str, tuple[int, int, Callable[[list[str]], str]]] = {
     "VAR": (1, 1, lambda a: (
         f"CAST(floor(var_pop({a[0]}) * 1000000) / 1000000 "
         f"AS DECIMAL(38, 6))")),
+    # AVG returns decimal(4) whatever the input class
+    # (expressionanalyzercall.go:85 ResultDataType = decimal(4)); the
+    # quotient is pql.DivideDecimal = big.Int.Div at the common scale —
+    # TRUNCATED, not rounded (defs_aggregate.go pins avg(i1) over
+    # {10,11,13} = 11.3333): sum at scale 4 over count, then q - q%step
+    "AVG": (1, 1, lambda a: (
+        f"CAST((CAST(SUM({a[0]}) AS DECIMAL(38,4)) / COUNT({a[0]})) - "
+        f"((CAST(SUM({a[0]}) AS DECIMAL(38,4)) / COUNT({a[0]})) % 0.0001) "
+        f"AS DECIMAL(38,4))")),
     # Pearson correlation at the reference's scale-6 decimal
     # (defs_aggregate.go:768-800: corr(i1,d1)=1.000000); the inner
     # BIGINT cast truncates TOWARD ZERO, matching pql.Decimal for the
@@ -515,8 +561,10 @@ def _f_charindex(a: list[str]) -> str:
         return f"(locate({a[0]}, {a[1]}) - 1)"
     sub, s, pos = a[0], a[1], a[2]
     return (
-        f"CASE WHEN ({s}) IS NOT NULL AND ({pos}) IS NOT NULL AND "
-        f"(({pos}) < 0 OR ({pos}) >= octet_length({s})) "
+        f"CASE WHEN ({sub}) IS NULL OR ({s}) IS NULL OR ({pos}) IS NULL "
+        f"THEN CAST(NULL AS BIGINT) "  # null args → null BEFORE the
+        # range check (EvaluateCharIndex:765-768)
+        f"WHEN ({pos}) < 0 OR ({pos}) >= octet_length({s}) "
         f"THEN {_rt_range_err(pos, 'BIGINT')} "
         f"ELSE (locate({sub}, {s}, ({pos}) + 1) - 1) END"
     )
@@ -650,7 +698,10 @@ _FN_SIG_DATE: dict[str, list] = {
 #: functions whose arity error reports a formal count other than the
 #: minimum (the reference echoes the FULL signature width for the
 #: optional-arg calls: totimestamp() says 'formal parameters (2)')
-_ARITY_FORMAL = {"TOTIMESTAMP": 2}
+#: analyzer formal counts echoed in arity errors when they differ from
+#: the nearest bound (TOTIMESTAMP always says 2; STR always says 1 —
+#: analyseFunctionStr passes 1, defs_string_functions.go:1300+)
+_ARITY_FORMAL = {"TOTIMESTAMP": 2, "STR": 1}
 
 
 def _fromparts_literal_check(lits: list) -> None:
@@ -687,23 +738,49 @@ def _fromparts_literal_check(lits: list) -> None:
         bad(ms)
 
 
-def _fn_check(name_tok: str, up: str, args: list[str]) -> None:
+def _fn_check(
+    name_tok: str,
+    up: str,
+    args: list[str],
+    pos: Optional[list[str]] = None,
+    rparen: str = "",
+) -> None:
     """Arity (reference phrasing, original-case name) + literal
-    type/range errors for one rewritten function call."""
+    type/range errors for one rewritten function call. ``pos`` carries
+    per-arg '[line:col] ' prefixes from the rewriter (errors.go formats
+    every analyzer error with the offending argument's position —
+    defs_string_functions.go pins e.g. '[1:16] string expression
+    expected' for 'select reverse(22)')."""
+
+    def _p(idx: int) -> str:
+        return pos[idx] if pos and 0 <= idx < len(pos) else ""
+
     lo, hi, _ = _FUNCS[up]
     if not (lo <= len(args) <= hi):
-        formal = _ARITY_FORMAL.get(up, lo)
+        # the analyzer names the NEAREST legal arity (charindex takes
+        # 2-3; a 4-arg call reports formal (3), a 1-arg call (2)) and
+        # positions the error at the call's RIGHT PAREN
+        # (NewErrCallParameterCountMismatch(call.Rparen...))
+        formal = _ARITY_FORMAL.get(up) or (hi if len(args) > hi else lo)
         raise ValueError(
+            rparen +
             f"'{name_tok}': count of formal parameters ({formal}) does "
             f"not match count of actual parameters ({len(args)})"
         )
     lits = [_lit_kind(a) for a in args]
     sig = _FN_SIG.get(up, [])
-    for (kind, _v), want in zip(lits, sig):
+    for _ai, ((kind, _v), want) in enumerate(zip(lits, sig)):
         if kind == "int" and want == "str":
-            raise ValueError("string expression expected")
+            raise ValueError(_p(_ai) + "string expression expected")
         if kind == "str" and want == "int":
-            raise ValueError("integer expression expected")
+            raise ValueError(_p(_ai) + "integer expression expected")
+    # SETCONTAINS*'s first argument must be set-typed; a scalar literal
+    # (null / int / string) is the analyzer's 'set expression expected'
+    # (analyzeFunctionSetContains, inbuiltfunctionsset analyzer;
+    # defs_set_functions.go 'set-contains-null-set')
+    if up in ("SETCONTAINS", "SETCONTAINSALL", "SETCONTAINSANY"):
+        if lits[0][0] in ("null", "int", "str"):
+            raise ValueError("set expression expected")
     # literal value-range errors (runtime errors in the reference —
     # raised at compile time here when the values are already known;
     # non-literal arguments get the same texts from the raise_error
@@ -745,13 +822,17 @@ def _fn_check(name_tok: str, up: str, args: list[str]) -> None:
     # (analyseFunctionStr / analyseFunctionFormat — 'null literal not
     # allowed'); STR's width/decimals must be integers
     if up in ("STR", "FORMAT"):
-        for kind, _v in lits[1:]:
+        for _ai, (kind, _v) in enumerate(lits[1:], start=1):
             if kind == "null":
-                raise ValueError("[0:0] null literal not allowed")
+                raise ValueError(
+                    (_p(_ai) or "[0:0] ") + "null literal not allowed"
+                )
         if up == "STR":
-            for kind, _v in lits[1:]:
+            for _ai, (kind, _v) in enumerate(lits[1:], start=1):
                 if kind == "str":
-                    raise ValueError("integer expression expected")
+                    raise ValueError(
+                        _p(_ai) + "integer expression expected"
+                    )
 
 #: FeatureBase CAST target types (astdatatype.go:10-26) → Spark SQL types.
 _CAST_TYPES = {
@@ -805,9 +886,25 @@ class _Rewriter:
     def __init__(self, toks: list[str]):
         self.toks = toks
         self.i = 0
+        # char offset of each token, for the reference's '[line:col]'
+        # error positions (1-based, errors.go '[%d:%d]')
+        self.offs: list[int] = []
+        _off = 0
+        for _t in toks:
+            self.offs.append(_off)
+            _off += len(_t)
+        self._src = "".join(toks)
+        #: start offsets of the args of the most recent args_until call
+        self._last_arg_offs: list[int] = []
+        self._last_rparen_off: int = 0
         # current clause keyword across nested paren scopes (RANGEQ is
         # WHERE-only; parens inside WHERE must not reset the context)
         self._clause = "select"
+
+    def pos_prefix(self, off: int) -> str:
+        line = self._src.count("\n", 0, off) + 1
+        col = off - (self._src.rfind("\n", 0, off) + 1) + 1
+        return f"[{line}:{col}] "
 
     def _peek_word(self, j: int) -> Optional[str]:
         """Next non-ws token at or after j, if it exists."""
@@ -912,7 +1009,11 @@ class _Rewriter:
                     # written — 'PREFIX' vs 'upper' follow the query
                     # text in the reference corpus) + literal
                     # type/range errors
-                    _fn_check(tok, up, args)
+                    _fn_check(
+                        tok, up, args,
+                        [self.pos_prefix(o) for o in self._last_arg_offs],
+                        rparen=self.pos_prefix(self._last_rparen_off),
+                    )
                     if up == "RANGEQ":
                         if self._clause != "where":
                             # a WHERE-pushdown filter only — invalid in a
@@ -978,17 +1079,29 @@ class _Rewriter:
         return text
 
     def args_until(self, closer: str) -> list[str]:
-        """Rewrite a comma-separated arg list, consuming the closer."""
+        """Rewrite a comma-separated arg list, consuming the closer.
+        Records each arg's source offset in ``_last_arg_offs`` (read by
+        the caller immediately after return — nested calls each set it
+        for themselves before their parent finishes)."""
         args: list[str] = []
         cur: list[str] = []
+        arg_offs: list[int] = []
+        cur_off: Optional[int] = None
         while self.i < len(self.toks):
             tok = self.toks[self.i]
+            if cur_off is None and not _is_ws(tok) and tok not in (
+                closer, ","
+            ):
+                cur_off = self.offs[self.i]
             if tok == closer:
+                self._last_rparen_off = self.offs[self.i]
                 self.i += 1
                 break
             if tok == ",":
                 args.append("".join(cur).strip())
+                arg_offs.append(cur_off if cur_off is not None else 0)
                 cur = []
+                cur_off = None
                 self.i += 1
                 continue
             if tok == "(":
@@ -1010,7 +1123,11 @@ class _Rewriter:
                     self.i += 1
                     inner_args = self.args_until(")")
                     lo, hi, emit = _FUNCS[up]
-                    _fn_check(tok, up, inner_args)
+                    _fn_check(
+                        tok, up, inner_args,
+                        [self.pos_prefix(o) for o in self._last_arg_offs],
+                        rparen=self.pos_prefix(self._last_rparen_off),
+                    )
                     cur.append(emit(inner_args))
                     continue
                 if up == "CAST" and self._peek_word(self.i + 1) == "(":
@@ -1029,6 +1146,8 @@ class _Rewriter:
         tail = "".join(cur).strip()
         if tail:
             args.append(tail)
+            arg_offs.append(cur_off if cur_off is not None else 0)
+        self._last_arg_offs = arg_offs
         return args
 
 
@@ -2008,7 +2127,883 @@ def _binop_class(tname: str) -> str:
     return "decimal" if tname.startswith("decimal(") else tname
 
 
-def _binop_type_guard(spark: SparkSession, sql: str) -> None:
+#: keywords that terminate a FROM/JOIN table-reference position
+_JOIN_STOP = {
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "ON", "INNER", "LEFT",
+    "RIGHT", "FULL", "CROSS", "JOIN", "WITH", "AS", "USING", "OFFSET",
+    "UNION", "AND", "OR",
+}
+
+
+def _join_resolver_rewrite(spark: SparkSession, sql: str) -> str:
+    """Two sql3 name-resolution quirks the defs corpus pins for joins:
+
+    1. An ALIASED table stays addressable by its BASE name —
+       ``from orders o ... sum(orders.price)`` resolves
+       (defs_join.go:73 'innerjoin-aggregate-groupby'); Spark would
+       raise UNRESOLVED_COLUMN. Rewrite ``base.`` qualifiers to the
+       alias.
+    2. An UNQUALIFIED column that exists in several joined tables
+       resolves to the FIRST table in FROM order — ``select _id from
+       grouper g inner join joiner j`` returns grouper ids
+       (defs_sql1.go:162-174); Spark raises AMBIGUOUS_REFERENCE.
+       Qualify with the first owning table's alias."""
+    if not _re.search(r"(?i)\bjoin\b", sql):
+        return sql
+    toks = _tokenize(sql)
+    sig_pos = [i for i, t in enumerate(toks) if not _is_ws(t)]
+    sig = [toks[i] for i in sig_pos]
+    ups = [t.upper() for t in sig]
+    # ordered (table, alias) pairs from FROM/JOIN positions
+    tables: list[tuple[str, str]] = []
+    for n, u in enumerate(ups):
+        if u not in ("FROM", "JOIN"):
+            continue
+        if n + 1 >= len(sig) or not _re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*", sig[n + 1]
+        ):
+            return sql  # subquery/paren in FROM — leave untouched
+        tbl = sig[n + 1]
+        alias = tbl
+        m = n + 2
+        if m < len(sig) and ups[m] == "AS":
+            m += 1
+        if (
+            m < len(sig)
+            and _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", sig[m])
+            and ups[m] not in _JOIN_STOP
+        ):
+            alias = sig[m]
+        tables.append((tbl, alias))
+    if len(tables) < 2:
+        return sql
+    try:
+        owners: dict[str, list[str]] = {}
+        base_alias = {}
+        for tbl, alias in tables:
+            base_alias[tbl.lower()] = alias
+            for c in spark.table(tbl).columns:
+                owners.setdefault(c.lower(), []).append(alias)
+    except Exception:  # noqa: BLE001 — unknown table: Catalyst's error
+        return sql
+    aliases = {a.lower() for _, a in tables}
+    # join-condition equatability (defs_join.go 'Unmatched-columns':
+    # ON u.name = o.userid -> "types 'string' and 'int' are not
+    # equatable" at compile; Spark would cast-and-run)
+    tcols: dict[str, dict[str, str]] = {}
+    for tbl, alias in tables:
+        colmap = {}
+        for c, dt in spark.table(tbl).dtypes:
+            if dt == "string":
+                colmap[c.lower()] = "string"
+            elif dt == "bigint":
+                colmap[c.lower()] = "int"
+            elif dt.startswith("decimal"):
+                colmap[c.lower()] = "decimal"
+            elif dt.startswith("timestamp"):
+                colmap[c.lower()] = "timestamp"
+            elif dt == "boolean":
+                colmap[c.lower()] = "bool"
+        tcols[alias.lower()] = colmap
+    _numeric = {"int", "decimal"}
+    for n in range(len(sig) - 6):
+        if (
+            sig[n + 1] == "."
+            and sig[n + 5] == "."
+            and sig[n + 3] in ("=", "!=", "<", "<=", ">", ">=")
+            and sig[n].lower() in tcols
+            and sig[n + 4].lower() in tcols
+        ):
+            lt = tcols[sig[n].lower()].get(sig[n + 2].lower())
+            rt = tcols[sig[n + 4].lower()].get(sig[n + 6].lower())
+            if lt and rt:
+                jointly = (lt == rt) or (
+                    lt in _numeric and rt in _numeric
+                )
+                if not jointly:
+                    raise ValueError(
+                        f"types '{lt}' and '{rt}' are not equatable"
+                    )
+    out = list(toks)
+    for n, t in enumerate(sig):
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t):
+            continue
+        prev_dot = n >= 1 and sig[n - 1] == "."
+        next_dot = n + 1 < len(sig) and sig[n + 1] == "."
+        low = t.lower()
+        if next_dot:
+            # base-name qualifier for an aliased table → the alias
+            if (
+                low in base_alias
+                and low not in aliases
+                and base_alias[low].lower() != low
+            ):
+                out[sig_pos[n]] = base_alias[low]
+            continue
+        if prev_dot:
+            continue
+        # skip the FROM/JOIN table/alias positions themselves
+        if n >= 1 and ups[n - 1] in ("FROM", "JOIN", "AS"):
+            continue
+        if low in aliases or low in base_alias:
+            continue
+        own = owners.get(low, [])
+        if len(own) >= 2:
+            out[sig_pos[n]] = f"{own[0]}.{t}"
+    return "".join(out)
+
+
+_AGG_HEAD_RE = _re.compile(
+    r"(?i)\b(COUNT|SUM|AVG|MIN|MAX|PERCENTILE|CORR|VAR)\s*\("
+)
+
+
+def _grouped_sum_rewrite(sql: str) -> str:
+    """A GROUP BY whose ONLY aggregate is SUM(col) compiles to a single
+    PQL GroupBy(aggregate=Sum(...)) in the reference, and PQL GroupBy
+    OMITS groups with no summable values (defs_groupby.go:124-136:
+    sum(i2) over groups 11/12/13 — all-null i2 — returns ONE row, not
+    NULL rows). With additional aggregates the compilation joins
+    per-aggregate ops and null-sum groups SURVIVE (:152-166 pins
+    (0, nil, 11)). Mirror: append HAVING <sum> IS NOT NULL for the
+    single-SUM shape."""
+    m = _re.match(
+        r"(?is)^\s*select\s+(.*?)\s+from\s+.*\bgroup\s+by\b.*$", sql
+    )
+    if m is None or _re.search(
+        r"(?i)\b(having|order\s+by|limit|offset)\b", sql
+    ):
+        return sql
+    heads = _AGG_HEAD_RE.findall(m.group(1))
+    if len(heads) != 1 or heads[0].upper() != "SUM":
+        return sql
+    sm = _re.search(r"(?is)\bSUM\s*\((.*?)\)", m.group(1))
+    if sm is None:
+        return sql
+    return sql + f" having sum({sm.group(1)}) is not null"
+
+
+def _setfn_type_guard(sig, ups, types, _pos) -> None:
+    """SETCONTAINS/SETCONTAINSALL/SETCONTAINSANY argument typing
+    (analyzeFunctionSetContains*; defs_set_functions.go): the member
+    must match the set's element class — mismatches refuse with
+    'types X and Y are not equatable' (X/Y are the SET type and the
+    member's scalar type for SETCONTAINS; the two ELEMENT types
+    ('string'/'id') for ALL/ANY), and a set literal containing null is
+    'set literal must contain ints or strings'."""
+
+    def arg_spans(start):
+        """Comma-split the arg token spans of a call whose '(' is at
+        sig[start]."""
+        spans, cur, depth, m = [], [], 1, start + 1
+        while m < len(sig) and depth:
+            t = sig[m]
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                depth -= 1
+                if depth == 0:
+                    break
+            if t == "," and depth == 1:
+                spans.append(cur)
+                cur = []
+            else:
+                cur.append((m, t))
+            m += 1
+        if cur:
+            spans.append(cur)
+        return spans
+
+    def set_kind(span):
+        """('stringset'|'idset', elem) for a set literal or set column;
+        scalar kinds ('int','string','void') otherwise; None unknown."""
+        if not span:
+            return None
+        toks = [t for _, t in span]
+        if toks[0] == "[":
+            elems = [t for t in toks[1:] if t not in ("]", ",")]
+            kinds = set()
+            for e in elems:
+                k, _v = _lit_kind(e)
+                if k == "null":
+                    raise ValueError(
+                        "set literal must contain ints or strings"
+                    )
+                kinds.add(k)
+            if kinds <= {"int"}:
+                return "idset"
+            if kinds <= {"str"}:
+                return "stringset"
+            return None
+        if len(toks) == 1:
+            k, _v = _lit_kind(toks[0])
+            if k == "int":
+                return "int"
+            if k == "str":
+                return "string"
+            if k == "null":
+                return "void"
+            st = types.get(toks[0].lower())
+            if st in ("idset", "stringset"):
+                return st
+            if st == "idsetq" or st == "time":
+                return "idset"
+            if st == "stringsetq":
+                return "stringset"
+        if len(toks) == 3 and toks[1] == ".":
+            st = types.get(toks[2].lower())
+            if st in ("idset", "stringset"):
+                return st
+        return None
+
+    _ELEM = {"stringset": "string", "idset": "id"}
+    for n, u in enumerate(ups):
+        if u not in (
+            "SETCONTAINS", "SETCONTAINSALL", "SETCONTAINSANY"
+        ) or n + 1 >= len(sig) or sig[n + 1] != "(":
+            continue
+        spans = arg_spans(n + 1)
+        if len(spans) != 2:
+            continue
+        s_kind = set_kind(spans[0])
+        m_kind = set_kind(spans[1])
+        if s_kind not in ("idset", "stringset") or m_kind is None:
+            continue
+        if u == "SETCONTAINS":
+            ok = (s_kind == "stringset" and m_kind == "string") or (
+                s_kind == "idset" and m_kind == "int"
+            )
+            if not ok:
+                raise ValueError(
+                    _pos(spans[1][0][0])
+                    + f"types '{s_kind}' and '{m_kind}' are not equatable"
+                )
+        else:
+            if m_kind not in ("idset", "stringset"):
+                continue
+            if m_kind != s_kind:
+                raise ValueError(
+                    _pos(spans[1][0][0])
+                    + f"types '{_ELEM[s_kind]}' and '{_ELEM[m_kind]}' "
+                    f"are not equatable"
+                )
+
+
+#: aggregates legal under GROUP BY in the reference (compileselect
+#: routes GROUP BY through PQLGroupBy ops; MIN/MAX/PERCENTILE have no
+#: PQL GroupBy aggregate — defs_groupby.go:209-226 pins the refusals)
+_GROUPBY_AGGS_OK = {"COUNT", "SUM", "AVG", "CORR", "VAR"}
+
+
+def _select_analyzer_guard(spark: SparkSession, sql: str, catalog=None):
+    """Compile-time analyzer rules the defs corpus pins beyond the
+    binop guard:
+
+    - RIGHT/FULL joins refuse (compileselect.go:378-380)
+    - ORDER BY terms must be a column, alias, or 1-based position —
+      expressions refuse (defs_groupby.go:33-56 'order by count(*)')
+    - ORDER BY over a set-typed column refuses ("unable to sort a
+      column of type 'idset'", defs_orderby.go)
+    - MIN/MAX/PERCENTILE refuse under GROUP BY (no PQL GroupBy
+      aggregate exists for them, defs_groupby.go:209-226)
+    - AVG takes int/decimal (defs_aggregate.go avg(s1));
+      PERCENTILE takes int/decimal/timestamp
+    """
+    toks = _tokenize(sql)
+    sig = []
+    offs = []
+    _off = 0
+    for t in toks:
+        if not _is_ws(t):
+            sig.append(t)
+            offs.append(_off)
+        _off += len(t)
+    ups = [t.upper() for t in sig]
+
+    def _pos(i: int) -> str:
+        off = offs[i] if 0 <= i < len(offs) else 0
+        line = sql.count("\n", 0, off) + 1
+        col = off - (sql.rfind("\n", 0, off) + 1) + 1
+        return f"[{line}:{col}] "
+
+    for n, u in enumerate(ups):
+        if u in ("RIGHT", "FULL") and n + 1 < len(ups) and ups[n + 1] in (
+            "JOIN", "OUTER",
+        ):
+            raise ValueError(
+                _pos(n) + f"{u} join types are not supported"
+            )
+
+    has_group = any(
+        u == "GROUP" and n + 1 < len(ups) and ups[n + 1] == "BY"
+        for n, u in enumerate(ups)
+    )
+    if has_group:
+        for n, u in enumerate(ups):
+            if (
+                u in ("MIN", "MAX", "PERCENTILE")
+                and n + 1 < len(sig)
+                and sig[n + 1] == "("
+            ):
+                raise ValueError(
+                    _pos(n)
+                    + f"aggregate '{u}()' not allowed in GROUP BY"
+                )
+
+    # single-table column types (declared via catalog when available)
+    types: dict[str, str] = {}
+    froms = [n for n, u in enumerate(ups) if u == "FROM"]
+    if len(froms) == 1 and "JOIN" not in ups:
+        fi = froms[0]
+        if fi + 1 < len(sig) and _re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*", sig[fi + 1]
+        ):
+            table = sig[fi + 1]
+            td = (
+                getattr(catalog, "_defs", {}).get(table)
+                if catalog
+                else None
+            )
+            if td is not None:
+                types["_id"] = "string" if td.keys else "id"
+                for fd in td.fields:
+                    ft = fd.fb_type.lower()
+                    types[fd.name.lower()] = (
+                        f"decimal({fd.scale})" if ft == "decimal" else ft
+                    )
+            else:
+                try:
+                    for f in spark.table(table).schema.fields:
+                        tn = _fb_type_name(f)
+                        if tn:
+                            types[f.name.lower()] = tn
+                except Exception:  # noqa: BLE001 — unknown table
+                    pass
+
+    # ORDER BY term validation (top paren depth only)
+    depth = 0
+    n = 0
+    while n < len(sig):
+        t = sig[n]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and ups[n] == "ORDER" and n + 1 < len(ups) and (
+            ups[n + 1] == "BY"
+        ):
+            m = n + 2
+            term_start = m
+            while m <= len(sig):
+                tm = sig[m] if m < len(sig) else ","
+                um = tm.upper()
+                if m >= len(sig) or tm == "," or um in (
+                    "LIMIT", "OFFSET",
+                ):
+                    span = sig[term_start:m]
+                    su = [x.upper() for x in span]
+                    while su and su[-1] in ("ASC", "DESC"):
+                        span = span[:-1]
+                        su = su[:-1]
+                    if any(x == "(" for x in span):
+                        raise ValueError(
+                            _pos(term_start) + "column reference, alias "
+                            "reference or column position expected"
+                        )
+                    if len(span) == 1:
+                        st = types.get(span[0].lower(), "")
+                        if st in ("idset", "stringset") or st.endswith(
+                            "setq"
+                        ):
+                            raise ValueError(
+                                _pos(term_start) + "unable to sort a "
+                                f"column of type '{st}'"
+                            )
+                    if m >= len(sig) or um in ("LIMIT", "OFFSET"):
+                        break
+                    term_start = m + 1
+                m += 1
+        n += 1
+
+    # aggregate argument type rules over the single-table scope
+    for n, u in enumerate(ups):
+        if u in ("AVG", "PERCENTILE", "CORR", "VAR") and n + 2 < len(
+            sig
+        ) and sig[n + 1] == "(":
+            arg = sig[n + 2]
+            st = types.get(arg.lower())
+            if st is None:
+                continue
+            cls = "decimal" if st.startswith("decimal(") else st
+            if u == "AVG" and cls not in ("int", "id", "decimal"):
+                raise ValueError(
+                    _pos(n + 2) + "integer or decimal expression expected"
+                )
+            if u in ("PERCENTILE", "CORR", "VAR") and cls not in (
+                "int", "id", "decimal", "timestamp",
+            ):
+                raise ValueError(
+                    _pos(n + 2)
+                    + "integer, decimal or timestamp expression expected"
+                )
+
+    # PERCENTILE only compiles when its filter pushes down to PQL —
+    # '!=' on a string/set column has no PQL Row form (executor.go:
+    # 5188 'only support != for null'), so the reference refuses the
+    # whole call (defs_aggregate.go percentileTests 'can't be pushed')
+    if "PERCENTILE" in ups and "WHERE" in ups:
+        wi = ups.index("WHERE")
+        for n in range(wi, len(sig) - 1):
+            if sig[n] == "!=" or (
+                sig[n] == "!" and sig[n + 1 : n + 2] == ["="]
+            ):
+                lt = types.get(sig[n - 1].lower(), "")
+                if lt and lt not in ("int", "id", "timestamp") and not (
+                    lt.startswith("decimal(")
+                ):
+                    raise ValueError(
+                        "Percentile call that can't be pushed down to "
+                        "PQL is not supported"
+                    )
+
+    # RANGEQ's FIRST argument must be a time-quantum column — checked
+    # BEFORE the from/to null rules (analyzeFunctionRangeQ,
+    # inbuiltfunctionsquantum.go:13-17; defs_timequantum.go pins
+    # rangeq(a.i1, null, null) = 'time quantum expression expected')
+    for n, u in enumerate(ups):
+        if u == "RANGEQ" and n + 2 < len(sig) and sig[n + 1] == "(":
+            m = n + 2
+            # skip an alias qualifier
+            if m + 2 < len(sig) and sig[m + 1] == ".":
+                m += 2
+            st = types.get(sig[m].lower())
+            if st is not None and not st.endswith("setq") and st not in (
+                "time",
+            ):
+                raise ValueError(
+                    _pos(n + 2) + "time quantum expression expected"
+                )
+
+    _setfn_type_guard(sig, ups, types, _pos)
+
+
+def _like_scalar_rewrite(sql: str) -> str:
+    """The sql3 scalar LIKE is NOT standard SQL LIKE: wildCardToRegexp
+    (planner/expression.go:2991-3001) compiles the pattern to a
+    case-INSENSITIVE regex where ``%`` → ``.*`` and ``_`` → ``.+`` (one
+    OR MORE, not exactly one — defs_like.go pins 'foo' LIKE '%f_' =
+    true), with no escaping of regex metacharacters. Rewrite
+    ``LIKE '<literal>'`` to RLIKE with that exact conversion. (The PQL
+    like door — like.go planLike, served by the trigram index — keeps
+    standard one-char ``_`` semantics; the reference itself has the
+    same split.) Non-literal patterns keep Spark LIKE."""
+    if "like" not in sql.lower():
+        return sql
+    toks = _tokenize(sql)
+    out = list(toks)
+    for i, t in enumerate(toks):
+        if t.upper() != "LIKE":
+            continue
+        j = i + 1
+        while j < len(toks) and _is_ws(toks[j]):
+            j += 1
+        if j >= len(toks):
+            continue
+        lit = toks[j]
+        if not (lit[:1] == "'" and lit[-1:] == "'" and len(lit) >= 2):
+            continue
+        pat = lit[1:-1].replace("''", "'")
+        regex = "(?i)^" + pat.replace("%", ".*").replace("_", ".+") + "$"
+        out[i] = "rlike"
+        out[j] = "'" + regex.replace("'", "''") + "'"
+    return "".join(out)
+
+
+#: aggregate-function heads that make _id paging meaningless
+_PAGE_AGG_FNS = {
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "PERCENTILE", "CORR", "VAR",
+}
+
+
+def _page_order_rewrite(spark: SparkSession, sql: str) -> str:
+    """TOP(n) / LIMIT paging without an ORDER BY returns the FIRST n
+    records by ``_id`` in the reference — scan order is _id-ascending
+    shard order (Extract(Limit(All(), ...)), defs_unkeyed.go
+    'select-all-with-top' pins rows 1..n). Our storage is hash-bucketed,
+    so an explicit ``ORDER BY _id`` is appended for paged, non-grouped,
+    non-distinct single-table scopes. Scale-safe: orderBy(_id).limit(n)
+    compiles to TakeOrderedAndProject — a per-partition top-n heap, not
+    a global sort."""
+    toks = _tokenize(sql)
+    sig = [t for t in toks if not _is_ws(t)]
+    ups = [t.upper() for t in sig]
+    if "ORDER" in ups or "GROUP" in ups or "DISTINCT" in ups:
+        return sql
+    has_top = any(
+        u in ("TOP", "TOPN") and i + 1 < len(sig) and sig[i + 1] == "("
+        for i, u in enumerate(ups)
+    )
+    has_limit = "LIMIT" in ups
+    if not has_top and not has_limit:
+        return sql
+    if any(
+        u in _PAGE_AGG_FNS and i + 1 < len(sig) and sig[i + 1] == "("
+        for i, u in enumerate(ups)
+    ):
+        return sql
+    froms = [i for i, u in enumerate(ups) if u == "FROM"]
+    if len(froms) != 1 or "JOIN" in ups:
+        return sql
+    if any(t == "(" for t in sig[froms[0] :]):
+        return sql  # subquery in/after FROM — leave untouched
+    fi = froms[0]
+    if fi + 1 >= len(sig) or not _re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*", sig[fi + 1]
+    ):
+        return sql
+    table = sig[fi + 1]
+    alias = None
+    if fi + 2 < len(sig) and _re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*", sig[fi + 2]
+    ) and sig[fi + 2].upper() not in ("WHERE", "LIMIT", "WITH"):
+        alias = sig[fi + 2]
+    try:
+        cols = {c.lower() for c, _ in spark.table(table).dtypes}
+    except Exception:  # noqa: BLE001 — unknown table: Catalyst's error
+        return sql
+    if "_id" not in cols:
+        return sql
+    ref = f"{alias}._id" if alias else "_id"
+    if has_limit:
+        # insert before the top-level LIMIT
+        out, done = [], False
+        for t in toks:
+            if not done and t.upper() == "LIMIT":
+                out.append(f"order by {ref} ")
+                done = True
+            out.append(t)
+        return "".join(out)
+    return sql + f" order by {ref}"
+
+
+_CAST_COL_RE = _re.compile(
+    r"(?is)\bCAST\s*\(\s*"
+    r"([A-Za-z_][A-Za-z0-9_]*(?:\s*\.\s*[A-Za-z_][A-Za-z0-9_]*)?)"
+    r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s*\(\s*(\d+)\s*\))?\s*\)"
+)
+
+#: typesCanBeCast (planner/expressiontypes.go:781-851): source fb type
+#: -> legal cast targets; decimal->decimal additionally requires the
+#: target scale >= source scale
+_CAST_ALLOWED = {
+    "int": {"int", "bool", "decimal", "id", "string", "timestamp"},
+    "bool": {"bool", "int", "string"},
+    "decimal": {"decimal", "string"},
+    "id": {"int", "bool", "decimal", "id", "string"},
+    "idset": {"idset", "string"},
+    "string": {"int", "bool", "decimal", "id", "string", "timestamp"},
+    "stringset": {"stringset", "string"},
+    "timestamp": {"int", "timestamp", "string"},
+}
+
+#: strconv.ParseBool's accepted spellings (string->bool cast)
+_GO_BOOL_LITS = (
+    "'1','t','T','TRUE','true','True','0','f','F','FALSE','false','False'"
+)
+
+
+def _cast_string_render_rewrite(spark, sql: str, catalog=None) -> str:
+    """CAST(col AS T) with the REFERENCE's semantics (defs_cast.go):
+
+    - the typesCanBeCast compile matrix (planner/expressiontypes.go:
+      781-851) — e.g. bool->decimal refuses with "'bool' cannot be
+      cast to 'decimal(2)'" (errors.go:254); decimal->decimal requires
+      target scale >= source scale
+    - string-source casts CONVERT AT RUNTIME and raise
+      "'<value>' cannot be cast to '<type>'" on unparseable values
+      (expression.go:2253-2300 — strconv.Atoi / ParseBool /
+      pql.ParseDecimal / RFC3339) where Spark would yield NULL
+    - render formats: idset -> Go slice form '[101 102]' (sorted),
+      stringset -> JSON '["a","b"]' (sorted, expression.go:2303-2332),
+      timestamp -> RFC3339
+
+    Bare single-table column refs only — the same conservative scope as
+    the binop guard; computed expressions keep Spark semantics."""
+    if "cast" not in sql.lower():
+        return sql
+    # literal sources face the same compile matrix (castIntLiteral:
+    # cast(1 as idset) -> "'int' cannot be cast to 'idset'")
+    for lm in _re.finditer(
+        r"(?is)\bCAST\s*\(\s*(-?\d+(?:\.\d+)?|'(?:[^']|'')*'|true|false)"
+        r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s*\(\s*(\d+)\s*\))?\s*\)",
+        sql,
+    ):
+        lit, tname, tscale = lm.group(1), lm.group(2).lower(), lm.group(3)
+        if tname not in _CAST_ALLOWED and tname not in (
+            "idset", "stringset",
+        ):
+            continue
+        if lit.lower() in ("true", "false"):
+            src = "bool"
+        elif lit[:1] == "'":
+            src = "string"
+        elif "." in lit:
+            src = "decimal"
+        else:
+            src = "int"
+        if tname not in _CAST_ALLOWED.get(src, set()):
+            tgt_txt = (
+                f"decimal({tscale or 0})" if tname == "decimal" else tname
+            )
+            raise ValueError(f"'{src}' cannot be cast to '{tgt_txt}'")
+    toks = _tokenize(sql)
+    sig = [t for t in toks if not _is_ws(t)]
+    froms = [i for i, t in enumerate(sig) if t.upper() == "FROM"]
+    if len(froms) != 1 or any(t.upper() == "JOIN" for t in sig):
+        return sql
+    fi = froms[0]
+    if fi + 1 >= len(sig) or not _re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*", sig[fi + 1]
+    ):
+        return sql
+    table = sig[fi + 1]
+    # declared fb types (id vs int needs the catalog; Spark schema
+    # types both as bigint)
+    fbt: dict = {}
+    scales: dict = {}
+    td = getattr(catalog, "_defs", {}).get(table) if catalog else None
+    if td is not None:
+        fbt["_id"] = "string" if td.keys else "id"
+        for fd in td.fields:
+            fbt[fd.name.lower()] = fd.fb_type.lower()
+            scales[fd.name.lower()] = fd.scale
+    try:
+        dtypes = {c.lower(): dt for c, dt in spark.table(table).dtypes}
+    except Exception:  # noqa: BLE001 — unknown table: Catalyst's error
+        return sql
+    if not fbt:
+        for c, dt in dtypes.items():
+            if dt == "bigint":
+                fbt[c] = "id" if c == "_id" else "int"
+            elif dt == "boolean":
+                fbt[c] = "bool"
+            elif dt.startswith("decimal"):
+                fbt[c] = "decimal"
+                m2 = _re.match(r"decimal\(\d+,(\d+)\)", dt)
+                scales[c] = int(m2.group(1)) if m2 else 0
+            elif dt == "string":
+                fbt[c] = "string"
+            elif dt == "array<bigint>":
+                fbt[c] = "idset"
+            elif dt == "array<string>":
+                fbt[c] = "stringset"
+            elif dt.startswith("timestamp"):
+                fbt[c] = "timestamp"
+
+    def _raise_sql(ref: str, tgt: str, ct: str) -> str:
+        # runtime "'<value>' cannot be cast to '<type>'"
+        return (
+            "CAST(raise_error(concat('''', CAST((" + ref + ") AS STRING)"
+            ", ''' cannot be cast to ''" + tgt + "''')) AS " + ct + ")"
+        )
+
+    def render(m) -> str:
+        ref, tname, tscale = m.group(1), m.group(2).lower(), m.group(3)
+        col = ref.split(".")[-1].strip().lower()
+        src = fbt.get(col)
+        if src is None or tname not in (
+            "int", "bool", "decimal", "id", "idset", "string",
+            "stringset", "timestamp",
+        ):
+            return m.group(0)
+        src_txt = (
+            f"decimal({scales.get(col, 0)})" if src == "decimal" else src
+        )
+        tgt_txt = f"decimal({tscale or 0})" if tname == "decimal" else tname
+        if tname not in _CAST_ALLOWED.get(src, set()):
+            raise ValueError(f"'{src_txt}' cannot be cast to '{tgt_txt}'")
+        if (
+            src == "decimal"
+            and tname == "decimal"
+            and int(tscale or 0) < scales.get(col, 0)
+        ):
+            raise ValueError(f"'{src_txt}' cannot be cast to '{tgt_txt}'")
+        null_guard = f"CASE WHEN ({ref}) IS NULL THEN CAST(NULL AS"
+        if src == "string" and tname in (
+            "int", "id", "bool", "decimal", "timestamp",
+        ):
+            if tname in ("int", "id"):
+                ok = f"({ref}) rlike '^[+-]?[0-9]+$'"
+                good = f"CAST({ref} AS BIGINT)"
+                ct = "BIGINT"
+            elif tname == "bool":
+                ok = f"({ref}) IN ({_GO_BOOL_LITS})"
+                good = f"({ref}) IN ('1','t','T','TRUE','true','True')"
+                ct = "BOOLEAN"
+            elif tname == "decimal":
+                sc = int(tscale or 0)
+                ok = (
+                    f"({ref}) rlike "
+                    f"'^[+-]?[0-9]+(\\\\.[0-9]{{0,{sc}}})?$'"
+                )
+                good = f"CAST({ref} AS DECIMAL(38,{sc}))"
+                ct = f"DECIMAL(38,{sc})"
+            else:  # timestamp
+                ok = f"try_cast(({ref}) AS TIMESTAMP) IS NOT NULL"
+                good = f"CAST({ref} AS TIMESTAMP)"
+                ct = "TIMESTAMP"
+            return (
+                f"({null_guard} {ct}) WHEN {ok} THEN {good} "
+                f"ELSE {_raise_sql(ref, tgt_txt, ct)} END)"
+            )
+        if tname == "string":
+            if src == "idset":
+                return (
+                    f"({null_guard} STRING) ELSE concat('[', "
+                    f"concat_ws(' ', array_sort({ref})), ']') END)"
+                )
+            if src == "stringset":
+                return (
+                    f"({null_guard} STRING) "
+                    f"ELSE to_json(array_sort({ref})) END)"
+                )
+            if src == "timestamp":
+                frac = f"date_format({ref}, 'SSSSSS')"
+                return (
+                    f"({null_guard} STRING) ELSE concat("
+                    f"date_format({ref}, 'yyyy-MM-dd''T''HH:mm:ss'), "
+                    f"CASE WHEN {frac} = '000000' THEN '' ELSE "
+                    f"concat('.', regexp_replace({frac}, '0+$', '')) "
+                    f"END, 'Z') END)"
+                )
+        return m.group(0)
+
+    return _CAST_COL_RE.sub(render, sql)
+
+
+#: function scopes that consume a quantum column RAW (the (value, ts)
+#: entry array): RANGEQ reads entry.ts for its view-range filter
+_QUANTUM_RAW_FNS = {"RANGEQ"}
+#: set functions whose set argument is the VALUE set of the column
+_QUANTUM_VALUE_FNS = {"SETCONTAINS", "SETCONTAINSANY", "SETCONTAINSALL"}
+
+
+def _quantum_rewrite(spark: SparkSession, sql: str) -> str:
+    """Time-quantum columns store (value, ts) view entries
+    (array<struct<value,ts>>), but the reference's SQL surface treats a
+    ``stringsetq``/``idsetq`` column as its VALUE SET everywhere except
+    RANGEQ (which reads the view timestamps): selecting ``ss1`` returns
+    the distinct values (Extract reads the standard view — every write
+    lands there, executor.go:5191-5207), and SETCONTAINS/ANY/ALL test
+    membership against values (defs_set_functions.go:445-480
+    'set-contains-select-list' on setq columns). Rewrite bare quantum
+    column references accordingly; single-table scope like the binop
+    guard."""
+    toks = _tokenize(sql)
+    sig_pos = [i for i, t in enumerate(toks) if not _is_ws(t)]
+    sig = [toks[i] for i in sig_pos]
+    froms = [i for i, t in enumerate(sig) if t.upper() == "FROM"]
+    if len(froms) != 1 or any(t.upper() == "JOIN" for t in sig):
+        return sql
+    fi = froms[0]
+    if fi + 1 >= len(sig):
+        return sql
+    table = sig[fi + 1]
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        return sql
+    alias = None
+    if fi + 2 < len(sig) and _re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*", sig[fi + 2]
+    ) and sig[fi + 2].upper() not in (
+        "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "WITH",
+    ):
+        alias = sig[fi + 2].lower()
+    try:
+        dtypes = dict(spark.table(table).dtypes)
+    except Exception:  # noqa: BLE001 — unknown table: Catalyst's error
+        return sql
+    qcols = {
+        c.lower() for c, dt in dtypes.items()
+        if dt.startswith("array<struct<")
+    }
+    if not qcols:
+        return sql
+
+    out: list[str] = []
+    fn_stack: list[str] = []  # innermost function per paren scope
+    pending_fn = ""
+    clause = ""
+    n = len(toks)
+    i = 0
+    while i < n:
+        t = toks[i]
+        if _is_ws(t):
+            out.append(t)
+            i += 1
+            continue
+        up = t.upper()
+        nxt = ""
+        k = i + 1
+        while k < n and _is_ws(toks[k]):
+            k += 1
+        if k < n:
+            nxt = toks[k]
+        if up in ("SELECT", "WHERE", "GROUP", "ORDER", "HAVING"):
+            clause = up.lower()
+        if t == "(":
+            fn_stack.append(pending_fn)
+            pending_fn = ""
+        elif t == ")":
+            if fn_stack:
+                fn_stack.pop()
+        is_ident = bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t))
+        if is_ident and nxt == "(":
+            pending_fn = up
+        ref = None  # (consumed-token-count, column-name)
+        if is_ident and t.lower() in qcols and nxt != "(":
+            prev = next(
+                (x for x in reversed(out) if not _is_ws(x)), ""
+            )
+            if prev != ".":
+                ref = (1, t)
+        elif (
+            is_ident
+            and alias is not None
+            and t.lower() == alias
+            and nxt == "."
+        ):
+            # a.ss1 — three tokens
+            k2 = k + 1
+            while k2 < n and _is_ws(toks[k2]):
+                k2 += 1
+            if k2 < n and toks[k2].lower() in qcols:
+                ref = (k2 - i + 1, toks[k2])
+        if ref is not None:
+            consumed, col = ref
+            raw = "".join(toks[i : i + consumed])
+            scope = fn_stack[-1] if fn_stack else ""
+            if scope in _QUANTUM_RAW_FNS:
+                out.append(raw)
+            elif scope in _QUANTUM_VALUE_FNS:
+                out.append(f"transform({raw}, __q -> __q.value)")
+            else:
+                expr = f"array_distinct(transform({raw}, __q -> __q.value))"
+                # top-level select-list item keeps the column's name
+                if clause == "select" and not fn_stack:
+                    k3 = i + consumed
+                    while k3 < n and _is_ws(toks[k3]):
+                        k3 += 1
+                    if k3 >= n or toks[k3].upper() in (",", "FROM"):
+                        expr += f" AS {col}"
+                out.append(expr)
+            i += consumed
+            continue
+        out.append(t)
+        i += 1
+    return "".join(out)
+
+
+def _binop_type_guard(spark: SparkSession, sql: str, catalog=None) -> None:
     """Raise the reference's binop compile errors for column-op-column
     expressions (defs_binops.go corpus): per-operand 'operator <op>
     incompatible with type <t>' (checked left to right), then the
@@ -2017,7 +3012,26 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
     classes int/id/decimal ARE jointly comparable; timestamp only with
     itself)."""
     toks = _tokenize(sql)
-    sig = [t for t in toks if not _is_ws(t)]
+    sig = []
+    offs = []  # char offset of each sig token in the original text
+    _off = 0
+    for t in toks:
+        if not _is_ws(t):
+            sig.append(t)
+            offs.append(_off)
+        _off += len(t)
+
+    def _pos(i: int) -> str:
+        """'[line:col] ' of sig[i] — the reference's 1-based error
+        position prefix (errors.go formats every planner error as
+        '[%d:%d] ...'; the corpus's leading-space ExpErr substrings,
+        e.g. \" operator '+' incompatible...\", match the space AFTER
+        the bracket)."""
+        off = offs[i] if 0 <= i < len(offs) else 0
+        line = sql.count("\n", 0, off) + 1
+        col = off - (sql.rfind("\n", 0, off) + 1) + 1
+        return f"[{line}:{col}] "
+
     # single-table scope only: exactly one FROM, a bare table name, no
     # JOIN / comma-list / subquery
     froms = [i for i, t in enumerate(sig) if t.upper() == "FROM"]
@@ -2038,15 +3052,27 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
         "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", ";",
     ):
         return
-    try:
-        schema = spark.table(table).schema
-    except Exception:  # noqa: BLE001 — unknown table: Catalyst's error
-        return
     types = {}
-    for f in schema.fields:
-        tn = _fb_type_name(f)
-        if tn:
-            types[f.name.lower()] = tn
+    # DECLARED types first — the Spark schema cannot distinguish id
+    # from int (both bigint), and the corpus pins e.g. "types
+    # 'timestamp' and 'id' are not equatable" (binOpExprWithTSID)
+    td = getattr(catalog, "_defs", {}).get(table) if catalog else None
+    if td is not None:
+        types["_id"] = "string" if td.keys else "id"
+        for fd in td.fields:
+            ft = fd.fb_type.lower()
+            types[fd.name.lower()] = (
+                f"decimal({fd.scale})" if ft == "decimal" else ft
+            )
+    else:
+        try:
+            schema = spark.table(table).schema
+        except Exception:  # noqa: BLE001 — unknown table
+            return
+        for f in schema.fields:
+            tn = _fb_type_name(f)
+            if tn:
+                types[f.name.lower()] = tn
 
     def col_type(i: int) -> Optional[str]:
         t = sig[i]
@@ -2076,6 +3102,7 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
                     )
                     if uc not in allowed:
                         raise ValueError(
+                            _pos(i + 1) +
                             f"operator '{op}' incompatible with "
                             f"type '{ut}'"
                         )
@@ -2092,6 +3119,7 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
                 "int", "id", "decimal", "timestamp",
             ):
                 raise ValueError(
+                    _pos(j) +
                     f"type '{lt}' cannot be used as a range subscript"
                 )
             continue
@@ -2106,6 +3134,7 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
             lt = col_type(j)
             if lt is not None and lt != "string":
                 raise ValueError(
+                    _pos(j) +
                     f"operator '{opname}' incompatible with type '{lt}'"
                 )
             continue
@@ -2117,9 +3146,10 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
         lc, rc = _binop_class(lt), _binop_class(rt)
         if op in _BINOP_ALLOWED:
             allowed = _BINOP_ALLOWED[op]
-            for t, c in ((lt, lc), (rt, rc)):
+            for nn, t, c in ((i - 1, lt, lc), (i + 1, rt, rc)):
                 if c not in allowed:
                     raise ValueError(
+                        _pos(nn) +
                         f"operator '{tok}' incompatible with type '{t}'"
                     )
         if op in _EQ_OPS or op in _ORDER_OPS:
@@ -2127,6 +3157,7 @@ def _binop_type_guard(spark: SparkSession, sql: str) -> None:
             jointly = (lc == rc) or (lc in numeric and rc in numeric)
             if not jointly:
                 raise ValueError(
+                    _pos(i - 1) +
                     f"types '{lt}' and '{rt}' are not equatable"
                 )
 
@@ -2189,11 +3220,59 @@ def _int_binop_rewrite(spark: SparkSession, sql: str) -> str:
             and _binop_class(types.get(t.lower(), "")) in ("int", "id")
         )
 
+    def dec_scale(n: int):
+        """Scale of sig[n] when it is a decimal-class operand (decimal
+        column or decimal literal); None otherwise."""
+        if not 0 <= n < len(sig):
+            return None
+        t = sig[n]
+        if sig[n - 1 : n] == ["."] or sig[n + 1 : n + 2] == ["."]:
+            return None
+        m = _re.fullmatch(r"-?\d+\.(\d+)", t)
+        if m:
+            return len(m.group(1))
+        tn = types.get(t.lower(), "")
+        m = _re.fullmatch(r"decimal\((\d+)\)", tn)
+        return int(m.group(1)) if m else None
+
     out = list(toks)
     for n in range(1, len(sig) - 1):
         op = sig[n]
         if op not in ("/", "%"):
             continue
+        lsc, rsc = dec_scale(n - 1), dec_scale(n + 1)
+        if (
+            op == "/"
+            and (lsc is not None or rsc is not None)
+            and (lsc is not None or int_operand(n - 1))
+            and (rsc is not None or int_operand(n + 1))
+        ):
+            # decimal division: result scale = max operand scale, the
+            # quotient TRUNCATED at that scale (pql.DivideDecimal,
+            # pql/decimal.go:150-161 — sameScalify to the max scale,
+            # then big.Int.Div; defs_binops.go pins 12.34/20 = 0.61,
+            # not the rounded 0.62). Truncation via q - (q % step);
+            # zero divisor raises like the int path (the reference
+            # evaluates decimal binops with the same zero check).
+            s = max(lsc or 0, rsc or 0)
+            if s > 0:
+                lhs, rhs = sig[n - 1], sig[n + 1]
+                step = "0." + "0" * (s - 1) + "1"
+                q = f"(({lhs}) / ({rhs}))"
+                expr = (
+                    f"(CASE WHEN ({rhs}) = 0 THEN CAST(raise_error("
+                    f"'[0:0] divisor is equal to zero') AS DECIMAL(38,{s})) "
+                    f"ELSE CAST({q} - ({q} % {step}) AS DECIMAL(38,{s})) "
+                    f"END)"
+                )
+                li, oi, ri = sig_idx[n - 1], sig_idx[n], sig_idx[n + 1]
+                out[li] = expr
+                for j in range(li + 1, ri + 1):
+                    out[j] = ""
+                sig[n - 1] = expr
+                sig[n] = ""
+                sig[n + 1] = ""
+                continue
         if not (int_operand(n - 1) and int_operand(n + 1)):
             continue
         lhs, rhs = sig[n - 1], sig[n + 1]
@@ -2430,6 +3509,28 @@ def _apply_query_hints(spark: SparkSession, sql: str) -> str:
         return sql
     if col not in cols:
         raise ValueError(f"column '{col}' not found")
+    # the optimizer rule fires ONLY on a single-output-column scan of
+    # the hinted (non-_id) column (planoptimizer.go:810-818 — 'bail if
+    # there is more than one output column'): `select distinct ids1,
+    # ss1 ... with (flatten(ids1))` returns the UNflattened sets
+    # (defs_groupby.go:346-360). Hint VALIDATION above still ran —
+    # unknown hints/columns error regardless.
+    sel = _re.match(
+        r"(?is)^\s*select\s+(distinct\s+)?(.*?)\s+from\b", sql
+    )
+    selected = [
+        s.strip().strip("`").lower()
+        for s in (sel.group(2).split(",") if sel else [])
+    ]
+    # the companion GROUP BY rule (planoptimizer.go:895-935) flattens
+    # whenever the hinted set column is a grouping expression
+    grouped = _re.search(
+        rf"(?is)\bgroup\s+by\b[^)]*\b{_re.escape(col)}\b", sql
+    )
+    if selected != [col.lower()] and not grouped:
+        # strip the hint clause, leave the query otherwise untouched
+        out = sql[: m.start()] + f"FROM {table}" + sql[m.end():]
+        return _apply_query_hints(spark, out)
     others = ", ".join(f"`{c}`" for c in cols if c != col)
     derived = (
         f"(SELECT {others + ', ' if others else ''}array(__fb_flat) "
@@ -2467,7 +3568,14 @@ def fb_sql(spark: SparkSession, sql: str, catalog=None) -> Optional[DataFrame]:
             return routed
     sql = _expand_tvfs(spark, sql)  # declared extension (TVF front door)
     sql = _apply_query_hints(spark, sql)  # WITH (flatten(col)) hints
-    _binop_type_guard(spark, sql)  # defs_binops.go type-rule parity
+    sql = _join_resolver_rewrite(spark, sql)  # sql3 join name quirks
+    sql = _page_order_rewrite(spark, sql)  # TOP/LIMIT page by _id
+    sql = _cast_string_render_rewrite(spark, sql, catalog)  # defs_cast.go
+    sql = _quantum_rewrite(spark, sql)  # setq/idsetq value-set surface
+    _binop_type_guard(spark, sql, catalog)  # defs_binops.go type rules
+    _select_analyzer_guard(spark, sql, catalog)  # joins/order-by/agg rules
+    sql = _like_scalar_rewrite(sql)  # wildCardToRegexp LIKE semantics
+    sql = _grouped_sum_rewrite(sql)  # single-SUM GroupBy drops null groups
     sql = _int_binop_rewrite(spark, sql)  # int '/'+'%' truncation + /0
     sql = _percentile_rewrite(spark, sql)  # executePercentile bisection
     if catalog is not None:

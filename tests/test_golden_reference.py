@@ -1664,13 +1664,18 @@ def test_golden_timequantum_inserts(spark):
     ]
     for q in ok:
         fb_sql(spark, q, catalog=cat)
-    # the upserted record carries the LAST write's quantum pairs
+    # the upserted record carries the LAST write's quantum pairs; the
+    # SQL surface projects a setq column as its VALUE SET (r13 —
+    # defs_set_functions.go 'set-contains-select-list' semantics), the
+    # raw (value, ts) entries stay on the storage view
     row = fb_sql(
         spark, "select ss1, ids1 from time_quantum_insert", catalog=cat
     ).first()
-    assert [x["value"] for x in row["ss1"]] == ["test3"]
-    assert row["ids1"][0]["value"] == 3
-    assert str(row["ids1"][0]["ts"]).startswith("2022-01-01")
+    assert row["ss1"] == ["test3"]
+    assert row["ids1"] == [3]
+    raw = spark.table("time_quantum_insert").first()
+    assert raw["ids1"][0]["value"] == 3
+    assert str(raw["ids1"][0]["ts"]).startswith("2022-01-01")
 
     err = [
         ("insert into time_quantum_insert (_id, i1, ss1, ids1) "

@@ -172,9 +172,12 @@ def test_pql_nth_validation_errors(spark):
 
 def test_sql_door_fold_matches_go_loop(spark):
     """The SQL door's pure-arithmetic fold (_percentile_fold_sql) equals
-    the Go loop, including negatives and the fall-out case, and composes
-    under GROUP BY (declared superset — the reference rejects grouped
-    percentile outright)."""
+    the Go loop, including negatives and the fall-out case. Grouped
+    percentile REFUSES on the door since r13 (defs_groupby.go:209-213
+    "aggregate 'PERCENTILE()' not allowed in GROUP BY" — the former
+    grouped superset lives on as operators/grouped.grouped_percentile,
+    the gated grouped_percentile_median key); the per-group folds are
+    exercised here through single-group WHERE queries."""
     rows = []
     groups = {
         "a": [0, 1, 1, 1],  # fall-out -> 0
@@ -187,16 +190,21 @@ def test_sql_door_fold_matches_go_loop(spark):
     spark.createDataFrame(rows, "g string, v long").createOrReplaceTempView(
         "pctl_parity_t"
     )
-    got = {
-        r["g"]: r["p"]
-        for r in fb_sql(
+    with pytest.raises(
+        ValueError, match=r"aggregate 'PERCENTILE\(\)' not allowed in GROUP BY"
+    ):
+        fb_sql(
             spark,
             "SELECT g, percentile(v, 50) AS p FROM pctl_parity_t "
             "GROUP BY g",
-        ).collect()
-    }
+        )
     for g, vals in groups.items():
-        assert got[g] == go_reference(vals, 50.0), (g, vals, got[g])
+        got_g = fb_sql(
+            spark,
+            f"SELECT percentile(v, 50) AS p FROM pctl_parity_t "
+            f"WHERE g = '{g}'",
+        ).first()["p"]
+        assert got_g == go_reference(vals, 50.0), (g, vals, got_g)
     # global (the only reference-legal shape) + WHERE superset
     one = fb_sql(
         spark,
