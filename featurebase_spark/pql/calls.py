@@ -860,8 +860,9 @@ class MinRow(_FieldAgg):
             vals.join(F.broadcast(extreme), F.col("__v__") == F.col("__extreme__"))
             .groupBy("__extreme__")
             .agg(F.count(F.lit(1)).alias("count"))
-            .select(F.col("__extreme__").alias("value"), "count")
-        )
+            .select(F.col("__extreme__").alias(self.field), "count")
+        )  # wire headers: (field-name, count) — dax_test PQLTests
+        # 'minrow'/'maxrow' pin hdr("an_id_set")
 
 
 class MaxRow(MinRow):
@@ -870,12 +871,19 @@ class MaxRow(MinRow):
     _AGG = "max"
 
 
+@dataclass
 class Distinct(_FieldAgg):
     """Distinct values of a field over the filtered bitmap
     (executeDistinct executor.go:1173-1224, shard 1820-2154). Set fields
     explode first (one bitmap per value in the reference). Plan: partial
     hash-distinct per partition then exchange on the value — same shape as
-    the reference's per-shard distinct + merge."""
+    the reference's per-shard distinct + merge.
+
+    ``index_name`` carries the TEXT form's ``index=other`` cross-index
+    argument (defs_join.go 'distinctjoin'); parser.execute resolves it
+    against its ``indexes`` registry into DistinctAsRow.source."""
+
+    index_name: Optional[str] = None
 
     def to_df(self, idx: Index) -> DataFrame:
         df = _filtered(idx, self.filter)
@@ -1776,11 +1784,11 @@ class IncludesColumn(ReaderCall):
         base = idx.df.where(F.col(idx.id_col) == F.lit(self.column))
         if pred is not None:
             return base.agg(
-                _truthy(F.max(_truthy(pred))).alias("includes")
+                _truthy(F.max(_truthy(pred))).alias("result")
             )
         return self.child.ids(idx).where(F.col("_id") == F.lit(self.column)).agg(
-            (F.count(F.lit(1)) > 0).alias("includes")
-        )
+            (F.count(F.lit(1)) > 0).alias("result")
+        )  # wire header 'result' (dax_test PQLTests 'includescolumn')
 
 
 @dataclass
@@ -1793,9 +1801,14 @@ class FieldValue(ReaderCall):
     column: object
 
     def to_df(self, idx: Index) -> DataFrame:
+        # wire shape is a ValCount: (value, count=1) — dax_test
+        # PQLTests 'fieldvalue' pins hdrs(value, count), row (33, 1)
         return (
             idx.df.where(F.col(idx.id_col) == F.lit(self.column))
-            .select(F.col(self.field).alias("value"))
+            .select(
+                F.col(self.field).alias("value"),
+                F.lit(1).cast("long").alias("count"),
+            )
         )
 
 

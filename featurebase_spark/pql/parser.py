@@ -538,7 +538,11 @@ def _build(name: str, pos: list, kw: dict):
         cls = {"MinRow": C.MinRow, "MaxRow": C.MaxRow}[name]
         return cls(field=kw["field"], filter=pos[0] if pos else None)
     if name == "Distinct":
-        return C.Distinct(field=kw["field"], filter=pos[0] if pos else None)
+        return C.Distinct(
+            field=kw["field"],
+            filter=pos[0] if pos else None,
+            index_name=kw.get("index"),
+        )
     if name == "Percentile":
         if "field" not in kw:
             raise ValueError("Percentile(): field required")
@@ -784,7 +788,7 @@ def parse_all(text: str) -> list:
     return nodes
 
 
-def execute(idx: C.Index, text: str, bitmap=None) -> DataFrame:
+def execute(idx: C.Index, text: str, bitmap=None, indexes=None) -> DataFrame:
     """Parse + compile + return the result DataFrame (row-calls return
     their id frames, readers their reader frames, write calls the
     TRANSFORMED table — commit it via Catalog/materialize_view) — the
@@ -799,10 +803,43 @@ def execute(idx: C.Index, text: str, bitmap=None) -> DataFrame:
     stays the fallback. Routed answers are exactly equal to scan answers
     (plans/router contract)."""
     node = parse(text)
+    if indexes:
+        _resolve_foreign(node, indexes)
     return _execute_node(idx, node, bitmap)
 
 
+def _resolve_foreign(node, indexes) -> None:
+    """Attach source indexes to cross-index Distincts (the text form's
+    ``index=other`` argument — defs_join.go 'distinctjoin'; the
+    reference dispatches the nested Distinct to the named index,
+    executor.go handlePreCalls)."""
+    if isinstance(node, C.DistinctAsRow):
+        nm = getattr(node.distinct, "index_name", None)
+        if nm is not None:
+            if nm not in indexes:
+                raise ValueError(f"index '{nm}' not found")
+            node.source = indexes[nm]
+    for attr in ("children", "rows"):
+        for child in getattr(node, attr, ()) or ():
+            if hasattr(child, "__dataclass_fields__"):
+                _resolve_foreign(child, indexes)
+    for attr in ("filter", "child", "a", "b", "row", "src", "distinct"):
+        child = getattr(node, attr, None)
+        if child is not None and hasattr(child, "__dataclass_fields__"):
+            _resolve_foreign(child, indexes)
+
+
 def _execute_node(idx: C.Index, node, bitmap=None) -> DataFrame:
+    if isinstance(node, C.Options) and isinstance(node.child, C.ReaderCall):
+        # executeOptionsCall wraps ANY child (executor.go:883-906) —
+        # Options(Count(...), shards=[...]) restricts the index to the
+        # named shards and delegates (dax_test PQLTests 'options')
+        import dataclasses as _dc
+
+        restricted = _dc.replace(
+            idx, df=idx.df.where(node._shard_pred(idx))
+        )
+        return _execute_node(restricted, node.child, None)
     if isinstance(node, C.ReaderCall):
         if bitmap is not None:
             routed = _route_reader(bitmap, node, idx)

@@ -289,8 +289,9 @@ def pql_min_max(spark, sf_dir):
 
 @register(
     "pql_minrow",
-    "SELECT value, count FROM (SELECT event_type AS value, COUNT(*) AS count "
-    "FROM events GROUP BY event_type) WHERE value = (SELECT MIN(event_type) FROM events)",
+    "SELECT event_type, count FROM (SELECT event_type, COUNT(*) AS count "
+    "FROM events GROUP BY event_type) "
+    "WHERE event_type = (SELECT MIN(event_type) FROM events)",
 )
 def pql_minrow(spark, sf_dir):
     """PQL MinRow — executor.go:1604-1642 (lowest value + its count)."""
@@ -299,8 +300,9 @@ def pql_minrow(spark, sf_dir):
 
 @register(
     "pql_maxrow",
-    "SELECT value, count FROM (SELECT event_type AS value, COUNT(*) AS count "
-    "FROM events GROUP BY event_type) WHERE value = (SELECT MAX(event_type) FROM events)",
+    "SELECT event_type, count FROM (SELECT event_type, COUNT(*) AS count "
+    "FROM events GROUP BY event_type) "
+    "WHERE event_type = (SELECT MAX(event_type) FROM events)",
 )
 def pql_maxrow(spark, sf_dir):
     """PQL MaxRow — executor.go:1643-1681."""
@@ -513,7 +515,7 @@ def pql_sort(spark, sf_dir):
 
 @register(
     "pql_includes_column",
-    "SELECT COALESCE(MAX(event_type = 'click'), FALSE) AS includes "
+    "SELECT COALESCE(MAX(event_type = 'click'), FALSE) AS result "
     "FROM events WHERE event_id = 7",
 )
 def pql_includes_column(spark, sf_dir):
@@ -525,7 +527,7 @@ def pql_includes_column(spark, sf_dir):
 
 @register(
     "pql_field_value",
-    "SELECT value FROM events WHERE event_id = 7",
+    "SELECT value, CAST(1 AS BIGINT) AS count FROM events WHERE event_id = 7",
 )
 def pql_field_value(spark, sf_dir):
     """PQL FieldValue — executor.go:943-1026."""

@@ -50,7 +50,24 @@ def _case_ids():
         for i, st in enumerate(tt["sqltests"]):
             for j in range(len(st["sqls"])):
                 out.append(_case_id(tt, i, st, j))
+        for j, pt in enumerate(tt.get("pqltests", [])):
+            out.append(_pql_case_id(tt, j, pt))
     return out
+
+
+def _pql_case_id(tt, j, pt):
+    nm = f"-{pt['name']}" if pt["name"] else ""
+    return f"{tt['var']}/pql-{j}{nm}"
+
+
+#: FieldDef.fb_type -> the reference field-type names Index.field_types
+#: consults (type-dependent validation, pql/calls.py Index docstring)
+_FB_TO_REF_TYPE = {
+    "int": "int", "decimal": "decimal", "bool": "bool",
+    "timestamp": "timestamp", "id": "mutex", "string": "mutex",
+    "idset": "set", "stringset": "set", "idsetq": "time",
+    "stringsetq": "time",
+}
 
 
 def _case_id(tt, i, st, j):
@@ -366,7 +383,87 @@ def corpus_results(spark):
                     results[case_id] = {"fail": setup_err}
                     continue
                 results[case_id] = _run_one(spark, cat, st, sql, case_id)
+
+        for j, pt in enumerate(tt.get("pqltests", [])):
+            case_id = _pql_case_id(tt, j, pt)
+            if setup_err:
+                results[case_id] = {"fail": setup_err}
+                continue
+            results[case_id] = _run_pql(spark, cat, pt)
     return results
+
+
+def _get_index(spark, cat, name: str):
+    """An Index over a corpus catalog table, with the declared
+    field-type map (id/string are mutex fields, sets are set fields)."""
+    from featurebase_spark.pql.calls import Index
+    from featurebase_spark.schema import spark_view_name
+
+    td = cat._defs[name]
+    name = spark_view_name(name)
+    field_types = {
+        fd.name: _FB_TO_REF_TYPE.get(fd.fb_type.lower(), fd.fb_type)
+        for fd in td.fields
+    }
+    quantums = {
+        fd.name: fd.time_quantum
+        for fd in td.fields
+        if fd.time_quantum
+    }
+    return Index(
+        spark.table(name), field_types=field_types, quantums=quantums
+    )
+
+
+def _run_pql(spark, cat, pt: dict) -> dict:
+    """Replay one PQLTest with the reference harness's semantics
+    (dax_test.go:1075-1112: ExpErr substring; headers ElementsMatch;
+    rows EXACT-ordered after header-name reorder)."""
+    from featurebase_spark.pql import parser as P
+
+    try:
+        idx = _get_index(spark, cat, pt["table"])
+        indexes = {
+            n: _get_index(spark, cat, n) for n in cat._defs
+            if n != pt["table"]
+        }
+        dfs = [
+            P.execute(idx, q, indexes=indexes) for q in pt["pqls"]
+        ]
+        err = None
+    except Exception as e:  # noqa: BLE001 — asserted on text
+        dfs, err = [], str(e)
+
+    if pt["exp_err"]:
+        if err is None:
+            return {
+                "fail": f"expected error containing {pt['exp_err']!r}, "
+                f"query succeeded"
+            }
+        if pt["exp_err"] not in err:
+            return {
+                "fail": None,
+                "err_text": f"expected {pt['exp_err']!r} in error, "
+                f"got {err!r}",
+            }
+        return {"fail": None}
+    if err is not None:
+        return {"fail": f"unexpected error: {err}"}
+    st = {
+        "exp_hdrs": pt["exp_hdrs"],
+        "exp_rows": pt["exp_rows"],
+        "compare": "exactOrdered",
+        "sort_string_keys": False,
+        "exp_row_count": 0,
+    }
+    for df in dfs:
+        try:
+            mismatch = _compare_case(st, df)
+        except Exception as e:  # noqa: BLE001
+            mismatch = f"compare crashed: {type(e).__name__}: {e}"
+        if mismatch:
+            return {"fail": mismatch}
+    return {"fail": None}
 
 
 def _run_one(spark, cat, st: dict, sql: str, case_id: str = "") -> dict:

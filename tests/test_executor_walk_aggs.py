@@ -262,9 +262,9 @@ def test_minmaxrow_rowid(spark):
         )
     )
     r = P.execute(idx, "MinRow(field=f)").first()
-    assert (r["value"], r["count"]) == (1, 1)
+    assert (r["f"], r["count"]) == (1, 1)
     r = P.execute(idx, "MaxRow(field=f)").first()
-    assert (r["value"], r["count"]) == (10000, 1)
+    assert (r["f"], r["count"]) == (10000, 1)
     with pytest.raises(ValueError, match="field not found"):
         P.execute(idx, "MinRow(field=fake)")
     with pytest.raises(ValueError, match="field not found"):
@@ -286,9 +286,9 @@ def test_minmaxrow_rowkey_value_order(spark):
         )
     )
     r = P.execute(idx, "MinRow(field=f)").first()
-    assert (r["value"], r["count"]) == ("fifty", 1)
+    assert (r["f"], r["count"]) == ("fifty", 1)
     r = P.execute(idx, "MaxRow(field=f)").first()
-    assert (r["value"], r["count"]) == ("ten-thousand", 1)
+    assert (r["f"], r["count"]) == ("ten-thousand", 1)
 
 
 # ---- Sum (:2782) ---------------------------------------------------------

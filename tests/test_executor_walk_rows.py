@@ -408,7 +408,7 @@ def test_includes_column_ids(spark, col, exp):
                               "_id long, general array<bigint>")
     )
     out = P.execute(idx, f"IncludesColumn(Row(general=10), column={col})")
-    assert out.first()["includes"] is exp
+    assert out.first()["result"] is exp
 
 
 def test_includes_column_keys(spark):
@@ -417,9 +417,9 @@ def test_includes_column_keys(spark):
                               "_id string, general array<string>")
     )
     q = 'IncludesColumn(Row(general="ten"), column="a")'
-    assert P.execute(idx, q).first()["includes"] is True
+    assert P.execute(idx, q).first()["result"] is True
     q = 'IncludesColumn(Row(general="ten"), column="zzz")'
-    assert P.execute(idx, q).first()["includes"] is False
+    assert P.execute(idx, q).first()["result"] is False
 
 
 def test_includes_column_errors(spark):

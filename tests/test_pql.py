@@ -108,10 +108,10 @@ def test_sum_matches_df(ev, tables):
 
 def test_minrow_maxrow(ev):
     r = MinRow("event_type").to_df(ev).first()
-    assert r["value"] == "click"
+    assert r["event_type"] == "click"
     assert r["count"] > 0
     r = MaxRow("event_type").to_df(ev).first()
-    assert r["value"] == "view"
+    assert r["event_type"] == "view"
 
 
 def test_distinct_set_field(spark):
@@ -179,9 +179,9 @@ def test_point_reads(ev):
     v = FieldValue("value", 7).to_df(ev).first()["value"]
     exp = ev.df.where(F.col("event_id") == 7).first()["value"]
     assert v == exp
-    inc = IncludesColumn(All(), 7).to_df(ev).first()["includes"]
+    inc = IncludesColumn(All(), 7).to_df(ev).first()["result"]
     assert inc is True
-    inc = IncludesColumn(All(), -1).to_df(ev).first()["includes"]
+    inc = IncludesColumn(All(), -1).to_df(ev).first()["result"]
     assert inc is False
 
 

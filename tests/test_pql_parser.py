@@ -111,7 +111,7 @@ def test_execute_point_and_const(ev):
     fv = execute(ev, "FieldValue(field=value, column=7)").first()["value"]
     assert fv == ev.df.where(F.col("event_id") == 7).first()["value"]
     inc = execute(ev, 'IncludesColumn(Row(event_type="click"), column=7)').first()[
-        "includes"
+        "result"
     ]
     assert inc in (True, False)
     sh = execute(ev, "Shift(ConstRow(columns=[1, 2]), n=10)").collect()

@@ -688,10 +688,22 @@ def eval_tabletest(s: Struct, var_name: str, file: str, line: int):
     if isinstance(st, Slice):
         for item in st.items:
             sqltests.append(eval_sqltest(item))
-    pql_count = 0
+    pqltests = []
     pt = f.get("PQLTests")
     if isinstance(pt, Slice):
-        pql_count = len(pt.items)
+        for item in pt.items:
+            pf = item.fields
+            pq = pf.get("PQLs")
+            pqltests.append(
+                {
+                    "name": pf.get("name", ""),
+                    "table": pf.get("Table", ""),
+                    "pqls": list(pq.items) if isinstance(pq, Slice) else [],
+                    "exp_hdrs": eval_hdrs(pf.get("ExpHdrs")),
+                    "exp_rows": eval_rows(pf.get("ExpRows")),
+                    "exp_err": pf.get("ExpErr", ""),
+                }
+            )
     return {
         "var": var_name,
         "name": f.get("name", ""),
@@ -699,7 +711,7 @@ def eval_tabletest(s: Struct, var_name: str, file: str, line: int):
         "line": line,
         "table": eval_table(f.get("Table")),
         "sqltests": sqltests,
-        "pql_tests_skipped": pql_count,
+        "pqltests": pqltests,
     }
 
 
