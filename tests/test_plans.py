@@ -452,3 +452,28 @@ def test_keyed_end2end_broadcasts_group_side(spark):
     df = SPARK_QUERIES["statement_keyed_end2end"](spark, SF_DIR)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, p
+
+
+def test_top_paging_is_take_ordered_not_global_sort(spark):
+    """r13: TOP(n)/LIMIT without ORDER BY pages by _id
+    (defs_unkeyed.go 'select-all-with-top' pins rows 1..n; our
+    hash-bucketed storage has no natural _id order). The plan must be
+    TakeOrderedAndProject — a per-partition top-n heap — never a
+    global Sort + Limit, so the determinism costs O(n) per partition
+    at any scale."""
+    from featurebase_spark.operators.ddl import Catalog
+    from featurebase_spark.sql import fb_sql
+
+    cat = Catalog(spark)
+    fb_sql(spark, "create table plan_top_t (_id id, a int min 0 max 100)",
+           catalog=cat)
+    fb_sql(
+        spark,
+        "insert into plan_top_t values "
+        + ",".join(f"({i},{i % 7})" for i in range(1, 200)),
+        catalog=cat,
+    )
+    df = fb_sql(spark, "select top(5) * from plan_top_t", catalog=cat)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p
+    assert [r["_id"] for r in df.collect()] == [1, 2, 3, 4, 5]
