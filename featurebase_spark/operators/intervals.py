@@ -145,13 +145,25 @@ def interval_overlap_join(
     sa, ea = F.col(f"{start_col}{la}"), F.col(f"{end_col}{la}")
     sb, eb = F.col(f"{start_col}{lb}"), F.col(f"{end_col}{lb}")
     join_keys = ["__bkt"]
+    # Self-joins (left IS right, the concurrent-sessions shape) have
+    # bit-identical per-bucket counts on both sides, so the skew modes'
+    # two-sided density union would aggregate the same exploded frame
+    # twice for the same answer — compute it once (r13 optimization;
+    # guide §1.2 "don't compute things you throw away").
+    self_join = left is right
+
+    def side_counts():
+        cnt = a.groupBy("__bkt").count()
+        if not self_join:
+            cnt = cnt.unionAll(b.groupBy("__bkt").count())
+        return cnt
+
     if skew == "error":
         # two-sided, like the salt path: a bucket hot on EITHER side
         # makes that bucket's join task N_a·N_b-heavy, so a right-only
         # hot bucket must trip the sentinel too
         dens = (
-            a.groupBy("__bkt").count()
-            .unionAll(b.groupBy("__bkt").count())
+            side_counts()
             .groupBy("__bkt").agg(F.max("count").alias("count"))
             .where(F.col("count") > skew_threshold)
             .orderBy(F.desc("count"))
@@ -175,14 +187,19 @@ def interval_overlap_join(
         # Phase 1: per-bucket row counts on EACH side (skew on either
         # side makes the bucket's task N_a·N_b-heavy) — one row per
         # bucket, aggregated map-side; the hot set (count>threshold)
-        # is tiny by construction and broadcast to both sides.
+        # is tiny by construction and broadcast to both sides. The
+        # lazy localCheckpoint materializes the (small) hot set once:
+        # without it the count-aggregate subtree — including the
+        # inputs' full lineage — replays inside BOTH sides' joins
+        # (r13 plan audit: the salted gate key re-ran sessionize six
+        # times; guide §2.4 remove shuffles outright).
         hot = (
-            a.groupBy("__bkt").count()
-            .unionAll(b.groupBy("__bkt").count())
+            side_counts()
             .where(F.col("count") > skew_threshold)
             .select("__bkt")
             .distinct()
             .withColumn("__hot", F.lit(True))
+            .localCheckpoint(eager=False)
         )
         # Phase 2: split-left (one deterministic salt per row, hashed
         # from the interval endpoints so re-runs agree) / replicate-
@@ -252,9 +269,17 @@ def concurrent_session_pairs(
         ts_col,
         gap_minutes,
     )
+    # ONE session-interval row per (user, session): four longs. The
+    # self-join consumes iv on BOTH sides (and the salt mode's density
+    # phase twice more per side), so materialize it once — without the
+    # lazy localCheckpoint the whole sessionize subtree (scan + user
+    # exchange + two window passes + aggregate) replays per consumer:
+    # 2× in the plain plan, 6× in the salted one (r13 plan audit;
+    # guide §2.4). Lineage-neutral: the materialized rows are exactly
+    # the aggregate's output, recomputed fresh per query run.
     iv = s.groupBy(user_col, "session_id").agg(
         F.min(ep).alias("s_us"), F.max(ep).alias("e_us")
-    )
+    ).localCheckpoint(eager=False)
     pairs = interval_overlap_join(
         iv,
         iv,

@@ -1123,7 +1123,12 @@ def winnowing_containment_pairs(
         .where(F.col("__df") <= max_df)
         .select("fp")
     )
-    fpk = fp.join(keep, "fp")
+    # materialize the capped posting table once: the pair self-join
+    # reads fpk on BOTH sides, and without the lazy localCheckpoint
+    # each side replays the keep aggregate — a full extra shuffle of
+    # the posting table per side (r13 plan audit: two identical
+    # Exchange+HashAggregate legs; guide §2.4 remove shuffles outright)
+    fpk = fp.join(keep, "fp").localCheckpoint(eager=False)
     a = fpk.select(F.col(id_col).alias("id_a"), "fp")
     b = fpk.select(F.col(id_col).alias("id_b"), "fp")
     return (
