@@ -953,6 +953,10 @@ def connected_components(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        # the edge list is re-read every round: materialize it once, or
+        # each round replays the whole upstream pair pipeline
+        # (minhash → LSH → verify) inside its join (r13; guide §2.4)
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
@@ -968,25 +972,25 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("src", "node")
         )
+        new_comp = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_component"), F.col("component")),
+        )
+        # the chg flag rides INSIDE the checkpointed frame (the
+        # graph.py loop's r10 fix, ported r13): the fixpoint test scans
+        # already-materialized rows instead of re-joining new labels
+        # against old — one join job fewer per round
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp != F.col("component")).alias("__chg"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("__chg").limit(1).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
         if rounds == max_iterations:

@@ -113,8 +113,7 @@ def connected_components(
         if sc._jsc.sc().getCheckpointDir().isEmpty():
             sc.setCheckpointDir(checkpoint_dir)
     n = F.col(node_col)
-    lab = nodes.where(n.isNotNull()).select(n.alias("node")).distinct()
-    lab = lab.select("node", F.col("node").alias("comp"))
+    all_nodes = nodes.where(n.isNotNull()).select(n.alias("node")).distinct()
     e = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
         .where(F.col("s").isNotNull() & F.col("t").isNotNull())
@@ -129,6 +128,18 @@ def connected_components(
         else sym.localCheckpoint(eager=False)
     )
 
+    all_nodes = all_nodes.localCheckpoint(eager=False)
+    # the loop only ever changes labels of nodes that HAVE an edge —
+    # isolated nodes are their own component by definition and would
+    # ride every round's joins/checkpoints as dead weight (in a dedup
+    # corpus most docs pair with nothing: here the label frame shrinks
+    # ~9× at the bench SF, and at 100 TB the loop shuffles track the
+    # duplicate surface, not the corpus). They rejoin once at the end
+    # (r13; guide §2.3 shuffle fewer bytes).
+    lab = all_nodes.join(
+        sym.select(F.col("s").alias("node")).distinct(), "node", "left_semi"
+    )
+    lab = lab.select("node", F.col("node").alias("comp"))
     lab = lab.localCheckpoint(eager=False)
     for i in range(int(max_iter)):
         nbr = (
@@ -167,8 +178,11 @@ def connected_components(
         changed = new_lab.where("chg").count()
         lab = new_lab.select("node", "comp")
         if changed == 0:
-            return lab.select(
-                F.col("node").alias(node_col), F.col("comp").alias("component")
+            # isolated nodes rejoin as their own component (comp NULL
+            # after the left join ⇔ the node had no edge)
+            return all_nodes.join(lab, "node", "left").select(
+                F.col("node").alias(node_col),
+                F.coalesce("comp", "node").alias("component"),
             )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
