@@ -43,11 +43,13 @@ BENCH_QUERIES = [
     "sql_q13_customer_distribution",
     "sql_q18_large_orders",
     # training-data pipeline headliners (documents/embeddings tables).
-    # sim_bruteforce_topk left the bench list in r13 (the one-line JSON
-    # must fit the driver's tail buffer — test_oracle.py guard): it is
-    # the ANN oracle twin, fully covered by sim_ann_pq_adc_topk here
-    # and by the registry/gate everywhere else.
+    # The mid-build r13 session had rotated sim_bruteforce_topk OUT
+    # (tail-buffer headroom); the optimization round runs an add-only
+    # bench contract, so it is RESTORED — the line stays ~180 chars
+    # under the driver's 2000-char tail at worst-case widths
+    # (test_oracle.py guard).
     "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
     "text_token_count_bpeish",
     # r2 breadth: LSH scale paths, bitmap-index path
     "sim_embedding_neardup",

@@ -44,4 +44,8 @@ def test_bench_json_line_fits_driver_tail_buffer():
         },
         separators=(",", ":"),
     )
-    assert len(line) < 1800, len(line)
+    # 1900: the r13 add-only bench contract restored sim_bruteforce_topk
+    # (59 keys -> 1818 at worst-case width); still 100+ chars of margin
+    # inside the driver's 2000-char tail, and bench.py itself warns past
+    # its own 1800 soft line.
+    assert len(line) < 1900, len(line)
