@@ -22,6 +22,13 @@ loss-LESS-ly via the pigeonhole bound):
    ≤ P / min_share rows TOTAL (1e6 for P=1000, min_share=1e-3) —
    driver/broadcast scale, independent of corpus size.
 
+   The integer ``share_permille`` contract (r13) additionally runs
+   phase 1 as ONE pass with no prior knowledge of N: each partition
+   cuts at the WEIGHTED bound ceil(share · n_p) against its own raw
+   row count n_p and reports n_p in a sentinel, so the separate
+   N-counting scan disappears and the recall bound needs no partition
+   count at all (proof in :func:`heavy_hitters`).
+
 2. **Exact verify, candidate-restricted shuffle.** Re-scan, keep only
    candidate items (broadcast left-semi join), and run the exact
    ``groupBy(item).count()`` — the shuffle now carries at most the
@@ -56,7 +63,10 @@ __all__ = [
 
 
 def local_item_counts(
-    items: DataFrame, item_col: str, with_markers: bool = False
+    items: DataFrame,
+    item_col: str,
+    with_markers: bool = False,
+    local_share: Optional[tuple] = None,
 ) -> DataFrame:
     """Per-PARTITION finalized (item, local_count) pairs via one
     Arrow-batched generator pass — no exchange. The generator holds one
@@ -69,32 +79,59 @@ def local_item_counts(
     never NULL — value_counts drops them — and real counts are ≥ 1).
     Counting the sentinels observes how many partitions actually held
     data, letting :func:`heavy_hitters` ENFORCE its pigeonhole bound
-    instead of trusting the planned partition count."""
+    instead of trusting the planned partition count.
+
+    ``local_share``: an exact rational ``(num, den)`` share. Applies the
+    WEIGHTED per-partition pigeonhole cut inside the generator — only
+    items with local count ≥ ceil(num·n_p / den) survive, where n_p is
+    the partition's own RAW row count — and emits one sentinel per
+    non-empty partition carrying that total as ``local_count = -n_p``.
+    This is the one-pass form: the caller recovers the corpus total
+    N = Σ n_p from the sentinels instead of running a separate counting
+    job, and the cut needs no partition count at all (recall proof in
+    :func:`heavy_hitters`). Mutually exclusive with ``with_markers``."""
     import pandas as pd
 
+    if local_share is not None and with_markers:
+        raise ValueError("local_share and with_markers are exclusive")
     out_schema = f"{item_col} string, local_count long"
 
     def count_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # vectorized per-batch value_counts (C path), merged once at the
         # end — ~5x faster than a Python Counter over the same stream
-        parts = [b[item_col].value_counts(dropna=True) for b in batches]
-        parts = [p for p in parts if len(p)]
-        if not parts:
+        n_raw = 0
+        parts = []
+        for b in batches:
+            n_raw += len(b)
+            vc = b[item_col].value_counts(dropna=True)
+            if len(vc):
+                parts.append(vc)
+        if not parts and not (local_share is not None and n_raw):
             return
-        total = (
-            parts[0]
-            if len(parts) == 1
-            else pd.concat(parts).groupby(level=0).sum()
-        )
+        if parts:
+            total = (
+                parts[0]
+                if len(parts) == 1
+                else pd.concat(parts).groupby(level=0).sum()
+            )
+        else:
+            total = pd.Series(dtype="int64")
+        if local_share is not None:
+            num, den = local_share
+            # integer-exact ceil(num*n_p/den); counts are integers, so
+            # c >= num*n_p/den  <=>  c >= ceil(num*n_p/den)
+            cut = max(1, (num * n_raw + den - 1) // den)
+            total = total[total >= cut]
         out = pd.DataFrame(
             {
-                item_col: total.index.to_numpy(),
-                "local_count": total.to_numpy(),
+                item_col: total.index.to_numpy(dtype=object),
+                "local_count": total.to_numpy(dtype="int64"),
             }
         )
-        if with_markers:
+        if with_markers or (local_share is not None and n_raw):
+            marker = -1 if with_markers else -n_raw
             out = pd.concat(
-                [out, pd.DataFrame({item_col: [None], "local_count": [-1]})],
+                [out, pd.DataFrame({item_col: [None], "local_count": [marker]})],
                 ignore_index=True,
             )
         yield out
@@ -108,6 +145,7 @@ def heavy_hitters(
     min_share: float = 0.001,
     total: Optional[int] = None,
     min_count: Optional[int] = None,
+    share_permille: Optional[int] = None,
 ) -> DataFrame:
     """EXACT items with global frequency ≥ ceil(min_share · N) and their
     counts, from a frame of single items (one row per occurrence).
@@ -122,13 +160,66 @@ def heavy_hitters(
     DECIMAL in SQL but a rounded double in Python, and the two ceils
     can disagree at exact multiples). Returns (item, freq) — the result
     is partitioning-independent (see module docstring), so the oracle
-    can replay the naive full count."""
-    if min_count is None and not (0.0 < min_share <= 1.0):
+    can replay the naive full count.
+
+    ``share_permille`` selects the ONE-PASS candidate phase (r13): the
+    threshold is ceil(share_permille · N / 1000) exactly as with
+    ``min_count``, but N is recovered from phase 1 itself — each
+    partition applies the WEIGHTED pigeonhole cut
+    ``local_count ≥ ceil(share_permille · n_p / 1000)`` against its OWN
+    raw row count n_p and reports n_p in a sentinel, so the separate
+    total-counting job (a full corpus scan) disappears. Recall proof:
+    if an item's global count C ≥ ceil(s·N) ≥ s·N (s = sp/1000, all
+    exact rationals) and its local count were < s·n_p in EVERY
+    partition, then C = Σ c_p < s·Σ n_p = s·N — contradiction; so some
+    partition holds c_p ≥ s·n_p, and since c_p is an integer,
+    c_p ≥ ceil(s·n_p). The cut never references a partition count, so
+    the bound holds under ANY partitioning — the r7 enforcement check
+    is unnecessary by construction here. Candidate volume stays bounded:
+    each partition emits ≤ n_p/(s·n_p) = 1000/sp items. The final
+    verify filter uses the true N-derived threshold, so results are
+    identical to the two-pass form (both gate-proven against the naive
+    DuckDB count)."""
+    if share_permille is not None and (total is not None or min_count is not None):
+        raise ValueError("share_permille is exclusive with total/min_count")
+    if share_permille is not None and int(share_permille) < 1:
+        # sp < 1 would send the weighted cut to 1 (full-vocabulary
+        # candidates); callers route that degenerate request through the
+        # legacy two-pass path, which behaves identically
+        raise ValueError(f"share_permille must be >= 1, got {share_permille}")
+    if min_count is None and share_permille is None and not (0.0 < min_share <= 1.0):
         raise ValueError(f"min_share must be in (0,1], got {min_share}")
     if dict(items.dtypes).get(item_col) != "string":
         # phase 1 emits string items (the Arrow schema is fixed); keep
         # the verify join type-consistent by casting once up front
         items = items.withColumn(item_col, F.col(item_col).cast("string"))
+    spark = items.sparkSession
+    if share_permille is not None:
+        sp = int(share_permille)
+        # ONE job pulls the weighted-cut candidates AND the per-partition
+        # raw totals (bounded: ≤ 1000/sp candidates + 1 sentinel per
+        # non-empty partition)
+        surv_rows = local_item_counts(
+            items, item_col, local_share=(sp, 1000)
+        ).collect()
+        n = sum(-r[1] for r in surv_rows if r[0] is None)
+        if n == 0:
+            return (
+                items.select(F.col(item_col))
+                .where(F.lit(False))
+                .withColumn("freq", F.lit(0).cast("long"))
+            )
+        threshold = max(1, (sp * n + 999) // 1000)
+        cand_vals = sorted({r[0] for r in surv_rows if r[0] is not None})
+        candidates = spark.createDataFrame(
+            [(v,) for v in cand_vals], f"{item_col} string"
+        )
+        return (
+            items.join(F.broadcast(candidates), item_col, "left_semi")
+            .groupBy(item_col)
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .where(F.col("freq") >= F.lit(threshold))
+        )
     n = int(total) if total is not None else items.count()
     if n == 0:
         return (
@@ -211,11 +302,20 @@ def heavy_hitter_tokens(
     from featurebase_spark.pipeline import spread_small_input
 
     docs = spread_small_input(docs.where(F.col(text_col).isNotNull()))
+    items = docs.select(F.explode(toks).alias("token"))
+    if share_permille is not None and int(share_permille) >= 1:
+        # one-pass (r13): N = sum(size(split(..))) over non-NULL docs is
+        # by construction the exploded token-row count, so phase 1's
+        # sentinels recover it and the dedicated counting scan disappears
+        return heavy_hitters(
+            items, "token", share_permille=int(share_permille)
+        )
     n = int(
         docs.select(F.sum(F.size(toks)).alias("n")).collect()[0]["n"] or 0
     )
-    items = docs.select(F.explode(toks).alias("token"))
     if share_permille is not None:
+        # degenerate sp < 1 keeps the legacy derivation (threshold
+        # bottoms out at 1 — every distinct token qualifies)
         mc = max(1, (int(share_permille) * n + 999) // 1000)
         return heavy_hitters(items, "token", total=n, min_count=mc)
     return heavy_hitters(items, "token", min_share, total=n)
@@ -286,20 +386,21 @@ def novel_bigram_ratio(
         .select(F.col(id_col), word_grams("__w", n).alias("__grams"))
         .localCheckpoint(eager=False)
     )
-    total = int(
-        prep.select(F.sum(F.size("__grams")).alias("n")).collect()[0]["n"]
-        or 0
-    )
-    mc = max(1, (int(share_permille) * total + 999) // 1000)
-    vocab = [
-        r[0]
-        for r in heavy_hitters(
-            prep.select(F.explode("__grams").alias("gram")),
-            "gram",
-            total=total,
-            min_count=mc,
-        ).collect()
-    ]
+    # one-pass (r13): the gram total N = sum(size(__grams)) is exactly
+    # the exploded row count (size ≥ 1 by the whole-text fallback), so
+    # heavy_hitters' sentinel totals replace the dedicated counting job
+    # — phase 1's scan is also what materializes the lazy checkpoint
+    grams = prep.select(F.explode("__grams").alias("gram"))
+    if int(share_permille) >= 1:
+        hh = heavy_hitters(grams, "gram", share_permille=int(share_permille))
+    else:  # degenerate: threshold bottoms out at 1 (legacy derivation)
+        total = int(
+            prep.select(F.sum(F.size("__grams")).alias("n")).collect()[0]["n"]
+            or 0
+        )
+        mc = max(1, (int(share_permille) * total + 999) // 1000)
+        hh = heavy_hitters(grams, "gram", total=total, min_count=mc)
+    vocab = [r[0] for r in hh.collect()]
     vocab_lit = (
         F.array(*[F.lit(v) for v in sorted(vocab)])
         if vocab

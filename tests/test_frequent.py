@@ -146,6 +146,80 @@ def test_heavy_hitters_bound_enforced_on_repartitioned_frame(items, monkeypatch)
         heavy_hitters(many, "item", min_share=0.01)
 
 
+def test_heavy_hitters_one_pass_matches_two_pass_and_naive(items):
+    """The r13 one-pass share_permille path (weighted per-partition cut,
+    N from sentinels) must return EXACTLY the legacy two-pass result and
+    the naive full count, at several thresholds and partitionings."""
+    n = items.count()
+    for sp in (1, 12, 60, 200):
+        mc = max(1, (sp * n + 999) // 1000)
+        one = sorted(
+            (r["item"], r["freq"])
+            for r in heavy_hitters(items, "item", share_permille=sp).collect()
+        )
+        two = sorted(
+            (r["item"], r["freq"])
+            for r in heavy_hitters(
+                items, "item", total=n, min_count=mc
+            ).collect()
+        )
+        naive = sorted(
+            (r["item"], r["cnt"])
+            for r in items.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= mc)
+            .collect()
+        )
+        assert one == two == naive, sp
+    for parts in (1, 17):
+        got = sorted(
+            (r["item"], r["freq"])
+            for r in heavy_hitters(
+                items.repartition(parts), "item", share_permille=12
+            ).collect()
+        )
+        assert got == [("hot", 600), ("warm", 120)], parts
+
+
+def test_heavy_hitters_one_pass_sentinels_recover_total(items):
+    """local_share mode: sentinel rows carry -n_p and sum to the raw row
+    count; real rows never collide with the sentinel encoding."""
+    surv = local_item_counts(
+        items.repartition(6), "item", local_share=(12, 1000)
+    )
+    rows = surv.collect()
+    sentinels = [r for r in rows if r["item"] is None]
+    assert sum(-r["local_count"] for r in sentinels) == 10_000
+    assert all(r["local_count"] >= 1 for r in rows if r["item"] is not None)
+    # the weighted cut bounds per-partition emissions by 1000/sp
+    per_part_cap = 1000 // 12 + 1
+    assert len(rows) - len(sentinels) <= 6 * per_part_cap
+
+
+def test_heavy_hitters_one_pass_validation_and_edges(spark, items):
+    empty = spark.createDataFrame([], "item string")
+    assert heavy_hitters(empty, "item", share_permille=10).count() == 0
+    # sp above 1000 → threshold > N → empty, same as the legacy path
+    assert heavy_hitters(items, "item", share_permille=1001).count() == 0
+    with pytest.raises(ValueError):
+        heavy_hitters(items, "item", share_permille=0)
+    with pytest.raises(ValueError):
+        heavy_hitters(items, "item", share_permille=10, min_count=5)
+
+
+def test_heavy_hitter_tokens_degenerate_permille_zero(spark):
+    """sp=0 keeps the legacy derivation: threshold bottoms out at 1, so
+    every distinct token qualifies (the TVF door accepts any \\d+)."""
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "c a")], "doc_id long, text string"
+    )
+    got = {
+        r["token"]: r["freq"]
+        for r in heavy_hitter_tokens(docs, "text", share_permille=0).collect()
+    }
+    assert got == {"a": 3, "b": 1, "c": 1}
+
+
 def test_heavy_hitter_tokens_matches_python(spark):
     docs = spark.createDataFrame(
         [
