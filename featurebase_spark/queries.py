@@ -5539,20 +5539,29 @@ _TRIGRAM_POSTINGS: dict = {}
 
 def _trigram_postings(spark, sf_dir):
     """Shared prebuilt trigram-postings frame over documents.text —
-    built ONCE per session and MATERIALIZED (cache + count), the
-    deployment shape of ``CREATE TEXT INDEX`` (operators/ddl.py:447):
-    a user's steady-state LIKE cost is probe+verify against an index
-    that already exists. bench.py builds this in its untimed warm
-    section (the same treatment the bitmap catalog gets), so the timed
-    prebuilt key measures exactly the probe path PERF_NOTES r12
-    identified as ~0.7s behind the 97%-of-total inline build."""
+    built ONCE per session and MATERIALIZED, the deployment shape of
+    ``CREATE TEXT INDEX`` (operators/ddl.py:447): a user's steady-state
+    LIKE cost is probe+verify against an index that already exists.
+    bench.py builds this in its untimed warm section (the same
+    treatment the bitmap catalog gets), so the timed prebuilt key
+    measures exactly the probe path PERF_NOTES r12 identified as ~0.7s
+    behind the 97%-of-total inline build.
+
+    Materialization is ``localCheckpoint``, NOT ``.cache()``: a cached
+    frame's logical plan stays visible to the CacheManager, which
+    substitutes it into ANY query whose plan fragment matches — the
+    inline ``like_trigram_search`` key builds postings with an
+    identical plan and was silently reading this cache instead of
+    building (r13 verdict, gaming flag). A checkpointed frame is an
+    ExistingRDD scan that no other query's plan can match, so the
+    inline key pays its own build again and this frame serves only the
+    explicit prebuilt consumers."""
     from featurebase_spark.pipeline.trigram import build_trigram_postings
 
     key = (id(spark), sf_dir)
     if key not in _TRIGRAM_POSTINGS:
         docs = _tables(spark, sf_dir)["documents"]
-        p = build_trigram_postings(docs, "doc_id", "text").cache()
-        p.count()  # materialize outside any timed probe
+        p = build_trigram_postings(docs, "doc_id", "text").localCheckpoint()
         _TRIGRAM_POSTINGS[key] = p
     return _TRIGRAM_POSTINGS[key]
 

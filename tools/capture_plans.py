@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for bench keys into plans/r13/.
+"""Capture .explain("formatted") for bench keys into plans/<round>/.
 
 Run: python tools/capture_plans.py <suffix> [key ...]
-  suffix: "before" | "after"  → plans/r13/<key>_<suffix>.txt
+  suffix: "before" | "after"  → plans/$PLANS_ROUND/<key>_<suffix>.txt
+  ($PLANS_ROUND defaults to r14; $PLANS_OUT overrides the whole dir)
   with no keys, captures every key in bench.py's BENCH_QUERIES.
 
 Plan capture runs the same untimed warm/ingest section bench.py runs
@@ -28,7 +29,9 @@ def main() -> None:
     from featurebase_spark import queries as Q
 
     keys = sys.argv[2:] or [k for k in BENCH_QUERIES if k in Q.SPARK_QUERIES]
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.environ.get("PLANS_OUT") or os.path.join(
+        REPO, "plans", os.environ.get("PLANS_ROUND", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("capture-plans")
