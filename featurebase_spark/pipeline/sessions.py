@@ -87,55 +87,69 @@ def funnel(
     in step i-1. Returns (step, event_type, users) — step is 1-based,
     users is BIGINT and non-increasing.
 
-    Scale shape: one groupBy(user) per step over the PRE-FILTERED
-    single-type event stream, joined back user-to-user — |steps| - 1
-    shuffles over frames already reduced to one row per qualifying user,
-    never the raw event log; the event scan is pruned by the pushed-down
-    type filter. No windows, so no single-task-per-user funneling."""
+    Scale shape (r14, guide §1.2/§2.4): ONE pruned scan of the event
+    log (``type IN steps`` pushed to the source), ONE hash exchange on
+    the user key, then the whole first-touch recursion runs inside that
+    partitioning as a chain of unbounded per-user window aggregates —
+    ``t_k = min(t) over user where (type = step_k AND t > t_{k-1}
+    [AND t <= t_{k-1} + horizon])``. Each t_k references the previous
+    window column, so no self-join ever re-reads or re-shuffles events
+    (the pre-r14 k-join chain replayed the pruned scan 2(k-1) times).
+    A null t_{k-1} nulls the comparison, so non-converting users fall
+    out of every later step exactly as the join form dropped them. The
+    per-user collapse and the final step counts reuse the same
+    partitioning (no extra exchange); the k output rows explode from
+    one array, not k replays of the aggregate subtree."""
     ep = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
-    ev = df.where(
-        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
-    ).select(F.col(user_col).alias("__u"), F.col(type_col).alias("__e"), ep.alias("__t"))
+    ev = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .where(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("__e"),
+            ep.alias("__t"),
+        )
+    )
     horizon_us = (
         None if horizon_minutes is None else int(horizon_minutes) * 60 * 1_000_000
     )
-    counts = []
-    cur = (
-        ev.where(F.col("__e") == steps[0])
-        .groupBy("__u")
-        .agg(F.min("__t").alias("__t"))
+    w = Window.partitionBy("__u")
+    cur = ev
+    tcols: list[str] = []
+    for i, s in enumerate(steps, start=1):
+        cond = F.col("__e") == s
+        if tcols:
+            prev = F.col(tcols[-1])
+            cond = cond & (F.col("__t") > prev)
+            if horizon_us is not None:
+                cond = cond & (F.col("__t") <= prev + F.lit(horizon_us))
+        tc = f"__t{i}"
+        cur = cur.withColumn(tc, F.min(F.when(cond, F.col("__t"))).over(w))
+        tcols.append(tc)
+    per_user = cur.groupBy("__u").agg(
+        *[F.max(tc).alias(tc) for tc in tcols]
     )
-    counts.append(
-        cur.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(1).cast("long").alias("step"),
-            F.lit(steps[0]).alias("event_type"),
-            F.col("users").cast("long"),
-        )
+    counts = per_user.agg(
+        *[F.count(tc).alias(f"__c{i}") for i, tc in enumerate(tcols, start=1)]
     )
-    for i, s in enumerate(steps[1:], start=2):
-        nxt = ev.where(F.col("__e") == s).select(
-            "__u", F.col("__t").alias("__nt")
+    return (
+        counts.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("long").alias("step"),
+                            F.lit(s).alias("event_type"),
+                            F.col(f"__c{i}").cast("long").alias("users"),
+                        )
+                        for i, s in enumerate(steps, start=1)
+                    ]
+                )
+            ).alias("__r")
         )
-        cond = F.col("__nt") > F.col("__t")
-        if horizon_us is not None:
-            cond = cond & (F.col("__nt") <= F.col("__t") + F.lit(horizon_us))
-        cur = (
-            nxt.join(cur, "__u")
-            .where(cond)
-            .groupBy("__u")
-            .agg(F.min("__nt").alias("__t"))
-        )
-        counts.append(
-            cur.agg(F.count(F.lit(1)).alias("users")).select(
-                F.lit(i).cast("long").alias("step"),
-                F.lit(s).alias("event_type"),
-                F.col("users").cast("long"),
-            )
-        )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out.orderBy("step")
+        .select("__r.step", "__r.event_type", "__r.users")
+        .orderBy("step")
+    )
 
 
 def retention_cohorts(
