@@ -40,6 +40,8 @@ from typing import Union
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from featurebase_spark.materialize import materialize
+
 
 def derive_bucket_width(
     left: DataFrame, right: DataFrame, start_col: str, end_col: str
@@ -193,13 +195,12 @@ def interval_overlap_join(
         # inputs' full lineage — replays inside BOTH sides' joins
         # (r13 plan audit: the salted gate key re-ran sessionize six
         # times; guide §2.4 remove shuffles outright).
-        hot = (
+        hot = materialize(
             side_counts()
             .where(F.col("count") > skew_threshold)
             .select("__bkt")
             .distinct()
             .withColumn("__hot", F.lit(True))
-            .localCheckpoint(eager=False)
         )
         # Phase 2: split-left (one deterministic salt per row, hashed
         # from the interval endpoints so re-runs agree) / replicate-
@@ -277,9 +278,11 @@ def concurrent_session_pairs(
     # 2× in the plain plan, 6× in the salted one (r13 plan audit;
     # guide §2.4). Lineage-neutral: the materialized rows are exactly
     # the aggregate's output, recomputed fresh per query run.
-    iv = s.groupBy(user_col, "session_id").agg(
-        F.min(ep).alias("s_us"), F.max(ep).alias("e_us")
-    ).localCheckpoint(eager=False)
+    iv = materialize(
+        s.groupBy(user_col, "session_id").agg(
+            F.min(ep).alias("s_us"), F.max(ep).alias("e_us")
+        )
+    )
     pairs = interval_overlap_join(
         iv,
         iv,

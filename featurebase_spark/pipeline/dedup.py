@@ -27,6 +27,7 @@ from typing import Optional
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from featurebase_spark.materialize import materialize
 from featurebase_spark.pipeline.text import TOKEN_SEP, fingerprint, tokens
 
 
@@ -953,11 +954,11 @@ def connected_components(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        # the edge list is re-read every round: materialize it once, or
-        # each round replays the whole upstream pair pipeline
-        # (minhash → LSH → verify) inside its join (r13; guide §2.4)
-        .localCheckpoint(eager=False)
     )
+    # the edge list is re-read every round: materialize it once, or
+    # each round replays the whole upstream pair pipeline
+    # (minhash → LSH → verify) inside its join (r13; guide §2.4)
+    edges = materialize(edges)
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     )
@@ -988,7 +989,7 @@ def connected_components(
                 (new_comp != F.col("component")).alias("__chg"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        new_labels = materialize(new_labels, eager=True)  # cut lineage
         changed = new_labels.where("__chg").limit(1).count()
         labels = new_labels.select("node", "component")
         if changed == 0:
@@ -1118,9 +1119,9 @@ def winnowing_containment_pairs(
     max_df² candidate pairs instead of |corpus|² — the same pigeonhole
     bound the Ed-Join prefix postings rely on. At 100 TB the cap is the
     difference between a skew-killed self-join and a bounded one."""
-    fp = winnowing_fingerprint_table(
-        df, text_col, id_col, k, w
-    ).localCheckpoint(eager=False)
+    fp = materialize(
+        winnowing_fingerprint_table(df, text_col, id_col, k, w)
+    )
     keep = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -1132,7 +1133,7 @@ def winnowing_containment_pairs(
     # each side replays the keep aggregate — a full extra shuffle of
     # the posting table per side (r13 plan audit: two identical
     # Exchange+HashAggregate legs; guide §2.4 remove shuffles outright)
-    fpk = fp.join(keep, "fp").localCheckpoint(eager=False)
+    fpk = materialize(fp.join(keep, "fp"))
     a = fpk.select(F.col(id_col).alias("id_a"), "fp")
     b = fpk.select(F.col(id_col).alias("id_b"), "fp")
     return (

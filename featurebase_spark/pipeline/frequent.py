@@ -53,6 +53,8 @@ from typing import Iterator, Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from featurebase_spark.materialize import materialize
+
 __all__ = [
     "local_item_counts",
     "heavy_hitters",
@@ -379,12 +381,10 @@ def novel_bigram_ratio(
     # instead of re-deriving them from text in every job. The split
     # binds in its own projection so the transform lambda slices a
     # bound array instead of re-splitting per gram (see word_grams).
-    prep = (
+    prep = materialize(
         docs.select(
             F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
-        )
-        .select(F.col(id_col), word_grams("__w", n).alias("__grams"))
-        .localCheckpoint(eager=False)
+        ).select(F.col(id_col), word_grams("__w", n).alias("__grams"))
     )
     # one-pass (r13): the gram total N = sum(size(__grams)) is exactly
     # the exploded row count (size ≥ 1 by the whole-text fallback), so

@@ -98,3 +98,70 @@ def test_prebuilt_trigram_postings_not_cache_substitutable(spark, tables):
     docs = Q._tables(spark, sf_dir)["documents"]
     inline = build_trigram_postings(docs, "doc_id", "text")
     assert "InMemoryTableScan" not in _plan(inline)
+
+
+class TestMaterializePosture:
+    """materialize() picks durability from session conf: local (default,
+    localCheckpoint), reliable (df.checkpoint into a checkpoint dir),
+    disk (persist DISK_ONLY, lineage kept). Same rows in every mode."""
+
+    def _frame(self, spark):
+        return (
+            spark.range(100)
+            .selectExpr("id % 7 AS k", "id AS v")
+            .groupBy("k")
+            .count()
+        )
+
+    def test_local_default_is_checkpointed_rdd(self, spark):
+        from featurebase_spark.materialize import materialize
+
+        m = materialize(self._frame(spark))
+        assert "ExistingRDD" in _plan(m)
+
+    def test_disk_mode_keeps_lineage_same_rows(self, spark):
+        from featurebase_spark.materialize import MODE_CONF, materialize
+
+        base = {tuple(r) for r in self._frame(spark).collect()}
+        spark.conf.set(MODE_CONF, "disk")
+        try:
+            m = materialize(self._frame(spark), eager=True)
+            assert "ExistingRDD" not in _plan(m)  # lineage kept
+            assert {tuple(r) for r in m.collect()} == base
+        finally:
+            spark.conf.unset(MODE_CONF)
+            m.unpersist()
+
+    def test_reliable_mode_checkpoints_to_dir(self, spark, tmp_path):
+        import os
+
+        from featurebase_spark.materialize import (
+            DIR_CONF,
+            MODE_CONF,
+            materialize,
+        )
+
+        base = {tuple(r) for r in self._frame(spark).collect()}
+        spark.conf.set(MODE_CONF, "reliable")
+        spark.conf.set(DIR_CONF, str(tmp_path))
+        try:
+            m = materialize(self._frame(spark), eager=True)
+            assert "ExistingRDD" in _plan(m)
+            assert {tuple(r) for r in m.collect()} == base
+            # blocks really landed in the reliable dir
+            assert any(os.scandir(tmp_path))
+        finally:
+            spark.conf.unset(MODE_CONF)
+            spark.conf.unset(DIR_CONF)
+
+    def test_bad_mode_rejected(self, spark):
+        from featurebase_spark.materialize import MODE_CONF, materialize
+
+        spark.conf.set(MODE_CONF, "replicate")
+        try:
+            import pytest
+
+            with pytest.raises(ValueError, match="expected one of"):
+                materialize(self._frame(spark))
+        finally:
+            spark.conf.unset(MODE_CONF)
