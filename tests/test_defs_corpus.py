@@ -43,6 +43,19 @@ CORPUS_PATH = os.path.join(
 with open(CORPUS_PATH) as _fh:
     _CORPUS = json.load(_fh)["tabletests"]
 
+#: Driver-gate fast path (r14 test-gate split): the full ~150-tabletest
+#: replay costs ~4 min of the bounded driver pytest budget; by default
+#: only a PREFIX of the tabletest list replays. A prefix is state-safe
+#: by construction — tabletests share one catalog and run in order, so
+#: every table a prefix case queries was created by an earlier prefix
+#: case. The full corpus runs on the nightly path (FB_FULL_SUITE=1),
+#: and the dialect surface keeps its default coverage through the
+#: mirror suites (test_sql_dialect, test_sql_complex_mirrors,
+#: test_parser_error_mirrors, test_golden_reference).
+_DEFAULT_PREFIX_TABLETESTS = 25
+if not os.environ.get("FB_FULL_SUITE"):
+    _CORPUS = _CORPUS[:_DEFAULT_PREFIX_TABLETESTS]
+
 
 def _case_ids():
     out = []

@@ -20,6 +20,8 @@ import datetime as dt
 from decimal import Decimal
 
 import pytest
+
+pytestmark = pytest.mark.full  # exhaustive walk: nightly path (r14 test-gate split)
 from pyspark.sql import functions as F
 
 from featurebase_spark.pql import parser as P

@@ -12,6 +12,8 @@ TestExecutor_Execute_Range_BSIGroup_Deprecated (:3377).
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.full  # exhaustive walk: nightly path (r14 test-gate split)
 from pyspark.sql import functions as F
 
 from featurebase_spark.operators.writes import clear_row_changed

@@ -19,6 +19,8 @@ holder to reload.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.full  # exhaustive walk: nightly path (r14 test-gate split)
 from pyspark.sql import functions as F
 
 from featurebase_spark.operators.writes import set_changed

@@ -22,6 +22,8 @@ from collections import Counter
 
 import pytest
 
+pytestmark = pytest.mark.full  # exhaustive walk: nightly path (r14 test-gate split)
+
 from featurebase_spark.sources import read_idk_csv
 
 

