@@ -394,12 +394,13 @@ class Catalog:
             self._bitmap[table] = cat
             self._index_fields[table] = {}
         df, id_col = self._indexed_frame(table)
+        hint = self._small_storage(table)
         for f, kind in plan:
             if kind == "bsi":
                 cat.index_bsi_field(df, f, id_col=id_col, cache=False)
             else:
                 cat.index_field(df, f, id_col=id_col, cache=False)
-            self._pin_field(cat, f, kind)
+            self._pin_field(cat, f, kind, small_hint=hint)
             self._index_fields[table][f] = kind
 
     def _indexed_frame(self, table: str):
@@ -561,6 +562,7 @@ class Catalog:
             rows = self._translators[table].attach(rows, "_id")
             id_col = "__fbid"
         written = None if cols is None else set(cols)
+        hint = self._small_storage(table)
         for f, kind in reg.items():
             if written is not None and f not in written:
                 continue
@@ -572,7 +574,7 @@ class Catalog:
             except BsiRangeError:
                 df, rid = self._indexed_frame(table)
                 cat.index_bsi_field(df, f, id_col=rid, cache=False)
-            self._pin_field(cat, f, kind)
+            self._pin_field(cat, f, kind, small_hint=hint)
 
     def _index_delete(self, table: str, ids: DataFrame) -> None:
         self._text_mark_stale(table, None)
@@ -589,12 +591,13 @@ class Catalog:
                 .select(F.col("id").alias("__fbid"))
             )
             id_col = "__fbid"
+        hint = self._small_storage(table)
         for f, kind in reg.items():
             cat.delete_field_ids(ids, f, id_col=id_col, cache=False)
-            self._pin_field(cat, f, kind)
+            self._pin_field(cat, f, kind, small_hint=hint)
 
     @staticmethod
-    def _pin_field(cat, f: str, kind: str) -> None:
+    def _pin_field(cat, f: str, kind: str, small_hint: bool = False) -> None:
         """Materialize a field's fragment frame EAGERLY and cut its
         lineage (localCheckpoint): the build/merge plan references the
         table view and the write batch, and ``cache()`` is not enough —
@@ -607,9 +610,21 @@ class Catalog:
         Driver-LOCAL fields (small indexes) skip all of this: their
         in-process merge already rebuilt a LocalRelation. After a
         distributed pin, small indexes are (re)adopted into the local
-        tier so subsequent maintenance is job-free."""
+        tier so subsequent maintenance is job-free.
+
+        ``small_hint=True`` (the caller KNOWS the table's committed
+        storage is tiny, so its index must be too) tries the local
+        adoption FIRST, straight off the build/merge plan: a successful
+        adoption replaces the frame with a LocalRelation and the
+        checkpoint job never runs — one job per field per statement on
+        the statement-door shape (r14, guide §1.2 don't compute things
+        you throw away). A wrong hint only costs the fallback
+        (plan computed once by the probe, once by the checkpoint), so
+        callers hint conservatively."""
         if cat.is_local(f):
             return
+        if small_hint and cat.try_localize(f):
+            return  # adopted: LocalRelation, nothing to pin
         if kind == "bsi":
             frame, mv, nb = cat._bsi[f]
             cat._bsi[f] = (frame.localCheckpoint(eager=True), mv, nb)
@@ -617,6 +632,27 @@ class Catalog:
             cat._indexes[f] = cat._indexes[f].localCheckpoint(eager=True)
         cat.try_localize(f)
         cat._invalidate_field(f)
+
+    def _small_storage(self, name: str, cap_bytes: int = 8 << 20) -> bool:
+        """True when ``name``'s committed bucketed storage is at most
+        ``cap_bytes`` on disk — the driver-side signal that its bitmap
+        fragments will fit the driver-local tier, read straight from the
+        already-written files (no Spark job). Non-bucketed or
+        not-yet-materialized tables return False (no cheap signal)."""
+        import os
+
+        store = self._storage.get(name)
+        if store is None:
+            return False
+        try:
+            if not os.path.isdir(store.path):
+                # non-local storage (e.g. a cluster URI the driver can't
+                # walk): no cheap signal — never hint small, or a huge
+                # index would pay the localize probe AND the checkpoint
+                return False
+            return _dir_bytes(store.path) <= cap_bytes
+        except OSError:
+            return False
 
     def _index_rebuild(self, table: str) -> None:
         """Arbitrary-rewrite commits (ALTER, overwrite, truncate) rebuild
@@ -626,6 +662,7 @@ class Catalog:
             return
         cat = self._bitmap[table]
         df, id_col = self._indexed_frame(table)
+        hint = self._small_storage(table)
         for f, kind in list(reg.items()):
             if f not in {fd.name for fd in self._defs[table].fields}:
                 self.drop_index(table, [f])  # ALTER dropped the column
@@ -634,7 +671,7 @@ class Catalog:
                 cat.index_bsi_field(df, f, id_col=id_col, cache=False)
             else:
                 cat.index_field(df, f, id_col=id_col, cache=False)
-            self._pin_field(cat, f, kind)
+            self._pin_field(cat, f, kind, small_hint=hint)
 
     INDEX_MANIFEST = "INDEXES_MANIFEST.json"
 

@@ -596,9 +596,11 @@ def merge_upsert(
                     for c in all_cols
                 ]
             )
-            matched = table.join(
-                F.broadcast(updates.select(key)), key, "left_semi"
-            ).select(key)
+            # semi-join against the SAME broadcast frame the merge join
+            # uses: identical broadcast exchanges dedupe to one build
+            # (ReusedExchange) — one fewer broadcast job per
+            # partial-column statement (r14, guide §2.4)
+            matched = table.join(F.broadcast(u), key, "left_semi").select(key)
             new_rows = updates.select(*all_cols).join(
                 F.broadcast(matched), key, "left_anti"
             )

@@ -165,3 +165,66 @@ class TestMaterializePosture:
                 materialize(self._frame(spark))
         finally:
             spark.conf.unset(MODE_CONF)
+
+
+class TestSmallIndexPinSkip:
+    """r14 statement-door job cut: when the table's committed storage is
+    tiny (driver-side signal, no job), index (re)builds adopt the
+    driver-local tier FIRST and skip the localCheckpoint pin job; big or
+    non-local storage keeps the checkpoint-first order."""
+
+    def _mk(self, spark, name):
+        from featurebase_spark.operators.ddl import Catalog
+        from featurebase_spark.sql import fb_sql
+
+        cat = Catalog(spark)
+        fb_sql(spark, f"create table {name} (_id id, e string, "
+               "v int min 0 max 1000)", catalog=cat)
+        seed = ", ".join(
+            f"({i}, '{['click', 'view', 'buy'][i % 3]}', {i * 7 % 100})"
+            for i in range(60)
+        )
+        fb_sql(spark, f"insert into {name} values {seed}", catalog=cat)
+        return cat
+
+    def _njobs(self, spark):
+        return len(
+            list(spark._jsc.sc().statusTracker().getJobIdsForGroup(None))
+        )
+
+    def test_small_storage_signal(self, spark):
+        cat = self._mk(spark, "t_pin_sig")
+        assert cat._small_storage("t_pin_sig") is True
+        assert cat._small_storage("no_such_table") is False
+        cat.drop_table("t_pin_sig")
+
+    def test_small_create_index_localizes_without_pin_job(self, spark):
+        from featurebase_spark.sql import fb_sql
+
+        cat = self._mk(spark, "t_pin_a")
+        a = self._njobs(spark)
+        fb_sql(spark, "create index on t_pin_a (e, v)", catalog=cat)
+        hint_jobs = self._njobs(spark) - a
+        bc = cat._bitmap["t_pin_a"]
+        assert bc.is_local("e") and bc.is_local("v")
+
+        # same table, hint forced off: the checkpoint-first order costs
+        # one extra job per field (the 100 TB order, kept for big tables)
+        cat2 = self._mk(spark, "t_pin_b")
+        orig = cat2._small_storage
+        cat2._small_storage = lambda name, cap_bytes=8 << 20: False
+        a = self._njobs(spark)
+        fb_sql(spark, "create index on t_pin_b (e, v)", catalog=cat2)
+        nohint_jobs = self._njobs(spark) - a
+        cat2._small_storage = orig
+        assert hint_jobs < nohint_jobs, (hint_jobs, nohint_jobs)
+
+        # identical serving results either way
+        for q in ("select count(*) from {t} where e = 'click'",
+                  "select sum(v) from {t}",
+                  "select count(*) from {t} where v > 50"):
+            ra = fb_sql(spark, q.format(t="t_pin_a"), catalog=cat).first()[0]
+            rb = fb_sql(spark, q.format(t="t_pin_b"), catalog=cat2).first()[0]
+            assert ra == rb, (q, ra, rb)
+        cat.drop_table("t_pin_a")
+        cat2.drop_table("t_pin_b")
