@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from featurebase_spark.materialize import materialize
 from featurebase_spark.pipeline.dedup import shingle_table
 
 __all__ = ["contamination_hits", "decontaminate", "source_overlap_jaccard"]
@@ -127,10 +128,10 @@ def source_overlap_jaccard(
     # exploding the sets counts each source's distinct grams) — the
     # lazy checkpoint stops the extraction + distinct + gram shuffle
     # from replaying for the second consumer
-    g = (
-        sg.groupBy("gram")
-        .agg(F.expr("array_sort(collect_set(src))").alias("ss"))
-        .localCheckpoint(eager=False)
+    g = materialize(
+        sg.groupBy("gram").agg(
+            F.expr("array_sort(collect_set(src))").alias("ss")
+        )
     )
     sizes = (
         g.select(F.explode("ss").alias("src"))

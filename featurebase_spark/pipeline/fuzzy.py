@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from featurebase_spark.materialize import materialize
+
 __all__ = ["gram_sets", "fuzzy_join"]
 
 
@@ -100,10 +102,8 @@ def fuzzy_join(
     # short-string anti-join; localCheckpoint materializes the ranked
     # subtree once (≤ prefix_len rows per string) instead of replaying
     # the gram/df/window pipeline three times
-    prefix = (
-        ranked.where(F.col("__rk") <= prefix_len)
-        .select("__id", "gram")
-        .localCheckpoint(eager=False)
+    prefix = materialize(
+        ranked.where(F.col("__rk") <= prefix_len).select("__id", "gram")
     )
     left = prefix.select(F.col("__id").alias("id_a"), "gram")
     right = prefix.select(F.col("__id").alias("id_b"), "gram")

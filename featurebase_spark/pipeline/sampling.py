@@ -409,7 +409,9 @@ def stratified_sample(
         # assert the filter-below-window shape on it).
         out = _rank(cand)
         if materialize:
-            out = out.localCheckpoint(eager=False)
+            from featurebase_spark.materialize import materialize as _mat
+
+            out = _mat(out)
         got = {r[0]: r[1] for r in out.groupBy(part_col).count().collect()}
         short = [
             s for s, c in counts.items() if min(n, c) > got.get(s, 0)

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from featurebase_spark.materialize import materialize
+
 __all__ = ["word_counts", "bpe_pair_counts", "bpe_learn"]
 
 
@@ -108,11 +110,13 @@ def bpe_learn(
     ``1..i`` (the lineage would otherwise grow quadratically)."""
     if int(merges) < 1:
         raise ValueError(f"merges must be >= 1, got {merges}")
-    w = word_counts(df, text_col).select(
-        F.expr("transform(sequence(1, length(word)), "
-               "i -> substr(word, i, 1))").alias("seg"),
-        "cnt",
-    ).localCheckpoint(eager=False)
+    w = materialize(
+        word_counts(df, text_col).select(
+            F.expr("transform(sequence(1, length(word)), "
+                   "i -> substr(word, i, 1))").alias("seg"),
+            "cnt",
+        )
+    )
 
     out: list[tuple[str, str, int]] = []
     for _ in range(int(merges)):
@@ -138,7 +142,7 @@ def bpe_learn(
             break
         a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
         out.append((a, b, n))
-        w = w.select(
-            F.expr(_merge_step_expr(a, b)).alias("seg"), "cnt"
-        ).localCheckpoint(eager=False)
+        w = materialize(
+            w.select(F.expr(_merge_step_expr(a, b)).alias("seg"), "cnt")
+        )
     return out
