@@ -37,15 +37,17 @@ def test_bench_json_line_fits_driver_tail_buffer():
     line = json.dumps(
         {
             "metric": "headline_queries_total",
-            "value": 9999.9999,
+            "value": 99999.9999,
             "unit": "sec",
-            "queries": {k: 99.99 for k in BENCH_QUERIES},
+            "queries": {k: 999.99 for k in BENCH_QUERIES},
             "sf": 0.1,
         },
         separators=(",", ":"),
     )
-    # 1900: the r13 add-only bench contract restored sim_bruteforce_topk
-    # (59 keys -> 1818 at worst-case width); still 100+ chars of margin
-    # inside the driver's 2000-char tail, and bench.py itself warns past
-    # its own 1800 soft line.
-    assert len(line) < 1900, len(line)
+    # Width model per ADVICE r13: a key is allowed to exceed 99.99s on a
+    # contention-poisoned host (several did in the r13 driver run), so
+    # model 999.99 per key and the total at 99999.9999, and assert
+    # against the driver's 2000-char hard tail rather than a softer
+    # number (59 keys -> 1878 at this width). bench.py's own runtime
+    # warning at 1800 chars and the tail-scrape fallback stay in place.
+    assert len(line) < 2000, len(line)

@@ -19,11 +19,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = 4
-    for a in sys.argv[1:]:
+    argv, args, n = sys.argv[1:], [], 4
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--n"):
-            n = int(a.split("=")[-1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                n = int(a.split("=")[-1])
+            else:  # space-separated form: consume the value token too
+                i += 1
+                n = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
     from featurebase_spark.session import get_spark, load_tables
     from featurebase_spark import queries as Q
 
