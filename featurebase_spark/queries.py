@@ -2948,7 +2948,13 @@ def stream_windowed_counts(spark, sf_dir):
         .select("ts", "event_type")
     )
     d = tempfile.mkdtemp(prefix="fb_stream_wc_")
-    ev.repartition(2).write.mode("overwrite").parquet(d)
+    # hash repartition on a high-cardinality expression instead of
+    # keyless round-robin: skips the local sort-before-repartition
+    # (spark.sql.execution.sortBeforeRepartition) and keeps row→file
+    # assignment deterministic under task retry (guide §2.5)
+    ev.repartition(
+        2, F.pmod(F.xxhash64("ts", "event_type"), F.lit(1000))
+    ).write.mode("overwrite").parquet(d)
     schema = spark.read.parquet(d).schema
     s = (
         spark.readStream.schema(schema)
@@ -6511,32 +6517,45 @@ def stream_stream_join(spark, sf_dir):
         state_partitions,
     )
 
+    # Stage BOTH sides with ONE events scan (guide §1.2): a single
+    # side-partitioned write replaces the two per-side scan+write jobs
+    # the staging used to run. Partitioning on a high-cardinality hash
+    # (not keyless round-robin) skips the local sort-before-repartition
+    # and keeps the row→file assignment deterministic under task retry
+    # (guide §2.5 / SPARK-38388); 2 tasks × both sides per task → exactly
+    # 2 files per side directory, preserving the 2-micro-batch replay
+    # the key exists to exercise.
     ev = (
         _tables(spark, sf_dir)["events"]
-        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+        )
+        .select("user_id", "event_id", "ts", F.col("event_type").alias("side"))
     )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
+    d = tempfile.mkdtemp(prefix="fb_ssj_")
+    (
+        ev.repartition(2, F.pmod(F.xxhash64("event_id"), F.lit(1000)))
+        .write.mode("overwrite")
+        .partitionBy("side")
+        .parquet(d)
     )
-    views = ev.where(F.col("event_type") == "view").select(
-        F.col("user_id"),
-        F.col("event_id").alias("view_id"),
-        F.col("ts").alias("v_ts"),
-    )
-    dirs = []
+    renames = {"purchase": ("purchase_id", "p_ts"), "view": ("view_id", "v_ts")}
     streams = []
-    for side in (purchases, views):
-        d = tempfile.mkdtemp(prefix="fb_ssj_")
-        side.repartition(2).write.mode("overwrite").parquet(d)
-        schema = spark.read.parquet(d).schema
+    for side, (id_name, ts_name) in renames.items():
+        sub = f"{d}/side={side}"
+        schema = spark.read.parquet(sub).schema
         streams.append(
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
-            .parquet(d)
+            .parquet(sub)
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_name),
+                F.col("ts").alias(ts_name),
+            )
         )
-        dirs.append(d)
     j = interval_stream_join(
         streams[0],
         streams[1],

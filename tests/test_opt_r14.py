@@ -141,15 +141,26 @@ class TestMaterializePosture:
             materialize,
         )
 
+        from urllib.parse import urlparse
+
         base = {tuple(r) for r in self._frame(spark).collect()}
+        # documented precedence: a checkpoint dir already set on the
+        # context wins; DIR_CONF only seeds one when the context has none
+        # (under the full suite an earlier test may have set it)
+        pre = spark.sparkContext.getCheckpointDir()
         spark.conf.set(MODE_CONF, "reliable")
         spark.conf.set(DIR_CONF, str(tmp_path))
         try:
             m = materialize(self._frame(spark), eager=True)
             assert "ExistingRDD" in _plan(m)
             assert {tuple(r) for r in m.collect()} == base
-            # blocks really landed in the reliable dir
-            assert any(os.scandir(tmp_path))
+            # blocks really landed in the effective reliable dir
+            eff = urlparse(spark.sparkContext.getCheckpointDir()).path
+            assert any(os.scandir(eff)), eff
+            if pre is None:  # DIR_CONF seeded the context
+                assert os.path.realpath(eff).startswith(
+                    os.path.realpath(str(tmp_path))
+                ), eff
         finally:
             spark.conf.unset(MODE_CONF)
             spark.conf.unset(DIR_CONF)
@@ -228,3 +239,44 @@ class TestSmallIndexPinSkip:
             assert ra == rb, (q, ra, rb)
         cat.drop_table("t_pin_a")
         cat2.drop_table("t_pin_b")
+
+
+def test_stream_join_staging_one_write_two_files_per_side(spark, tmpdir):
+    """The stream-stream-join replay stages BOTH sides with ONE
+    side-partitioned write (one source scan, one write job) instead of
+    two scan+write jobs, while preserving the 2-files-per-side layout
+    that gives each stream its 2-micro-batch replay. Pin the layout
+    contract the staging relies on: a 2-task hash repartition on a
+    high-cardinality key writes exactly 2 part files into each side
+    directory, and a per-side subdirectory read yields the data columns
+    without the partition column."""
+    import glob
+    import os
+
+    rows = [
+        (i, 1000 + i, datetime.datetime(2024, 3, 1, 12, i % 60),
+         "purchase" if i % 3 == 0 else "view")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, side string"
+    )
+    d = os.path.join(tmpdir, "ssj_staged")
+    (
+        df.repartition(2, F.pmod(F.xxhash64("event_id"), F.lit(1000)))
+        .write.mode("overwrite")
+        .partitionBy("side")
+        .parquet(d)
+    )
+    for side in ("purchase", "view"):
+        sub = os.path.join(d, f"side={side}")
+        parts = glob.glob(os.path.join(sub, "part-*.parquet"))
+        assert len(parts) == 2, (side, parts)
+        back = spark.read.parquet(sub)
+        assert back.columns == ["user_id", "event_id", "ts"], back.columns
+    # nothing lost or duplicated by the partitioned staging
+    back_all = spark.read.parquet(d)
+    assert back_all.count() == len(rows)
+    assert back_all.where(F.col("side") == "purchase").count() == sum(
+        1 for r in rows if r[3] == "purchase"
+    )
