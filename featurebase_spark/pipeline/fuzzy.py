@@ -84,11 +84,13 @@ def fuzzy_join(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
     grams = gram_sets(base, "__id", "__t", qq)
-    # per-string gram-set size; |G| <= q*d voids the prefix guarantee
-    sized = grams.join(
-        grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__g")), "__id"
-    )
-    eligible = sized.where(F.col("__g") > qq * d)
+    # per-string gram-set size; |G| <= q*d voids the prefix guarantee.
+    # A whole-partition window count shares the __id exchange with the
+    # rank window below instead of self-joining grams against its own
+    # aggregate (which replayed the gram explode once per join side).
+    eligible = grams.withColumn(
+        "__g", F.count(F.lit(1)).over(Window.partitionBy("__id"))
+    ).where(F.col("__g") > qq * d)
     # global gram rarity (bounded by the gram vocabulary) drives the
     # total order; ties broken by gram text so the prefix is unique
     rarity = eligible.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
@@ -107,32 +109,42 @@ def fuzzy_join(
     )
     left = prefix.select(F.col("__id").alias("id_a"), "gram")
     right = prefix.select(F.col("__id").alias("id_b"), "gram")
+    # duplicates (pairs sharing several prefix grams, bounded by
+    # prefix_len) ride to the single distinct after the union — the
+    # per-leg distincts only added an extra full exchange each
     cand = (
         left.join(right, "gram")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
     # side leg: strings outside the theorem (len < q, or |G| <= q*d) pair
     # with ANY string within the length window — tiny for real corpora,
-    # explicitly exact
-    shorties = base.join(
-        prefix.select("__id").distinct(), "__id", "left_anti"
-    ).select(
+    # explicitly exact. The anti-join probes the prefix postings as-is
+    # (existence check; the hash build collapses duplicates without a
+    # dedup shuffle), and |len_a − len_b| <= d runs as a length-band
+    # EQUI-join (explode the 2d+1 candidate lengths on the broadcast
+    # side) instead of a nested-loop inequality join over the corpus.
+    shorties = base.join(prefix.select("__id"), "__id", "left_anti").select(
         F.col("__id").alias("id_a"), F.col("__t").alias("__ta")
     )
     short_cand = (
-        F.broadcast(shorties)
+        F.broadcast(
+            shorties.withColumn(
+                "__lb",
+                F.explode(
+                    F.sequence(F.length("__ta") - d, F.length("__ta") + d)
+                ),
+            )
+        )
         .join(
             base.select(F.col("__id").alias("id_b"), F.col("__t").alias("__tb")),
-            F.abs(F.length("__ta") - F.length("__tb")) <= d,
+            F.col("__lb") == F.length("__tb"),
         )
         .where(F.col("id_a") != F.col("id_b"))
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
         )
-        .distinct()
     )
     pairs = cand.unionByName(short_cand).distinct()
     if broadcast_verify:

@@ -280,3 +280,23 @@ def test_stream_join_staging_one_write_two_files_per_side(spark, tmpdir):
     assert back_all.where(F.col("side") == "purchase").count() == sum(
         1 for r in rows if r[3] == "purchase"
     )
+
+
+def test_fuzzy_join_no_nested_loop_single_distinct(spark, tables):
+    """The r14 fuzzy_join restructure must stay visible in the plan:
+    the short-string side leg joins on a length BAND (explode of the
+    2d+1 candidate lengths -> equi/hash join), never a nested-loop
+    inequality join over the corpus, and pair dedup happens in ONE
+    distinct after the union (the per-leg distincts each cost a full
+    exchange). Exactness vs brute force is pinned in test_fuzzy.py."""
+    from featurebase_spark.pipeline.fuzzy import fuzzy_join
+
+    cust = tables["customer"].where(F.col("c_custkey") % 10 == 0)
+    p = _plan(fuzzy_join(cust, "c_custkey", "c_name", max_dist=1, q=2))
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 0, tree
+    assert tree.count("CartesianProduct") == 0, tree
+    # the length-band explode feeds the side leg
+    assert tree.count("Generate") == 1, tree
+    # one distinct = one partial+final aggregate pair, nothing else
+    assert tree.count("HashAggregate") == 2, tree
