@@ -4529,28 +4529,50 @@ def sql_q20_promo_suppliers(spark, sf_dir):
 )
 def sql_q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 shape: suppliers who kept finished orders waiting — the
-    hardest decorrelation in the suite: one EXISTS and one NOT EXISTS,
-    both self-joins of lineitem on the outer order key (the NOT EXISTS
-    additionally correlated to the outer orders row's date), becoming a
-    left-semi and a left-anti join. Pure counts — no float surface."""
+    hardest decorrelation in the suite. The EXISTS / NOT EXISTS
+    self-joins of lineitem on the outer order key (which scanned
+    lineitem three times and shuffled it twice) run instead as
+    per-order window aggregates over ONE lineitem scan: with S = the
+    order's distinct supplier set and L = its distinct LATE supplier
+    set, a late row l1 qualifies iff |S| >= 2 (some other supplier
+    participated — l1's suppkey is non-null and in S) and |L| = 1 (l1
+    is late, so the single late supplier IS l1's; any other late
+    supplier makes |L| >= 2). NULL-suppkey rows can satisfy neither
+    `<>` predicate (UNKNOWN) and collect_set drops NULLs — same rows.
+    Both sets share one Window over the order key. Pure counts — no
+    float surface."""
+    from pyspark.sql import Window
+
     t = _tables(spark, sf_dir)
-    for n in ("supplier", "lineitem", "orders", "nation"):
-        t[n].createOrReplaceTempView(f"__q21_{n}")
-    return spark.sql(
-        "SELECT s_name, COUNT(*) AS numwait "
-        "FROM __q21_supplier, __q21_lineitem l1, __q21_orders, __q21_nation "
-        "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey "
-        "AND o_orderstatus = 'F' "
-        "AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY "
-        "AND EXISTS (SELECT 1 FROM __q21_lineitem l2 "
-        "  WHERE l2.l_orderkey = l1.l_orderkey "
-        "  AND l2.l_suppkey <> l1.l_suppkey) "
-        "AND NOT EXISTS (SELECT 1 FROM __q21_lineitem l3 "
-        "  WHERE l3.l_orderkey = l1.l_orderkey "
-        "  AND l3.l_suppkey <> l1.l_suppkey "
-        "  AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY) "
-        "AND s_nationkey = n_nationkey AND n_name = 'NATION_1' "
-        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        t["orders"]
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).withColumn(
+        "__late", F.expr("l_shipdate > o_orderdate + INTERVAL 45 DAY")
+    )
+    w = Window.partitionBy("l_orderkey")
+    scored = j.select(
+        "l_suppkey",
+        "__late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("__nsupp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("__late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("__nlate"),
+    ).where(F.col("__late") & (F.col("__nsupp") >= 2) & (F.col("__nlate") == 1))
+    sup = t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+    nat = t["nation"].where(F.col("n_name") == "NATION_1").select("n_nationkey")
+    return (
+        scored.join(sup, scored["l_suppkey"] == sup["s_suppkey"])
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )
 
 

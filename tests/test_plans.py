@@ -272,13 +272,17 @@ def test_q9_star_broadcasts_all_dims(spark, tables):
     assert "StringContains(p_name,red)" in p.replace(" ", ""), p
 
 
-def test_q21_decorrelates_to_semi_and_anti(spark, tables):
-    """Q21 adaptation: the EXISTS and NOT EXISTS lineitem self-joins
-    must decorrelate to LeftSemi and LeftAnti joins — no per-row
-    nested-loop subquery execution."""
+def test_q21_single_lineitem_scan_window(spark, tables):
+    """Q21 adaptation (r14): the EXISTS and NOT EXISTS lineitem
+    self-joins run as per-order window set-aggregates over ONE lineitem
+    scan — no semi/anti replay of the fact table, both distinct-supplier
+    sets share a single Window over the order key."""
     p = plan(spark, "sql_q21_waiting_supplier")
-    assert "LeftSemi" in p, p
-    assert "LeftAnti" in p, p
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 4, tree  # lineitem+orders+supplier+nation
+    assert "lineitem" in p.split("(1) Scan parquet")[1][:400], p
+    assert tree.count("Window") == 1, tree
+    assert "LeftSemi" not in p and "LeftAnti" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
 
