@@ -133,7 +133,11 @@ def source_overlap_jaccard(
             F.expr("array_sort(collect_set(src))").alias("ss")
         )
     )
-    sizes = (
+    # sizes joins the pair table TWICE (src_a and src_b side); without
+    # materialization each broadcast build replays the explode+count
+    # pass over the whole gram-set table — the frame is <= |sources|
+    # rows, so pinning it costs nothing and halves the g passes
+    sizes = materialize(
         g.select(F.explode("ss").alias("src"))
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("n_grams"))
