@@ -4050,33 +4050,32 @@ def sql_q17_small_quantity(spark, sf_dir):
 def sql_q18_large_orders(spark, sf_dir):
     """TPC-H Q18 shape (large-volume customers): orders whose total
     quantity exceeds a threshold, with their customers. The HAVING
-    subquery is a semi-join on orderkey — the same key the outer
-    lineitem⋈orders join shuffles on, so at scale the two aggregations
-    share a co-partitioning; top-10 is TakeOrdered."""
+    aggregate IS the outer query's per-order SUM — the outer GROUP BY
+    keys on o_orderkey, every other key (customer and order attributes)
+    is functionally dependent on it through 1:1 inner joins, and both
+    sums range over exactly the order's lineitem rows. So lineitem
+    aggregates ONCE (map-side partials, one exchange on orderkey) and
+    the qualifying per-order rows join orders + broadcast customer —
+    no semi-join, no second fact scan; top-10 is TakeOrdered."""
     t = _tables(spark, sf_dir)
     qty = F.col("l_quantity").cast("long")
     big = (
-        t["lineitem"].groupBy("l_orderkey")
-        .agg(F.sum(qty).alias("sq"))
-        .where(F.col("sq") > 250)
-        .select("l_orderkey")
-    )
-    j = (
         t["lineitem"]
-        .join(big.withColumnRenamed("l_orderkey", "bk"),
-              F.col("l_orderkey") == F.col("bk"), "left_semi")
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]),
-              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
     )
     return (
-        j.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
-                  F.col("o_totalprice").cast("double").alias("o_totalprice"))
-        .agg(F.sum(qty).alias("sum_qty"))
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
-        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
-                "o_totalprice", "sum_qty")
     )
 
 

@@ -199,11 +199,17 @@ def test_q8_star_join_broadcasts_all_dims(spark, tables):
     assert "Exchange hashpartitioning(s_suppkey" not in p
 
 
-def test_q18_semi_join_and_takeordered(spark, tables):
-    """Q18: the HAVING subquery runs as an aggregate + semi-join on
-    orderkey (not a full materialized IN-list), and the top-10 is
-    TakeOrdered — no global sort of the joined fact table."""
+def test_q18_single_fact_aggregate_takeordered(spark, tables):
+    """Q18 (r14): the HAVING aggregate IS the outer per-order sum, so
+    lineitem scans and aggregates exactly ONCE (no semi-join second
+    scan, no outer re-aggregation), and the top-10 is TakeOrdered —
+    no global sort of the joined fact table."""
     p = plan(spark, "sql_q18_large_orders")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 3, tree  # lineitem+orders+customer
+    assert "lineitem" in p.split("(1) Scan parquet")[1][:400], p
+    assert tree.count("HashAggregate") == 2, tree  # one partial+final pair
+    assert "LeftSemi" not in p, p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
 
