@@ -508,22 +508,25 @@ def minhash_dedup_pairs(
     """Full near-dup pipeline: MinHash → LSH candidates → EXACT Jaccard
     verification restricted to candidates. Returns (id_a, id_b, jaccard).
 
-    The shingle posting table is computed once and cached — both the
-    signature aggregation and the Jaccard verification read it (at scale:
-    persist to storage partitioned by shingle instead of memory-cache)."""
-    sh = shingle_table(df, text_col, id_col, shingle_n).cache()
-    try:
-        # cache the signatures too: the banded SELF-join reads them twice
-        # (left/right legs), and |docs|×(k+1) longs is small relative to
-        # the corpus at any scale (MEMORY_AND_DISK spills if not)
-        sigs = sh.groupBy(id_col).agg(*_minhash_aggs(num_hashes)).cache()
-        cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-        return ngram_jaccard_pairs(
-            df, text_col, id_col, shingle_n, threshold,
-            candidates=cand, shingle_df=sh,
-        )
-    finally:
-        pass  # cache released with the session; result plan references sh
+    The shingle posting table is computed once and materialized — both
+    the signature aggregation and the Jaccard verification read it.
+    ``materialize`` (not ``.cache()``): a cached plan fragment lingers
+    in the session's CacheManager and SUBSTITUTES into any other query
+    whose logical plan matches — any later shingle_table consumer in
+    the same session would silently read this key's corpus posting
+    table instead of computing its own (the r13 trigram-postings
+    lesson). A checkpointed ExistingRDD plan cannot be substituted, and
+    under a cluster posture materialize picks a durable mode."""
+    sh = materialize(shingle_table(df, text_col, id_col, shingle_n))
+    # materialize the signatures too: the banded SELF-join reads them
+    # twice (left/right legs), and |docs|×(k+1) longs is small relative
+    # to the corpus at any scale
+    sigs = materialize(sh.groupBy(id_col).agg(*_minhash_aggs(num_hashes)))
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_n, threshold,
+        candidates=cand, shingle_df=sh,
+    )
 
 
 # ---------------------------------------------------------------------------
