@@ -258,12 +258,39 @@ def cms_topk_with_truth(
     """The verification shape shared by the ``freq_cms_topk`` key and
     the FB_CMS TVF door: CMS estimates for the k most frequent keys
     NEXT TO their exact counts — (key_col, true_cnt, cms_est), ordered
-    (true_cnt DESC, key) so the top-k boundary is a total order."""
-    sk = cms_sketch(df, key_col, d=d, w=w)
-    cnt = (
+    (true_cnt DESC, key) so the top-k boundary is a total order.
+
+    One pass over the input: the exact per-key counts materialize once,
+    and the sketch derives from THEM as a weighted fold — cell(r, b) =
+    Σ true_cnt over keys hashing to (r, b), integer-identical to
+    folding the raw rows (each occurrence adds 1 ⟺ each key adds its
+    count), so the cells any oracle replays from the rows match
+    exactly. The unweighted row form (pipeline/sketches.cms_sketch) is
+    unchanged for streaming folds, where rows arrive incrementally."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2: d={d}, w={w}")
+    from featurebase_spark.materialize import materialize
+
+    cnt = materialize(
         df.where(F.col(key_col).isNotNull())
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    keyed = cnt.select(
+        F.col(key_col).alias("__k"),
+        F.col("true_cnt"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_id"),
+    )
+    sk = (
+        keyed.select(
+            F.col("row_id").cast("int").alias("row_id"),
+            _cms_bucket(F.col("__k"), F.col("row_id"), w)
+            .cast("int")
+            .alias("bucket"),
+            "true_cnt",
+        )
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("true_cnt").cast("long").alias("cnt"))
     )
     top = cnt.orderBy(F.desc("true_cnt"), key_col).limit(k)
     est = cms_estimates(sk, top.select(key_col), key_col, d=d, w=w)
