@@ -202,8 +202,15 @@ def temperature_rates(
         w_double = F.sqrt(F.col("src_size").cast("double"))
     else:
         w_double = F.pow(F.col("src_size").cast("double"), F.lit(float(alpha)))
-    sized = sizes.withColumn(
-        "w_int", F.floor(w_double * F.lit(float(_W_SCALE))).cast("long")
+    # sized feeds BOTH the totals aggregate and the per-source join —
+    # unmaterialized, each consumer replays the full corpus scan +
+    # groupBy; the frame is |sources| rows, so pinning it is free
+    from featurebase_spark.materialize import materialize as _mat
+
+    sized = _mat(
+        sizes.withColumn(
+            "w_int", F.floor(w_double * F.lit(float(_W_SCALE))).cast("long")
+        )
     )
     totals = sized.agg(
         F.sum(F.col("src_size").cast("decimal(38,0)")).alias("tot_size"),
