@@ -992,8 +992,15 @@ def connected_components(
                 (new_comp != F.col("component")).alias("__chg"),
             )
         )
-        new_labels = materialize(new_labels, eager=True)  # cut lineage
-        changed = new_labels.where("__chg").limit(1).count()
+        # LAZY materialize + count as the materializing action (the
+        # graph.py r14 fusion): one job persists the round's labels AND
+        # returns the fixpoint count. The count must cover EVERY
+        # partition — the former limit(1) probe would let the first job
+        # skip partitions, leaving unmaterialized blocks behind a
+        # truncated lineage — so it is a full count, still over rows
+        # this job computes anyway.
+        new_labels = materialize(new_labels)  # cut lineage
+        changed = new_labels.where("__chg").count()
         labels = new_labels.select("node", "component")
         if changed == 0:
             break

@@ -170,10 +170,17 @@ def connected_components(
             (new_comp != F.col("comp0")).alias("chg"),
         )
         reliable = checkpoint_dir is not None and i % int(checkpoint_every) == 0
+        # LAZY checkpoint + count as the materializing action: the count
+        # computes every partition (no limit/short-circuit — a partial
+        # first job would leave checkpoint blocks unmaterialized behind
+        # a truncated lineage), so one job both persists the round's
+        # labels AND returns the fixpoint count — the eager form paid a
+        # second scheduler round-trip per round to re-scan the
+        # materialized rows (r14; guide §1.2 don't compute twice)
         new_lab = (
-            new_lab.checkpoint(eager=True)
+            new_lab.checkpoint(eager=False)
             if reliable
-            else new_lab.localCheckpoint(eager=True)
+            else new_lab.localCheckpoint(eager=False)
         )
         changed = new_lab.where("chg").count()
         lab = new_lab.select("node", "comp")
