@@ -300,3 +300,32 @@ def test_fuzzy_join_no_nested_loop_single_distinct(spark, tables):
     assert tree.count("Generate") == 1, tree
     # one distinct = one partial+final aggregate pair, nothing else
     assert tree.count("HashAggregate") == 2, tree
+
+
+def test_cc_fixpoint_count_fused_into_checkpoint_job(spark):
+    """r14 (9409b47): each CC round's lazy checkpoint + FULL count is
+    the materializing action — one job per round both persists the
+    labels and returns the fixpoint count, where the eager form paid a
+    second scheduler round-trip per round to re-scan materialized rows.
+    An 8-chain converges in 4 rounds: this probe measured 45 jobs fused
+    vs 49 with the per-round count job (same session shape), so the
+    bound below fails if a separate count job per round ever returns.
+    The count must stay FULL (no limit/short-circuit): a partial first
+    job would leave checkpoint blocks unmaterialized behind truncated
+    lineage — the r13 measured failure mode of the naive lazy fusion —
+    and the collect() here reads the final round's checkpointed frame,
+    so that hazard fails this test too."""
+    from featurebase_spark.pipeline.graph import connected_components
+
+    ndf = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "src long, dst long"
+    )
+    tracker = spark._jsc.sc().statusTracker()
+    before = len(list(tracker.getJobIdsForGroup(None)))
+    out = connected_components(ndf, edf, shuffle_partitions=4).collect()
+    jobs = len(list(tracker.getJobIdsForGroup(None))) - before
+    assert {r["node"]: r["component"] for r in out} == {
+        i: 0 for i in range(8)
+    }
+    assert jobs <= 47, f"CC closure ran {jobs} jobs (fused form: ~45)"
