@@ -951,13 +951,19 @@ def connected_components(
     pathological graph shapes are visible. Truncating instead would
     silently split one true cluster into several "canonical" docs —
     silent duplicate retention."""
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .distinct()
-    )
+    # symmetrize in ONE pass over the pair subtree (graph._symmetrize):
+    # the union form instantiated the whole upstream pair derivation
+    # (minhash → LSH → verify) once per leg, so the edge
+    # materialization computed it twice (r14; guide §1.2)
+    from featurebase_spark.pipeline.graph import _symmetrize
+
+    edges = _symmetrize(
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+        "src",
+        "dst",
+    ).distinct()
     # the edge list is re-read every round: materialize it once, or
     # each round replays the whole upstream pair pipeline
     # (minhash → LSH → verify) inside its join (r13; guide §2.4)

@@ -43,6 +43,25 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["connected_components"]
 
 
+def _symmetrize(e: DataFrame, s: str, t: str) -> DataFrame:
+    """Both orientations of every edge in ONE pass over the edge
+    subtree: explode each row into (s,t) and (t,s). A two-leg union
+    instantiates the edge DERIVATION once per leg — for the dedup
+    callers that derivation is the whole pair pipeline (posting
+    self-join + pair aggregate, or minhash → LSH → verify), so the
+    symmetrized frame's materialization computed it twice (r14;
+    guide §1.2 don't compute twice). The explode doubles rows inside
+    the same stage instead — identical output, half the subtree."""
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(s), F.col(t)),
+                F.struct(F.col(t).alias(s), F.col(s).alias(t)),
+            )
+        ).alias("__e")
+    ).select(f"__e.{s}", f"__e.{t}")
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -118,8 +137,11 @@ def connected_components(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
         .where(F.col("s").isNotNull() & F.col("t").isNotNull())
     )
-    sym = e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
-    sym = sym.where(F.col("s") != F.col("t")).distinct()
+    sym = (
+        _symmetrize(e, "s", "t")
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
     # the edge list is reused every round: reliable-checkpoint it when a
     # dir is given (losing its executor blocks would also kill the loop)
     sym = (

@@ -65,6 +65,11 @@ def test_reliable_checkpoint_identical_labels(spark, tmp_path):
     edges = [(i, i + 1) for i in range(19)] + [(25, 30), (30, 39)]
     base = _cc(spark, nodes, edges)
     ckdir = str(tmp_path / "cc_ck")
+    # pin the context dir ourselves: connected_components deliberately
+    # never clobbers an existing context checkpoint dir, so if an
+    # earlier test set one this test would silently write THERE and the
+    # walk below would find nothing (order-dependent failure)
+    spark.sparkContext.setCheckpointDir(ckdir)
     rel = _cc(
         spark, nodes, edges, checkpoint_dir=ckdir, checkpoint_every=2
     )

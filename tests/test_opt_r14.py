@@ -329,3 +329,28 @@ def test_cc_fixpoint_count_fused_into_checkpoint_job(spark):
         i: 0 for i in range(8)
     }
     assert jobs <= 47, f"CC closure ran {jobs} jobs (fused form: ~45)"
+
+
+def test_cc_symmetrize_single_pass_no_union(spark):
+    """r14: edge symmetrization in the CC loops must be the one-pass
+    explode (graph._symmetrize), never a two-leg union — a union
+    instantiates the edge DERIVATION once per leg, so for the dedup
+    callers the whole pair pipeline (posting self-join + aggregate)
+    ran twice inside the symmetrized frame's materialization. The base
+    frame here carries an aggregate so a replay is visible in the plan
+    as a second HashAggregate pair."""
+    from featurebase_spark.pipeline.graph import _symmetrize
+
+    base = spark.range(10).select(
+        F.col("id").alias("s"), (F.col("id") + 1).alias("t")
+    )
+    agg = base.groupBy("s").agg(F.max("t").alias("t"))
+    p = _plan(_symmetrize(agg, "s", "t"))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Union") == 0, tree
+    assert tree.count("Generate") == 1, tree
+    # one partial+final aggregate pair — a union leg would add a second
+    assert tree.count("HashAggregate") == 2, tree
+    rows = {(r["s"], r["t"]) for r in _symmetrize(base, "s", "t").collect()}
+    want = {(i, i + 1) for i in range(10)}
+    assert rows == want | {(b, a) for a, b in want}
